@@ -1,24 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — times the headline queries (names match BASELINE.md)
+  * at SPARK_GRAFT_SF_DIR and prints one JSON line.
+  * Each query runs once untimed (JIT/codegen/file-footer warm-up, as the
+  * baseline was measured warm) and once timed.
+  */
 object Bench {
+  /** Headline metrics — keep names identical to BASELINE.md rows. */
+  val headline: Seq[String] =
+    Seq("q1_pricing_summary", "q3_join_agg", "window_topk", "tumbling_window")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val spark = Engine.session("graft-bench")
+    val qs = SparkEntry.queries
+    val results = headline.filter(qs.contains).map { name =>
+      val fn = qs(name)
+      def once(): Long = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        System.nanoTime() - t0
+      }
+      once() // warm-up
+      name -> once() / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

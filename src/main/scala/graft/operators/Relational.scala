@@ -1,0 +1,325 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY.md §2.2–§2.6): projection/filter, joins,
+  * aggregation, windows, sort/limit/set-ops — all declarative DataFrame
+  * plans so Catalyst handles pushdown, pruning, join selection and AQE.
+  *
+  * Determinism rules for every declared query (the driver hash-compares
+  * against a DuckDB oracle): full-tie-break ORDER BY, exact DECIMAL sums
+  * for money aggregates ([[graft.Det.dsum]]), timestamps compared at
+  * microsecond precision as BIGINT epochs.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary — the flagship query.
+    * Scale: single scan + partial/final hash agg on 2 low-cardinality keys;
+    * no join, no skew risk; filter + column pruning reach the parquet scan.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style shipping priority: 3-way join + agg + top-10.
+    * customer is the small side of customer⋈orders — AQE/size stats pick
+    * broadcast; at 100 TB the orders⋈lineitem join shuffles on orderkey,
+    * lineitem's natural clustering — no extra repartition needed.
+    */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cutoff = lit("1995-03-15").cast("timestamp")
+    t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier revenue: 6-way star join.
+    * region/nation/supplier/customer are dimension-sized → broadcast joins
+    * (hinted); the fact-fact orders⋈lineitem shuffle is the only exchange.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("n_name"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** P2: predicate surface — IN / BETWEEN / LIKE / IS NULL / boolean mix.
+    * All residuals are pushdown-eligible parquet filters.
+    */
+  def p2FilterPredicates(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .filter(col("o_totalprice").between(1000.0, 200000.0))
+      .filter(col("o_orderpriority").like("%URGENT%") || col("o_orderpriority").startsWith("3"))
+      .filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  /** P3: conditional expressions — CASE WHEN, coalesce, nullif. */
+  def p3CaseWhen(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .withColumn("qty_band",
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high"))
+      .withColumn("disc_flag", coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)))
+      .groupBy(col("qty_band"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("disc_flag") === -1.0, 1).otherwise(0)).as("no_discount"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"))
+      .orderBy(col("qty_band"))
+  }
+
+  /** J2: left outer join — customers with their order counts incl. zero. */
+  def j2OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_customers_no_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** J3: semi/anti joins — EXISTS / NOT EXISTS without row duplication. */
+  def j3SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val withOrders = t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+    val noOrders = t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_orders"))
+    withOrders.join(noOrders, Seq("c_mktsegment"), "full_outer")
+      .select(
+        col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** J5: theta/range join — supplier vs customer in same nation where the
+    * supplier out-balances the customer. Equi part shuffles; theta part is
+    * a residual filter, so this stays a hash/merge join, not a nested loop.
+    */
+  def j5RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.supplier.join(t.customer,
+        col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("s_acctbal") - col("c_acctbal")), 4).as("avg_gap"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** J6: cross join (guarded: only dimension-sized inputs). */
+  def j6Cross(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.region.crossJoin(t.nation)
+      .select(col("r_name"), col("n_name"),
+        (col("r_regionkey") === col("n_regionkey")).cast("int").as("is_home"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** A2: exact distinct aggregation (expand + two-phase agg). */
+  def a2Distinct(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(col("o_orderpriority")).as("n_prios"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** A3: approximate count-distinct (HLL++). No SQL oracle — checked by a
+    * scalatest tolerance assertion vs the exact count.
+    */
+  def a3ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** A4: rollup with grouping_id — multi-granularity aggregate. */
+  def a4Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Det.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** A5: array aggregation — stabilized with sort + string join so the
+    * oracle compare is order-insensitive.
+    */
+  def a5CollectSet(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** A6: statistical aggregates — exact percentile, stddev, correlation. */
+  def a6Stats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** W1: ranking functions over a partitioned window. */
+  def w1Rank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t.customer
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("c_mktsegment"), col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"),
+        col("rn"), col("rk"), col("drk"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** W2: analytic lag/lead over event time per user. Event time is compared
+    * at µs precision on both engines (ns truncated identically).
+    */
+  def w2LagLead(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        round(avg(col("gap_us")), 2).as("avg_gap_us"),
+        sum(when(col("prev_type") === col("event_type"), 1).otherwise(0)).as("n_repeats"))
+      .orderBy(col("user_id"))
+  }
+
+  /** W3: frame aggregates — running sum + 3-row moving average. */
+  def w3MovingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("running_value", sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("moving_avg", avg(col("value")).over(w.rowsBetween(-2, 0)))
+      .select(col("user_id"), col("event_id"),
+        round(col("running_value"), 4).as("running_value"),
+        round(col("moving_avg"), 4).as("moving_avg"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** W4: top-K per group (the headline `window_topk` bench query). */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), round(col("value"), 4).as("value"), col("rn"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** T1 batch analog: 1-hour tumbling event-time window × type (the
+    * headline `tumbling_window` bench query; streaming twin in §2.8).
+    */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"),
+        col("n"), col("avg_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+  }
+
+  /** O1+O2: global sort + limit → TakeOrderedAndProject (no full sort at scale). */
+  def o1SortLimit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"), col("o_orderstatus"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  /** O3: union all + distinct-aware aggregation over the union. */
+  def o3Union(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val a = t.customer.select(col("c_nationkey").as("nk"), lit("c").as("src"))
+    val b = t.supplier.select(col("s_nationkey").as("nk"), lit("s").as("src"))
+    a.unionByName(b)
+      .groupBy(col("nk"))
+      .agg(count(lit(1)).as("n_all"), countDistinct(col("src")).as("n_sources"))
+      .orderBy(col("nk"))
+  }
+
+  /** O4: intersect / except set operations. */
+  def o4SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val custNations = t.customer.select(col("c_nationkey").as("nk")).distinct()
+    val suppNations = t.supplier.select(col("s_nationkey").as("nk")).distinct()
+    val both = custNations.intersect(suppNations).withColumn("side", lit("both"))
+    val custOnly = custNations.except(suppNations).withColumn("side", lit("customer_only"))
+    both.unionByName(custOnly).orderBy(col("side"), col("nk"))
+  }
+}
