@@ -17,17 +17,22 @@ object Bench {
     val qs = SparkEntry.queries
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
-      def once(): Long = {
+      // A crashing query must surface as a -1 sentinel, never as a
+      // short "time until it threw" that silently shrinks the total.
+      def once(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        System.nanoTime() - t0
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
       }
-      once() // warm-up
-      name -> once() / 1e9
+      val warm = once()
+      name -> (if (warm < 0) -1.0 else once())
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }

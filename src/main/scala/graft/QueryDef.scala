@@ -28,4 +28,17 @@ object Det {
   /** SQL fragment for the oracle side of [[dsum]]. */
   def dsumSql(expr: String, scale: Int = 2): String =
     s"CAST(ROUND(SUM(CAST($expr AS DECIMAL(30,6))), $scale) AS DOUBLE)"
+
+  /** Order-independent rounded average: exact DECIMAL sum (per-element cast
+    * at 12 dp is deterministic in both engines), one double division, one
+    * round — no accumulation-order sensitivity, unlike `ROUND(AVG(x), s)`
+    * whose half-ulp drift can flip a rounded digit at larger scale factors.
+    * Null semantics match AVG: the divisor counts non-null values only.
+    */
+  def davg(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast("decimal(30,12)")).cast("double") / count(c), scale)
+
+  /** SQL fragment for the oracle side of [[davg]]. */
+  def davgSql(expr: String, scale: Int = 4): String =
+    s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(30,12))) AS DOUBLE) / COUNT($expr), $scale)"
 }

@@ -17,6 +17,7 @@ import graft.operators._
   */
 object Registry {
   private val ds = Det.dsumSql _
+  private val da = Det.davgSql _
 
   val relational: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", Relational.q1PricingSummary, Some(s"""
@@ -24,9 +25,9 @@ object Registry {
         ${ds("l_quantity", 2)} AS sum_qty,
         ${ds("l_extendedprice", 2)} AS sum_base_price,
         ${ds("l_extendedprice * (1.0 - l_discount)", 2)} AS sum_disc_price,
-        ROUND(AVG(l_quantity), 4) AS avg_qty,
-        ROUND(AVG(l_extendedprice), 4) AS avg_price,
-        ROUND(AVG(l_discount), 4) AS avg_disc,
+        ${da("l_quantity", 4)} AS avg_qty,
+        ${da("l_extendedprice", 4)} AS avg_price,
+        ${da("l_discount", 4)} AS avg_disc,
         COUNT(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -73,10 +74,10 @@ object Registry {
       GROUP BY o_orderstatus, o_orderpriority
       ORDER BY o_orderstatus, o_orderpriority""")),
 
-    QueryDef("p3_case_when", Relational.p3CaseWhen, Some("""
+    QueryDef("p3_case_when", Relational.p3CaseWhen, Some(s"""
       SELECT qty_band, COUNT(*) AS n,
         CAST(SUM(CASE WHEN disc_flag = -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS no_discount,
-        ROUND(AVG(l_extendedprice), 4) AS avg_price
+        ${da("l_extendedprice", 4)} AS avg_price
       FROM (
         SELECT l_extendedprice,
           CASE WHEN l_quantity < 10 THEN 'low'
@@ -105,9 +106,9 @@ object Registry {
           OR SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) THEN 1 ELSE 0 END) > 0
       ORDER BY c_mktsegment""")),
 
-    QueryDef("j5_range_join", Relational.j5RangeJoin, Some("""
+    QueryDef("j5_range_join", Relational.j5RangeJoin, Some(s"""
       SELECT s_nationkey, COUNT(*) AS n_pairs,
-        ROUND(AVG(s_acctbal - c_acctbal), 4) AS avg_gap
+        ${da("s_acctbal - c_acctbal", 4)} AS avg_gap
       FROM supplier JOIN customer
         ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
       GROUP BY s_nationkey
@@ -167,9 +168,9 @@ object Registry {
       WHERE rn <= 5
       ORDER BY c_mktsegment, rn""")),
 
-    QueryDef("w2_lag_lead", Relational.w2LagLead, Some("""
+    QueryDef("w2_lag_lead", Relational.w2LagLead, Some(s"""
       SELECT user_id,
-        ROUND(AVG(gap_us), 2) AS avg_gap_us,
+        ${da("gap_us", 2)} AS avg_gap_us,
         CAST(SUM(CASE WHEN prev_type = event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
       FROM (
         SELECT user_id, event_type,
@@ -198,9 +199,9 @@ object Registry {
       WHERE rn <= 3
       ORDER BY user_id, rn""")),
 
-    QueryDef("tumbling_window", Relational.tumblingWindow, Some("""
+    QueryDef("tumbling_window", Relational.tumblingWindow, Some(s"""
       SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS window_start_us,
-        event_type, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+        event_type, COUNT(*) AS n, ${da("value", 4)} AS avg_value
       FROM events
       GROUP BY 1, 2
       ORDER BY 1, 2""")),

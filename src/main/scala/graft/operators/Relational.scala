@@ -29,22 +29,23 @@ object Relational {
         Det.dsum(col("l_quantity")).as("sum_qty"),
         Det.dsum(col("l_extendedprice")).as("sum_base_price"),
         Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        Det.davg(col("l_quantity")).as("avg_qty"),
+        Det.davg(col("l_extendedprice")).as("avg_price"),
+        Det.davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   /** TPC-H Q3-style shipping priority: 3-way join + agg + top-10.
-    * customer is the small side of customer⋈orders — AQE/size stats pick
-    * broadcast; at 100 TB the orders⋈lineitem join shuffles on orderkey,
-    * lineitem's natural clustering — no extra repartition needed.
+    * The BUILDING-filtered customer side is explicitly broadcast (1/5 of
+    * customers — small at any scale factor relative to orders) so the first
+    * join never shuffles; at 100 TB the orders⋈lineitem join shuffles on
+    * orderkey, lineitem's natural clustering — no extra repartition needed.
     */
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val cutoff = lit("1995-03-15").cast("timestamp")
-    t.customer.filter(col("c_mktsegment") === "BUILDING")
+    broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING"))
       .join(t.orders, col("c_custkey") === col("o_custkey"))
       .filter(col("o_orderdate") < cutoff)
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
@@ -109,7 +110,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("disc_flag") === -1.0, 1).otherwise(0)).as("no_discount"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"))
+        Det.davg(col("l_extendedprice")).as("avg_price"))
       .orderBy(col("qty_band"))
   }
 
@@ -150,7 +151,7 @@ object Relational {
         col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
       .groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg(col("s_acctbal") - col("c_acctbal")), 4).as("avg_gap"))
+        Det.davg(col("s_acctbal") - col("c_acctbal")).as("avg_gap"))
       .orderBy(col("s_nationkey"))
   }
 
@@ -251,7 +252,7 @@ object Relational {
       .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
       .groupBy(col("user_id"))
       .agg(
-        round(avg(col("gap_us")), 2).as("avg_gap_us"),
+        Det.davg(col("gap_us"), 2).as("avg_gap_us"),
         sum(when(col("prev_type") === col("event_type"), 1).otherwise(0)).as("n_repeats"))
       .orderBy(col("user_id"))
   }
@@ -287,7 +288,7 @@ object Relational {
     val t = Tables(spark, dir)
     t.events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"), Det.davg(col("value")).as("avg_value"))
       .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"),
         col("n"), col("avg_value"))
       .orderBy(col("window_start_us"), col("event_type"))
