@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import graft.functions.{FnQueries, WeightedAvg}
 
 /** Central declaration list: every implemented operator from SURVEY.md §2
   * with its DuckDB oracle twin (None → driver records rows-only check).
@@ -230,7 +231,200 @@ object Registry {
       ORDER BY side, nk""")),
   )
 
-  def all: Seq[QueryDef] = relational
+  /** L1–L6 (SURVEY.md §2.9): LLM-data-pipeline operators. */
+  val llm: Seq[QueryDef] = {
+    // MinHash signature columns, generated in lock-step on both sides:
+    // sig_i = min over tokens of md5("i:" ‖ token), compared as hex text.
+    val sigCols = (0 until 16).map { i =>
+      f"list_min(list_transform(string_split(text, ' '), t -> md5('$i:' || t))) AS sig_$i%02d"
+    }.mkString(", ")
+    // Exact-decimal cosine scaffold shared by both L3 oracles (Det.dsum
+    // discipline: float→double widening is exact, per-product DECIMAL cast
+    // makes the sum order-independent, final round at 6 dp).
+    def cosineSql(src: String, extraCols: String, where: String = ""): String = s"""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM ($src) WHERE vec_id = 0),
+      x AS (SELECT vec_id, label$extraCols, unnest(embedding::DOUBLE[]) AS a, unnest(qe) AS b FROM ($src), q $where),
+      d AS (SELECT vec_id, label$extraCols,
+              SUM(CAST(a*b AS DECIMAL(30,15))) AS dot,
+              SUM(CAST(a*a AS DECIMAL(30,15))) AS na,
+              SUM(CAST(b*b AS DECIMAL(30,15))) AS nb
+            FROM x GROUP BY ALL)
+      SELECT vec_id, label$extraCols,
+        ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
+      FROM d ORDER BY cosine DESC, vec_id LIMIT 10"""
+    val bucketSql = (0 until 6)
+      .map(i => s"${1 << i}*(embedding[${i + 1}]>0)::INT").mkString(" + ")
+    def stopFilter(words: Seq[String]): String =
+      s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+    Seq(
+      QueryDef("l1_exact_dedup", Dedup.l1ExactDedup, Some("""
+        SELECT MIN(doc_id) AS keeper_id, sha256(text) AS content_sha, COUNT(*) AS n_copies
+        FROM documents GROUP BY sha256(text) ORDER BY keeper_id""")),
+
+      QueryDef("l2_minhash", Dedup.l2Minhash, Some(s"""
+        SELECT doc_id, $sigCols FROM documents ORDER BY doc_id""")),
+
+      QueryDef("l6_simjoin", Dedup.l6SimJoin, None),
+
+      QueryDef("l3_cosine_topk", Similarity.l3CosineTopK,
+        Some(cosineSql("SELECT * FROM embeddings", ""))),
+
+      QueryDef("l3_ann_bucket", Similarity.l3AnnBucket,
+        Some(cosineSql(
+          s"SELECT vec_id, label, embedding, CAST($bucketSql AS INT) AS bucket FROM embeddings",
+          ", bucket",
+          // restrict the scan to the query vector's bucket, like the Spark plan
+          s"WHERE bucket = (SELECT CAST($bucketSql AS INT) FROM embeddings WHERE vec_id = 0)"))),
+
+      QueryDef("l4_text_analysis", TextOps.l4TextAnalysis, Some(s"""
+        WITH s AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t FROM documents),
+        c AS (SELECT doc_id, lang, n_chars,
+          CAST(len(t) AS INT) AS n_tokens,
+          CAST(len(list_distinct(t)) AS INT) AS n_unique,
+          CAST(${stopFilter(TextOps.stopwords("en"))} AS INT) AS n_stop,
+          CAST(list_sum(list_transform(t, x -> length(x))) AS INT) AS sum_tok_len
+        FROM s)
+        SELECT doc_id, lang, n_chars, n_tokens, n_unique, n_stop, sum_tok_len,
+          ROUND(n_unique::DOUBLE / n_tokens, 6) AS ttr,
+          ROUND(n_stop::DOUBLE / n_tokens, 6) AS stop_ratio,
+          ROUND(sum_tok_len::DOUBLE / n_tokens, 6) AS avg_tok_len,
+          CAST((700 * n_unique + 300 * (n_tokens - n_stop)) // n_tokens AS BIGINT) AS quality_permille
+        FROM c ORDER BY doc_id""")),
+
+      QueryDef("l4_term_freq", TextOps.l4TermFreq, Some("""
+        SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY n_occurrences DESC, token""")),
+
+      QueryDef("l4_langid", TextOps.l4LangId, Some {
+        val langs = Seq("en", "de", "es", "fr", "zh")
+        val scores = langs.map(l => s"${stopFilter(TextOps.stopwords(l))} AS s_$l").mkString(", ")
+        val cases = langs.init.map { l =>
+          val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $ge THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH s AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+        sc AS (SELECT lang, $scores FROM s)
+        SELECT lang, CASE $cases ELSE 'zh' END AS predicted, COUNT(*) AS n
+        FROM sc GROUP BY lang, predicted ORDER BY lang, predicted"""
+      }),
+
+      QueryDef("l4_fingerprint", TextOps.l4Fingerprint, Some("""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        SELECT doc_id,
+          list_min([md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) for i in range(1, len(t)-1)]) AS fingerprint,
+          CAST(len(t) - 2 AS INT) AS n_shingles
+        FROM s ORDER BY doc_id""")),
+
+      QueryDef("l5_multimodal", Multimodal.l5Multimodal, Some("""
+        SELECT doc_id, lang, source, label,
+          CAST(len(embedding) AS INT) AS emb_dim,
+          CAST(octet_length(unhex(md5(text))) AS INT) AS payload_len,
+          substr(upper(md5(text)), 1, 16) AS payload_hex_head
+        FROM documents JOIN embeddings ON doc_id = vec_id
+        ORDER BY doc_id""")),
+    )
+  }
+
+  /** F1–F7 + J7 + A7 (SURVEY.md §2.7, §2.3, §2.4). */
+  val fns: Seq[QueryDef] = Seq(
+    QueryDef("f1_string", FnQueries.f1String, Some("""
+      SELECT doc_id,
+        substr(text, 1, 20) AS head,
+        upper(substr(text, 1, 10)) AS up_head,
+        CAST(length(text) AS INT) AS len,
+        split_part(text, ' ', 1) AS first_tok,
+        lpad(lang, 5, '_') AS lang_pad,
+        CAST(strpos(text, 'spark') AS INT) AS spark_pos,
+        regexp_extract(text, '([a-z]{6,})', 1) AS first_long_word,
+        replace(substr(text, 1, 20), ' ', '-') AS dashed,
+        lang || '-' || source AS lang_src,
+        trim('  x  ') AS trimmed
+      FROM documents ORDER BY doc_id""")),
+
+    QueryDef("f2_datetime", FnQueries.f2Datetime, Some("""
+      SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        COUNT(*) AS n,
+        CAST(MIN(day(o_orderdate)) AS INT) AS min_day,
+        CAST(MAX(day(o_orderdate)) AS INT) AS max_day,
+        epoch_us(date_trunc('month', MIN(o_orderdate))) AS month_start_us,
+        epoch_us(MIN(o_orderdate) + INTERVAL 30 DAY) AS plus30d_us,
+        CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE), CAST(MAX(o_orderdate) AS DATE)) AS INT) AS span_days
+      FROM orders GROUP BY 1, 2 ORDER BY y, m""")),
+
+    QueryDef("f3_math", FnQueries.f3Math, Some("""
+      SELECT l_orderkey, l_linenumber,
+        abs(l_discount - 0.05) AS abs_disc_gap,
+        CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        ROUND(sqrt(l_quantity), 6) AS qty_sqrt,
+        ((l_partkey % 7) + 7) % 7 AS pk_mod7,
+        greatest(l_tax, l_discount) AS max_rate,
+        least(l_tax, l_discount) AS min_rate,
+        ROUND(l_extendedprice * 0.1, 3) AS tithe
+      FROM lineitem WHERE l_orderkey < 100
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    QueryDef("f4_array", FnQueries.f4Array, Some("""
+      WITH s AS (SELECT vec_id, embedding, list_sort(list_slice(embedding, 1, 3)) AS f3 FROM embeddings)
+      SELECT vec_id,
+        CAST(len(embedding) AS INT) AS emb_dim,
+        CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+        CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+        CAST(f3[1] AS DOUBLE) AS f3_lo, CAST(f3[2] AS DOUBLE) AS f3_mid, CAST(f3[3] AS DOUBLE) AS f3_hi,
+        ROUND(CAST(list_sum(list_transform(list_slice(embedding, 1, 8),
+          x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(30,15)))) AS DOUBLE), 6) AS head8_sum
+      FROM s ORDER BY vec_id""")),
+
+    QueryDef("f4_explode", FnQueries.f4Explode, Some("""
+      SELECT vec_id, 0 AS pos, CAST(embedding[1] AS DOUBLE) AS val FROM embeddings WHERE vec_id < 50
+      UNION ALL SELECT vec_id, 1, CAST(embedding[2] AS DOUBLE) FROM embeddings WHERE vec_id < 50
+      UNION ALL SELECT vec_id, 2, CAST(embedding[3] AS DOUBLE) FROM embeddings WHERE vec_id < 50
+      ORDER BY vec_id, pos""")),
+
+    QueryDef("f5_map", FnQueries.f5Map, Some("""
+      SELECT k, v, n FROM (
+        SELECT 'type' AS k, event_type AS v, COUNT(*) AS n FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'band' AS k, CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS v, COUNT(*) AS n
+        FROM events GROUP BY 2)
+      ORDER BY k, v""")),
+
+    QueryDef("f6_json", FnQueries.f6Json, Some("""
+      WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(k) AS BIGINT) AS sum_k,
+        MIN(k) AS min_k, MAX(k) AS max_k,
+        CAST(COUNT(k) AS BIGINT) AS n_paths_agree
+      FROM e GROUP BY event_type ORDER BY event_type""")),
+
+    QueryDef("f7_hash", FnQueries.f7Hash, Some("""
+      SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256,
+        md5(c_name || '|' || c_mktsegment) AS composite_md5
+      FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""")),
+
+    QueryDef("j7_asof", AsOf.j7AsOf, Some("""
+      SELECT p.user_id, p.event_id AS purchase_id,
+        epoch_us(p.ts) AS purchase_ts_us,
+        epoch_us(c.ts) AS click_ts_us,
+        epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.user_id, purchase_id""")),
+
+    QueryDef("a7_weighted_udaf", WeightedAvg.a7WeightedAvg, Some("""
+      SELECT l_returnflag,
+        ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,12))) AS DOUBLE)
+            / CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE), 4) AS wavg_price,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+  )
+
+  def all: Seq[QueryDef] = relational ++ llm ++ fns
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(d => d.name -> d.fn).toMap

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** L5 (SURVEY.md §2.9): multimodal columns — rows that carry text, an
+  * embedding vector, typed metadata, and an opaque binary payload side by
+  * side.
+  *
+  * The media itself is opaque `BinaryType`; this module provides the
+  * Spark-side plumbing (schema, join, struct metadata, partition-friendly
+  * batch decode) with the actual codec stubbed behind a deterministic
+  * fake — the container ships no image/audio libraries, so the stub
+  * stands in for e.g. a JNI/ONNX decode, and the tests pin the plumbing
+  * (schema, batch shape, row alignment), not the codec.
+  *
+  * Scale posture: documents⋈embeddings is a key-to-key shuffle join on
+  * the id (both sides bucketable by that id at 100 TB); decode runs via
+  * `mapPartitions` so per-partition codec state is initialized once per
+  * task, never per row.
+  */
+object Multimodal {
+
+  /** documents joined with embeddings (doc_id = vec_id), with a synthetic
+    * deterministic binary payload (fixtures ship no real media bytes) and
+    * a typed metadata struct.
+    */
+  def assets(t: Tables): DataFrame =
+    t.documents
+      .join(t.embeddings, col("doc_id") === col("vec_id"))
+      .withColumn("payload", unhex(md5(col("text"))))
+      .withColumn("meta", struct(
+        col("lang"), col("source"), col("n_chars"), col("label")))
+
+  /** L5 declared query: the multimodal row surface, flattened to
+    * oracle-comparable scalars (binary surfaced as hex head + length).
+    */
+  def l5Multimodal(spark: SparkSession, dir: String): DataFrame =
+    assets(Tables(spark, dir))
+      .select(
+        col("doc_id"), col("meta.lang").as("lang"), col("meta.source").as("source"),
+        col("meta.label").as("label"),
+        size(col("embedding")).as("emb_dim"),
+        length(col("payload")).as("payload_len"),
+        substring(hex(col("payload")), 1, 16).as("payload_hex_head"))
+      .orderBy(col("doc_id"))
+
+  /** Output schema of [[decodeFeatures]]. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload_len", IntegerType),
+    StructField("feature", ArrayType(DoubleType))))
+
+  /** Batch "decode / feature-extract" over the binary payload column.
+    *
+    * STUB CODEC: a real deployment would decode image/audio bytes here
+    * (libs absent in this container); the stand-in emits a deterministic
+    * 4-d feature from the payload bytes so the distributed plumbing —
+    * per-partition batching, binary traversal, schema of the result — is
+    * real and testable.
+    */
+  def decodeFeatures(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val input = assets.select(col("doc_id"), col("payload"))
+    val rdd = input.rdd.mapPartitions { rows =>
+      // per-partition init happens here (codec handles, model sessions)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val feat = bytes.take(4).map(b => (b & 0xff) / 255.0)
+        Row(id, bytes.length, feat.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}

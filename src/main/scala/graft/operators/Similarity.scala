@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** L3 (SURVEY.md §2.9): similarity search over the `embeddings` fixture
+  * (64-d float vectors).
+  *
+  * Two declared variants:
+  *  - brute-force cosine top-k (the exact baseline): broadcast the 1-row
+  *    query vector, compute cosine per row with higher-order array
+  *    functions (codegen'd, no UDF), TakeOrderedAndProject for the top-k —
+  *    a single narrow pass over the table, no driver-side collect.
+  *  - sign-bit LSH bucketed ANN (the scale path): vectors are bucketed by
+  *    the sign pattern of their leading dimensions (a random-projection
+  *    family — embedding dims are already random directions); the search
+  *    touches only the query's bucket, ~n/2^bits of the data. At 100 TB
+  *    the bucket id is a partition/cluster key so a probe reads one
+  *    partition instead of the full corpus.
+  *
+  * Determinism-for-oracle discipline: float elements are widened to
+  * double (exact), per-element products are cast to DECIMAL(30,15)
+  * (order-independent exact sum — same trick as [[graft.Det.dsum]]), and
+  * the final cosine is rounded at 6 dp on both engines.
+  */
+object Similarity {
+
+  /** Array<float> → array<double> (exact widening). */
+  private def dbl(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Exact order-independent sum of an array<double> via DECIMAL(30,15). */
+  private def dsumArr(a: Column): Column =
+    aggregate(
+      a,
+      lit(0).cast("decimal(30,15)"),
+      (acc, x) => (acc + x.cast("decimal(30,15)")).cast("decimal(30,15)"))
+
+  /** Cosine similarity of two array<double> columns, rounded at `scale`. */
+  def cosine(a: Column, b: Column, scale: Int = 6): Column = {
+    val dot = dsumArr(zip_with(a, b, (x, y) => x * y)).cast("double")
+    val na  = dsumArr(zip_with(a, a, (x, y) => x * y)).cast("double")
+    val nb  = dsumArr(zip_with(b, b, (x, y) => x * y)).cast("double")
+    round(dot / (sqrt(na) * sqrt(nb)), scale)
+  }
+
+  /** The query vector (vec_id = `queryId`) as a 1-row broadcastable frame. */
+  private def queryVec(t: Tables, queryId: Long): DataFrame =
+    t.embeddings.filter(col("vec_id") === queryId)
+      .select(dbl(col("embedding")).as("q_emb"))
+
+  /** Top-k rows by cosine similarity to the query vector. Broadcast
+    * nested-loop against a 1-row side, then TakeOrderedAndProject — the
+    * plan never materializes a global sort.
+    */
+  def bruteForceTopK(t: Tables, queryId: Long, k: Int): DataFrame =
+    t.embeddings
+      .crossJoin(broadcast(queryVec(t, queryId)))
+      .select(col("vec_id"), col("label"),
+        cosine(dbl(col("embedding")), col("q_emb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+
+  /** Sign-bit bucket id over the first `bits` dimensions: bit i set iff
+    * embedding[i] > 0. SQL-expressible (oracle-checked) and computable at
+    * write time as a partition key.
+    */
+  def signBucket(emb: Column, bits: Int): Column =
+    (0 until bits)
+      .map(i => (emb.getItem(i) > 0).cast("int") * lit(1 << i))
+      .reduce(_ + _)
+
+  /** ANN: search only the query's sign-bucket, then exact cosine top-k
+    * within it. Recall vs [[bruteForceTopK]] is asserted in scalatest.
+    */
+  def annTopK(t: Tables, queryId: Long, k: Int, bits: Int): DataFrame = {
+    val bucketed = t.embeddings
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+    val q = t.embeddings.filter(col("vec_id") === queryId)
+      .select(dbl(col("embedding")).as("q_emb"),
+        signBucket(col("embedding"), bits).as("q_bucket"))
+    bucketed
+      .join(broadcast(q), col("bucket") === col("q_bucket"))
+      .select(col("vec_id"), col("label"), col("bucket"),
+        cosine(dbl(col("embedding")), col("q_emb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** L3 declared query: exact top-10 neighbours of vec_id 0. */
+  def l3CosineTopK(spark: SparkSession, dir: String): DataFrame =
+    bruteForceTopK(Tables(spark, dir), queryId = 0L, k = 10)
+
+  /** L3 declared query (scale path): bucketed ANN top-10 for vec_id 0,
+    * 6 sign bits → 64 buckets.
+    */
+  def l3AnnBucket(spark: SparkSession, dir: String): DataFrame =
+    annTopK(Tables(spark, dir), queryId = 0L, k = 10, bits = 6)
+}

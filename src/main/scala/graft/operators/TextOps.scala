@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** L4 (SURVEY.md §2.9): text-analysis operators for corpus curation —
+  * per-document statistics / quality scores, corpus term frequency,
+  * stopword-profile language ID, and rolling-hash fingerprints.
+  *
+  * Scale posture: the per-document queries are pure narrow maps over
+  * higher-order array functions (no UDF, no shuffle, whole-stage
+  * codegen); term frequency is the only shuffle (explode → map-side
+  * partial count → final agg on a 31-word key space).
+  */
+object TextOps {
+
+  /** Tiny built-in stopword profiles. English list doubles as the
+    * "quality" stopword set for [[l4TextAnalysis]].
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  private def countIn(ts: Column, words: Seq[String]): Column =
+    size(filter(ts, t => t.isInCollection(words)))
+
+  /** Per-doc token/uniqueness/stopword stats + derived quality score.
+    * All counts are exact integers. Ratios are single double divisions of
+    * those integers rounded at 6 dp — token counts are ≤ 99, so any
+    * power-of-two denominator terminates within 6 digits and the rounding
+    * never lands on a cross-engine half-boundary. The composite quality
+    * score stays in exact integer arithmetic (permille, floor-div), which
+    * no floating-point rounding discipline can break.
+    */
+  def l4TextAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ts = toks(col("text"))
+    t.documents
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        size(ts).as("n_tokens"),
+        size(array_distinct(ts)).as("n_unique"),
+        countIn(ts, stopwords("en")).as("n_stop"),
+        aggregate(transform(ts, length(_)), lit(0), _ + _).as("sum_tok_len"))
+      .withColumn("ttr", round(col("n_unique").cast("double") / col("n_tokens"), 6))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .withColumn("avg_tok_len", round(col("sum_tok_len").cast("double") / col("n_tokens"), 6))
+      // Quality heuristic for corpus filtering: favour lexical diversity,
+      // penalize stopword-heavy docs. Integer permille: 700‰ diversity +
+      // 300‰ non-stopword share, floor-divided — exact on any engine.
+      .withColumn("quality_permille",
+        expr("(700 * n_unique + 300 * (n_tokens - n_stop)) DIV n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus term frequency: token → occurrences + document frequency. */
+  def l4TermFreq(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+  }
+
+  /** Stopword-profile language ID: score each language by how many of its
+    * profile words appear, argmax with a fixed tie order (en→de→es→fr→zh).
+    * (The fixture corpus is synthetic shared-vocabulary soup, so the
+    * declared query mostly exercises determinism; real discrimination is
+    * asserted in scalatest on language-typical sentences.)
+    */
+  def langIdExpr(text: Column): Column = {
+    val ts = toks(text)
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val scores = langs.map(l => l -> countIn(ts, stopwords(l))).toMap
+    langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
+      val geAll = langs.filter(_ != l).map(o => scores(l) >= scores(o)).reduce(_ && _)
+      when(geAll, lit(l)).otherwise(els)
+    }
+  }
+
+  def l4LangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("lang"), langIdExpr(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Rolling-hash document fingerprint: minimum md5 over 3-token shingles
+    * (1-permutation MinHash over shingles — robust to small edits, cheap
+    * to compare). Narrow per-row compute; the fingerprint is a 128-bit
+    * join/dedup key at scale.
+    */
+  def fingerprint(text: Column, shingle: Int = 3): Column = {
+    val ts = toks(text)
+    val grams = transform(
+      sequence(lit(1), size(ts) - lit(shingle - 1)),
+      i => concat_ws(" ", (0 until shingle).map(o => element_at(ts, i + lit(o))): _*))
+    array_min(transform(grams, md5(_)))
+  }
+
+  def l4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ts = toks(col("text"))
+    t.documents
+      .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"),
+        (size(ts) - lit(2)).as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -60,6 +60,19 @@ def main(sf_dir, out_dir):
             for x in list(dset - sset)[:3]:
                 print(f"   duck-only:  {x}")
     # names declared in queries but absent from oracle: rows-only check
+    import os
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name in oracle:
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no-oracle query wrote no output"); n_fail += 1; continue
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+        if n > 0:
+            print(f"PASS~ {name} ({n} rows, rows-only check)"); n_pass += 1
+        else:
+            print(f"FAIL {name}: no-oracle query returned 0 rows"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
