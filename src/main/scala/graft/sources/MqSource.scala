@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S2 (SURVEY.md §2.1): message-queue source — the "mq" of the project.
+  *
+  * No MQ connector jar ships in this zero-egress environment, so the
+  * broker is embedded in-process: topics hold partitioned, offset-ordered
+  * message logs, and the DataSource V2 [[MqMicroBatchStream]] reads them
+  * with real offset-range semantics — `initialOffset`/`latestOffset`
+  * per-partition offset vectors, replayable `planInputPartitions(start,
+  * end)` slices, checkpoint-JSON round-trip — exactly the contract a
+  * networked Kafka-class connector implements. Swapping the embedded
+  * broker for a remote one changes [[MqBroker]] only; the Spark-facing
+  * offset/partition machinery is the part that must be (and is) right.
+  *
+  * Scale posture: one Spark input partition per MQ partition per batch,
+  * so read parallelism equals broker partitioning and follows it on a
+  * real cluster; no driver-side buffering of message payloads beyond the
+  * embedded broker itself.
+  */
+object MqBroker {
+  final case class Message(partition: Int, offset: Long, key: String, value: String,
+                           timestampUs: Long)
+
+  private val topics = new ConcurrentHashMap[String, Array[ArrayBuffer[Message]]]()
+
+  def createTopic(topic: String, partitions: Int): Unit =
+    topics.putIfAbsent(topic, Array.fill(partitions)(ArrayBuffer.empty[Message]))
+
+  def deleteTopic(topic: String): Unit = topics.remove(topic)
+
+  private def log(topic: String): Array[ArrayBuffer[Message]] = {
+    val l = topics.get(topic)
+    require(l != null, s"mq: unknown topic '$topic'")
+    l
+  }
+
+  /** Append a message; partition chosen by key hash (sticky per key, like
+    * a keyed MQ producer), or round-robin-ish via offset when keyless.
+    */
+  def publish(topic: String, key: String, value: String, timestampUs: Long): Unit = {
+    val l = log(topic)
+    val p = if (key == null) (totalSize(topic) % l.length).toInt
+            else math.floorMod(key.hashCode, l.length)
+    l(p).synchronized {
+      l(p) += Message(p, l(p).size.toLong, key, value, timestampUs)
+    }
+  }
+
+  def numPartitions(topic: String): Int = log(topic).length
+
+  /** Current end offset (exclusive) of every partition. */
+  def endOffsets(topic: String): Array[Long] =
+    log(topic).map(p => p.synchronized(p.size.toLong))
+
+  def totalSize(topic: String): Long = endOffsets(topic).sum
+
+  /** Replayable range read: offsets [from, until) of one partition. */
+  def fetch(topic: String, partition: Int, from: Long, until: Long): Seq[Message] = {
+    val p = log(topic)(partition)
+    p.synchronized(p.slice(from.toInt, until.toInt).toVector)
+  }
+}
+
+object MqSource {
+  /** The MQ record shape every Kafka-class connector exposes. */
+  val schema: StructType = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("key", StringType),
+    StructField("value", StringType),
+    StructField("timestamp", TimestampType)))
+
+  /** Format string for `spark.readStream.format(...)`. */
+  val format: String = classOf[MqDataSource].getName
+}
+
+/** `spark.read[Stream].format(classOf[MqDataSource].getName)` entry. */
+class MqDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = MqSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val topic = properties.get("topic")
+    require(topic != null, "mq source requires .option(\"topic\", ...)")
+    new MqTable(topic)
+  }
+}
+
+class MqTable(topic: String) extends Table with SupportsRead {
+  override def name(): String = s"mq:$topic"
+  override def schema(): StructType = MqSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new MqScan(topic)
+}
+
+class MqScan(topic: String) extends Scan {
+  override def readSchema(): StructType = MqSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MqMicroBatchStream(topic)
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val ends = MqBroker.endOffsets(topic)
+      ends.indices.map(p => MqInputPartition(topic, p, 0L, ends(p)): InputPartition).toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory = new MqReaderFactory
+  }
+}
+
+/** Offset = vector of per-partition end offsets, JSON `[o0,o1,...]`. */
+case class MqOffset(ends: Array[Long]) extends Offset {
+  override def json(): String = ends.mkString("[", ",", "]")
+}
+object MqOffset {
+  def parse(json: String): MqOffset =
+    MqOffset(json.trim.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toLong))
+}
+
+class MqMicroBatchStream(topic: String) extends MicroBatchStream with SupportsTriggerAvailableNow {
+  // End offsets captured at query start for Trigger.AvailableNow, so the
+  // run processes exactly the data present at start and then terminates.
+  @volatile private var availableNowEnd: Option[MqOffset] = None
+
+  override def initialOffset(): Offset =
+    MqOffset(Array.fill(MqBroker.numPartitions(topic))(0L))
+
+  override def latestOffset(): Offset =
+    availableNowEnd.getOrElse(MqOffset(MqBroker.endOffsets(topic)))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(MqOffset(MqBroker.endOffsets(topic)))
+
+  override def reportLatestOffset(): Offset = MqOffset(MqBroker.endOffsets(topic))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+
+  override def deserializeOffset(json: String): Offset = MqOffset.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[MqOffset].ends
+    val e = end.asInstanceOf[MqOffset].ends
+    e.indices.collect {
+      case p if e(p) > s(p) => MqInputPartition(topic, p, s(p), e(p)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new MqReaderFactory
+
+  override def commit(end: Offset): Unit = () // broker log is replayable; nothing to ack
+  override def stop(): Unit = ()
+}
+
+case class MqInputPartition(topic: String, partition: Int, from: Long, until: Long)
+    extends InputPartition
+
+class MqReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MqInputPartition]
+    new PartitionReader[InternalRow] {
+      // local[*]: same JVM as the broker. A networked broker would fetch
+      // over the wire here; the offset-range contract is identical.
+      private val it = MqBroker.fetch(p.topic, p.partition, p.from, p.until).iterator
+      private var cur: MqBroker.Message = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = InternalRow(
+        UTF8String.fromString(p.topic), cur.partition, cur.offset,
+        UTF8String.fromString(cur.key), UTF8String.fromString(cur.value),
+        cur.timestampUs)
+      override def close(): Unit = ()
+    }
+  }
+}

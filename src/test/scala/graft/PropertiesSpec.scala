@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic properties (SURVEY.md §5.3) over scalacheck-generated data,
+  * evaluated through the real Spark expressions. Generators are sampled
+  * with a fixed seed (the scalatest+scalacheck bridge artifact is not in
+  * the offline cache, so sampling is driven manually — same generators,
+  * deterministic replay).
+  */
+class PropertiesSpec extends SparkSuite {
+  import TestSpark.spark.implicits._
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa")
+  private val text = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+  private val vec = Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0).suchThat(_.abs > 1e-3))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("dedup is idempotent and never increases distinct content") {
+    for (texts <- samples(Gen.listOfN(12, text), 10)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val key = sha2(col("text"), 256)
+      val once = Dedup.exact(df, key, col("doc_id"))
+      val twice = Dedup.exact(once, key, col("doc_id"))
+      assert(once.count() == twice.count())
+      assert(once.count() == df.select(col("text")).distinct().count())
+    }
+  }
+
+  test("cosine similarity is symmetric, bounded, and 1.0 on self") {
+    val pairs = samples(Gen.zip(vec, vec), 10)
+    val df = pairs.toDF("a", "b")
+    df.select(
+      Similarity.cosine(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("b"), col("a")).as("ba"),
+      Similarity.cosine(col("a"), col("a")).as("aa"))
+      .collect().foreach { r =>
+        assert(r.getDouble(0) == r.getDouble(1)) // symmetry, exact
+        assert(math.abs(r.getDouble(0)) <= 1.0 + 1e-9)
+        assert(math.abs(r.getDouble(2) - 1.0) <= 1e-6) // self-similarity
+      }
+  }
+
+  test("minhash agreement tracks containment: superset agrees >= disjoint") {
+    for (t <- samples(text, 5)) {
+      val df = Seq((1L, t), (2L, t + " extra"), (3L, "uno dos tres quatro cinco"))
+        .toDF("doc_id", "text")
+      val sigs = df.select(col("doc_id") +: Dedup.minhashSig(col("text"), 16): _*)
+        .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getString)).toMap
+      def agree(x: Seq[String], y: Seq[String]) = x.zip(y).count { case (p, q) => p == q }
+      assert(agree(sigs(1L), sigs(2L)) >= agree(sigs(1L), sigs(3L)))
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** Batch relational operators: spot checks on sf0.001 + the A3 tolerance
+  * assertion (approx_count_distinct has no SQL oracle by design).
+  */
+class RelationalSpec extends SparkSuite {
+
+  test("q1 pricing summary groups and counts") {
+    val rows = Relational.q1PricingSummary(spark, sf).collect()
+    assert(rows.length == 6) // 3 returnflags × 2 linestatus combos
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = tables.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(total == expected)
+  }
+
+  test("a3 approx count distinct within rsd tolerance of exact") {
+    val approx = Relational.a3ApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = tables.lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("o"), countDistinct(col("l_partkey")).as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    // HLL++ with rsd=0.02: allow 5 sigma
+    for ((k, (ao, ap)) <- approx; (eo, ep) = exact(k)) {
+      assert(math.abs(ao - eo) <= math.max(5, 0.10 * eo), s"$k orders: $ao vs $eo")
+      assert(math.abs(ap - ep) <= math.max(5, 0.10 * ep), s"$k parts: $ap vs $ep")
+    }
+  }
+
+  test("j3 semi/anti counts partition the customer table") {
+    val rows = Relational.j3SemiAnti(spark, sf).collect()
+    val total = rows.map(r => r.getAs[Long]("n_with_orders") + r.getAs[Long]("n_without_orders")).sum
+    assert(total == tables.customer.count())
+  }
+
+  test("o1 sort+limit is ordered descending") {
+    val prices = Relational.o1SortLimit(spark, sf).collect().map(_.getAs[Double]("totalprice"))
+    assert(prices.length == 25)
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+}

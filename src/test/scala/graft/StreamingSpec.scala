@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.MqBroker
+import graft.streaming.Streams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** T1–T8 + J8/J9 + S2–S5: every streaming operator run to completion
+  * with Trigger.AvailableNow and compared against its batch twin on the
+  * same event prefix (the Structured-Streaming prefix-consistency
+  * criterion), all driven through the embedded MQ source.
+  */
+class StreamingSpec extends SparkSuite {
+
+  /** Publish the sf0.001 events fixture into a fresh MQ topic as JSON
+    * payloads (keyed by user — same-user ordering preserved per
+    * partition, like a keyed MQ producer).
+    */
+  private def publishEvents(topic: String): DataFrame = {
+    MqBroker.deleteTopic(topic)
+    MqBroker.createTopic(topic, 4)
+    val payloads = tables.eventsRaw
+      .select(
+        to_json(struct(
+          col("event_id"), expr("ts DIV 1000").as("ts_us"), col("user_id"),
+          col("event_type"), col("value"))).as("v"),
+        col("user_id").cast("string").as("k"),
+        expr("ts DIV 1000").as("ts_us"))
+      .collect()
+    payloads.foreach(r => MqBroker.publish(topic, r.getString(1), r.getString(0), r.getLong(2)))
+    // batch twin of the decoded stream
+    Streams.decodeEvents(
+      spark.read.format(graft.sources.MqSource.format).option("topic", topic).load())
+  }
+
+  private def stream(topic: String): DataFrame =
+    Streams.decodeEvents(Streams.mqStream(spark, topic))
+
+  /** AvailableNow run that COLLECTS rows via foreachBatch — unlike the
+    * memory sink, foreachBatch supports checkpoint recovery, so this
+    * harness exercises restart semantics.
+    */
+  private def runCollecting(df: DataFrame, cp: String): Seq[org.apache.spark.sql.Row] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => buf ++= batch.collect(); () }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", cp)
+      .start()
+    q.awaitTermination()
+    buf.toSeq
+  }
+
+  test("S2 MQ source: batch read == streaming AvailableNow read; restart consumes only new data") {
+    val batchDecoded = publishEvents("t_restart")
+    val n = batchDecoded.count()
+    assert(n == tables.eventsRaw.count())
+    val cp = Files.createTempDirectory("graft-cp-restart").toString
+    val run1 = runCollecting(stream("t_restart"), cp)
+    assert(run1.size == n)
+    // publish 3 more; a resumed query (same checkpoint) must see ONLY them
+    (1 to 3).foreach(i => MqBroker.publish("t_restart", "99",
+      s"""{"event_id":${100000 + i},"ts_us":1706000000000000,"user_id":99,"event_type":"click","value":1.0}""", 0L))
+    val run2 = runCollecting(stream("t_restart"), cp)
+    assert(run2.size == 3)
+    assert(run2.map(_.getAs[Long]("event_id")).min == 100001L)
+  }
+
+  test("T1 tumbling window: streaming == batch twin (exact, Det.davg discipline)") {
+    val batchDecoded = publishEvents("t_tumbling")
+    val streamed = Streams.runAvailableNow(
+      Streams.tumblingCounts(stream("t_tumbling")), "t1_out", OutputMode.Complete)
+    assertSameRows(
+      streamed.select(col("window_start"), col("event_type"), col("n")),
+      Streams.tumblingCounts(batchDecoded)
+        .select(col("window_start"), col("event_type"), col("n")))
+    // double totals: tolerance compare (accumulation order differs between
+    // state-store merges and batch partial aggs)
+    val s = streamed.collect().map(r => (r.get(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val b = Streams.tumblingCounts(batchDecoded).collect()
+      .map(r => (r.get(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(s.keySet == b.keySet)
+    s.foreach { case (k, v) => assert(math.abs(v - b(k)) <= 1e-6 * math.max(1.0, math.abs(v))) }
+  }
+
+  test("T2 sliding + T3 session windows: streaming == batch twin") {
+    val batchDecoded = publishEvents("t_windows")
+    val slid = Streams.runAvailableNow(
+      Streams.slidingCounts(stream("t_windows")), "t2_out", OutputMode.Complete)
+    assertSameRows(slid, Streams.slidingCounts(batchDecoded))
+    val sess = Streams.runAvailableNow(
+      Streams.sessionCounts(stream("t_windows")), "t3_out", OutputMode.Complete)
+    assertSameRows(sess, Streams.sessionCounts(batchDecoded))
+  }
+
+  test("T5 dedup within watermark + T4 late duplicate dropped after restart") {
+    val topic = "t_dedup"
+    MqBroker.deleteTopic(topic)
+    MqBroker.createTopic(topic, 2)
+    def pub(id: Long, tsUs: Long): Unit =
+      MqBroker.publish(topic, "u1",
+        s"""{"event_id":$id,"ts_us":$tsUs,"user_id":1,"event_type":"click","value":1.0}""", tsUs)
+    val t0 = 1706000000000000L
+    pub(1, t0); pub(1, t0); pub(2, t0 + 1000000L)
+    pub(3, t0 + 3600L * 1000000L) // 1h later: advances watermark past t0
+    val cp = Files.createTempDirectory("graft-cp-dedup").toString
+    val run1 = runCollecting(Streams.dedupStream(stream(topic)), cp)
+    assert(run1.size == 3) // ids 1,2,3 — in-batch duplicate of 1 dropped
+    // redelivery of id=1 now arrives BEHIND the committed watermark → dropped
+    pub(1, t0)
+    val run2 = runCollecting(Streams.dedupStream(stream(topic)), cp)
+    assert(run2.isEmpty)
+  }
+
+  test("T6 flatMapGroupsWithState user stats == batch aggregate") {
+    import TestSpark.spark.implicits._
+    val batchDecoded = publishEvents("t_state")
+    val streamed = Streams.runAvailableNow(
+      Streams.userStats(stream("t_state").as[Streams.Event]).toDF(),
+      "t6_out", OutputMode.Update)
+    // single AvailableNow batch → exactly one update per user == batch agg
+    val twin = batchDecoded.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+    val s = streamed.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val b = twin.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(s == b)
+  }
+
+  test("J8 stream-static enrich + J9 stream-stream join == batch twins") {
+    val batchDecoded = publishEvents("t_joins")
+    val dim = tables.customer.select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = Streams.runAvailableNow(
+      Streams.enrich(stream("t_joins"), dim, "user_id", "c_custkey")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n")),
+      "j8_out", OutputMode.Complete)
+    val enrichedTwin = Streams.enrich(batchDecoded, dim, "user_id", "c_custkey")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    assertSameRows(enriched, enrichedTwin)
+
+    val clicksS = stream("t_joins").filter(col("event_type") === "click")
+    val purchS = stream("t_joins").filter(col("event_type") === "purchase")
+    val joined = Streams.runAvailableNow(
+      Streams.purchaseAttribution(clicksS, purchS)
+        .select(col("purchase_id"), col("click_id")),
+      "j9_out", OutputMode.Append)
+    val clicksB = batchDecoded.filter(col("event_type") === "click")
+    val purchB = batchDecoded.filter(col("event_type") === "purchase")
+    val twin = Streams.purchaseAttribution(clicksB, purchB)
+      .select(col("purchase_id"), col("click_id"))
+    assertSameRows(joined, twin)
+  }
+
+  test("T8 file-source stream reproduces the declared tumbling_window answer") {
+    // file source needs a directory; replay the fixture from a tmp dir
+    val dir = Files.createTempDirectory("graft-events-stream")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val streamEvents = Streams
+      .fileStream(spark, raw.schema, dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val result = Streams.runAvailableNow(
+      streamEvents
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.davg(col("value")).as("avg_value"))
+        .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"),
+          col("n"), col("avg_value")),
+      "t8_out", OutputMode.Complete)
+    // == the oracle-green batch query, column for column (Det.davg is
+    // decimal-exact, so even the rounded averages match bit-for-bit)
+    assertSameRows(result, operators.Relational.tumblingWindow(spark, sf))
+  }
+
+  test("S3 rate source + S5 foreachBatch parquet sink") {
+    val rate = Streams.rateStream(spark, 10)
+    assert(rate.isStreaming && rate.columns.sameElements(Array("timestamp", "value")))
+    publishEvents("t_sink")
+    val out = Files.createTempDirectory("graft-sink").toString
+    val cp = Files.createTempDirectory("graft-sink-cp").toString
+    Streams.foreachBatchParquet(stream("t_sink"), out, cp)
+    val written = spark.read.parquet(s"$out/batch_*")
+    assert(written.count() == tables.eventsRaw.count())
+  }
+}
