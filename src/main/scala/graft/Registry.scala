@@ -132,6 +132,42 @@ object Registry {
 
     QueryDef("a3_approx_distinct", Relational.a3ApproxDistinct, None),
 
+    QueryDef("j2_full_outer", Relational.j2FullOuter, Some("""
+      SELECT COALESCE(c.nk, s.nk) AS nk,
+        COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp,
+        CASE WHEN n_cust IS NULL THEN 'supplier_only'
+             WHEN n_supp IS NULL THEN 'customer_only'
+             ELSE 'both' END AS side
+      FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+      FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+        ON c.nk = s.nk
+      ORDER BY nk""")),
+
+    QueryDef("j2_right_outer", Relational.j2RightOuter, Some("""
+      SELECT c_mktsegment, COUNT(o_orderkey) AS n_orders,
+        COUNT(DISTINCT c_custkey) AS n_customers
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    QueryDef("a4_cube", Relational.a4Cube, Some(s"""
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        COALESCE(l_linestatus, 'ALL') AS linestatus,
+        ${ds("l_quantity", 2)} AS sum_qty, COUNT(*) AS n,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY gid, returnflag, linestatus""")),
+
+    QueryDef("w1_ntile", Relational.w1Ntile, Some("""
+      SELECT c_mktsegment, CAST(quartile AS INT) AS quartile, COUNT(*) AS n,
+        ROUND(MIN(c_acctbal), 2) AS lo, ROUND(MAX(c_acctbal), 2) AS hi
+      FROM (
+        SELECT c_mktsegment, c_acctbal,
+          ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer)
+      GROUP BY c_mktsegment, quartile
+      ORDER BY c_mktsegment, quartile""")),
+
     QueryDef("a4_rollup", Relational.a4Rollup, Some(s"""
       SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         COALESCE(l_linestatus, 'ALL') AS linestatus,

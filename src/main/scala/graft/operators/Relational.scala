@@ -303,6 +303,63 @@ object Relational {
       .limit(25)
   }
 
+  /** J2b: full outer join — per-nation customer vs supplier presence,
+    * null-extended on both sides.
+    */
+  def j2FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.customer.groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val s = t.supplier.groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nk"), "full_outer")
+      .select(col("nk"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        when(col("n_cust").isNull, "supplier_only")
+          .when(col("n_supp").isNull, "customer_only")
+          .otherwise("both").as("side"))
+      .orderBy(col("nk"))
+  }
+
+  /** J2c: right outer join (orders ⟖ customer) — the right-side-preserving
+    * plan shape, result-equal to the customer-left form.
+    */
+  def j2RightOuter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** A4b: cube with grouping_id — all four grouping combinations tagged. */
+  def a4Cube(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(Det.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"), col("gid"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+  }
+
+  /** W1b: ntile quartiles of customer balance per market segment. */
+  def w1Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    t.customer
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 2).as("lo"),
+        round(max(col("c_acctbal")), 2).as("hi"))
+      .orderBy(col("c_mktsegment"), col("quartile"))
+  }
+
   /** O3: union all + distinct-aware aggregation over the union. */
   def o3Union(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
