@@ -15,7 +15,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-bench")
     val qs = SparkEntry.queries
-    val results = headline.filter(qs.contains).map { name =>
+    // Dev audit mode: time EVERY declared query (headline JSON contract
+    // unchanged in the default mode the driver runs).
+    val names = if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) qs.keys.toSeq.sorted
+                else headline
+    val results = names.filter(qs.contains).map { name =>
       val fn = qs(name)
       // A crashing query must surface as a -1 sentinel, never as a
       // short "time until it threw" that silently shrinks the total.

@@ -1,0 +1,21 @@
+package graft
+
+/** Dev tool: dump `explain("formatted")` for the scale-critical queries so
+  * plan regressions (lost pushdown, lost broadcast, surprise shuffles)
+  * are visible in review. Usage: tools/run.sh graft.Explain [sfDir] [name...]
+  */
+object Explain {
+  val defaults = Seq("q1_pricing_summary", "q3_join_agg", "l1_exact_dedup",
+    "l3_cosine_topk", "l6_simjoin", "j7_asof")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq else defaults
+    val spark = Engine.session("graft-explain")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

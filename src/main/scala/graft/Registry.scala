@@ -208,10 +208,12 @@ object Registry {
     QueryDef("w2_lag_lead", Relational.w2LagLead, Some(s"""
       SELECT user_id,
         ${da("gap_us", 2)} AS avg_gap_us,
-        CAST(SUM(CASE WHEN prev_type = event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
+        CAST(SUM(CASE WHEN prev_type = event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats,
+        CAST(SUM(CASE WHEN next_type = event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_next_same
       FROM (
         SELECT user_id, event_type,
           LAG(event_type) OVER w AS prev_type,
+          LEAD(event_type) OVER w AS next_type,
           epoch_us(ts::TIMESTAMP) - LAG(epoch_us(ts::TIMESTAMP)) OVER w AS gap_us
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id))

@@ -42,8 +42,14 @@ object Dedup {
     * every signature byte). Per-row, codegen'd, shuffle-free.
     */
   def minhashSig(text: Column, numHashes: Int): Seq[Column] =
+    minhashSigFromToks(tokens(text), numHashes)
+
+  /** [[minhashSig]] over an already-tokenized array column. The signature
+    * depends only on the token SET, so duplicate token-sets share it.
+    */
+  def minhashSigFromToks(toks: Column, numHashes: Int): Seq[Column] =
     (0 until numHashes).map { i =>
-      array_min(transform(tokens(text), t => md5(concat(lit(s"$i:"), t))))
+      array_min(transform(toks, t => md5(concat(lit(s"$i:"), t))))
         .as(f"sig_$i%02d")
     }
 
@@ -90,30 +96,94 @@ object Dedup {
   /** L6: similarity self-join — near-duplicate pairs above a Jaccard
     * threshold, LSH-bounded.
     *
-    * Plan shape (the 100 TB story): buckets are a narrow map + explode of
-    * `bands` rows/doc; the self-join shuffles on (band_idx, band_hash) so
-    * only same-bucket docs ever meet; candidate pairs are de-duplicated
-    * BEFORE the (heavier) token arrays are joined back in, so the wide
-    * rows traverse exactly one shuffle each. Exact Jaccard on the
-    * distinct-token sets then filters false positives. Never O(n²).
+    * Plan shape (the 100 TB story), in order of what each stage saves:
+    *
+    *  1. **Collapse exact-duplicate token sets** before anything pairwise:
+    *     Jaccard and MinHash depend only on the token SET, so each
+    *     distinct set is represented once. Real corpora carry huge
+    *     boilerplate clusters — this turns O(docs²) into O(sets²) work
+    *     and re-expands group members only into the final output.
+    *  2. **Banded LSH on representatives**: candidates meet only inside a
+    *     (band_idx, band_hash) bucket — never all-pairs. The bucket
+    *     self-join carries NARROW rows only (int64 rep id + size + band
+    *     key); token arrays join back in after the candidate distinct, so
+    *     wide rows never traverse the multiplicative join.
+    *  3. **Triangle-salted bucket join**: a hot bucket of m reps would
+    *     otherwise generate its m² candidates inside ONE task. Each rep
+    *     gets a hash chunk c ∈ [0, K); the join runs per chunk-pair
+    *     (c1 ≤ c2), spreading a bucket's pair generation over K(K+1)/2
+    *     tasks — the standard salting decomposition for skewed self-joins.
+    *  4. **Size-ratio prune**: Jaccard ≥ τ forces |A|/|B| ∈ [τ, 1/τ]; a
+    *     two-int comparison discards most false candidates before the
+    *     distinct and long before any array intersection runs.
+    *  5. Exact Jaccard verifies survivors; group members then expand
+    *     cross-pairs, and intra-group pairs (Jaccard 1.0) come straight
+    *     from the groups.
     */
   def simJoin(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 2,
-              threshold: Double = 0.8): DataFrame = {
-    val b = lshBuckets(docs, bands, rowsPerBand)
-    val candidates = b.as("x").join(b.as("y"),
+              threshold: Double = 0.8, chunks: Int = 8): DataFrame = {
+    // 1. distinct-token-set groups, one integer representative per set
+    val tokset = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      .withColumn("set_sig", md5(concat_ws("|", array_sort(col("toks")))))
+    val groups = tokset.groupBy(col("set_sig"))
+      .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"),
+        first(col("toks")).as("toks"))
+    // 2. signatures + band-hash array per representative
+    val sigs = minhashSigFromToks(col("toks"), bands * rowsPerBand)
+    val bandArr = {
+      val withSig = groups.select(col("rep_id"), col("toks"), size(col("toks")).as("n"))
+        .select(col("*") +: sigs: _*)
+      val bandCols = (0 until bands).map { b =>
+        md5(concat_ws("|", (0 until rowsPerBand).map(r => col(f"sig_${b * rowsPerBand + r}%02d")): _*))
+      }
+      withSig.select(col("rep_id"), col("toks"), col("n"), array(bandCols: _*).as("bands"))
+    }
+    // 3. narrow bucket rows with a triangle-salt chunk per rep: the x side
+    // serves chunk-pairs (c, c..K-1), the y side (0..c, c); joining on the
+    // chunk-pair key gives every cross-chunk pair exactly once and
+    // same-chunk pairs under rep_a < rep_b.
+    val base = bandArr.select(col("rep_id"), col("n"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      .withColumn("chunk", pmod(hash(col("rep_id")), lit(chunks)))
+    val xSide = base.withColumn("c2",
+      explode(sequence(col("chunk"), lit(chunks - 1)))).withColumnRenamed("chunk", "c1")
+    val ySide = base.withColumn("c1",
+      explode(sequence(lit(0), col("chunk")))).withColumnRenamed("chunk", "c2")
+    val candidates = xSide.as("x").join(ySide.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          col("x.c1") === col("y.c1") && col("x.c2") === col("y.c2") &&
+          (col("x.c1") =!= col("x.c2") || col("x.rep_id") < col("y.rep_id")) &&
+          col("x.rep_id") =!= col("y.rep_id"))
+      // 4. size-ratio prune (conservative epsilon so an exact-τ pair survives)
+      .filter(least(col("x.n"), col("y.n")).cast("double")
+        >= greatest(col("x.n"), col("y.n")) * threshold - 1e-9)
+      .select(least(col("x.rep_id"), col("y.rep_id")).as("rep_a"),
+        greatest(col("x.rep_id"), col("y.rep_id")).as("rep_b"))
       .distinct()
-    val toks = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-    candidates
-      .join(toks.withColumnRenamed("doc_id", "a_id").withColumnRenamed("toks", "a_toks"), "a_id")
-      .join(toks.withColumnRenamed("doc_id", "b_id").withColumnRenamed("toks", "b_toks"), "b_id")
+    // 5. exact Jaccard verification, token arrays joined back AFTER distinct
+    val repToks = bandArr.select(col("rep_id"), col("toks"))
+    val repPairs = candidates
+      .join(repToks.withColumnRenamed("rep_id", "rep_a").withColumnRenamed("toks", "a_toks"), "rep_a")
+      .join(repToks.withColumnRenamed("rep_id", "rep_b").withColumnRenamed("toks", "b_toks"), "rep_b")
       .withColumn("jaccard",
         size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
           size(array_union(col("a_toks"), col("b_toks"))))
       .filter(col("jaccard") >= threshold)
+      .select(col("rep_a"), col("rep_b"), col("jaccard"))
+    // expand representatives back to document pairs
+    val member = groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
+    val crossPairs = repPairs
+      .join(member.withColumnRenamed("rep_id", "rep_a").withColumnRenamed("doc_id", "a"), "rep_a")
+      .join(member.withColumnRenamed("rep_id", "rep_b").withColumnRenamed("doc_id", "b"), "rep_b")
+      .select(least(col("a"), col("b")).as("a_id"), greatest(col("a"), col("b")).as("b_id"),
+        col("jaccard"))
+    val intraPairs = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("a_id"), col("b").as("b_id"), lit(1.0).as("jaccard"))
+    crossPairs.unionByName(if (threshold <= 1.0) intraPairs else intraPairs.limit(0))
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 

@@ -249,11 +249,13 @@ object Relational {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     t.events
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
       .groupBy(col("user_id"))
       .agg(
         Det.davg(col("gap_us"), 2).as("avg_gap_us"),
-        sum(when(col("prev_type") === col("event_type"), 1).otherwise(0)).as("n_repeats"))
+        sum(when(col("prev_type") === col("event_type"), 1).otherwise(0)).as("n_repeats"),
+        sum(when(col("next_type") === col("event_type"), 1).otherwise(0)).as("n_next_same"))
       .orderBy(col("user_id"))
   }
 
