@@ -26,6 +26,7 @@ object Engine {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -35,6 +36,9 @@ object Engine {
       // apply directly and semantics match the DuckDB oracle.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // local default only — a cluster deployment overrides via spark-submit
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -87,6 +87,21 @@ object Similarity {
       .limit(k)
   }
 
+  /** Production-fast top-k via the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression (`cosine_fast`): single fused pass, no decimal casts, no
+    * interpreted higher-order calls. The declared queries keep the exact-
+    * DECIMAL [[cosine]] because the DuckDB oracle must reproduce each bit;
+    * this is the path a user would run at 100 TB.
+    */
+  def bruteForceTopKFast(t: Tables, queryId: Long, k: Int): DataFrame =
+    t.embeddings
+      .crossJoin(broadcast(
+        t.embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))))
+      .select(col("vec_id"), col("label"),
+        expr("cosine_fast(embedding, q_emb)").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+
   /** L3 declared query: exact top-10 neighbours of vec_id 0. */
   def l3CosineTopK(spark: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables(spark, dir), queryId = 0L, k = 10)

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Co-located joins via bucketing — the 100 TB lever for repeated
+  * fact-fact joins: both sides bucketed (and sorted) on the join key
+  * join with ZERO shuffle exchanges.
+  */
+class BucketingSpec extends SparkSuite {
+
+  test("bucketed lineitem ⋈ orders on orderkey plans without a shuffle") {
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    // the in-memory catalog forgets tables across JVMs but warehouse files
+    // persist — clear the physical locations too
+    for (t <- Seq("li_bucketed", "ord_bucketed")) {
+      val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-warehouse/$t")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    tables.lineitem.select(col("l_orderkey"), col("l_extendedprice"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    tables.orders.select(col("o_orderkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      assert(j.count() == tables.lineitem.count())
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

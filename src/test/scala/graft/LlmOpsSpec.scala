@@ -60,6 +60,22 @@ class LlmOpsSpec extends SparkSuite {
     assert(ann.length <= 10 && ann.length >= 1 && bruteAll >= ann.length)
   }
 
+  test("L3 cosine_fast native expression matches the exact-decimal path") {
+    val fast = Similarity.bruteForceTopKFast(tables, 0L, 10).collect()
+    val exact = Similarity.l3CosineTopK(spark, sf).collect()
+    assert(fast.map(_.getLong(0)).sameElements(exact.map(_.getLong(0))))
+    fast.zip(exact).foreach { case (f, e) =>
+      assert(math.abs(f.getAs[Double]("cosine") - e.getAs[Double]("cosine")) < 2e-6)
+    }
+    // expression participates in whole-stage codegen (no fallback): the
+    // `*(n)` stage marker on the projection that computes cosine_fast —
+    // materialize first so AQE has finalized the physical plan
+    val df = Similarity.bruteForceTopKFast(tables, 0L, 10)
+    df.collect()
+    val planStr = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[.*cosine_fast""".r.findFirstIn(planStr).isDefined, planStr)
+  }
+
   test("L3 cosine is symmetric and bounded on fixture vectors") {
     val e = tables.embeddings.limit(6)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))

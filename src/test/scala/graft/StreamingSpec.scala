@@ -176,6 +176,33 @@ class StreamingSpec extends SparkSuite {
     assertSameRows(result, operators.Relational.tumblingWindow(spark, sf))
   }
 
+  test("S3 socket source ingests lines from a live TCP server") {
+    val server = new java.net.ServerSocket(0)
+    val writer = new Thread(() => {
+      val s = server.accept()
+      val out = new java.io.PrintWriter(s.getOutputStream, true)
+      (1 to 5).foreach(i => out.println(s"line-$i"))
+      out.flush()
+    })
+    writer.setDaemon(true); writer.start()
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream.format("socket")
+      .option("host", "localhost").option("port", server.getLocalPort.toString)
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized { got ++= b.collect().map(_.getString(0)) }; ()
+      }
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (got.synchronized(got.size) < 5 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      assert(got.synchronized(got.sorted.toSeq) == (1 to 5).map(i => s"line-$i"))
+    } finally { q.stop(); server.close() }
+  }
+
   test("S3 rate source + S5 foreachBatch parquet sink") {
     val rate = Streams.rateStream(spark, 10)
     assert(rate.isStreaming && rate.columns.sameElements(Array("timestamp", "value")))
