@@ -32,7 +32,9 @@ object Bench {
         }
       }
       val warm = once()
-      name -> (if (warm < 0) -1.0 else once())
+      // best-of-2 timed runs after warm-up: ambient load on a shared box
+      // adds hundreds of ms of one-sided noise; min is the robust stat
+      name -> (if (warm < 0) -1.0 else math.min(once(), once()))
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
