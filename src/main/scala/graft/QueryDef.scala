@@ -29,16 +29,40 @@ object Det {
   def dsumSql(expr: String, scale: Int = 2): String =
     s"CAST(ROUND(SUM(CAST($expr AS DECIMAL(30,6))), $scale) AS DOUBLE)"
 
-  /** Order-independent rounded average: exact DECIMAL sum (per-element cast
-    * at 12 dp is deterministic in both engines), one double division, one
-    * round — no accumulation-order sensitivity, unlike `ROUND(AVG(x), s)`
-    * whose half-ulp drift can flip a rounded digit at larger scale factors.
-    * Null semantics match AVG: the divisor counts non-null values only.
+  /** Order-independent rounded average with EXACT half-up rounding.
+    *
+    * `round(double(sum)/count, s)` is not cross-engine deterministic: when
+    * sum/count lands exactly on a half at scale s (e.g. 1403.37/24 =
+    * 58.47375), Spark rounds the shortest decimal repr of the double
+    * while DuckDB rounds the binary value — they disagree whenever the
+    * closest double sits on the "wrong" side (observed at sf0.1).
+    * So the rounding happens in exact integer arithmetic instead:
+    *
+    *   R = floor((2·S·10^(s+6) + c·10^6) / (2·c·10^6)),  avg = R / 10^s
+    *
+    * with S the exact DECIMAL(30,6) sum (inputs are fixtures with ≤ 6
+    * decimal digits) — R is the mathematically-defined HALF_UP rounding
+    * of S/c at scale s, identical on any engine; the final int→double
+    * division by 10^s is correctly rounded, hence bit-identical too.
+    * Valid for non-negative sums (floor == truncation); null when the
+    * non-null count is zero, matching AVG.
     */
-  def davg(c: Column, scale: Int = 4): Column =
-    round(sum(c.cast("decimal(30,12)")).cast("double") / count(c), scale)
+  def davg(c: Column, scale: Int = 4): Column = {
+    val p = math.pow(10, scale).toLong
+    val numer = (sum(c.cast("decimal(30,6)")) * lit(2L * p * 1000000L)).cast("decimal(38,0)") +
+      count(c).cast("decimal(38,0)") * lit(1000000L)
+    // nullif: a zero non-null count must yield NULL (AVG semantics), and
+    // under ANSI mode a zero divisor would otherwise raise
+    val denom = nullif(count(c).cast("decimal(38,0)") * lit(2000000L), lit(0).cast("decimal(38,0)"))
+    call_function("div", numer, denom).cast("double") / lit(p.toDouble)
+  }
 
-  /** SQL fragment for the oracle side of [[davg]]. */
-  def davgSql(expr: String, scale: Int = 4): String =
-    s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(30,12))) AS DOUBLE) / COUNT($expr), $scale)"
+  /** SQL fragment for the oracle side of [[davg]] (HUGEINT twin). */
+  def davgSql(expr: String, scale: Int = 4): String = {
+    val p = math.pow(10, scale).toLong
+    s"""CASE WHEN COUNT($expr) = 0 THEN NULL ELSE
+       CAST((CAST(SUM(CAST($expr AS DECIMAL(30,6))) * 1000000 AS HUGEINT) * ${2 * p}
+             + CAST(COUNT($expr) AS HUGEINT) * 1000000)
+         // (CAST(COUNT($expr) AS HUGEINT) * 2000000) AS DOUBLE) / $p.0 END"""
+  }
 }

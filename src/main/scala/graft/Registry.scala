@@ -456,8 +456,9 @@ object Registry {
 
     QueryDef("a7_weighted_udaf", WeightedAvg.a7WeightedAvg, Some("""
       SELECT l_returnflag,
-        ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,12))) AS DOUBLE)
-            / CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE), 4) AS wavg_price,
+        CAST((CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,12))) * 1000000000000 AS HUGEINT) * 20000
+              + CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) * 1000000000000 AS HUGEINT))
+          // (CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) * 1000000000000 AS HUGEINT) * 2) AS DOUBLE) / 10000.0 AS wavg_price,
         COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
   )

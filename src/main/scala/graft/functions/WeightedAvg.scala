@@ -31,9 +31,18 @@ object WeightedAvgAgg
                      y: (JBigDecimal, JBigDecimal)): (JBigDecimal, JBigDecimal) =
     (x._1.add(y._1), x._2.add(y._2))
 
+  /** Exact HALF_UP at 4 dp via integer floor((2·S1·10⁴ + S2) / (2·S2)) —
+    * a double division here could land exactly on a half-boundary where
+    * engines round differently (see [[graft.Det.davg]]); the rational
+    * floor is engine-independent and the final R/10⁴ is exact.
+    */
   override def finish(r: (JBigDecimal, JBigDecimal)): Double =
     if (r._2.signum == 0) Double.NaN
-    else r._1.doubleValue / r._2.doubleValue
+    else {
+      val numer = r._1.movePointRight(4).multiply(JBigDecimal.valueOf(2)).add(r._2)
+      val rInt = numer.divide(r._2.multiply(JBigDecimal.valueOf(2)), 0, java.math.RoundingMode.FLOOR)
+      rInt.doubleValue / 1e4
+    }
 
   override def bufferEncoder: Encoder[(JBigDecimal, JBigDecimal)] =
     Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)
@@ -54,9 +63,9 @@ object WeightedAvg {
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(
-        round(wavg(
+        wavg(
           (col("l_extendedprice") * col("l_quantity")).cast("decimal(30,12)"),
-          col("l_quantity").cast("decimal(30,12)")), 4).as("wavg_price"),
+          col("l_quantity").cast("decimal(30,12)")).as("wavg_price"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
   }

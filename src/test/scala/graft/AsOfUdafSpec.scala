@@ -27,14 +27,17 @@ class AsOfUdafSpec extends SparkSuite {
     assertSameRows(fast, naive)
   }
 
-  test("A7 UDAF == aggregate-expression twin") {
+  test("A7 UDAF == aggregate-expression twin (same exact HALF_UP rounding)") {
     val udafResult = WeightedAvg.a7WeightedAvg(spark, sf)
+    // twin mirrors finish(): floor((2·S1·10⁴ + S2) / (2·S2)) / 10⁴
+    val s1 = sum((col("l_extendedprice") * col("l_quantity")).cast("decimal(30,12)"))
+    val s2 = sum(col("l_quantity").cast("decimal(30,12)"))
     val twin = tables.lineitem
       .groupBy(col("l_returnflag"))
       .agg(
-        round(
-          sum((col("l_extendedprice") * col("l_quantity")).cast("decimal(30,12)")).cast("double") /
-            sum(col("l_quantity").cast("decimal(30,12)")).cast("double"), 4).as("wavg_price"),
+        (call_function("div",
+          (s1 * lit(20000L)).cast("decimal(38,0)") + (s2 * lit(1L)).cast("decimal(38,0)"),
+          (s2 * lit(2L)).cast("decimal(38,0)")).cast("double") / lit(1e4)).as("wavg_price"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
     assertSameRows(udafResult, twin)
