@@ -303,6 +303,18 @@ object Registry {
       QueryDef("l2_minhash", Dedup.l2Minhash, Some(s"""
         SELECT doc_id, $sigCols FROM documents ORDER BY doc_id""")),
 
+      QueryDef("l2_simhash", Dedup.l2Simhash, Some {
+        val votes = (0 until 32).map { i =>
+          s"SUM(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_$i"
+        }.mkString(", ")
+        val assemble = (0 until 32)
+          .map(i => s"CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+        s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
+        SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
+      }),
+
       QueryDef("l6_simjoin", Dedup.l6SimJoin, None),
 
       QueryDef("l3_cosine_topk", Similarity.l3CosineTopK,
@@ -314,6 +326,20 @@ object Registry {
           ", bucket",
           // restrict the scan to the query vector's bucket, like the Spark plan
           s"WHERE bucket = (SELECT CAST($bucketSql AS INT) FROM embeddings WHERE vec_id = 0)"))),
+
+      QueryDef("l6_embed_neardup", Similarity.l6EmbedNearDup, Some(s"""
+        WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e, CAST($bucketSql AS INT) AS bucket FROM embeddings),
+        p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, x.e AS ea, y.e AS eb
+              FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        u AS (SELECT a_id, b_id, unnest(ea) AS a, unnest(eb) AS bb FROM p),
+        d AS (SELECT a_id, b_id,
+                SUM(CAST(a*bb AS DECIMAL(30,15))) AS dot,
+                SUM(CAST(a*a AS DECIMAL(30,15))) AS na,
+                SUM(CAST(bb*bb AS DECIMAL(30,15))) AS nb
+              FROM u GROUP BY a_id, b_id)
+        SELECT a_id, b_id,
+          ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
+        FROM d ORDER BY cosine DESC, a_id, b_id LIMIT 20""")),
 
       QueryDef("l4_text_analysis", TextOps.l4TextAnalysis, Some(s"""
         WITH s AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t FROM documents),

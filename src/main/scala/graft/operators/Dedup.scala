@@ -77,6 +77,35 @@ object Dedup {
       .orderBy(col("keeper_id"))
   }
 
+  /** SimHash signature: bit i of the signature is the sign of
+    * Σ_tokens (±1), where each token votes +1 on bit i iff hex digit i of
+    * md5(token) is ≥ 8 — an unbiased per-bit coin derived from a hash the
+    * oracle engine computes identically. Near-duplicate docs differ in few
+    * bits (Hamming distance over the int), so the signature doubles as a
+    * similarity key and, prefix-wise, as a bucketing key at scale.
+    * Per-row compute after one explode+groupBy (shuffle on doc_id only).
+    * Ties (vote sum 0) resolve to bit 0 on both engines.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
+    require(bits <= 32, "one md5 supplies 32 hex digits")
+    val voteCols = (0 until bits).map { i =>
+      sum(when(substring(md5(col("tok")), i + 1, 1)
+        .isInCollection(Seq("8", "9", "a", "b", "c", "d", "e", "f")), 1).otherwise(-1))
+        .as(f"v_$i%02d")
+    }
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .withColumn("simhash",
+        (0 until bits).map(i => when(col(f"v_$i%02d") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select(col(idCol), col("simhash"))
+  }
+
+  /** L2b declared query: 32-bit SimHash per document. */
+  def l2Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhash(Tables(spark, dir).documents, "text", "doc_id").orderBy(col("doc_id"))
+
   /** Banded-LSH candidate buckets: one row per (doc, band) with the band's
     * hash. Docs sharing a (band_idx, band_hash) cell are near-dup
     * candidates. bands×rowsPerBand signatures are computed inline.

@@ -102,6 +102,28 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
 
+  /** Embedding near-duplicate pairs: sign-bucket the vectors (so pairs
+    * only form within a bucket — never all-pairs), exact cosine on the
+    * candidates, strongest pairs first. With a threshold instead of a
+    * limit this is embedding-cosine dedup; the fixture's random vectors
+    * have no true near-dups, so the declared query reports the top-k
+    * candidate pairs (deterministic + oracle-checkable) instead.
+    */
+  def embedNearDupPairs(t: Tables, bits: Int, k: Int): DataFrame = {
+    val b = t.embeddings.select(col("vec_id"), dbl(col("embedding")).as("e"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        cosine(col("x.e"), col("y.e")).as("cosine"))
+      .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
+      .limit(k)
+  }
+
+  /** L6b declared query: top-20 bucketed embedding near-dup candidates. */
+  def l6EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    embedNearDupPairs(Tables(spark, dir), bits = 6, k = 20)
+
   /** L3 declared query: exact top-10 neighbours of vec_id 0. */
   def l3CosineTopK(spark: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables(spark, dir), queryId = 0L, k = 10)

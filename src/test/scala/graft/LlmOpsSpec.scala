@@ -31,6 +31,20 @@ class LlmOpsSpec extends SparkSuite {
     assert(sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } == 0)
   }
 
+  test("L2b simhash: identical docs collide, near-dups are Hamming-close, disjoint far") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota CHANGED"),
+      (4L, "uno dos tres quatro cinco seis siete ocho nueve diez")).toDF("doc_id", "text")
+    val h = Dedup.simhash(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) == h(2L))
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
+    assert(hamming(h(1L), h(3L)) <= 10)
+  }
+
   test("L6 sim-join finds near-dup pair, skips dissimilar, a<b unique") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
