@@ -347,9 +347,10 @@ object Registry {
           CAST(len(t) AS INT) AS n_tokens,
           CAST(len(list_distinct(t)) AS INT) AS n_unique,
           CAST(${stopFilter(TextOps.stopwords("en"))} AS INT) AS n_stop,
-          CAST(list_sum(list_transform(t, x -> length(x))) AS INT) AS sum_tok_len
+          CAST(list_sum(list_transform(t, x -> length(x))) AS INT) AS sum_tok_len,
+          CAST(list_sum(list_transform(t, x -> (length(x) + 3) // 4)) AS INT) AS n_subtokens
         FROM s)
-        SELECT doc_id, lang, n_chars, n_tokens, n_unique, n_stop, sum_tok_len,
+        SELECT doc_id, lang, n_chars, n_tokens, n_unique, n_stop, sum_tok_len, n_subtokens,
           ROUND(n_unique::DOUBLE / n_tokens, 6) AS ttr,
           ROUND(n_stop::DOUBLE / n_tokens, 6) AS stop_ratio,
           ROUND(sum_tok_len::DOUBLE / n_tokens, 6) AS avg_tok_len,

@@ -53,6 +53,26 @@ object Multimodal {
     StructField("payload_len", IntegerType),
     StructField("feature", ArrayType(DoubleType))))
 
+  /** STUB CODEC: "resize" an opaque media payload — a real implementation
+    * would decode, scale, and re-encode; the stand-in crops to
+    * `targetBytes` so partitioning and schema behaviour are real.
+    */
+  def resizePayload(assets: DataFrame, targetBytes: Int): DataFrame =
+    assets.withColumn("payload_resized", substring(col("payload"), 1, targetBytes))
+
+  /** STUB CODEC: "frame-sample" — every `stride`-th 4-byte block of the
+    * payload as a frame array (a real codec would emit decoded frames).
+    * Pure higher-order expressions, so sampling runs inside codegen.
+    */
+  def frameSample(assets: DataFrame, stride: Int): DataFrame = {
+    val block = 4 * stride
+    assets.withColumn("frames", expr(
+      s"""CASE WHEN length(payload) >= $block
+          THEN transform(sequence(1, CAST(length(payload) / $block AS INT)),
+                         i -> substring(payload, (i - 1) * $block + 1, 4))
+          ELSE CAST(array() AS ARRAY<BINARY>) END"""))
+  }
+
   /** Batch "decode / feature-extract" over the binary payload column.
     *
     * STUB CODEC: a real deployment would decode image/audio bytes here

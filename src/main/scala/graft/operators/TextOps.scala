@@ -47,7 +47,11 @@ object TextOps {
         size(ts).as("n_tokens"),
         size(array_distinct(ts)).as("n_unique"),
         countIn(ts, stopwords("en")).as("n_stop"),
-        aggregate(transform(ts, length(_)), lit(0), _ + _).as("sum_tok_len"))
+        aggregate(transform(ts, length(_)), lit(0), _ + _).as("sum_tok_len"),
+        // BPE-ish subword count: ⌈len/4⌉ units per word — the integer-exact
+        // stand-in for a learned-merge tokenizer's piece count
+        aggregate(transform(ts, t => floor((length(t) + lit(3)) / lit(4)).cast("int")),
+          lit(0), _ + _).as("n_subtokens"))
       .withColumn("ttr", round(col("n_unique").cast("double") / col("n_tokens"), 6))
       .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 6))
       .withColumn("avg_tok_len", round(col("sum_tok_len").cast("double") / col("n_tokens"), 6))
