@@ -55,22 +55,26 @@ object Multimodal {
 
   /** STUB CODEC: "resize" an opaque media payload — a real implementation
     * would decode, scale, and re-encode; the stand-in crops to
-    * `targetBytes` so partitioning and schema behaviour are real.
+    * `targetBytes`. Replaces `payload` in place so codec stages compose
+    * (resize → frame-sample operates on the resized bytes).
     */
   def resizePayload(assets: DataFrame, targetBytes: Int): DataFrame =
-    assets.withColumn("payload_resized", substring(col("payload"), 1, targetBytes))
+    assets.withColumn("payload", substring(col("payload"), 1, targetBytes))
 
   /** STUB CODEC: "frame-sample" — every `stride`-th 4-byte block of the
     * payload as a frame array (a real codec would emit decoded frames).
     * Pure higher-order expressions, so sampling runs inside codegen.
     */
   def frameSample(assets: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"frameSample stride must be positive, got $stride")
     val block = 4 * stride
-    assets.withColumn("frames", expr(
-      s"""CASE WHEN length(payload) >= $block
-          THEN transform(sequence(1, CAST(length(payload) / $block AS INT)),
-                         i -> substring(payload, (i - 1) * $block + 1, 4))
-          ELSE CAST(array() AS ARRAY<BINARY>) END"""))
+    val payload = col("payload")
+    val nFrames = floor(length(payload) / lit(block)).cast("int")
+    assets.withColumn("frames",
+      when(length(payload) >= block,
+        transform(sequence(lit(1), nFrames),
+          i => payload.substr((i - lit(1)) * lit(block) + lit(1), lit(4))))
+        .otherwise(array().cast("array<binary>")))
   }
 
   /** Batch "decode / feature-extract" over the binary payload column.

@@ -138,13 +138,14 @@ class LlmOpsSpec extends SparkSuite {
       val f = r.getSeq[Double](2)
       assert(f.length == 4 && f.forall(x => x >= 0.0 && x <= 1.0))
     }
-    // resize + frame-sample stubs: shapes follow the payload deterministically
+    // resize + frame-sample stubs COMPOSE: sampling sees the resized bytes
     val shaped = Multimodal.frameSample(Multimodal.resizePayload(assets, 8), stride = 2)
-      .select(col("payload_resized"), col("frames")).limit(20).collect()
+      .select(col("payload"), col("frames")).limit(20).collect()
     shaped.foreach { r =>
       assert(r.getAs[Array[Byte]](0).length == 8)
       val frames = r.getSeq[Array[Byte]](1)
-      assert(frames.length == 2 && frames.forall(_.length == 4)) // 16B / (4·2) blocks
+      assert(frames.length == 1 && frames.head.length == 4) // 8B resized / (4·2) block
     }
+    assertThrows[IllegalArgumentException](Multimodal.frameSample(assets, 0))
   }
 }
