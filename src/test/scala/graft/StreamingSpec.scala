@@ -43,10 +43,12 @@ class StreamingSpec extends SparkSuite {
     * memory sink, foreachBatch supports checkpoint recovery, so this
     * harness exercises restart semantics.
     */
-  private def runCollecting(df: DataFrame, cp: String): Seq[org.apache.spark.sql.Row] = {
+  private def runCollecting(df: DataFrame, cp: String,
+                            mode: OutputMode = OutputMode.Append): Seq[org.apache.spark.sql.Row] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     val q = df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) => buf ++= batch.collect(); () }
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", cp)
       .start()
@@ -114,6 +116,36 @@ class StreamingSpec extends SparkSuite {
     val run2 = runCollecting(Streams.dedupStream(stream(topic)), cp)
     assert(run2.isEmpty)
   }
+
+  test("T1+T4 windowed-aggregation STATE survives restart: cumulative counts after resume == batch on full data") {
+    val topic = "t_aggrestart"
+    MqBroker.deleteTopic(topic); MqBroker.createTopic(topic, 2)
+    val payloads = tables.eventsRaw
+      .select(to_json(struct(col("event_id"), expr("ts DIV 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))).as("v"),
+        col("user_id").cast("string").as("k"))
+      .collect()
+    val (first, second) = payloads.splitAt(payloads.length / 2)
+    val agg = () => Streams.tumblingCounts(stream(topic), watermark = "100 days") // no late drops
+      .select(col("window_start"), col("event_type"), col("n"))
+    val cp = Files.createTempDirectory("graft-cp-aggrestart").toString
+    first.foreach(r => MqBroker.publish(topic, r.getString(1), r.getString(0), 0L))
+    val run1 = runCollecting(agg(), cp, OutputMode.Update) // emissions of batch 1
+    assert(run1.nonEmpty)
+    second.foreach(r => MqBroker.publish(topic, r.getString(1), r.getString(0), 0L))
+    val run2 = runCollecting(agg(), cp, OutputMode.Update) // resumed: state carries batch-1 counts
+    // last emission per (window, type) across both runs == batch answer on ALL events
+    val last = (run1 ++ run2).map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    val full = Streams.tumblingCounts(publishEvents_cached(topic), watermark = "100 days")
+      .select(col("window_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(last == full)
+  }
+
+  /** Batch twin over whatever is currently in `topic`. */
+  private def publishEvents_cached(topic: String): DataFrame =
+    Streams.decodeEvents(
+      spark.read.format(graft.sources.MqSource.format).option("topic", topic).load())
 
   test("T6 flatMapGroupsWithState user stats == batch aggregate") {
     import TestSpark.spark.implicits._
