@@ -8,6 +8,18 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSuite {
 
+  test("partitioned layout: a date-filtered scan prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events_by_day"
+    val ev = tables.events.withColumn("day", to_date(col("ts")))
+    ev.write.partitionBy("day").mode("overwrite").parquet(dir)
+    val oneDay = spark.read.parquet(dir).filter(col("day") === lit("2024-01-05"))
+    oneDay.collect()
+    val scan = oneDay.queryExecution.executedPlan.toString
+    // the filter lands in PartitionFilters (directory pruning), not a data filter
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-05"), scan)
+    assert(oneDay.count() == ev.filter(col("day") === lit("2024-01-05")).count())
+  }
+
   test("bucketed lineitem ⋈ orders on orderkey plans without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
