@@ -121,9 +121,20 @@ class MqScan(topic: String) extends Scan {
   }
 }
 
-/** Offset = vector of per-partition end offsets, JSON `[o0,o1,...]`. */
+/** Offset = vector of per-partition end offsets, JSON `[o0,o1,...]`.
+  * Equality MUST be by content: the engine compares committed vs available
+  * offsets to decide whether a new micro-batch is needed — the synthesized
+  * case-class equals would compare the Array by reference and make every
+  * fresh latestOffset() look like new data (empty batches forever on an
+  * idle topic).
+  */
 case class MqOffset(ends: Array[Long]) extends Offset {
   override def json(): String = ends.mkString("[", ",", "]")
+  override def equals(o: Any): Boolean = o match {
+    case x: Offset => json() == x.json()
+    case _ => false
+  }
+  override def hashCode(): Int = json().hashCode
 }
 object MqOffset {
   def parse(json: String): MqOffset =

@@ -97,23 +97,32 @@ object Streams {
 
   /** T6: per-user running stats via flatMapGroupsWithState — arbitrary
     * user state carried across micro-batches, emitted in Update mode.
-    * State is per-key in the executor state store; the timeout reclaims
-    * keys idle past the watermark (bounded state at scale).
+    * State is per-key in the executor state store and BOUNDED: an
+    * event-time timeout evicts any user idle for `idleTimeoutMs` past the
+    * watermark, so cardinality can't grow without limit at scale.
     */
-  def userStats(events: Dataset[Event]): Dataset[UserStats] = {
+  def userStats(events: Dataset[Event], watermark: String = "10 minutes",
+                idleTimeoutMs: Long = 3600L * 1000): Dataset[UserStats] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserStats, UserStats](
-        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
-          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0, 0L))
-          var n = prev.n_events; var tot = prev.total_value; var np = prev.n_purchases
-          batch.foreach { e =>
-            n += 1; tot += e.value; if (e.event_type == "purchase") np += 1
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0, 0L))
+            var n = prev.n_events; var tot = prev.total_value; var np = prev.n_purchases
+            batch.foreach { e =>
+              n += 1; tot += e.value; if (e.event_type == "purchase") np += 1
+            }
+            val next = UserStats(uid, n, tot, np)
+            state.update(next)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTimeoutMs)
+            Iterator.single(next)
           }
-          val next = UserStats(uid, n, tot, np)
-          state.update(next)
-          Iterator.single(next)
       }
   }
 
@@ -124,7 +133,8 @@ object Streams {
     */
   def enrich(events: DataFrame, dim: DataFrame, streamKey: String,
              dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
+    // anchored references: a shared column name must not be ambiguous
+    events.join(broadcast(dim), events(streamKey) === dim(dimKey), "left_outer")
 
   /** J9: stream–stream join — purchases matched to same-user clicks at
     * most 1 hour earlier. Watermarks on BOTH sides + the time-range
@@ -148,7 +158,11 @@ object Streams {
     * and return the result table. `Trigger.AvailableNow` + memory sink:
     * the batch-equivalence harness (streaming answer == batch answer on
     * the same prefix). Passing the same `checkpoint` across calls resumes
-    * from committed offsets (exactly-once restart semantics).
+    * from committed offsets — no batch is reprocessed — but the memory
+    * sink itself is NOT fault-tolerant: a resumed call returns only the
+    * batches committed after the restart. For durable restart semantics
+    * use a foreachBatch/file sink (see [[foreachBatchParquet]] and the
+    * restart tests).
     */
   def runAvailableNow(df: DataFrame, name: String, mode: OutputMode,
                       checkpoint: Option[String] = None): DataFrame = {

@@ -71,6 +71,14 @@ class StreamingSpec extends SparkSuite {
     assert(run2.map(_.getAs[Long]("event_id")).min == 100001L)
   }
 
+  test("S2 MqOffset equality is by content (engine's no-new-data detection)") {
+    import graft.sources.MqOffset
+    assert(MqOffset(Array(1L, 2L)) == MqOffset(Array(1L, 2L)))
+    assert(MqOffset(Array(1L, 2L)).hashCode == MqOffset(Array(1L, 2L)).hashCode)
+    assert(MqOffset(Array(1L, 2L)) != MqOffset(Array(1L, 3L)))
+    assert(MqOffset.parse(MqOffset(Array(0L, 7L, 42L)).json()).ends.toSeq == Seq(0L, 7L, 42L))
+  }
+
   test("T1 tumbling window: streaming == batch twin (exact, Det.davg discipline)") {
     val batchDecoded = publishEvents("t_tumbling")
     val streamed = Streams.runAvailableNow(
