@@ -380,7 +380,7 @@ object Registry {
         WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
         SELECT doc_id,
           list_min([md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) for i in range(1, len(t)-1)]) AS fingerprint,
-          CAST(len(t) - 2 AS INT) AS n_shingles
+          CAST(greatest(len(t) - 2, 0) AS INT) AS n_shingles
         FROM s ORDER BY doc_id""")),
 
       QueryDef("l5_multimodal", Multimodal.l5Multimodal, Some("""

@@ -33,21 +33,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on dimension mismatch
   override def prettyName: String = "cosine_fast"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xa = x.getFloat(i).toDouble
-      val xb = y.getFloat(i).toDouble
-      dot += xa * xb; na += xa * xa; nb += xb * xb
-      i += 1
+    val n = x.numElements()
+    // mismatched dimensions → null (like the exact zip_with path), never a
+    // plausible-but-wrong prefix cosine that masks a data bug
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xa = x.getFloat(i).toDouble
+        val xb = y.getFloat(i).toDouble
+        dot += xa * xb; na += xa * xa; nb += xb * xb
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,14 +61,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val (dot, na, nb, n, i) = (ctx.freshName("dot"), ctx.freshName("na"),
         ctx.freshName("nb"), ctx.freshName("n"), ctx.freshName("i"))
       s"""
-        double $dot = 0.0, $na = 0.0, $nb = 0.0;
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        for (int $i = 0; $i < $n; $i++) {
-          double xa = (double) $a.getFloat($i);
-          double xb = (double) $b.getFloat($i);
-          $dot += xa * xb; $na += xa * xa; $nb += xb * xb;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0, $na = 0.0, $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double xa = (double) $a.getFloat($i);
+            double xb = (double) $b.getFloat($i);
+            $dot += xa * xb; $na += xa * xa; $nb += xb * xb;
+          }
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 
@@ -81,6 +91,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_fast"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_fast"),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"cosine_fast expects exactly 2 arguments (array<float>, array<float>), got ${children.length}")
+        CosineSimilarity(children.head, children(1))
+      }))
   }
 }

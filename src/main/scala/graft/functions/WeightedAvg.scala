@@ -31,18 +31,15 @@ object WeightedAvgAgg
                      y: (JBigDecimal, JBigDecimal)): (JBigDecimal, JBigDecimal) =
     (x._1.add(y._1), x._2.add(y._2))
 
-  /** Exact HALF_UP at 4 dp via integer floor((2·S1·10⁴ + S2) / (2·S2)) —
-    * a double division here could land exactly on a half-boundary where
-    * engines round differently (see [[graft.Det.davg]]); the rational
-    * floor is engine-independent and the final R/10⁴ is exact.
+  /** Exact HALF_UP at 4 dp: BigDecimal's rational division rounds the
+    * exact quotient once, with a defined mode, for any sign — a double
+    * division here could land exactly on a half-boundary where engines
+    * round differently (see [[graft.Det.davg]]). The final ×10⁻⁴-scale
+    * decimal → double conversion is correctly rounded.
     */
   override def finish(r: (JBigDecimal, JBigDecimal)): Double =
     if (r._2.signum == 0) Double.NaN
-    else {
-      val numer = r._1.movePointRight(4).multiply(JBigDecimal.valueOf(2)).add(r._2)
-      val rInt = numer.divide(r._2.multiply(JBigDecimal.valueOf(2)), 0, java.math.RoundingMode.FLOOR)
-      rInt.doubleValue / 1e4
-    }
+    else r._1.divide(r._2, 4, java.math.RoundingMode.HALF_UP).doubleValue
 
   override def bufferEncoder: Encoder[(JBigDecimal, JBigDecimal)] =
     Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)

@@ -106,22 +106,6 @@ object Dedup {
   def l2Simhash(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables(spark, dir).documents, "text", "doc_id").orderBy(col("doc_id"))
 
-  /** Banded-LSH candidate buckets: one row per (doc, band) with the band's
-    * hash. Docs sharing a (band_idx, band_hash) cell are near-dup
-    * candidates. bands×rowsPerBand signatures are computed inline.
-    */
-  def lshBuckets(docs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sigs = minhashSig(col("text"), bands * rowsPerBand)
-    val withSig = docs.select(col("doc_id") +: sigs: _*)
-    val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(f"sig_${b * rowsPerBand + r}%02d"))
-      struct(lit(b).as("band_idx"), md5(concat_ws("|", parts: _*)).as("band_hash"))
-    }
-    withSig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
-  }
-
   /** L6: similarity self-join — near-duplicate pairs above a Jaccard
     * threshold, LSH-bounded.
     *
@@ -151,9 +135,11 @@ object Dedup {
     */
   def simJoin(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 2,
               threshold: Double = 0.8, chunks: Int = 8): DataFrame = {
-    // 1. distinct-token-set groups, one integer representative per set
+    // 1. distinct-token-set groups, one integer representative per set.
+    // Tokens are md5'd BEFORE the "|" join so a token containing the
+    // delimiter can't collide two different sets into one group.
     val tokset = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-      .withColumn("set_sig", md5(concat_ws("|", array_sort(col("toks")))))
+      .withColumn("set_sig", md5(concat_ws("|", array_sort(transform(col("toks"), md5(_))))))
     val groups = tokset.groupBy(col("set_sig"))
       .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"),
         first(col("toks")).as("toks"))

@@ -69,9 +69,11 @@ object Multimodal {
     require(stride > 0, s"frameSample stride must be positive, got $stride")
     val block = 4 * stride
     val payload = col("payload")
-    val nFrames = floor(length(payload) / lit(block)).cast("int")
+    // a frame exists at every block start with 4 sample bytes available,
+    // including a final partial block: n = floor((len-4)/block) + 1
+    val nFrames = (floor((length(payload) - lit(4)) / lit(block)) + lit(1)).cast("int")
     assets.withColumn("frames",
-      when(length(payload) >= block,
+      when(length(payload) >= 4,
         transform(sequence(lit(1), nFrames),
           i => payload.substr((i - lit(1)) * lit(block) + lit(1), lit(4))))
         .otherwise(array().cast("array<binary>")))

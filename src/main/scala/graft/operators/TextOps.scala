@@ -108,7 +108,11 @@ object TextOps {
     val grams = transform(
       sequence(lit(1), size(ts) - lit(shingle - 1)),
       i => concat_ws(" ", (0 until shingle).map(o => element_at(ts, i + lit(o))): _*))
-    array_min(transform(grams, md5(_)))
+    // docs shorter than one shingle have no fingerprint (guard: Spark's
+    // sequence(1, n) DESCENDS for n < 1 instead of being empty, and the
+    // DuckDB oracle's range() yields NULL for the same case)
+    when(size(ts) >= shingle, array_min(transform(grams, md5(_))))
+      .otherwise(lit(null).cast("string"))
   }
 
   def l4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -116,7 +120,7 @@ object TextOps {
     val ts = toks(col("text"))
     t.documents
       .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"),
-        (size(ts) - lit(2)).as("n_shingles"))
+        greatest(size(ts) - lit(2), lit(0)).as("n_shingles"))
       .orderBy(col("doc_id"))
   }
 }

@@ -81,6 +81,11 @@ class LlmOpsSpec extends SparkSuite {
     fast.zip(exact).foreach { case (f, e) =>
       assert(math.abs(f.getAs[Double]("cosine") - e.getAs[Double]("cosine")) < 2e-6)
     }
+    // dimension mismatch → null, never a plausible prefix cosine
+    val mm = spark.sql(
+      "SELECT cosine_fast(CAST(array(1.0, 0.0, 5.0) AS ARRAY<FLOAT>), CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c")
+      .head()
+    assert(mm.isNullAt(0))
     // expression participates in whole-stage codegen (no fallback): the
     // `*(n)` stage marker on the projection that computes cosine_fast —
     // materialize first so AQE has finalized the physical plan
