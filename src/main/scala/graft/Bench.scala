@@ -19,22 +19,29 @@ object Bench {
     // unchanged in the default mode the driver runs).
     val names = if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) qs.keys.toSeq.sorted
                 else headline
-    val results = names.filter(qs.contains).map { name =>
-      val fn = qs(name)
-      // A crashing query must surface as a -1 sentinel, never as a
-      // short "time until it threw" that silently shrinks the total.
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+    // a headline name missing from the registry is a failure (-1), never a
+    // silently shorter benchmark
+    val results = names.map { name =>
+      if (!qs.contains(name)) {
+        System.err.println(s"[bench] $name not in registry")
+        name -> -1.0
+      } else {
+        val fn = qs(name)
+        // A crashing query must surface as a -1 sentinel, never as a
+        // short "time until it threw" that silently shrinks the total.
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+          }
         }
+        val warm = once()
+        // best-of-2 timed runs after warm-up: ambient load on a shared box
+        // adds hundreds of ms of one-sided noise; min is the robust stat
+        name -> (if (warm < 0) -1.0 else math.min(once(), once()))
       }
-      val warm = once()
-      // best-of-2 timed runs after warm-up: ambient load on a shared box
-      // adds hundreds of ms of one-sided noise; min is the robust stat
-      name -> (if (warm < 0) -1.0 else math.min(once(), once()))
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

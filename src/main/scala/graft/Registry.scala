@@ -476,8 +476,8 @@ object Registry {
         epoch_us(p.ts) AS purchase_ts_us,
         epoch_us(c.ts) AS click_ts_us,
         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.user_id, purchase_id""")),
 
@@ -495,6 +495,8 @@ object Registry {
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(d => d.name -> d.fn).toMap
 
+  // NOTE: no whitespace collapsing here — it would rewrite spacing inside
+  // quoted SQL literals; Verify's JSON escaping already handles newlines.
   def oracleSql: Map[String, String] =
-    all.flatMap(d => d.oracle.map(o => d.name -> o.stripMargin.trim.replaceAll("\\s+", " "))).toMap
+    all.flatMap(d => d.oracle.map(o => d.name -> o.stripMargin.trim)).toMap
 }

@@ -8,11 +8,23 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Engine.session("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // A failing query must leave NO output: a stale dir from a previous
+    // run would otherwise be picked up by the oracle compare as a false
+    // PASS, hiding the regression.
+    def clear(name: String): Unit = {
+      val dir = java.nio.file.Paths.get(outDir, name)
+      if (java.nio.file.Files.exists(dir)) {
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      clear(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        clear(name)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

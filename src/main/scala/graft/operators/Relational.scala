@@ -37,10 +37,12 @@ object Relational {
   }
 
   /** TPC-H Q3-style shipping priority: 3-way join + agg + top-10.
-    * The BUILDING-filtered customer side is explicitly broadcast (1/5 of
-    * customers — small at any scale factor relative to orders) so the first
-    * join never shuffles; at 100 TB the orders⋈lineitem join shuffles on
-    * orderkey, lineitem's natural clustering — no extra repartition needed.
+    * The BUILDING-filtered customer side is explicitly broadcast so the
+    * first join never shuffles at bench scale. Scale note: this side is
+    * O(sf) rows (1/5 of customers), so on a real cluster the hint should
+    * come from runtime stats — drop it and let AQE/the broadcast threshold
+    * decide once the filtered side nears the 8 GB broadcast limit; the
+    * orders⋈lineitem join shuffles on orderkey either way.
     */
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
