@@ -66,6 +66,9 @@ object Relational {
   /** TPC-H Q5-style local-supplier revenue: 6-way star join.
     * region/nation/supplier/customer are dimension-sized → broadcast joins
     * (hinted); the fact-fact orders⋈lineitem shuffle is the only exchange.
+    * Scale note (as in q3): customer/supplier grow O(sf) — past the
+    * broadcast limit a cluster deployment drops those two hints and lets
+    * AQE pick the join side from runtime stats.
     */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
