@@ -315,7 +315,57 @@ object Registry {
         SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
       }),
 
-      QueryDef("l6_simjoin", Dedup.l6SimJoin, None),
+      QueryDef("l6_simjoin", Dedup.l6SimJoin, Some {
+        // Lock-step replay of Dedup.simJoin (bands=8, rowsPerBand=2, τ=0.8):
+        // same keyed-md5 minhash family as l2_minhash, banded candidates,
+        // same conservative size prune, exact-Jaccard verify on int
+        // intersection/union sizes, integer HALF_UP rounding at 4 dp.
+        def sig(i: Int) = s"list_min(list_transform(toks, t -> md5('$i:' || t)))"
+        val bandHashes = (0 until 8)
+          .map(b => s"md5(${sig(2 * b)} || '|' || ${sig(2 * b + 1)})").mkString(",\n            ")
+        s"""
+        WITH tokset AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        keyed AS (
+          SELECT doc_id, toks,
+            md5(array_to_string(list_sort(list_transform(toks, t -> md5(t))), '|')) AS set_sig
+          FROM tokset),
+        grp AS (
+          SELECT set_sig, MIN(doc_id) AS rep_id, list(doc_id) AS members,
+            arg_min(toks, doc_id) AS toks
+          FROM keyed GROUP BY set_sig),
+        sigs AS (
+          SELECT rep_id, len(toks) AS n,
+            [$bandHashes] AS bands
+          FROM grp),
+        b AS (
+          SELECT rep_id, n, unnest(bands) AS band_hash,
+            unnest([0,1,2,3,4,5,6,7]) AS band_idx
+          FROM sigs),
+        cand AS (
+          SELECT DISTINCT x.rep_id AS rep_a, y.rep_id AS rep_b
+          FROM b x JOIN b y
+            ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+            AND x.rep_id < y.rep_id
+          WHERE least(x.n, y.n)::DOUBLE >= greatest(x.n, y.n) * 0.8 - 1e-9),
+        ver AS (
+          SELECT rep_a, rep_b,
+            len(list_intersect(ga.toks, gb.toks)) AS i,
+            len(ga.toks) + len(gb.toks) - len(list_intersect(ga.toks, gb.toks)) AS u
+          FROM cand JOIN grp ga ON ga.rep_id = rep_a JOIN grp gb ON gb.rep_id = rep_b),
+        vpass AS (SELECT * FROM ver WHERE i::DOUBLE / u >= 0.8),
+        mem AS (SELECT rep_id, unnest(members) AS doc_id FROM grp),
+        pairs AS (
+          SELECT least(ma.doc_id, mb.doc_id) AS a_id,
+            greatest(ma.doc_id, mb.doc_id) AS b_id, i, u
+          FROM vpass JOIN mem ma ON ma.rep_id = rep_a JOIN mem mb ON mb.rep_id = rep_b
+          UNION ALL
+          SELECT ma.doc_id, mb.doc_id, 1, 1
+          FROM mem ma JOIN mem mb ON ma.rep_id = mb.rep_id AND ma.doc_id < mb.doc_id)
+        SELECT a_id, b_id,
+          CAST((20000 * i + u) // (2 * u) AS DOUBLE) / 10000.0 AS jaccard
+        FROM pairs ORDER BY a_id, b_id"""
+      }),
 
       QueryDef("l3_cosine_topk", Similarity.l3CosineTopK,
         Some(cosineSql("SELECT * FROM embeddings", ""))),

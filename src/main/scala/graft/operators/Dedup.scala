@@ -176,34 +176,46 @@ object Dedup {
       .select(least(col("x.rep_id"), col("y.rep_id")).as("rep_a"),
         greatest(col("x.rep_id"), col("y.rep_id")).as("rep_b"))
       .distinct()
-    // 5. exact Jaccard verification, token arrays joined back AFTER distinct
+    // 5. exact Jaccard verification, token arrays joined back AFTER distinct.
+    // Intersection/union SIZES (ints) are carried to the output instead of a
+    // pre-rounded double: |union| = |A|+|B|-|A∩B| because inputs are distinct
+    // sets, and the threshold compare i/u >= τ is a single IEEE division —
+    // bit-identical on any engine.
     val repToks = bandArr.select(col("rep_id"), col("toks"))
     val repPairs = candidates
       .join(repToks.withColumnRenamed("rep_id", "rep_a").withColumnRenamed("toks", "a_toks"), "rep_a")
       .join(repToks.withColumnRenamed("rep_id", "rep_b").withColumnRenamed("toks", "b_toks"), "rep_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
-          size(array_union(col("a_toks"), col("b_toks"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("rep_a"), col("rep_b"), col("jaccard"))
+      .withColumn("i", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("u", size(col("a_toks")) + size(col("b_toks")) - col("i"))
+      .filter(col("i").cast("double") / col("u") >= threshold)
+      .select(col("rep_a"), col("rep_b"), col("i"), col("u"))
     // expand representatives back to document pairs
     val member = groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
     val crossPairs = repPairs
       .join(member.withColumnRenamed("rep_id", "rep_a").withColumnRenamed("doc_id", "a"), "rep_a")
       .join(member.withColumnRenamed("rep_id", "rep_b").withColumnRenamed("doc_id", "b"), "rep_b")
       .select(least(col("a"), col("b")).as("a_id"), greatest(col("a"), col("b")).as("b_id"),
-        col("jaccard"))
+        col("i"), col("u"))
     val intraPairs = groups.filter(size(col("members")) > 1)
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))
       .filter(col("a") < col("b"))
-      .select(col("a").as("a_id"), col("b").as("b_id"), lit(1.0).as("jaccard"))
+      .select(col("a").as("a_id"), col("b").as("b_id"), lit(1).as("i"), lit(1).as("u"))
+    // Output jaccard rounded HALF_UP at 4 dp in EXACT integer arithmetic
+    // (same discipline as Det.davg): round(i/u, 4) = ⌊(2·10⁴·i + u) / (2u)⌋
+    // / 10⁴ — cross-engine deterministic where round(double) is not.
     crossPairs.unionByName(if (threshold <= 1.0) intraPairs else intraPairs.limit(0))
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a_id"), col("b_id"),
+        (call_function("div",
+          lit(20000L) * col("i").cast("long") + col("u").cast("long"),
+          lit(2L) * col("u").cast("long"))
+          .cast("double") / lit(10000.0)).as("jaccard"))
   }
 
-  /** L6 declared query (rows-only check; cluster semantics are asserted in
-    * scalatest — LSH output is approximate so no SQL oracle is declared).
+  /** L6 declared query. Deterministic given fixed bands/threshold (keyed-md5
+    * signatures, exact Jaccard verify, integer HALF_UP rounding, full
+    * tie-break), so it carries a full DuckDB oracle; LSH cluster semantics
+    * are additionally asserted in scalatest.
     */
   def l6SimJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
