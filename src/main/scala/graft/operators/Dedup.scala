@@ -26,6 +26,32 @@ object Dedup {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Triangle-salted within-bucket self-join: joins `df` to itself on
+    * `bucketCols` equality, producing each unordered id pair exactly once —
+    * same-chunk pairs under `x.id < y.id`, cross-chunk pairs oriented from
+    * the smaller chunk — while spreading a hot bucket's m² pair generation
+    * over chunks·(chunks+1)/2 tasks instead of one (the standard salting
+    * decomposition for skewed self-joins). Each row gets a hash chunk
+    * c ∈ [0, chunks); the x side serves chunk-pairs (c, c..K-1), the y side
+    * (0..c, c), and the join keys on the chunk pair. Callers select from
+    * aliases "x" and "y"; keep `df` NARROW (bucket + id + small attrs) and
+    * join wide payloads back AFTER candidate generation.
+    */
+  def saltedSelfJoin(df: DataFrame, bucketCols: Seq[String], idCol: String,
+                     chunks: Int): DataFrame = {
+    require(chunks >= 1, "chunks must be >= 1")
+    val base = df.withColumn("__chunk", pmod(hash(col(idCol)), lit(chunks)))
+    val xSide = base.withColumn("__c2",
+      explode(sequence(col("__chunk"), lit(chunks - 1)))).withColumnRenamed("__chunk", "__c1")
+    val ySide = base.withColumn("__c1",
+      explode(sequence(lit(0), col("__chunk")))).withColumnRenamed("__chunk", "__c2")
+    val cond = bucketCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
+      col("x.__c1") === col("y.__c1") && col("x.__c2") === col("y.__c2") &&
+      (col("x.__c1") =!= col("x.__c2") || col(s"x.$idCol") < col(s"y.$idCol")) &&
+      col(s"x.$idCol") =!= col(s"y.$idCol")
+    xSide.as("x").join(ySide.as("y"), cond)
+  }
+
   /** Reusable exact-dedup operator: keep one row per distinct `keyCols`
     * content, choosing the row with the smallest `tieBreak`. Window-rank
     * over the content hash — one shuffle on a fixed-width key.
@@ -153,23 +179,11 @@ object Dedup {
       }
       withSig.select(col("rep_id"), col("toks"), col("n"), array(bandCols: _*).as("bands"))
     }
-    // 3. narrow bucket rows with a triangle-salt chunk per rep: the x side
-    // serves chunk-pairs (c, c..K-1), the y side (0..c, c); joining on the
-    // chunk-pair key gives every cross-chunk pair exactly once and
-    // same-chunk pairs under rep_a < rep_b.
+    // 3. narrow bucket rows through the triangle-salted self-join (see
+    // [[saltedSelfJoin]] for the chunk-pair decomposition).
     val base = bandArr.select(col("rep_id"), col("n"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-      .withColumn("chunk", pmod(hash(col("rep_id")), lit(chunks)))
-    val xSide = base.withColumn("c2",
-      explode(sequence(col("chunk"), lit(chunks - 1)))).withColumnRenamed("chunk", "c1")
-    val ySide = base.withColumn("c1",
-      explode(sequence(lit(0), col("chunk")))).withColumnRenamed("chunk", "c2")
-    val candidates = xSide.as("x").join(ySide.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.c1") === col("y.c1") && col("x.c2") === col("y.c2") &&
-          (col("x.c1") =!= col("x.c2") || col("x.rep_id") < col("y.rep_id")) &&
-          col("x.rep_id") =!= col("y.rep_id"))
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val candidates = saltedSelfJoin(base, Seq("band_idx", "band_hash"), "rep_id", chunks)
       // 4. size-ratio prune (conservative epsilon so an exact-τ pair survives)
       .filter(least(col("x.n"), col("y.n")).cast("double")
         >= greatest(col("x.n"), col("y.n")) * threshold - 1e-9)

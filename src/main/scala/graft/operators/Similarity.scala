@@ -108,14 +108,24 @@ object Similarity {
     * limit this is embedding-cosine dedup; the fixture's random vectors
     * have no true near-dups, so the declared query reports the top-k
     * candidate pairs (deterministic + oracle-checkable) instead.
+    *
+    * Scale shape: the within-bucket self-join is triangle-salted via
+    * [[Dedup.saltedSelfJoin]] — a hot sign-bucket's m² pair generation is
+    * spread over chunks·(chunks+1)/2 tasks instead of one — and only
+    * NARROW (vec_id, bucket) rows traverse the multiplicative join; the
+    * 64-d vectors join back per-side afterwards.
     */
-  def embedNearDupPairs(t: Tables, bits: Int, k: Int): DataFrame = {
-    val b = t.embeddings.select(col("vec_id"), dbl(col("embedding")).as("e"),
+  def embedNearDupPairs(t: Tables, bits: Int, k: Int, chunks: Int = 8): DataFrame = {
+    val narrow = t.embeddings.select(col("vec_id"),
       signBucket(col("embedding"), bits).as("bucket"))
-    b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
-        cosine(col("x.e"), col("y.e")).as("cosine"))
+    val pairs = Dedup.saltedSelfJoin(narrow, Seq("bucket"), "vec_id", chunks)
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("a_id"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("b_id"))
+    val e = t.embeddings.select(col("vec_id"), dbl(col("embedding")).as("e"))
+    pairs
+      .join(e.withColumnRenamed("vec_id", "a_id").withColumnRenamed("e", "ea"), "a_id")
+      .join(e.withColumnRenamed("vec_id", "b_id").withColumnRenamed("e", "eb"), "b_id")
+      .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("cosine"))
       .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
       .limit(k)
   }

@@ -60,6 +60,24 @@ class LlmOpsSpec extends SparkSuite {
     assert(fix.forall(r => r.getLong(0) < r.getLong(1) && r.getDouble(2) >= 0.8))
   }
 
+  test("L6b triangle-salted self-join emits the naive pair set, each pair exactly once") {
+    val narrow = tables.embeddings.select(col("vec_id"),
+      Similarity.signBucket(col("embedding"), 6).as("bucket"))
+    val naive = narrow.as("x").join(narrow.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    for (chunks <- Seq(1, 3, 8)) {
+      val salted = Dedup.saltedSelfJoin(narrow, Seq("bucket"), "vec_id", chunks)
+        .select(least(col("x.vec_id"), col("y.vec_id")),
+          greatest(col("x.vec_id"), col("y.vec_id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(salted.length == salted.toSet.size, s"chunks=$chunks emitted a pair twice")
+      assert(salted.toSet == naive, s"chunks=$chunks pair set differs from naive join")
+    }
+  }
+
   test("L3 cosine top-k: self-similarity 1.0 first; ANN ⊆ same-bucket brute force") {
     val brute = Similarity.l3CosineTopK(spark, sf).collect()
     assert(brute.head.getAs[Long]("vec_id") == 0L)
