@@ -2,6 +2,7 @@ package graft
 
 import graft.operators._
 import graft.functions.{FnQueries, WeightedAvg}
+import graft.sources.BatchIO
 
 /** Central declaration list: every implemented operator from SURVEY.md §2
   * with its DuckDB oracle twin (None → driver records rows-only check).
@@ -167,6 +168,24 @@ object Registry {
         FROM customer)
       GROUP BY c_mktsegment, quartile
       ORDER BY c_mktsegment, quartile""")),
+
+    // the SQL text is engine-portable: the Spark side runs the SAME string
+    // via spark.sql, so the oracle is the query by construction
+    QueryDef("a4_grouping_sets", Relational.a4GroupingSets,
+      Some(Relational.a4GroupingSetsSql)),
+
+    QueryDef("s6_csv_roundtrip", BatchIO.s6CsvRoundtrip, Some(s"""
+      SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS y,
+        COUNT(*) AS n, ${ds("o_totalprice", 2)} AS total
+      FROM orders
+      GROUP BY o_orderstatus, y
+      ORDER BY o_orderstatus, y""")),
+
+    QueryDef("s6_json_roundtrip", BatchIO.s6JsonRoundtrip, Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n, ${ds("c_acctbal", 2)} AS total_bal
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")),
 
     QueryDef("a4_rollup", Relational.a4Rollup, Some(s"""
       SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

@@ -109,24 +109,31 @@ object Dedup {
     * oracle engine computes identically. Near-duplicate docs differ in few
     * bits (Hamming distance over the int), so the signature doubles as a
     * similarity key and, prefix-wise, as a bucketing key at scale.
-    * Per-row compute after one explode+groupBy (shuffle on doc_id only).
-    * Ties (vote sum 0) resolve to bit 0 on both engines.
+    * Computed entirely PER ROW: md5 once per token, then ONE array
+    * aggregate folding a bits-wide vote accumulator — no explode, no
+    * shuffle, one codegen'd stage (the same zero-shuffle shape as
+    * [[minhashSigFromToks]]). Ties (vote sum 0) resolve to bit 0 on both
+    * engines.
     */
-  def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
+  def simhashCol(toks: Column, bits: Int = 32): Column = {
     require(bits <= 32, "one md5 supplies 32 hex digits")
-    val voteCols = (0 until bits).map { i =>
-      sum(when(substring(md5(col("tok")), i + 1, 1)
-        .isInCollection(Seq("8", "9", "a", "b", "c", "d", "e", "f")), 1).otherwise(-1))
-        .as(f"v_$i%02d")
-    }
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .groupBy(col(idCol))
-      .agg(voteCols.head, voteCols.tail: _*)
-      .withColumn("simhash",
-        (0 until bits).map(i => when(col(f"v_$i%02d") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _))
-      .select(col(idCol), col("simhash"))
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val votes = aggregate(
+      transform(toks, t => md5(t)),
+      array_repeat(lit(0), bits),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(1), lit(bits)), i =>
+          when(h.substr(i, lit(1)).isInCollection(hi), 1).otherwise(-1)),
+        (a, v) => a + v))
+    val powers = array((0 until bits).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
+
+  /** [[simhashCol]] applied to a document frame → (id, simhash) rows. */
+  def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame =
+    docs.select(col(idCol), simhashCol(tokens(col(textCol)), bits).as("simhash"))
 
   /** L2b declared query: 32-bit SimHash per document. */
   def l2Simhash(spark: SparkSession, dir: String): DataFrame =

@@ -207,6 +207,28 @@ object Relational {
       .orderBy(col("returnflag"), col("linestatus"))
   }
 
+  /** A4c: the literal `GROUPING SETS` SQL surface (rollup/cube are its
+    * shorthands; §2.4 names the general form explicitly). The SQL text is
+    * engine-portable and serves verbatim as its own DuckDB oracle — the
+    * decimal-sum and GROUPING_ID spellings are the cross-engine ones used
+    * throughout the registry. Sets ((f,s),(s),()) are chosen to be neither
+    * a rollup nor a cube of the two columns.
+    */
+  val a4GroupingSetsSql: String = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      COALESCE(l_linestatus, 'ALL') AS linestatus,
+      CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n,
+      CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    ORDER BY gid, returnflag, linestatus"""
+
+  def a4GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).lineitem.createOrReplaceTempView("lineitem")
+    spark.sql(a4GroupingSetsSql)
+  }
+
   /** A5: array aggregation — stabilized with sort + string join so the
     * oracle compare is order-insensitive.
     */

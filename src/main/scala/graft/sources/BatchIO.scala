@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S6 (SURVEY.md §2.1): CSV/JSON batch IO as DECLARED, oracle-checked
+  * queries (round-trip fidelity was previously pinned only by IOSpec).
+  *
+  * Shape of the check: write a fixture projection through the text format,
+  * read it back with an explicit schema, aggregate, and compare against a
+  * DuckDB oracle computed from the ORIGINAL parquet — any write- or
+  * read-side corruption (quoting, number formatting, date handling, schema
+  * drift) breaks the hash match. Doubles survive exactly: both writers emit
+  * the shortest round-trip decimal representation.
+  *
+  * Scale note: these run on a fixture slice locally, but the plan is the
+  * scale-correct one — distributed `df.write.csv/json` (one file per task,
+  * no driver collect) and a schema-explicit read (no inference pass over
+  * 100 TB of text).
+  */
+object BatchIO {
+
+  private def stage(dir: String, fmt: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_s6_${fmt}_${math.abs(dir.hashCode)}"
+
+  /** CSV round-trip: orders projection (bigint/string/double/date). */
+  def s6CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val out = stage(dir, "csv")
+    t.orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    spark.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderdate DATE")
+      .option("header", "true").csv(out)
+      .groupBy(col("o_orderstatus"), year(col("o_orderdate")).cast("int").as("y"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"), col("y"))
+  }
+
+  /** JSON-lines round-trip: customer projection. */
+  def s6JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val out = stage(dir, "json")
+    t.customer
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+      .json(out)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+}

@@ -45,6 +45,13 @@ class LlmOpsSpec extends SparkSuite {
     assert(hamming(h(1L), h(3L)) <= 10)
   }
 
+  test("L2b simhash computes per-row: no Exchange anywhere in the plan") {
+    val df = Dedup.simhash(tables.documents, "text", "doc_id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("L6 sim-join finds near-dup pair, skips dissimilar, a<b unique") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
