@@ -290,9 +290,14 @@ object Registry {
 
   /** L1–L6 (SURVEY.md §2.9): LLM-data-pipeline operators. */
   val llm: Seq[QueryDef] = {
+    // LSH geometry shared with the operator defaults (ADVICE r3: a default
+    // change must not silently drift the oracle out from under the query).
+    val bands = Dedup.DefaultBands
+    val rowsPerBand = Dedup.DefaultRowsPerBand
+    val tau = Dedup.DefaultThreshold
     // MinHash signature columns, generated in lock-step on both sides:
     // sig_i = min over tokens of md5("i:" ‖ token), compared as hex text.
-    val sigCols = (0 until 16).map { i =>
+    val sigCols = (0 until bands * rowsPerBand).map { i =>
       f"list_min(list_transform(string_split(text, ' '), t -> md5('$i:' || t))) AS sig_$i%02d"
     }.mkString(", ")
     // Exact-decimal cosine scaffold shared by both L3 oracles (Det.dsum
@@ -335,13 +340,17 @@ object Registry {
       }),
 
       QueryDef("l6_simjoin", Dedup.l6SimJoin, Some {
-        // Lock-step replay of Dedup.simJoin (bands=8, rowsPerBand=2, τ=0.8):
-        // same keyed-md5 minhash family as l2_minhash, banded candidates,
-        // same conservative size prune, exact-Jaccard verify on int
+        // Lock-step replay of Dedup.simJoin at its shared defaults
+        // (DefaultBands × DefaultRowsPerBand, τ = DefaultThreshold): same
+        // keyed-md5 minhash family as l2_minhash, banded candidates, same
+        // conservative size prune, exact-Jaccard verify on int
         // intersection/union sizes, integer HALF_UP rounding at 4 dp.
         def sig(i: Int) = s"list_min(list_transform(toks, t -> md5('$i:' || t)))"
-        val bandHashes = (0 until 8)
-          .map(b => s"md5(${sig(2 * b)} || '|' || ${sig(2 * b + 1)})").mkString(",\n            ")
+        val bandHashes = (0 until bands).map { b =>
+          val rows = (0 until rowsPerBand).map(r => sig(b * rowsPerBand + r))
+          s"md5(${rows.mkString(" || '|' || ")})"
+        }.mkString(",\n            ")
+        val bandIdx = (0 until bands).mkString("[", ",", "]")
         s"""
         WITH tokset AS (
           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
@@ -359,20 +368,20 @@ object Registry {
           FROM grp),
         b AS (
           SELECT rep_id, n, unnest(bands) AS band_hash,
-            unnest([0,1,2,3,4,5,6,7]) AS band_idx
+            unnest($bandIdx) AS band_idx
           FROM sigs),
         cand AS (
           SELECT DISTINCT x.rep_id AS rep_a, y.rep_id AS rep_b
           FROM b x JOIN b y
             ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
             AND x.rep_id < y.rep_id
-          WHERE least(x.n, y.n)::DOUBLE >= greatest(x.n, y.n) * 0.8 - 1e-9),
+          WHERE least(x.n, y.n)::DOUBLE >= greatest(x.n, y.n) * $tau - 1e-9),
         ver AS (
           SELECT rep_a, rep_b,
             len(list_intersect(ga.toks, gb.toks)) AS i,
             len(ga.toks) + len(gb.toks) - len(list_intersect(ga.toks, gb.toks)) AS u
           FROM cand JOIN grp ga ON ga.rep_id = rep_a JOIN grp gb ON gb.rep_id = rep_b),
-        vpass AS (SELECT * FROM ver WHERE i::DOUBLE / u >= 0.8),
+        vpass AS (SELECT * FROM ver WHERE i::DOUBLE / u >= $tau),
         mem AS (SELECT rep_id, unnest(members) AS doc_id FROM grp),
         pairs AS (
           SELECT least(ma.doc_id, mb.doc_id) AS a_id,

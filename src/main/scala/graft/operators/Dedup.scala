@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** LSH defaults, shared with the Registry oracle builder so the operator
+    * defaults and the DuckDB replay cannot silently drift (a drift would
+    * only surface as an opaque hash mismatch).
+    */
+  val DefaultBands       = 8
+  val DefaultRowsPerBand = 2
+  val DefaultThreshold   = 0.8
+  val DefaultChunks      = 8
+
   /** Space-separated tokens of a text column (fixture docs are
     * single-space word soup; callers needing unicode-aware tokenization
     * pass their own tokenizer column).
@@ -79,12 +88,13 @@ object Dedup {
         .as(f"sig_$i%02d")
     }
 
-  /** L2 declared query: full MinHash signature matrix for every document.
-    * 16 hashes = 8 bands × 2 rows (see [[simJoin]]).
+  /** L2 declared query: full MinHash signature matrix for every document —
+    * DefaultBands × DefaultRowsPerBand hashes, the matrix [[simJoin]] bands.
     */
   def l2Minhash(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.documents.select(col("doc_id") +: minhashSig(col("text"), 16): _*)
+    t.documents
+      .select(col("doc_id") +: minhashSig(col("text"), DefaultBands * DefaultRowsPerBand): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -166,8 +176,10 @@ object Dedup {
     *     cross-pairs, and intra-group pairs (Jaccard 1.0) come straight
     *     from the groups.
     */
-  def simJoin(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 2,
-              threshold: Double = 0.8, chunks: Int = 8): DataFrame = {
+  def simJoin(docs: DataFrame, bands: Int = DefaultBands,
+              rowsPerBand: Int = DefaultRowsPerBand,
+              threshold: Double = DefaultThreshold,
+              chunks: Int = DefaultChunks): DataFrame = {
     // 1. distinct-token-set groups, one integer representative per set.
     // Tokens are md5'd BEFORE the "|" join so a token containing the
     // delimiter can't collide two different sets into one group.

@@ -225,8 +225,15 @@ object Relational {
     ORDER BY gid, returnflag, linestatus"""
 
   def a4GroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).lineitem.createOrReplaceTempView("lineitem")
-    spark.sql(a4GroupingSetsSql)
+    // Scoped view name: registering the bare name 'lineitem' would shadow
+    // the catalog/parquet table for every later spark.sql in this session.
+    // The oracle string stays pinned to 'lineitem'; only the Spark run
+    // substitutes the identifier. spark.sql analyzes eagerly, so the view
+    // can be dropped as soon as the frame is built.
+    val view = "graft_a4_lineitem"
+    Tables(spark, dir).lineitem.createOrReplaceTempView(view)
+    try spark.sql(a4GroupingSetsSql.replace("FROM lineitem", s"FROM $view"))
+    finally spark.catalog.dropTempView(view)
   }
 
   /** A5: array aggregation — stabilized with sort + string join so the

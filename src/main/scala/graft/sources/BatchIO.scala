@@ -21,8 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object BatchIO {
 
+  // Per-process token: two concurrent runs over the same fixture dir (bench
+  // + correctness drivers, or two users sharing /tmp) must not race an
+  // overwrite-write against the other's lazy read. hex(hashCode) avoids the
+  // math.abs(Int.MinValue) < 0 edge.
+  private val runToken = java.lang.Long.toHexString(ProcessHandle.current().pid())
+
   private def stage(dir: String, fmt: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_s6_${fmt}_${math.abs(dir.hashCode)}"
+    s"${sys.props("java.io.tmpdir")}/graft_s6_${fmt}_${Integer.toHexString(dir.hashCode)}_$runToken"
 
   /** CSV round-trip: orders projection (bigint/string/double/date). */
   def s6CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
