@@ -5,10 +5,12 @@ import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -99,13 +101,18 @@ class MqDataSource extends TableProvider {
   }
 }
 
-class MqTable(topic: String) extends Table with SupportsRead {
+class MqTable(topic: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"mq:$topic"
   override def schema(): StructType = MqSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new MqScan(topic)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new MqWrite(topic, MqWriterCols.resolve(info.schema()))
+    }
 }
 
 class MqScan(topic: String) extends Scan {
@@ -177,6 +184,80 @@ class MqMicroBatchStream(topic: String) extends MicroBatchStream with SupportsTr
 
 case class MqInputPartition(topic: String, partition: Int, from: Long, until: Long)
     extends InputPartition
+
+/** S5b: MQ write-back — publish query results to a broker topic, the other
+  * half of the namesake MQ-app story (consume topic A → transform → produce
+  * topic B). Input frames follow the Kafka-producer column convention:
+  * required `value` STRING, optional `key` STRING (keyed partition routing),
+  * optional `timestamp` TIMESTAMP (defaults to 0 when absent — the broker
+  * stores whatever the row says, keeping replays byte-identical).
+  *
+  * Delivery semantics: each task publishes as it writes, so a retried task
+  * can re-publish rows — at-least-once, exactly like the Kafka sink;
+  * downstream consumers dedup by key within a watermark (T5) when they need
+  * effective exactly-once. Scale posture: publishing happens per-partition
+  * on executors (here: same JVM), with no driver-side buffering and no
+  * coordination beyond Spark's task commit.
+  */
+object MqWriterCols {
+  final case class Cols(key: Int, value: Int, ts: Int)
+
+  def resolve(schema: StructType): Cols = {
+    def idx(name: String): Int = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+    def typed(i: Int, want: DataType, name: String): Int = {
+      require(i < 0 || schema(i).dataType == want,
+        s"mq sink: column '$name' must be $want, got ${schema(i).dataType}")
+      i
+    }
+    val v = idx("value")
+    require(v >= 0, s"mq sink requires a 'value' column; input has ${schema.fieldNames.mkString(", ")}")
+    Cols(
+      typed(idx("key"), StringType, "key"),
+      typed(v, StringType, "value"),
+      typed(idx("timestamp"), TimestampType, "timestamp"))
+  }
+}
+
+/** One Write serving both the batch and streaming paths (same row protocol,
+  * same writers; only the epoch bookkeeping differs and the broker log is
+  * append-only either way).
+  */
+class MqWrite(topic: String, cols: MqWriterCols.Cols) extends Write {
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+      val f = new MqWriterFactory(topic, cols)
+      (partitionId: Int, _: Long) => f.create(partitionId)
+    }
+    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+      val f = new MqWriterFactory(topic, cols)
+      (partitionId: Int, _: Long, _: Long) => f.create(partitionId)
+    }
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+class MqWriterFactory(topic: String, cols: MqWriterCols.Cols) extends Serializable {
+  def create(partitionId: Int): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    override def write(row: InternalRow): Unit = {
+      val key =
+        if (cols.key >= 0 && !row.isNullAt(cols.key)) row.getUTF8String(cols.key).toString
+        else null
+      val value = if (row.isNullAt(cols.value)) null else row.getUTF8String(cols.value).toString
+      val ts = if (cols.ts >= 0 && !row.isNullAt(cols.ts)) row.getLong(cols.ts) else 0L
+      MqBroker.publish(topic, key, value, ts)
+    }
+    override def commit(): WriterCommitMessage = MqCommitMessage
+    override def abort(): Unit = ()
+    override def close(): Unit = ()
+  }
+}
+
+case object MqCommitMessage extends WriterCommitMessage
 
 class MqReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -3,9 +3,9 @@ package graft.streaming
 import java.nio.file.Files
 
 import graft.sources.{MqBroker, MqSource}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** T1–T8 + J8/J9 + S3/S4/S5 (SURVEY.md §2.8): Structured-Streaming
@@ -126,6 +126,54 @@ object Streams {
       }
   }
 
+  /** T6 (forward-looking surface): the same per-user running stats on the
+    * Spark 4 `transformWithState` API — typed [[ValueState]] in the
+    * executor state store, idle-user eviction via an event-time timer
+    * (re-armed each batch; stale timers deleted so an active user is never
+    * evicted by an old one). Differential twin of [[userStats]]: the
+    * StreamingSpec asserts both emit identical results. Requires the
+    * RocksDB state store provider (transformWithState's backing store).
+    */
+  class UserStatsProcessor(idleTimeoutMs: Long)
+      extends StatefulProcessor[Long, Event, UserStats] {
+    @transient private var state: ValueState[UserStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserStats](
+        "userStats", Encoders.product[UserStats], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserStats] = {
+      val prev = if (state.exists()) state.get() else UserStats(uid, 0L, 0.0, 0L)
+      var n = prev.n_events; var tot = prev.total_value; var np = prev.n_purchases
+      rows.foreach { e =>
+        n += 1; tot += e.value; if (e.event_type == "purchase") np += 1
+      }
+      val next = UserStats(uid, n, tot, np)
+      state.update(next)
+      // one live timer per key: drop the previous batch's, arm the new one
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + idleTimeoutMs)
+      Iterator.single(next)
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[UserStats] = {
+      state.clear()
+      Iterator.empty
+    }
+  }
+
+  /** T6 on [[UserStatsProcessor]] — behavioral twin of [[userStats]]. */
+  def userStatsTws(events: Dataset[Event], watermark: String = "10 minutes",
+                   idleTimeoutMs: Long = 3600L * 1000): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor(idleTimeoutMs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   // ---------- stream joins (J8/J9) ----------
 
   /** J8: enrich a stream against a static dimension (broadcast at scale —
@@ -174,6 +222,23 @@ object Streams {
       .option("checkpointLocation", cp).start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** S5b: MQ write-back — publish a streaming frame to a broker topic via
+    * the DSv2 streaming write path (the produce half of the MQ-app story:
+    * consume topic A → transform → produce topic B). Input columns follow
+    * the producer convention enforced by [[graft.sources.MqWriterCols]]:
+    * required `value` STRING, optional `key` STRING / `timestamp`.
+    * At-least-once (task retries may re-publish), same as a Kafka sink;
+    * consumers needing exactly-once dedup by key within a watermark (T5).
+    */
+  def writeToMq(df: DataFrame, topic: String, checkpoint: String): Unit = {
+    val q = df.writeStream.format(MqSource.format).option("topic", topic)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
   }
 
   /** S5: foreachBatch parquet sink — idempotent per-batch overwrite into

@@ -171,6 +171,70 @@ class StreamingSpec extends SparkSuite {
     assert(s == b)
   }
 
+  test("S5b MQ write-back sink: consume topic A, transform, produce topic B; B == batch twin") {
+    val batchDecoded = publishEvents("t_wb_in")
+    MqBroker.deleteTopic("t_wb_out")
+    MqBroker.createTopic("t_wb_out", 3)
+    // transform: purchases only, re-keyed by user, re-encoded as JSON
+    def xform(df: DataFrame): DataFrame = df
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").cast("string").as("key"),
+        to_json(struct(col("event_id"), col("user_id"), col("value"))).as("value"),
+        col("ts").as("timestamp"))
+    val cp = Files.createTempDirectory("graft-cp-wb").toString
+    Streams.writeToMq(xform(stream("t_wb_in")), "t_wb_out", cp)
+    // read topic B back (batch DSv2 read) and compare against the batch twin
+    val got = spark.read.format(graft.sources.MqSource.format).option("topic", "t_wb_out").load()
+    val expected = xform(batchDecoded)
+    assert(got.count() == expected.count())
+    val gotSet = got.select(col("key"), col("value"), unix_micros(col("timestamp")).as("ts_us"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val expSet = expected.select(col("key"), col("value"), unix_micros(col("timestamp")).as("ts_us"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotSet == expSet)
+    // keyed routing: every message of one key lands in ONE partition
+    val partsPerKey = got.groupBy(col("key"))
+      .agg(countDistinct(col("partition")).as("np"))
+      .collect().map(_.getLong(1)).toSet
+    assert(partsPerKey == Set(1L))
+    // resumed query with the same checkpoint publishes nothing new
+    Streams.writeToMq(xform(stream("t_wb_in")), "t_wb_out", cp)
+    assert(spark.read.format(graft.sources.MqSource.format).option("topic", "t_wb_out")
+      .load().count() == expected.count())
+  }
+
+  test("T6 transformWithState == flatMapGroupsWithState twin == batch aggregate") {
+    import TestSpark.spark.implicits._
+    val batchDecoded = publishEvents("t_tws")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tws = Streams.runAvailableNow(
+        Streams.userStatsTws(stream("t_tws").as[Streams.Event]).toDF(),
+        "t6_tws_out", OutputMode.Update)
+      val twin = batchDecoded.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value")).as("total_value"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      val s = tws.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+      val b = twin.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+      assert(s == b)
+      // differential twin: the old-API impl on the same topic emits the same map
+      val old = Streams.runAvailableNow(
+        Streams.userStats(stream("t_tws").as[Streams.Event]).toDF(),
+        "t6_old_out", OutputMode.Update)
+      val o = old.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+      assert(o == s)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("J8 stream-static enrich + J9 stream-stream join == batch twins") {
     val batchDecoded = publishEvents("t_joins")
     val dim = tables.customer.select(col("c_custkey"), col("c_mktsegment"))
