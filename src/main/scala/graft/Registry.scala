@@ -318,42 +318,18 @@ object Registry {
       .map(i => s"${1 << i}*(embedding[${i + 1}]>0)::INT").mkString(" + ")
     def stopFilter(words: Seq[String]): String =
       s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
-
-    Seq(
-      QueryDef("l1_exact_dedup", Dedup.l1ExactDedup, Some("""
-        SELECT MIN(doc_id) AS keeper_id, sha256(text) AS content_sha, COUNT(*) AS n_copies
-        FROM documents GROUP BY sha256(text) ORDER BY keeper_id""")),
-
-      QueryDef("l2_minhash", Dedup.l2Minhash, Some(s"""
-        SELECT doc_id, $sigCols FROM documents ORDER BY doc_id""")),
-
-      QueryDef("l2_simhash", Dedup.l2Simhash, Some {
-        val votes = (0 until 32).map { i =>
-          s"SUM(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_$i"
-        }.mkString(", ")
-        val assemble = (0 until 32)
-          .map(i => s"CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-        s"""
-        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
-        SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
-      }),
-
-      QueryDef("l6_simjoin", Dedup.l6SimJoin, Some {
-        // Lock-step replay of Dedup.simJoin at its shared defaults
-        // (DefaultBands × DefaultRowsPerBand, τ = DefaultThreshold): same
-        // keyed-md5 minhash family as l2_minhash, banded candidates, same
-        // conservative size prune, exact-Jaccard verify on int
-        // intersection/union sizes, integer HALF_UP rounding at 4 dp.
-        def sig(i: Int) = s"list_min(list_transform(toks, t -> md5('$i:' || t)))"
-        val bandHashes = (0 until bands).map { b =>
-          val rows = (0 until rowsPerBand).map(r => sig(b * rowsPerBand + r))
-          s"md5(${rows.mkString(" || '|' || ")})"
-        }.mkString(",\n            ")
-        val bandIdx = (0 until bands).mkString("[", ",", "]")
-        s"""
-        WITH tokset AS (
-          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+    // DuckDB replay of Dedup.simJoin downstream of any tokset CTE (the
+    // word-bag and n-gram variants differ only in `toksetSelect`, which
+    // must yield (doc_id, toks LIST<VARCHAR>) with toks already distinct).
+    def simJoinOracle(toksetSelect: String): String = {
+      def sig(i: Int) = s"list_min(list_transform(toks, t -> md5('$i:' || t)))"
+      val bandHashes = (0 until bands).map { b =>
+        val rows = (0 until rowsPerBand).map(r => sig(b * rowsPerBand + r))
+        s"md5(${rows.mkString(" || '|' || ")})"
+      }.mkString(",\n            ")
+      val bandIdx = (0 until bands).mkString("[", ",", "]")
+      s"""
+        WITH tokset AS ($toksetSelect),
         keyed AS (
           SELECT doc_id, toks,
             md5(array_to_string(list_sort(list_transform(toks, t -> md5(t))), '|')) AS set_sig
@@ -393,7 +369,47 @@ object Registry {
         SELECT a_id, b_id,
           CAST((20000 * i + u) // (2 * u) AS DOUBLE) / 10000.0 AS jaccard
         FROM pairs ORDER BY a_id, b_id"""
+    }
+
+    Seq(
+      QueryDef("l1_exact_dedup", Dedup.l1ExactDedup, Some("""
+        SELECT MIN(doc_id) AS keeper_id, sha256(text) AS content_sha, COUNT(*) AS n_copies
+        FROM documents GROUP BY sha256(text) ORDER BY keeper_id""")),
+
+      QueryDef("l2_minhash", Dedup.l2Minhash, Some(s"""
+        SELECT doc_id, $sigCols FROM documents ORDER BY doc_id""")),
+
+      QueryDef("l2_simhash", Dedup.l2Simhash, Some {
+        val votes = (0 until 32).map { i =>
+          s"SUM(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_$i"
+        }.mkString(", ")
+        val assemble = (0 until 32)
+          .map(i => s"CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+        s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
+        SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
       }),
+
+      // Lock-step replay of Dedup.simJoin at its shared defaults
+      // (DefaultBands × DefaultRowsPerBand, τ = DefaultThreshold): same
+      // keyed-md5 minhash family as l2_minhash, banded candidates, same
+      // conservative size prune, exact-Jaccard verify on int
+      // intersection/union sizes, integer HALF_UP rounding at 4 dp.
+      // Parameterized on the tokset CTE so the word-bag and n-gram-shingle
+      // variants share every downstream stage.
+      QueryDef("l6_simjoin", Dedup.l6SimJoin, Some(simJoinOracle(
+        "SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents"))),
+
+      // n-gram Jaccard: same pipeline over word 3-gram shingles (DuckDB
+      // range() is empty once its stop bound falls to 1, so short docs yield []
+      // exactly like the guarded Spark shingles()).
+      QueryDef("l6_ngram_simjoin", Dedup.l6NgramSimJoin, Some(simJoinOracle {
+        val n = Dedup.DefaultShingleN
+        val parts = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+        s"""SELECT doc_id, list_distinct([$parts for i in range(1, len(t) - ${n - 2})]) AS toks
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"""
+      })),
 
       QueryDef("l3_cosine_topk", Similarity.l3CosineTopK,
         Some(cosineSql("SELECT * FROM embeddings", ""))),

@@ -35,6 +35,20 @@ object Dedup {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Word n-gram shingles: element i is `toks[i] ‖ " " ‖ … ‖ toks[i+n-1]`.
+    * Captures local word ORDER, which the bag-of-tokens Jaccard ignores —
+    * two docs with the same vocabulary but shuffled sentences share few
+    * shingles. Guarded for short docs: fewer than n tokens → empty array
+    * (an unguarded `sequence(0, size-n)` with size<n would count DOWN and
+    * produce garbage indices). Per-row and codegen'd like [[tokens]].
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)))
+  }
+
   /** Triangle-salted within-bucket self-join: joins `df` to itself on
     * `bucketCols` equality, producing each unordered id pair exactly once —
     * same-chunk pairs under `x.id < y.id`, cross-chunk pairs oriented from
@@ -179,11 +193,12 @@ object Dedup {
   def simJoin(docs: DataFrame, bands: Int = DefaultBands,
               rowsPerBand: Int = DefaultRowsPerBand,
               threshold: Double = DefaultThreshold,
-              chunks: Int = DefaultChunks): DataFrame = {
+              chunks: Int = DefaultChunks,
+              tokenizer: Column => Column = tokens): DataFrame = {
     // 1. distinct-token-set groups, one integer representative per set.
     // Tokens are md5'd BEFORE the "|" join so a token containing the
     // delimiter can't collide two different sets into one group.
-    val tokset = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val tokset = docs.select(col("doc_id"), array_distinct(tokenizer(col("text"))).as("toks"))
       .withColumn("set_sig", md5(concat_ws("|", array_sort(transform(col("toks"), md5(_))))))
     val groups = tokset.groupBy(col("set_sig"))
       .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"),
@@ -253,5 +268,23 @@ object Dedup {
   def l6SimJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     simJoin(t.documents).orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Shingle size for the declared n-gram Jaccard query (shared with the
+    * Registry oracle builder, same no-drift rule as the LSH defaults).
+    */
+  val DefaultShingleN = 3
+
+  /** L6c declared query: n-gram Jaccard near-dup — the [[simJoin]]
+    * pipeline (set-collapse → banded LSH → salted bucket join → size prune
+    * → exact verify) run over word 3-gram shingle sets instead of the
+    * token bag, so similarity is order-sensitive: reordered boilerplate no
+    * longer counts as a near-duplicate. Same scale shape as l6_simjoin —
+    * only the per-row tokenizer differs.
+    */
+  def l6NgramSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    simJoin(t.documents, tokenizer = text => shingles(tokens(text), DefaultShingleN))
+      .orderBy(col("a_id"), col("b_id"))
   }
 }

@@ -67,6 +67,33 @@ class LlmOpsSpec extends SparkSuite {
     assert(fix.forall(r => r.getLong(0) < r.getLong(1) && r.getDouble(2) >= 0.8))
   }
 
+  test("L6c n-gram shingles: order-sensitive, short-doc guarded, matches manual enumeration") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Seq.empty) // fewer tokens than n → no garbage indices
+    assert(got(3L) == Seq.empty)
+
+    // same vocabulary, shuffled order: bag-Jaccard calls it a perfect dup,
+    // shingle-Jaccard does not. 20 tokens so a one-token edit keeps
+    // shingle-Jaccard at 17/19 ≈ 0.89 ≥ τ for the true-near-dup pair.
+    val words = (1 to 20).map(i => f"w$i%02d")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, (words.drop(10) ++ words.take(10).reverse).mkString(" ")),
+      (3L, (words.init :+ "CHANGED").mkString(" "))).toDF("doc_id", "text")
+    val bag = Dedup.simJoin(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ngram = Dedup.simJoin(docs, threshold = 0.8,
+        tokenizer = t => Dedup.shingles(Dedup.tokens(t), 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bag.contains((1L, 2L)))   // reordering invisible to the bag
+    assert(!ngram.contains((1L, 2L))) // visible to shingles
+    assert(bag.contains((1L, 3L)) && ngram.contains((1L, 3L))) // true near-dup kept by both
+  }
+
   test("L6b triangle-salted self-join emits the naive pair set, each pair exactly once") {
     val narrow = tables.embeddings.select(col("vec_id"),
       Similarity.signBucket(col("embedding"), 6).as("bucket"))
