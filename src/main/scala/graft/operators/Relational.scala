@@ -37,19 +37,27 @@ object Relational {
   }
 
   /** TPC-H Q3-style shipping priority: 3-way join + agg + top-10.
-    * The BUILDING-filtered customer side is explicitly broadcast so the
-    * first join never shuffles at bench scale. Scale note: this side is
-    * O(sf) rows (1/5 of customers), so on a real cluster the hint should
-    * come from runtime stats — drop it and let AQE/the broadcast threshold
-    * decide once the filtered side nears the 8 GB broadcast limit; the
-    * orders⋈lineitem join shuffles on orderkey either way.
+    * Join order is chosen for ONE streaming pass over the fact table: the
+    * BUILDING-filtered customer side broadcasts into orders, and that
+    * joined intermediate (orders before the cutoff for BUILDING customers
+    * — the smallest relation in the query) broadcasts into lineitem.
+    * Without the outer hint Catalyst builds the hash relation from the
+    * date-filtered LINEITEM instead (its size estimate squeaks under the
+    * threshold), which collects and rebroadcasts ~20× more rows.
+    * Scale note: both hinted sides are O(sf), so on a real cluster the
+    * hints should come from runtime stats — drop them and let AQE/the
+    * broadcast threshold decide once the sides near the broadcast limit;
+    * the fact join then shuffles on orderkey, which is the right plan at
+    * that size.
     */
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val cutoff = lit("1995-03-15").cast("timestamp")
-    broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING"))
+    val buildingOrders = broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING"))
       .join(t.orders, col("c_custkey") === col("o_custkey"))
       .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    broadcast(buildingOrders)
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_shipdate") > cutoff)
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))

@@ -31,6 +31,23 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("q3 plan shape: one fact pass — two broadcast joins, single shuffle, pushed scans") {
+    val df = Relational.q3JoinAgg(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    // the adaptive plan string prints Final + Initial sections; pin the final
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj == 2, s"expected 2 broadcast joins, got $bhj in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"fact join must not shuffle at bench scale:\n$plan")
+    // lineitem must be the STREAMED side of the fact join, never collected
+    // into a broadcast build: the join keyed l_orderkey must build LEFT
+    // (the buildingOrders intermediate), with l_orderkey on the probe side
+    val factJoin = "BroadcastHashJoin \\[o_orderkey[^\\]]*\\], \\[l_orderkey[^\\]]*\\], Inner, BuildLeft".r
+    assert(factJoin.findFirstIn(plan).isDefined,
+      s"fact join must stream lineitem against the broadcast orders build:\n$plan")
+  }
+
   test("j3 semi/anti counts partition the customer table") {
     val rows = Relational.j3SemiAnti(spark, sf).collect()
     val total = rows.map(r => r.getAs[Long]("n_with_orders") + r.getAs[Long]("n_without_orders")).sum
