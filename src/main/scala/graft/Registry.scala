@@ -421,6 +421,35 @@ object Registry {
           // restrict the scan to the query vector's bucket, like the Spark plan
           s"WHERE bucket = (SELECT CAST($bucketSql AS INT) FROM embeddings WHERE vec_id = 0)"))),
 
+      // IVF replay: same deterministic-sample centroids (vec_id < cells),
+      // exact-decimal squared-L2 assignment (argmin tie-broken on cid is
+      // bit-identical — no sqrt, no double accumulation), nprobe nearest
+      // cells of the query, then the shared exact-cosine/ROUND(,6) rank.
+      QueryDef("l3_ivf_topk", Similarity.l3IvfTopK, Some(s"""
+        WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+                   WHERE vec_id < ${Similarity.IvfCells}),
+        v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        pr AS (SELECT v.vec_id, c.cid, unnest(v.e) AS x, unnest(c.ce) AS y FROM v, c),
+        a2 AS (SELECT vec_id, cid, SUM(CAST((x-y)*(x-y) AS DECIMAL(30,15))) AS d2
+               FROM pr GROUP BY vec_id, cid),
+        cell AS (SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM a2) WHERE rn = 1),
+        probe AS (SELECT cid AS cell FROM a2 WHERE vec_id = 0
+                  ORDER BY d2, cid LIMIT ${Similarity.IvfNprobe}),
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        cand AS (SELECT v.vec_id, v.label, cell.cell, v.e
+                 FROM v JOIN cell USING (vec_id) JOIN probe USING (cell)),
+        u AS (SELECT vec_id, label, cell, unnest(e) AS a, unnest(qe) AS b FROM cand, q),
+        d AS (SELECT vec_id, label, cell,
+                SUM(CAST(a*b AS DECIMAL(30,15))) AS dot,
+                SUM(CAST(a*a AS DECIMAL(30,15))) AS na,
+                SUM(CAST(b*b AS DECIMAL(30,15))) AS nb
+              FROM u GROUP BY ALL)
+        SELECT vec_id, label, cell,
+          ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
+        FROM d ORDER BY cosine DESC, vec_id LIMIT 10""")),
+
       QueryDef("l6_embed_neardup", Similarity.l6EmbedNearDup, Some(s"""
         WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e, CAST($bucketSql AS INT) AS bucket FROM embeddings),
         p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, x.e AS ea, y.e AS eb

@@ -102,6 +102,56 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
 
+  /** Exact order-independent squared-L2 distance of two array<double>
+    * columns — per-element squared differences cast to DECIMAL(30,15) and
+    * summed exactly, so an argmin over cells is bit-identical on any
+    * engine (IEEE subtract/multiply are deterministic; the sum order is
+    * neutralized by the decimal cast; no sqrt is needed for ranking).
+    */
+  private def dist2(a: Column, b: Column): Column =
+    dsumArr(zip_with(a, b, (x, y) => (x - y) * (x - y)))
+
+  /** IVF (inverted-file) ANN — the other classic scale path beside
+    * sign-bit LSH: a coarse quantizer assigns every vector to its nearest
+    * centroid's cell; a probe searches only the `nprobe` cells whose
+    * centroids are nearest the query, touching ~nprobe/k of the corpus.
+    * At 100 TB the cell id is the partition/cluster key, the centroid set
+    * is broadcast (k ≪ n), and assignment is one narrow O(n·k) pass with
+    * map-side partial min — no all-pairs anything.
+    *
+    * Centroids here are a deterministic sample (vec_id < k) so the DuckDB
+    * oracle replays assignment exactly; production would k-means-train
+    * them and the plan shape is unchanged (k-means itself is the same
+    * assign/re-center pass iterated).
+    */
+  def ivfTopK(t: Tables, queryId: Long, k: Int, nCells: Int, nprobe: Int): DataFrame = {
+    val cents = t.embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), dbl(col("embedding")).as("ce"))
+    val scored = t.embeddings
+      .select(col("vec_id"), dbl(col("embedding")).as("e"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), dist2(col("e"), col("ce")).as("d2"))
+    // cell assignment: argmin over centroids via partial-aggregated
+    // min(struct) — no window sort over the n·k scored rows
+    val cells = scored
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    // the query is itself a corpus vector, so its centroid distances are
+    // already in `scored`: probe = nprobe nearest cells to the query
+    val probed = scored.filter(col("vec_id") === queryId)
+      .orderBy(col("d2"), col("cid")).limit(nprobe)
+      .select(col("cid").as("cell"))
+    t.embeddings
+      .join(cells, "vec_id")
+      .join(broadcast(probed), "cell")
+      .crossJoin(broadcast(queryVec(t, queryId)))
+      .select(col("vec_id"), col("label"), col("cell"),
+        cosine(dbl(col("embedding")), col("q_emb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: sign-bucket the vectors (so pairs
     * only form within a bucket — never all-pairs), exact cosine on the
     * candidates, strongest pairs first. With a threshold instead of a
@@ -143,4 +193,15 @@ object Similarity {
     */
   def l3AnnBucket(spark: SparkSession, dir: String): DataFrame =
     annTopK(Tables(spark, dir), queryId = 0L, k = 10, bits = 6)
+
+  /** IVF geometry for the declared query (shared with the oracle builder). */
+  val IvfCells  = 8
+  val IvfNprobe = 2
+
+  /** L3 declared query (IVF scale path): top-10 for vec_id 0 over the
+    * [[IvfNprobe]] nearest of [[IvfCells]] cells.
+    */
+  def l3IvfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(Tables(spark, dir), queryId = 0L, k = 10,
+      nCells = IvfCells, nprobe = IvfNprobe)
 }

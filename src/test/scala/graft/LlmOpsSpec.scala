@@ -126,6 +126,22 @@ class LlmOpsSpec extends SparkSuite {
     assert(ann.length <= 10 && ann.length >= 1 && bruteAll >= ann.length)
   }
 
+  test("L3 IVF: self first at 1.0, candidates only from probed cells, sane recall") {
+    val ivf = Similarity.l3IvfTopK(spark, sf).collect()
+    assert(ivf.length == 10)
+    assert(ivf.head.getAs[Long]("vec_id") == 0L && ivf.head.getAs[Double]("cosine") == 1.0)
+    val cells = ivf.map(_.getAs[Long]("cell")).toSet
+    assert(cells.size <= Similarity.IvfNprobe, s"results from ${cells.size} cells: $cells")
+    assert(cells.forall(c => c >= 0 && c < Similarity.IvfCells))
+    // descending with vec_id tie-break
+    val cos = ivf.map(_.getAs[Double]("cosine")).toSeq
+    assert(cos == cos.sorted.reverse)
+    // probing 2 of 8 cells must still find the query's own cell's best
+    // matches: overlap with the exact top-10 is nonempty (self at least)
+    val brute = Similarity.l3CosineTopK(spark, sf).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ivf.map(_.getAs[Long]("vec_id")).toSet.intersect(brute).nonEmpty)
+  }
+
   test("L3 cosine_fast native expression matches the exact-decimal path") {
     val fast = Similarity.bruteForceTopKFast(tables, 0L, 10).collect()
     val exact = Similarity.l3CosineTopK(spark, sf).collect()
