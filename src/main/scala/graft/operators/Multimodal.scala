@@ -1,9 +1,9 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.StructType
 
 /** L5 (SURVEY.md §2.9): multimodal columns — rows that carry text, an
   * embedding vector, typed metadata, and an opaque binary payload side by
@@ -47,11 +47,12 @@ object Multimodal {
         substring(hex(col("payload")), 1, 16).as("payload_hex_head"))
       .orderBy(col("doc_id"))
 
-  /** Output schema of [[decodeFeatures]]. */
-  val featureSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("payload_len", IntegerType),
-    StructField("feature", ArrayType(DoubleType))))
+  /** Typed output row of [[decodeFeatures]]. */
+  final case class MediaFeature(doc_id: Long, payload_len: Int, feature: Seq[Double])
+
+  /** Output schema of [[decodeFeatures]] (the [[MediaFeature]] encoder's). */
+  val featureSchema: StructType =
+    org.apache.spark.sql.Encoders.product[MediaFeature].schema
 
   /** STUB CODEC: "resize" an opaque media payload — a real implementation
     * would decode, scale, and re-encode; the stand-in crops to
@@ -89,16 +90,17 @@ object Multimodal {
     */
   def decodeFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
-    val input = assets.select(col("doc_id"), col("payload"))
-    val rdd = input.rdd.mapPartitions { rows =>
-      // per-partition init happens here (codec handles, model sessions)
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val feat = bytes.take(4).map(b => (b & 0xff) / 255.0)
-        Row(id, bytes.length, feat.toSeq)
+    import spark.implicits._
+    // typed Dataset.mapPartitions: keeps the encoder-serialized path (no
+    // Row boxing through an RDD hop, schema visible to Catalyst) while
+    // preserving the per-partition init-once property a codec needs
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init happens here (codec handles, model sessions)
+        rows.map { case (id, bytes) =>
+          MediaFeature(id, bytes.length, bytes.take(4).map(b => (b & 0xff) / 255.0).toSeq)
+        }
       }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF()
   }
 }
