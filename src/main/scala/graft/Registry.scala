@@ -64,6 +64,21 @@ object Registry {
       GROUP BY n_name
       ORDER BY revenue DESC, n_name""")),
 
+    QueryDef("q14_promo", Relational.q14Promo, Some {
+      val rev = "l_extendedprice * (1.0 - l_discount)"
+      val promo = s"CASE WHEN p_type LIKE 'PROMO%' THEN $rev ELSE 0.0 END"
+      def hug(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(30,6))) * 1000000 AS HUGEINT)"
+      s"""
+      SELECT CAST(year(l_shipdate) AS INT) AS y, CAST(month(l_shipdate) AS INT) AS m,
+        ${ds(promo, 2)} AS promo_revenue,
+        ${ds(rev, 2)} AS total_revenue,
+        CAST((${hug(promo)} * 2000 + ${hug(rev)}) // (${hug(rev)} * 2) AS BIGINT) AS promo_permille,
+        COUNT(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY y, m
+      ORDER BY y, m"""
+    }),
+
     QueryDef("p2_filter_predicates", Relational.p2FilterPredicates, Some(s"""
       SELECT o_orderstatus, o_orderpriority,
         COUNT(*) AS n,

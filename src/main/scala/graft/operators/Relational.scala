@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -93,6 +93,35 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q14-style promo revenue share per ship month: lineitem ⋈ part
+    * (broadcast dimension — the one fixture table no other query touches),
+    * conditional aggregation, and a promo-permille ratio computed with the
+    * same integer-HALF_UP discipline as [[graft.Det.davg]] so the division
+    * is bit-identical cross-engine: permille = ⌊(2000·P + T) / (2T)⌋ on
+    * exact DECIMAL sums scaled to integers.
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val promo = when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))
+    val pSum = sum(promo.cast("decimal(30,6)"))
+    val tSum = sum(rev.cast("decimal(30,6)"))
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("int").as("y"),
+        month(col("l_shipdate")).cast("int").as("m"))
+      .agg(
+        Det.dsum(promo).as("promo_revenue"),
+        Det.dsum(rev).as("total_revenue"),
+        call_function("div",
+          (pSum * lit(2000L * 1000000L)).cast("decimal(38,0)")
+            + (tSum * lit(1000000L)).cast("decimal(38,0)"),
+          (tSum * lit(2000000L)).cast("decimal(38,0)"))
+          .cast("long").as("promo_permille"),
+        count(lit(1)).as("n"))
+      .orderBy(col("y"), col("m"))
   }
 
   /** P2: predicate surface — IN / BETWEEN / LIKE / IS NULL / boolean mix.
@@ -312,6 +341,27 @@ object Relational {
         round(col("running_value"), 4).as("running_value"),
         round(col("moving_avg"), 4).as("moving_avg"))
       .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** W4 at scale: top-k per group with a salted partial top-k stage —
+    * the hot-key mitigation SCALING.md documents for ranking windows.
+    * Phase 1 ranks within (group, input-partition-id): the exchange
+    * spreads a hot key across partitions via the salt, and any row
+    * outside its salt-slice's top-k provably cannot reach the global
+    * top-k, so at most k·P rows per key survive. Phase 2 ranks the
+    * survivors per group. Output (including the rank column) is
+    * identical to the naive single-window form for any total `order` —
+    * asserted in RelationalSpec; the naive form stays the declared bench
+    * query because at fixture scale one shuffle beats two.
+    */
+  def topKPerGroupSkewSafe(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                           k: Int, rankCol: String = "rn"): DataFrame = {
+    val pw = Window.partitionBy(spark_partition_id() +: keys.map(col): _*)
+      .orderBy(order: _*)
+    val pruned = df.withColumn("__prn", row_number().over(pw))
+      .filter(col("__prn") <= k).drop("__prn")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    pruned.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
   /** W4: top-K per group (the headline `window_topk` bench query). */

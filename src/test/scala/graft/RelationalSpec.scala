@@ -48,6 +48,15 @@ class RelationalSpec extends SparkSuite {
       s"fact join must stream lineitem against the broadcast orders build:\n$plan")
   }
 
+  test("w4 skew-safe top-k == naive window top-k, rank column included") {
+    val order = Seq(col("value").desc, col("event_id"))
+    val naive = Relational.windowTopK(spark, sf)
+    val safe = Relational.topKPerGroupSkewSafe(tables.events, Seq("user_id"), order, 3)
+      .select(col("user_id"), col("event_id"), round(col("value"), 4).as("value"), col("rn"))
+      .orderBy(col("user_id"), col("rn"))
+    assertSameRows(naive, safe)
+  }
+
   test("j3 semi/anti counts partition the customer table") {
     val rows = Relational.j3SemiAnti(spark, sf).collect()
     val total = rows.map(r => r.getAs[Long]("n_with_orders") + r.getAs[Long]("n_without_orders")).sum
