@@ -259,6 +259,48 @@ class StreamingSpec extends SparkSuite {
     assertSameRows(joined, twin)
   }
 
+  test("E2E training-data pipeline: MQ ingest -> streaming dedup -> lang/quality filter -> MQ write-back == batch twin") {
+    import org.apache.spark.sql.types.StructType
+    val in = "t_pipe_in"; val out = "t_pipe_out"
+    MqBroker.deleteTopic(in); MqBroker.createTopic(in, 3)
+    MqBroker.deleteTopic(out); MqBroker.createTopic(out, 2)
+    // publish the documents fixture, re-delivering every 5th doc (the
+    // at-least-once duplicates the dedup stage must absorb)
+    val payloads = tables.documents
+      .select(col("doc_id"), to_json(struct(col("doc_id"), col("text"), col("lang"))).as("v"))
+      .collect()
+    payloads.foreach { r =>
+      MqBroker.publish(in, r.getLong(0).toString, r.getString(1), 0L)
+      if (r.getLong(0) % 5 == 0) MqBroker.publish(in, r.getLong(0).toString, r.getString(1), 0L)
+    }
+    // one transform, applied unchanged to the stream and the batch twin:
+    // decode -> content-hash dedup -> heuristic lang gate + length floor ->
+    // re-encode for the curated topic
+    def pipeline(df: DataFrame): DataFrame = {
+      val schema = StructType.fromDDL("doc_id BIGINT, text STRING, lang STRING")
+      df.select(from_json(col("value"), schema).as("d")).select("d.*")
+        .withColumn("content_sha", sha2(col("text"), 256))
+        .dropDuplicates("content_sha")
+        .filter(graft.operators.TextOps.langIdExpr(col("text")) === col("lang"))
+        .filter(size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id").cast("string").as("key"),
+          to_json(struct(col("doc_id"), col("content_sha"), col("lang"))).as("value"))
+    }
+    val cp = Files.createTempDirectory("graft-cp-pipe").toString
+    Streams.writeToMq(
+      pipeline(Streams.mqStream(spark, in)), out, cp)
+    val curated = spark.read.format(graft.sources.MqSource.format).option("topic", out).load()
+      .select(col("key"), col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val twin = pipeline(
+      spark.read.format(graft.sources.MqSource.format).option("topic", in).load())
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(curated == twin)
+    assert(curated.nonEmpty)
+    // the injected re-deliveries were absorbed: one curated row per doc
+    assert(curated.size == curated.map(_._1).size)
+  }
+
   test("T8 file-source stream reproduces the declared tumbling_window answer") {
     // file source needs a directory; replay the fixture from a tmp dir
     val dir = Files.createTempDirectory("graft-events-stream")
