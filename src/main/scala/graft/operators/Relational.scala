@@ -16,6 +16,31 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Broadcast hint gated on the optimizer's size estimate: the hint is
+    * applied only while the side's estimated bytes fit under the session
+    * broadcast threshold, so the same query code cannot force an
+    * over-threshold build at a larger scale factor — past the gate the
+    * planner/AQE picks the join from its own stats. (An O(sf) dimension
+    * side that is broadcast-right at bench scale is exactly the case a
+    * hard-coded hint gets wrong at 100×.)
+    */
+  def broadcastIfSmall(df: DataFrame): DataFrame = broadcastIfSmall(df, df)
+
+  /** [[broadcastIfSmall]] for join OUTPUTS: the optimizer's estimate for a
+    * join is the row-count product (observed: 96 GB for a side whose true
+    * size is ~1 MB), so a gate on it would never fire. When FK semantics
+    * bound the output by one input — an inner join on a key where each row
+    * matches at most one partner cannot expand past that side — the author
+    * names that bounding side as `sizeProxy` and the gate reads its
+    * estimate instead. The proxy grows with the same O(sf), so the gate
+    * still shuts off mechanically at scale.
+    */
+  def broadcastIfSmall(df: DataFrame, sizeProxy: DataFrame): DataFrame = {
+    val est = sizeProxy.queryExecution.optimizedPlan.stats.sizeInBytes
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thr > 0 && est <= BigInt(thr)) broadcast(df) else df
+  }
+
   /** TPC-H Q1-style pricing summary — the flagship query.
     * Scale: single scan + partial/final hash agg on 2 low-cardinality keys;
     * no join, no skew risk; filter + column pruning reach the parquet scan.
@@ -44,20 +69,20 @@ object Relational {
     * Without the outer hint Catalyst builds the hash relation from the
     * date-filtered LINEITEM instead (its size estimate squeaks under the
     * threshold), which collects and rebroadcasts ~20× more rows.
-    * Scale note: both hinted sides are O(sf), so on a real cluster the
-    * hints should come from runtime stats — drop them and let AQE/the
-    * broadcast threshold decide once the sides near the broadcast limit;
-    * the fact join then shuffles on orderkey, which is the right plan at
-    * that size.
+    * Both hinted sides are O(sf), so the hints ride [[broadcastIfSmall]]:
+    * they vanish once the estimate outgrows the session threshold, and
+    * the fact join then shuffles on orderkey — the right plan at that
+    * size.
     */
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val cutoff = lit("1995-03-15").cast("timestamp")
-    val buildingOrders = broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING"))
+    val buildingOrders = broadcastIfSmall(t.customer.filter(col("c_mktsegment") === "BUILDING"))
       .join(t.orders, col("c_custkey") === col("o_custkey"))
       .filter(col("o_orderdate") < cutoff)
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-    broadcast(buildingOrders)
+    // orders bounds the intermediate: an order joins at most one customer
+    broadcastIfSmall(buildingOrders, sizeProxy = t.orders)
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_shipdate") > cutoff)
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -72,22 +97,22 @@ object Relational {
   }
 
   /** TPC-H Q5-style local-supplier revenue: 6-way star join.
-    * region/nation/supplier/customer are dimension-sized → broadcast joins
-    * (hinted); the fact-fact orders⋈lineitem shuffle is the only exchange.
-    * Scale note (as in q3): customer/supplier grow O(sf) — past the
-    * broadcast limit a cluster deployment drops those two hints and lets
-    * AQE pick the join side from runtime stats.
+    * region/nation/supplier/customer are dimension-sized → broadcast joins;
+    * the fact-fact orders⋈lineitem shuffle is the only exchange. The
+    * customer/supplier sides grow O(sf), so every dim hint rides
+    * [[broadcastIfSmall]] — past the threshold the hint disappears and
+    * AQE picks the join side from runtime stats.
     */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.supplier),
+      .join(broadcastIfSmall(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcastIfSmall(t.supplier),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcastIfSmall(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcastIfSmall(t.region), col("n_regionkey") === col("r_regionkey"))
       .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       .groupBy(col("n_name"))
