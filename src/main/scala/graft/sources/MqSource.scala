@@ -37,11 +37,16 @@ object MqBroker {
                            timestampUs: Long)
 
   private val topics = new ConcurrentHashMap[String, Array[ArrayBuffer[Message]]]()
+  // keyless round-robin cursor per topic (totalSize-based placement would
+  // race under concurrent writers: read-then-append is not atomic)
+  private val rr = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
-  def createTopic(topic: String, partitions: Int): Unit =
+  def createTopic(topic: String, partitions: Int): Unit = {
     topics.putIfAbsent(topic, Array.fill(partitions)(ArrayBuffer.empty[Message]))
+    rr.putIfAbsent(topic, new java.util.concurrent.atomic.AtomicLong(0L))
+  }
 
-  def deleteTopic(topic: String): Unit = topics.remove(topic)
+  def deleteTopic(topic: String): Unit = { topics.remove(topic); rr.remove(topic) }
 
   private def log(topic: String): Array[ArrayBuffer[Message]] = {
     val l = topics.get(topic)
@@ -54,7 +59,7 @@ object MqBroker {
     */
   def publish(topic: String, key: String, value: String, timestampUs: Long): Unit = {
     val l = log(topic)
-    val p = if (key == null) (totalSize(topic) % l.length).toInt
+    val p = if (key == null) (rr.get(topic).getAndIncrement() % l.length).toInt
             else math.floorMod(key.hashCode, l.length)
     l(p).synchronized {
       l(p) += Message(p, l(p).size.toLong, key, value, timestampUs)

@@ -47,6 +47,30 @@ class PropertiesSpec extends SparkSuite {
       }
   }
 
+  test("Det.davg equals BigDecimal HALF_UP average on random inputs") {
+    val vals = Gen.listOfN(24, Gen.chooseNum(0.0, 100000.0)
+      .map(x => math.rint(x * 100) / 100)) // ≤2-dp fixtures like the real data
+    for (xs <- samples(vals, 20); if xs.nonEmpty) {
+      val got = xs.toDF("x").agg(Det.davg(col("x"), 4)).collect()(0).getDouble(0)
+      // mirror Spark's double→DECIMAL(30,6) cast (shortest-repr BigDecimal,
+      // 6-dp HALF_UP), then the mathematically-defined HALF_UP average
+      val exact = xs.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      val want = (exact / xs.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got == want, s"davg mismatch on $xs: $got vs $want")
+    }
+  }
+
+  test("shingles: count is max(0, tokens-n+1), each joins n consecutive tokens") {
+    for (t <- samples(text, 15); n <- Seq(2, 3, 5)) {
+      val toksArr = t.split(" ").toSeq
+      val got = Seq(t).toDF("text")
+        .select(Dedup.shingles(Dedup.tokens(col("text")), n).as("s"))
+        .collect()(0).getSeq[String](0)
+      val want = toksArr.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      assert(got == (if (toksArr.size < n) Seq.empty else want))
+    }
+  }
+
   test("minhash agreement tracks containment: superset agrees >= disjoint") {
     for (t <- samples(text, 5)) {
       val df = Seq((1L, t), (2L, t + " extra"), (3L, "uno dos tres quatro cinco"))
