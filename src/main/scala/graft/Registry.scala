@@ -219,6 +219,16 @@ object Registry {
       GROUP BY user_id
       ORDER BY user_id""")),
 
+    QueryDef("a5_first_last", Relational.a5FirstLast, Some("""
+      SELECT user_id,
+        arg_min(event_type, ts) AS first_type,
+        arg_max(event_type, ts) AS last_type,
+        epoch_us(MIN(ts)::TIMESTAMP) AS first_ts_us,
+        epoch_us(MAX(ts)::TIMESTAMP) AS last_ts_us
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""")),
+
     QueryDef("a6_stats", Relational.a6Stats, Some("""
       SELECT l_returnflag,
         ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,

@@ -311,6 +311,22 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** A5b: first/last per group — min_by/max_by over raw-nanosecond event
+    * time (unique per user in the fixtures, so the pick is deterministic;
+    * DuckDB twin: arg_min/arg_max on the TIMESTAMP_NS column).
+    */
+  def a5FirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.eventsRaw
+      .groupBy(col("user_id"))
+      .agg(
+        min_by(col("event_type"), col("ts")).as("first_type"),
+        max_by(col("event_type"), col("ts")).as("last_type"),
+        expr("MIN(ts) DIV 1000").as("first_ts_us"),
+        expr("MAX(ts) DIV 1000").as("last_ts_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** A6: statistical aggregates — exact percentile, stddev, correlation. */
   def a6Stats(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -320,6 +336,22 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
         round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** A6b (scale path): approximate percentile — the exact `percentile`
+    * sorts every group's values; `percentile_approx` is a bounded-size
+    * sketch that merges associatively, the right choice at 100 TB.
+    * Tolerance-checked against the exact percentile in RelationalSpec
+    * (same treatment as A3's approx count-distinct).
+    */
+  def a6ApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95"))
       .orderBy(col("l_returnflag"))
   }
 

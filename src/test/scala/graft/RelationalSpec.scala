@@ -48,6 +48,17 @@ class RelationalSpec extends SparkSuite {
       s"fact join must stream lineitem against the broadcast orders build:\n$plan")
   }
 
+  test("a6 approx percentile within tolerance of exact") {
+    val approx = Relational.a6ApproxPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = tables.lineitem.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, a) <- approx)
+      assert(math.abs(a - exact(k)) <= 0.02 * exact(k), s"$k: $a vs ${exact(k)}")
+  }
+
   test("w4 skew-safe top-k == naive window top-k, rank column included") {
     val order = Seq(col("value").desc, col("event_id"))
     val naive = Relational.windowTopK(spark, sf)
