@@ -289,6 +289,23 @@ object Registry {
       GROUP BY 1, 2
       ORDER BY 1, 2""")),
 
+    QueryDef("t3_session_batch", Relational.sessionWindowBatch, Some(s"""
+      WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus, value FROM events),
+      g AS (SELECT user_id, tus, value,
+              CASE WHEN LAG(tus) OVER w IS NULL OR tus - LAG(tus) OVER w >= 1800000000
+                   THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      s AS (SELECT user_id, tus, value,
+              SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g)
+      SELECT MIN(tus) AS session_start_us,
+        MAX(tus) + 1800000000 AS session_end_us,
+        user_id, COUNT(*) AS n,
+        ${ds("value", 4)} AS total_value
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us""")),
+
     QueryDef("o1_sort_limit", Relational.o1SortLimit, Some("""
       SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice, o_orderstatus
       FROM orders

@@ -445,6 +445,24 @@ object Relational {
       .orderBy(col("window_start_us"), col("event_type"))
   }
 
+  /** T3 batch analog: gap-based session windows per user (30-minute
+    * inactivity gap), the batch twin of `Streams.sessionCounts`. Spark
+    * semantics: a session's window is [first, last+gap), so an event at
+    * exactly prev+gap starts a NEW session — the DuckDB oracle replays
+    * this as gaps-and-islands (new island when the µs delta ≥ gap).
+    */
+  def sessionWindowBatch(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value"), 4).as("total_value"))
+      .select(
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("user_id"), col("n"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
   /** O1+O2: global sort + limit → TakeOrderedAndProject (no full sort at scale). */
   def o1SortLimit(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
