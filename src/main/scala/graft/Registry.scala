@@ -289,6 +289,16 @@ object Registry {
       GROUP BY 1, 2
       ORDER BY 1, 2""")),
 
+    QueryDef("t2_sliding_batch", Relational.slidingWindowBatch, Some("""
+      WITH e AS (SELECT epoch_us(ts::TIMESTAMP) AS tus, event_type FROM events),
+      w AS (SELECT unnest([
+              (tus // 1800000000) * 1800000000 - 1800000000,
+              (tus // 1800000000) * 1800000000]) AS ws,
+              event_type FROM e)
+      SELECT ws AS window_start_us, event_type, COUNT(*) AS n
+      FROM w GROUP BY 1, 2
+      ORDER BY 1, 2""")),
+
     QueryDef("t3_session_batch", Relational.sessionWindowBatch, Some(s"""
       WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus, value FROM events),
       g AS (SELECT user_id, tus, value,

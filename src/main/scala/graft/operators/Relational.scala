@@ -463,6 +463,20 @@ object Relational {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  /** T2 batch analog: 1-hour sliding window every 30 minutes × type.
+    * With size = 2·slide every event lands in exactly two epoch-aligned
+    * windows (starts ⌊t/slide⌋·slide and that minus slide), which is how
+    * the DuckDB oracle replays Spark's window expansion.
+    */
+  def slidingWindowBatch(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"), col("n"))
+      .orderBy(col("window_start_us"), col("event_type"))
+  }
+
   /** O1+O2: global sort + limit → TakeOrderedAndProject (no full sort at scale). */
   def o1SortLimit(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
