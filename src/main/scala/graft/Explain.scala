@@ -5,8 +5,9 @@ package graft
   * are visible in review. Usage: tools/run.sh graft.Explain [sfDir] [name...]
   */
 object Explain {
-  val defaults = Seq("q1_pricing_summary", "q3_join_agg", "l1_exact_dedup",
-    "l3_cosine_topk", "l6_simjoin", "j7_asof")
+  val defaults = Seq("q1_pricing_summary", "q3_join_agg", "q14_promo",
+    "l1_exact_dedup", "l3_cosine_topk", "l3_ivf_topk", "l6_simjoin",
+    "l6_ngram_simjoin", "j7_asof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -137,9 +137,12 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cell"))
-    // the query is itself a corpus vector, so its centroid distances are
-    // already in `scored`: probe = nprobe nearest cells to the query
-    val probed = scored.filter(col("vec_id") === queryId)
+    // probe = nprobe nearest cells to the query: ranked on the k-row
+    // centroid frame directly (same values the assignment computes for
+    // vec_id = queryId, without re-running the n·k scored branch)
+    val probed = cents
+      .crossJoin(broadcast(queryVec(t, queryId)))
+      .select(col("cid"), dist2(col("ce"), col("q_emb")).as("d2"))
       .orderBy(col("d2"), col("cid")).limit(nprobe)
       .select(col("cid").as("cell"))
     t.embeddings
