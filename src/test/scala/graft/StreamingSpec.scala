@@ -204,6 +204,22 @@ class StreamingSpec extends SparkSuite {
       .load().count() == expected.count())
   }
 
+  test("S5b MQ sink rejects frames without a value column or with wrong types") {
+    import graft.sources.MqWriterCols
+    import org.apache.spark.sql.types.StructType
+    val noValue = intercept[IllegalArgumentException] {
+      MqWriterCols.resolve(StructType.fromDDL("key STRING, payload STRING"))
+    }
+    assert(noValue.getMessage.contains("value"))
+    val badType = intercept[IllegalArgumentException] {
+      MqWriterCols.resolve(StructType.fromDDL("key INT, value STRING"))
+    }
+    assert(badType.getMessage.contains("key"))
+    // well-formed: value only, case-insensitive, optional columns resolved
+    val ok = MqWriterCols.resolve(StructType.fromDDL("VALUE STRING, extra INT"))
+    assert(ok.value == 0 && ok.key == -1 && ok.ts == -1)
+  }
+
   test("T6 transformWithState == flatMapGroupsWithState twin == batch aggregate") {
     import TestSpark.spark.implicits._
     val batchDecoded = publishEvents("t_tws")
