@@ -68,6 +68,26 @@ class RelationalSpec extends SparkSuite {
     assertSameRows(naive, safe)
   }
 
+  test("broadcastIfSmall applies the hint only under the session threshold") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1") // 1 byte: nothing fits
+      val gatedOff = Relational.broadcastIfSmall(tables.customer)
+      assert(!gatedOff.queryExecution.analyzed.toString.contains("ResolvedHint"))
+      spark.conf.set(key, "10485760")
+      val gatedOn = Relational.broadcastIfSmall(tables.customer)
+      assert(gatedOn.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("registry: names unique, every oracle belongs to a declared query") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct)}")
+    assert(Registry.oracleSql.keySet.subsetOf(Registry.queries.keySet))
+  }
+
   test("j3 semi/anti counts partition the customer table") {
     val rows = Relational.j3SemiAnti(spark, sf).collect()
     val total = rows.map(r => r.getAs[Long]("n_with_orders") + r.getAs[Long]("n_without_orders")).sum
