@@ -322,6 +322,17 @@ object Registry {
       ORDER BY totalprice DESC, o_orderkey
       LIMIT 25""")),
 
+    QueryDef("o5_pivot", Relational.o5Pivot, Some {
+      val cols = Seq("click", "error", "purchase", "signup", "view")
+        .map(t => s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+        .mkString(", ")
+      s"""
+      SELECT user_id, $cols
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""
+    }),
+
     QueryDef("o3_union", Relational.o3Union, Some("""
       SELECT nk, COUNT(*) AS n_all, COUNT(DISTINCT src) AS n_sources
       FROM (

@@ -543,6 +543,26 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("quartile"))
   }
 
+  /** O5 (beyond §2): pivot — long-to-wide reshaping with an EXPLICIT
+    * column domain (never the implicit-domain overload, which runs a
+    * distinct scan first and makes the output schema data-dependent —
+    * wrong at 100 TB and wrong for a fixed oracle).
+    */
+  def o5Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .select(col("user_id"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("error"), lit(0L)).as("n_error"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("view"), lit(0L)).as("n_view"))
+      .orderBy(col("user_id"))
+  }
+
   /** O3: union all + distinct-aware aggregation over the union. */
   def o3Union(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
