@@ -323,7 +323,7 @@ object Registry {
       LIMIT 25""")),
 
     QueryDef("o5_pivot", Relational.o5Pivot, Some {
-      val cols = Seq("click", "error", "purchase", "signup", "view")
+      val cols = Relational.EventTypes
         .map(t => s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
         .mkString(", ")
       s"""
@@ -332,6 +332,14 @@ object Registry {
       GROUP BY user_id
       ORDER BY user_id"""
     }),
+
+    // unpivot round-trip: the wide pivot folded back to long form equals a
+    // plain group-count of the source (zero cells dropped on both sides)
+    QueryDef("o5_unpivot", Relational.o5Unpivot, Some("""
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""")),
 
     QueryDef("o3_union", Relational.o3Union, Some("""
       SELECT nk, COUNT(*) AS n_all, COUNT(DISTINCT src) AS n_sources

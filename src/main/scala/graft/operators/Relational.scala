@@ -543,6 +543,11 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("quartile"))
   }
 
+  /** Fixture event-type domain, shared by the pivot/unpivot queries and
+    * their oracle builders (same no-drift rule as the LSH constants).
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
   /** O5 (beyond §2): pivot — long-to-wide reshaping with an EXPLICIT
     * column domain (never the implicit-domain overload, which runs a
     * distinct scan first and makes the output schema data-dependent —
@@ -552,15 +557,27 @@ object Relational {
     val t = Tables(spark, dir)
     t.events
       .groupBy(col("user_id"))
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
-      .select(col("user_id"),
-        coalesce(col("click"), lit(0L)).as("n_click"),
-        coalesce(col("error"), lit(0L)).as("n_error"),
-        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
-        coalesce(col("signup"), lit(0L)).as("n_signup"),
-        coalesce(col("view"), lit(0L)).as("n_view"))
+      .select(col("user_id") +:
+        EventTypes.map(e => coalesce(col(e), lit(0L)).as(s"n_$e")): _*)
       .orderBy(col("user_id"))
+  }
+
+  /** O5b: unpivot — the wide-to-long inverse, via `Dataset.unpivot`
+    * (`stack` in SQL terms). Round-trips [[o5Pivot]]'s output back to
+    * (user_id, event_type, n) rows; zero-count cells are dropped so the
+    * long form matches a plain groupBy of the source.
+    */
+  def o5Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = o5Pivot(spark, dir)
+    wide.unpivot(
+        Array(col("user_id")),
+        EventTypes.map(e => col(s"n_$e")).toArray,
+        "event_type", "n")
+      .withColumn("event_type", expr("substring(event_type, 3)"))
+      .filter(col("n") > 0)
+      .orderBy(col("user_id"), col("event_type"))
   }
 
   /** O3: union all + distinct-aware aggregation over the union. */
