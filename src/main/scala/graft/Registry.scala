@@ -644,6 +644,16 @@ object Registry {
       UNION ALL SELECT vec_id, 2, CAST(embedding[3] AS DOUBLE) FROM embeddings WHERE vec_id < 50
       ORDER BY vec_id, pos""")),
 
+    QueryDef("f4_hof", FnQueries.f4Hof, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+      SELECT vec_id,
+        len(list_filter(emb, x -> x > 0.9)) > 0 AS has_hot,
+        len(list_filter(emb, x -> NOT abs(x) <= 1.0)) = 0 AS all_unit,
+        CAST(len(list_filter(emb, x -> x > -0.5 AND x < 0.5)) AS INT) AS n_mid,
+        CAST(len(list_filter([emb[i] > emb[len(emb)-i+1] for i in range(1, len(emb)+1)], x -> x)) AS INT) AS n_gt_mirror
+      FROM e
+      ORDER BY vec_id""")),
+
     QueryDef("f5_map", FnQueries.f5Map, Some("""
       SELECT k, v, n FROM (
         SELECT 'type' AS k, event_type AS v, COUNT(*) AS n FROM events GROUP BY event_type

@@ -101,6 +101,24 @@ object FnQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** F4c: higher-order predicate surface — exists / forall / filter-count
+    * / zip_with over the embedding arrays (booleans compare directly; no
+    * float arithmetic so no rounding discipline needed).
+    */
+  def f4Hof(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val emb = col("embedding")
+    t.embeddings
+      .select(
+        col("vec_id"),
+        exists(emb, _ > 0.9).as("has_hot"),
+        forall(emb, x => abs(x) <= lit(1.0)).as("all_unit"),
+        size(filter(emb, x => x > -0.5 && x < 0.5)).as("n_mid"),
+        size(filter(zip_with(emb, reverse(emb), (a, b) => (a > b).cast("int")),
+          _ === 1)).as("n_gt_mirror"))
+      .orderBy(col("vec_id"))
+  }
+
   /** F4b: generator/UDTF surface — posexplode of the leading dimensions. */
   def f4Explode(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
