@@ -168,19 +168,43 @@ object Similarity {
     * NARROW (vec_id, bucket) rows traverse the multiplicative join; the
     * 64-d vectors join back per-side afterwards.
     */
-  def embedNearDupPairs(t: Tables, bits: Int, k: Int, chunks: Int = 8): DataFrame = {
-    val narrow = t.embeddings.select(col("vec_id"),
+  def embedNearDupPairs(t: Tables, bits: Int, k: Int, chunks: Int = 8): DataFrame =
+    nearDupPairs(t.embeddings, bits, chunks)
+      .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
+      .limit(k)
+
+  /** All within-bucket candidate pairs with their exact cosine, over any
+    * (vec_id, embedding) frame — the shared engine behind
+    * [[embedNearDupPairs]] (top-k form) and [[dedupByEmbedding]]
+    * (threshold form).
+    */
+  def nearDupPairs(emb: DataFrame, bits: Int, chunks: Int = 8): DataFrame = {
+    val narrow = emb.select(col("vec_id"),
       signBucket(col("embedding"), bits).as("bucket"))
     val pairs = Dedup.saltedSelfJoin(narrow, Seq("bucket"), "vec_id", chunks)
       .select(least(col("x.vec_id"), col("y.vec_id")).as("a_id"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("b_id"))
-    val e = t.embeddings.select(col("vec_id"), dbl(col("embedding")).as("e"))
+    val e = emb.select(col("vec_id"), dbl(col("embedding")).as("e"))
     pairs
       .join(e.withColumnRenamed("vec_id", "a_id").withColumnRenamed("e", "ea"), "a_id")
       .join(e.withColumnRenamed("vec_id", "b_id").withColumnRenamed("e", "eb"), "b_id")
       .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("cosine"))
-      .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
-      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate DEDUP: drop every vector that has a
+    * lower-id partner with cosine ≥ `minCosine` in its sign-bucket —
+    * greedy keep-smallest-id, the embedding twin of [[Dedup.exact]].
+    * Candidate pairs never leave their LSH bucket (no all-pairs), so at
+    * scale recall is bounded by the bucketing like any ANN dedup; raise
+    * `bits` for precision, lower for recall. Idempotent: survivors
+    * re-deduped drop nothing (asserted in LlmOpsSpec).
+    */
+  def dedupByEmbedding(emb: DataFrame, bits: Int, minCosine: Double,
+                       chunks: Int = 8): DataFrame = {
+    val dropIds = nearDupPairs(emb, bits, chunks)
+      .filter(col("cosine") >= minCosine)
+      .select(col("b_id").as("vec_id")).distinct()
+    emb.join(dropIds, Seq("vec_id"), "left_anti")
   }
 
   /** L6b declared query: top-20 bucketed embedding near-dup candidates. */

@@ -126,6 +126,26 @@ class LlmOpsSpec extends SparkSuite {
     assert(ann.length <= 10 && ann.length >= 1 && bruteAll >= ann.length)
   }
 
+  test("L6d embedding dedup: drops scaled twin, keeps orthogonal, idempotent") {
+    // v2 = 1.001·v1 (cosine ≈ 1, same sign bucket); v3 orthogonal-ish
+    val v1 = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val v2 = v1.map(x => x * 1.001f)
+    val v3 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, v3.toSeq))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.dedupByEmbedding(df, bits = 6, minCosine = 0.999)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L)) // twin dropped, keep smallest id
+    val again = Similarity.dedupByEmbedding(
+      Similarity.dedupByEmbedding(df, 6, 0.999), 6, 0.999)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(again == kept) // idempotent
+    // fixture corpus of random vectors: nothing reaches 0.999
+    val fixtureKept = Similarity.dedupByEmbedding(
+      tables.embeddings.select(col("vec_id"), col("embedding")), 6, 0.999).count()
+    assert(fixtureKept == tables.embeddings.count())
+  }
+
   test("L3 IVF: self first at 1.0, candidates only from probed cells, sane recall") {
     val ivf = Similarity.l3IvfTopK(spark, sf).collect()
     assert(ivf.length == 10)
