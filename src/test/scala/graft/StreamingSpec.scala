@@ -71,6 +71,22 @@ class StreamingSpec extends SparkSuite {
     assert(run2.map(_.getAs[Long]("event_id")).min == 100001L)
   }
 
+  test("S2 batch reads surface contiguous per-partition offsets from 0") {
+    publishEvents("t_offsets")
+    val got = spark.read.format(graft.sources.MqSource.format)
+      .option("topic", "t_offsets").load()
+      .groupBy(col("partition"))
+      .agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"),
+        count(lit(1)).as("n"), countDistinct(col("offset")).as("nd"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (lo, hi, n, nd) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo == 0L, s"partition ${r.getInt(0)} starts at $lo")
+      assert(hi == n - 1 && nd == n, s"partition ${r.getInt(0)} not contiguous 0..${n - 1}")
+    }
+  }
+
   test("S2 MqOffset equality is by content (engine's no-new-data detection)") {
     import graft.sources.MqOffset
     assert(MqOffset(Array(1L, 2L)) == MqOffset(Array(1L, 2L)))
