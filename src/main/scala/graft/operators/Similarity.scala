@@ -155,6 +155,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Production-fast IVF twin: double-precision squared-L2 assignment and
+    * the codegen'd `cosine_fast` ranking — no decimal casts, the path a
+    * user runs at 100 TB. The declared query keeps [[ivfTopK]]'s exact-
+    * decimal assignment because the DuckDB oracle must replay every bit;
+    * LlmOpsSpec asserts both paths probe the same cells on the fixtures.
+    */
+  def ivfTopKFast(t: Tables, queryId: Long, k: Int, nCells: Int, nprobe: Int): DataFrame = {
+    val cents = t.embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), dbl(col("embedding")).as("ce"))
+    def d2Fast(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0d), (acc, x) => acc + x)
+    val scored = t.embeddings
+      .select(col("vec_id"), dbl(col("embedding")).as("e"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), d2Fast(col("e"), col("ce")).as("d2"))
+    val cells = scored.groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    val probed = cents.crossJoin(broadcast(queryVec(t, queryId)))
+      .select(col("cid"), d2Fast(col("ce"), col("q_emb")).as("d2"))
+      .orderBy(col("d2"), col("cid")).limit(nprobe)
+      .select(col("cid").as("cell"))
+    t.embeddings
+      .join(cells, "vec_id")
+      .join(broadcast(probed), "cell")
+      .crossJoin(broadcast(
+        t.embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("q_raw"))))
+      .select(col("vec_id"), col("label"), col("cell"),
+        expr("cosine_fast(embedding, q_raw)").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: sign-bucket the vectors (so pairs
     * only form within a bucket — never all-pairs), exact cosine on the
     * candidates, strongest pairs first. With a threshold instead of a

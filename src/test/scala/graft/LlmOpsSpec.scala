@@ -162,6 +162,22 @@ class LlmOpsSpec extends SparkSuite {
     assert(ivf.map(_.getAs[Long]("vec_id")).toSet.intersect(brute).nonEmpty)
   }
 
+  test("L3 IVF fast path probes the same cells and finds the same neighbours") {
+    val exact = Similarity.l3IvfTopK(spark, sf).collect()
+    val fast = Similarity.ivfTopKFast(Tables(spark, sf), 0L, 10,
+      Similarity.IvfCells, Similarity.IvfNprobe).collect()
+    assert(fast.length == exact.length)
+    // same cells probed, same self-hit first
+    assert(fast.map(_.getAs[Long]("cell")).toSet == exact.map(_.getAs[Long]("cell")).toSet)
+    assert(fast.head.getAs[Long]("vec_id") == 0L)
+    // same neighbour set; cosines agree to float precision
+    assert(fast.map(_.getAs[Long]("vec_id")).toSet == exact.map(_.getAs[Long]("vec_id")).toSet)
+    val e = exact.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    fast.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cosine") - e(r.getAs[Long]("vec_id"))) < 1e-5)
+    }
+  }
+
   test("L3 cosine_fast native expression matches the exact-decimal path") {
     val fast = Similarity.bruteForceTopKFast(tables, 0L, 10).collect()
     val exact = Similarity.l3CosineTopK(spark, sf).collect()
