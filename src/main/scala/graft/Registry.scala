@@ -196,6 +196,14 @@ object Registry {
       GROUP BY o_orderstatus, y
       ORDER BY o_orderstatus, y""")),
 
+    QueryDef("s6_orc_roundtrip", BatchIO.s6OrcRoundtrip, Some(s"""
+      SELECT l_returnflag, COUNT(*) AS n,
+        ${ds("l_quantity", 2)} AS sum_qty,
+        ${ds("l_extendedprice", 2)} AS sum_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
+
     QueryDef("s6_json_roundtrip", BatchIO.s6JsonRoundtrip, Some(s"""
       SELECT c_mktsegment, COUNT(*) AS n, ${ds("c_acctbal", 2)} AS total_bal
       FROM customer

@@ -47,6 +47,25 @@ object BatchIO {
       .orderBy(col("o_orderstatus"), col("y"))
   }
 
+  /** ORC round-trip: lineitem projection through the columnar text-free
+    * format (same check shape as CSV/JSON: any write/read corruption
+    * breaks the hash match against the parquet-sourced oracle).
+    */
+  def s6OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val out = stage(dir, "orc")
+    t.lineitem
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** JSON-lines round-trip: customer projection. */
   def s6JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
