@@ -72,7 +72,7 @@ object Registry {
       SELECT CAST(year(l_shipdate) AS INT) AS y, CAST(month(l_shipdate) AS INT) AS m,
         ${ds(promo, 2)} AS promo_revenue,
         ${ds(rev, 2)} AS total_revenue,
-        CAST((${hug(promo)} * 2000 + ${hug(rev)}) // (${hug(rev)} * 2) AS BIGINT) AS promo_permille,
+        CAST((${hug(promo)} * 2000 + ${hug(rev)}) // NULLIF(${hug(rev)} * 2, 0) AS BIGINT) AS promo_permille,
         COUNT(*) AS n
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY y, m
@@ -400,7 +400,9 @@ object Registry {
     // DuckDB replay of Dedup.simJoin downstream of any tokset CTE (the
     // word-bag and n-gram variants differ only in `toksetSelect`, which
     // must yield (doc_id, toks LIST<VARCHAR>) with toks already distinct).
-    def simJoinOracle(toksetSelect: String): String = {
+    // Split into a CTE body (ending at `pairs`) + final select so the
+    // cluster-collapse oracle can build on the same pair graph.
+    def simJoinCtes(toksetSelect: String): String = {
       def sig(i: Int) = s"list_min(list_transform(toks, t -> md5('$i:' || t)))"
       val bandHashes = (0 until bands).map { b =>
         val rows = (0 until rowsPerBand).map(r => sig(b * rowsPerBand + r))
@@ -444,11 +446,15 @@ object Registry {
           FROM vpass JOIN mem ma ON ma.rep_id = rep_a JOIN mem mb ON mb.rep_id = rep_b
           UNION ALL
           SELECT ma.doc_id, mb.doc_id, 1, 1
-          FROM mem ma JOIN mem mb ON ma.rep_id = mb.rep_id AND ma.doc_id < mb.doc_id)
+          FROM mem ma JOIN mem mb ON ma.rep_id = mb.rep_id AND ma.doc_id < mb.doc_id)"""
+    }
+    def simJoinOracle(toksetSelect: String): String = s"""
+        ${simJoinCtes(toksetSelect)}
         SELECT a_id, b_id,
           CAST((20000 * i + u) // (2 * u) AS DOUBLE) / 10000.0 AS jaccard
         FROM pairs ORDER BY a_id, b_id"""
-    }
+    val wordBagTokset =
+      "SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents"
 
     Seq(
       QueryDef("l1_exact_dedup", Dedup.l1ExactDedup, Some("""
@@ -477,8 +483,31 @@ object Registry {
       // intersection/union sizes, integer HALF_UP rounding at 4 dp.
       // Parameterized on the tokset CTE so the word-bag and n-gram-shingle
       // variants share every downstream stage.
-      QueryDef("l6_simjoin", Dedup.l6SimJoin, Some(simJoinOracle(
-        "SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents"))),
+      QueryDef("l6_simjoin", Dedup.l6SimJoin, Some(simJoinOracle(wordBagTokset))),
+
+      // L7: cluster collapse — lock-step replay of Dedup.clusterCollapse:
+      // same pair graph (shared CTE body), then exactly DefaultCcIters
+      // rounds of min-label propagation (label := min(own, neighbours')),
+      // generated as one CTE per round so the SQL is a round-for-round
+      // twin of the Spark loop.
+      QueryDef("l6_dedup_docs", Dedup.l6DedupDocs, Some {
+        val rounds = (1 to Dedup.DefaultCcIters).map { k =>
+          s"""lab$k AS (
+          SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
+          FROM lab${k - 1} l
+          LEFT JOIN edges e ON e.src = l.doc_id
+          LEFT JOIN lab${k - 1} n ON n.doc_id = e.dst
+          GROUP BY l.doc_id, l.label)"""
+        }.mkString(",\n        ")
+        s"""
+        ${simJoinCtes(wordBagTokset)},
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+        lab0 AS (SELECT doc_id, doc_id AS label FROM documents),
+        $rounds
+        SELECT doc_id, label AS cluster_rep, doc_id = label AS kept
+        FROM lab${Dedup.DefaultCcIters} ORDER BY doc_id"""
+      }),
 
       // n-gram Jaccard: same pipeline over word 3-gram shingles (DuckDB
       // range() is empty once its stop bound falls to 1, so short docs yield []

@@ -200,9 +200,13 @@ object Dedup {
     // delimiter can't collide two different sets into one group.
     val tokset = docs.select(col("doc_id"), array_distinct(tokenizer(col("text"))).as("toks"))
       .withColumn("set_sig", md5(concat_ws("|", array_sort(transform(col("toks"), md5(_))))))
+    // min_by makes the representative token ARRAY manifestly deterministic
+    // (all members of a set_sig group hold the same token SET, but not
+    // necessarily in the same order; every downstream use is
+    // order-independent, so this is for auditability, not correctness)
     val groups = tokset.groupBy(col("set_sig"))
       .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"),
-        first(col("toks")).as("toks"))
+        min_by(col("toks"), col("doc_id")).as("toks"))
     // 2. signatures + band-hash array per representative
     val sigs = minhashSigFromToks(col("toks"), bands * rowsPerBand)
     val bandArr = {
@@ -274,6 +278,74 @@ object Dedup {
     * Registry oracle builder, same no-drift rule as the LSH defaults).
     */
   val DefaultShingleN = 3
+
+  /** Propagation rounds for the declared cluster-collapse query, shared
+    * with the Registry oracle builder: BOTH engines replay exactly this
+    * many rounds, so the hash compare holds even on a graph that needs
+    * fewer (or, pathologically, more) rounds. Convergence at fixture scale
+    * (round N == round N+1) is asserted separately in LlmOpsSpec.
+    */
+  val DefaultCcIters = 6
+
+  /** L7: near-duplicate CLUSTER COLLAPSE — from a pair graph to the
+    * keep/drop decision a curation run actually executes. Connected
+    * components by iterative min-label propagation: every doc starts as
+    * its own label; each round, a doc's label becomes the min of its own
+    * and its neighbours' labels; after convergence every member of a
+    * connected near-dup cluster carries the cluster's smallest doc_id.
+    * Output: (doc_id, cluster_rep, kept) for EVERY doc in `ids` — docs
+    * with no near-dup partner are their own cluster_rep, kept = true;
+    * exactly one survivor (the min id) per cluster. Unlike the one-pass
+    * [[Similarity.dedupByEmbedding]], this is chain-aware: A~B, B~C puts
+    * A,B,C in ONE cluster with survivor A.
+    *
+    * Scale shape: per round — one shuffle joining the (materialized-once)
+    * edge list to labels, one partial-aggregated min per src, one join
+    * back to labels; all rows are narrow (two/three int64s). Label
+    * propagation needs O(cluster diameter) rounds; near-dup clusters are
+    * dense (diameter 2–3 in practice), so a small fixed round count
+    * converges. A pathological 100 TB chain graph would want the
+    * large-star/small-star contraction (O(log n) rounds) — same join
+    * shapes, more bookkeeping; the fixed-round form is declared because
+    * the DuckDB oracle replays it round-for-round. `localCheckpoint`
+    * truncates the per-round lineage (constant-size plan, no exponential
+    * reanalysis); a cluster run would use reliable `checkpoint` instead.
+    */
+  def clusterCollapse(ids: DataFrame, pairs: DataFrame,
+                      iters: Int = DefaultCcIters): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    // undirected graph: each pair propagates labels in both directions
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint() // computed once, re-read every round
+    var labels = ids.select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to iters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+        .withColumnRenamed("src", "doc_id")
+      labels = labels
+        .join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_rep"),
+      (col("doc_id") === col("label")).as("kept"))
+  }
+
+  /** L7 declared query: cluster-collapsed keep-list over the [[simJoin]]
+    * pair graph at its shared defaults — the end-to-end "which documents
+    * survive near-dup dedup" answer. Oracle replays the same
+    * [[DefaultCcIters]] propagation rounds in SQL.
+    */
+  def l6DedupDocs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = simJoin(t.documents).select(col("a_id"), col("b_id"))
+    clusterCollapse(t.documents.select(col("doc_id")), pairs)
+      .orderBy(col("doc_id"))
+  }
 
   /** L6c declared query: n-gram Jaccard near-dup — the [[simJoin]]
     * pipeline (set-collapse → banded LSH → salted bucket join → size prune

@@ -143,7 +143,11 @@ object Relational {
         call_function("div",
           (pSum * lit(2000L * 1000000L)).cast("decimal(38,0)")
             + (tSum * lit(1000000L)).cast("decimal(38,0)"),
-          (tSum * lit(2000000L)).cast("decimal(38,0)"))
+          // zero-revenue group → NULL on both engines (DuckDB's `//` would
+          // otherwise raise where Spark's div returns NULL — a cross-engine
+          // hard failure, not a hash mismatch); same guard as Det.davg
+          nullif((tSum * lit(2000000L)).cast("decimal(38,0)"),
+            lit(0).cast("decimal(38,0)")))
           .cast("long").as("promo_permille"),
         count(lit(1)).as("n"))
       .orderBy(col("y"), col("m"))

@@ -226,7 +226,18 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate DEDUP: drop every vector that has a
     * lower-id partner with cosine ≥ `minCosine` in its sign-bucket —
-    * greedy keep-smallest-id, the embedding twin of [[Dedup.exact]].
+    * keep-smallest-id, the embedding twin of [[Dedup.exact]].
+    *
+    * Drop semantics are SINGLE-PASS: a vector is dropped when ANY lower-id
+    * near-dup partner exists, regardless of whether that partner itself
+    * survives. In a chain A~B, B~C, A≁C this drops both B and C (survivor
+    * {A}), where sequential greedy would keep C (its only partner B was
+    * dropped first). Single-pass is the scale-correct choice — it is one
+    * distributed anti-join with no iteration — and it over-drops only
+    * along chains, never within a clique. Callers wanting one survivor
+    * per CONNECTED near-dup cluster (chain-aware) should use
+    * [[Dedup.clusterCollapse]] on the pair output instead.
+    *
     * Candidate pairs never leave their LSH bucket (no all-pairs), so at
     * scale recall is bounded by the bucketing like any ANN dedup; raise
     * `bits` for precision, lower for recall. Idempotent: survivors

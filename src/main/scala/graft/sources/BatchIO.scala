@@ -27,8 +27,27 @@ object BatchIO {
   // math.abs(Int.MinValue) < 0 edge.
   private val runToken = java.lang.Long.toHexString(ProcessHandle.current().pid())
 
-  private def stage(dir: String, fmt: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_s6_${fmt}_${Integer.toHexString(dir.hashCode)}_$runToken"
+  // Per-process staging dirs are deleted on JVM exit (otherwise every run
+  // leaks a fresh graft_s6_* tree into /tmp — unbounded growth across
+  // bench/correctness runs). Tracked explicitly so the hook removes only
+  // dirs this process created.
+  private val staged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  sys.addShutdownHook {
+    staged.forEach { d =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(d))
+    }
+  }
+
+  private def stage(dir: String, fmt: String): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_s6_${fmt}_${Integer.toHexString(dir.hashCode)}_$runToken"
+    staged.add(d)
+    d
+  }
 
   /** CSV round-trip: orders projection (bigint/string/double/date). */
   def s6CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {

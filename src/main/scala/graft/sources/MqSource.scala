@@ -36,6 +36,16 @@ object MqBroker {
   final case class Message(partition: Int, offset: Long, key: String, value: String,
                            timestampUs: Long)
 
+  /** Hard cap on retained messages per partition. The embedded broker
+    * keeps its whole log on the heap (that is what makes replayable
+    * offset-range fetches trivial in-process); this guard makes the
+    * retention bound explicit so the test broker can never masquerade as
+    * the durable path — a real deployment swaps [[MqBroker]] for a
+    * networked broker with disk-backed retention, leaving the Spark-facing
+    * offset machinery untouched.
+    */
+  val MaxRetainedPerPartition: Int = 1 << 22 // 4M messages ≈ a few GB of heap
+
   private val topics = new ConcurrentHashMap[String, Array[ArrayBuffer[Message]]]()
   // keyless round-robin cursor per topic (totalSize-based placement would
   // race under concurrent writers: read-then-append is not atomic)
@@ -62,6 +72,9 @@ object MqBroker {
     val p = if (key == null) (rr.get(topic).getAndIncrement() % l.length).toInt
             else math.floorMod(key.hashCode, l.length)
     l(p).synchronized {
+      require(l(p).size < MaxRetainedPerPartition,
+        s"mq: embedded broker retention cap hit on '$topic' partition $p " +
+          s"($MaxRetainedPerPartition messages) — use a durable broker for larger logs")
       l(p) += Message(p, l(p).size.toLong, key, value, timestampUs)
     }
   }
@@ -208,18 +221,27 @@ object MqWriterCols {
   final case class Cols(key: Int, value: Int, ts: Int)
 
   def resolve(schema: StructType): Cols = {
-    def idx(name: String): Int = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
-    def typed(i: Int, want: DataType, name: String): Int = {
-      require(i < 0 || schema(i).dataType == want,
-        s"mq sink: column '$name' must be $want, got ${schema(i).dataType}")
+    // case-insensitive name match must be UNIQUE: two case-variants of
+    // 'value' silently routing to the first would publish the wrong column
+    def idx(name: String): Int = {
+      val hits = schema.fieldNames.zipWithIndex.filter(_._1.equalsIgnoreCase(name))
+      require(hits.length <= 1,
+        s"mq sink: ambiguous column '$name' (matches ${hits.map(_._1).mkString(", ")})")
+      hits.headOption.map(_._2).getOrElse(-1)
+    }
+    def typed(i: Int, want: Set[DataType], name: String): Int = {
+      require(i < 0 || want.contains(schema(i).dataType),
+        s"mq sink: column '$name' must be one of ${want.mkString("/")}, got ${schema(i).dataType}")
       i
     }
     val v = idx("value")
     require(v >= 0, s"mq sink requires a 'value' column; input has ${schema.fieldNames.mkString(", ")}")
     Cols(
-      typed(idx("key"), StringType, "key"),
-      typed(v, StringType, "value"),
-      typed(idx("timestamp"), TimestampType, "timestamp"))
+      typed(idx("key"), Set(StringType), "key"),
+      typed(v, Set(StringType), "value"),
+      // NTZ carries the same long-micros internal representation, so the
+      // writer's getLong path serves both timestamp flavors
+      typed(idx("timestamp"), Set(TimestampType, TimestampNTZType), "timestamp"))
   }
 }
 

@@ -151,9 +151,14 @@ object Streams {
       }
       val next = UserStats(uid, n, tot, np)
       state.update(next)
-      // one live timer per key: drop the previous batch's, arm the new one
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + idleTimeoutMs)
+      // one live timer per key: drop the previous batch's, arm the new one.
+      // Materialize the timer list BEFORE deleting — mutating the state
+      // store while iterating its backing iterator is fragile across store
+      // providers (HDFS-backed vs RocksDB).
+      val handle = getHandle
+      val stale = handle.listTimers().map(_.asInstanceOf[Long]).toList
+      stale.foreach(handle.deleteTimer)
+      handle.registerTimer(timerValues.getCurrentWatermarkInMs() + idleTimeoutMs)
       Iterator.single(next)
     }
 

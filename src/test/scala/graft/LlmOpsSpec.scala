@@ -146,6 +146,39 @@ class LlmOpsSpec extends SparkSuite {
     assert(fixtureKept == tables.embeddings.count())
   }
 
+  test("L7 cluster collapse: chain-aware components, singletons kept, idempotent") {
+    // chain 1~2, 2~3 (1≁3) plus clique {10,11,12} plus isolated 20:
+    // min-label propagation must put the whole CHAIN in one cluster
+    // (survivor 1) — the semantics dedupByEmbedding's one-pass form
+    // deliberately trades away — and one survivor per clique.
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("a_id", "b_id")
+    val out = Dedup.clusterCollapse(ids, pairs, iters = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true) && out(2L) == (1L, false) && out(3L) == (1L, false))
+    assert(out(10L) == (10L, true) && out(11L) == (10L, false) && out(12L) == (10L, false))
+    assert(out(20L) == (20L, true))
+    // idempotence: collapsing the survivor set (no surviving pairs) keeps all
+    val survivors = Seq(1L, 10L, 20L).toDF("doc_id")
+    val again = Dedup.clusterCollapse(survivors, pairs.limit(0), iters = 2)
+    assert(again.filter(!col("kept")).count() == 0)
+  }
+
+  test("L7 cluster collapse converges on the fixture pair graph at the declared rounds") {
+    val pairs = Dedup.simJoin(tables.documents).select(col("a_id"), col("b_id"))
+    val ids = tables.documents.select(col("doc_id"))
+    val atN  = Dedup.clusterCollapse(ids, pairs, Dedup.DefaultCcIters)
+    val atN1 = Dedup.clusterCollapse(ids, pairs, Dedup.DefaultCcIters + 1)
+    assertSameRows(atN, atN1) // one more round changes nothing → converged
+    // exactly one survivor per cluster_rep, and the survivor IS the rep
+    val bad = atN.groupBy(col("cluster_rep"))
+      .agg(sum(when(col("kept"), 1).otherwise(0)).as("n_kept"),
+        min(col("doc_id")).as("min_id"))
+      .filter(col("n_kept") =!= 1 || col("min_id") =!= col("cluster_rep"))
+    assert(bad.count() == 0)
+  }
+
   test("L3 IVF: self first at 1.0, candidates only from probed cells, sane recall") {
     val ivf = Similarity.l3IvfTopK(spark, sf).collect()
     assert(ivf.length == 10)
