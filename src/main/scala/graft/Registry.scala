@@ -529,15 +529,38 @@ object Registry {
           // restrict the scan to the query vector's bucket, like the Spark plan
           s"WHERE bucket = (SELECT CAST($bucketSql AS INT) FROM embeddings WHERE vec_id = 0)"))),
 
-      // IVF replay: same deterministic-sample centroids (vec_id < cells),
-      // exact-decimal squared-L2 assignment (argmin tie-broken on cid is
-      // bit-identical — no sqrt, no double accumulation), nprobe nearest
-      // cells of the query, then the shared exact-cosine/ROUND(,6) rank.
-      QueryDef("l3_ivf_topk", Similarity.l3IvfTopK, Some(s"""
-        WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+      // IVF replay: k-means-TRAINED centroids (Similarity.KmIters Lloyd
+      // rounds from the deterministic vec_id < cells init, one CTE chain
+      // per round: exact-decimal squared-L2 assignment argmin tie-broken
+      // on cid, then per-(cell,dim) mean rounded HALF_UP at 9 dp in
+      // integer arithmetic with the +1024 offset — the lock-step twin of
+      // Similarity.trainedCentroids), then the same exact assignment,
+      // nprobe nearest cells of the query, and the shared
+      // exact-cosine/ROUND(,6) rank.
+      QueryDef("l3_ivf_topk", Similarity.l3IvfTopK, Some {
+        val rounds = (1 to Similarity.KmIters).map { k =>
+          s"""pr$k AS (SELECT v.vec_id, c.cid, unnest(v.e) AS x, unnest(c.ce) AS y FROM v, c${k - 1} c),
+        a2x$k AS (SELECT vec_id, cid, SUM(CAST((x-y)*(x-y) AS DECIMAL(30,15))) AS d2
+               FROM pr$k GROUP BY vec_id, cid),
+        cel$k AS (SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM a2x$k) WHERE rn = 1),
+        mem$k AS (SELECT cell, unnest(e) AS x, generate_subscripts(e, 1) AS pos
+               FROM v JOIN cel$k USING (vec_id)),
+        dim$k AS (SELECT cell, pos,
+            CAST((CAST(SUM(CAST(x + 1024 AS DECIMAL(30,15))) * 2000000000000000 AS HUGEINT)
+                  + COUNT(*) * 1000000) // (COUNT(*) * 2000000) AS DOUBLE) / 1000000000.0
+              - 1024 AS cx
+          FROM mem$k GROUP BY cell, pos),
+        c$k AS (SELECT cell AS cid, list(cx ORDER BY pos) AS ce FROM dim$k GROUP BY cell)"""
+        }.mkString(",\n        ")
+        val cf = s"c${Similarity.KmIters}"
+        s"""
+        WITH c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
                    WHERE vec_id < ${Similarity.IvfCells}),
         v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-        pr AS (SELECT v.vec_id, c.cid, unnest(v.e) AS x, unnest(c.ce) AS y FROM v, c),
+        $rounds,
+        pr AS (SELECT v.vec_id, c.cid, unnest(v.e) AS x, unnest(c.ce) AS y FROM v, $cf c),
         a2 AS (SELECT vec_id, cid, SUM(CAST((x-y)*(x-y) AS DECIMAL(30,15))) AS d2
                FROM pr GROUP BY vec_id, cid),
         cell AS (SELECT vec_id, cid AS cell FROM (
@@ -556,7 +579,8 @@ object Registry {
               FROM u GROUP BY ALL)
         SELECT vec_id, label, cell,
           ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
-        FROM d ORDER BY cosine DESC, vec_id LIMIT 10""")),
+        FROM d ORDER BY cosine DESC, vec_id LIMIT 10"""
+      }),
 
       QueryDef("l6_embed_neardup", Similarity.l6EmbedNearDup, Some(s"""
         WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e, CAST($bucketSql AS INT) AS bucket FROM embeddings),
