@@ -38,9 +38,9 @@ object Bench {
           }
         }
         val warm = once()
-        // best-of-2 timed runs after warm-up: ambient load on a shared box
+        // best-of-3 timed runs after warm-up: ambient load on a shared box
         // adds hundreds of ms of one-sided noise; min is the robust stat
-        name -> (if (warm < 0) -1.0 else math.min(once(), once()))
+        name -> (if (warm < 0) -1.0 else Seq(once(), once(), once()).min)
       }
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -23,8 +23,12 @@ object Engine {
     * refuses to read (SURVEY.md §1.2).
     */
   def session(appName: String = "graft", cores: Int = defaultCores): SparkSession = {
+    // local[N, 2]: N worker threads with ONE task retry allowed — the
+    // cluster-faithful posture (real deployments run task maxFailures=4);
+    // local mode's default of 1 would turn any transient task failure into
+    // a query failure and make at-least-once sink semantics untestable.
     val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(s"local[$cores, 2]")
       .appName(appName)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)

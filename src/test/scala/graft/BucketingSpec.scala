@@ -20,6 +20,31 @@ class BucketingSpec extends SparkSuite {
     assert(oneDay.count() == ev.filter(col("day") === lit("2024-01-05")).count())
   }
 
+  test("dynamic partition pruning: dim filter prunes the partitioned fact scan") {
+    // the third layout lever at 100 TB beside static pruning and
+    // bucketing: a fact partitioned on the join key, joined to a FILTERED
+    // dimension, must scan only the partitions the dim filter selects —
+    // Catalyst inserts a dynamicpruning subquery on the fact's partition
+    // column at planning time
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/events_by_type"
+    tables.events.write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = tables.events.select(col("event_type")).distinct()
+      .withColumn("is_conversion", col("event_type").isin("purchase", "signup"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // DPP's broadcast-reuse path needs the dim broadcastable
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val j = fact.join(dim.filter(col("is_conversion")), Seq("event_type"))
+      val planned = j.queryExecution.executedPlan.toString
+      assert(planned.toLowerCase.contains("dynamicpruning"),
+        s"expected a dynamicpruningexpression on the fact scan:\n$planned")
+      // and the pruned result equals the unpartitioned-join answer
+      val expected = tables.events.filter(col("event_type").isin("purchase", "signup")).count()
+      assert(j.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("bucketed lineitem ⋈ orders on orderkey plans without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")

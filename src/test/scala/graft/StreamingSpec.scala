@@ -220,6 +220,40 @@ class StreamingSpec extends SparkSuite {
       .load().count() == expected.count())
   }
 
+  test("S5b at-least-once under task retry: duplicates published, T5 dedup absorbs them") {
+    val batchDecoded = publishEvents("t_fail_in")
+    MqBroker.deleteTopic("t_fail_out")
+    MqBroker.createTopic("t_fail_out", 2)
+    InjectFail.reset()
+    val poison = udf((v: String) => InjectFail.poison(v))
+    def xform(df: DataFrame): DataFrame = df
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").cast("string").as("key"),
+        poison(to_json(struct(col("event_id"), col("user_id"), col("value")))).as("value"),
+        col("ts").as("timestamp"))
+    val cp = Files.createTempDirectory("graft-cp-fail").toString
+    // the injected mid-partition failure kills one task AFTER it published
+    // rows; Spark retries the task (local[N, 2]) and the writer re-publishes
+    // the whole partition slice — the documented at-least-once contract
+    Streams.writeToMq(xform(stream("t_fail_in")), "t_fail_out", cp)
+    assert(InjectFail.fired.get(), "failure was never injected")
+    val expected = batchDecoded.filter(col("event_type") === "purchase").count()
+    val raw = spark.read.format(graft.sources.MqSource.format)
+      .option("topic", "t_fail_out").load()
+    assert(raw.count() > expected,
+      s"retry should have re-published rows (raw=${raw.count()}, expected=$expected)")
+    // T5 downstream: streaming dedup by event_id within the watermark
+    // absorbs the re-publish — effective exactly-once for consumers
+    val decoded = Streams.mqStream(spark, "t_fail_out")
+      .select(col("timestamp").as("ts"),
+        get_json_object(col("value"), "$.event_id").cast("long").as("event_id"))
+    val deduped = runCollecting(Streams.dedupStream(decoded),
+      Files.createTempDirectory("graft-cp-fail-dd").toString)
+    assert(deduped.size.toLong == expected)
+    assert(deduped.map(_.getAs[Long]("event_id")).distinct.size.toLong == expected)
+  }
+
   test("S5b MQ sink rejects frames without a value column or with wrong types") {
     import graft.sources.MqWriterCols
     import org.apache.spark.sql.types.StructType
@@ -390,5 +424,26 @@ class StreamingSpec extends SparkSuite {
     Streams.foreachBatchParquet(stream("t_sink"), out, cp)
     val written = spark.read.parquet(s"$out/batch_*")
     assert(written.count() == tables.eventsRaw.count())
+  }
+}
+
+/** One-shot mid-partition task-failure injector (local mode: executor
+  * threads share this JVM). The per-thread row counter makes the failing
+  * task throw on ITS 4th row — i.e. after it already pushed 3 rows through
+  * the sink writer — so the retry measurably re-publishes; the global flag
+  * fires at most once per test (reset() re-arms).
+  */
+private[graft] object InjectFail {
+  val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val seen = ThreadLocal.withInitial[Integer](() => 0)
+  def reset(): Unit = fired.set(false)
+  def poison(v: String): String = {
+    val n = seen.get() + 1
+    seen.set(n)
+    if (n == 4 && fired.compareAndSet(false, true)) {
+      seen.set(0) // the retry may reuse this thread
+      throw new RuntimeException("injected one-shot task failure")
+    }
+    v
   }
 }
