@@ -347,6 +347,63 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Production connected components — the O(log n)-round twin of
+    * [[clusterCollapse]] for graphs whose diameter is NOT small (the
+    * fixed-round form needs O(diameter) rounds, fine for dense near-dup
+    * blobs, pathological for chains). Each round combines:
+    *
+    *  1. neighbour-min propagation (the [[clusterCollapse]] step), then
+    *  2. pointer jumping: L := L(L(v)) — every label links to its label's
+    *     label, halving label-tree depth like union-find path compression.
+    *
+    * On a length-n chain the reach roughly doubles per round
+    * (r ← 2r + 2), so convergence takes ~log₂ n rounds instead of n.
+    * Labels only decrease, so `sum(label)` strictly decreases until the
+    * fixed point — one cheap aggregate per round detects convergence
+    * (at 100 TB that driver-side action is one scalar per round; the
+    * per-round cost stays the three narrow shuffles plus one label-label
+    * join). Not a declared query: the adaptive round count is
+    * data-dependent, which a fixed SQL oracle cannot replay — LlmOpsSpec
+    * proves it equals [[clusterCollapse]] where both converge and
+    * solves a 2000-node chain the fixed-round form cannot.
+    *
+    * Requires every id in `pairs` to appear in `ids` (labels stay within
+    * the id universe; violated ids would silently drop in the jump join).
+    */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+                          maxRounds: Int = 40): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = ids.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var prevSum: Option[java.math.BigDecimal] = None
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+        .withColumnRenamed("src", "doc_id")
+      val l1 = labels.join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      val l2 = l1
+        .join(l1.select(col("doc_id").as("label"), col("label").as("plabel")), Seq("label"))
+        .select(col("doc_id"), col("plabel").as("label"))
+        .localCheckpoint()
+      val s = l2.agg(sum(col("label")).cast("decimal(38,0)")).collect()(0)
+        .getDecimal(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      labels = l2
+      round += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_rep"),
+      (col("doc_id") === col("label")).as("kept"))
+  }
+
   /** L6c declared query: n-gram Jaccard near-dup — the [[simJoin]]
     * pipeline (set-collapse → banded LSH → salted bucket join → size prune
     * → exact verify) run over word 3-gram shingle sets instead of the

@@ -179,6 +179,28 @@ class LlmOpsSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("L7 pointer-jumping CC: equals fixed-round collapse, solves a 2000-node chain") {
+    // same fixture graph as the fixed-round test → identical answer
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("a_id", "b_id")
+    assertSameRows(Dedup.connectedComponents(ids, pairs),
+      Dedup.clusterCollapse(ids, pairs, iters = 4))
+    // length-2000 chain (diameter 1999): the fixed-round form at its declared
+    // DefaultCcIters only reaches ~DefaultCcIters hops — most of the chain is
+    // still mislabeled — while pointer jumping converges in ~log2(n) rounds.
+    val n = 2000L
+    val chainIds = spark.range(1, n + 1).select(col("id").as("doc_id"))
+    val chainPairs = spark.range(1, n)
+      .select(col("id").as("a_id"), (col("id") + 1L).as("b_id"))
+    val fixedWrong = Dedup.clusterCollapse(chainIds, chainPairs, Dedup.DefaultCcIters)
+      .filter(col("cluster_rep") =!= 1L).count()
+    assert(fixedWrong > 0, "fixed-round form should NOT converge on a long chain")
+    val cc = Dedup.connectedComponents(chainIds, chainPairs, maxRounds = 20)
+    assert(cc.filter(col("cluster_rep") =!= 1L).count() == 0)
+    assert(cc.filter(col("kept")).count() == 1)
+  }
+
   test("L3 IVF: self first at 1.0, candidates only from probed cells, sane recall") {
     val ivf = Similarity.l3IvfTopK(spark, sf).collect()
     assert(ivf.length == 10)
