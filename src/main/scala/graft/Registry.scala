@@ -631,6 +631,39 @@ object Registry {
         FROM sc GROUP BY lang, predicted ORDER BY lang, predicted"""
       }),
 
+      QueryDef("l4_tfidf", TextOps.l4TfIdf, Some("""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        terms AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens, unnest(t) AS token FROM s),
+        tf AS (SELECT doc_id, n_tokens, token, COUNT(*) AS tf FROM terms GROUP BY ALL),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT COUNT(*) AS n_docs_total FROM documents)
+        SELECT doc_id, token, tf, n_tokens, df,
+          ROUND((tf::DOUBLE / n_tokens) * ln(n_docs_total::DOUBLE / df), 6) AS tf_idf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+        ORDER BY doc_id, token""")),
+
+      QueryDef("l4_langid_ngram", TextOps.l4LangIdNgram, Some {
+        val langs = Seq("en", "de", "es", "fr", "zh")
+        def gramScore(l: String): String = {
+          val p = TextOps.trigramProfiles(l)
+          val pred =
+            if (l == "zh") p.map(c => s"contains(x, '$c')").mkString(" OR ")
+            else s"x IN (${p.map(w => s"'$w'").mkString(",")})"
+          s"len(list_filter(g, x -> $pred)) AS s_$l"
+        }
+        val cases = langs.init.map { l =>
+          val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $ge THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH s AS (SELECT lang, lower(text) AS lo FROM documents),
+        gr AS (SELECT lang,
+          [substr(lo, i, 3) for i in range(1, greatest(length(lo) - 2, 1) + 1)] AS g FROM s),
+        sc AS (SELECT lang, ${langs.map(gramScore).mkString(", ")} FROM gr)
+        SELECT lang, CASE $cases ELSE 'zh' END AS predicted, COUNT(*) AS n
+        FROM sc GROUP BY lang, predicted ORDER BY lang, predicted"""
+      }),
+
       QueryDef("l4_fingerprint", TextOps.l4Fingerprint, Some("""
         WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
         SELECT doc_id,

@@ -73,6 +73,32 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token"))
   }
 
+  /** TF-IDF per (document, token): tf-normalized term weight × ln-idf —
+    * the standard relevance weight a curation/retrieval pipeline derives
+    * from [[l4TermFreq]]'s raw counts. The corpus size reaches the plan as
+    * a 1-row broadcast (agg → crossJoin(broadcast)), never a driver-side
+    * count: two shuffles total (doc-term partial count, token df), then a
+    * token-keyed join of narrow rows. ln is the one double call; rounded
+    * at 6 dp per the cross-engine discipline used throughout.
+    */
+  def l4TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val terms = t.documents
+      .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"),
+        explode(toks(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // terms is unique per (doc_id, token), so df is a plain count
+    val docFreq = terms.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val total = t.documents.agg(count(lit(1)).as("n_docs_total"))
+    terms.join(docFreq, "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("token"), col("tf"), col("n_tokens"), col("df"),
+        round((col("tf").cast("double") / col("n_tokens")) *
+          log(col("n_docs_total").cast("double") / col("df")), 6).as("tf_idf"))
+      .orderBy(col("doc_id"), col("token"))
+  }
+
   /** Stopword-profile language ID: score each language by how many of its
     * profile words appear, argmax with a fixed tie order (en→de→es→fr→zh).
     * (The fixture corpus is synthetic shared-vocabulary soup, so the
@@ -93,6 +119,54 @@ object TextOps {
     val t = Tables(spark, dir)
     t.documents
       .select(col("lang"), langIdExpr(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Character-trigram language profiles — the classic n-gram langid
+    * signal (Cavnar–Trenkle style, reduced to each language's most
+    * frequent trigrams). Character n-grams see morphology the stopword
+    * profile can't: a sentence with zero function words still carries
+    * "sch"/"ich" (de) or "ión"/"ció" (es) in its content words.
+    */
+  val trigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" th", "the", "he ", "ing", "ng ", "ed ", " of", "ion", "tio", "and"),
+    "de" -> Seq("en ", "er ", "ein", "sch", "ich", "nde", "die", "und", "cht", "ung"),
+    "es" -> Seq(" de", "os ", "ión", "ció", " la", "ue ", "as ", "ado", "nte", "es "),
+    "fr" -> Seq(" de", "es ", "le ", "ent", "eur", "que", "ait", "eau", "aux", " le"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不", "有", "这", "个", "们"))
+
+  /** Trigram-profile language ID: slide a 3-char window over the lowered
+    * text, count hits (with multiplicity) against each language's profile,
+    * argmax with the same fixed tie order as [[langIdExpr]]. Pure per-row
+    * higher-order-function compute — no UDF, no shuffle, codegen'd — so
+    * it costs one narrow map even at 100 TB. zh profile entries are single
+    * chars (no spaces in CJK text), matched by trigram containment.
+    */
+  def langIdNgramExpr(text: Column): Column = {
+    val lowered = lower(text)
+    val grams = transform(
+      sequence(lit(1), greatest(length(lowered) - lit(2), lit(1))),
+      i => lowered.substr(i, lit(3)))
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val scores = langs.map { l =>
+      val profile = trigramProfiles(l)
+      val hit: Column => Column =
+        if (l == "zh") g => profile.map(p => g.contains(p)).reduce(_ || _)
+        else g => g.isInCollection(profile)
+      l -> size(filter(grams, hit))
+    }.toMap
+    langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
+      val geAll = langs.filter(_ != l).map(o => scores(l) >= scores(o)).reduce(_ && _)
+      when(geAll, lit(l)).otherwise(els)
+    }
+  }
+
+  def l4LangIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("lang"), langIdNgramExpr(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))

@@ -305,6 +305,38 @@ class LlmOpsSpec extends SparkSuite {
     out.foreach(r => assert(r.getString(0) == r.getString(1), s"misclassified: $r"))
   }
 
+  test("L4 trigram language ID classifies sentences with NO profile stopwords") {
+    // none of these contain any word from TextOps.stopwords — the stopword
+    // profile scores every language 0 and falls back to tie order, while
+    // character trigrams still see the morphology (ing/ion, sch/ich, ción,
+    // eur/eau, CJK chars).
+    val df = Seq(
+      ("running investigation reporting information", "en"),
+      ("geschwindigkeit verschiedener fahrzeuge gleichzeitig berichtet", "de"),
+      ("canción investigación imaginación revolución", "es"),
+      ("chaleur nouveaux moteur bateaux longueur", "fr"),
+      ("我们这个不有", "zh")).toDF("text", "expected")
+    val out = df.select(col("expected"),
+      TextOps.langIdNgramExpr(col("text")).as("got")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1), s"misclassified: $r"))
+  }
+
+  test("L4 TF-IDF: ubiquitous tokens weigh zero, rare tokens weigh most") {
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
+    Seq((1L, "common rare1 common x"), (2L, "common x y"), (3L, "common z"))
+      .toDF("doc_id", "text")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val out = TextOps.l4TfIdf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(5)).toMap
+    // 'common' appears in all 3 docs → idf = ln(1) = 0 everywhere
+    assert(out.filter(_._1._2 == "common").values.forall(_ == 0.0))
+    // 'rare1' (df=1) outweighs 'x' (df=2) within doc 1
+    assert(out((1L, "rare1")) > out((1L, "x")))
+    // exact check: tf=1, n_tokens=4, idf=ln(3)
+    assert(math.abs(out((1L, "rare1")) - math.log(3.0) / 4) < 1e-6)
+  }
+
   test("L4 fingerprint: stable 32-hex, shifts only on edit") {
     val df = Seq(
       (1L, "a b c d e f"),
