@@ -645,11 +645,11 @@ object Registry {
       QueryDef("l4_langid_ngram", TextOps.l4LangIdNgram, Some {
         val langs = Seq("en", "de", "es", "fr", "zh")
         def gramScore(l: String): String = {
-          val p = TextOps.trigramProfiles(l)
-          val pred =
-            if (l == "zh") p.map(c => s"contains(x, '$c')").mkString(" OR ")
-            else s"x IN (${p.map(w => s"'$w'").mkString(",")})"
-          s"len(list_filter(g, x -> $pred)) AS s_$l"
+          val w = if (l == "zh") 3 else 1
+          val terms = TextOps.trigramProfiles(l)
+            .map(p => s"length(lo) - length(replace(lo, '$p', ''))")
+            .mkString(" + ")
+          s"($terms) * $w AS s_$l"
         }
         val cases = langs.init.map { l =>
           val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
@@ -657,9 +657,7 @@ object Registry {
         }.mkString(" ")
         s"""
         WITH s AS (SELECT lang, lower(text) AS lo FROM documents),
-        gr AS (SELECT lang,
-          [substr(lo, i, 3) for i in range(1, greatest(length(lo) - 2, 1) + 1)] AS g FROM s),
-        sc AS (SELECT lang, ${langs.map(gramScore).mkString(", ")} FROM gr)
+        sc AS (SELECT lang, ${langs.map(gramScore).mkString(", ")} FROM s)
         SELECT lang, CASE $cases ELSE 'zh' END AS predicted, COUNT(*) AS n
         FROM sc GROUP BY lang, predicted ORDER BY lang, predicted"""
       }),
@@ -670,6 +668,45 @@ object Registry {
           list_min([md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) for i in range(1, len(t)-1)]) AS fingerprint,
           CAST(greatest(len(t) - 2, 0) AS INT) AS n_shingles
         FROM s ORDER BY doc_id""")),
+
+      QueryDef("l8_split", Curation.l8Split, Some("""
+        WITH s AS (SELECT doc_id,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+               ELSE 'test' END AS split,
+          len(string_split(text, ' ')) AS n_tokens
+        FROM documents)
+        SELECT split, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+          CAST(SUM(doc_id) AS BIGINT) AS id_digest
+        FROM s GROUP BY split ORDER BY split""")),
+
+      QueryDef("l8_mix", Curation.l8Mix, Some {
+        val cases = Curation.MixRates.map { case (src, p) =>
+          s"WHEN '$src' THEN '${Curation.rateThreshold(p)}'"
+        }.mkString(" ")
+        val dflt = Curation.rateThreshold(Curation.MixDefaultPermille)
+        s"""
+        WITH s AS (SELECT doc_id, source,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h FROM documents),
+        k AS (SELECT doc_id, source,
+          h < (CASE source $cases ELSE '$dflt' END) AS keep FROM s)
+        SELECT source, COUNT(*) AS n_total,
+          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_digest
+        FROM k GROUP BY source ORDER BY source"""
+      }),
+
+      QueryDef("l8_pack", Curation.l8Pack, Some(s"""
+        WITH s AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+          SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS tokens_before
+        FROM s)
+        SELECT CAST(tokens_before // ${Curation.PackBudget} AS BIGINT) AS bin,
+          COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY bin ORDER BY bin""")),
 
       QueryDef("l5_multimodal", Multimodal.l5Multimodal, Some("""
         SELECT doc_id, lang, source, label,

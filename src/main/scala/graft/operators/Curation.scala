@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** L8 (SURVEY.md §2): training-data ASSEMBLY — the operations that turn a
+  * curated corpus into training input: deterministic train/val/test
+  * splitting, weighted per-source mixing, and token-budget sequence
+  * packing. All three are pure integer/hex-string arithmetic over md5, so
+  * every declared query carries a full DuckDB oracle.
+  *
+  * Why hash-based rather than RNG-based: at 100 TB a split/sample must be
+  * (a) reproducible across reruns and engines, (b) stable under
+  * repartitioning (a `rand()` sample changes membership whenever Spark
+  * re-plans the task graph), and (c) joinable — any pipeline stage can
+  * recompute a doc's split from its id alone, no membership table to
+  * carry. md5-prefix bucketing gives all three; comparisons stay on
+  * lowercase hex STRINGS (identical lexicographic semantics in Spark and
+  * DuckDB — no cross-engine hex→int conversion to get wrong).
+  */
+object Curation {
+
+  /** Hex-prefix buckets: md5 of the key's decimal string. 2 hex chars =
+    * 256 buckets for splits; 4 = 65,536 for permille-grained sampling.
+    */
+  private def hexBucket(key: Column, chars: Int): Column =
+    substring(md5(key.cast("string")), 1, chars)
+
+  /** Deterministic ~80/10/10 split: buckets 0x00–0xcb train (204/256),
+    * 0xcc–0xe5 val (26/256), 0xe6–0xff test (26/256).
+    */
+  def splitExpr(key: Column): Column = {
+    val h = hexBucket(key, 2)
+    when(h <= lit("cb"), lit("train"))
+      .when(h <= lit("e5"), lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** L8a declared query: split the corpus, report per-split doc counts,
+    * token mass, and an id-sum digest (so the oracle hash pins membership,
+    * not just sizes). Narrow map + one 3-key aggregate.
+    */
+  def l8Split(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), splitExpr(col("doc_id")).as("split"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("doc_id")).as("id_digest"))
+      .orderBy(col("split"))
+  }
+
+  /** Permille sampling rate → 4-hex-char threshold: keep iff
+    * bucket < threshold (lexicographic on same-length lowercase hex =
+    * numeric). 1000‰ needs a sentinel ABOVE every hex string — "10000"
+    * would sort below "2…"–"f…" — so it maps to "g" ('g' > 'f').
+    */
+  def rateThreshold(permille: Int): String = {
+    require(permille >= 0 && permille <= 1000, s"bad rate: $permille")
+    if (permille == 1000) "g" else f"${permille * 65536 / 1000}%04x"
+  }
+
+  /** Weighted corpus mix: per-source deterministic downsampling at the
+    * given permille rates (absent sources use `defaultPermille`). The mix
+    * a pretraining run executes — e.g. keep all of a high-quality source,
+    * half of a mid one, a quarter of crawl. Keep/drop derives from
+    * (source rate, doc hash) alone — stable under repartitioning and
+    * engine-portable.
+    */
+  def mixFilter(source: Column, key: Column,
+                rates: Map[String, Int], defaultPermille: Int): Column = {
+    val threshold = rates.foldRight(lit(rateThreshold(defaultPermille)): Column) {
+      case ((src, permille), els) =>
+        when(source === lit(src), lit(rateThreshold(permille))).otherwise(els)
+    }
+    hexBucket(key, 4) < threshold
+  }
+
+  /** Rates for the declared query: binary-ish ladder over three named
+    * fixture sources, 800‰ for the long tail.
+    */
+  val MixRates: Map[String, Int] = Map("src0" -> 1000, "src1" -> 500, "src2" -> 250)
+  val MixDefaultPermille = 800
+
+  /** L8b declared query: per-source kept/total counts under [[MixRates]],
+    * with an id digest pinning exact membership.
+    */
+  def l8Mix(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), col("source"),
+        mixFilter(col("source"), col("doc_id"), MixRates, MixDefaultPermille).as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_digest"))
+      .orderBy(col("source"))
+  }
+
+  /** Token-budget sequence packing: walk the corpus in doc_id order,
+    * assign each doc to bin ⌊tokens-before-it / budget⌋ — contiguous
+    * concat-and-chunk packing (a bin's docs may overshoot the budget by
+    * at most one document's tail, exactly like streaming-concat packing
+    * in LLM data loaders).
+    *
+    * The running total is a DISTRIBUTED prefix sum, not a
+    * single-partition window: range-partition by doc_id, per-partition
+    * cumulative sums, then one tiny (numPartitions rows) aggregate of
+    * per-partition totals broadcast back as offsets. A global
+    * `Window.orderBy` would funnel 100 TB through ONE task; this form's
+    * largest sequential structure is the partition-count-sized offset
+    * table. Output is invariant to the (sampled, nondeterministic) range
+    * boundaries because a prefix sum over a fixed total order is
+    * boundary-associative — asserted against the naive single-partition
+    * window in CurationSpec.
+    */
+  def packBins(docs: DataFrame, tokens: Column, budget: Long,
+               partitions: Int = 32): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    // materialized ONCE: the range boundaries are sampled (nondeterministic
+    // across evaluations) and pid is stage-dependent — the offsets branch
+    // and the main branch must see the SAME partitioning, not two
+    // independent re-executions (a cluster run would use reliable
+    // `checkpoint`; ReuseExchange usually saves us but is not a contract)
+    val parts = docs
+      .select(col("doc_id"), tokens.as("n_tokens"))
+      .repartitionByRange(partitions, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = parts.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("ptot"))
+      .withColumn("poff",
+        coalesce(sum(col("ptot")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("pid"), col("poff"))
+    parts.join(broadcast(offsets), "pid")
+      .withColumn("cum_in_part",
+        sum(col("n_tokens")).over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
+      .withColumn("tokens_before",
+        col("poff") + col("cum_in_part") - col("n_tokens"))
+      // integer DIV: exact at any magnitude (a double round-trip could
+      // misplace a boundary doc once cumulative tokens pass ~2^45)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"tokens_before DIV ${budget}L").as("bin"))
+  }
+
+  val PackBudget = 512L
+
+  /** L8c declared query: pack at [[PackBudget]] tokens/bin, report per-bin
+    * shape. Oracle replays the same binning with a plain windowed SUM.
+    */
+  def l8Pack(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    packBins(t.documents, size(split(col("text"), " ")).cast("long"), PackBudget)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin"))
+  }
+}

@@ -137,36 +137,56 @@ object TextOps {
     "fr" -> Seq(" de", "es ", "le ", "ent", "eur", "que", "ait", "eau", "aux", " le"),
     "zh" -> Seq("的", "是", "了", "在", "我", "不", "有", "这", "个", "们"))
 
-  /** Trigram-profile language ID: slide a 3-char window over the lowered
-    * text, count hits (with multiplicity) against each language's profile,
-    * argmax with the same fixed tie order as [[langIdExpr]]. Pure per-row
-    * higher-order-function compute — no UDF, no shuffle, codegen'd — so
-    * it costs one narrow map even at 100 TB. zh profile entries are single
-    * chars (no spaces in CJK text), matched by trigram containment.
+  private val LangIdLangs = Seq("en", "de", "es", "fr", "zh")
+
+  /** Occurrence-mass score for one language: Σ over profile entries of
+    * `length(lo) - length(replace(lo, entry))` = matched characters
+    * (3 per trigram hit — no profile trigram is self-overlapping, so
+    * non-overlapping replace-count == sliding-window count). zh entries
+    * are single CJK chars; ×3 puts them on the same matched-char scale.
+    * Everything here is `length`/`replace` — whole-stage codegen'd, no
+    * gram array ever materializes (the array form measured 30 s at
+    * sf0.1 interpreted; this form is ~0.2 s).
     */
-  def langIdNgramExpr(text: Column): Column = {
-    val lowered = lower(text)
-    val grams = transform(
-      sequence(lit(1), greatest(length(lowered) - lit(2), lit(1))),
-      i => lowered.substr(i, lit(3)))
-    val langs = Seq("en", "de", "es", "fr", "zh")
-    val scores = langs.map { l =>
-      val profile = trigramProfiles(l)
-      val hit: Column => Column =
-        if (l == "zh") g => profile.map(p => g.contains(p)).reduce(_ || _)
-        else g => g.isInCollection(profile)
-      l -> size(filter(grams, hit))
-    }.toMap
-    langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
-      val geAll = langs.filter(_ != l).map(o => scores(l) >= scores(o)).reduce(_ && _)
-      when(geAll, lit(l)).otherwise(els)
-    }
+  private def trigramScore(lo: Column, l: String): Column = {
+    val weight = if (l == "zh") 3 else 1
+    trigramProfiles(l)
+      .map(p => length(lo) - length(replace(lo, lit(p))))
+      .reduce(_ + _) * lit(weight)
   }
 
+  /** argmax over per-language scores with the fixed tie order
+    * en→de→es→fr→zh (same discipline as [[langIdExpr]]).
+    */
+  private def argmaxLang(score: String => Column): Column =
+    LangIdLangs.init.foldRight(lit(LangIdLangs.last): Column) { (l, els) =>
+      val geAll = LangIdLangs.filter(_ != l)
+        .map(o => score(l) >= score(o)).reduce(_ && _)
+      when(geAll, lit(l)).otherwise(els)
+    }
+
+  /** Trigram-profile language ID as a single Column. Inlining the score
+    * into every argmax comparison is safe here: codegen subexpression
+    * elimination dedups the repeated `length`/`replace` trees (unlike
+    * the interpreted higher-order-function form it replaced).
+    */
+  def langIdNgramExpr(text: Column): Column = {
+    val lo = lower(text)
+    argmaxLang(l => trigramScore(lo, l))
+  }
+
+  /** Staged trigram langid: lowered text → five score columns → argmax;
+    * multi-referenced non-cheap aliases keep `CollapseProject` from
+    * re-inlining, so each score computes once per row even without CSE.
+    * A pure narrow map — no UDF, no shuffle — at any scale.
+    */
   def l4LangIdNgram(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.documents
-      .select(col("lang"), langIdNgramExpr(col("text")).as("predicted"))
+      .select(col("lang"), lower(col("text")).as("lo"))
+      .select(col("lang") +:
+        LangIdLangs.map(l => trigramScore(col("lo"), l).as(s"s_$l")): _*)
+      .select(col("lang"), argmaxLang(l => col(s"s_$l")).as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** L8 training-data assembly semantics the DuckDB oracles can't see:
+  * distributed-prefix-sum == naive window, hash-split stability under
+  * repartitioning, rate-threshold edge cases.
+  */
+class CurationSpec extends SparkSuite {
+  import TestSpark.spark.implicits._
+
+  test("L8 rate thresholds: numeric order, all-keep sentinel, endpoints") {
+    assert(Curation.rateThreshold(1000) == "g")
+    assert(Curation.rateThreshold(0) == "0000")
+    assert(Curation.rateThreshold(500) == "8000")
+    // monotone: higher rate → lexicographically later threshold
+    val ts = (0 to 999 by 37).map(Curation.rateThreshold)
+    assert(ts == ts.sorted && ts.distinct == ts)
+    assert(ts.forall(t => t.length == 4 && t < "g"))
+  }
+
+  test("L8 split: partitions the corpus, ~80/10/10, stable under repartition") {
+    val docs = tables.documents.select(col("doc_id"))
+    val n = docs.count()
+    val bySplit = docs.select(Curation.splitExpr(col("doc_id")).as("s"))
+      .groupBy(col("s")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == n) // total partition, no doc lost or doubled
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+    // membership is a pure function of doc_id: any re-layout agrees
+    val a = docs.select(col("doc_id"), Curation.splitExpr(col("doc_id")).as("s"))
+    val b = docs.repartition(13)
+      .select(col("doc_id"), Curation.splitExpr(col("doc_id")).as("s"))
+    assertSameRows(a, b)
+  }
+
+  test("L8 mix: rate 1000 keeps all, rate 0 keeps none, default applies") {
+    val docs = tables.documents.select(col("doc_id"), col("source"))
+    val all = docs.filter(Curation.mixFilter(col("source"), col("doc_id"),
+      Map.empty, defaultPermille = 1000)).count()
+    assert(all == docs.count())
+    val none = docs.filter(Curation.mixFilter(col("source"), col("doc_id"),
+      Map.empty, defaultPermille = 0)).count()
+    assert(none == 0)
+    // a named source's rate overrides the default
+    val srcOnly = docs.filter(Curation.mixFilter(col("source"), col("doc_id"),
+      Map("src0" -> 1000), defaultPermille = 0))
+    assert(srcOnly.select(col("source")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("src0"))
+  }
+
+  test("L8 pack: distributed prefix sum == single-partition window, bins contiguous") {
+    val docs = tables.documents
+    val tokens = size(split(col("text"), " ")).cast("long")
+    val dist = Curation.packBins(docs, tokens, budget = 256L, partitions = 8)
+    val naive = docs.select(col("doc_id"), tokens.as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(
+          Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("tokens_before DIV 256L").as("bin"))
+    assertSameRows(dist, naive)
+    // bins cover a contiguous doc_id range: max(bin k) < min(bin k+1)
+    val perBin = dist.groupBy(col("bin"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .orderBy(col("bin")).collect()
+    perBin.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) < b.getLong(1))
+      case _ =>
+    }
+    // every bin except possibly the last reaches the budget once its
+    // straddling doc lands: n_tokens >= budget - (max single doc tokens)
+    val binTotals = dist.groupBy(col("bin")).agg(sum(col("n_tokens")).as("t"))
+      .orderBy(col("bin")).collect().map(_.getLong(1))
+    val maxDoc = dist.agg(max(col("n_tokens"))).collect()(0).getLong(0)
+    binTotals.init.foreach(t => assert(t > 256L - maxDoc))
+  }
+}

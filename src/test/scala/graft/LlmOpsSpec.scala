@@ -321,6 +321,13 @@ class LlmOpsSpec extends SparkSuite {
     out.foreach(r => assert(r.getString(0) == r.getString(1), s"misclassified: $r"))
   }
 
+  test("L4 trigram language ID: staged query form agrees with the inlined Column") {
+    val viaExpr = tables.documents
+      .select(col("lang"), TextOps.langIdNgramExpr(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+    assertSameRows(TextOps.l4LangIdNgram(spark, sf), viaExpr)
+  }
+
   test("L4 TF-IDF: ubiquitous tokens weigh zero, rare tokens weigh most") {
     import org.apache.spark.sql.SaveMode
     val dir = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
