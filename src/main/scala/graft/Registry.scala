@@ -530,7 +530,8 @@ object Registry {
           s"WHERE bucket = (SELECT CAST($bucketSql AS INT) FROM embeddings WHERE vec_id = 0)"))),
 
       // IVF replay: k-means-TRAINED centroids (Similarity.KmIters Lloyd
-      // rounds from the deterministic vec_id < cells init, one CTE chain
+      // rounds over the deterministic vec_id % KmTrainMod == 0 training
+      // slice from its first-cells init, one CTE chain
       // per round: exact-decimal squared-L2 assignment argmin tie-broken
       // on cid, then per-(cell,dim) mean rounded HALF_UP at 9 dp in
       // integer arithmetic with the +1024 offset — the lock-step twin of
@@ -539,14 +540,14 @@ object Registry {
       // exact-cosine/ROUND(,6) rank.
       QueryDef("l3_ivf_topk", Similarity.l3IvfTopK, Some {
         val rounds = (1 to Similarity.KmIters).map { k =>
-          s"""pr$k AS (SELECT v.vec_id, c.cid, unnest(v.e) AS x, unnest(c.ce) AS y FROM v, c${k - 1} c),
+          s"""pr$k AS (SELECT v.vec_id, c.cid, unnest(v.e) AS x, unnest(c.ce) AS y FROM tv v, c${k - 1} c),
         a2x$k AS (SELECT vec_id, cid, SUM(CAST((x-y)*(x-y) AS DECIMAL(30,15))) AS d2
                FROM pr$k GROUP BY vec_id, cid),
         cel$k AS (SELECT vec_id, cid AS cell FROM (
             SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
             FROM a2x$k) WHERE rn = 1),
         mem$k AS (SELECT cell, unnest(e) AS x, generate_subscripts(e, 1) AS pos
-               FROM v JOIN cel$k USING (vec_id)),
+               FROM tv JOIN cel$k USING (vec_id)),
         dim$k AS (SELECT cell, pos,
             CAST((CAST(SUM(CAST(x + 1024 AS DECIMAL(30,15))) * 2000000000000000 AS HUGEINT)
                   + COUNT(*) * 1000000) // (COUNT(*) * 2000000) AS DOUBLE) / 1000000000.0
@@ -556,9 +557,12 @@ object Registry {
         }.mkString(",\n        ")
         val cf = s"c${Similarity.KmIters}"
         s"""
-        WITH c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
-                   WHERE vec_id < ${Similarity.IvfCells}),
+        WITH c0 AS (SELECT vec_id // ${Similarity.KmTrainMod} AS cid,
+                     embedding::DOUBLE[] AS ce FROM embeddings
+                   WHERE vec_id % ${Similarity.KmTrainMod} = 0
+                     AND vec_id < ${Similarity.IvfCells * Similarity.KmTrainMod}),
         v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        tv AS (SELECT * FROM v WHERE vec_id % ${Similarity.KmTrainMod} = 0),
         $rounds,
         pr AS (SELECT v.vec_id, c.cid, unnest(v.e) AS x, unnest(c.ce) AS y FROM v, $cf c),
         a2 AS (SELECT vec_id, cid, SUM(CAST((x-y)*(x-y) AS DECIMAL(30,15))) AS d2

@@ -117,6 +117,15 @@ object Similarity {
     */
   val KmIters = 3
 
+  /** Training-sample modulus: the quantizer trains on the deterministic
+    * `vec_id % KmTrainMod == 0` slice (shared with the oracle builder).
+    * A coarse quantizer at 100 TB is NEVER trained on the full corpus —
+    * a uniform sample bounds the per-round O(sample·k) cost while the
+    * final assignment pass still covers every vector; the id-modulus
+    * sample keeps it deterministic and engine-replayable.
+    */
+  val KmTrainMod = 4
+
   /** Offset making every per-dimension sum positive before the integer
     * HALF_UP mean (fixture embeddings are within ±1; `div` truncates
     * toward zero, so the davg-style rounding identity needs a
@@ -130,7 +139,11 @@ object Similarity {
     * DataFrame ops, deterministic end to end so the DuckDB oracle can
     * replay the training round-for-round:
     *
-    *  - init = the deterministic sample (vec_id < nCells);
+    *  - training set = the `vec_id % KmTrainMod == 0` slice (see
+    *    [[KmTrainMod]]); re-centering sees only the slice, the caller's
+    *    final assignment pass sees everything;
+    *  - init = the slice's first nCells members
+    *    (vec_id < nCells·KmTrainMod, vec_id ≡ 0 mod KmTrainMod);
     *  - assignment = exact-DECIMAL squared-L2 argmin (same [[dist2]] as
     *    the probe path — bit-replayable, ties broken on cid);
     *  - re-center = per-(cell, dimension) mean, rounded HALF_UP at 9 dp
@@ -149,10 +162,14 @@ object Similarity {
     * key; the round structure here is exactly that job.
     */
   def trainedCentroids(emb: DataFrame, nCells: Int, iters: Int = KmIters): DataFrame = {
-    var cents = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), dbl(col("embedding")).as("ce"))
+    val train = emb.filter(col("vec_id") % KmTrainMod === 0)
+    // cid renormalized to 0..nCells-1 (vec_id DIV mod) so cell ids keep
+    // the same compact range as the untrained-init form
+    var cents = train.filter(col("vec_id") < nCells * KmTrainMod)
+      .select(expr(s"vec_id DIV $KmTrainMod").as("cid"),
+        dbl(col("embedding")).as("ce"))
     for (_ <- 1 to iters) {
-      val cells = emb.select(col("vec_id"), dbl(col("embedding")).as("e"))
+      val cells = train.select(col("vec_id"), dbl(col("embedding")).as("e"))
         .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cid"), dist2(col("e"), col("ce")).as("d2"))
         .groupBy(col("vec_id"))
@@ -162,7 +179,7 @@ object Similarity {
       // offset-shifted values; mean = R/10⁹ − offset (all ops bit-identical
       // cross-engine: exact decimal sum, integer div, correctly-rounded
       // double divide/subtract)
-      val dims = emb.join(cells, "vec_id")
+      val dims = train.join(cells, "vec_id")
         .select(col("cell"), posexplode(dbl(col("embedding"))).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum((col("x") + lit(KmOffset.toDouble)).cast("decimal(30,15)")).as("s"),

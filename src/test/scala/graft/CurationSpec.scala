@@ -52,6 +52,23 @@ class CurationSpec extends SparkSuite {
       .map(_.getString(0)).toSeq == Seq("src0"))
   }
 
+  test("L8 plan shapes: split prunes the scan to 2 columns; pack's data window is per-pid") {
+    val splitQ = Curation.l8Split(spark, sf)
+    val scan = splitQ.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString
+    // only doc_id + text reach the parquet scan (not lang/source/n_chars)
+    assert(scan.contains("doc_id") && scan.contains("text"), scan)
+    assert(!scan.contains("source") && !scan.contains("n_chars"), scan)
+    // the full-data running sum is windowed BY pid — the only
+    // SinglePartition structure allowed is the numPartitions-row offset
+    // branch, which sits behind the broadcast
+    val pack = Curation.packBins(tables.documents,
+      size(split(col("text"), " ")).cast("long"), 256L)
+    val windows = pack.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("pid")), windows.mkString("\n"))
+  }
+
   test("L8 pack: distributed prefix sum == single-partition window, bins contiguous") {
     val docs = tables.documents
     val tokens = size(split(col("text"), " ")).cast("long")

@@ -221,7 +221,11 @@ class LlmOpsSpec extends SparkSuite {
 
   test("L3 k-means training reduces quantization distortion vs the sampled init") {
     import org.apache.spark.sql.{functions => F}
+    // distortion over the TRAINING slice — the set Lloyd's monotone
+    // within-cluster-SS guarantee actually covers (the quantizer trains
+    // on the vec_id % KmTrainMod sample, per the 100 TB posture)
     val emb = tables.embeddings
+      .filter(F.col("vec_id") % Similarity.KmTrainMod === 0)
     def totalD2(cents: org.apache.spark.sql.DataFrame): Double = {
       val dblEmb = F.transform(F.col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double"))
       val d2 = F.aggregate(
@@ -233,10 +237,11 @@ class LlmOpsSpec extends SparkSuite {
         .groupBy(F.col("vec_id")).agg(F.min(F.col("d2")).as("m"))
         .agg(F.sum(F.col("m"))).collect()(0).getDouble(0)
     }
-    val init = emb.filter(F.col("vec_id") < Similarity.IvfCells)
-      .select(F.col("vec_id").as("cid"),
+    val init = emb
+      .filter(F.col("vec_id") < Similarity.IvfCells * Similarity.KmTrainMod)
+      .select(F.expr(s"vec_id DIV ${Similarity.KmTrainMod}").as("cid"),
         F.transform(F.col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double")).as("ce"))
-    val trained = Similarity.trainedCentroids(emb, Similarity.IvfCells)
+    val trained = Similarity.trainedCentroids(tables.embeddings, Similarity.IvfCells)
     // Lloyd monotonically decreases within-cluster SS (up to the 9-dp
     // centroid rounding); strict decrease expected from a raw sample init
     assert(totalD2(trained) < totalD2(init))
