@@ -701,6 +701,19 @@ object Registry {
         FROM k GROUP BY source ORDER BY source"""
       }),
 
+      QueryDef("l8_quality_gate", Curation.l8QualityGate, Some(s"""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        q AS (SELECT doc_id,
+          CAST((700 * len(list_distinct(t))
+                + 300 * (len(t) - ${stopFilter(TextOps.stopwords("en"))}))
+               // len(t) AS BIGINT) AS quality_permille
+        FROM s),
+        m AS (SELECT quantile_cont(quality_permille, 0.5) AS median_permille FROM q)
+        SELECT doc_id, quality_permille, median_permille
+        FROM q CROSS JOIN m
+        WHERE quality_permille >= median_permille
+        ORDER BY doc_id""")),
+
       QueryDef("l8_pack", Curation.l8Pack, Some(s"""
         WITH s AS (SELECT doc_id,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

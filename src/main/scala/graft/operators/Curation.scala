@@ -100,6 +100,27 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** L8d declared query: median-gated quality filter — keep documents at
+    * or above the corpus-median [[TextOps.qualityPermille]]. The
+    * quantile-band filtering step of a curation run, shaped for scale:
+    * the threshold reaches the plan as a 1-row broadcast (agg →
+    * crossJoin(broadcast)), never a driver-side collect; the filter
+    * itself is a narrow codegen'd pass. Exactly replayable: the median
+    * of an integer population is integer or half-integer in BOTH engines
+    * (Spark `percentile` and DuckDB `quantile_cont` share the
+    * (n−1)·p linear-interpolation definition).
+    */
+  def l8QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val scored = t.documents
+      .select(col("doc_id"), TextOps.qualityPermille(col("text")).as("quality_permille"))
+    val med = scored
+      .agg(expr("percentile(quality_permille, 0.5)").as("median_permille"))
+    scored.crossJoin(broadcast(med))
+      .filter(col("quality_permille") >= col("median_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget sequence packing: walk the corpus in doc_id order,
     * assign each doc to bin ⌊tokens-before-it / budget⌋ — contiguous
     * concat-and-chunk packing (a bin's docs may overshoot the budget by

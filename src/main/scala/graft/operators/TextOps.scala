@@ -30,6 +30,19 @@ object TextOps {
   private def countIn(ts: Column, words: Seq[String]): Column =
     size(filter(ts, t => t.isInCollection(words)))
 
+  /** The composite quality score of [[l4TextAnalysis]] as a standalone
+    * per-row expression (700‰ lexical diversity + 300‰ non-stopword
+    * share, integer floor-div — exact on any engine). Shared with
+    * [[Curation.l8QualityGate]]'s median filter.
+    */
+  def qualityPermille(text: Column): Column = {
+    val ts = toks(text)
+    call_function("div",
+      (lit(700) * size(array_distinct(ts)) +
+        lit(300) * (size(ts) - countIn(ts, stopwords("en")))).cast("long"),
+      size(ts).cast("long"))
+  }
+
   /** Per-doc token/uniqueness/stopword stats + derived quality score.
     * All counts are exact integers. Ratios are single double divisions of
     * those integers rounded at 6 dp — token counts are ≤ 99, so any

@@ -69,6 +69,16 @@ class CurationSpec extends SparkSuite {
     assert(windows.exists(_.contains("pid")), windows.mkString("\n"))
   }
 
+  test("L8 quality gate: keeps at least half, every survivor clears the median") {
+    val kept = Curation.l8QualityGate(spark, sf).collect()
+    val n = tables.documents.count()
+    assert(kept.length >= n / 2 && kept.length < n) // median gate, ties included
+    val med = kept.head.getDouble(2)
+    assert(kept.forall(r => r.getLong(1) >= med))
+    // the median column is a single corpus-wide constant
+    assert(kept.map(_.getDouble(2)).toSet.size == 1)
+  }
+
   test("L8 pack: distributed prefix sum == single-partition window, bins contiguous") {
     val docs = tables.documents
     val tokens = size(split(col("text"), " ")).cast("long")
