@@ -93,6 +93,24 @@ object Streams {
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** T5b: streaming NEAR-dup dedup — the dedup key is the rolling-hash
+    * MinHash fingerprint of a text column ([[graft.operators.TextOps
+    * .fingerprint]]), so re-ingested documents that differ only by small
+    * edits outside every 3-token shingle minimum collapse to one row, in
+    * one pass, with watermark-bounded state. The streaming face of the
+    * L-family dedup: content-keyed like `Dedup.exact`, edit-tolerant
+    * like the LSH pipeline, and exactly as partitionable (state shards
+    * on the 32-hex fingerprint key).
+    */
+  def nearDedupStream(docs: DataFrame, textCol: String = "text",
+                      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", coalesce(
+        graft.operators.TextOps.fingerprint(col(textCol)),
+        col(textCol))) // short docs (< 1 shingle) fall back to exact text
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   // ---------- arbitrary state (T6) ----------
 
   /** T6: per-user running stats via flatMapGroupsWithState — arbitrary

@@ -141,6 +141,39 @@ class StreamingSpec extends SparkSuite {
     assert(run2.isEmpty)
   }
 
+  test("T5b streaming near-dup dedup: fingerprint key absorbs small-edit redelivery") {
+    import TestSpark.spark.implicits._
+    import graft.operators.TextOps
+    val topic = "t_neardedup"
+    MqBroker.deleteTopic(topic); MqBroker.createTopic(topic, 2)
+    def fpOf(s: String): String =
+      Seq(s).toDF("text").select(TextOps.fingerprint(col("text"))).collect()(0).getString(0)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // find a one-token edit that leaves the MIN shingle hash untouched
+    // (each edit disturbs ≤3 of 8 shingles, so one such edit must exist)
+    val toks = base.split(" ")
+    val edited = toks.indices.map(i => toks.updated(i, "EDITED").mkString(" "))
+      .find(v => fpOf(v) == fpOf(base))
+    assert(edited.isDefined, "no fingerprint-preserving edit found")
+    val distinct = "one two three four five six seven eight nine ten"
+    val t0 = 1706000000000000L
+    def pub(text: String, tsUs: Long): Unit = MqBroker.publish(topic, "k", text, tsUs)
+    pub(base, t0); pub(edited.get, t0) // near-dup pair in one batch
+    pub(distinct, t0 + 1000000L)
+    pub("late mark advancer text here now", t0 + 3600L * 1000000L)
+    val docs = Streams.mqStream(spark, topic)
+      .select(col("value").as("text"), col("timestamp").as("ts"))
+    val cp = Files.createTempDirectory("graft-cp-neardedup").toString
+    val run1 = runCollecting(Streams.nearDedupStream(docs), cp)
+    assert(run1.size == 3, s"got ${run1.size}") // edited collapsed onto base
+    assert(run1.map(_.getAs[String]("text")).contains(base))
+    assert(!run1.map(_.getAs[String]("text")).contains(edited.get))
+    // redelivery of the near-dup behind the committed watermark → dropped
+    pub(edited.get, t0)
+    val run2 = runCollecting(Streams.nearDedupStream(docs), cp)
+    assert(run2.isEmpty)
+  }
+
   test("T1+T4 windowed-aggregation STATE survives restart: cumulative counts after resume == batch on full data") {
     val topic = "t_aggrestart"
     MqBroker.deleteTopic(topic); MqBroker.createTopic(topic, 2)
