@@ -33,6 +33,23 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("sequence packing equals the scalar prefix-sum binning on random corpora") {
+    val lens = Gen.listOfN(40, Gen.chooseNum(1, 50))
+    for ((xs, i) <- samples(lens, 6).zipWithIndex) {
+      val budget = 16L + 13 * i
+      val df = xs.zipWithIndex.map { case (n, id) => (id.toLong, n.toLong) }
+        .toDF("doc_id", "n")
+      val out = graft.operators.Curation.packBins(df, col("n"), budget, partitions = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      var cum = 0L // ground truth: single-threaded walk in doc_id order
+      xs.zipWithIndex.foreach { case (n, id) =>
+        assert(out(id.toLong) == cum / budget, s"doc $id budget $budget")
+        cum += n
+      }
+      assert(out.size == xs.size)
+    }
+  }
+
   test("cosine similarity is symmetric, bounded, and 1.0 on self") {
     val pairs = samples(Gen.zip(vec, vec), 10)
     val df = pairs.toDF("a", "b")
