@@ -701,6 +701,15 @@ object Registry {
         FROM k GROUP BY source ORDER BY source"""
       }),
 
+      QueryDef("l8_cap", Curation.l8Cap, Some(s"""
+        SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (
+          SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= ${Curation.CapPerSource}
+        ORDER BY source, rn""")),
+
       QueryDef("l8_quality_gate", Curation.l8QualityGate, Some(s"""
         WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         q AS (SELECT doc_id,

@@ -100,6 +100,29 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  val CapPerSource = 20
+
+  /** L8e declared query: stratified per-source CAP — keep at most
+    * [[CapPerSource]] docs per source, chosen in deterministic md5-hash
+    * order (an unbiased, rerun-stable "random" subset; ties impossible
+    * since doc_id breaks them). Rides
+    * [[Relational.topKPerGroupSkewSafe]]: the salted two-phase rank
+    * bounds a hot source's window input to k·P rows — the skew posture a
+    * per-source cap NEEDS at 100 TB, where one crawl source can be half
+    * the corpus (output proven identical to the naive single-window form
+    * in RelationalSpec).
+    */
+  def l8Cap(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    Relational.topKPerGroupSkewSafe(
+      t.documents.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h")),
+      keys = Seq("source"), order = Seq(col("h"), col("doc_id")),
+      k = CapPerSource)
+      .select(col("doc_id"), col("source"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
   /** L8d declared query: median-gated quality filter — keep documents at
     * or above the corpus-median [[TextOps.qualityPermille]]. The
     * quantile-band filtering step of a curation run, shaped for scale:

@@ -69,6 +69,20 @@ class CurationSpec extends SparkSuite {
     assert(windows.exists(_.contains("pid")), windows.mkString("\n"))
   }
 
+  test("L8 cap: at most k per source, hash-order deterministic, subset of corpus") {
+    val out = Curation.l8Cap(spark, sf).collect()
+    val perSource = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val expected = tables.documents.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) ->
+        math.min(r.getLong(1), Curation.CapPerSource.toLong).toInt).toMap
+    assert(perSource == expected) // min(count, cap) per source, none lost
+    assert(expected.values.exists(_ == Curation.CapPerSource)) // cap actually binds somewhere
+    // same selection on a different physical layout (salted phase-1 must
+    // not change WHICH docs survive, per the output-identity guarantee)
+    val again = Curation.l8Cap(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
   test("L8 quality gate: keeps at least half, every survivor clears the median") {
     val kept = Curation.l8QualityGate(spark, sf).collect()
     val n = tables.documents.count()
