@@ -673,6 +673,23 @@ object Registry {
           CAST(greatest(len(t) - 2, 0) AS INT) AS n_shingles
         FROM s ORDER BY doc_id""")),
 
+      QueryDef("s7_profile", Profile.s7Profile, Some {
+        def num(c: String) =
+          s"""SELECT '$c' AS col_name,
+            CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+            COUNT(DISTINCT $c) AS n_distinct,
+            CAST(MIN($c) AS BIGINT) AS num_min, CAST(MAX($c) AS BIGINT) AS num_max,
+            NULL::VARCHAR AS str_min, NULL::VARCHAR AS str_max FROM documents"""
+        def str(c: String) =
+          s"""SELECT '$c' AS col_name,
+            CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+            COUNT(DISTINCT $c) AS n_distinct,
+            NULL::BIGINT AS num_min, NULL::BIGINT AS num_max,
+            MIN($c) AS str_min, MAX($c) AS str_max FROM documents"""
+        (Profile.NumCols.map(num) ++ Profile.StrCols.map(str))
+          .mkString("", "\n        UNION ALL\n        ", "\n        ORDER BY col_name")
+      }),
+
       QueryDef("l8_split", Curation.l8Split, Some("""
         WITH s AS (SELECT doc_id,
           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
