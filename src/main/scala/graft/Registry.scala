@@ -692,8 +692,8 @@ object Registry {
 
       QueryDef("l8_split", Curation.l8Split, Some("""
         WITH s AS (SELECT doc_id,
-          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
-               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+          CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+               WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
                ELSE 'test' END AS split,
           len(string_split(text, ' ')) AS n_tokens
         FROM documents)
@@ -709,7 +709,7 @@ object Registry {
         val dflt = Curation.rateThreshold(Curation.MixDefaultPermille)
         s"""
         WITH s AS (SELECT doc_id, source,
-          substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h FROM documents),
+          substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4) AS h FROM documents),
         k AS (SELECT doc_id, source,
           h < (CASE source $cases ELSE '$dflt' END) AS keep FROM s)
         SELECT source, COUNT(*) AS n_total,
@@ -722,7 +722,7 @@ object Registry {
         SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (
           SELECT doc_id, source,
             ROW_NUMBER() OVER (PARTITION BY source
-              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
           FROM documents)
         WHERE rn <= ${Curation.CapPerSource}
         ORDER BY source, rn""")),

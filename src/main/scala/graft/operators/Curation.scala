@@ -22,17 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Hex-prefix buckets: md5 of the key's decimal string. 2 hex chars =
-    * 256 buckets for splits; 4 = 65,536 for permille-grained sampling.
+  /** Hex-prefix buckets: md5 of a PURPOSE-SALTED key string. 2 hex chars
+    * = 256 buckets for splits; 4 = 65,536 for permille-grained sampling.
+    * The salt makes each surface's hash domain independent: unsalted,
+    * split/mix/cap would all order docs by the SAME md5(doc_id) — e.g.
+    * any mix rate ≤ ~797‰ (threshold < "cc") would keep only
+    * train-split docs, silently emptying val/test downstream.
     */
-  private def hexBucket(key: Column, chars: Int): Column =
-    substring(md5(key.cast("string")), 1, chars)
+  private def hexBucket(salt: String, key: Column, chars: Int): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, chars)
 
   /** Deterministic ~80/10/10 split: buckets 0x00–0xcb train (204/256),
     * 0xcc–0xe5 val (26/256), 0xe6–0xff test (26/256).
     */
   def splitExpr(key: Column): Column = {
-    val h = hexBucket(key, 2)
+    val h = hexBucket("split|", key, 2)
     when(h <= lit("cb"), lit("train"))
       .when(h <= lit("e5"), lit("val"))
       .otherwise(lit("test"))
@@ -76,7 +80,7 @@ object Curation {
       case ((src, permille), els) =>
         when(source === lit(src), lit(rateThreshold(permille))).otherwise(els)
     }
-    hexBucket(key, 4) < threshold
+    hexBucket("mix|", key, 4) < threshold
   }
 
   /** Rates for the declared query: binary-ish ladder over three named
@@ -116,7 +120,7 @@ object Curation {
     val t = Tables(spark, dir)
     Relational.topKPerGroupSkewSafe(
       t.documents.select(col("doc_id"), col("source"),
-        md5(col("doc_id").cast("string")).as("h")),
+        md5(concat(lit("cap|"), col("doc_id").cast("string"))).as("h")),
       keys = Seq("source"), order = Seq(col("h"), col("doc_id")),
       k = CapPerSource)
       .select(col("doc_id"), col("source"), col("rn"))
@@ -182,8 +186,11 @@ object Curation {
           lit(0L)))
       .select(col("pid"), col("poff"))
     parts.join(broadcast(offsets), "pid")
+      // explicit ROWS frame: the default RANGE frame treats order-by PEERS
+      // as one unit, double-counting tokens if doc_id ever duplicates
       .withColumn("cum_in_part",
-        sum(col("n_tokens")).over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
+        sum(col("n_tokens")).over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("tokens_before",
         col("poff") + col("cum_in_part") - col("n_tokens"))
       // integer DIV: exact at any magnitude (a double round-trip could

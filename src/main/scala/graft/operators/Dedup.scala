@@ -400,6 +400,11 @@ object Dedup {
       labels = l2
       round += 1
     }
+    // unconverged labels are WRONG (non-minimal reps, multiple survivors
+    // per real cluster) — failing loudly beats silently under-deduping
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds; " +
+        "raise maxRounds (pointer jumping needs ~log2(diameter) rounds)")
     labels.select(col("doc_id"), col("label").as("cluster_rep"),
       (col("doc_id") === col("label")).as("kept"))
   }

@@ -211,8 +211,9 @@ object Similarity {
     * arithmetic throughout, so the DuckDB oracle replays training AND
     * assignment bit-for-bit.
     */
-  def ivfTopK(t: Tables, queryId: Long, k: Int, nCells: Int, nprobe: Int): DataFrame = {
-    val cents = trainedCentroids(t.embeddings, nCells)
+  def ivfTopK(t: Tables, queryId: Long, k: Int, nCells: Int, nprobe: Int,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(trainedCentroids(t.embeddings, nCells))
     val scored = t.embeddings
       .select(col("vec_id"), dbl(col("embedding")).as("e"))
       .crossJoin(broadcast(cents))
@@ -253,8 +254,11 @@ object Similarity {
     * must replay every bit; LlmOpsSpec asserts both paths probe the same
     * cells on the fixtures.
     */
-  def ivfTopKFast(t: Tables, queryId: Long, k: Int, nCells: Int, nprobe: Int): DataFrame = {
-    val cents = trainedCentroids(t.embeddings, nCells)
+  def ivfTopKFast(t: Tables, queryId: Long, k: Int, nCells: Int, nprobe: Int,
+                  centroids: Option[DataFrame] = None): DataFrame = {
+    // index build is offline/amortized: serve repeated queries by passing
+    // the trained-once (or persisted) centroid frame instead of retraining
+    val cents = centroids.getOrElse(trainedCentroids(t.embeddings, nCells))
     def d2Fast(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0d), (acc, x) => acc + x)
     val scored = t.embeddings

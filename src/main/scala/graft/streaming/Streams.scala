@@ -105,11 +105,14 @@ object Streams {
   def nearDedupStream(docs: DataFrame, textCol: String = "text",
                       watermark: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("fp", coalesce(
+      // short docs (< 1 shingle) fall back to exact text, PREFIXED so the
+      // raw-text key space cannot collide with the 32-hex fingerprints
+      .withColumn("__fp", coalesce(
         graft.operators.TextOps.fingerprint(col(textCol)),
-        col(textCol))) // short docs (< 1 shingle) fall back to exact text
+        concat(lit("raw|"), col(textCol))))
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("fp")
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp") // output schema == input schema, like dedupStream
 
   // ---------- arbitrary state (T6) ----------
 

@@ -77,10 +77,17 @@ class CurationSpec extends SparkSuite {
         math.min(r.getLong(1), Curation.CapPerSource.toLong).toInt).toMap
     assert(perSource == expected) // min(count, cap) per source, none lost
     assert(expected.values.exists(_ == Curation.CapPerSource)) // cap actually binds somewhere
-    // same selection on a different physical layout (salted phase-1 must
-    // not change WHICH docs survive, per the output-identity guarantee)
-    val again = Curation.l8Cap(spark, sf).collect()
-    assert(out.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // same selection on a genuinely different physical layout: the salted
+    // phase-1 window partitions by spark_partition_id, so repartitioning
+    // the input changes the salt slices — WHICH docs survive must not move
+    val relaid = graft.operators.Relational.topKPerGroupSkewSafe(
+      tables.documents.select(col("doc_id"), col("source"),
+        md5(concat(lit("cap|"), col("doc_id").cast("string"))).as("h"))
+        .repartition(13),
+      keys = Seq("source"), order = Seq(col("h"), col("doc_id")),
+      k = Curation.CapPerSource)
+    assert(out.map(_.getLong(0)).toSet ==
+      relaid.select(col("doc_id")).collect().map(_.getLong(0)).toSet)
   }
 
   test("L8 quality gate: keeps at least half, every survivor clears the median") {

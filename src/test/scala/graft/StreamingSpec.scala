@@ -469,12 +469,19 @@ class StreamingSpec extends SparkSuite {
 private[graft] object InjectFail {
   val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val seen = ThreadLocal.withInitial[Integer](() => 0)
+  // the counter must be PER TASK ATTEMPT, not per thread: a thread that
+  // first ran a small (<4-row) task would otherwise carry its count into
+  // the next task and throw on that task's 1st row — 0 rows published
+  // before the failure, so the retry wouldn't measurably re-publish
+  private val attempt = ThreadLocal.withInitial[java.lang.Long](() => -1L)
   def reset(): Unit = fired.set(false)
   def poison(v: String): String = {
+    val tid = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId()).getOrElse(-2L)
+    if (attempt.get() != tid) { attempt.set(tid); seen.set(0) }
     val n = seen.get() + 1
     seen.set(n)
     if (n == 4 && fired.compareAndSet(false, true)) {
-      seen.set(0) // the retry may reuse this thread
       throw new RuntimeException("injected one-shot task failure")
     }
     v
