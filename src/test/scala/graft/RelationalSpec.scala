@@ -81,6 +81,38 @@ class RelationalSpec extends SparkSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("AQE splits a skewed shuffle-join partition (skew=true in the final plan)") {
+    // SCALING.md's skew story made executable: one key owning ~99% of the
+    // fact side must be split across tasks by OptimizeSkewedJoin once the
+    // thresholds are scaled down to fixture size
+    import TestSpark.spark.implicits._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          concat(lit("pad-to-make-rows-wide-"), col("id")).as("pad"))
+      val right = Seq.tabulate(500)(i => (i.toLong, s"dim$i")).toDF("k", "w")
+      val j = left.join(right, "k")
+      // execute j's OWN QueryExecution (count() would plan a separate one,
+      // leaving this plan un-finalized) without collecting 200k rows
+      assert(j.queryExecution.toRdd.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), "AQE did not finalize")
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"no skew split in final plan:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("registry: names unique, every oracle belongs to a declared query") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size,
