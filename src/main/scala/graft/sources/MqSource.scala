@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
@@ -125,18 +125,22 @@ class MqTable(topic: String) extends Table with SupportsRead with SupportsWrite 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new MqScan(topic)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Kafka-convention per-trigger admission control (rows ≈ offsets here:
+    // one message per offset)
+    val maxPerTrigger = Option(options.get("maxOffsetsPerTrigger")).map(_.toLong)
+    () => new MqScan(topic, maxPerTrigger)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new MqWrite(topic, MqWriterCols.resolve(info.schema()))
     }
 }
 
-class MqScan(topic: String) extends Scan {
+class MqScan(topic: String, maxPerTrigger: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = MqSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MqMicroBatchStream(topic)
+    new MqMicroBatchStream(topic, maxPerTrigger)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val ends = MqBroker.endOffsets(topic)
@@ -166,7 +170,8 @@ object MqOffset {
     MqOffset(json.trim.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toLong))
 }
 
-class MqMicroBatchStream(topic: String) extends MicroBatchStream with SupportsTriggerAvailableNow {
+class MqMicroBatchStream(topic: String, maxPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   // End offsets captured at query start for Trigger.AvailableNow, so the
   // run processes exactly the data present at start and then terminates.
   @volatile private var availableNowEnd: Option[MqOffset] = None
@@ -182,7 +187,34 @@ class MqMicroBatchStream(topic: String) extends MicroBatchStream with SupportsTr
 
   override def reportLatestOffset(): Offset = MqOffset(MqBroker.endOffsets(topic))
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control: cap each micro-batch at the requested row budget,
+    * allocated across partitions proportionally to their backlog (floor) —
+    * the same posture as the Kafka source's maxOffsetsPerTrigger. Under
+    * Trigger.AvailableNow the cap still applies per batch; the engine
+    * keeps issuing batches until the prepared end is reached. Guaranteed
+    * progress: when every proportional floor rounds to zero, one row is
+    * taken from the first lagging partition rather than spinning on an
+    * empty batch.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val hard = availableNowEnd.getOrElse(MqOffset(MqBroker.endOffsets(topic))).ends
+    limit match {
+      case rows: ReadMaxRows =>
+        val s = start.asInstanceOf[MqOffset].ends
+        val avail = hard.indices.map(p => hard(p) - s(p))
+        val total = avail.sum
+        if (total <= rows.maxRows) MqOffset(hard)
+        else {
+          val take = avail.map(a => a * rows.maxRows / total).toArray
+          if (take.sum == 0) take(avail.indexWhere(_ > 0)) = 1L
+          MqOffset(s.indices.map(p => s(p) + take(p)).toArray)
+        }
+      case _ => MqOffset(hard)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = MqOffset.parse(json)
 

@@ -87,6 +87,23 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("S2c maxOffsetsPerTrigger: admission control caps every micro-batch") {
+    val n = publishEvents("t_ratelimit").count() // 1000 events, 4 partitions
+    val df = spark.readStream.format(graft.sources.MqSource.format)
+      .option("topic", "t_ratelimit").option("maxOffsetsPerTrigger", "100").load()
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = df.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => sizes += b.count(); () }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cp-ratelimit").toString)
+      .start()
+    q.awaitTermination()
+    assert(sizes.sum == n, s"all data consumed: $sizes")
+    assert(sizes.forall(_ <= 100), s"batch over cap: $sizes")
+    assert(sizes.count(_ > 0) >= 10, s"expected >= 10 capped batches: $sizes")
+  }
+
   test("S2 MqOffset equality is by content (engine's no-new-data detection)") {
     import graft.sources.MqOffset
     assert(MqOffset(Array(1L, 2L)) == MqOffset(Array(1L, 2L)))
