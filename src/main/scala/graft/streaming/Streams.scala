@@ -267,6 +267,50 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** S4b: decode with VALIDITY instead of silent nulls — `from_json`
+    * yields a null struct (or null required fields) on malformed
+    * payloads; this keeps the raw message alongside the parse result and
+    * flags it, so a pipeline can ROUTE bad records instead of dropping
+    * them on the floor.
+    */
+  def decodeEventsValidated(mq: DataFrame): DataFrame = {
+    val schema = StructType.fromDDL(
+      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+    mq.select(col("key"), col("value").as("raw"), col("timestamp"),
+      from_json(col("value"), schema).as("e"))
+      .withColumn("valid",
+        col("e").isNotNull && col("e.event_id").isNotNull && col("e.ts_us").isNotNull)
+  }
+
+  /** S5c: dead-letter routing — the canonical MQ-consumer error contract:
+    * consume topic A, publish decoded-good rows to topic B and every
+    * malformed payload (verbatim, so it can be replayed after a fix) to a
+    * dead-letter topic. One pass per micro-batch; both publishes ride the
+    * MQ sink's batch write path on executors. The batch is cached for
+    * the two branch scans and the split is a narrow filter — at scale
+    * this is the standard foreachBatch fan-out shape.
+    */
+  def runWithDeadLetter(mq: DataFrame, outTopic: String, dlqTopic: String,
+                        checkpoint: String): Unit = {
+    val q = decodeEventsValidated(mq).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          batch.filter(col("valid"))
+            .select(col("e.user_id").cast("string").as("key"),
+              to_json(col("e")).as("value"), col("timestamp"))
+            .write.mode("append").format(MqSource.format).option("topic", outTopic).save()
+          batch.filter(!col("valid"))
+            .select(col("key"), col("raw").as("value"), col("timestamp"))
+            .write.mode("append").format(MqSource.format).option("topic", dlqTopic).save()
+        } finally { batch.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
   /** S5: foreachBatch parquet sink — idempotent per-batch overwrite into
     * a batch-id subdirectory; with the checkpoint this is the standard
     * exactly-once file-sink recipe.

@@ -304,6 +304,30 @@ class StreamingSpec extends SparkSuite {
     assert(deduped.map(_.getAs[Long]("event_id")).distinct.size.toLong == expected)
   }
 
+  test("S5c dead-letter routing: good rows to out, malformed payloads verbatim to DLQ") {
+    Seq("t_dlq_in", "t_dlq_out", "t_dlq_dead").foreach { t =>
+      MqBroker.deleteTopic(t); MqBroker.createTopic(t, 2)
+    }
+    val good = Seq(
+      """{"event_id":1,"ts_us":1706000000000000,"user_id":7,"event_type":"click","value":1.5}""",
+      """{"event_id":2,"ts_us":1706000001000000,"user_id":8,"event_type":"purchase","value":9.0}""",
+      """{"event_id":3,"ts_us":1706000002000000,"user_id":7,"event_type":"click","value":0.5}""")
+    val bad = Seq("not json at all", """{"event_id":"missing-everything"}""")
+    (good ++ bad).foreach(v => MqBroker.publish("t_dlq_in", "k", v, 0L))
+    Streams.runWithDeadLetter(Streams.mqStream(spark, "t_dlq_in"),
+      "t_dlq_out", "t_dlq_dead",
+      Files.createTempDirectory("graft-cp-dlq").toString)
+    def read(t: String) = spark.read.format(graft.sources.MqSource.format)
+      .option("topic", t).load()
+    val out = read("t_dlq_out")
+    assert(out.count() == 3)
+    assert(out.select(get_json_object(col("value"), "$.event_id").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // DLQ carries the ORIGINAL payloads byte-for-byte, replayable post-fix
+    val dead = read("t_dlq_dead").select(col("value")).collect().map(_.getString(0)).toSet
+    assert(dead == bad.toSet)
+  }
+
   test("S5b MQ sink rejects frames without a value column or with wrong types") {
     import graft.sources.MqWriterCols
     import org.apache.spark.sql.types.StructType
