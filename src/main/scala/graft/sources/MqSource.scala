@@ -128,7 +128,12 @@ class MqTable(topic: String) extends Table with SupportsRead with SupportsWrite 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // Kafka-convention per-trigger admission control (rows ≈ offsets here:
     // one message per offset)
-    val maxPerTrigger = Option(options.get("maxOffsetsPerTrigger")).map(_.toLong)
+    val maxPerTrigger = Option(options.get("maxOffsetsPerTrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxOffsetsPerTrigger must be positive, got $n " +
+        "(omit the option for unlimited)")
+      n
+    }
     () => new MqScan(topic, maxPerTrigger)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -191,13 +196,16 @@ class MqMicroBatchStream(topic: String, maxPerTrigger: Option[Long] = None)
     maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
   /** Admission control: cap each micro-batch at the requested row budget,
-    * allocated across partitions proportionally to their backlog (floor) —
-    * the same posture as the Kafka source's maxOffsetsPerTrigger. Under
+    * allocated across partitions proportionally to their backlog — the
+    * same posture as the Kafka source's maxOffsetsPerTrigger. Under
     * Trigger.AvailableNow the cap still applies per batch; the engine
-    * keeps issuing batches until the prepared end is reached. Guaranteed
-    * progress: when every proportional floor rounds to zero, one row is
-    * taken from the first lagging partition rather than spinning on an
-    * empty batch.
+    * keeps issuing batches until the prepared end is reached. Floors are
+    * topped up by largest-remainder (partition index tie-break) so the
+    * FULL budget is admitted every batch — with a bare floor, a budget
+    * below the backlogged-partition count would round every share to
+    * zero and throughput would collapse to whatever fallback admits.
+    * BigInt for the proportional product: backlog × budget can exceed
+    * Long at wide-backlog/large-budget extremes.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val hard = availableNowEnd.getOrElse(MqOffset(MqBroker.endOffsets(topic))).ends
@@ -208,8 +216,13 @@ class MqMicroBatchStream(topic: String, maxPerTrigger: Option[Long] = None)
         val total = avail.sum
         if (total <= rows.maxRows) MqOffset(hard)
         else {
-          val take = avail.map(a => a * rows.maxRows / total).toArray
-          if (take.sum == 0) take(avail.indexWhere(_ > 0)) = 1L
+          val take = avail.map(a => (BigInt(a) * rows.maxRows / total).toLong).toArray
+          var rem = rows.maxRows - take.sum
+          val byRemainder = avail.indices
+            .sortBy(p => (-(BigInt(avail(p)) * rows.maxRows % total), BigInt(p)))
+          byRemainder.foreach { p =>
+            if (rem > 0 && take(p) < avail(p)) { take(p) += 1; rem -= 1 }
+          }
           MqOffset(s.indices.map(p => s(p) + take(p)).toArray)
         }
       case _ => MqOffset(hard)

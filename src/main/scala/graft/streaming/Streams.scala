@@ -38,10 +38,14 @@ object Streams {
     * the canonical MQ-consumer first step (`from_json` with a declared,
     * not inferred, schema).
     */
+  /** The one declared event payload schema — shared by every decode path
+    * so the plain and validated decoders can never drift apart.
+    */
+  val EventSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+
   def decodeEvents(mq: DataFrame): DataFrame = {
-    val schema = StructType.fromDDL(
-      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
-    mq.select(from_json(col("value"), schema).as("e"))
+    mq.select(from_json(col("value"), EventSchema).as("e"))
       .select(col("e.event_id").as("event_id"),
         timestamp_micros(col("e.ts_us")).as("ts"),
         col("e.user_id").as("user_id"),
@@ -268,18 +272,19 @@ object Streams {
   }
 
   /** S4b: decode with VALIDITY instead of silent nulls — `from_json`
-    * yields a null struct (or null required fields) on malformed
-    * payloads; this keeps the raw message alongside the parse result and
-    * flags it, so a pipeline can ROUTE bad records instead of dropping
-    * them on the floor.
+    * (PERMISSIVE) yields a null struct on unparseable payloads and nulls
+    * any type-mismatched FIELD while keeping the rest; every field of
+    * [[EventSchema]] is required, so validity demands all of them. This
+    * keeps the raw message alongside the parse result and flags it, so a
+    * pipeline can ROUTE bad records instead of publishing rows with
+    * silently nulled-out fields.
     */
   def decodeEventsValidated(mq: DataFrame): DataFrame = {
-    val schema = StructType.fromDDL(
-      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
     mq.select(col("key"), col("value").as("raw"), col("timestamp"),
-      from_json(col("value"), schema).as("e"))
+      from_json(col("value"), EventSchema).as("e"))
       .withColumn("valid",
-        col("e").isNotNull && col("e.event_id").isNotNull && col("e.ts_us").isNotNull)
+        col("e").isNotNull &&
+          EventSchema.fieldNames.map(f => col(s"e.$f").isNotNull).reduce(_ && _))
   }
 
   /** S5c: dead-letter routing — the canonical MQ-consumer error contract:

@@ -312,7 +312,10 @@ class StreamingSpec extends SparkSuite {
       """{"event_id":1,"ts_us":1706000000000000,"user_id":7,"event_type":"click","value":1.5}""",
       """{"event_id":2,"ts_us":1706000001000000,"user_id":8,"event_type":"purchase","value":9.0}""",
       """{"event_id":3,"ts_us":1706000002000000,"user_id":7,"event_type":"click","value":0.5}""")
-    val bad = Seq("not json at all", """{"event_id":"missing-everything"}""")
+    val bad = Seq("not json at all", """{"event_id":"missing-everything"}""",
+      // parseable but field-corrupt: PERMISSIVE nulls user_id/value — must
+      // be dead-lettered, not published with silently nulled fields
+      """{"event_id":9,"ts_us":1,"user_id":"oops","event_type":"click","value":"NaNope"}""")
     (good ++ bad).foreach(v => MqBroker.publish("t_dlq_in", "k", v, 0L))
     Streams.runWithDeadLetter(Streams.mqStream(spark, "t_dlq_in"),
       "t_dlq_out", "t_dlq_dead",
