@@ -529,6 +529,15 @@ object Registry {
           // restrict the scan to the query vector's bucket, like the Spark plan
           s"WHERE bucket = (SELECT CAST($bucketSql AS INT) FROM embeddings WHERE vec_id = 0)"))),
 
+      QueryDef("l3_ann_multiprobe", Similarity.l3AnnMultiProbe,
+        Some(cosineSql(
+          s"SELECT vec_id, label, embedding, CAST($bucketSql AS INT) AS bucket FROM embeddings",
+          ", bucket",
+          // probe = query bucket plus every Hamming-1 neighbor (one bit
+          // XOR-flipped), like the Spark probe-set broadcast
+          s"""WHERE xor(bucket, (SELECT CAST($bucketSql AS INT) FROM embeddings WHERE vec_id = 0))
+              IN (${(0 +: (0 until 6).map(1 << _)).mkString(", ")})"""))),
+
       // IVF replay: k-means-TRAINED centroids (Similarity.KmIters Lloyd
       // rounds over the deterministic vec_id % KmTrainMod == 0 training
       // slice from its first-cells init, one CTE chain

@@ -87,6 +87,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** L3c: MULTI-PROBE sign-bit LSH — search the query's bucket plus every
+    * bucket at Hamming distance 1 (one sign bit flipped), the classic
+    * recall-recovery move for LSH at a fixed index: vectors near a
+    * hyperplane land on either side, so the 1-flip neighborhood recovers
+    * most single-probe misses at (bits+1)/2^bits of the corpus instead of
+    * rebuilding with fewer bits (which would double EVERY probe's cost).
+    * The probe set is a `bits+1`-row broadcast; candidates join on the
+    * precomputable bucket id exactly like [[annTopK]], so at 100 TB the
+    * probe still touches only the probed partitions.
+    */
+  def annMultiProbeTopK(t: Tables, queryId: Long, k: Int, bits: Int): DataFrame = {
+    val bucketed = t.embeddings
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+    val q = t.embeddings.filter(col("vec_id") === queryId)
+      .select(dbl(col("embedding")).as("q_emb"),
+        signBucket(col("embedding"), bits).as("q_bucket"))
+    // q_bucket XOR each of the `bits` single-bit masks, plus q_bucket itself
+    val probes = q.select(col("q_emb"), explode(array(
+      lit(0) +: (0 until bits).map(i => lit(1 << i)): _*)).as("flip"))
+      .crossJoin(q.select(col("q_bucket")))
+      .select(col("q_emb"), col("q_bucket").bitwiseXOR(col("flip")).as("probe"))
+    bucketed
+      .join(broadcast(probes), col("bucket") === col("probe"))
+      .select(col("vec_id"), col("label"), col("bucket"),
+        cosine(dbl(col("embedding")), col("q_emb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Production-fast top-k via the native codegen'd [[graft.functions.CosineSimilarity]]
     * expression (`cosine_fast`): single fused pass, no decimal casts, no
     * interpreted higher-order calls. The declared queries keep the exact-
@@ -359,6 +388,10 @@ object Similarity {
     */
   def l3AnnBucket(spark: SparkSession, dir: String): DataFrame =
     annTopK(Tables(spark, dir), queryId = 0L, k = 10, bits = 6)
+
+  /** L3c declared query: multi-probe over the same 6-bit sign buckets. */
+  def l3AnnMultiProbe(spark: SparkSession, dir: String): DataFrame =
+    annMultiProbeTopK(Tables(spark, dir), queryId = 0L, k = 10, bits = 6)
 
   /** IVF geometry for the declared query (shared with the oracle builder). */
   val IvfCells  = 8

@@ -179,6 +179,27 @@ class LlmOpsSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("L3c multi-probe LSH: superset of single-probe, candidates within Hamming-1, recall no worse") {
+    val t = Tables(spark, sf)
+    val bits = 6
+    val single = Similarity.annTopK(t, 0L, 10, bits).collect()
+    val multi = Similarity.annMultiProbeTopK(t, 0L, 10, bits).collect()
+    val brute = Similarity.bruteForceTopK(t, 0L, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    // every candidate bucket is the query's bucket or one bit away
+    val qBucket = single.head.getAs[Int]("bucket") // self-hit carries it
+    multi.foreach { r =>
+      val d = Integer.bitCount(r.getAs[Int]("bucket") ^ qBucket)
+      assert(d <= 1, s"bucket ${r.getAs[Int]("bucket")} is $d flips from $qBucket")
+    }
+    // widening the probe set can only help: single-probe hits that rank in
+    // the top-k remain, and brute-force recall does not decrease
+    val sIds = single.map(_.getAs[Long]("vec_id")).toSet
+    val mIds = multi.map(_.getAs[Long]("vec_id")).toSet
+    assert((mIds & brute).size >= (sIds & brute).size)
+    assert(multi.head.getAs[Long]("vec_id") == 0L) // self first at 1.0
+  }
+
   test("L7 pointer-jumping CC: equals fixed-round collapse, solves a 2000-node chain") {
     // same fixture graph as the fixed-round test → identical answer
     val ids = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("doc_id")
