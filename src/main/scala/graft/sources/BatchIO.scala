@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.{Det, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** S6 (SURVEY.md §2.1): CSV/JSON batch IO as DECLARED, oracle-checked
@@ -98,5 +98,28 @@ object BatchIO {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("c_acctbal")).as("total_bal"))
       .orderBy(col("c_mktsegment"))
+  }
+
+  /** Compaction-aware parquet writer — the small-files defense: a 100 TB
+    * pipeline stage that inherits 32k shuffle partitions and writes them
+    * verbatim produces 32k tiny files, and every later scan pays open/seek
+    * per file plus a metadata-bloated listing. File count is sized from
+    * the optimizer's own byte estimate (`optimizedPlan.stats`) against a
+    * target file size; `sortKeys` optionally orders rows within each file
+    * so min/max column stats (parquet row-group pruning) stay selective
+    * for later range scans. Returns the file count written.
+    */
+  def writeCompacted(df: DataFrame, path: String, targetBytes: Long = 128L << 20,
+                     sortKeys: Seq[Column] = Nil): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = (est / targetBytes).toLong.toInt.max(1)
+    val laid =
+      if (sortKeys.isEmpty) df.repartition(files)
+      // range partition + in-partition sort: globally ordered layout, so
+      // each file covers a disjoint key range (max pruning selectivity)
+      else df.repartitionByRange(files, sortKeys: _*).sortWithinPartitions(sortKeys: _*)
+    laid.write.mode("overwrite").parquet(path)
+    files
   }
 }
