@@ -651,7 +651,7 @@ object Registry {
         df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
         n AS (SELECT COUNT(*) AS n_docs_total FROM documents)
         SELECT doc_id, token, tf, n_tokens, df,
-          ROUND((tf::DOUBLE / n_tokens) * ln(n_docs_total::DOUBLE / df), 6) AS tf_idf
+          ROUND((tf::DOUBLE / n_tokens) * ROUND(ln(n_docs_total::DOUBLE / df), 6), 6) AS tf_idf
         FROM tf JOIN df USING (token) CROSS JOIN n
         ORDER BY doc_id, token""")),
 

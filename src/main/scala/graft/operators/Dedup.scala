@@ -393,7 +393,10 @@ object Dedup {
         .join(l1.select(col("doc_id").as("label"), col("label").as("plabel")), Seq("label"))
         .select(col("doc_id"), col("plabel").as("label"))
         .localCheckpoint()
-      val s = l2.agg(sum(col("label")).cast("decimal(38,0)")).collect()(0)
+      // cast the ELEMENTS, not the finished sum: a Long-typed aggregate
+      // overflows (ANSI throw or silent wrap) before the cast could help
+      // at 100 TB id magnitudes
+      val s = l2.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
         .getDecimal(0)
       converged = prevSum.contains(s)
       prevSum = Some(s)

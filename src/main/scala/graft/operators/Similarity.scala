@@ -104,9 +104,8 @@ object Similarity {
       .select(dbl(col("embedding")).as("q_emb"),
         signBucket(col("embedding"), bits).as("q_bucket"))
     // q_bucket XOR each of the `bits` single-bit masks, plus q_bucket itself
-    val probes = q.select(col("q_emb"), explode(array(
+    val probes = q.select(col("q_emb"), col("q_bucket"), explode(array(
       lit(0) +: (0 until bits).map(i => lit(1 << i)): _*)).as("flip"))
-      .crossJoin(q.select(col("q_bucket")))
       .select(col("q_emb"), col("q_bucket").bitwiseXOR(col("flip")).as("probe"))
     bucketed
       .join(broadcast(probes), col("bucket") === col("probe"))

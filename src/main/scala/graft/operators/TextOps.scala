@@ -91,8 +91,16 @@ object TextOps {
     * from [[l4TermFreq]]'s raw counts. The corpus size reaches the plan as
     * a 1-row broadcast (agg → crossJoin(broadcast)), never a driver-side
     * count: two shuffles total (doc-term partial count, token df), then a
-    * token-keyed join of narrow rows. ln is the one double call; rounded
-    * at 6 dp per the cross-engine discipline used throughout.
+    * token-keyed join of narrow rows.
+    *
+    * ln is the ONE transcendental in the whole oracle discipline (divide
+    * and sqrt are IEEE correctly-rounded and engine-identical; libm/JVM
+    * ln is only ~1-ulp accurate). The idf factor is therefore rounded at
+    * 6 dp BEFORE the multiply: the downstream product then consumes
+    * bit-identical inputs on both engines, and the residual cross-engine
+    * exposure shrinks to the handful of DISTINCT df values (a 1-ulp ln
+    * disagreement flips a 6-dp rounding only within ~2 ulp of a half
+    * boundary — ~1e-10 per distinct value), instead of every output row.
     */
   def l4TfIdf(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -108,7 +116,7 @@ object TextOps {
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("token"), col("tf"), col("n_tokens"), col("df"),
         round((col("tf").cast("double") / col("n_tokens")) *
-          log(col("n_docs_total").cast("double") / col("df")), 6).as("tf_idf"))
+          round(log(col("n_docs_total").cast("double") / col("df")), 6), 6).as("tf_idf"))
       .orderBy(col("doc_id"), col("token"))
   }
 

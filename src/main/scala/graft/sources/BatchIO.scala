@@ -110,10 +110,15 @@ object BatchIO {
     * for later range scans. Returns the file count written.
     */
   def writeCompacted(df: DataFrame, path: String, targetBytes: Long = 128L << 20,
-                     sortKeys: Seq[Column] = Nil): Int = {
+                     sortKeys: Seq[Column] = Nil, maxFiles: Int = 10000): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
+    require(maxFiles > 0, "maxFiles must be positive")
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val files = (est / targetBytes).toLong.toInt.max(1)
+    // clamp in BigInt BEFORE narrowing: stats can be Long.MaxValue (the
+    // no-stats fallback) or a join-product estimate — .toLong.toInt on
+    // those wraps to an arbitrary count (2^36 → 0 → one giant single-task
+    // file, the exact pathology this writer exists to prevent)
+    val files = (est / targetBytes).min(BigInt(maxFiles)).max(BigInt(1)).toInt
     val laid =
       if (sortKeys.isEmpty) df.repartition(files)
       // range partition + in-partition sort: globally ordered layout, so
