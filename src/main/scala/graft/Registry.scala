@@ -655,6 +655,23 @@ object Registry {
         FROM tf JOIN df USING (token) CROSS JOIN n
         ORDER BY doc_id, token""")),
 
+      QueryDef("l4_bm25", TextOps.l4Bm25, Some("""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        terms AS (SELECT doc_id, CAST(len(t) AS INT) AS dl, unnest(t) AS token FROM s),
+        tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM terms GROUP BY ALL),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT COUNT(*) AS n_docs_total,
+                     CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+              FROM documents)
+        SELECT doc_id, token, tf, dl, df,
+          ROUND(
+            ROUND(ln((n_docs_total::DOUBLE - df + 0.5) / (df + 0.5)), 6)
+            * tf::DOUBLE * 2.2
+            / (tf::DOUBLE + 1.2 * (1.0 - 0.75
+                 + 0.75 * dl::DOUBLE / (sum_dl::DOUBLE / n_docs_total))), 6) AS bm25
+        FROM tf JOIN df USING (token) CROSS JOIN n
+        ORDER BY doc_id, token""")),
+
       QueryDef("l4_langid_ngram", TextOps.l4LangIdNgram, Some {
         val langs = Seq("en", "de", "es", "fr", "zh")
         def gramScore(l: String): String = {

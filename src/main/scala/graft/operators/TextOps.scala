@@ -120,6 +120,41 @@ object TextOps {
       .orderBy(col("doc_id"), col("token"))
   }
 
+  /** BM25 term weights — the standard retrieval scoring function (and the
+    * relevance signal retrieval-augmented curation ranks by):
+    * idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with the classic
+    * k1=1.2, b=0.75 and the Robertson idf ln((N−df+0.5)/(df+0.5)).
+    * Same plan shape as [[l4TfIdf]] (two shuffles, corpus stats as a
+    * 1-row broadcast) and the same transcendental discipline: ln is
+    * pre-rounded at 6 dp so every downstream op consumes engine-identical
+    * inputs (k1/b literals parse to the same doubles on both engines; all
+    * other ops are IEEE correctly-rounded).
+    */
+  def l4Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val terms = t.documents
+      .select(col("doc_id"), size(toks(col("text"))).as("dl"),
+        explode(toks(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = terms.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = t.documents.agg(
+      count(lit(1)).as("n_docs_total"),
+      sum(size(toks(col("text")))).as("sum_dl"))
+    val idf6 = round(log(
+      (col("n_docs_total").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))), 6)
+    val tfD = col("tf").cast("double")
+    val norm = tfD + lit(1.2) * (lit(1.0) - lit(0.75) +
+      lit(0.75) * col("dl").cast("double") /
+        (col("sum_dl").cast("double") / col("n_docs_total")))
+    terms.join(docFreq, "token")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("token"), col("tf"), col("dl"), col("df"),
+        round(idf6 * tfD * lit(2.2) / norm, 6).as("bm25"))
+      .orderBy(col("doc_id"), col("token"))
+  }
+
   /** Stopword-profile language ID: score each language by how many of its
     * profile words appear, argmax with a fixed tie order (en→de→es→fr→zh).
     * (The fixture corpus is synthetic shared-vocabulary soup, so the

@@ -370,6 +370,27 @@ class LlmOpsSpec extends SparkSuite {
     assert(math.abs(out((1L, "rare1")) - math.log(3.0) / 4) < 1e-6)
   }
 
+  test("L4 BM25: rare beats common, longer docs dampened, saturates with tf") {
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    Seq(
+      (1L, "rare topic a"),            // tf(topic)=1, dl=3
+      (2L, "topic b c d e f"),         // tf(topic)=1, dl=6 (longer)
+      (3L, "sat f1 f2 f3"),            // tf(sat)=1, dl=4
+      (4L, "sat sat sat f4"),          // tf(sat)=3, dl=4
+      (5L, "f5 f6")).toDF("doc_id", "text")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val out = TextOps.l4Bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(5)).toMap
+    // rarer term wins at equal tf in the same doc: df(rare)=1 vs df(topic)=2
+    assert(out((1L, "rare")) > out((1L, "topic")))
+    // length normalization: same term, same tf, longer doc scores lower
+    assert(out((1L, "topic")) > out((2L, "topic")))
+    // tf saturation: tripling tf (same dl) gains, but less than 3×
+    assert(out((4L, "sat")) > out((3L, "sat")))
+    assert(out((4L, "sat")) < 3 * out((3L, "sat")))
+  }
+
   test("L4 fingerprint: stable 32-hex, shifts only on edit") {
     val df = Seq(
       (1L, "a b c d e f"),
