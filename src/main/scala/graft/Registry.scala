@@ -501,7 +501,10 @@ object Registry {
         }.mkString(",\n        ")
         s"""
         ${simJoinCtes(wordBagTokset)},
-        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        -- MATERIALIZED: each propagation round references edges; inlined,
+        -- DuckDB would re-execute the entire simJoin pipeline per round
+        -- (observed OOM at sf0.1 replaying the 3M-pair graph 6 times)
+        edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
                   UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
         lab0 AS (SELECT doc_id, doc_id AS label FROM documents),
         $rounds
@@ -651,7 +654,8 @@ object Registry {
         df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
         n AS (SELECT COUNT(*) AS n_docs_total FROM documents)
         SELECT doc_id, token, tf, n_tokens, df,
-          ROUND((tf::DOUBLE / n_tokens) * ROUND(ln(n_docs_total::DOUBLE / df), 6), 6) AS tf_idf
+          CAST((2 * tf * CAST(ROUND(ln(n_docs_total::DOUBLE / df) * 1e6) AS BIGINT)
+                + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1e6 AS tf_idf
         FROM tf JOIN df USING (token) CROSS JOIN n
         ORDER BY doc_id, token""")),
 

@@ -95,12 +95,16 @@ object TextOps {
     *
     * ln is the ONE transcendental in the whole oracle discipline (divide
     * and sqrt are IEEE correctly-rounded and engine-identical; libm/JVM
-    * ln is only ~1-ulp accurate). The idf factor is therefore rounded at
-    * 6 dp BEFORE the multiply: the downstream product then consumes
-    * bit-identical inputs on both engines, and the residual cross-engine
-    * exposure shrinks to the handful of DISTINCT df values (a 1-ulp ln
-    * disagreement flips a 6-dp rounding only within ~2 ulp of a half
-    * boundary — ~1e-10 per distinct value), instead of every output row.
+    * ln is only ~1-ulp accurate). The idf is therefore snapped to
+    * INTEGER micro-units once (residual cross-engine exposure: a 1-ulp
+    * ln disagreement within ~2 ulp of a .5 micro boundary, ~1e-10 per
+    * DISTINCT df value), and the final weight is HALF_UP(tf·idfµ/n)
+    * computed entirely in integer arithmetic — (2·tf·idfµ + n) DIV (2n)
+    * — because a double ROUND of the terminating rational tf·idf6/n
+    * genuinely lands on half boundaries (observed at sf0.1: idf6/70 =
+    * 3860.5e-6 exactly), where Spark's BigDecimal HALF_UP and DuckDB's
+    * scaled-multiply round disagree. The closing ÷1e6 is one correctly-
+    * rounded double op, identical on both engines.
     */
   def l4TfIdf(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -114,9 +118,11 @@ object TextOps {
     val total = t.documents.agg(count(lit(1)).as("n_docs_total"))
     terms.join(docFreq, "token")
       .crossJoin(broadcast(total))
+      .withColumn("idf_micro",
+        round(log(col("n_docs_total").cast("double") / col("df")) * lit(1e6)).cast("long"))
       .select(col("doc_id"), col("token"), col("tf"), col("n_tokens"), col("df"),
-        round((col("tf").cast("double") / col("n_tokens")) *
-          round(log(col("n_docs_total").cast("double") / col("df")), 6), 6).as("tf_idf"))
+        (expr("(2L * tf * idf_micro + n_tokens) DIV (2L * n_tokens)")
+          .cast("double") / lit(1e6)).as("tf_idf"))
       .orderBy(col("doc_id"), col("token"))
   }
 
