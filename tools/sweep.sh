@@ -1,0 +1,20 @@
+#!/bin/bash
+# Tri-scale oracle sweep: run Verify + the DuckDB compare at every fixture
+# scale. The driver gates at sf0.01 only; sf0.001 catches small-N edge
+# cases (empty groups, single-element quantiles) and sf0.1 catches
+# scale-dependent divergence (rounding half-boundaries, oracle memory) —
+# round 5 found one real defect in each direction this way.
+# Usage: tools/sweep.sh [sf ...]   (default: 0.001 0.01 0.1)
+set -e
+cd "$(dirname "$0")/.."
+sbt -batch compile >/dev/null
+for sf in "${@:-0.001 0.01 0.1}"; do
+  for s in $sf; do
+    out="/tmp/graft_sweep_sf$s"
+    echo "== sf$s =="
+    SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
+      tools/run.sh graft.Verify "/root/testdata/sf$s" "$out" 2>&1 \
+      | grep '\[verify\]' || true
+    python3 tools/check.py "/root/testdata/sf$s" "$out" | tail -1
+  done
+done
