@@ -106,15 +106,23 @@ object TextOps {
     * scaled-multiply round disagree. The closing ÷1e6 is one correctly-
     * rounded double op, identical on both engines.
     */
+  /** Shared term-statistics pipeline for [[l4TfIdf]] / [[l4Bm25]]:
+    * per-(doc, token) tf with the doc's token count under `lenCol`, and
+    * per-token document frequency (terms is unique per (doc_id, token),
+    * so df is a plain count).
+    */
+  private def termStats(docs: DataFrame, lenCol: String): (DataFrame, DataFrame) = {
+    val terms = docs
+      .select(col("doc_id"), size(toks(col("text"))).as(lenCol),
+        explode(toks(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col(lenCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    (terms, terms.groupBy(col("token")).agg(count(lit(1)).as("df")))
+  }
+
   def l4TfIdf(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val terms = t.documents
-      .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"),
-        explode(toks(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("n_tokens"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    // terms is unique per (doc_id, token), so df is a plain count
-    val docFreq = terms.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val (terms, docFreq) = termStats(t.documents, "n_tokens")
     val total = t.documents.agg(count(lit(1)).as("n_docs_total"))
     terms.join(docFreq, "token")
       .crossJoin(broadcast(total))
@@ -138,12 +146,7 @@ object TextOps {
     */
   def l4Bm25(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val terms = t.documents
-      .select(col("doc_id"), size(toks(col("text"))).as("dl"),
-        explode(toks(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val docFreq = terms.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val (terms, docFreq) = termStats(t.documents, "dl")
     val stats = t.documents.agg(
       count(lit(1)).as("n_docs_total"),
       sum(size(toks(col("text")))).as("sum_dl"))
