@@ -669,7 +669,7 @@ object Registry {
               FROM documents)
         SELECT doc_id, token, tf, dl, df,
           ROUND(
-            ROUND(ln((n_docs_total::DOUBLE - df + 0.5) / (df + 0.5)), 6)
+            ROUND(ln(1.0 + (n_docs_total::DOUBLE - df + 0.5) / (df + 0.5)), 6)
             * tf::DOUBLE * 2.2
             / (tf::DOUBLE + 1.2 * (1.0 - 0.75
                  + 0.75 * dl::DOUBLE / (sum_dl::DOUBLE / n_docs_total))), 6) AS bm25

@@ -86,6 +86,20 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token"))
   }
 
+  /** Shared term-statistics pipeline for [[l4TfIdf]] / [[l4Bm25]]:
+    * per-(doc, token) tf with the doc's token count under `lenCol`, and
+    * per-token document frequency (terms is unique per (doc_id, token),
+    * so df is a plain count).
+    */
+  private def termStats(docs: DataFrame, lenCol: String): (DataFrame, DataFrame) = {
+    val terms = docs
+      .select(col("doc_id"), size(toks(col("text"))).as(lenCol),
+        explode(toks(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col(lenCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    (terms, terms.groupBy(col("token")).agg(count(lit(1)).as("df")))
+  }
+
   /** TF-IDF per (document, token): tf-normalized term weight × ln-idf —
     * the standard relevance weight a curation/retrieval pipeline derives
     * from [[l4TermFreq]]'s raw counts. The corpus size reaches the plan as
@@ -106,20 +120,6 @@ object TextOps {
     * scaled-multiply round disagree. The closing ÷1e6 is one correctly-
     * rounded double op, identical on both engines.
     */
-  /** Shared term-statistics pipeline for [[l4TfIdf]] / [[l4Bm25]]:
-    * per-(doc, token) tf with the doc's token count under `lenCol`, and
-    * per-token document frequency (terms is unique per (doc_id, token),
-    * so df is a plain count).
-    */
-  private def termStats(docs: DataFrame, lenCol: String): (DataFrame, DataFrame) = {
-    val terms = docs
-      .select(col("doc_id"), size(toks(col("text"))).as(lenCol),
-        explode(toks(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col(lenCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    (terms, terms.groupBy(col("token")).agg(count(lit(1)).as("df")))
-  }
-
   def l4TfIdf(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val (terms, docFreq) = termStats(t.documents, "n_tokens")
@@ -137,20 +137,28 @@ object TextOps {
   /** BM25 term weights — the standard retrieval scoring function (and the
     * relevance signal retrieval-augmented curation ranks by):
     * idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with the classic
-    * k1=1.2, b=0.75 and the Robertson idf ln((N−df+0.5)/(df+0.5)).
-    * Same plan shape as [[l4TfIdf]] (two shuffles, corpus stats as a
-    * 1-row broadcast) and the same transcendental discipline: ln is
-    * pre-rounded at 6 dp so every downstream op consumes engine-identical
-    * inputs (k1/b literals parse to the same doubles on both engines; all
-    * other ops are IEEE correctly-rounded).
+    * k1=1.2, b=0.75 and the Lucene-style non-negative idf
+    * ln(1 + (N−df+0.5)/(df+0.5)) — the raw Robertson form goes NEGATIVE
+    * for terms in more than half the corpus, which would make a matching
+    * doc rank below a non-matching one in [[bm25Search]]'s sum. Same
+    * plan shape as [[l4TfIdf]] (two shuffles, corpus stats as a 1-row
+    * broadcast) and the same transcendental discipline: ln is pre-rounded
+    * at 6 dp so every downstream op consumes engine-identical inputs
+    * (k1/b literals parse to the same doubles on both engines; all other
+    * ops are IEEE correctly-rounded, and norm's dl/avgdl is generically
+    * non-terminating so the closing 6-dp round has no exact half
+    * boundaries to land on).
     */
-  def l4Bm25(spark: SparkSession, dir: String): DataFrame = {
+  def l4Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Frame(spark, dir).orderBy(col("doc_id"), col("token"))
+
+  private def bm25Frame(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val (terms, docFreq) = termStats(t.documents, "dl")
     val stats = t.documents.agg(
       count(lit(1)).as("n_docs_total"),
       sum(size(toks(col("text")))).as("sum_dl"))
-    val idf6 = round(log(
+    val idf6 = round(log(lit(1.0) +
       (col("n_docs_total").cast("double") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5))), 6)
     val tfD = col("tf").cast("double")
@@ -161,19 +169,23 @@ object TextOps {
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("token"), col("tf"), col("dl"), col("df"),
         round(idf6 * tfD * lit(2.2) / norm, 6).as("bm25"))
-      .orderBy(col("doc_id"), col("token"))
   }
 
   /** Ranked retrieval over the corpus: top-k documents for a free-text
-    * query by summed per-term BM25. The token filter is pushed beneath
-    * the [[l4Bm25]] joins by Catalyst, so only the query's terms flow
-    * through the tf/df aggregates; ranking is TakeOrderedAndProject
-    * (k-row driver merge, no global sort).
+    * query by summed per-term BM25 (non-negative idf, so matching an
+    * extra query term can never DEMOTE a doc). Token matching is
+    * case-exact, consistent with the corpus tokenization everywhere else
+    * in this file — lowercase both sides upstream for case-folded search.
+    * The token filter is pushed beneath the joins by Catalyst, so only
+    * the query's terms flow through the tf/df aggregates; consumes the
+    * UNSORTED frame (l4Bm25's declared-query orderBy would survive the
+    * sum(double) aggregate as a useless global sort), and ranking is
+    * TakeOrderedAndProject (k-row driver merge).
     */
   def bm25Search(spark: SparkSession, dir: String, query: String, k: Int): DataFrame = {
-    val qTokens = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val qTokens = query.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(qTokens.nonEmpty, "empty query")
-    l4Bm25(spark, dir)
+    bm25Frame(spark, dir)
       .filter(col("token").isInCollection(qTokens))
       .groupBy(col("doc_id"))
       .agg(sum(col("bm25")).as("score"), count(lit(1)).as("n_terms_hit"))

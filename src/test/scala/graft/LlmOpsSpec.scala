@@ -391,9 +391,20 @@ class LlmOpsSpec extends SparkSuite {
     assert(out((4L, "sat")) < 3 * out((3L, "sat")))
   }
 
-  test("L4 BM25 search: multi-term query ranks the doc holding both terms first") {
-    val hits = TextOps.bm25Search(spark, sf, "the quick", 5).collect()
-    assert(hits.nonEmpty && hits.length <= 5)
+  test("L4 BM25 search: doc holding both query terms outranks single-term docs") {
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25s").toString
+    Seq(
+      (1L, "quick fox jumps"),        // both query terms, doc 1 must win
+      (2L, "quick brown bear"),       // one term
+      (3L, "fox den horror"),         // one term
+      (4L, "unrelated filler words"),
+      (5L, "more filler text here")).toDF("doc_id", "text")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val hits = TextOps.bm25Search(spark, dir, "quick fox", 5).collect()
+    assert(hits.head.getLong(0) == 1L, s"two-term doc must rank first: ${hits.toSeq}")
+    assert(hits.head.getLong(2) == 2L) // both terms hit
+    assert(hits.map(_.getLong(0)).toSet == Set(1L, 2L, 3L)) // only matching docs
     // scores strictly ordered desc with doc_id tie-break
     hits.sliding(2).foreach {
       case Array(a, b) =>
@@ -401,10 +412,8 @@ class LlmOpsSpec extends SparkSuite {
           (a.getDouble(1) == b.getDouble(1) && a.getLong(0) < b.getLong(0)))
       case _ =>
     }
-    // a doc matching MORE query terms scores at least as well as the best
-    // single-term doc when idfs are comparable: just sanity the term-hit
-    // column is populated and bounded by the query length
-    assert(hits.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 2))
+    // case-exact contract: capitalized query term matches nothing extra
+    assert(TextOps.bm25Search(spark, dir, "Quick", 5).count() == 0)
   }
 
   test("L4 fingerprint: stable 32-hex, shifts only on edit") {

@@ -5,7 +5,7 @@
 # scale-dependent divergence (rounding half-boundaries, oracle memory) —
 # round 5 found one real defect in each direction this way.
 # Usage: tools/sweep.sh [sf ...]   (default: 0.001 0.01 0.1)
-set -e
+set -e -o pipefail  # pipefail: check.py exits 1 on any FAIL; tail must not mask it
 cd "$(dirname "$0")/.."
 sbt -batch compile >/dev/null
 for sf in "${@:-0.001 0.01 0.1}"; do
