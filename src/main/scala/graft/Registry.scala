@@ -485,11 +485,14 @@ object Registry {
       // variants share every downstream stage.
       QueryDef("l6_simjoin", Dedup.l6SimJoin, Some(simJoinOracle(wordBagTokset))),
 
-      // L7: cluster collapse — lock-step replay of Dedup.clusterCollapse:
-      // same pair graph (shared CTE body), then exactly DefaultCcIters
-      // rounds of min-label propagation (label := min(own, neighbours')),
-      // generated as one CTE per round so the SQL is a round-for-round
-      // twin of the Spark loop.
+      // L7: cluster collapse — lock-step replay of Dedup.l6DedupDocs:
+      // same verified REP pair graph (shared CTE body up to `vpass`), then
+      // exactly DefaultCcIters rounds of min-label propagation over the
+      // rep graph (label := min(own, neighbours')), one CTE per round so
+      // the SQL is a round-for-round twin of the Spark loop, then a single
+      // member-expansion join after convergence — never the member-expanded
+      // pair list through the rounds (`pairs` is an unreferenced CTE here
+      // and DuckDB never evaluates it).
       QueryDef("l6_dedup_docs", Dedup.l6DedupDocs, Some {
         val rounds = (1 to Dedup.DefaultCcIters).map { k =>
           s"""lab$k AS (
@@ -502,14 +505,14 @@ object Registry {
         s"""
         ${simJoinCtes(wordBagTokset)},
         -- MATERIALIZED: each propagation round references edges; inlined,
-        -- DuckDB would re-execute the entire simJoin pipeline per round
-        -- (observed OOM at sf0.1 replaying the 3M-pair graph 6 times)
-        edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
-                  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
-        lab0 AS (SELECT doc_id, doc_id AS label FROM documents),
+        -- DuckDB would re-execute the rep-verify pipeline per round
+        edges AS MATERIALIZED (SELECT rep_a AS src, rep_b AS dst FROM vpass
+                  UNION ALL SELECT rep_b AS src, rep_a AS dst FROM vpass),
+        lab0 AS (SELECT rep_id AS doc_id, rep_id AS label FROM grp),
         $rounds
-        SELECT doc_id, label AS cluster_rep, doc_id = label AS kept
-        FROM lab${Dedup.DefaultCcIters} ORDER BY doc_id"""
+        SELECT m.doc_id, l.label AS cluster_rep, m.doc_id = l.label AS kept
+        FROM mem m JOIN lab${Dedup.DefaultCcIters} l ON l.doc_id = m.rep_id
+        ORDER BY m.doc_id"""
       }),
 
       // n-gram Jaccard: same pipeline over word 3-gram shingles (DuckDB

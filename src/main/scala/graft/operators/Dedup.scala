@@ -190,11 +190,29 @@ object Dedup {
     *     cross-pairs, and intra-group pairs (Jaccard 1.0) come straight
     *     from the groups.
     */
-  def simJoin(docs: DataFrame, bands: Int = DefaultBands,
-              rowsPerBand: Int = DefaultRowsPerBand,
-              threshold: Double = DefaultThreshold,
-              chunks: Int = DefaultChunks,
-              tokenizer: Column => Column = tokens): DataFrame = {
+  /** Internal decomposition of [[simJoin]]: the verified REP-level pair
+    * graph plus the set_sig group structure, before member expansion.
+    * Exposed so [[l6DedupDocs]] can propagate cluster labels over the much
+    * smaller rep graph (members of a set_sig group share their token set —
+    * Jaccard 1.0 — so group connectivity is fully determined by the rep
+    * graph) and expand members ONCE after convergence, instead of pushing
+    * the member-expanded pair list through every propagation round.
+    *
+    *  - `reps`:     one row per distinct token set — (rep_id)
+    *  - `repPairs`: verified near-dup rep pairs — (rep_a, rep_b, i, u)
+    *  - `members`:  group membership — (rep_id, doc_id)
+    */
+  case class SimJoinParts(reps: DataFrame, repPairs: DataFrame, members: DataFrame)
+
+  /** Stages 1–5 of the [[simJoin]] pipeline (set-collapse → banded LSH →
+    * salted bucket join → size prune → exact verify), stopping BEFORE
+    * member expansion. See [[simJoin]] for the plan-shape commentary.
+    */
+  def simJoinParts(docs: DataFrame, bands: Int = DefaultBands,
+                   rowsPerBand: Int = DefaultRowsPerBand,
+                   threshold: Double = DefaultThreshold,
+                   chunks: Int = DefaultChunks,
+                   tokenizer: Column => Column = tokens): SimJoinParts = {
     // 1. distinct-token-set groups, one integer representative per set.
     // Tokens are md5'd BEFORE the "|" join so a token containing the
     // delimiter can't collide two different sets into one group.
@@ -241,18 +259,29 @@ object Dedup {
       .withColumn("u", size(col("a_toks")) + size(col("b_toks")) - col("i"))
       .filter(col("i").cast("double") / col("u") >= threshold)
       .select(col("rep_a"), col("rep_b"), col("i"), col("u"))
-    // expand representatives back to document pairs
     val member = groups.select(col("rep_id"), explode(col("members")).as("doc_id"))
+    SimJoinParts(groups.select(col("rep_id")), repPairs, member)
+  }
+
+  def simJoin(docs: DataFrame, bands: Int = DefaultBands,
+              rowsPerBand: Int = DefaultRowsPerBand,
+              threshold: Double = DefaultThreshold,
+              chunks: Int = DefaultChunks,
+              tokenizer: Column => Column = tokens): DataFrame = {
+    val parts = simJoinParts(docs, bands, rowsPerBand, threshold, chunks, tokenizer)
+    val repPairs = parts.repPairs
+    val member = parts.members
+    // expand representatives back to document pairs
     val crossPairs = repPairs
       .join(member.withColumnRenamed("rep_id", "rep_a").withColumnRenamed("doc_id", "a"), "rep_a")
       .join(member.withColumnRenamed("rep_id", "rep_b").withColumnRenamed("doc_id", "b"), "rep_b")
       .select(least(col("a"), col("b")).as("a_id"), greatest(col("a"), col("b")).as("b_id"),
         col("i"), col("u"))
-    val intraPairs = groups.filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a") < col("b"))
-      .select(col("a").as("a_id"), col("b").as("b_id"), lit(1).as("i"), lit(1).as("u"))
+    val intraPairs = member.as("ma")
+      .join(member.as("mb"),
+        col("ma.rep_id") === col("mb.rep_id") && col("ma.doc_id") < col("mb.doc_id"))
+      .select(col("ma.doc_id").as("a_id"), col("mb.doc_id").as("b_id"),
+        lit(1).as("i"), lit(1).as("u"))
     // Output jaccard rounded HALF_UP at 4 dp in EXACT integer arithmetic
     // (same discipline as Det.davg): round(i/u, 4) = ⌊(2·10⁴·i + u) / (2u)⌋
     // / 10⁴ — cross-engine deterministic where round(double) is not.
@@ -337,13 +366,30 @@ object Dedup {
 
   /** L7 declared query: cluster-collapsed keep-list over the [[simJoin]]
     * pair graph at its shared defaults — the end-to-end "which documents
-    * survive near-dup dedup" answer. Oracle replays the same
-    * [[DefaultCcIters]] propagation rounds in SQL.
+    * survive near-dup dedup" answer.
+    *
+    * Propagation runs over the REP-level graph, not the member-expanded
+    * one: members of a set_sig group share their token set (Jaccard 1.0),
+    * so document connectivity is exactly rep connectivity plus group
+    * membership, and rep_id = min(member doc_ids) means the min label over
+    * a rep cluster IS the min doc_id over the whole document cluster. Each
+    * doc then inherits its rep's converged label in ONE post-convergence
+    * join. Same clusters by construction, but every propagation round
+    * shuffles the ~4× smaller rep pair list instead of the member-expanded
+    * pair explosion (0.70M vs 2.97M rows at sf0.1). Oracle replays the
+    * same [[DefaultCcIters]] rep-level rounds in SQL; LlmOpsSpec asserts
+    * equality with member-expanded propagation at convergence.
     */
   def l6DedupDocs(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val pairs = simJoin(t.documents).select(col("a_id"), col("b_id"))
-    clusterCollapse(t.documents.select(col("doc_id")), pairs)
+    val parts = simJoinParts(t.documents)
+    val repLabels = clusterCollapse(
+      parts.reps.select(col("rep_id").as("doc_id")),
+      parts.repPairs.select(col("rep_a").as("a_id"), col("rep_b").as("b_id")))
+    parts.members
+      .join(repLabels.select(col("doc_id").as("rep_id"), col("cluster_rep")), "rep_id")
+      .select(col("doc_id"), col("cluster_rep"),
+        (col("doc_id") === col("cluster_rep")).as("kept"))
       .orderBy(col("doc_id"))
   }
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
@@ -209,23 +209,33 @@ class MqMicroBatchStream(topic: String, maxPerTrigger: Option[Long] = None)
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val hard = availableNowEnd.getOrElse(MqOffset(MqBroker.endOffsets(topic))).ends
-    limit match {
-      case rows: ReadMaxRows =>
+    // A CompositeReadLimit (e.g. once a min-rows/min-trigger option is
+    // composed in by the engine) must still honour its ReadMaxRows
+    // component — matching only the bare class would silently disable
+    // admission control (the Kafka source extracts the same way).
+    val maxRows: Option[Long] = limit match {
+      case rows: ReadMaxRows      => Some(rows.maxRows)
+      case c: CompositeReadLimit  =>
+        c.getReadLimits.collectFirst { case rows: ReadMaxRows => rows.maxRows }
+      case _: ReadLimit           => None // allAvailable and min-only limits: no cap
+    }
+    maxRows match {
+      case Some(budget) =>
         val s = start.asInstanceOf[MqOffset].ends
         val avail = hard.indices.map(p => hard(p) - s(p))
         val total = avail.sum
-        if (total <= rows.maxRows) MqOffset(hard)
+        if (total <= budget) MqOffset(hard)
         else {
-          val take = avail.map(a => (BigInt(a) * rows.maxRows / total).toLong).toArray
-          var rem = rows.maxRows - take.sum
+          val take = avail.map(a => (BigInt(a) * budget / total).toLong).toArray
+          var rem = budget - take.sum
           val byRemainder = avail.indices
-            .sortBy(p => (-(BigInt(avail(p)) * rows.maxRows % total), BigInt(p)))
+            .sortBy(p => (-(BigInt(avail(p)) * budget % total), BigInt(p)))
           byRemainder.foreach { p =>
             if (rem > 0 && take(p) < avail(p)) { take(p) += 1; rem -= 1 }
           }
           MqOffset(s.indices.map(p => s(p) + take(p)).toArray)
         }
-      case _ => MqOffset(hard)
+      case None => MqOffset(hard)
     }
   }
 

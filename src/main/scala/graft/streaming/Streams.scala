@@ -107,16 +107,23 @@ object Streams {
     * on the 32-hex fingerprint key).
     */
   def nearDedupStream(docs: DataFrame, textCol: String = "text",
-                      watermark: String = "10 minutes"): DataFrame =
+                      tsCol: String = "ts",
+                      watermark: String = "10 minutes"): DataFrame = {
+    // the transient key column must not clobber (then drop) a caller
+    // column of the same name — that would silently change the schema
+    val fpCol = "__graft_neardedup_fp"
+    require(!docs.columns.contains(fpCol),
+      s"input already carries reserved column $fpCol")
     docs
       // short docs (< 1 shingle) fall back to exact text, PREFIXED so the
       // raw-text key space cannot collide with the 32-hex fingerprints
-      .withColumn("__fp", coalesce(
+      .withColumn(fpCol, coalesce(
         graft.operators.TextOps.fingerprint(col(textCol)),
         concat(lit("raw|"), col(textCol))))
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("__fp")
-      .drop("__fp") // output schema == input schema, like dedupStream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(fpCol)
+      .drop(fpCol) // output schema == input schema, like dedupStream
+  }
 
   // ---------- arbitrary state (T6) ----------
 

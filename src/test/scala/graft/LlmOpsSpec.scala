@@ -165,6 +165,16 @@ class LlmOpsSpec extends SparkSuite {
     assert(again.filter(!col("kept")).count() == 0)
   }
 
+  test("L7 rep-level propagation (l6DedupDocs) equals member-expanded propagation") {
+    // the declared query propagates over simJoin's rep graph and expands
+    // members once; it must match label propagation run over the full
+    // member-expanded pair list (the r5 form) at convergence
+    val memberLevel = Dedup.clusterCollapse(
+      tables.documents.select(col("doc_id")),
+      Dedup.simJoin(tables.documents).select(col("a_id"), col("b_id")))
+    assertSameRows(Dedup.l6DedupDocs(spark, sf), memberLevel)
+  }
+
   test("L7 cluster collapse converges on the fixture pair graph at the declared rounds") {
     val pairs = Dedup.simJoin(tables.documents).select(col("a_id"), col("b_id"))
     val ids = tables.documents.select(col("doc_id"))

@@ -12,9 +12,15 @@ for sf in "${@:-0.001 0.01 0.1}"; do
   for s in $sf; do
     out="/tmp/graft_sweep_sf$s"
     echo "== sf$s =="
-    SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
-      tools/run.sh graft.Verify "/root/testdata/sf$s" "$out" 2>&1 \
-      | grep '\[verify\]' || true
+    # fresh output dir: a Verify crash must not leave stale results from an
+    # earlier run for check.py to silently pass against
+    rm -rf "$out"
+    log="/tmp/graft_sweep_sf$s.log"
+    if ! SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
+        tools/run.sh graft.Verify "/root/testdata/sf$s" "$out" >"$log" 2>&1; then
+      echo "VERIFY CRASHED at sf$s — tail of $log:"; tail -20 "$log"; exit 1
+    fi
+    grep '\[verify\]' "$log" || true
     python3 tools/check.py "/root/testdata/sf$s" "$out" | tail -1
   done
 done
