@@ -282,20 +282,30 @@ object Similarity {
     * must replay every bit; LlmOpsSpec asserts both paths probe the same
     * cells on the fixtures.
     */
+  /** Double-precision squared L2 — the production twin of [[dist2]] (no
+    * decimal casts; partial-order-dependent only below ranking precision).
+    */
+  private def d2Fast(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0d), (acc, x) => acc + x)
+
+  /** Nearest-centroid cell per vector, double arithmetic (the production
+    * assignment pass): broadcast the k-row centroid frame, one narrow
+    * O(n·k) scored pass, argmin via partial-aggregated min(struct).
+    */
+  def assignCellsFast(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.select(col("vec_id"), dbl(col("embedding")).as("e"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), d2Fast(col("e"), col("ce")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+
   def ivfTopKFast(t: Tables, queryId: Long, k: Int, nCells: Int, nprobe: Int,
                   centroids: Option[DataFrame] = None): DataFrame = {
     // index build is offline/amortized: serve repeated queries by passing
     // the trained-once (or persisted) centroid frame instead of retraining
     val cents = centroids.getOrElse(trainedCentroids(t.embeddings, nCells))
-    def d2Fast(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0d), (acc, x) => acc + x)
-    val scored = t.embeddings
-      .select(col("vec_id"), dbl(col("embedding")).as("e"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"), d2Fast(col("e"), col("ce")).as("d2"))
-    val cells = scored.groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cell"))
+    val cells = assignCellsFast(t.embeddings, cents)
     val probed = cents.crossJoin(broadcast(queryVec(t, queryId)))
       .select(col("cid"), d2Fast(col("ce"), col("q_emb")).as("d2"))
       .orderBy(col("d2"), col("cid")).limit(nprobe)
@@ -402,4 +412,52 @@ object Similarity {
   def l3IvfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables(spark, dir), queryId = 0L, k = 10,
       nCells = IvfCells, nprobe = IvfNprobe)
+
+  /** PERSISTED IVF index — the actual serving shape at 100 TB, where
+    * [[ivfTopKFast]]'s in-session centroid reuse still re-scans and
+    * re-assigns the full corpus per session. The index is built once,
+    * offline:
+    *
+    *   indexDir/centroids/          k-row (cid, ce) parquet
+    *   indexDir/vectors/cell=<c>/   the corpus, hive-partitioned by cell
+    *
+    * so a probe reads the tiny centroid frame, ranks the k cells against
+    * the query, and scans ONLY the nprobe matching `cell=` partitions —
+    * the other k−nprobe directories are pruned at planning time and never
+    * opened (asserted via `inputFiles` in BucketingSpec).
+    */
+  def buildIvfIndex(emb: DataFrame, indexDir: String,
+                    nCells: Int = IvfCells): Unit = {
+    trainedCentroids(emb, nCells)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // assign against the RE-READ centroids so the stored cells are exactly
+    // what any later probe recomputes from the persisted frame
+    val cents = emb.sparkSession.read.parquet(s"$indexDir/centroids")
+    emb.join(assignCellsFast(emb, cents), "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+  }
+
+  /** Top-k cosine neighbours of an out-of-corpus query vector against a
+    * [[buildIvfIndex]] index. The centroid read + nprobe ranking is a
+    * k-row INDEX-METADATA action at query-planning time (k ≪ n, the same
+    * scale as a broadcast) — the resulting literal `isin` filter on the
+    * partition column is what static-prunes the scan to nprobe
+    * directories; a join-based probe would at best achieve the same via
+    * runtime DPP while making the pruning best-effort.
+    */
+  def probeIvfIndex(spark: SparkSession, indexDir: String, query: Seq[Float],
+                    k: Int, nprobe: Int = IvfNprobe): DataFrame = {
+    val qDbl = typedLit(query.map(_.toDouble))
+    val probedCells = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cid"), d2Fast(col("ce"), qDbl).as("d2"))
+      .orderBy(col("d2"), col("cid")).limit(nprobe)
+      .collect().map(_.getAs[Long]("cid")) // k-row index metadata, not data
+    spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .withColumn("__q", typedLit(query))
+      .select(col("vec_id"), col("label"), col("cell"),
+        expr("cosine_fast(embedding, __q)").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -45,6 +45,37 @@ class BucketingSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("persisted IVF index: probe scans only the nprobe cell partitions") {
+    import graft.operators.Similarity
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.buildIvfIndex(tables.embeddings, idxDir)
+    val q = tables.embeddings.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect()(0)
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val probe = Similarity.probeIvfIndex(spark, idxDir, q, k = 10)
+    val rows = probe.collect()
+    assert(rows.length == 10 && rows.head.getAs[Long]("vec_id") == 0L)
+    // the scan must touch at most nprobe of the cell= directories while
+    // the index holds more — static partition pruning, not a full read
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("cell"), planStr)
+    val scans = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("vectors")) => s
+    }
+    assert(scans.nonEmpty, planStr)
+    val partsRead = scans.head.selectedPartitions.partitionCount
+    assert(partsRead <= Similarity.IvfNprobe, s"scanned $partsRead cell partitions")
+    val allCells = spark.read.parquet(s"$idxDir/vectors")
+      .select(col("cell")).distinct().count()
+    assert(allCells > Similarity.IvfNprobe, s"index holds only $allCells cells")
+    // and the indexed probe agrees with the in-session fast path run
+    // against the same persisted centroids
+    val cents = spark.read.parquet(s"$idxDir/centroids")
+    assertSameRows(probe, Similarity.ivfTopKFast(tables, 0L, 10,
+      Similarity.IvfCells, Similarity.IvfNprobe, Some(cents)))
+  }
+
   test("bucketed lineitem ⋈ orders on orderkey plans without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
