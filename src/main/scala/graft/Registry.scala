@@ -397,6 +397,24 @@ object Registry {
       .map(i => s"${1 << i}*(embedding[${i + 1}]>0)::INT").mkString(" + ")
     def stopFilter(words: Seq[String]): String =
       s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+    // Shared BM25 per-(doc, token) frame (lock-step replay of
+    // TextOps.bm25Frame) — the l4_bm25 declared query adds its ORDER BY,
+    // l4_bm25_search wraps it as a subquery and aggregates.
+    val bm25BodySql = """
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        terms AS (SELECT doc_id, CAST(len(t) AS INT) AS dl, unnest(t) AS token FROM s),
+        tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM terms GROUP BY ALL),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT COUNT(*) AS n_docs_total,
+                     CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+              FROM documents)
+        SELECT doc_id, token, tf, dl, df,
+          ROUND(
+            ROUND(ln(1.0 + (n_docs_total::DOUBLE - df + 0.5) / (df + 0.5)), 6)
+            * tf::DOUBLE * 2.2
+            / (tf::DOUBLE + 1.2 * (1.0 - 0.75
+                 + 0.75 * dl::DOUBLE / (sum_dl::DOUBLE / n_docs_total))), 6) AS bm25
+        FROM tf JOIN df USING (token) CROSS JOIN n"""
     // DuckDB replay of Dedup.simJoin downstream of any tokset CTE (the
     // word-bag and n-gram variants differ only in `toksetSelect`, which
     // must yield (doc_id, toks LIST<VARCHAR>) with toks already distinct).
@@ -662,22 +680,27 @@ object Registry {
         FROM tf JOIN df USING (token) CROSS JOIN n
         ORDER BY doc_id, token""")),
 
-      QueryDef("l4_bm25", TextOps.l4Bm25, Some("""
-        WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        terms AS (SELECT doc_id, CAST(len(t) AS INT) AS dl, unnest(t) AS token FROM s),
-        tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM terms GROUP BY ALL),
-        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-        n AS (SELECT COUNT(*) AS n_docs_total,
-                     CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
-              FROM documents)
-        SELECT doc_id, token, tf, dl, df,
-          ROUND(
-            ROUND(ln(1.0 + (n_docs_total::DOUBLE - df + 0.5) / (df + 0.5)), 6)
-            * tf::DOUBLE * 2.2
-            / (tf::DOUBLE + 1.2 * (1.0 - 0.75
-                 + 0.75 * dl::DOUBLE / (sum_dl::DOUBLE / n_docs_total))), 6) AS bm25
-        FROM tf JOIN df USING (token) CROSS JOIN n
-        ORDER BY doc_id, token""")),
+      QueryDef("l4_bm25", TextOps.l4Bm25,
+        Some(s"$bm25BodySql\n        ORDER BY doc_id, token")),
+
+      // BM25 retrieval: same per-term frame, filtered to the fixed query's
+      // tokens, summed in exact integer micro-units (each weight is
+      // 6-dp-rounded, so round(bm25·1e6) recovers the exact long and the
+      // sum is aggregation-order-independent on both engines), top-k with
+      // the doc_id tie-break.
+      QueryDef("l4_bm25_search", TextOps.l4Bm25Search, Some {
+        val qTokens = TextOps.Bm25SearchQuery.split("\\s+").distinct
+          .map(t => s"'$t'").mkString(", ")
+        s"""
+        WITH bmq AS ($bm25BodySql)
+        SELECT doc_id,
+          CAST(SUM(CAST(ROUND(bm25 * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS score,
+          COUNT(*) AS n_terms_hit
+        FROM bmq WHERE token IN ($qTokens)
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT ${TextOps.Bm25SearchK}"""
+      }),
 
       QueryDef("l4_langid_ngram", TextOps.l4LangIdNgram, Some {
         val langs = Seq("en", "de", "es", "fr", "zh")

@@ -25,7 +25,26 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  private def toks(text: Column): Column = split(text, " ")
+  /** Default tokenizer: single-space split. Exactly right for the fixture
+    * word soup and replayable verbatim in the DuckDB oracle (every
+    * declared query keeps it); real corpora want [[unicodeTokenizer]].
+    */
+  val spaceTokenizer: Column => Column = text => split(text, " ")
+
+  /** Unicode-aware tokenizer: tokens are maximal runs of letters/digits
+    * (`\p{L}`/`\p{N}`); punctuation, whitespace runs, and every other
+    * symbol separate. On text that is already single-space-joined
+    * letter/digit words it agrees with [[spaceTokenizer]] exactly (the
+    * scalacheck property in PropertiesSpec), so swapping it in changes
+    * nothing on clean input and stops silent mis-tokenization on
+    * punctuated/unicode input. Same per-row codegen'd shape — `split` on
+    * a compiled regex plus an empty-string filter for leading/trailing
+    * separators.
+    */
+  val unicodeTokenizer: Column => Column = text =>
+    filter(split(text, "[^\\p{L}\\p{N}]+"), t => t =!= lit(""))
+
+  private def toks(text: Column): Column = spaceTokenizer(text)
 
   private def countIn(ts: Column, words: Seq[String]): Column =
     size(filter(ts, t => t.isInCollection(words)))
@@ -35,8 +54,9 @@ object TextOps {
     * share, integer floor-div — exact on any engine). Shared with
     * [[Curation.l8QualityGate]]'s median filter.
     */
-  def qualityPermille(text: Column): Column = {
-    val ts = toks(text)
+  def qualityPermille(text: Column,
+                      tokenizer: Column => Column = spaceTokenizer): Column = {
+    val ts = tokenizer(text)
     call_function("div",
       (lit(700) * size(array_distinct(ts)) +
         lit(300) * (size(ts) - countIn(ts, stopwords("en")))).cast("long"),
@@ -51,10 +71,16 @@ object TextOps {
     * score stays in exact integer arithmetic (permille, floor-div), which
     * no floating-point rounding discipline can break.
     */
-  def l4TextAnalysis(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val ts = toks(col("text"))
-    t.documents
+  def l4TextAnalysis(spark: SparkSession, dir: String): DataFrame =
+    textStats(Tables(spark, dir).documents).orderBy(col("doc_id"))
+
+  /** The [[l4TextAnalysis]] stats over any documents-shaped frame with a
+    * pluggable tokenizer (declared query keeps [[spaceTokenizer]]).
+    */
+  def textStats(docs: DataFrame,
+                tokenizer: Column => Column = spaceTokenizer): DataFrame = {
+    val ts = tokenizer(col("text"))
+    docs
       .select(
         col("doc_id"), col("lang"), col("n_chars"),
         size(ts).as("n_tokens"),
@@ -73,28 +99,31 @@ object TextOps {
       // 300‰ non-stopword share, floor-divided — exact on any engine.
       .withColumn("quality_permille",
         expr("(700 * n_unique + 300 * (n_tokens - n_stop)) DIV n_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   /** Corpus term frequency: token → occurrences + document frequency. */
-  def l4TermFreq(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    t.documents
-      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+  def l4TermFreq(spark: SparkSession, dir: String): DataFrame =
+    termFreq(Tables(spark, dir).documents)
+      .orderBy(col("n_occurrences").desc, col("token"))
+
+  /** [[l4TermFreq]] over any documents frame with a pluggable tokenizer. */
+  def termFreq(docs: DataFrame,
+               tokenizer: Column => Column = spaceTokenizer): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokenizer(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
-      .orderBy(col("n_occurrences").desc, col("token"))
-  }
 
   /** Shared term-statistics pipeline for [[l4TfIdf]] / [[l4Bm25]]:
     * per-(doc, token) tf with the doc's token count under `lenCol`, and
     * per-token document frequency (terms is unique per (doc_id, token),
     * so df is a plain count).
     */
-  private def termStats(docs: DataFrame, lenCol: String): (DataFrame, DataFrame) = {
+  private def termStats(docs: DataFrame, lenCol: String,
+                        tokenizer: Column => Column): (DataFrame, DataFrame) = {
     val terms = docs
-      .select(col("doc_id"), size(toks(col("text"))).as(lenCol),
-        explode(toks(col("text"))).as("token"))
+      .select(col("doc_id"), size(tokenizer(col("text"))).as(lenCol),
+        explode(tokenizer(col("text"))).as("token"))
       .groupBy(col("doc_id"), col(lenCol), col("token"))
       .agg(count(lit(1)).as("tf"))
     (terms, terms.groupBy(col("token")).agg(count(lit(1)).as("df")))
@@ -120,10 +149,14 @@ object TextOps {
     * scaled-multiply round disagree. The closing ÷1e6 is one correctly-
     * rounded double op, identical on both engines.
     */
-  def l4TfIdf(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val (terms, docFreq) = termStats(t.documents, "n_tokens")
-    val total = t.documents.agg(count(lit(1)).as("n_docs_total"))
+  def l4TfIdf(spark: SparkSession, dir: String): DataFrame =
+    tfIdf(Tables(spark, dir).documents).orderBy(col("doc_id"), col("token"))
+
+  /** [[l4TfIdf]] over any documents frame with a pluggable tokenizer. */
+  def tfIdf(docs: DataFrame,
+            tokenizer: Column => Column = spaceTokenizer): DataFrame = {
+    val (terms, docFreq) = termStats(docs, "n_tokens", tokenizer)
+    val total = docs.agg(count(lit(1)).as("n_docs_total"))
     terms.join(docFreq, "token")
       .crossJoin(broadcast(total))
       .withColumn("idf_micro",
@@ -131,7 +164,6 @@ object TextOps {
       .select(col("doc_id"), col("token"), col("tf"), col("n_tokens"), col("df"),
         (expr("(2L * tf * idf_micro + n_tokens) DIV (2L * n_tokens)")
           .cast("double") / lit(1e6)).as("tf_idf"))
-      .orderBy(col("doc_id"), col("token"))
   }
 
   /** BM25 term weights — the standard retrieval scoring function (and the
@@ -150,14 +182,17 @@ object TextOps {
     * boundaries to land on).
     */
   def l4Bm25(spark: SparkSession, dir: String): DataFrame =
-    bm25Frame(spark, dir).orderBy(col("doc_id"), col("token"))
+    bm25Frame(Tables(spark, dir).documents).orderBy(col("doc_id"), col("token"))
 
-  private def bm25Frame(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val (terms, docFreq) = termStats(t.documents, "dl")
-    val stats = t.documents.agg(
+  /** Per-(doc, token) BM25 frame over any documents frame with a
+    * pluggable tokenizer (declared queries keep [[spaceTokenizer]]).
+    */
+  def bm25Frame(docs: DataFrame,
+                tokenizer: Column => Column = spaceTokenizer): DataFrame = {
+    val (terms, docFreq) = termStats(docs, "dl", tokenizer)
+    val stats = docs.agg(
       count(lit(1)).as("n_docs_total"),
-      sum(size(toks(col("text")))).as("sum_dl"))
+      sum(size(tokenizer(col("text")))).as("sum_dl"))
     val idf6 = round(log(lit(1.0) +
       (col("n_docs_total").cast("double") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5))), 6)
@@ -182,16 +217,36 @@ object TextOps {
     * sum(double) aggregate as a useless global sort), and ranking is
     * TakeOrderedAndProject (k-row driver merge).
     */
-  def bm25Search(spark: SparkSession, dir: String, query: String, k: Int): DataFrame = {
+  def bm25Search(spark: SparkSession, dir: String, query: String, k: Int,
+                 tokenizer: Column => Column = spaceTokenizer): DataFrame = {
     val qTokens = query.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(qTokens.nonEmpty, "empty query")
-    bm25Frame(spark, dir)
+    // per-term weights are 6-dp-rounded, so each is an exact integer in
+    // micro-units; summing those LONGS (not the doubles) makes the score
+    // independent of partial-aggregation order — a plain sum(double) can
+    // differ in the last bit between runs, let alone engines
+    bm25Frame(Tables(spark, dir).documents, tokenizer)
       .filter(col("token").isInCollection(qTokens))
       .groupBy(col("doc_id"))
-      .agg(sum(col("bm25")).as("score"), count(lit(1)).as("n_terms_hit"))
+      .agg((sum(round(col("bm25") * lit(1e6)).cast("long")).cast("double") / lit(1e6))
+        .as("score"),
+        count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Fixed query + k for the declared [[bm25Search]] form (shared with the
+    * Registry oracle builder): one corpus-rare term ("dup", high idf) plus
+    * two common ones, all present at every fixture scale.
+    */
+  val Bm25SearchQuery = "dup scan query"
+  val Bm25SearchK     = 15
+
+  /** L4 declared query: end-to-end BM25 retrieval — top-k docs for
+    * [[Bm25SearchQuery]] by summed per-term weight.
+    */
+  def l4Bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Search(spark, dir, Bm25SearchQuery, Bm25SearchK)
 
   /** Stopword-profile language ID: score each language by how many of its
     * profile words appear, argmax with a fixed tie order (en→de→es→fr→zh).
@@ -199,8 +254,9 @@ object TextOps {
     * declared query mostly exercises determinism; real discrimination is
     * asserted in scalatest on language-typical sentences.)
     */
-  def langIdExpr(text: Column): Column = {
-    val ts = toks(text)
+  def langIdExpr(text: Column,
+                 tokenizer: Column => Column = spaceTokenizer): Column = {
+    val ts = tokenizer(text)
     val langs = Seq("en", "de", "es", "fr", "zh")
     val scores = langs.map(l => l -> countIn(ts, stopwords(l))).toMap
     langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
@@ -291,8 +347,9 @@ object TextOps {
     * to compare). Narrow per-row compute; the fingerprint is a 128-bit
     * join/dedup key at scale.
     */
-  def fingerprint(text: Column, shingle: Int = 3): Column = {
-    val ts = toks(text)
+  def fingerprint(text: Column, shingle: Int = 3,
+                  tokenizer: Column => Column = spaceTokenizer): Column = {
+    val ts = tokenizer(text)
     val grams = transform(
       sequence(lit(1), size(ts) - lit(shingle - 1)),
       i => concat_ws(" ", (0 until shingle).map(o => element_at(ts, i + lit(o))): _*))

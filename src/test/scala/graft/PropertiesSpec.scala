@@ -88,6 +88,38 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("unicode tokenizer: punctuated text tokenizes as its space-normalized form") {
+    import graft.operators.TextOps
+    // words of letters/digits (incl. unicode letters), joined by random
+    // punctuation/whitespace separator runs and wrapped in optional
+    // leading/trailing junk — the unicode tokenizer must recover exactly
+    // the word list, which is what the space tokenizer yields on the
+    // clean space-joined form
+    val uword = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('é', 'ß', 'ñ', 'の', '数'))).map(_.mkString)
+    val sep = Gen.nonEmptyListOf(Gen.oneOf(' ', '\t', ',', '.', ';', '!', '-', '(', ')', '"'))
+      .map(_.mkString)
+    val cases = Gen.zip(Gen.nonEmptyListOf(uword), sep, Gen.oneOf("", "... "), Gen.oneOf("", "!?"))
+    val rows = samples(cases, 40).map { case (words, s, pre, post) =>
+      (pre + words.mkString(s) + post, words.mkString(" "))
+    }
+    val df = rows.toDF("punctuated", "clean")
+    val out = df.select(
+      TextOps.unicodeTokenizer(col("punctuated")).as("uni"),
+      TextOps.spaceTokenizer(col("clean")).as("space")).collect()
+    out.zip(rows).foreach { case (r, (p, c)) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"'$p' → ${r.getSeq[String](0)} vs '$c' → ${r.getSeq[String](1)}")
+    }
+    // and on already-clean text the two tokenizers agree directly
+    for (t <- samples(text, 10)) {
+      val r = Seq(t).toDF("text").select(
+        TextOps.unicodeTokenizer(col("text")).as("u"),
+        TextOps.spaceTokenizer(col("text")).as("s")).collect()(0)
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("minhash agreement tracks containment: superset agrees >= disjoint") {
     for (t <- samples(text, 5)) {
       val df = Seq((1L, t), (2L, t + " extra"), (3L, "uno dos tres quatro cinco"))
