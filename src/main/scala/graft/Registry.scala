@@ -729,21 +729,40 @@ object Registry {
           CAST(greatest(len(t) - 2, 0) AS INT) AS n_shingles
         FROM s ORDER BY doc_id""")),
 
+      // Full-catalog profile: SQL generated from the SAME Profile.TableCols
+      // spec the operator reads, one per-column SELECT per table. The
+      // `events` view reaches DuckDB as raw TIMESTAMP(NANOS) parquet which
+      // it truncates to micros — identical to Tables.events' `ts DIV 1000`.
       QueryDef("s7_profile", Profile.s7Profile, Some {
-        def num(c: String) =
-          s"""SELECT '$c' AS col_name,
+        def one(t: String, c: String, cls: String) = {
+          val expr = if (cls == "ts") s"epoch_us($c)" else c
+          val slots = cls match {
+            case "int" | "ts" =>
+              s"""CAST(MIN($expr) AS BIGINT) AS num_min, CAST(MAX($expr) AS BIGINT) AS num_max,
+            NULL::DOUBLE AS dbl_min, NULL::DOUBLE AS dbl_max,
+            NULL::VARCHAR AS str_min, NULL::VARCHAR AS str_max"""
+            case "dbl" =>
+              s"""NULL::BIGINT AS num_min, NULL::BIGINT AS num_max,
+            MIN($c) AS dbl_min, MAX($c) AS dbl_max,
+            NULL::VARCHAR AS str_min, NULL::VARCHAR AS str_max"""
+            case "str" =>
+              s"""NULL::BIGINT AS num_min, NULL::BIGINT AS num_max,
+            NULL::DOUBLE AS dbl_min, NULL::DOUBLE AS dbl_max,
+            MIN($c) AS str_min, MAX($c) AS str_max"""
+            case "arr" =>
+              s"""NULL::BIGINT AS num_min, NULL::BIGINT AS num_max,
+            NULL::DOUBLE AS dbl_min, NULL::DOUBLE AS dbl_max,
+            NULL::VARCHAR AS str_min, NULL::VARCHAR AS str_max"""
+          }
+          s"""SELECT '$t' AS table_name, '$c' AS col_name,
             CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
             COUNT(DISTINCT $c) AS n_distinct,
-            CAST(MIN($c) AS BIGINT) AS num_min, CAST(MAX($c) AS BIGINT) AS num_max,
-            NULL::VARCHAR AS str_min, NULL::VARCHAR AS str_max FROM documents"""
-        def str(c: String) =
-          s"""SELECT '$c' AS col_name,
-            CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-            COUNT(DISTINCT $c) AS n_distinct,
-            NULL::BIGINT AS num_min, NULL::BIGINT AS num_max,
-            MIN($c) AS str_min, MAX($c) AS str_max FROM documents"""
-        (Profile.NumCols.map(num) ++ Profile.StrCols.map(str))
-          .mkString("", "\n        UNION ALL\n        ", "\n        ORDER BY col_name")
+            $slots FROM $t"""
+        }
+        Profile.TableCols
+          .flatMap { case (t, cols) => cols.map { case (c, cls) => one(t, c, cls) } }
+          .mkString("", "\n        UNION ALL\n        ",
+            "\n        ORDER BY table_name, col_name")
       }),
 
       QueryDef("l8_split", Curation.l8Split, Some("""

@@ -5,51 +5,123 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** S7: data profiling — the `ANALYZE`-style per-column statistics pass
-  * (null count, exact distinct count, min/max) every warehouse exposes
-  * and every curation run starts with.
+  * (null count, distinct count, typed min/max) every warehouse exposes
+  * and every curation run starts with, over ALL ten fixture tables.
   *
-  * Scale shape: ONE aggregate pass over the table computes every
-  * column's stats simultaneously (partial/final HashAggregate, no
-  * per-column rescans); the single 1-row result explodes into one output
-  * row per column. countDistinct is exact here because the contract
-  * demands a hash-matching oracle — the scale posture swaps it for
-  * approx_count_distinct (A3's HLL++) with zero shape change.
+  * Scale shape: ONE aggregate pass per table computes every column's
+  * stats simultaneously (partial/final HashAggregate, no per-column
+  * rescans); each table's single 1-row result explodes into one output
+  * row per column and the ten tiny frames union. countDistinct is exact
+  * in the declared query because the contract demands a hash-matching
+  * oracle — [[s7ProfileApprox]] is the 100 TB posture with the same
+  * shape and approx_count_distinct (A3's HLL++) in the distinct slot
+  * (tolerance-asserted against the exact pass in RelationalSpec).
   */
 object Profile {
 
-  /** Numeric vs string column split for the `documents` fixture —
-    * min/max land in typed columns (num_min/num_max BIGINT,
-    * str_min/str_max STRING) so no cross-engine value rendering is
-    * involved.
+  /** Column classes per fixture table (shared with the Registry oracle
+    * builder so the SQL generator and this operator cannot drift):
+    * `int` integral → num_min/num_max BIGINT; `dbl` double →
+    * dbl_min/dbl_max DOUBLE; `ts` timestamp → profiled as epoch
+    * MICROSECONDS in the num slots (integer-exact on both engines —
+    * engine-side timestamp rendering never enters the compare);
+    * `str` → str_min/str_max (binary collation on both engines);
+    * `arr` → null/distinct counts only (no total order to min/max).
     */
-  val NumCols: Seq[String] = Seq("doc_id", "n_chars")
-  val StrCols: Seq[String] = Seq("text", "lang", "source")
+  val TableCols: Seq[(String, Seq[(String, String)])] = Seq(
+    "region"   -> Seq("r_regionkey" -> "int", "r_name" -> "str"),
+    "nation"   -> Seq("n_nationkey" -> "int", "n_name" -> "str",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "int", "c_name" -> "str",
+      "c_nationkey" -> "int", "c_acctbal" -> "dbl", "c_mktsegment" -> "str"),
+    "supplier" -> Seq("s_suppkey" -> "int", "s_name" -> "str",
+      "s_nationkey" -> "int", "s_acctbal" -> "dbl"),
+    "part"     -> Seq("p_partkey" -> "int", "p_name" -> "str",
+      "p_brand" -> "str", "p_type" -> "str", "p_size" -> "int",
+      "p_retailprice" -> "dbl"),
+    "orders"   -> Seq("o_orderkey" -> "int", "o_custkey" -> "int",
+      "o_orderstatus" -> "str", "o_totalprice" -> "dbl",
+      "o_orderdate" -> "ts", "o_orderpriority" -> "str"),
+    "lineitem" -> Seq("l_orderkey" -> "int", "l_partkey" -> "int",
+      "l_suppkey" -> "int", "l_linenumber" -> "int", "l_quantity" -> "dbl",
+      "l_extendedprice" -> "dbl", "l_discount" -> "dbl", "l_tax" -> "dbl",
+      "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "ts"),
+    "events"   -> Seq("event_id" -> "int", "ts" -> "ts", "user_id" -> "int",
+      "event_type" -> "str", "value" -> "dbl", "props" -> "str"),
+    "documents" -> Seq("doc_id" -> "int", "text" -> "str", "lang" -> "str",
+      "source" -> "str", "n_chars" -> "int"),
+    "embeddings" -> Seq("vec_id" -> "int", "embedding" -> "arr",
+      "label" -> "int"))
 
-  def s7Profile(spark: SparkSession, dir: String): DataFrame = {
-    val df = Tables(spark, dir).documents
-    val all = NumCols ++ StrCols
-    val aggs =
-      all.flatMap(c => Seq(
+  private def tableByName(t: Tables, name: String): DataFrame = name match {
+    case "region" => t.region;     case "nation" => t.nation
+    case "customer" => t.customer; case "supplier" => t.supplier
+    case "part" => t.part;         case "orders" => t.orders
+    case "lineitem" => t.lineitem; case "events" => t.events
+    case "documents" => t.documents
+    case "embeddings" => t.embeddings
+  }
+
+  /** Single-pass profile of one table: every column's stats in ONE
+    * aggregate, then explode to a row per column. `approx` swaps exact
+    * countDistinct for HLL++ — the only change at 100 TB, where an exact
+    * distinct per column is a full shuffle each and the sketch is a
+    * constant-memory mergeable accumulator inside the same single pass.
+    */
+  def profileTable(df: DataFrame, table: String, cols: Seq[(String, String)],
+                   approx: Boolean = false): DataFrame = {
+    // timestamps profile as integer epoch-micros (1:1, so null/distinct
+    // counts are unchanged and min/max land in the exact integer slots)
+    val prepped = df.select(cols.map { case (c, cls) =>
+      if (cls == "ts") unix_micros(col(c)).as(c) else col(c)
+    }: _*)
+    val eff = cols.map { case (c, cls) => (c, if (cls == "ts") "int" else cls) }
+    val aggs = eff.flatMap { case (c, cls) =>
+      Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
-        countDistinct(col(c)).as(s"${c}_nd"))) ++
-      all.flatMap(c => Seq(min(col(c)).as(s"${c}_mn"), max(col(c)).as(s"${c}_mx")))
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows =
-      NumCols.map(c => struct(
-        lit(c).as("col_name"), col(s"${c}_nn").as("n_nulls"),
-        col(s"${c}_nd").as("n_distinct"),
-        col(s"${c}_mn").cast("long").as("num_min"),
-        col(s"${c}_mx").cast("long").as("num_max"),
-        lit(null).cast("string").as("str_min"),
-        lit(null).cast("string").as("str_max"))) ++
-      StrCols.map(c => struct(
-        lit(c).as("col_name"), col(s"${c}_nn").as("n_nulls"),
-        col(s"${c}_nd").as("n_distinct"),
-        lit(null).cast("long").as("num_min"),
-        lit(null).cast("long").as("num_max"),
-        col(s"${c}_mn").as("str_min"), col(s"${c}_mx").as("str_max")))
-    one.select(explode(array(rows: _*)).as("r"))
-      .select(col("r.*"))
-      .orderBy(col("col_name"))
+        (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
+          .as(s"${c}_nd")) ++
+        (if (cls == "arr") Nil
+         else Seq(min(col(c)).as(s"${c}_mn"), max(col(c)).as(s"${c}_mx")))
+    }
+    val one = prepped.agg(aggs.head, aggs.tail: _*)
+    def slot(c: String, cls: String, want: String, tpe: String, nm: String) =
+      (if (cls == want) col(s"${c}_m${if (nm.endsWith("min")) "n" else "x"}").cast(tpe)
+       else lit(null).cast(tpe)).as(nm)
+    val rows = eff.map { case (c, cls) =>
+      struct(
+        lit(table).as("table_name"), lit(c).as("col_name"),
+        col(s"${c}_nn").as("n_nulls"), col(s"${c}_nd").as("n_distinct"),
+        slot(c, cls, "int", "long", "num_min"),
+        slot(c, cls, "int", "long", "num_max"),
+        slot(c, cls, "dbl", "double", "dbl_min"),
+        slot(c, cls, "dbl", "double", "dbl_max"),
+        slot(c, cls, "str", "string", "str_min"),
+        slot(c, cls, "str", "string", "str_max"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** S7 declared query: the full-catalog profile, one row per column. */
+  def s7Profile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    TableCols
+      .map { case (name, cols) => profileTable(tableByName(t, name), name, cols) }
+      .reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("col_name"))
+  }
+
+  /** The 100 TB variant: same single-pass shape, HLL++ distinct counts.
+    * Not declared (sketch estimates are engine-specific, like A3);
+    * RelationalSpec asserts every estimate within tolerance of the exact
+    * pass.
+    */
+  def s7ProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    TableCols
+      .map { case (name, cols) =>
+        profileTable(tableByName(t, name), name, cols, approx = true) }
+      .reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("col_name"))
   }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import graft.sources.{MqBroker, MqSource}
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
@@ -321,6 +321,40 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .start()
     q.awaitTermination()
+  }
+
+  /** S5d: DLQ REPLAY — the second half of the dead-letter contract.
+    * After the producer-side defect is fixed, consume the dead-letter
+    * topic as a BATCH (a DLQ is finite by construction), apply the
+    * caller's `repair` to each verbatim payload, validate against the
+    * same [[EventSchema]] contract as the mainline decode, and publish
+    * the now-valid rows back to the mainline topic. Payloads the repair
+    * still cannot validate are NOT republished (returned as the second
+    * count — they stay parked in the DLQ for the next fix).
+    *
+    * Exactly-once end to end is the composition the MQ world actually
+    * uses: the replay itself is at-least-once (a re-run republishes), and
+    * the mainline consumer's watermark dedup ([[dedupStream]] on
+    * event_id) absorbs redelivery — asserted in StreamingSpec by running
+    * the replay twice and consuming the merged topic.
+    */
+  def replayDeadLetter(spark: SparkSession, dlqTopic: String, outTopic: String,
+                       repair: Column => Column): (Long, Long) = {
+    val validated = spark.read.format(MqSource.format).option("topic", dlqTopic).load()
+      .select(col("key"), repair(col("value")).as("value"), col("timestamp"))
+      .select(col("key"), col("value"), col("timestamp"),
+        from_json(col("value"), EventSchema).as("e"))
+      .withColumn("valid",
+        col("e").isNotNull &&
+          EventSchema.fieldNames.map(f => col(s"e.$f").isNotNull).reduce(_ && _))
+    validated.persist()
+    try {
+      val good = validated.filter(col("valid"))
+        .select(col("e.user_id").cast("string").as("key"),
+          to_json(col("e")).as("value"), col("timestamp"))
+      good.write.mode("append").format(MqSource.format).option("topic", outTopic).save()
+      (good.count(), validated.filter(!col("valid")).count())
+    } finally { validated.unpersist(); () }
   }
 
   /** S5: foreachBatch parquet sink — idempotent per-batch overwrite into

@@ -31,6 +31,24 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("s7 approx profile: HLL distinct within tolerance of exact, other stats identical") {
+    import graft.operators.Profile
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("table_name"), r.getAs[String]("col_name"))
+    val exact  = Profile.s7Profile(spark, sf).collect().map(r => key(r) -> r).toMap
+    val approx = Profile.s7ProfileApprox(spark, sf).collect().map(r => key(r) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, a) <- approx; e = exact(k)) {
+      val (an, en) = (a.getAs[Long]("n_distinct"), e.getAs[Long]("n_distinct"))
+      // HLL++ default rsd 0.05 → allow 5 sigma (small counts: exact)
+      assert(math.abs(an - en) <= math.max(5, 0.25 * en), s"$k: $an vs $en")
+      // every non-sketch stat must be bit-identical to the exact pass
+      for (c <- Seq("n_nulls", "num_min", "num_max", "dbl_min", "dbl_max",
+          "str_min", "str_max"))
+        assert(a.getAs[Any](c) == e.getAs[Any](c), s"$k.$c")
+    }
+  }
+
   test("q3 plan shape: one fact pass — two broadcast joins, single shuffle, pushed scans") {
     val df = Relational.q3JoinAgg(spark, sf)
     df.collect() // materialize so AQE finalizes the plan

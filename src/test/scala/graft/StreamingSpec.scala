@@ -221,6 +221,47 @@ class StreamingSpec extends SparkSuite {
     Streams.decodeEvents(
       spark.read.format(graft.sources.MqSource.format).option("topic", topic).load())
 
+  test("T4 state is BOUNDED: watermark evicts closed windows across a long soak") {
+    // result-equality tests at fixture scale cannot catch a silent
+    // watermark-wiring regression — state would just grow and the answers
+    // would stay right. Pin the eviction itself: 100 hour-windows flow
+    // through in 12 capped micro-batches; the state store must hold only
+    // the windows inside the watermark horizon at each batch, not all of
+    // them.
+    val topic = "t_state_soak"
+    MqBroker.deleteTopic(topic); MqBroker.createTopic(topic, 1)
+    val t0 = 1706000000000000L // µs, event time advances 5 min per message
+    val n = 1200
+    (0 until n).foreach { i =>
+      val ts = t0 + i.toLong * 300L * 1000000L
+      MqBroker.publish(topic, "k",
+        s"""{"event_id":$i,"ts_us":$ts,"user_id":1,"event_type":"click","value":1.0}""", ts)
+    }
+    val src = spark.readStream.format(graft.sources.MqSource.format)
+      .option("topic", topic).option("maxOffsetsPerTrigger", "100").load()
+    val counts = Streams.tumblingCounts(Streams.decodeEvents(src))
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = counts.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => emitted ++= b.collect(); () }
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cp-soak").toString)
+      .start()
+    q.awaitTermination()
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+    assert(stateRows.nonEmpty, "no state-operator progress recorded")
+    // ~100 hour-windows total; the horizon holds ~2 in-flight windows —
+    // a leak (watermark not wired) would grow state toward 100
+    assert(stateRows.max <= 10,
+      s"state grew to ${stateRows.max} rows — watermark not evicting: $stateRows")
+    // and the soak really did close windows along the way (Append only
+    // emits a window once the watermark passes it)
+    assert(emitted.size >= 90, s"only ${emitted.size} closed windows emitted")
+    assert(emitted.map(_.getAs[Long]("n")).sum <= n)
+  }
+
   test("T6 flatMapGroupsWithState user stats == batch aggregate") {
     import TestSpark.spark.implicits._
     val batchDecoded = publishEvents("t_state")
@@ -329,6 +370,40 @@ class StreamingSpec extends SparkSuite {
     // DLQ carries the ORIGINAL payloads byte-for-byte, replayable post-fix
     val dead = read("t_dlq_dead").select(col("value")).collect().map(_.getString(0)).toSet
     assert(dead == bad.toSet)
+  }
+
+  test("S5d DLQ replay: repaired payloads re-enter the mainline exactly once") {
+    Seq("t_rp_in", "t_rp_out", "t_rp_dead").foreach { t =>
+      MqBroker.deleteTopic(t); MqBroker.createTopic(t, 2)
+    }
+    def ev(id: Long) =
+      s"""{"event_id":$id,"ts_us":${1706000000000000L + id},"user_id":$id,"event_type":"click","value":1.0}"""
+    val good = (1L to 3L).map(ev)
+    // producer bug: an envelope tag prepended to otherwise-valid JSON —
+    // dead-lettered by routing, recoverable by stripping the tag
+    val fixable = (4L to 5L).map(i => "CORRUPT:" + ev(i))
+    val hopeless = Seq("not json at all")
+    (good ++ fixable ++ hopeless).foreach(v => MqBroker.publish("t_rp_in", "k", v, 0L))
+    Streams.runWithDeadLetter(Streams.mqStream(spark, "t_rp_in"),
+      "t_rp_out", "t_rp_dead",
+      Files.createTempDirectory("graft-cp-rp").toString)
+    // fix deployed: strip the envelope and replay — TWICE, simulating a
+    // retried replay job (at-least-once republish)
+    val fix = (v: org.apache.spark.sql.Column) => regexp_replace(v, "^CORRUPT:", "")
+    val (n1, parked1) = Streams.replayDeadLetter(spark, "t_rp_dead", "t_rp_out", fix)
+    assert(n1 == 2 && parked1 == 1, s"replayed $n1, parked $parked1")
+    val (n2, _) = Streams.replayDeadLetter(spark, "t_rp_dead", "t_rp_out", fix)
+    assert(n2 == 2)
+    // the raw mainline now carries duplicates of the replayed events...
+    val raw = spark.read.format(graft.sources.MqSource.format)
+      .option("topic", "t_rp_out").load()
+    assert(raw.count() == 3 + 2 + 2)
+    // ...and the mainline consumer's watermark dedup absorbs them:
+    // exactly-once end to end, every event id once
+    val consumed = runCollecting(
+      Streams.dedupStream(Streams.decodeEvents(Streams.mqStream(spark, "t_rp_out"))),
+      Files.createTempDirectory("graft-cp-rp2").toString)
+    assert(consumed.map(_.getAs[Long]("event_id")).sorted.toSeq == (1L to 5L).toSeq)
   }
 
   test("S5b MQ sink rejects frames without a value column or with wrong types") {
