@@ -3,16 +3,24 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — times the headline queries (names match BASELINE.md)
   * at SPARK_GRAFT_SF_DIR and prints one JSON line.
-  * Each headline query runs once untimed (JIT/codegen/file-footer
-  * warm-up, as the baseline was measured warm) and best-of-3 timed.
   *
-  * The same line also carries `all_queries`: one single-shot timing per
-  * declared query, so regressions in the non-headline tail are
-  * machine-diffable round over round (the SCALING.md audit, emitted by
-  * the artifact instead of hand-refreshed). Headline entries appear
-  * there with their rigorous timings; `metric`/`value`/`queries` keep
-  * the BASELINE.md contract untouched. SPARK_GRAFT_BENCH_ALL promotes
-  * every query to the warm best-of-3 discipline (slow, dev audit);
+  * Two actions are reported, because they measure different things:
+  *
+  *  - `queries`/`value`: warm best-of-3 under `count()` — the contract
+  *    BASELINE.md's round-1 vanilla numbers were measured under, kept
+  *    for round-over-round and engine-vs-baseline comparability. A bare
+  *    count lets Catalyst prune un-consumed aggregate expressions and
+  *    eliminate final sorts, on BOTH sides of the comparison equally.
+  *  - `queries_full`: warm best-of-3 under a noop-sink write — full
+  *    materialization of every output column, nothing pruned. Compare
+  *    against BASELINE.md's "full materialization" vanilla table (same
+  *    action, measured by `graft.BaselineBench`).
+  *
+  * The line also carries `all_queries`: one single-shot noop-write
+  * timing per declared query, so regressions in the non-headline tail
+  * are machine-diffable round over round (the SCALING.md audit, emitted
+  * by the artifact instead of hand-refreshed). SPARK_GRAFT_BENCH_ALL
+  * promotes the tail to warm best-of-3 (slow, dev audit);
   * SPARK_GRAFT_BENCH_HEADLINE_ONLY skips the tail for quick loops.
   */
 object Bench {
@@ -29,38 +37,46 @@ object Bench {
 
     // A crashing or missing query must surface as a -1 sentinel, never as
     // a short "time until it threw" that silently shrinks the total.
-    def once(name: String): Double = {
+    def once(name: String, full: Boolean): Double = {
       val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
+      try {
+        val df = qs(name)(spark, sfDir)
+        if (full) df.write.format("noop").mode("overwrite").save() else df.count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
       }
     }
     // warm-up + best-of-3: ambient load on a shared box adds hundreds of
     // ms of one-sided noise; min is the robust stat
-    def rigorous(name: String): Double = {
-      val warm = once(name)
-      if (warm < 0) -1.0 else Seq(once(name), once(name), once(name)).min
+    def rigorous(name: String, full: Boolean): Double = {
+      val warm = once(name, full)
+      if (warm < 0) -1.0
+      else Seq(once(name, full), once(name, full), once(name, full)).min
     }
 
     val results = headline.map { name =>
       if (!qs.contains(name)) {
         System.err.println(s"[bench] $name not in registry"); name -> -1.0
-      } else name -> rigorous(name)
+      } else name -> rigorous(name, full = false)
+    }
+    val resultsFull = headline.map { name =>
+      name -> (if (qs.contains(name)) rigorous(name, full = true) else -1.0)
     }
     val tail = qs.keys.toSeq.sorted.filterNot(headline.contains)
     val tailResults =
       if (headlineOnly) Nil
-      else tail.map(n => n -> (if (rigorousAll) rigorous(n) else once(n)))
+      else tail.map(n => n -> (if (rigorousAll) rigorous(n, full = true)
+                               else once(n, full = true)))
 
     def toJson(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     val allJson =
       if (headlineOnly) ""
-      else s""","all_queries":${toJson((results ++ tailResults).sortBy(_._1))}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)}$allJson,"sf":"$sfDir"}""")
+      else s""","all_queries":${toJson((resultsFull ++ tailResults).sortBy(_._1))}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"queries_full":${toJson(resultsFull)}$allJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
