@@ -654,6 +654,19 @@ object Registry {
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         GROUP BY token ORDER BY n_occurrences DESC, token""")),
 
+      // Unicode tokenizer, replayed regex-for-regex: DuckDB punctuates the
+      // text the same way and splits on the same [^\p{L}\p{N}]+ class
+      // (RE2) as Spark's Java-regex split — the hash compare pins
+      // cross-engine agreement of the tokenization itself.
+      QueryDef("l4_termfreq_unicode", TextOps.l4TermFreqUnicode, Some("""
+        WITH p AS (SELECT doc_id,
+          regexp_replace(text, ' ', ', ', 'g') || '!' AS text FROM documents),
+        tok AS (SELECT doc_id,
+          unnest(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+                 x -> x <> '')) AS token FROM p)
+        SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+        FROM tok GROUP BY token ORDER BY n_occurrences DESC, token""")),
+
       QueryDef("l4_langid", TextOps.l4LangId, Some {
         val langs = Seq("en", "de", "es", "fr", "zh")
         val scores = langs.map(l => s"${stopFilter(TextOps.stopwords(l))} AS s_$l").mkString(", ")

@@ -114,6 +114,22 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
 
+  /** L4 declared query for the UNICODE tokenizer: deterministically
+    * punctuate the fixture text in-query (comma-space separators plus a
+    * trailing bang — the fixture corpus itself is clean word soup), then
+    * recover term frequencies through [[unicodeTokenizer]]. By the
+    * tokenizer property this equals [[l4TermFreq]] over the original
+    * text, and the DuckDB oracle replays the regex split itself — so the
+    * row proves CROSS-ENGINE agreement of the `\p{L}\p{N}` tokenization
+    * (Java regex vs RE2), not just the Spark-side property.
+    */
+  def l4TermFreqUnicode(spark: SparkSession, dir: String): DataFrame = {
+    val punct = Tables(spark, dir).documents.withColumn("text",
+      concat(regexp_replace(col("text"), " ", ", "), lit("!")))
+    termFreq(punct, unicodeTokenizer)
+      .orderBy(col("n_occurrences").desc, col("token"))
+  }
+
   /** Shared term-statistics pipeline for [[l4TfIdf]] / [[l4Bm25]]:
     * per-(doc, token) tf with the doc's token count under `lenCol`, and
     * per-token document frequency (terms is unique per (doc_id, token),
