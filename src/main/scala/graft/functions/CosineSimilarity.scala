@@ -96,5 +96,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_fast expects exactly 2 arguments (array<float>, array<float>), got ${children.length}")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("sum_micros_fixed"),
+      new ExpressionInfo(classOf[FixedPointSum].getName, "sum_micros_fixed"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"sum_micros_fixed expects exactly 1 BIGINT argument, got ${children.length}")
+        FixedPointSum(children.head).toAggregateExpression()
+      }))
   }
 }

@@ -64,6 +64,34 @@ class PropertiesSpec extends SparkSuite {
       }
   }
 
+  test("FixedPointSum limb accumulator equals the decimal sum bit-for-bit") {
+    // mixed-sign magnitudes spanning the limb boundary region, random
+    // partitioning (partial-agg merge order varies), plus null rows
+    val vals = Gen.listOfN(60, Gen.oneOf(
+      Gen.chooseNum(-1e9, 1e9), Gen.chooseNum(-0.01, 0.01),
+      Gen.chooseNum(1e11, 9e11))).map(_.map(x => math.rint(x * 100) / 100))
+    for ((xs, i) <- samples(vals, 12).zipWithIndex) {
+      val withNulls = xs.map(Option(_)) ++ Seq.fill(i % 3)(None)
+      val df = withNulls.toDF("x").repartition(1 + i % 7)
+      val got = df.agg(
+        Det.dsum(col("x"), 2).as("fast"),
+        round(sum(col("x").cast("decimal(30,6)")), 2).cast("double").as("dec"),
+        Det.davg(col("x"), 4).as("avg")).collect()(0)
+      assert(got.getAs[Any]("fast") == got.getAs[Any]("dec"),
+        s"dsum mismatch on $xs: ${got.getAs[Any]("fast")} vs ${got.getAs[Any]("dec")}")
+      if (xs.forall(_ >= 0)) { // davg documents the non-negative domain
+        val exact = xs.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+        val want = if (xs.isEmpty) null
+          else (exact / xs.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got.getAs[Any]("avg") == want)
+      }
+    }
+    // all-null and empty inputs yield NULL, matching SUM/AVG
+    val empty = Seq.empty[Option[Double]].toDF("x")
+      .agg(Det.dsum(col("x")).as("s")).collect()(0)
+    assert(empty.isNullAt(0))
+  }
+
   test("Det.davg equals BigDecimal HALF_UP average on random inputs") {
     val vals = Gen.listOfN(24, Gen.chooseNum(0.0, 100000.0)
       .map(x => math.rint(x * 100) / 100)) // ≤2-dp fixtures like the real data
