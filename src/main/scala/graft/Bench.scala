@@ -17,11 +17,13 @@ import org.apache.spark.sql.SparkSession
   *    action, measured by `graft.BaselineBench`).
   *
   * The line also carries `all_queries`: one single-shot noop-write
-  * timing per declared query, so regressions in the non-headline tail
-  * are machine-diffable round over round (the SCALING.md audit, emitted
-  * by the artifact instead of hand-refreshed). SPARK_GRAFT_BENCH_ALL
-  * promotes the tail to warm best-of-3 (slow, dev audit);
-  * SPARK_GRAFT_BENCH_HEADLINE_ONLY skips the tail for quick loops.
+  * timing per declared query (headline included, measured on the same
+  * uniform basis), so regressions in the non-headline tail are
+  * machine-diffable round over round (the SCALING.md audit, emitted by
+  * the artifact instead of hand-refreshed). SPARK_GRAFT_BENCH_ALL
+  * promotes every all_queries entry to warm best-of-3 (slow, dev
+  * audit); SPARK_GRAFT_BENCH_HEADLINE_ONLY skips the map for quick
+  * loops.
   */
 object Bench {
   /** Headline metrics — keep names identical to BASELINE.md rows. */
@@ -64,18 +66,24 @@ object Bench {
     val resultsFull = headline.map { name =>
       name -> (if (qs.contains(name)) rigorous(name, full = true) else -1.0)
     }
+    // all_queries must be measured UNIFORMLY (single-shot by default,
+    // warm best-of-3 under BENCH_ALL) — folding the headline's rigorous
+    // numbers in would put its 4 entries on a systematically lower basis
+    // and show phantom regressions if a query moves in/out of the
+    // headline set between rounds
     val tail = qs.keys.toSeq.sorted.filterNot(headline.contains)
-    val tailResults =
+    val allResults =
       if (headlineOnly) Nil
-      else tail.map(n => n -> (if (rigorousAll) rigorous(n, full = true)
-                               else once(n, full = true)))
+      else (headline.filter(qs.contains) ++ tail).map { n =>
+        n -> (if (rigorousAll) rigorous(n, full = true) else once(n, full = true))
+      }
 
     def toJson(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     val allJson =
       if (headlineOnly) ""
-      else s""","all_queries":${toJson((resultsFull ++ tailResults).sortBy(_._1))}"""
+      else s""","all_queries":${toJson(allResults.sortBy(_._1))}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"queries_full":${toJson(resultsFull)}$allJson,"sf":"$sfDir"}""")
     spark.stop()
   }

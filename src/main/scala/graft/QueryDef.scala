@@ -28,30 +28,28 @@ object Det {
   private def micros(c: Column): Column =
     (c.cast("decimal(30,6)") * lit(1000000L)).cast("long")
 
-  /** The exact micro-unit sum as DECIMAL(38,0) — accumulated in dual
-    * long limbs by [[graft.functions.FixedPointSum]] (registered as
-    * `sum_micros_fixed` by GraftExtensions): bit-identical to
-    * `SUM(CAST(x AS DECIMAL(30,6))) × 1e6` at ~2.5× less aggregate cost
-    * (decimal adds leave the per-row hot path), same ±2^124 µ headroom.
+  /** The exact sum as DECIMAL(38,6) units — accumulated in dual long
+    * limbs by [[graft.functions.FixedPointSum]] (registered as
+    * `sum_micros_fixed` by GraftExtensions) and reconstructed exactly at
+    * evaluation: value-identical to `SUM(CAST(x AS DECIMAL(30,6)))`
+    * (same result TYPE too) at ~2.5× less aggregate cost — the decimal
+    * adds leave the per-row hot path — with the same ±2^124 µ headroom.
     */
-  private def sumMicros(c: Column): Column =
+  private def sumExact(c: Column): Column =
     call_function("sum_micros_fixed", micros(c))
 
-  /** Exact order-independent sum: micro-unit limb sum, integer HALF_UP
-    * rounding at `scale`, one correctly-rounded int→double division.
-    * Bit-identical to the previous decimal formulation (and to the
-    * oracle twin `CAST(ROUND(SUM(CAST(x AS DECIMAL(30,6))), s) AS
-    * DOUBLE)`): R = sgn(S)·⌊(2|S| + k)/(2k)⌋ with k = 10^(6−s) is the
-    * mathematically-defined HALF_UP (half away from zero, matching
-    * decimal ROUND) of S/k, computed once per group in decimal.
+  /** Exact order-independent sum: limb sum, then the SAME
+    * `round(decimal, s).cast(double)` tail as the original decimal
+    * formulation — one HALF_UP rounding, one correctly-rounded
+    * decimal→double conversion, bit-identical to the oracle twin
+    * `CAST(ROUND(SUM(CAST(x AS DECIMAL(30,6))), s) AS DOUBLE)` across
+    * the aggregate's full range. (An earlier draft routed the rounded
+    * value through integral `div` — whose result is BIGINT — and a
+    * double-then-divide tail: two narrowings the decimal path doesn't
+    * have, diverging past 2^53 and overflowing past 2^63.)
     */
-  def dsum(c: Column, scale: Int = 2): Column = {
-    val k = math.pow(10, 6 - scale).toLong
-    val s = sumMicros(c)
-    val r = call_function("div",
-      lit(2L) * abs(s) + lit(k), (lit(2L) * lit(k)).cast("decimal(38,0)"))
-    (when(s < 0, -r).otherwise(r).cast("double") / lit(math.pow(10, scale)))
-  }
+  def dsum(c: Column, scale: Int = 2): Column =
+    round(sumExact(c), scale).cast("double")
 
   /** SQL fragment for the oracle side of [[dsum]]. */
   def dsumSql(expr: String, scale: Int = 2): String =
@@ -77,9 +75,9 @@ object Det {
     */
   def davg(c: Column, scale: Int = 4): Column = {
     val p = math.pow(10, scale).toLong
-    // S_micros = SUM(decimal(30,6)) × 1e6 exactly, so this numer/denom is
-    // value-identical to the previous decimal-sum formulation
-    val numer = sumMicros(c) * lit(2L * p) +
+    // sumExact == SUM(decimal(30,6)) in value AND type, so this is the
+    // original decimal-sum formulation with only the aggregate swapped
+    val numer = (sumExact(c) * lit(2L * p * 1000000L)).cast("decimal(38,0)") +
       count(c).cast("decimal(38,0)") * lit(1000000L)
     // nullif: a zero non-null count must yield NULL (AVG semantics), and
     // under ANSI mode a zero divisor would otherwise raise

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BitwiseAnd, Expression, If, IsNull, Literal, ShiftRight, ShiftRightUnsigned}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DataType, DecimalType, LongType}
+import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, LongType}
 
 /** Exact order-independent fixed-point SUM over long micro-units — the
   * fast twin of `sum(cast(x as decimal(30,6)))` for the [[graft.Det]]
@@ -41,7 +41,7 @@ case class FixedPointSum(child: Expression)
   private val LimbBits = 61
   private val LimbMask = (1L << LimbBits) - 1
 
-  override def dataType: DataType = DecimalType(38, 0)
+  override def dataType: DataType = DecimalType(38, 6)
   override def nullable: Boolean = true
   override def prettyName: String = "sum_micros_fixed"
 
@@ -91,13 +91,29 @@ case class FixedPointSum(child: Expression)
       org.apache.spark.sql.catalyst.expressions.Add(cnt.left, cnt.right))
   }
 
+  /** The result is the decimal VALUE (units, scale 6) — the same
+    * DECIMAL(38,6) a `sum(cast(x as decimal(30,6)))` buffer yields — so
+    * callers' rounding/averaging tails are untouched by the limb rewrite
+    * and no post-hoc ÷10⁶ (whose decimal-division type coercion would
+    * silently narrow at extreme magnitudes) is ever needed:
+    *
+    *  - the lo limb converts EXACTLY via MakeDecimal (unscaled long →
+    *    decimal(20,6), i.e. lo·10⁻⁶ — lo < 2^61 always fits);
+    *  - the hi limb multiplies by the 6-dp literal 2^61·10⁻⁶ =
+    *    2305843009213.693952 — an integer times a 6-dp value has ≤ 6 dp,
+    *    so the decimal(38,6) product is exact across the full ±2^124 µ
+    *    range (|hi·2^61 µ| < 2.1e31 units < the 32 integer digits
+    *    decimal(38,6) holds).
+    */
   override lazy val evaluateExpression: Expression = {
-    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, EqualTo, Multiply}
-    val dec = DecimalType(38, 0)
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, EqualTo, MakeDecimal, Multiply}
+    val limbUnits = Decimal(BigDecimal(1L << LimbBits) / 1000000L)
     val total = Add(
-      Multiply(Cast(hi, dec), Cast(Literal(1L << LimbBits), dec)),
-      Cast(lo, dec))
-    If(EqualTo(cnt, Literal(0L)), Literal(null, dec), total)
+      Multiply(Cast(hi, DecimalType(38, 6)),
+        Literal(limbUnits, DecimalType(19, 6))),
+      MakeDecimal(lo, 20, 6))
+    If(EqualTo(cnt, Literal(0L)),
+      Literal(null, DecimalType(38, 6)), Cast(total, DecimalType(38, 6)))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

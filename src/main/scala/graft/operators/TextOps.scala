@@ -38,11 +38,13 @@ object TextOps {
     * scalacheck property in PropertiesSpec), so swapping it in changes
     * nothing on clean input and stops silent mis-tokenization on
     * punctuated/unicode input. Same per-row codegen'd shape — `split` on
-    * a compiled regex plus an empty-string filter for leading/trailing
-    * separators.
+    * a compiled regex plus `array_remove` of the empty strings a
+    * leading/trailing separator produces (array_remove, unlike a
+    * higher-order `filter` lambda, stays inside whole-stage codegen —
+    * the same interpreted-HOF trap SCALING.md pins for trigram langid).
     */
   val unicodeTokenizer: Column => Column = text =>
-    filter(split(text, "[^\\p{L}\\p{N}]+"), t => t =!= lit(""))
+    array_remove(split(text, "[^\\p{L}\\p{N}]+"), "")
 
   private def toks(text: Column): Column = spaceTokenizer(text)
 

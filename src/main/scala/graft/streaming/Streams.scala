@@ -340,13 +340,12 @@ object Streams {
     */
   def replayDeadLetter(spark: SparkSession, dlqTopic: String, outTopic: String,
                        repair: Column => Column): (Long, Long) = {
-    val validated = spark.read.format(MqSource.format).option("topic", dlqTopic).load()
-      .select(col("key"), repair(col("value")).as("value"), col("timestamp"))
-      .select(col("key"), col("value"), col("timestamp"),
-        from_json(col("value"), EventSchema).as("e"))
-      .withColumn("valid",
-        col("e").isNotNull &&
-          EventSchema.fieldNames.map(f => col(s"e.$f").isNotNull).reduce(_ && _))
+    // the SAME validity rule as the mainline decode, by construction —
+    // a reimplementation here could drift and re-publish payloads the
+    // mainline would immediately dead-letter again (a DLQ loop)
+    val validated = decodeEventsValidated(
+      spark.read.format(MqSource.format).option("topic", dlqTopic).load()
+        .select(col("key"), repair(col("value")).as("value"), col("timestamp")))
     validated.persist()
     try {
       val good = validated.filter(col("valid"))

@@ -90,6 +90,23 @@ class PropertiesSpec extends SparkSuite {
     val empty = Seq.empty[Option[Double]].toDF("x")
       .agg(Det.dsum(col("x")).as("s")).collect()(0)
     assert(empty.isNullAt(0))
+    // magnitudes where an integral-div/long/double tail would diverge:
+    // rounded values beyond 2^53 (inexact in double before the final
+    // division) — the decimal tail must stay bit-identical
+    val huge = Seq.fill(400)(8.9e12) ++ Seq.fill(137)(1234567.89)
+    val h = huge.toDF("x").repartition(5).agg(
+      Det.dsum(col("x"), 2).as("fast"),
+      round(sum(col("x").cast("decimal(30,6)")), 2).cast("double").as("dec"))
+      .collect()(0)
+    assert(h.getDouble(0) == h.getDouble(1), s"${h.getDouble(0)} vs ${h.getDouble(1)}")
+    // and beyond long-micros range entirely (sum ≈ 3.6e21 µ > 2^63):
+    // the limb accumulator must carry where a plain sum(long) overflows
+    val beyond = Seq.fill(400)(9.1e12)
+    val b = beyond.toDF("x").repartition(3).agg(
+      Det.dsum(col("x"), 2).as("fast"),
+      round(sum(col("x").cast("decimal(30,6)")), 2).cast("double").as("dec"))
+      .collect()(0)
+    assert(b.getDouble(0) == b.getDouble(1), s"${b.getDouble(0)} vs ${b.getDouble(1)}")
   }
 
   test("Det.davg equals BigDecimal HALF_UP average on random inputs") {
