@@ -8,7 +8,8 @@ object Explain {
   val defaults = Seq("q1_pricing_summary", "q3_join_agg", "q14_promo",
     "l1_exact_dedup", "l3_cosine_topk", "l3_ivf_topk", "l6_simjoin",
     "l6_ngram_simjoin", "l6_dedup_docs", "l4_tfidf", "l4_bm25",
-    "l4_langid_ngram", "l8_pack", "l8_quality_gate", "j7_asof")
+    "l4_bm25_search", "l4_langid_ngram", "l4_termfreq_unicode",
+    "l8_pack", "l8_quality_gate", "j7_asof", "s7_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

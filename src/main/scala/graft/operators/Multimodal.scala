@@ -11,10 +11,13 @@ import org.apache.spark.sql.types.StructType
   *
   * The media itself is opaque `BinaryType`; this module provides the
   * Spark-side plumbing (schema, join, struct metadata, partition-friendly
-  * batch decode) with the actual codec stubbed behind a deterministic
-  * fake — the container ships no image/audio libraries, so the stub
-  * stands in for e.g. a JNI/ONNX decode, and the tests pin the plumbing
-  * (schema, batch shape, row alignment), not the codec.
+  * batch decode). Container-format METADATA parsing is real —
+  * [[parseImageMeta]] reads PNG IHDR and JPEG SOF dimensions from the
+  * raw bytes with no libraries, which is the part a curation pipeline
+  * filters on — while pixel/sample DECODE is stubbed behind a
+  * deterministic fake (the container ships no image/audio codecs, so
+  * the stub stands in for e.g. a JNI/ONNX decode, and the tests pin the
+  * plumbing: schema, batch shape, row alignment).
   *
   * Scale posture: documents⋈embeddings is a key-to-key shuffle join on
   * the id (both sides bucketable by that id at 100 TB); decode runs via
@@ -78,6 +81,74 @@ object Multimodal {
         transform(sequence(lit(1), nFrames),
           i => payload.substr((i - lit(1)) * lit(block) + lit(1), lit(4))))
         .otherwise(array().cast("array<binary>")))
+  }
+
+  /** Parsed container metadata of one image payload. Option fields:
+    * None for unrecognized bytes (the row survives — curation filters
+    * decide, the parser never throws).
+    */
+  final case class ImageMeta(doc_id: Long, format: Option[String],
+                             width: Option[Int], height: Option[Int])
+
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u32be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** REAL image-container parser — no media libraries required, because
+    * dimensions live in the first bytes of the container, not the pixel
+    * stream:
+    *
+    *  - PNG: the 8-byte signature is followed immediately by the IHDR
+    *    chunk, whose first 8 data bytes are width/height (big-endian,
+    *    PNG spec §11.2.2) — fixed offsets 16 and 20.
+    *  - JPEG: after the FFD8 SOI marker, segments are (FF, marker,
+    *    16-bit length) — walk them to the first SOF frame header
+    *    (FFC0–FFCF excluding C4/C8/CC, ITU T.81 §B.2.2), which carries
+    *    height then width after the precision byte.
+    *
+    * Pixel DECODE stays stubbed (no codec libs in this container), but
+    * format sniffing + resolution extraction — what a curation pipeline
+    * actually filters on — is real. Returns None on anything
+    * unrecognized or truncated rather than throwing.
+    */
+  def parseImageMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (bytes.length >= 24 && bytes.take(8).sameElements(pngSig) &&
+        new String(bytes.slice(12, 16), "US-ASCII") == "IHDR") {
+      Some(("png", u32be(bytes, 16), u32be(bytes, 20)))
+    } else if (bytes.length >= 4 &&
+        (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 9 < bytes.length && (bytes(i) & 0xff) == 0xff) {
+        val marker = bytes(i + 1) & 0xff
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof)
+          return Some(("jpeg", u16be(bytes, i + 7), u16be(bytes, i + 5)))
+        i += 2 + u16be(bytes, i + 2) // segment length includes its own 2 bytes
+      }
+      None
+    } else None
+  }
+
+  /** Image metadata over the asset frame — the same typed-mapPartitions
+    * shape as [[decodeFeatures]] (parser state is trivial here, but a
+    * real codec registry would initialize per partition in the same
+    * place).
+    */
+  def imageMeta(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseImageMeta(bytes) match {
+          case Some((f, w, h)) => ImageMeta(id, Some(f), Some(w), Some(h))
+          case None            => ImageMeta(id, None, None, None)
+        }
+      })
+      .toDF()
   }
 
   /** Batch "decode / feature-extract" over the binary payload column.

@@ -437,6 +437,32 @@ class LlmOpsSpec extends SparkSuite {
     assert(fps.values.forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("L5 image metadata: real PNG/JPEG header parsing, unknown bytes survive as None") {
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array((v >>> 8).toByte, v.toByte)
+    // a real PNG prefix: signature + IHDR (width 640, height 480)
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+    // a real JPEG prefix: SOI, APP0 (JFIF), SOF0 (height 33, width 47)
+    val jpeg = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+      "JFIF".getBytes("US-ASCII") ++ Array.fill[Byte](10)(0) ++
+      Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(33) ++ be16(47) ++ Array.fill[Byte](10)(0)
+    assert(Multimodal.parseImageMeta(png).contains(("png", 640, 480)))
+    assert(Multimodal.parseImageMeta(jpeg).contains(("jpeg", 47, 33)))
+    assert(Multimodal.parseImageMeta("garbage".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseImageMeta(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseImageMeta(png.take(20)).isEmpty) // truncated IHDR
+    // the same answers through the distributed mapPartitions path
+    val df = Seq((1L, png), (2L, jpeg), (3L, "garbage".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.imageMeta(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "png" && out(1L).getInt(2) == 640 && out(1L).getInt(3) == 480)
+    assert(out(2L).getString(1) == "jpeg" && out(2L).getInt(2) == 47 && out(2L).getInt(3) == 33)
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2) && out(3L).isNullAt(3))
+  }
+
   test("L5 multimodal decode stub: schema, alignment, determinism") {
     val assets = Multimodal.assets(tables)
     val feats = Multimodal.decodeFeatures(assets)
