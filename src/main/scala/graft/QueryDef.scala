@@ -29,14 +29,21 @@ object Det {
     (c.cast("decimal(30,6)") * lit(1000000L)).cast("long")
 
   /** The exact sum as DECIMAL(38,6) units — accumulated in dual long
-    * limbs by [[graft.functions.FixedPointSum]] (registered as
-    * `sum_micros_fixed` by GraftExtensions) and reconstructed exactly at
-    * evaluation: value-identical to `SUM(CAST(x AS DECIMAL(30,6)))`
-    * (same result TYPE too) at ~2.5× less aggregate cost — the decimal
-    * adds leave the per-row hot path — with the same ±2^124 µ headroom.
+    * limbs by [[graft.functions.FixedPointSum]] and reconstructed
+    * exactly at evaluation: value-identical to
+    * `SUM(CAST(x AS DECIMAL(30,6)))` (same result TYPE too) at ~2.5×
+    * less aggregate cost — the decimal adds leave the per-row hot path —
+    * with the same ±2^124 µ headroom. Constructed DIRECTLY as an
+    * expression (not via the `sum_micros_fixed` registry name, which
+    * GraftExtensions registers for SQL users) so every Det-using
+    * declared query works under ANY SparkSession, extensions or not.
     */
-  private def sumExact(c: Column): Column =
-    call_function("sum_micros_fixed", micros(c))
+  private def sumExact(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.FixedPointSum(ColumnBridge.expression(micros(c)))
+        .toAggregateExpression())
+  }
 
   /** Exact order-independent sum: limb sum, then the SAME
     * `round(decimal, s).cast(double)` tail as the original decimal

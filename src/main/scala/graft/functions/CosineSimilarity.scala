@@ -81,6 +81,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[CosineSimilarity]] as a Column, constructed directly (no session
+  * function-registry lookup) — usable under any SparkSession.
+  */
+object CosineFast {
+  def apply(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+}
+
 /** SparkSessionExtensions hook registering the engine's native functions —
   * `spark.sql.extensions=graft.functions.GraftExtensions` (set by
   * [[graft.Engine.session]]) makes `cosine_fast(a, b)` available to SQL

@@ -126,7 +126,7 @@ object Similarity {
       .crossJoin(broadcast(
         t.embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))))
       .select(col("vec_id"), col("label"),
-        expr("cosine_fast(embedding, q_emb)").as("cosine"))
+        graft.functions.CosineFast(col("embedding"), col("q_emb")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
 
@@ -316,7 +316,7 @@ object Similarity {
       .crossJoin(broadcast(
         t.embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("q_raw"))))
       .select(col("vec_id"), col("label"), col("cell"),
-        expr("cosine_fast(embedding, q_raw)").as("cosine"))
+        graft.functions.CosineFast(col("embedding"), col("q_raw")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -456,7 +456,7 @@ object Similarity {
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
       .withColumn("__q", typedLit(query))
       .select(col("vec_id"), col("label"), col("cell"),
-        expr("cosine_fast(embedding, __q)").as("cosine"))
+        graft.functions.CosineFast(col("embedding"), col("__q")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
