@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import graft.functions.{FnQueries, WeightedAvg}
+import graft.functions.{FnQueries, FreqItems, WeightedAvg}
 import graft.sources.BatchIO
 
 /** Central declaration list: every implemented operator from SURVEY.md §2
@@ -357,6 +357,18 @@ object Registry {
         SELECT s_nationkey AS nk, 's' AS src FROM supplier)
       GROUP BY nk
       ORDER BY nk""")),
+
+    // CDC latest-wins compaction: last change per key wins (full
+    // (ts, event_id) tie-break), keys whose final change is the
+    // tombstone op drop out of the snapshot
+    QueryDef("o6_upsert", Relational.o6Upsert, Some("""
+      SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+             event_type, ROUND(value, 4) AS value
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id""")),
 
     QueryDef("o4_set_ops", Relational.o4SetOps, Some("""
       SELECT nk, 'both' AS side FROM
@@ -954,6 +966,16 @@ object Registry {
           // (CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) * 1000000000000 AS HUGEINT) * 2) AS DOUBLE) / 10000.0 AS wavg_price,
         COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Misra–Gries frequent-items sketch in its exact regime (25-brand
+    // domain under a 32-slot summary → no decrement ever fires), so the
+    // plain GROUP BY is the precise oracle; under-capacity error bounds
+    // are property-tested instead (PropertiesSpec)
+    QueryDef("a8_freq_items", FreqItems.a8FreqItems, Some("""
+      SELECT p_brand AS item, COUNT(*) AS cnt
+      FROM part
+      GROUP BY p_brand
+      ORDER BY cnt DESC, item""")),
   )
 
   def all: Seq[QueryDef] = relational ++ llm ++ fns

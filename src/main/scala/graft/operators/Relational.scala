@@ -604,4 +604,45 @@ object Relational {
     val custOnly = custNations.except(suppNations).withColumn("side", lit("customer_only"))
     both.unionByName(custOnly).orderBy(col("side"), col("nk"))
   }
+
+  /** O6: CDC latest-wins changelog compaction — materialize the current
+    * snapshot of a mutable table from its upsert/delete change stream:
+    * per key, keep the change with the highest version (caller supplies a
+    * TOTAL order — ties across versions would make the snapshot
+    * nondeterministic), then drop keys whose winning change is a
+    * tombstone. The merge step every CDC-fed table needs at scale.
+    *
+    * Rides [[topKPerGroupSkewSafe]] with k=1: the per-input-partition
+    * pre-rank collapses each (partition, key) group to one row BEFORE the
+    * key shuffle — the window-function analogue of a map-side combine —
+    * so a hot key with millions of updates ships at most one row per
+    * input partition, not its whole history. The tombstone filter runs
+    * AFTER the winner is picked: a delete only deletes if it is genuinely
+    * last (filtering deletes first would resurrect older upserts).
+    *
+    * Compacting a base snapshot plus a delta is the same call over their
+    * union, with the base rows versioned below every delta
+    * (RelationalSpec pins that composition and tombstone-ordering
+    * semantics).
+    */
+  def upsertCompact(changes: DataFrame, keys: Seq[String], version: Seq[Column],
+                    isDelete: Column): DataFrame =
+    topKPerGroupSkewSafe(changes, keys, version.map(_.desc), k = 1)
+      .filter(!isDelete)
+      .drop("rn")
+
+  /** O6 declared query: the events changelog compacted to its current
+    * state — key = user_id, version = (ts, event_id), an 'error' as the
+    * tombstone op. Surfaced per the determinism rules (µs epochs,
+    * 4-dp doubles).
+    */
+  def o6Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    upsertCompact(t.events, keys = Seq("user_id"),
+        version = Seq(col("ts"), col("event_id")),
+        isDelete = col("event_type") === lit("error"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), round(col("value"), 4).as("value"))
+      .orderBy(col("user_id"))
+  }
 }

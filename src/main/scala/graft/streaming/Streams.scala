@@ -237,6 +237,31 @@ object Streams {
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
   }
 
+  /** J9b: OUTER stream–stream attribution — unmatched rows null-pad
+    * instead of dropping ("left_outer": every purchase emits exactly
+    * once; "full_outer": unconverted clicks too). The watermark + the
+    * time-range bound are what make the outer side decidable, not just
+    * state hygiene: a purchase's null row may emit only once the CLICK
+    * watermark has passed `purchase_ts` — before that a qualifying click
+    * could still arrive. Consequence at any scale: outer results trail
+    * the data by the watermark delay, and a query that stops before the
+    * watermark passes a row's bound never emits its null form (the spec
+    * drives the flush with a later sentinel event, exactly how a
+    * production topic's ongoing traffic does it).
+    */
+  def purchaseAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+                               joinType: String = "left_outer"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+      col("ts").as("click_ts")).withWatermark("click_ts", "1 hour")
+    val p = purchases.select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+      col("ts").as("purchase_ts"), col("value")).withWatermark("purchase_ts", "1 hour")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
+  }
+
   // ---------- sinks + harness (S5, T7, T8) ----------
 
   /** T8: run a streaming frame to completion over the data available now

@@ -175,4 +175,41 @@ class PropertiesSpec extends SparkSuite {
       assert(agree(sigs(1L), sigs(2L)) >= agree(sigs(1L), sigs(3L)))
     }
   }
+
+  test("misra-gries sketch: undercount bound and heavy-hitter recall under any partitioning") {
+    import org.apache.spark.sql.Encoders
+    // zipf-ish skew: item i appears ~ 200/(i+1) times; k far below distinct
+    val items = (0 until 30).flatMap(i => Seq.fill(200 / (i + 1))(s"item_$i"))
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = items.size.toLong
+    for ((parts, k) <- Seq((1, 8), (7, 8), (16, 8), (7, 5), (7, 16))) {
+      val fi = udaf(new graft.functions.FreqItemsAgg(k), Encoders.STRING)
+      val est = items.toDF("item").repartition(parts)
+        .agg(fi(col("item")).as("s")).select(explode(col("s")))
+        .collect().map(r => r.getStruct(0)).map(s => s.getString(0) -> s.getLong(1)).toMap
+      val bound = n / (k + 1)
+      assert(est.size <= k)
+      // every estimate undercounts, by at most n/(k+1)
+      for ((item, c) <- est) {
+        assert(c <= truth(item), s"$item overcounted: $c > ${truth(item)}")
+        assert(truth(item) - c <= bound, s"$item under by ${truth(item) - c} > $bound")
+      }
+      // every true heavy hitter (> n/(k+1)) is present
+      for ((item, t) <- truth if t > bound)
+        assert(est.contains(item), s"heavy hitter $item (freq $t > $bound) missing at parts=$parts k=$k")
+    }
+  }
+
+  test("misra-gries sketch is exact and partition-invariant when capacity covers the domain") {
+    import org.apache.spark.sql.Encoders
+    val items = (0 until 500).map(i => s"v_${i % 9}")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 3, 13)) {
+      val fi = udaf(new graft.functions.FreqItemsAgg(16), Encoders.STRING)
+      val est = items.toDF("item").repartition(parts)
+        .agg(fi(col("item")).as("s")).select(explode(col("s")))
+        .collect().map(r => r.getStruct(0)).map(s => s.getString(0) -> s.getLong(1)).toMap
+      assert(est == truth, s"parts=$parts")
+    }
+  }
 }

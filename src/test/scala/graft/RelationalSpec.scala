@@ -149,4 +149,34 @@ class RelationalSpec extends SparkSuite {
     assert(prices.length == 25)
     assert(prices.sameElements(prices.sortBy(-_)))
   }
+
+  test("o6 upsert: latest wins, tombstone only if last, base+delta composes, idempotent") {
+    import TestSpark.spark.implicits._
+    // k=1: upsert, delete, upsert  → survives with the last upsert
+    // k=2: upsert, delete          → deleted (tombstone is last)
+    // k=3: single upsert           → survives
+    val changes = Seq(
+      (1L, 1L, "u", "a"), (1L, 2L, "d", ""), (1L, 3L, "u", "c"),
+      (2L, 1L, "u", "b"), (2L, 3L, "d", ""),
+      (3L, 2L, "u", "x")
+    ).toDF("k", "v", "op", "payload").repartition(4)
+    val snap = Relational.upsertCompact(changes, Seq("k"), Seq(col("v")), col("op") === "d")
+    val got = snap.select("k", "v", "payload").as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3L, "c"), (3L, 2L, "x")))
+
+    // base snapshot + delta = one compaction over the union, base rows
+    // versioned below every delta by a generation column
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "payload")
+      .withColumn("gen", lit(0L)).withColumn("v", lit(0L)).withColumn("op", lit("u"))
+    val delta = Seq((1L, 1L, "u", "c"), (2L, 2L, "d", ""), (4L, 3L, "u", "d"))
+      .toDF("k", "v", "op", "payload").withColumn("gen", lit(1L))
+    val merged = Relational.upsertCompact(base.unionByName(delta),
+        Seq("k"), Seq(col("gen"), col("v")), col("op") === "d")
+      .select("k", "payload").as[(Long, String)].collect().sortBy(_._1)
+    assert(merged.toSeq == Seq((1L, "c"), (4L, "d")))
+
+    // a snapshot re-compacted under the same key/version is itself
+    val twice = Relational.upsertCompact(snap, Seq("k"), Seq(col("v")), col("op") === "d")
+    assert(twice.collect().toSet == snap.collect().toSet)
+  }
 }

@@ -477,6 +477,39 @@ class StreamingSpec extends SparkSuite {
     assertSameRows(joined, twin)
   }
 
+  test("J9b outer stream-stream join == batch twin once later traffic flushes the watermark") {
+    val topic = "t_outer_join"
+    val batchDecoded = publishEvents(topic)
+    // sentinel events a day past the fixture horizon: stand-ins for a
+    // production topic's ongoing traffic, dragging the global watermark
+    // past every real row's flush bound — without them an AvailableNow
+    // run ends with the unmatched rows still buffered (outer results
+    // trail the watermark BY DESIGN) and the null-padded form never emits
+    val maxUs = batchDecoded.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentUs = maxUs + 24L * 3600 * 1000000
+    def sentinel(id: Long, user: Long, typ: String): String =
+      s"""{"event_id": $id, "ts_us": $sentUs, "user_id": $user, "event_type": "$typ", "value": 0.0}"""
+    MqBroker.publish(topic, "-1", sentinel(-1L, -1L, "click"), sentUs)
+    MqBroker.publish(topic, "-2", sentinel(-2L, -2L, "purchase"), sentUs)
+
+    def clicks(df: DataFrame) = df.filter(col("event_type") === "click")
+    def purchases(df: DataFrame) = df.filter(col("event_type") === "purchase")
+    val realRow = coalesce(col("p_user"), col("c_user")) >= 0
+    for (jt <- Seq("left_outer", "full_outer")) {
+      val got = Streams.runAvailableNow(
+        Streams.purchaseAttributionOuter(
+            clicks(stream(topic)), purchases(stream(topic)), jt)
+          .filter(realRow).select(col("purchase_id"), col("click_id")),
+        s"j9b_${jt.replace("_", "")}_out", OutputMode.Append)
+      val twin = Streams.purchaseAttributionOuter(
+          clicks(batchDecoded), purchases(batchDecoded), jt)
+        .filter(realRow).select(col("purchase_id"), col("click_id"))
+      assertSameRows(got, twin)
+      // null-padding genuinely occurred (some purchase has no prior click)
+      assert(got.filter(col("click_id").isNull).count() > 0, s"$jt: no null-padded rows")
+    }
+  }
+
   test("E2E training-data pipeline: MQ ingest -> streaming dedup -> lang/quality filter -> MQ write-back == batch twin") {
     import org.apache.spark.sql.types.StructType
     val in = "t_pipe_in"; val out = "t_pipe_out"
