@@ -47,4 +47,56 @@ class IOSpec extends SparkSuite {
       case _ =>
     }
   }
+
+  test("z-order layout: a selective filter on either dimension skips most row groups") {
+    import graft.sources.Layout
+    val base = Files.createTempDirectory("graft-zorder").toString
+    val li = tables.lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    // same rows, same file/row-group geometry — only the ROW ORDER
+    // differs: z-clustered vs hash-shuffled (the adversarial layout
+    // where every row group spans the whole key domain)
+    Layout.writeZOrdered(li, Seq("l_partkey", "l_suppkey"), s"$base/z",
+      partitions = 4, rowGroupBytes = 8 * 1024, pageBytes = 2 * 1024)
+    li.withColumn("__r", hash(col("l_orderkey")))
+      .repartitionByRange(4, col("__r")).sortWithinPartitions(col("__r")).drop("__r")
+      .write.option("parquet.block.size", (8 * 1024).toString)
+      .option("parquet.page.size", (2 * 1024).toString)
+      .mode("overwrite").parquet(s"$base/rand")
+
+    // rows surviving row-group/page skipping = the scan node's own
+    // output counter (the residual Filter above it re-checks exactly)
+    def scanned(path: String, cond: org.apache.spark.sql.Column): (Long, Long) = {
+      val df = spark.read.parquet(path).filter(cond)
+      val kept = df.collect().length.toLong
+      val scanRows = df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+      (scanRows, kept)
+    }
+    val total = li.count()
+    // z-order's contract: a slab on EITHER single dimension touches
+    // ~sqrt(width) of the curve (a 10% slab → ~32% of row groups), and a
+    // rectangle on BOTH dimensions approaches area-proportional. Assert
+    // both regimes, each against the shuffled layout which can skip
+    // nothing.
+    def slab(dim: String): org.apache.spark.sql.Column = {
+      val r = li.agg(min(col(dim)), max(col(dim))).head()
+      val (dmin, dmax) = (r.getLong(0), r.getLong(1))
+      val span = math.max(1L, (dmax - dmin) / 10)
+      col(dim).between(dmin + 4 * span, dmin + 5 * span)
+    }
+    val cases = Seq(
+      "l_partkey slab" -> (slab("l_partkey"), 2L),
+      "l_suppkey slab" -> (slab("l_suppkey"), 2L),
+      "2-dim rectangle" -> (slab("l_partkey") && slab("l_suppkey"), 4L))
+    for ((label, (cond, factor)) <- cases) {
+      val (zScan, zKept) = scanned(s"$base/z", cond)
+      val (rScan, rKept) = scanned(s"$base/rand", cond)
+      assert(zKept == rKept && zKept == li.filter(cond).count(), s"$label: wrong answer")
+      assert(rScan > total / 2, s"$label: random layout unexpectedly skipped ($rScan of $total)")
+      assert(zScan * factor <= rScan,
+        s"$label: z-layout scanned $zScan vs random $rScan — under ${factor}x skipping")
+      info(f"$label: z-layout scans $zScan of $total (${100.0 * zScan / total}%.0f%%), shuffled $rScan")
+    }
+  }
 }
