@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -134,7 +134,17 @@ class MqTable(topic: String) extends Table with SupportsRead with SupportsWrite 
         "(omit the option for unlimited)")
       n
     }
-    () => new MqScan(topic, maxPerTrigger)
+    // Column pruning pushed into the reader: a decode query touches only
+    // `value` (sometimes key/timestamp); the other per-message fields are
+    // then never materialized into Spark rows at all. At ingest scale
+    // that is the difference between copying every key+topic string per
+    // message and copying none.
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = MqSource.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new MqScan(topic, maxPerTrigger, required)
+    }
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -142,16 +152,18 @@ class MqTable(topic: String) extends Table with SupportsRead with SupportsWrite 
     }
 }
 
-class MqScan(topic: String, maxPerTrigger: Option[Long] = None) extends Scan {
-  override def readSchema(): StructType = MqSource.schema
+class MqScan(topic: String, maxPerTrigger: Option[Long] = None,
+             required: StructType = MqSource.schema) extends Scan {
+  override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MqMicroBatchStream(topic, maxPerTrigger)
+    new MqMicroBatchStream(topic, maxPerTrigger, required)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val ends = MqBroker.endOffsets(topic)
       ends.indices.map(p => MqInputPartition(topic, p, 0L, ends(p)): InputPartition).toArray
     }
-    override def createReaderFactory(): PartitionReaderFactory = new MqReaderFactory
+    override def createReaderFactory(): PartitionReaderFactory =
+      new MqReaderFactory(required.fieldNames)
   }
 }
 
@@ -175,7 +187,8 @@ object MqOffset {
     MqOffset(json.trim.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toLong))
 }
 
-class MqMicroBatchStream(topic: String, maxPerTrigger: Option[Long] = None)
+class MqMicroBatchStream(topic: String, maxPerTrigger: Option[Long] = None,
+                         required: StructType = MqSource.schema)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   // End offsets captured at query start for Trigger.AvailableNow, so the
   // run processes exactly the data present at start and then terminates.
@@ -249,7 +262,8 @@ class MqMicroBatchStream(topic: String, maxPerTrigger: Option[Long] = None)
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new MqReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MqReaderFactory(required.fieldNames)
 
   override def commit(end: Offset): Unit = () // broker log is replayable; nothing to ack
   override def stop(): Unit = ()
@@ -341,19 +355,31 @@ class MqWriterFactory(topic: String, cols: MqWriterCols.Cols) extends Serializab
 
 case object MqCommitMessage extends WriterCommitMessage
 
-class MqReaderFactory extends PartitionReaderFactory {
+/** Emits rows shaped exactly as the scan's (possibly pruned) readSchema:
+  * one extractor per surviving field, resolved once per reader, so an
+  * unrequested column is never converted or copied.
+  */
+class MqReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MqInputPartition]
+    val topicU = UTF8String.fromString(p.topic)
+    val extractors: Array[MqBroker.Message => Any] = fields.map {
+      case "topic"     => (_: MqBroker.Message) => topicU
+      case "partition" => (m: MqBroker.Message) => m.partition
+      case "offset"    => (m: MqBroker.Message) => m.offset
+      case "key"       => (m: MqBroker.Message) => UTF8String.fromString(m.key)
+      case "value"     => (m: MqBroker.Message) => UTF8String.fromString(m.value)
+      case "timestamp" => (m: MqBroker.Message) => m.timestampUs
+      case f => throw new IllegalArgumentException(s"unknown mq column: $f")
+    }
     new PartitionReader[InternalRow] {
       // local[*]: same JVM as the broker. A networked broker would fetch
       // over the wire here; the offset-range contract is identical.
       private val it = MqBroker.fetch(p.topic, p.partition, p.from, p.until).iterator
       private var cur: MqBroker.Message = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
-      override def get(): InternalRow = InternalRow(
-        UTF8String.fromString(p.topic), cur.partition, cur.offset,
-        UTF8String.fromString(cur.key), UTF8String.fromString(cur.value),
-        cur.timestampUs)
+      override def get(): InternalRow = InternalRow.fromSeq(
+        extractors.map(_(cur)).toIndexedSeq)
       override def close(): Unit = ()
     }
   }

@@ -477,6 +477,24 @@ class StreamingSpec extends SparkSuite {
     assertSameRows(joined, twin)
   }
 
+  test("S2 MQ scan prunes columns: a value-only projection reads a value-only schema") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val batchDecoded = publishEvents("t_prune")
+    val full = spark.read.format(graft.sources.MqSource.format)
+      .option("topic", "t_prune").load()
+    val pruned = full.select(col("value"))
+    val vals = pruned.collect().map(_.getString(0)).sorted
+    // the scan itself carries only the projected column — the pushed
+    // pruning, not a Project above a full-width read
+    val scans = pruned.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("value"),
+      scans.head.scan.readSchema().treeString)
+    // and the pruned read loses no data (values match the full-width read)
+    assert(vals.toSeq == full.collect().map(_.getAs[String]("value")).sorted.toSeq)
+    assert(vals.length == batchDecoded.count())
+  }
+
   test("J9b outer stream-stream join == batch twin once later traffic flushes the watermark") {
     val topic = "t_outer_join"
     val batchDecoded = publishEvents(topic)
