@@ -9,7 +9,8 @@ object Explain {
     "l1_exact_dedup", "l3_cosine_topk", "l3_ivf_topk", "l6_simjoin",
     "l6_ngram_simjoin", "l6_dedup_docs", "l4_tfidf", "l4_bm25",
     "l4_bm25_search", "l4_langid_ngram", "l4_termfreq_unicode",
-    "l8_pack", "l8_quality_gate", "j7_asof", "s7_profile")
+    "l8_pack", "l8_quality_gate", "j7_asof", "s7_profile", "o6_upsert",
+    "a8_freq_items")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

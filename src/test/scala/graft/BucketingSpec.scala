@@ -105,4 +105,37 @@ class BucketingSpec extends SparkSuite {
         s"bucketed join should not shuffle:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("runtime bloom filter: a selective dim predicate reaches the fact side of a shuffle join") {
+    // the fourth layout-independent scan lever (beside static pruning,
+    // DPP, and bucketing): for a SHUFFLE join, Catalyst builds a bloom
+    // filter from the filtered dim's join keys and applies it to the
+    // fact scan, so non-joining fact rows die before the exchange. The
+    // application-side threshold defaults to 10 GB — right at cluster
+    // scale, lowered here so the fixture-sized plan exercises the rule.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(keys(0), "0")
+      spark.conf.set(keys(1), "-1") // force the shuffle join the rule targets
+      val dim = tables.orders.filter(col("o_orderpriority") === lit("1-URGENT"))
+        .select(col("o_orderkey"))
+      val j = tables.lineitem.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom-filter probe on the fact side:\n$optimized")
+      // and the filtered plan computes the same answer as the rule turned off
+      val expected = tables.lineitem
+        .join(tables.orders.filter(col("o_orderpriority") === lit("1-URGENT")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assertSameRows(j, expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
