@@ -395,4 +395,87 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  // ---------- streaming CDC apply (O6 × streaming) ----------
+
+  /** Maintain a latest-wins SNAPSHOT table from a change stream: each
+    * micro-batch compacts (previous snapshot ∪ new changes) with
+    * [[graft.operators.Relational.upsertCompact]] into a NEW immutable
+    * version directory `v<batchId>`, then flips the `LATEST` pointer —
+    * a table-format version commit in miniature. Why this shape at
+    * scale:
+    *  - readers pin a version via [[readSnapshot]] and are never exposed
+    *    to a half-written directory (versions are immutable; the pointer
+    *    flip is one tiny-file rename);
+    *  - a retried batch rebuilds the SAME version from the same
+    *    still-present predecessor — idempotent, so checkpoint + retry
+    *    gives exactly-once snapshot evolution;
+    *  - compaction ranks by the VERSION columns alone, never by arrival:
+    *    a replayed change ties with its already-folded copy (identical
+    *    rows — either wins), and a late out-of-order change with an
+    *    older version loses to the snapshot row exactly as it would
+    *    have in one batch compaction of the full log. (An arrival-order
+    *    tiebreak here — the tempting "new batch wins" rule — would make
+    *    the snapshot diverge from the batch answer under replay or
+    *    reordering.);
+    *  - tombstones are RETAINED in the stored snapshot (marked
+    *    `__tombstone`, filtered by [[readSnapshot]]): dropping a deleted
+    *    key outright would let a late out-of-order older upsert
+    *    resurrect it in a later batch. A deployment whose changelog is
+    *    strictly per-key ordered may vacuum tombstones past its
+    *    reordering horizon; that is a retention policy, not a
+    *    correctness requirement here.
+    * The full-rewrite cost per batch is the honest price of a sorted
+    * parquet snapshot without a table format's delta log; the spec pins
+    * semantics (final snapshot == one batch compaction of the whole
+    * changelog), which would carry over unchanged to a merge-on-read
+    * implementation.
+    */
+  def applyChangesStream(changes: DataFrame, snapshotDir: String, checkpoint: String,
+                         keys: Seq[String], versionCols: Seq[String],
+                         isDelete: Column): Unit = {
+    val q = changes.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val dir = new java.io.File(snapshotDir)
+        dir.mkdirs()
+        val tagged = batch.withColumn("__tombstone", isDelete)
+        val merged = latestVersion(snapshotDir) match {
+          case None => tagged
+          case Some(v) => spark.read.parquet(s"$snapshotDir/v$v").unionByName(tagged)
+        }
+        graft.operators.Relational.topKPerGroupSkewSafe(
+            merged, keys, versionCols.map(col(_).desc), k = 1).drop("rn")
+          .write.mode("overwrite").parquet(s"$snapshotDir/v$id")
+        // pointer flip: write-then-rename, atomic on a POSIX fs
+        val tmp = java.nio.file.Paths.get(snapshotDir, ".LATEST.tmp")
+        java.nio.file.Files.writeString(tmp, id.toString)
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(snapshotDir, "LATEST"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
+  private def latestVersion(snapshotDir: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(snapshotDir, "LATEST")
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p).trim.toLong)
+    else None
+  }
+
+  /** Read the current committed snapshot version, with tombstoned keys
+    * filtered out (callers before the first commit get an explicit
+    * error, not a schemaless frame).
+    */
+  def readSnapshot(spark: SparkSession, snapshotDir: String): DataFrame =
+    latestVersion(snapshotDir) match {
+      case Some(v) => spark.read.parquet(s"$snapshotDir/v$v")
+        .filter(!col("__tombstone")).drop("__tombstone")
+      case None => throw new IllegalStateException(s"no committed snapshot in $snapshotDir")
+    }
 }

@@ -48,6 +48,22 @@ class IOSpec extends SparkSuite {
     }
   }
 
+  test("schema evolution: mergeSchema unions generations, absent columns null-fill") {
+    // a long-lived table's files never share one schema; the read side
+    // must union generations without rewriting old files
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    tables.customer.select(col("c_custkey"), col("c_name"))
+      .write.parquet(s"$dir/gen=1")
+    tables.customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .write.parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("c_custkey", "c_name", "c_acctbal", "gen"))
+    val n = tables.customer.count()
+    assert(merged.filter(col("gen") === 1).count() == n)
+    assert(merged.filter(col("gen") === 1 && col("c_acctbal").isNull).count() == n)
+    assert(merged.filter(col("gen") === 2 && col("c_acctbal").isNull).count() == 0)
+  }
+
   test("z-order layout: a selective filter on either dimension skips most row groups") {
     import graft.sources.Layout
     val base = Files.createTempDirectory("graft-zorder").toString

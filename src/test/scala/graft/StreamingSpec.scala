@@ -528,6 +528,43 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming CDC apply: versioned snapshot == one-shot compaction; tombstones survive reordering") {
+    val topic = "t_cdc"
+    publishEvents(topic)
+    val snapDir = Files.createTempDirectory("graft-snap").toString
+    val cp = Files.createTempDirectory("graft-cp-cdc").toString
+    val del = col("event_type") === "error"
+    def applyNow(): Unit = Streams.applyChangesStream(stream(topic), snapDir, cp,
+      keys = Seq("user_id"), versionCols = Seq("ts", "event_id"), isDelete = del)
+    def batchTwin(): DataFrame = graft.operators.Relational.upsertCompact(
+      Streams.decodeEvents(spark.read.format(graft.sources.MqSource.format)
+        .option("topic", topic).load()),
+      Seq("user_id"), Seq(col("ts"), col("event_id")), del)
+
+    applyNow()
+    assertSameRows(Streams.readSnapshot(spark, snapDir), batchTwin())
+
+    // incremental continuation over the SAME checkpoint: a deletion for
+    // one currently-live user, then an out-of-order OLDER upsert for
+    // that user — the retained tombstone must keep the key dead, exactly
+    // as one compaction of the full log would
+    val live = Streams.readSnapshot(spark, snapDir)
+      .orderBy(col("user_id")).head()
+    val (uid, ts) = (live.getAs[Long]("user_id"),
+      live.getAs[java.sql.Timestamp]("ts").getTime * 1000L)
+    def msg(id: Long, tsUs: Long, typ: String): String =
+      s"""{"event_id": $id, "ts_us": $tsUs, "user_id": $uid, "event_type": "$typ", "value": 1.0}"""
+    MqBroker.publish(topic, uid.toString, msg(900001L, ts + 1000000L, "error"), ts)
+    applyNow() // batch N: tombstone wins for uid
+    assert(Streams.readSnapshot(spark, snapDir)
+      .filter(col("user_id") === uid).count() == 0, "tombstone not applied")
+    MqBroker.publish(topic, uid.toString, msg(900000L, ts + 500000L, "view"), ts)
+    applyNow() // batch N+1: older upsert arrives late — must NOT resurrect
+    assertSameRows(Streams.readSnapshot(spark, snapDir), batchTwin())
+    assert(Streams.readSnapshot(spark, snapDir)
+      .filter(col("user_id") === uid).count() == 0, "late older upsert resurrected a deleted key")
+  }
+
   test("E2E training-data pipeline: MQ ingest -> streaming dedup -> lang/quality filter -> MQ write-back == batch twin") {
     import org.apache.spark.sql.types.StructType
     val in = "t_pipe_in"; val out = "t_pipe_out"
