@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -139,11 +140,23 @@ class MqTable(topic: String) extends Table with SupportsRead with SupportsWrite 
     // then never materialized into Spark rows at all. At ingest scale
     // that is the difference between copying every key+topic string per
     // message and copying none.
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    // Offset/partition predicates prune the planned fetch RANGES — the
+    // "seek, don't scan" a replayable log offers (a bounded replay of
+    // partition 2 from offset 10⁹ must not read the whole topic). The
+    // pruning is exact on the broker's own coordinates, but every filter
+    // is still reported residual so Spark re-checks rows — pushdown here
+    // is purely an IO reduction, never a correctness dependency.
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       private var required: StructType = MqSource.schema
+      private var pushed: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan = new MqScan(topic, maxPerTrigger, required)
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(MqPruning.prunable)
+        filters // all residual: re-evaluated above the scan
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def build(): Scan = new MqScan(topic, maxPerTrigger, required, pushed)
     }
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -153,17 +166,71 @@ class MqTable(topic: String) extends Table with SupportsRead with SupportsWrite 
 }
 
 class MqScan(topic: String, maxPerTrigger: Option[Long] = None,
-             required: StructType = MqSource.schema) extends Scan {
+             required: StructType = MqSource.schema,
+             pushed: Array[Filter] = Array.empty) extends Scan {
   override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MqMicroBatchStream(topic, maxPerTrigger, required)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val ends = MqBroker.endOffsets(topic)
-      ends.indices.map(p => MqInputPartition(topic, p, 0L, ends(p)): InputPartition).toArray
+      ends.indices.flatMap { p =>
+        MqPruning.offsetRange(pushed, p, ends(p)).map {
+          case (from, until) => MqInputPartition(topic, p, from, until): InputPartition
+        }
+      }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new MqReaderFactory(required.fieldNames)
+  }
+}
+
+/** Maps pushed-down predicates on the broker coordinates (`partition`,
+  * `offset`) to fetch-range pruning. Conservative by construction: a
+  * shape it does not recognize prunes nothing, and recognized shapes
+  * only ever SHRINK the exact range — the filters stay residual above
+  * the scan either way.
+  */
+object MqPruning {
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo(a, _)            => a == "partition" || a == "offset"
+    case In(a, _)                 => a == "partition"
+    case GreaterThan(a, _)        => a == "offset"
+    case GreaterThanOrEqual(a, _) => a == "offset"
+    case LessThan(a, _)           => a == "offset"
+    case LessThanOrEqual(a, _)    => a == "offset"
+    case _                        => false
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue)
+    case _ => None
+  }
+
+  /** Fetch range for one broker partition under the pushed conjuncts:
+    * None = the partition is pruned entirely; Some((from, until)) is the
+    * narrowed half-open range.
+    */
+  def offsetRange(pushed: Array[Filter], partition: Int,
+                  end: Long): Option[(Long, Long)] = {
+    var from = 0L
+    var until = end
+    var keep = true
+    pushed.foreach {
+      case EqualTo("partition", v) =>
+        keep &&= asLong(v).forall(_ == partition.toLong)
+      case In("partition", vs) =>
+        keep &&= vs.exists(v => asLong(v).contains(partition.toLong))
+      case EqualTo("offset", v) => asLong(v).foreach { o =>
+        from = math.max(from, o); until = math.min(until, o + 1)
+      }
+      case GreaterThan("offset", v)        => asLong(v).foreach(o => from = math.max(from, o + 1))
+      case GreaterThanOrEqual("offset", v) => asLong(v).foreach(o => from = math.max(from, o))
+      case LessThan("offset", v)           => asLong(v).foreach(o => until = math.min(until, o))
+      case LessThanOrEqual("offset", v)    => asLong(v).foreach(o => until = math.min(until, o + 1))
+      case _ => ()
+    }
+    if (keep && from < until) Some((from, until)) else None
   }
 }
 

@@ -495,6 +495,26 @@ class StreamingSpec extends SparkSuite {
     assert(vals.length == batchDecoded.count())
   }
 
+  test("S2 MQ scan prunes fetch ranges: partition/offset predicates seek instead of scanning") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    publishEvents("t_seek")
+    val full = spark.read.format(graft.sources.MqSource.format)
+      .option("topic", "t_seek").load()
+    val total = full.count()
+    val bounded = full.filter(col("partition") === 1 && col("offset") < 5)
+    val rows = bounded.collect()
+    // answer matches an unpruned evaluation of the same predicates
+    assert(rows.length == full.collect()
+      .count(r => r.getAs[Int]("partition") == 1 && r.getAs[Long]("offset") < 5))
+    assert(rows.nonEmpty && rows.length <= 5)
+    // and the scan FETCHED only the bounded range, not the whole topic
+    val scanRows = bounded.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    assert(scanRows == rows.length && scanRows < total,
+      s"scan read $scanRows of $total — fetch-range pruning did not engage")
+  }
+
   test("J9b outer stream-stream join == batch twin once later traffic flushes the watermark") {
     val topic = "t_outer_join"
     val batchDecoded = publishEvents(topic)
