@@ -605,31 +605,45 @@ object Relational {
     both.unionByName(custOnly).orderBy(col("side"), col("nk"))
   }
 
+  /** Latest row per key: argmax over the version struct via `max_by`,
+    * NOT a window rank. Latest-wins is k=1, and for k=1 aggregation is
+    * the better shape: ONE shuffle, with the partial aggregate shipping
+    * one candidate row per key per input partition. (The struct-valued
+    * buffer keeps `max_by` off the hash-aggregate fast path — the
+    * partials plan as SortAggregate, so per-partition sorts remain —
+    * but a `row_number` formulation pays those same local sorts AND
+    * either a wider window stage (naive; partial WindowGroupLimit does
+    * match the map-side prune) or a second exchange (the salted
+    * [[topKPerGroupSkewSafe]]). Plan shapes compared via Explain on
+    * o6_upsert.) `version` must be a TOTAL order per key (struct
+    * comparison is lexicographic): a version tie would make the winner
+    * nondeterministic.
+    */
+  def latestPerKey(changes: DataFrame, keys: Seq[String],
+                   version: Seq[Column]): DataFrame = {
+    val payload = struct(changes.columns.map(col): _*)
+    changes.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, struct(version: _*)).as("__latest"))
+      .select(col("__latest.*"))
+  }
+
   /** O6: CDC latest-wins changelog compaction — materialize the current
     * snapshot of a mutable table from its upsert/delete change stream:
-    * per key, keep the change with the highest version (caller supplies a
-    * TOTAL order — ties across versions would make the snapshot
-    * nondeterministic), then drop keys whose winning change is a
+    * per key, keep the change with the highest version
+    * ([[latestPerKey]]), then drop keys whose winning change is a
     * tombstone. The merge step every CDC-fed table needs at scale.
     *
-    * Rides [[topKPerGroupSkewSafe]] with k=1: the per-input-partition
-    * pre-rank collapses each (partition, key) group to one row BEFORE the
-    * key shuffle — the window-function analogue of a map-side combine —
-    * so a hot key with millions of updates ships at most one row per
-    * input partition, not its whole history. The tombstone filter runs
-    * AFTER the winner is picked: a delete only deletes if it is genuinely
-    * last (filtering deletes first would resurrect older upserts).
-    *
-    * Compacting a base snapshot plus a delta is the same call over their
-    * union, with the base rows versioned below every delta
-    * (RelationalSpec pins that composition and tombstone-ordering
-    * semantics).
+    * The tombstone filter runs AFTER the winner is picked: a delete only
+    * deletes if it is genuinely last (filtering deletes first would
+    * resurrect older upserts). Compacting a base snapshot plus a delta
+    * is the same call over their union, with the base rows versioned
+    * below every delta (RelationalSpec pins that composition, the
+    * tombstone ordering, and output identity with a window-rank
+    * reference implementation).
     */
   def upsertCompact(changes: DataFrame, keys: Seq[String], version: Seq[Column],
                     isDelete: Column): DataFrame =
-    topKPerGroupSkewSafe(changes, keys, version.map(_.desc), k = 1)
-      .filter(!isDelete)
-      .drop("rn")
+    latestPerKey(changes, keys, version).filter(!isDelete)
 
   /** O6 declared query: the events changelog compacted to its current
     * state — key = user_id, version = (ts, event_id), an 'error' as the

@@ -444,8 +444,7 @@ object Streams {
           case None => tagged
           case Some(v) => spark.read.parquet(s"$snapshotDir/v$v").unionByName(tagged)
         }
-        graft.operators.Relational.topKPerGroupSkewSafe(
-            merged, keys, versionCols.map(col(_).desc), k = 1).drop("rn")
+        graft.operators.Relational.latestPerKey(merged, keys, versionCols.map(col))
           .write.mode("overwrite").parquet(s"$snapshotDir/v$id")
         // pointer flip: write-then-rename, atomic on a POSIX fs
         val tmp = java.nio.file.Paths.get(snapshotDir, ".LATEST.tmp")

@@ -178,5 +178,13 @@ class RelationalSpec extends SparkSuite {
     // a snapshot re-compacted under the same key/version is itself
     val twice = Relational.upsertCompact(snap, Seq("k"), Seq(col("v")), col("op") === "d")
     assert(twice.collect().toSet == snap.collect().toSet)
+
+    // differential twin: the argmax form equals a window-rank reference
+    // on the fixture changelog (events as a changelog over user_id)
+    val ev = tables.events
+    val argmax = Relational.latestPerKey(ev, Seq("user_id"), Seq(col("ts"), col("event_id")))
+    val windowed = Relational.topKPerGroupSkewSafe(ev, Seq("user_id"),
+      Seq(col("ts").desc, col("event_id").desc), k = 1).drop("rn")
+    assert(argmax.collect().toSet == windowed.collect().toSet)
   }
 }
