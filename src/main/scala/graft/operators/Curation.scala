@@ -110,11 +110,11 @@ object Curation {
     * [[CapPerSource]] docs per source, chosen in deterministic md5-hash
     * order (an unbiased, rerun-stable "random" subset; ties impossible
     * since doc_id breaks them). Rides
-    * [[Relational.topKPerGroupSkewSafe]]: the salted two-phase rank
-    * bounds a hot source's window input to k·P rows — the skew posture a
+    * [[Relational.topKPerGroupSkewSafe]], whose rank-filter shape makes
+    * Catalyst insert a PARTIAL WindowGroupLimit below the exchange —
+    * each input partition ships ≤ k rows per source, the skew posture a
     * per-source cap NEEDS at 100 TB, where one crawl source can be half
-    * the corpus (output proven identical to the naive single-window form
-    * in RelationalSpec).
+    * the corpus (plan-asserted in RelationalSpec).
     */
   def l8Cap(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -404,25 +404,26 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
-  /** W4 at scale: top-k per group with a salted partial top-k stage —
-    * the hot-key mitigation SCALING.md documents for ranking windows.
-    * Phase 1 ranks within (group, input-partition-id): the exchange
-    * spreads a hot key across partitions via the salt, and any row
-    * outside its salt-slice's top-k provably cannot reach the global
-    * top-k, so at most k·P rows per key survive. Phase 2 ranks the
-    * survivors per group. Output (including the rank column) is
-    * identical to the naive single-window form for any total `order` —
-    * asserted in RelationalSpec; the naive form stays the declared bench
-    * query because at fixture scale one shuffle beats two.
+  /** W4 at scale: top-k per group, hot-key-safe. The rank-filter shape
+    * (`row_number <= k` directly above the window) is exactly what
+    * Catalyst's InferWindowGroupLimit rewrites: a PARTIAL
+    * WindowGroupLimit lands BELOW the exchange, so each input partition
+    * ships at most k rows per key — a hot key's millions of rows reach
+    * the final per-key rank as ≤ k·P survivors. Plan-asserted in
+    * RelationalSpec. Rounds 1–5 carried an explicit salted two-phase
+    * pre-rank here (rank within (spark_partition_id, key) first); the
+    * round-6 plan audit showed the optimizer's partial limit already
+    * provides that exact bound with ONE shuffle where the salted form
+    * pays two, so the salted variant survives only as the spec's
+    * differential reference. Callers must keep the rank filter adjacent
+    * to the window (any interposed operator defeats the rewrite), and
+    * `k` must stay under `spark.sql.optimizer.windowGroupLimitThreshold`
+    * (default 1000) or the partial stage is skipped.
     */
   def topKPerGroupSkewSafe(df: DataFrame, keys: Seq[String], order: Seq[Column],
                            k: Int, rankCol: String = "rn"): DataFrame = {
-    val pw = Window.partitionBy(spark_partition_id() +: keys.map(col): _*)
-      .orderBy(order: _*)
-    val pruned = df.withColumn("__prn", row_number().over(pw))
-      .filter(col("__prn") <= k).drop("__prn")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    pruned.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
   /** W4: top-K per group (the headline `window_topk` bench query). */

@@ -77,13 +77,30 @@ class RelationalSpec extends SparkSuite {
       assert(math.abs(a - exact(k)) <= 0.02 * exact(k), s"$k: $a vs ${exact(k)}")
   }
 
-  test("w4 skew-safe top-k == naive window top-k, rank column included") {
+  test("w4 top-k: partial WindowGroupLimit bounds the shuffle; == explicit salted reference") {
     val order = Seq(col("value").desc, col("event_id"))
-    val naive = Relational.windowTopK(spark, sf)
-    val safe = Relational.topKPerGroupSkewSafe(tables.events, Seq("user_id"), order, 3)
+    val topk = Relational.topKPerGroupSkewSafe(tables.events, Seq("user_id"), order, 3)
       .select(col("user_id"), col("event_id"), round(col("value"), 4).as("value"), col("rn"))
       .orderBy(col("user_id"), col("rn"))
-    assertSameRows(naive, safe)
+    // the hot-key bound: a Partial WindowGroupLimit must sit below the
+    // exchange, so each input partition ships ≤ k rows per key
+    val plan = topk.queryExecution.executedPlan.toString
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined,
+      s"expected a partial WindowGroupLimit below the exchange:\n$plan")
+    // output identity vs the historical explicit salted two-phase form
+    // (rounds 1-5's mitigation, now redundant: the optimizer's partial
+    // limit provides the same bound with one fewer shuffle)
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(spark_partition_id() +: Seq(col("user_id")): _*).orderBy(order: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(order: _*)
+    val salted = tables.events
+      .withColumn("__prn", row_number().over(pw)).filter(col("__prn") <= 3).drop("__prn")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), round(col("value"), 4).as("value"), col("rn"))
+      .orderBy(col("user_id"), col("rn"))
+    assertSameRows(topk, salted)
+    assertSameRows(topk, Relational.windowTopK(spark, sf))
   }
 
   test("broadcastIfSmall applies the hint only under the session threshold") {
