@@ -679,6 +679,18 @@ object Registry {
         SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
         FROM tok GROUP BY token ORDER BY n_occurrences DESC, token""")),
 
+      // BPE-style pre-token budget: Java regex (Spark regexp_count) and
+      // RE2 (DuckDB regexp_extract_all) must count the same matches —
+      // the pattern sticks to ASCII classes so both dialects agree, and
+      // the hash compare pins that agreement per document
+      QueryDef("l4_tokcount_bpe", TextOps.l4TokcountBpe, Some(s"""
+        SELECT doc_id,
+          len(string_split(text, ' '))::BIGINT AS n_ws,
+          len(regexp_extract_all(text, '${TextOps.BpeTokenPattern.replace("'", "''")}'))::BIGINT AS n_bpe,
+          len(regexp_extract_all(text, '${TextOps.BpeTokenPattern.replace("'", "''")}'))::BIGINT * 1000
+            // len(string_split(text, ' '))::BIGINT AS bpe_per_ws_permille
+        FROM documents ORDER BY doc_id""")),
+
       QueryDef("l4_langid", TextOps.l4LangId, Some {
         val langs = Seq("en", "de", "es", "fr", "zh")
         val scores = langs.map(l => s"${stopFilter(TextOps.stopwords(l))} AS s_$l").mkString(", ")

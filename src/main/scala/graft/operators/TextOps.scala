@@ -48,6 +48,37 @@ object TextOps {
 
   private def toks(text: Column): Column = spaceTokenizer(text)
 
+  /** BPE-style pre-tokenization pattern (GPT-2-family shape):
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs. Counting LLM-token budget needs no vocabulary —
+    * BPE merges only ever split/join WITHIN a pre-token, so the match
+    * count estimates (and for common-word English text closely tracks)
+    * the real tokenizer's count. ASCII classes on purpose: `[A-Za-z]`
+    * counts identically under Java regex (Spark) and RE2 (DuckDB),
+    * which makes the declared query oracle-exact; a `\p{L}` variant
+    * would be the production choice for multilingual corpora.
+    */
+  val BpeTokenPattern = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+  /** Codegen'd per-row count of [[BpeTokenPattern]] matches. */
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpeTokenPattern))
+
+  /** L4 declared query: per-doc LLM-token budget — whitespace tokens vs
+    * BPE-style pre-tokens, plus the per-doc ratio in integer permille
+    * (exact cross-engine). The budget line every packing/cap decision
+    * upstream consumes ([[Curation.packBins]] bins on token counts).
+    */
+  def l4TokcountBpe(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"),
+        size(spaceTokenizer(col("text"))).cast("long").as("n_ws"),
+        bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+      .withColumn("bpe_per_ws_permille",
+        call_function("div", col("n_bpe") * lit(1000L), col("n_ws")))
+      .orderBy(col("doc_id"))
+  }
+
   private def countIn(ts: Column, words: Seq[String]): Column =
     size(filter(ts, t => t.isInCollection(words)))
 

@@ -585,6 +585,43 @@ class StreamingSpec extends SparkSuite {
       .filter(col("user_id") === uid).count() == 0, "late older upsert resurrected a deleted key")
   }
 
+  test("incremental aggregate view: merge-with-snapshot == re-aggregating the full topic") {
+    val topic = "t_aggview"
+    publishEvents(topic)
+    val snapDir = Files.createTempDirectory("graft-aggview").toString
+    val cp = Files.createTempDirectory("graft-cp-aggview").toString
+    val aggs = Seq(
+      Streams.MergeableAgg("n", count(lit(1)), sum),
+      Streams.MergeableAgg("total_value", sum(col("value")), sum),
+      Streams.MergeableAgg("last_ts", max(col("ts")), max))
+    def applyNow(): Unit =
+      Streams.aggViewStream(stream(topic), snapDir, cp, Seq("user_id"), aggs)
+    def batchTwin(): DataFrame =
+      Streams.decodeEvents(spark.read.format(graft.sources.MqSource.format)
+          .option("topic", topic).load())
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"),
+          max(col("ts")).as("last_ts"))
+    def comparable(df: DataFrame): DataFrame =
+      df.select(col("user_id"), col("n"),
+        round(col("total_value"), 2).as("total_value"), col("last_ts"))
+
+    applyNow()
+    assertSameRows(comparable(Streams.readSnapshot(spark, snapDir)),
+      comparable(batchTwin()))
+    // continuation on the same checkpoint: only the new rows aggregate,
+    // then merge into the standing per-key snapshot
+    val r = batchTwin().agg(max(unix_micros(col("last_ts")))).head()
+    val baseUs = r.getLong(0)
+    for (i <- 1 to 5)
+      MqBroker.publish(topic, "7",
+        s"""{"event_id": ${910000 + i}, "ts_us": ${baseUs + i * 1000000L}, "user_id": 7, "event_type": "view", "value": 2.5}""",
+        baseUs)
+    applyNow()
+    assertSameRows(comparable(Streams.readSnapshot(spark, snapDir)),
+      comparable(batchTwin()))
+  }
+
   test("E2E training-data pipeline: MQ ingest -> streaming dedup -> lang/quality filter -> MQ write-back == batch twin") {
     import org.apache.spark.sql.types.StructType
     val in = "t_pipe_in"; val out = "t_pipe_out"
