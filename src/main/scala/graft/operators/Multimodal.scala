@@ -12,9 +12,10 @@ import org.apache.spark.sql.types.StructType
   * The media itself is opaque `BinaryType`; this module provides the
   * Spark-side plumbing (schema, join, struct metadata, partition-friendly
   * batch decode). Container-format METADATA parsing is real —
-  * [[parseImageMeta]] reads PNG IHDR and JPEG SOF dimensions from the
-  * raw bytes with no libraries, which is the part a curation pipeline
-  * filters on — while pixel/sample DECODE is stubbed behind a
+  * [[parseImageMeta]] reads PNG IHDR and JPEG SOF dimensions,
+  * [[parseAudioMeta]] walks WAV/RIFF chunks for channels/rate/duration,
+  * both from raw bytes with no libraries, which is the part a curation
+  * pipeline filters on — while pixel/sample DECODE is stubbed behind a
   * deterministic fake (the container ships no image/audio codecs, so
   * the stub stands in for e.g. a JNI/ONNX decode, and the tests pin the
   * plumbing: schema, batch shape, row alignment).
@@ -131,6 +132,65 @@ object Multimodal {
       }
       None
     } else None
+  }
+
+  /** Parsed container metadata of one audio payload (see
+    * [[parseAudioMeta]]). */
+  final case class AudioMeta(doc_id: Long, format: Option[String],
+                             channels: Option[Int], sample_rate: Option[Int],
+                             bits: Option[Int], duration_ms: Option[Long])
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** REAL audio-container parser (WAV/RIFF) — like [[parseImageMeta]],
+    * everything a curation filter needs lives in the container header,
+    * not the sample stream: RIFF/WAVE magic, then a chunk walk
+    * (4-byte id + little-endian u32 size, data padded to even) to the
+    * `fmt ` chunk for channels/sample-rate/bit-depth and the `data`
+    * chunk for payload size; duration = data bytes over the stored byte
+    * rate. Returns None for unrecognized or truncated bytes — the row
+    * survives, filters decide.
+    */
+  def parseAudioMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def tag(i: Int): String = new String(bytes.slice(i, i + 4), "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Long)] = None // channels, rate, bits, byteRate
+    var dataSize: Option[Long] = None
+    while (i + 8 <= bytes.length && (fmt.isEmpty || dataSize.isEmpty)) {
+      val id = tag(i)
+      val size = u32le(bytes, i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length)
+        fmt = Some((u16le(bytes, i + 10), u16le(bytes, i + 12).toInt,
+          u16le(bytes, i + 22), u32le(bytes, i + 16)))
+      if (id == "data") dataSize = Some(size)
+      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even length
+    }
+    for {
+      (ch, rate, bits, byteRate) <- fmt
+      d <- dataSize
+      if ch > 0 && rate > 0 && byteRate > 0
+    } yield (ch, rate, bits, d * 1000L / byteRate)
+  }
+
+  /** Audio metadata over the asset frame — same typed-mapPartitions
+    * shape as [[imageMeta]]. */
+  def audioMeta(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseAudioMeta(bytes) match {
+          case Some((ch, rate, bits, ms)) =>
+            AudioMeta(id, Some("wav"), Some(ch), Some(rate), Some(bits), Some(ms))
+          case None => AudioMeta(id, None, None, None, None, None)
+        }
+      })
+      .toDF()
   }
 
   /** Image metadata over the asset frame — the same typed-mapPartitions

@@ -463,6 +463,36 @@ class LlmOpsSpec extends SparkSuite {
     assert(out(3L).isNullAt(1) && out(3L).isNullAt(2) && out(3L).isNullAt(3))
   }
 
+  test("L5 audio metadata: real WAV/RIFF header parsing, unknown bytes survive as None") {
+    def le32(v: Long) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    // a real 16-bit stereo 44.1 kHz WAV: RIFF/WAVE + fmt + 1s of data
+    val rate = 44100; val ch = 2; val bits = 16
+    val byteRate = rate * ch * bits / 8
+    val dataSize = byteRate.toLong // exactly one second
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(36 + dataSize) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(ch) ++ le32(rate) ++ le32(byteRate) ++
+      le16(ch * bits / 8) ++ le16(bits) ++
+      "data".getBytes("US-ASCII") ++ le32(dataSize) ++ Array.fill[Byte](8)(0)
+    assert(Multimodal.parseAudioMeta(wav).contains((ch, rate, bits, 1000L)))
+    // an extra chunk before fmt (e.g. LIST) must be walked over
+    val listed = "RIFF".getBytes("US-ASCII") ++ le32(0) ++ "WAVE".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(4) ++ "INFO".getBytes("US-ASCII") ++
+      wav.drop(12)
+    assert(Multimodal.parseAudioMeta(listed).contains((ch, rate, bits, 1000L)))
+    assert(Multimodal.parseAudioMeta("garbage-garbage-garbage-garbage-garbage-garb"
+      .getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseAudioMeta(wav.take(30)).isEmpty) // truncated fmt
+    // the same answers through the distributed mapPartitions path
+    val df = Seq((1L, wav), (2L, "nope".getBytes("US-ASCII"))).toDF("doc_id", "payload")
+    val out = Multimodal.audioMeta(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "wav" && out(1L).getInt(2) == ch &&
+      out(1L).getInt(3) == rate && out(1L).getInt(4) == bits && out(1L).getLong(5) == 1000L)
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(4))
+  }
+
   test("L5 multimodal decode stub: schema, alignment, determinism") {
     val assets = Multimodal.assets(tables)
     val feats = Multimodal.decodeFeatures(assets)
