@@ -474,8 +474,11 @@ object Streams {
   /** A per-key aggregate that can be maintained incrementally: `perBatch`
     * computes it over one micro-batch's rows; `merge` combines two
     * already-aggregated values. Only MERGEABLE aggregates qualify —
-    * count→sum, sum→sum, min→min, max→max, or an (sum, count) pair for
-    * avg; a median has no merge and needs the full data.
+    * count→sum, sum→sum, min→min, max→max, an (sum, count) pair for
+    * avg, or a SKETCH whose binary state unions (distinct-count as
+    * `hll_sketch_agg` merged by `hll_union_agg`, estimated at read —
+    * the finalized number alone cannot merge); a median has no merge
+    * and needs the full data.
     */
   case class MergeableAgg(name: String, perBatch: Column, merge: Column => Column)
 

@@ -590,10 +590,16 @@ class StreamingSpec extends SparkSuite {
     publishEvents(topic)
     val snapDir = Files.createTempDirectory("graft-aggview").toString
     val cp = Files.createTempDirectory("graft-cp-aggview").toString
+    // count/sum/max merge by re-aggregation; distinct-count merges as a
+    // datasketches HLL union — the sketch IS the mergeable state, which
+    // is how a distinct ever gets maintained incrementally (the
+    // finalized number alone cannot merge)
     val aggs = Seq(
       Streams.MergeableAgg("n", count(lit(1)), sum),
       Streams.MergeableAgg("total_value", sum(col("value")), sum),
-      Streams.MergeableAgg("last_ts", max(col("ts")), max))
+      Streams.MergeableAgg("last_ts", max(col("ts")), max),
+      Streams.MergeableAgg("types_sketch",
+        hll_sketch_agg(col("event_type")), hll_union_agg))
     def applyNow(): Unit =
       Streams.aggViewStream(stream(topic), snapDir, cp, Seq("user_id"), aggs)
     def batchTwin(): DataFrame =
@@ -601,10 +607,13 @@ class StreamingSpec extends SparkSuite {
           .option("topic", topic).load())
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"),
-          max(col("ts")).as("last_ts"))
+          max(col("ts")).as("last_ts"),
+          countDistinct(col("event_type")).as("n_types"))
     def comparable(df: DataFrame): DataFrame =
       df.select(col("user_id"), col("n"),
-        round(col("total_value"), 2).as("total_value"), col("last_ts"))
+        round(col("total_value"), 2).as("total_value"), col("last_ts"),
+        (if (df.columns.contains("types_sketch"))
+          hll_sketch_estimate(col("types_sketch")) else col("n_types")).as("n_types"))
 
     applyNow()
     assertSameRows(comparable(Streams.readSnapshot(spark, snapDir)),
