@@ -10,7 +10,7 @@ object Explain {
     "l6_ngram_simjoin", "l6_dedup_docs", "l4_tfidf", "l4_bm25",
     "l4_bm25_search", "l4_langid_ngram", "l4_termfreq_unicode",
     "l8_pack", "l8_quality_gate", "j7_asof", "s7_profile", "o6_upsert",
-    "a8_freq_items")
+    "a8_freq_items", "l9_decontam", "l8_shuffle", "l3_sq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -257,6 +257,14 @@ object Registry {
       WHERE rn <= 5
       ORDER BY c_mktsegment, rn""")),
 
+    QueryDef("w5_distribution", Relational.w5Distribution, Some("""
+      SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+        ROUND(PERCENT_RANK() OVER w, 9) AS pr,
+        ROUND(CUME_DIST() OVER w, 9) AS cd
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+      ORDER BY c_mktsegment, c_custkey""")),
+
     QueryDef("w2_lag_lead", Relational.w2LagLead, Some(s"""
       SELECT user_id,
         ${da("gap_us", 2)} AS avg_gap_us,
@@ -766,6 +774,13 @@ object Registry {
           CAST(greatest(len(t) - 2, 0) AS INT) AS n_shingles
         FROM s ORDER BY doc_id""")),
 
+      QueryDef("l4_postings", TextOps.l4Postings, Some(s"""
+        WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents)
+        SELECT token, CAST(doc_id // ${TextOps.PostingsBlock} AS BIGINT) AS block,
+          COUNT(*) AS df_block, list_sort(list(doc_id)) AS postings
+        FROM tok GROUP BY token, block ORDER BY token, block""")),
+
       // Full-catalog profile: SQL generated from the SAME Profile.TableCols
       // spec the operator reads, one per-column SELECT per table. The
       // `events` view reaches DuckDB as raw TIMESTAMP(NANOS) parquet which
@@ -862,6 +877,70 @@ object Registry {
           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM c GROUP BY bin ORDER BY bin""")),
+
+      QueryDef("l8_shuffle", Curation.l8Shuffle, Some(s"""
+        SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (
+            ORDER BY md5('${Curation.ShuffleSalt}|' || CAST(doc_id AS VARCHAR)), doc_id)
+            AS INT) AS pos
+        FROM documents ORDER BY pos""")),
+
+      // decontamination replay: the split CASE is l8_split's, the gram
+      // comprehension is l6_ngram's at n = DecontamN (range() falls empty
+      // below n tokens exactly like the guarded Spark shingles())
+      QueryDef("l9_decontam", Curation.l9Decontam, Some {
+        val n = Curation.DecontamN
+        s"""
+        WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t,
+          CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+               WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+               ELSE 'test' END AS split
+          FROM documents),
+        g AS (SELECT doc_id, split,
+          unnest([array_to_string(t[i:i+${n - 1}], ' ') for i in range(1, len(t) - ${n - 2})]) AS gram
+          FROM d),
+        eg AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+        hit AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram) WHERE g.split = 'train')
+        SELECT d.source, COUNT(*) AS n_train,
+          CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+          CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN d.doc_id ELSE 0 END) AS BIGINT) AS contaminated_id_digest
+        FROM d LEFT JOIN hit h ON d.doc_id = h.doc_id
+        WHERE d.split = 'train'
+        GROUP BY d.source ORDER BY d.source"""
+      }),
+
+      // SQ8 replay: corpus-max |x| scale, signed floor-quantized codes,
+      // integer-cosine ranking to 4k candidates, then the shared
+      // decimal-exact cosine rescore
+      QueryDef("l3_sq_topk", Similarity.l3SqTopK, Some(s"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        px AS (SELECT vec_id, unnest(emb) AS x, generate_subscripts(emb, 1) AS pos FROM e),
+        mx AS (SELECT MAX(abs(x)) AS maxabs FROM px),
+        codes AS (SELECT vec_id, pos,
+            CASE WHEN maxabs = 0 THEN 0
+                 ELSE CAST(floor(x / maxabs * 127) AS BIGINT) END AS c
+          FROM px, mx),
+        qc AS (SELECT pos, c AS qcv FROM codes WHERE vec_id = 0),
+        dots AS (SELECT codes.vec_id,
+            CAST(SUM(c * qcv) AS BIGINT) AS intdot,
+            CAST(SUM(c * c) AS BIGINT) AS na,
+            CAST(SUM(qcv * qcv) AS BIGINT) AS nb
+          FROM codes JOIN qc USING (pos) GROUP BY codes.vec_id),
+        cand AS (SELECT vec_id FROM (
+            SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN -2.0
+              ELSE intdot / sqrt(CAST(na * nb AS DOUBLE)) END AS approx FROM dots)
+          ORDER BY approx DESC, vec_id LIMIT ${Similarity.SqRescoreFactor * 10}),
+        q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+        xx AS (SELECT vec_id, label, unnest(emb) AS a, unnest(qe) AS b
+          FROM e, q WHERE vec_id IN (SELECT vec_id FROM cand)),
+        dd AS (SELECT vec_id, label,
+            SUM(CAST(a*b AS DECIMAL(30,15))) AS dot,
+            SUM(CAST(a*a AS DECIMAL(30,15))) AS na,
+            SUM(CAST(b*b AS DECIMAL(30,15))) AS nb
+          FROM xx GROUP BY ALL)
+        SELECT vec_id, label,
+          ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
+        FROM dd ORDER BY cosine DESC, vec_id LIMIT 10""")),
 
       QueryDef("l5_multimodal", Multimodal.l5Multimodal, Some("""
         SELECT doc_id, lang, source, label,
@@ -960,6 +1039,18 @@ object Registry {
       SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256,
         md5(c_name || '|' || c_mktsegment) AS composite_md5
       FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""")),
+
+    // DuckDB's ^ is exponentiation, so xor is spelled as a function; its
+    // bit_count lands TINYINT → cast to Spark's INT
+    QueryDef("f8_bitwise", FnQueries.f8Bitwise, Some("""
+      SELECT o_orderkey,
+        o_orderkey & 255 AS band,
+        o_orderkey | o_custkey AS bor,
+        xor(o_orderkey, o_custkey) AS bxor,
+        o_custkey << 4 AS shl,
+        o_orderkey >> 2 AS shr,
+        CAST(bit_count(o_orderkey) AS INT) AS popcnt
+      FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""")),
 
     QueryDef("j7_asof", AsOf.j7AsOf, Some("""
       SELECT p.user_id, p.event_id AS purchase_id,

@@ -181,4 +181,24 @@ object FnQueries {
         md5(concat(col("c_name"), lit("|"), col("c_mktsegment"))).as("composite_md5"))
       .orderBy(col("c_custkey"))
   }
+
+  /** F8: bitwise family — and/or/xor, shifts, popcount. All exact integer
+    * ops, so the oracle is a direct replay (DuckDB spells xor as a
+    * function — its `^` is exponentiation — and returns bit_count as
+    * TINYINT, cast to match Spark's INT).
+    */
+  def f8Bitwise(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .filter(col("o_orderkey") <= 200)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("o_orderkey").bitwiseOR(col("o_custkey")).as("bor"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"),
+        shiftleft(col("o_custkey"), 4).as("shl"),
+        shiftright(col("o_orderkey"), 2).as("shr"),
+        expr("bit_count(o_orderkey)").as("popcnt"))
+      .orderBy(col("o_orderkey"))
+  }
 }

@@ -212,4 +212,104 @@ object Curation {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy(col("bin"))
   }
+
+  /** Decontamination gram width: 5-word grams. Real pipelines use ~13-gram
+    * overlap (benchmark answer strings are long); the fixture word-soup's
+    * tiny vocabulary makes 4-grams collide by chance (60/403 train docs at
+    * sf0.01) while 5-grams isolate genuine shared passages (7/403, and the
+    * count is stable from n=6 up — the residue is true near-duplicate
+    * text, exactly what decontamination must catch).
+    */
+  val DecontamN = 5
+
+  /** Ids of `corpus` rows sharing at least one `n`-word gram with any
+    * `benchmark` row — the train/test CONTAMINATION set a curation run
+    * must subtract before training.
+    *
+    * Scale shape: the benchmark side is tiny at ANY corpus scale (eval
+    * suites are megabytes against 100 TB of training text), so its
+    * distinct gram set rides a BROADCAST hash join — the corpus-side gram
+    * explosion stays a narrow per-row pass that never shuffles text; the
+    * only exchange is the final distinct on the constant-width id. At
+    * petabyte scale the gram strings would be xxhash64-ed to 8 bytes
+    * before the broadcast (a false positive only ever drops one extra
+    * doc); kept as strings here so the DuckDB oracle replays byte-exactly.
+    */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      n: Int = DecontamN): DataFrame = {
+    def grams(d: DataFrame) = d.select(col(idCol),
+      explode(Dedup.shingles(Dedup.tokens(col(textCol)), n)).as("gram"))
+    grams(corpus)
+      .join(broadcast(grams(benchmark).select(col("gram")).distinct()), "gram")
+      .select(col(idCol)).distinct()
+  }
+
+  /** L9 declared query: benchmark decontamination over the fixture corpus —
+    * the held-out test split (via [[splitExpr]], the same split a training
+    * run would publish as its benchmark) is the contamination source;
+    * report per-source train-doc counts, how many are contaminated, and an
+    * id digest pinning exactly WHICH docs the subtraction removes.
+    */
+  def l9Decontam(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(col("doc_id"), col("source"), col("text"),
+      splitExpr(col("doc_id")).as("split"))
+    val train = docs.filter(col("split") === "train")
+    val contaminated = contaminatedIds(train, docs.filter(col("split") === "test"))
+      .withColumn("contaminated", lit(true))
+    train.join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("contaminated"), col("doc_id")).otherwise(0L)).as("contaminated_id_digest"))
+      .orderBy(col("source"))
+  }
+
+  /** Deterministic epoch SHUFFLE: assign every doc its global training-order
+    * position under a seeded md5 permutation — the "random but reproducible"
+    * per-epoch reorder a pretraining data loader applies (new salt per
+    * epoch → fresh permutation, same salt → byte-identical rerun).
+    *
+    * The global row_number is a DISTRIBUTED prefix sum exactly like
+    * [[packBins]]: range-partition on the hash, rank within each
+    * partition, add broadcast per-partition count offsets — never a
+    * single-task global window. Output invariant to the sampled range
+    * boundaries for the same reason (prefix counts over a fixed total
+    * order are boundary-associative; asserted against the naive
+    * single-partition window in CurationSpec).
+    */
+  def epochOrder(docs: DataFrame, key: Column, salt: String,
+                 partitions: Int = 32): DataFrame = {
+    val parts = docs
+      // full 32-hex md5: practically collision-free, and the key still
+      // tie-breaks so the permutation is total by construction
+      .select(key.as("k"), hexBucket(salt + "|", key, 32).as("h"))
+      .repartitionByRange(partitions, col("h"), col("k"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // same contract as packBins: offsets branch and
+                         // main branch must see ONE materialized partitioning
+    val offsets = parts.groupBy(col("pid"))
+      .agg(count(lit(1)).as("pcnt"))
+      .withColumn("poff",
+        coalesce(sum(col("pcnt")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("pid"), col("poff"))
+    parts.join(broadcast(offsets), "pid")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("h"), col("k"))))
+      .select(col("k").as("doc_id"), (col("poff") + col("rn")).cast("int").as("pos"))
+  }
+
+  val ShuffleSalt = "epoch0"
+
+  /** L8f declared query: the [[ShuffleSalt]] epoch permutation of the
+    * corpus. Full (doc_id, pos) output so the oracle hash pins the entire
+    * permutation, not a digest of it.
+    */
+  def l8Shuffle(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    epochOrder(t.documents, col("doc_id"), ShuffleSalt).orderBy(col("pos"))
+  }
 }

@@ -373,6 +373,29 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 
+  /** W5: distribution window functions — percent_rank and cume_dist of
+    * account balance within market segment. Both are exact rational
+    * functions of integer ranks ((rk−1)/(n−1), peers/n): the operands are
+    * identical integers on both engines and one IEEE division is exactly
+    * rounded, so the doubles hash-match without a rounding fence (the
+    * ROUND(…, 9) is belt-and-braces against a future engine changing the
+    * evaluation shape, not a tolerance).
+    */
+  def w5Distribution(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // value-only window order: rank/peer groups depend on c_acctbal
+    // EQUALITY alone (engine-independent), and ties stay genuine peers —
+    // a unique tie-break would collapse every peer group to one row and
+    // reduce cume_dist to rn/n
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    t.customer
+      .withColumn("pr", round(percent_rank().over(w), 9))
+      .withColumn("cd", round(cume_dist().over(w), 9))
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"), col("pr"), col("cd"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
   /** W2: analytic lag/lead over event time per user. Event time is compared
     * at µs precision on both engines (ns truncated identically).
     */

@@ -460,4 +460,69 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** How many approximate candidates the SQ rescore pass keeps per
+    * requested neighbour (top 4k by integer score → exact top-k).
+    */
+  val SqRescoreFactor = 4
+
+  /** L3e: SCALAR-QUANTIZED (8-bit) ANN — the memory-bandwidth scale path,
+    * complementary to the IVF/LSH CELL-pruning paths: quantize every value
+    * to a SIGNED code `floor(x / max|x| · 127)` ∈ −127..127 against the
+    * one corpus-wide scale, rank by the integer-cosine
+    * `dot(c,qc)/√(|c|²·|qc|²)`, then exact-cosine rescore only the top
+    * [[SqRescoreFactor]]·k survivors. Symmetric (not min/max-affine)
+    * quantization on purpose: an affine shift makes every code positive,
+    * so code dot products measure magnitude instead of direction and the
+    * cosine ranking collapses (measured: recall@10 fell to 1/10). At
+    * 100 TB the wins are (a) the approximate pass scans 1-byte codes
+    * instead of 4-byte floats — 4× less bandwidth on the full-corpus
+    * stage, the signed-SQ8 posture FAISS ships for flat indexes — and
+    * (b) the scoring loop is integer multiply-add. Codes and the 1-scalar
+    * scale are computed at index-write time; here they are derived
+    * in-plan so the whole pipeline stays a declared query.
+    *
+    * Deterministic cross-engine by construction: the scale is an exact
+    * input double, `x / s · 127` is two exactly-rounded IEEE ops on
+    * identical operands, and `floor` (not round — no half-way mode to
+    * disagree on) lands identical integers. The approximate score divides
+    * exact integers (|c|²·|qc|² ≤ (64·127²)² < 2⁵³, exact in double)
+    * through one exactly-rounded sqrt and division — identical doubles on
+    * both engines — and the rescore reuses the shared decimal-exact
+    * [[cosine]].
+    */
+  def sqTopK(t: Tables, queryId: Long, k: Int): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("label"), dbl(col("embedding")).as("emb"))
+    // corpus-wide symmetric scale: ONE max-|x| scalar, a broadcast stat
+    val mm = e.select(explode(col("emb")).as("x")).agg(max(abs(col("x"))).as("maxabs"))
+    def codesOf(emb: Column): Column =
+      transform(emb, x =>
+        when(col("maxabs") === 0, lit(0L)).otherwise(floor(x / col("maxabs") * lit(127))))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
+    val coded = e.crossJoin(broadcast(mm))
+      .select(col("vec_id"), col("label"), col("emb"), codesOf(col("emb")).as("codes"))
+    val q = coded.filter(col("vec_id") === queryId)
+      .select(col("codes").as("qcodes"), col("emb").as("q_emb"))
+    coded.crossJoin(broadcast(q))
+      .withColumn("intdot", idot(col("codes"), col("qcodes")))
+      .withColumn("na", idot(col("codes"), col("codes")))
+      .withColumn("nb", idot(col("qcodes"), col("qcodes")))
+      // all-zero codes (a vector tiny against the corpus scale) score −2,
+      // below every real cosine — mirrored in the oracle CASE
+      .withColumn("approx",
+        when(col("na") === 0 || col("nb") === 0, lit(-2.0d))
+          .otherwise(col("intdot").cast("double") /
+            sqrt((col("na") * col("nb")).cast("double"))))
+      // both stages ride TakeOrderedAndProject: top-4k by integer cosine
+      // over the corpus, then exact top-k over those 4k rows only
+      .orderBy(col("approx").desc, col("vec_id")).limit(SqRescoreFactor * k)
+      .select(col("vec_id"), col("label"), cosine(col("emb"), col("q_emb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** L3e declared query: SQ8 top-10 for vec_id 0. */
+  def l3SqTopK(spark: SparkSession, dir: String): DataFrame =
+    sqTopK(Tables(spark, dir), queryId = 0L, k = 10)
 }

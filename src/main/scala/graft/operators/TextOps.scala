@@ -417,4 +417,33 @@ object TextOps {
         greatest(size(ts) - lit(2), lit(0)).as("n_shingles"))
       .orderBy(col("doc_id"))
   }
+
+  /** Posting-list block width (doc ids per block). */
+  val PostingsBlock = 1000L
+
+  /** Inverted-index build: token → sorted doc-id posting list, emitted in
+    * [[PostingsBlock]]-wide doc-id BLOCKS rather than one list per token.
+    * Blocking is the scale posture, not a convenience: an unblocked
+    * `collect_list` keys the shuffle on the token alone, so a stopword
+    * appearing in half of 100 TB of documents funnels its entire posting
+    * list through ONE reducer's memory. With (token, doc_id DIV B) as the
+    * key, per-group state is bounded by B regardless of token frequency,
+    * hot tokens spread over their block range, and the blocks concatenate
+    * in block order into exactly the unblocked list (the layout real
+    * inverted indexes use — delta-encoded fixed-size postings blocks,
+    * e.g. Lucene's doc-id block files).
+    */
+  def postings(docs: DataFrame, tokenizer: Column => Column = spaceTokenizer,
+               block: Long = PostingsBlock): DataFrame =
+    docs
+      // array_distinct first: postings record membership, not occurrences
+      .select(col("doc_id"), explode(array_distinct(tokenizer(col("text")))).as("token"))
+      .groupBy(col("token"), expr(s"doc_id DIV ${block}L").as("block"))
+      .agg(count(lit(1)).as("df_block"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+
+  /** L4h declared query: the blocked inverted index of the fixture corpus. */
+  def l4Postings(spark: SparkSession, dir: String): DataFrame =
+    postings(Tables(spark, dir).documents)
+      .orderBy(col("token"), col("block"))
 }

@@ -127,4 +127,58 @@ class CurationSpec extends SparkSuite {
     val maxDoc = dist.agg(max(col("n_tokens"))).collect()(0).getLong(0)
     binTotals.init.foreach(t => assert(t > 256L - maxDoc))
   }
+
+  test("L9 decontam: exact n-gram hit flags, (n-1)-gram overlap does not") {
+    // benchmark doc: 5 tokens = exactly one 5-gram "q w e r t"
+    val benchmark = Seq((100L, "q w e r t")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x y q w e r t z"),  // contains the full 5-gram → contaminated
+      (2L, "q w e r u t"),      // shares only a 4-gram prefix → clean
+      (3L, "t r e w q"),        // same vocabulary, reversed order → clean
+      (4L, "q w e r"),          // shorter than n → no grams at all → clean
+      (5L, "q w e r t")         // verbatim copy → contaminated
+    ).toDF("doc_id", "text")
+    val hit = Curation.contaminatedIds(corpus, benchmark, n = 5)
+    assert(hit.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
+    // the benchmark gram set must reach the join as a BROADCAST: the
+    // corpus-side gram explosion never shuffles at any corpus scale
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("L9 decontam: a doc is never contaminated by its own split") {
+    // every contaminated id must be a train doc, and dropping the
+    // contaminated set leaves a train corpus with ZERO eval-gram overlap
+    val out = Curation.l9Decontam(spark, sf).collect()
+    val nTrain = out.map(_.getLong(1)).sum
+    val nContam = out.map(_.getLong(2)).sum
+    assert(nTrain > 0 && nContam >= 0 && nContam < nTrain)
+    val docs = tables.documents.select(col("doc_id"), col("text"),
+      Curation.splitExpr(col("doc_id")).as("split"))
+    val train = docs.filter(col("split") === "train")
+    val testSplit = docs.filter(col("split") === "test")
+    val contaminated = Curation.contaminatedIds(train, testSplit)
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+    assert(Curation.contaminatedIds(clean, testSplit).count() == 0)
+    assert(contaminated.count() == nContam)
+  }
+
+  test("L8 shuffle: distributed epoch order == naive global window, salts independent") {
+    val docs = tables.documents
+    val dist = Curation.epochOrder(docs, col("doc_id"), "epoch0", partitions = 8)
+    val naive = docs.select(col("doc_id"),
+        md5(concat(lit("epoch0|"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("pos", row_number().over(Window.orderBy(col("h"), col("doc_id"))))
+      .select(col("doc_id"), col("pos"))
+    assertSameRows(dist, naive)
+    // a permutation: positions are exactly 1..n, each id once
+    val n = docs.count()
+    val poss = dist.select(col("pos")).collect().map(_.getInt(0)).sorted
+    assert(poss.toSeq == (1 to n.toInt))
+    // a different epoch salt yields a genuinely different permutation
+    val e1 = Curation.epochOrder(docs, col("doc_id"), "epoch1", partitions = 8)
+    val moved = dist.as("a").join(e1.as("b"), "doc_id")
+      .filter(col("a.pos") =!= col("b.pos")).count()
+    assert(moved > n / 2, s"only $moved of $n docs moved between epochs")
+  }
 }

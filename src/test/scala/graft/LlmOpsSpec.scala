@@ -278,6 +278,27 @@ class LlmOpsSpec extends SparkSuite {
     assert(totalD2(trained) < totalD2(init))
   }
 
+  test("L3e SQ8 ANN: self first, high recall vs brute force, codes bounded") {
+    val sq = Similarity.l3SqTopK(spark, sf).collect()
+    assert(sq.length == 10)
+    assert(sq.head.getAs[Long]("vec_id") == 0L && sq.head.getAs[Double]("cosine") == 1.0)
+    val cos = sq.map(_.getAs[Double]("cosine")).toSeq
+    assert(cos == cos.sorted.reverse)
+    // 8-bit quantization barely disturbs a 64-d cosine ranking: the 4k
+    // integer-dot candidates must recover nearly all of the exact top-10
+    val brute = Similarity.l3CosineTopK(spark, sf).collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = sq.map(_.getAs[Long]("vec_id")).toSet.intersect(brute).size
+    assert(recall >= 8, s"recall@10 = $recall/10")
+    // every rescored cosine equals the exact path's value for that id —
+    // the approximation is only ever in WHICH candidates reach rescoring
+    val bruteAll = Similarity.bruteForceTopK(tables, 0L, 50).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    sq.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      bruteAll.get(id).foreach(c => assert(r.getAs[Double]("cosine") == c))
+    }
+  }
+
   test("L3 IVF fast path probes the same cells and finds the same neighbours") {
     val exact = Similarity.l3IvfTopK(spark, sf).collect()
     val fast = Similarity.ivfTopKFast(Tables(spark, sf), 0L, 10,
@@ -435,6 +456,25 @@ class LlmOpsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fps(1L) == fps(2L))
     assert(fps.values.forall(_.matches("[0-9a-f]{32}")))
+  }
+
+  test("L4h blocked postings: membership not occurrences; blocks concatenate to the flat index") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (1001L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TextOps.postings(docs, block = 1000L).collect()
+    def row(tok: String, blk: Long) =
+      out.find(r => r.getString(0) == tok && r.getLong(1) == blk).get
+    // doc 1 holds "a" twice but posts once (membership), block split at 1000
+    assert(row("a", 0L).getSeq[Long](3) == Seq(1L, 2L))
+    assert(row("a", 0L).getLong(2) == 2L)
+    assert(row("a", 1L).getSeq[Long](3) == Seq(1001L))
+    // blocks, concatenated in block order, equal the unblocked posting list
+    val flat = TextOps.postings(docs, block = Long.MaxValue).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](3)).toMap
+    val stitched = out.groupBy(_.getString(0)).map { case (tok, rows) =>
+      tok -> rows.sortBy(_.getLong(1)).flatMap(_.getSeq[Long](3)).toSeq
+    }
+    assert(stitched == flat)
   }
 
   test("L5 image metadata: real PNG/JPEG header parsing, unknown bytes survive as None") {
