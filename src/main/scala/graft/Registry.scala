@@ -385,6 +385,41 @@ object Registry {
       SELECT nk, 'customer_only' AS side FROM
         (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
       ORDER BY side, nk""")),
+
+    // Equi-width histogram: exact integer-cents bucketing (DECIMAL(30,2)
+    // recovers the 2-dp price losslessly on both engines; // on positive
+    // cents == Spark's DIV)
+    QueryDef("a9_histogram", Relational.a9Histogram, Some(s"""
+      WITH c AS (SELECT l_extendedprice,
+        CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents
+      FROM lineitem)
+      SELECT cents // ${Relational.HistWidthCents} AS bucket,
+        CAST(cents // ${Relational.HistWidthCents} * 5000 AS BIGINT) AS lo_price,
+        COUNT(*) AS n,
+        MIN(l_extendedprice) AS min_price,
+        MAX(l_extendedprice) AS max_price,
+        ${ds("l_extendedprice", 2)} AS sum_price
+      FROM c GROUP BY bucket ORDER BY bucket""")),
+
+    // Gap fill: integer epoch-hour grid per user, zero-count rows for
+    // silent hours, last-observation-carried-forward via IGNORE NULLS
+    QueryDef("o7_gap_fill", TimeSeries.o7GapFill, Some(s"""
+      WITH e AS (SELECT user_id,
+        epoch_us(date_trunc('hour', ts::TIMESTAMP)) // 3600000000 AS hour_id,
+        value FROM events),
+      b AS (SELECT user_id, hour_id, COUNT(*) AS n_events,
+        ${ds("value", 2)} AS hour_value
+      FROM e GROUP BY user_id, hour_id),
+      r AS (SELECT user_id, MIN(hour_id) AS lo, MAX(hour_id) AS hi
+            FROM b GROUP BY user_id),
+      s AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hour_id FROM r)
+      SELECT s.user_id, s.hour_id,
+        COALESCE(b.n_events, 0) AS n_events,
+        last_value(b.hour_value IGNORE NULLS) OVER (
+          PARTITION BY s.user_id ORDER BY s.hour_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+      FROM s LEFT JOIN b ON s.user_id = b.user_id AND s.hour_id = b.hour_id
+      ORDER BY s.user_id, s.hour_id""")),
   )
 
   /** L1–L6 (SURVEY.md §2.9): LLM-data-pipeline operators. */
@@ -949,6 +984,73 @@ object Registry {
           substr(upper(md5(text)), 1, 16) AS payload_hex_head
         FROM documents JOIN embeddings ON doc_id = vec_id
         ORDER BY doc_id""")),
+
+      // Within-doc repetition metrics: per-(doc, token) counts replayed
+      // as the same two-stage aggregation; bigram comprehension is the
+      // fingerprint oracle's at n=2. All permille metrics integer DIV.
+      QueryDef("l4_repetition", TextOps.l4Repetition, Some("""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        pt AS (SELECT doc_id, token, COUNT(*) AS cnt
+               FROM (SELECT doc_id, unnest(t) AS token FROM s)
+               GROUP BY doc_id, token),
+        ts AS (SELECT doc_id,
+          CAST(SUM(cnt) AS INT) AS n_tokens,
+          CAST(COUNT(*) AS INT) AS n_unique,
+          CAST(MAX(cnt) AS INT) AS top_count,
+          SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_mass
+        FROM pt GROUP BY doc_id),
+        gs AS (SELECT doc_id,
+          CAST(greatest(len(t) - 1, 0) AS INT) AS n_bigrams,
+          CAST(len(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS INT) AS n_unique_bigrams
+        FROM s)
+        SELECT ts.doc_id, n_tokens, n_unique, top_count, n_bigrams, n_unique_bigrams,
+          CAST(1000 * (n_tokens - n_unique) // n_tokens AS BIGINT) AS dup_token_permille,
+          CAST(1000 * top_count // n_tokens AS BIGINT) AS top_token_permille,
+          CAST(1000 * dup_mass // n_tokens AS BIGINT) AS dup_mass_permille,
+          CAST(CASE WHEN n_bigrams > 0
+               THEN 1000 * (n_bigrams - n_unique_bigrams) // n_bigrams
+               ELSE 0 END AS BIGINT) AS dup_bigram_permille
+        FROM ts JOIN gs ON ts.doc_id = gs.doc_id
+        ORDER BY ts.doc_id""")),
+
+      // Token-window chunking: same greatest-clamped chunk count, same
+      // 1-based inclusive slice bounds (DuckDB t[a : a+size-1] truncates
+      // at the end exactly like Spark's slice(t, a, size))
+      QueryDef("l8_chunk", Curation.l8Chunk, Some {
+        val (c, st) = (Curation.ChunkSize, Curation.ChunkStride)
+        s"""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        k AS (SELECT doc_id, t,
+          unnest(range(0, greatest(0, (len(t) - $c + ${st - 1}) // $st) + 1)) AS chunk_id
+        FROM s)
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+          CAST(len(t[chunk_id * $st + 1 : chunk_id * $st + $c]) AS INT) AS n_tokens,
+          array_to_string(t[chunk_id * $st + 1 : chunk_id * $st + $c], ' ') AS chunk_text
+        FROM k ORDER BY doc_id, chunk_id"""
+      }),
+
+      // PII scrub: patterns interpolated from the SAME PiiPatterns list
+      // the operator applies (ASCII classes — Java regex and RE2 agree);
+      // the appended doc-derived contact line makes the redaction real
+      QueryDef("l10_pii_scrub", TextOps.l10PiiScrub, Some {
+        val Seq((urlP, urlR), (emP, emR), (ipP, ipR)) = TextOps.PiiPatterns
+        s"""
+        WITH p AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or http://host' ||
+               CAST(doc_id AS VARCHAR) || '.example/x via 10.0.' ||
+               CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+        FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '$urlP'))
+             + len(regexp_extract_all(text, '$emP'))
+             + len(regexp_extract_all(text, '$ipP')) AS BIGINT) AS n_pii,
+          md5(text) AS raw_md5,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '$urlP', '$urlR', 'g'),
+            '$emP', '$emR', 'g'),
+            '$ipP', '$ipR', 'g') AS scrubbed
+        FROM p ORDER BY doc_id"""
+      }),
     )
   }
 

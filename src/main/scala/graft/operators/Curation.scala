@@ -312,4 +312,48 @@ object Curation {
     val t = Tables(spark, dir)
     epochOrder(t.documents, col("doc_id"), ShuffleSalt).orderBy(col("pos"))
   }
+
+  /** Context-window chunk length / stride (tokens). Stride < size gives
+    * the overlapping windows long-doc training and RAG ingestion use so
+    * no boundary context is lost between adjacent chunks.
+    */
+  val ChunkSize   = 64
+  val ChunkStride = 48
+
+  /** L8g: split every document into fixed-token-window chunks with
+    * overlap — the step that turns variable-length curated documents
+    * into model-context-sized training/retrieval units. Chunk count per
+    * doc is `ceil((n - size) / stride) + 1` clamped to ≥ 1: the last
+    * window is the first one that reaches the end of the doc (a shorter
+    * tail chunk, never a redundant fully-contained one).
+    *
+    * Scale posture: narrow explode over a per-row integer sequence — the
+    * chunker adds zero shuffles to the scan, output rows are
+    * `Σ ceil(n_i/stride)` and stream straight to the sink; at 100 TB the
+    * chunk explosion is exactly the write amplification the training
+    * format requires, not a plan cost.
+    */
+  def chunkTokens(docs: DataFrame, chunkSize: Int = ChunkSize,
+                  stride: Int = ChunkStride,
+                  tokenizer: Column => Column = TextOps.spaceTokenizer): DataFrame =
+    docs
+      .select(col("doc_id"), tokenizer(col("text")).as("t"))
+      // greatest(0, …) clamps the single-chunk case (n ≤ size), and does
+      // so BEFORE the engines' integer divisions can disagree on negative
+      // operands (Spark DIV truncates toward zero, DuckDB // floors)
+      .select(col("doc_id"), col("t"), explode(sequence(lit(0),
+        expr(s"greatest(0L, (size(t) - $chunkSize + ${stride - 1}) DIV $stride)")))
+        .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        expr(s"slice(t, chunk_id * $stride + 1, $chunkSize)").as("ct"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ct")).as("n_tokens"),
+        array_join(col("ct"), " ").as("chunk_text"))
+
+  /** L8g declared query: the fixture corpus chunked at
+    * [[ChunkSize]]/[[ChunkStride]].
+    */
+  def l8Chunk(spark: SparkSession, dir: String): DataFrame =
+    chunkTokens(Tables(spark, dir).documents)
+      .orderBy(col("doc_id"), col("chunk_id"))
 }

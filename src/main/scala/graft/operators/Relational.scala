@@ -359,6 +359,37 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** A9 histogram geometry: [0, 110000) in 22 equi-width buckets of
+    * 5000.00 — covers the fixture price range (≈[900, 105000]) at every
+    * scale factor with fixed, data-independent bounds.
+    */
+  val HistWidthCents = 500000L
+
+  /** A9: equi-width histogram of `l_extendedprice` — the distribution
+    * summary every profiler/BI layer asks of a measure column. Bucketing
+    * is exact integer arithmetic: the 2-dp price recovers losslessly as
+    * DECIMAL(30,2) cents, and `cents DIV width` assigns buckets with no
+    * float boundary ambiguity on any engine. One partial-aggregated
+    * shuffle on the bucket id — the same single-pass shape at any scale.
+    */
+  def a9Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .select(col("l_extendedprice"),
+        (col("l_extendedprice").cast("decimal(30,2)") * lit(100))
+          .cast("long").as("cents"))
+      .groupBy(expr(s"cents DIV ${HistWidthCents}L").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        Det.dsum(col("l_extendedprice"), 2).as("sum_price"))
+      .select(col("bucket"),
+        (col("bucket") * lit(5000L)).cast("long").as("lo_price"),
+        col("n"), col("min_price"), col("max_price"), col("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
   /** W1: ranking functions over a partitioned window. */
   def w1Rank(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -446,4 +446,113 @@ object TextOps {
   def l4Postings(spark: SparkSession, dir: String): DataFrame =
     postings(Tables(spark, dir).documents)
       .orderBy(col("token"), col("block"))
+
+  /** Within-document repetition metrics (Gopher-style quality rules:
+    * Rae et al. 2021 §A.1.1 filter on duplicate-line/duplicate-n-gram
+    * fractions): per doc, the share of tokens that are repeats of an
+    * earlier token, the mass of the single most frequent token, and the
+    * duplicate-bigram share. High values flag boilerplate / generated
+    * spam a curation run drops before training.
+    *
+    * Scale posture: token-type stats are an exploded two-stage
+    * aggregation — per (doc_id, token) counts partial-aggregate
+    * map-side, then one per-doc rollup — so no per-row map of
+    * type→count ever materializes (the array-free shape that survives a
+    * pathologically hot token). Bigram uniqueness stays narrow per row
+    * (zip_with adjacent pairs + array_distinct, codegen'd): the gram
+    * array is the same order of memory as the text the row already
+    * holds, so exploding it would buy nothing and cost a second
+    * shuffle. Metrics are integer permille (floor DIV) — exact on any
+    * engine.
+    */
+  def repetitionStats(docs: DataFrame,
+                      tokenizer: Column => Column = spaceTokenizer): DataFrame = {
+    val ts = tokenizer(col("text"))
+    val tok = docs.select(col("doc_id"), explode(ts).as("token"))
+    val perTok = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val tokStats = perTok.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("n_unique"),
+      max(col("cnt")).as("top_count"),
+      // mass of token TYPES that repeat (the Gopher duplicate-n-gram
+      // numerator at n=1): tokens belonging to a type with count > 1
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_mass"))
+    // bigrams: adjacent-pair join of the token array; only uniqueness is
+    // needed so the distinct count stays narrow per row (array_distinct,
+    // codegen'd — no second shuffle)
+    val grams = zip_with(
+      slice(ts, lit(1), greatest(size(ts) - lit(1), lit(0))),
+      slice(ts, lit(2), greatest(size(ts) - lit(1), lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val gramStats = docs.select(
+      col("doc_id"),
+      size(grams).as("n_bigrams"),
+      size(array_distinct(grams)).as("n_unique_bigrams"))
+    tokStats.join(gramStats, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        col("n_unique").cast("int").as("n_unique"),
+        col("top_count").cast("int").as("top_count"),
+        col("n_bigrams"), col("n_unique_bigrams"),
+        expr("1000 * (n_tokens - n_unique) DIV n_tokens").as("dup_token_permille"),
+        expr("1000 * top_count DIV n_tokens").as("top_token_permille"),
+        expr("1000 * dup_mass DIV n_tokens").as("dup_mass_permille"),
+        expr("CASE WHEN n_bigrams > 0 THEN 1000 * (n_bigrams - n_unique_bigrams) DIV n_bigrams ELSE 0 END")
+          .cast("bigint").as("dup_bigram_permille"))
+  }
+
+  /** L4i declared query: repetition metrics over the fixture corpus. */
+  def l4Repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables(spark, dir).documents).orderBy(col("doc_id"))
+
+  /** PII scrub patterns, applied in this order. ASCII character classes
+    * on purpose: Java regex (Spark) and RE2 (DuckDB) match identically,
+    * so the declared query's hash compare pins the redaction behavior
+    * itself cross-engine. Order matters — emails before bare domains
+    * would, and URLs before emails could, double-redact; URL first
+    * (it can contain '@' userinfo), then email, then IPv4.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^ ]+"                                      -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>")
+
+  /** Redact PII-shaped spans (URLs, emails, IPv4s) from a text column —
+    * the scrub step a training-data pipeline runs before anything else
+    * touches the text. A chain of codegen'd `regexp_replace`s: narrow,
+    * shuffle-free, scales with the scan.
+    */
+  def scrub(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Count of PII-shaped spans a scrub of `text` would redact. */
+  def piiCount(text: Column): Column =
+    PiiPatterns.map { case (pat, _) => regexp_count(text, lit(pat)) }
+      .reduce(_ + _)
+
+  /** L10 declared query: scrub a corpus that genuinely contains PII. The
+    * fixture word soup has none, so the query first appends a
+    * deterministic doc-derived contact line (same derivation replayed in
+    * the oracle) — the hash compare then pins that both engines redact
+    * the same spans the same way, not just that clean text passes
+    * through.
+    */
+  def l10PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables(spark, dir).documents.select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or http://host"),
+        col("doc_id"), lit(".example/x via 10.0."), pmod(col("doc_id"), lit(256L)),
+        lit(".7")).as("text"))
+    withPii.select(
+      col("doc_id"),
+      piiCount(col("text")).cast("bigint").as("n_pii"),
+      md5(col("text")).as("raw_md5"),
+      scrub(col("text")).as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -181,4 +181,43 @@ class CurationSpec extends SparkSuite {
       .filter(col("a.pos") =!= col("b.pos")).count()
     assert(moved > n / 2, s"only $moved of $n docs moved between epochs")
   }
+
+  test("L8g chunking: full windows, declared overlap, tail reaches the end") {
+    val (c, s) = (Curation.ChunkSize, Curation.ChunkStride)
+    val docs = tables.documents.limit(50)
+    val byDoc = Curation.chunkTokens(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.sortBy(_.getAs[Int]("chunk_id")) }
+    val nTok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    assert(byDoc.nonEmpty && byDoc.keySet == nTok.keySet)
+    byDoc.foreach { case (id, chunks) =>
+      // every chunk but the last is a full window; the last ends the doc
+      chunks.init.foreach(r => assert(r.getAs[Int]("n_tokens") == c))
+      val last = chunks.last
+      assert(last.getAs[Int]("chunk_id") * s + last.getAs[Int]("n_tokens")
+        == nTok(id))
+      // adjacent windows share exactly size-stride tokens
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          val ta = a.getAs[String]("chunk_text").split(" ")
+          val tb = b.getAs[String]("chunk_text").split(" ")
+          assert(ta.drop(s).sameElements(tb.take(c - s)))
+        case _ =>
+      }
+    }
+  }
+
+  test("L8g chunking with stride == size reconstructs the document exactly") {
+    val docs = tables.documents.limit(20)
+    val rebuilt = Curation.chunkTokens(docs, chunkSize = 64, stride = 64)
+      .groupBy("doc_id")
+      .agg(array_join(sort_array(collect_list(
+        struct(col("chunk_id"), col("chunk_text")))).getField("chunk_text"), " ")
+        .as("rebuilt"))
+    val joined = rebuilt.join(docs, "doc_id")
+      .filter(col("rebuilt") =!= col("text"))
+    assert(joined.count() == 0)
+  }
 }

@@ -554,4 +554,57 @@ class LlmOpsSpec extends SparkSuite {
     }
     assertThrows[IllegalArgumentException](Multimodal.frameSample(assets, 0))
   }
+
+  test("L4i repetition: degenerate docs hit the permille extremes, fixture stays in range") {
+    val df = Seq(
+      (1L, "a a a a"),   // one type repeated
+      (2L, "w x y z"),   // all unique
+      (3L, "a b a b"))   // alternating pair
+      .toDF("doc_id", "text")
+    val m = TextOps.repetitionStats(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("dup_token_permille") == 750L)   // (4-1)/4
+    assert(m(1L).getAs[Long]("top_token_permille") == 1000L)
+    assert(m(1L).getAs[Long]("dup_mass_permille") == 1000L)
+    assert(m(1L).getAs[Long]("dup_bigram_permille") == 666L)  // 3 grams, 1 unique
+    assert(m(2L).getAs[Long]("dup_token_permille") == 0L)
+    assert(m(2L).getAs[Long]("top_token_permille") == 250L)   // 1/4
+    assert(m(2L).getAs[Long]("dup_bigram_permille") == 0L)
+    assert(m(3L).getAs[Long]("dup_token_permille") == 500L)
+    assert(m(3L).getAs[Long]("dup_mass_permille") == 1000L)
+    assert(m(3L).getAs[Long]("dup_bigram_permille") == 333L)  // a b, b a, a b
+    val fixture = TextOps.l4Repetition(spark, sf).collect()
+    assert(fixture.length == tables.documents.count())
+    fixture.foreach { r =>
+      Seq("dup_token_permille", "top_token_permille", "dup_mass_permille",
+        "dup_bigram_permille").foreach { c =>
+        val v = r.getAs[Long](c); assert(v >= 0L && v <= 1000L, s"$c=$v")
+      }
+    }
+  }
+
+  test("L10 PII scrub: redacts email/url/ip spans, idempotent, clean text unchanged") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "see https://a.example/path?q=1 and http://b.c/x"),
+      (3L, "host at 192.168.0.1 port"),
+      (4L, "clean words only"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), col("text"),
+      TextOps.scrub(col("text")).as("s"),
+      TextOps.piiCount(col("text")).as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("s") == "mail <EMAIL> now")
+    assert(out(1L).getAs[Int]("n") == 1)
+    assert(out(2L).getAs[String]("s") == "see <URL> and <URL>")
+    assert(out(2L).getAs[Int]("n") == 2)
+    assert(out(3L).getAs[String]("s") == "host at <IP> port")
+    assert(out(3L).getAs[Int]("n") == 1)
+    assert(out(4L).getAs[String]("s") == out(4L).getAs[String]("text"))
+    assert(out(4L).getAs[Int]("n") == 0)
+    // idempotent: a second scrub is the identity (redaction tags are clean)
+    val twice = df.select(TextOps.scrub(TextOps.scrub(col("text"))).as("a"),
+      TextOps.scrub(col("text")).as("b")).filter(col("a") =!= col("b"))
+    assert(twice.count() == 0)
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Relational
+import graft.operators.{Relational, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Batch relational operators: spot checks on sf0.001 + the A3 tolerance
@@ -203,5 +203,45 @@ class RelationalSpec extends SparkSuite {
     val windowed = Relational.topKPerGroupSkewSafe(ev, Seq("user_id"),
       Seq(col("ts").desc, col("event_id").desc), k = 1).drop("rn")
     assert(argmax.collect().toSet == windowed.collect().toSet)
+  }
+
+  test("a9 histogram: buckets partition the table and respect their bounds") {
+    val h = Relational.a9Histogram(spark, sf).collect()
+    assert(h.map(_.getAs[Long]("n")).sum == tables.lineitem.count())
+    h.foreach { r =>
+      val lo = r.getAs[Long]("lo_price").toDouble
+      assert(r.getAs[Double]("min_price") >= lo - 0.005)
+      assert(r.getAs[Double]("max_price") < lo + 5000 + 0.005)
+      assert(r.getAs[Double]("min_price") <= r.getAs[Double]("max_price"))
+    }
+    val ids = h.map(_.getAs[Long]("bucket"))
+    assert(ids.distinct.length == ids.length && ids.sorted.sameElements(ids))
+  }
+
+  test("o7 gap fill: dense per-user hourly grid, gaps carry the last value forward") {
+    val g = TimeSeries.gapFill(tables.events)
+    // dense: per user, exactly one row per hour in [min, max]
+    g.groupBy("user_id")
+      .agg(min("hour_id").as("lo"), max("hour_id").as("hi"),
+        count(lit(1)).as("n"), countDistinct("hour_id").as("nd"))
+      .collect().foreach { r =>
+        val span = r.getAs[Long]("hi") - r.getAs[Long]("lo") + 1
+        assert(r.getAs[Long]("n") == span && r.getAs[Long]("nd") == span)
+      }
+    // the fixture has silent hours, and each carries the last seen value
+    val rows = g.orderBy("user_id", "hour_id").collect()
+    assert(rows.exists(_.getAs[Long]("n_events") == 0L),
+      "fixture should contain at least one silent hour")
+    var (user, lastVal) = (-1L, Double.NaN)
+    rows.foreach { r =>
+      if (r.getAs[Long]("user_id") != user) {
+        user = r.getAs[Long]("user_id")
+        // spine starts at the user's first observed hour — never a gap
+        assert(r.getAs[Long]("n_events") > 0L)
+      }
+      if (r.getAs[Long]("n_events") == 0L)
+        assert(r.getAs[Double]("carried_value") == lastVal)
+      else lastVal = r.getAs[Double]("carried_value")
+    }
   }
 }
