@@ -401,6 +401,50 @@ object Registry {
         ${ds("l_extendedprice", 2)} AS sum_price
       FROM c GROUP BY bucket ORDER BY bucket""")),
 
+    // Equi-depth histogram: integer bucket-of-rank over the tie-broken
+    // global order (replayed as one window; the engine side rides the
+    // distributed prefix sum instead)
+    QueryDef("a10_equi_depth", Relational.a10EquiDepth, Some(s"""
+      WITH r AS (SELECT l_extendedprice,
+          ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rank,
+          COUNT(*) OVER () AS total
+        FROM lineitem)
+      SELECT (rank - 1) * ${Relational.DepthBuckets} // total AS bucket,
+        COUNT(*) AS n,
+        MIN(l_extendedprice) AS lo_price,
+        MAX(l_extendedprice) AS hi_price,
+        ${ds("l_extendedprice", 2)} AS sum_price
+      FROM r GROUP BY bucket ORDER BY bucket""")),
+
+    // Ordered funnel: per-user conditional-min frontier per step, a
+    // step's time counts only strictly after the previous step's
+    QueryDef("b1_funnel", Behavior.b1Funnel, Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events),
+      s0 AS (SELECT user_id, MIN(us) AS t0 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      s1 AS (SELECT s0.user_id, t0, MIN(CASE WHEN e.us > t0 THEN e.us END) AS t1
+             FROM s0 LEFT JOIN e ON s0.user_id = e.user_id AND e.event_type = 'click'
+             GROUP BY s0.user_id, t0),
+      s2 AS (SELECT s1.user_id, t0, t1, MIN(CASE WHEN e.us > t1 THEN e.us END) AS t2
+             FROM s1 LEFT JOIN e ON s1.user_id = e.user_id AND e.event_type = 'purchase'
+             GROUP BY s1.user_id, t0, t1)
+      SELECT * FROM (
+        SELECT 1 AS step, 'view' AS step_name, COUNT(t0) AS n_users FROM s2
+        UNION ALL SELECT 2, 'click', COUNT(t1) FROM s2
+        UNION ALL SELECT 3, 'purchase', COUNT(t2) FROM s2)
+      ORDER BY step""")),
+
+    // Cohort retention: first-activity-day cohorts × return-day offsets,
+    // integer epoch-days end to end
+    QueryDef("b2_retention", Behavior.b2Retention, Some("""
+      WITH d AS (SELECT DISTINCT user_id,
+          epoch_us(date_trunc('day', ts::TIMESTAMP)) // 86400000000 AS day FROM events),
+      c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+      SELECT cohort_day, day - cohort_day AS day_offset,
+        COUNT(DISTINCT d.user_id) AS n_users
+      FROM d JOIN c ON d.user_id = c.user_id
+      GROUP BY cohort_day, day_offset
+      ORDER BY cohort_day, day_offset""")),
+
     // Gap fill: integer epoch-hour grid per user, zero-count rows for
     // silent hours, last-observation-carried-forward via IGNORE NULLS
     QueryDef("o7_gap_fill", TimeSeries.o7GapFill, Some(s"""

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** B1/B2 (SURVEY.md §2.10): behavioral analytics over an event stream —
+  * ordered conversion funnels and cohort retention. The two queries every
+  * product-analytics engine ships first, expressed as keyed aggregations
+  * so they scale like any other group-by (no per-user state machines, no
+  * driver-side logic).
+  *
+  * Determinism: all times are integer epoch units (micros or days) and
+  * every output is a count — exact on any engine.
+  */
+object Behavior {
+
+  /** The ordered funnel steps (event types) a user must pass through.
+    * A step counts only if it happens STRICTLY AFTER the user's earliest
+    * completion of the previous step — the standard ordered-funnel
+    * semantics (a purchase before the first view does not convert).
+    */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Per-user earliest completion time of each funnel step, as epoch
+    * micros (null = user never reached the step).
+    *
+    * Scale posture: one conditional-min aggregation per step, all keyed
+    * on user_id — the first is a plain groupBy; each later step joins
+    * the (narrow, one-row-per-user) frontier back to the events on the
+    * SAME key, so at scale every stage co-partitions on user_id and the
+    * event table is scanned once per step with its filter pushed down.
+    * No collect_list of a user's history (unbounded per-user state), no
+    * window over all events.
+    */
+  def funnelTimes(events: DataFrame,
+                  steps: Seq[String] = FunnelSteps): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val us = events.select(col("user_id"),
+      col("event_type"), expr("unix_micros(ts)").as("us"))
+    val first = us.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t0"))
+    steps.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"t${i - 1}"
+      acc.join(us.filter(col("event_type") === step), Seq("user_id"), "left")
+        .groupBy((col("user_id") +: (0 until i).map(j => col(s"t$j"))): _*)
+        .agg(min(when(col("us") > col(prev), col("us"))).as(s"t$i"))
+    }
+  }
+
+  /** B1 declared query: users reaching each step of [[FunnelSteps]] in
+    * order. Conversion is monotone by construction (step i+1 requires a
+    * non-null step i time).
+    */
+  def b1Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val times = funnelTimes(Tables(spark, dir).events)
+    val aggs = FunnelSteps.indices.map(i => count(col(s"t$i")).as(s"n$i"))
+    val counts = times.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single row of step counts into (step, step_name, n_users)
+    counts.select(explode(array(FunnelSteps.indices.map(i =>
+      struct(lit(i + 1).as("step"), lit(FunnelSteps(i)).as("step_name"),
+        col(s"n$i").as("n_users"))): _*)).as("s"))
+      .select(col("s.step"), col("s.step_name"), col("s.n_users"))
+      .orderBy(col("step"))
+  }
+
+  /** B2 declared query: cohort retention — users grouped by their first
+    * activity day (the cohort), counted on each later day they return.
+    * Classic triangle output: (cohort_day, day_offset, n_users).
+    *
+    * Scale posture: distinct (user, day) first (two-phase, partial
+    * map-side), then the per-user min-day cohort frame joins back on
+    * user_id — both exchanges keyed on user_id, and the output is
+    * cohorts × offsets, tiny relative to the input.
+    */
+  def b2Retention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables(spark, dir).events
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('day', ts)) DIV 86400000000").as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+}

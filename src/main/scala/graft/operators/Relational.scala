@@ -390,6 +390,60 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Global dense 1..n rank over an arbitrary sort order WITHOUT a
+    * single-partition window: range partition on the sort key, count
+    * rows per partition, broadcast the running offsets, and add them to
+    * the per-partition row_number — the same distributed-prefix-sum
+    * shape as `Curation.packBins`/`epochOrder`, generalized to any sort.
+    * `localCheckpoint` pins ONE materialized partitioning so the offsets
+    * branch and the main branch cannot see different range boundaries.
+    */
+  def distributedRank(df: DataFrame, sort: Seq[Column],
+                      partitions: Int = 32): DataFrame = {
+    val parts = df.repartitionByRange(partitions, sort: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pcnt"))
+      .withColumn("__poff",
+        coalesce(sum(col("__pcnt")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    parts.join(broadcast(offsets), "__pid")
+      .withColumn("rank", col("__poff") +
+        row_number().over(Window.partitionBy(col("__pid")).orderBy(sort: _*)))
+      .drop("__pid", "__poff")
+  }
+
+  /** Equi-depth bucket count for [[a10EquiDepth]]. */
+  val DepthBuckets = 20
+
+  /** A10: equi-depth (equal-count) histogram — the quantile-bucket twin
+    * of [[a9Histogram]]'s equi-width one. Bucket of a row =
+    * `(rank-1)·k DIV n` over the fully tie-broken global order: pure
+    * integer arithmetic, bucket sizes differ by at most one, and no
+    * engine-specific NTILE fill order to disagree about. Rides
+    * [[distributedRank]], so the only wide operations are one range
+    * exchange and the keyed final aggregation — never a 1-task global
+    * window over the table.
+    */
+  def a10EquiDepth(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select(col("l_extendedprice"), col("l_orderkey"),
+      col("l_linenumber"))
+    val ranked = distributedRank(li,
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+    val total = li.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(total))
+      .groupBy(expr(s"(rank - 1) * $DepthBuckets DIV __n").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo_price"),
+        max(col("l_extendedprice")).as("hi_price"),
+        Det.dsum(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
   /** W1: ranking functions over a partitioned window. */
   def w1Rank(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Behavior
+import org.apache.spark.sql.functions._
+
+/** B1/B2 behavioral-analytics semantics the DuckDB oracles can't see:
+  * ordered-funnel step gating on a constructed history, retention
+  * cohort-size invariants.
+  */
+class BehaviorSpec extends SparkSuite {
+  import TestSpark.spark.implicits._
+
+  test("B1 funnel: steps gate strictly on the previous step's first time") {
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "purchase", 50L), (2L, "view", 100L), (2L, "click", 150L),
+      (3L, "view", 10L),
+      (4L, "click", 10L), (4L, "purchase", 20L))
+      .toDF("user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val m = Behavior.funnelTimes(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    // user 4 never did step 1 — not in the funnel at all
+    assert(m.keySet == Set(1L, 2L, 3L))
+    assert(m(1L).getAs[Long]("t0") == 100L && m(1L).getAs[Long]("t2") == 300L)
+    // user 2's purchase precedes the click frontier — step 3 not reached
+    assert(m(2L).getAs[Long]("t1") == 150L)
+    assert(m(2L).isNullAt(m(2L).fieldIndex("t2")))
+    assert(m(3L).isNullAt(m(3L).fieldIndex("t1")))
+  }
+
+  test("B1 funnel on the fixture: counts monotone non-increasing, step 1 exact") {
+    val rows = Behavior.b1Funnel(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("step")).sameElements(Array(1, 2, 3)))
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts.sliding(2).forall(p => p(0) >= p(1)))
+    val viewers = tables.events.filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(counts(0) == viewers)
+  }
+
+  test("B2 retention: day-0 rows are the cohort sizes and bound later offsets") {
+    val r = Behavior.b2Retention(spark, sf).collect()
+    assert(r.forall(_.getAs[Long]("day_offset") >= 0L))
+    r.groupBy(_.getAs[Long]("cohort_day")).foreach { case (_, rows) =>
+      val d0 = rows.find(_.getAs[Long]("day_offset") == 0L)
+      assert(d0.isDefined, "every cohort is active on its first day")
+      rows.foreach(x =>
+        assert(x.getAs[Long]("n_users") <= d0.get.getAs[Long]("n_users")))
+    }
+    val users = tables.events.select("user_id").distinct().count()
+    assert(r.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(_.getAs[Long]("n_users")).sum == users)
+  }
+}

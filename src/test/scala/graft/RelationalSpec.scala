@@ -218,6 +218,23 @@ class RelationalSpec extends SparkSuite {
     assert(ids.distinct.length == ids.length && ids.sorted.sameElements(ids))
   }
 
+  test("a10 equi-depth: sizes within 1, boundaries monotone, rank == naive window") {
+    import org.apache.spark.sql.expressions.Window
+    val h = Relational.a10EquiDepth(spark, sf).collect()
+    assert(h.length == Relational.DepthBuckets)
+    assert(h.map(_.getAs[Long]("n")).sum == tables.lineitem.count())
+    val sizes = h.map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1)
+    h.sliding(2).foreach { p =>
+      assert(p(0).getAs[Double]("hi_price") <= p(1).getAs[Double]("lo_price"))
+    }
+    val sortCols = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val li = tables.lineitem.select(sortCols: _*)
+    val naive = li.withColumn("rank",
+      row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
+    assertSameRows(Relational.distributedRank(li, sortCols), naive)
+  }
+
   test("o7 gap fill: dense per-user hourly grid, gaps carry the last value forward") {
     val g = TimeSeries.gapFill(tables.events)
     // dense: per user, exactly one row per hour in [min, max]
