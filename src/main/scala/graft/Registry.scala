@@ -79,6 +79,36 @@ object Registry {
       ORDER BY y, m"""
     }),
 
+    // TPC-H Q7-style: the deepest join tree in the surface — 2 fact tables
+    // + 4 broadcast dimension sides (nation joined twice under aliases)
+    QueryDef("q7_volume", Relational.q7Volume, Some(s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS INT) AS l_year,
+        ${ds("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND n1.n_name <> n2.n_name
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // z-score outliers with the sqrt eliminated: |x−μ|>3σ squared into
+    // (n·x − S)² > 9(n·SS − S²), every term an exact integer micro-unit
+    QueryDef("a11_outliers", Relational.a11Outliers, Some("""
+      WITH e AS (SELECT event_id, event_type, value,
+        CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS HUGEINT) AS v FROM events),
+      st AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        SUM(v) AS s, SUM(v * v) AS ss FROM e GROUP BY event_type)
+      SELECT event_id, e.event_type, value
+      FROM e JOIN st ON e.event_type = st.event_type
+      WHERE (n*v - s) * (n*v - s) > 9 * (n*ss - s*s)
+      ORDER BY e.event_type, event_id""")),
+
     QueryDef("p2_filter_predicates", Relational.p2FilterPredicates, Some(s"""
       SELECT o_orderstatus, o_orderpriority,
         COUNT(*) AS n,
@@ -445,6 +475,35 @@ object Registry {
       GROUP BY cohort_day, day_offset
       ORDER BY cohort_day, day_offset""")),
 
+    // Event-transition matrix: one per-user LEAD pass, |types|² output
+    QueryDef("b3_transitions", Behavior.b3Transitions, Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us,
+        event_id FROM events),
+      p AS (SELECT event_type, LEAD(event_type) OVER
+        (PARTITION BY user_id ORDER BY us, event_id) AS next_type FROM e)
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM p WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+      ORDER BY event_type, next_type""")),
+
+    // Last-touch attribution: carried-forward click time (IGNORE NULLS
+    // window), purchases bucketed by attribution within the 24h window
+    QueryDef("b4_attribution", Behavior.b4Attribution, Some(s"""
+      WITH e AS (SELECT user_id, event_type, value,
+        epoch_us(ts::TIMESTAMP) AS us, event_id FROM events
+        WHERE event_type IN ('click','purchase')),
+      lc AS (SELECT *, LAST_VALUE(CASE WHEN event_type = 'click' THEN us END
+          IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        FROM e)
+      SELECT us // 86400000000 AS day,
+        (last_click_us IS NOT NULL AND us - last_click_us <= ${Behavior.AttributionWindowUs}) AS attributed,
+        COUNT(*) AS n_purchases,
+        ${ds("value", 2)} AS revenue
+      FROM lc WHERE event_type = 'purchase'
+      GROUP BY day, attributed
+      ORDER BY day, attributed""")),
+
     // Gap fill: integer epoch-hour grid per user, zero-count rows for
     // silent hours, last-observation-carried-forward via IGNORE NULLS
     QueryDef("o7_gap_fill", TimeSeries.o7GapFill, Some(s"""
@@ -464,6 +523,89 @@ object Registry {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
       FROM s LEFT JOIN b ON s.user_id = b.user_id AND s.hour_id = b.hour_id
       ORDER BY s.user_id, s.hour_id""")),
+
+    // SCD Type-2: island-compress consecutive equal states, LEAD closes
+    // each interval; the point-in-time half of the CDC story (o6 = current)
+    QueryDef("o8_scd2", TimeSeries.o8Scd2, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, event_id,
+        event_type FROM events),
+      o AS (SELECT user_id, us, MIN_BY(event_type, event_id) AS event_type
+            FROM e GROUP BY user_id, us),
+      c AS (SELECT *, LAG(event_type) OVER
+        (PARTITION BY user_id ORDER BY us) AS prev FROM o),
+      k AS (SELECT user_id, event_type, us AS valid_from FROM c
+            WHERE event_type IS DISTINCT FROM prev)
+      SELECT user_id, event_type, valid_from,
+        LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+          AS valid_to
+      FROM k ORDER BY user_id, valid_from""")),
+
+    // PageRank: the oracle replays every propagation round as a CTE in
+    // lock-step with Graph.DefaultIters — integer micro-unit scores, so
+    // each round is bit-exact on both engines
+    QueryDef("g1_pagerank", Graph.g1PageRank, Some {
+      val tp = (1000L - Graph.DefaultDampingPermille) * Graph.ScoreUnit
+      val dp = Graph.DefaultDampingPermille
+      val rounds = (1 to Graph.DefaultIters).map { i =>
+        s"""s$i AS (SELECT n.node,
+             (($tp + $dp * COALESCE(m.mass, 0)) // 1000) AS score
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, SUM(s.score // d.d) AS mass
+             FROM edges e JOIN s${i - 1} s ON e.src = s.node
+               JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) m ON n.node = m.node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH flows AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS MATERIALIZED (
+        SELECT s AS src, c AS dst FROM flows
+        UNION ALL SELECT c AS src, s AS dst FROM flows),
+      deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      s0 AS (SELECT node, ${Graph.ScoreUnit} AS score FROM nodes),
+      $rounds
+      SELECT node, CAST(score AS BIGINT) AS score FROM s${Graph.DefaultIters}
+      ORDER BY score DESC, node LIMIT 20"""
+    }),
+
+    // Triangle census: the oracle replays the SAME degree orientation —
+    // wedge/closure algebra is exact integers, so one canonical answer
+    QueryDef("g2_triangles", Graph.g2Triangles, Some("""
+      WITH und AS MATERIALIZED (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        WHERE l1.l_partkey < l2.l_partkey),
+      deg AS (SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+      o AS (SELECT CASE WHEN (ta.d, a) < (tb.d, b) THEN a ELSE b END AS src,
+                   CASE WHEN (ta.d, a) < (tb.d, b) THEN b ELSE a END AS dst
+            FROM und
+              JOIN deg ta ON ta.v = und.a JOIN deg tb ON tb.v = und.b),
+      w AS (SELECT o1.src, o1.dst AS x, o2.dst AS y
+            FROM o o1 JOIN o o2 ON o1.src = o2.src WHERE o1.dst < o2.dst),
+      t AS (SELECT COUNT(*) AS n_triangles
+            FROM w JOIN und ON w.x = und.a AND w.y = und.b)
+      SELECT (SELECT COUNT(*) FROM und) AS n_edges,
+        (SELECT CAST(SUM(d * (d-1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        n_triangles,
+        CAST(3 * n_triangles * 1000 //
+          NULLIF((SELECT SUM(d * (d-1) // 2) FROM deg), 0) AS BIGINT)
+          AS cc_permille
+      FROM t""")),
+
+    // Fuzzy (edit-distance) join: blocked on the last name token — the
+    // oracle replays block + threshold on canonical a<b pairs (the Spark
+    // side's chunk salting changes the plan, not the pair set)
+    QueryDef("j10_fuzzy_join", Fuzzy.j10FuzzyJoin, Some("""
+      SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        a.p_name AS a_name, b.p_name AS b_name,
+        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        AND regexp_extract(a.p_name, '[^ ]+$') = regexp_extract(b.p_name, '[^ ]+$')
+      WHERE levenshtein(a.p_name, b.p_name) <= 4
+      ORDER BY a_id, b_id""")),
   )
 
   /** L1–L6 (SURVEY.md §2.9): LLM-data-pipeline operators. */

@@ -85,4 +85,68 @@ object Behavior {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
+
+  /** B3 declared query: event-transition matrix — for each user's
+    * time-ordered event stream, count every (event_type → next event_type)
+    * adjacent pair. The path-analysis primitive (Markov transition counts,
+    * "what do users do after X") behind sankey/flow reports.
+    *
+    * Scale posture: ONE per-user window pass (`lead`) — state per key is a
+    * single row, the sort is within user partitions (skew-bounded: a user's
+    * history, not the table), and the output is |types|² regardless of
+    * input size. Tie-break on event_id makes the ordering total, so the
+    * count is deterministic under any physical row order.
+    */
+  def transitions(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  def b3Transitions(spark: SparkSession, dir: String): DataFrame =
+    transitions(Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id")))
+
+  /** B4 declared query: last-touch attribution — every purchase is
+    * attributed to the same user's most recent click at most
+    * [[AttributionWindowUs]] micros before it; purchases with no such
+    * click count as organic. Output: per day, attributed vs organic
+    * purchase counts and revenue.
+    *
+    * Scale posture: a single per-user window pass carries the last click
+    * time forward (`last(ignoreNulls)` over rows ≤ current) — no
+    * self-join, no per-user collect, state is one value per key; the
+    * day-level rollup is an ordinary two-phase aggregate. This is the
+    * batch twin of the J9 stream–stream attribution join, expressed
+    * without a join at all.
+    */
+  val AttributionWindowUs: Long = 24L * 3600 * 1000000
+
+  def lastTouch(ev: DataFrame,
+                windowUs: Long = AttributionWindowUs): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ev.withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("us DIV 86400000000").as("day"),
+        (col("last_click_us").isNotNull &&
+          col("us") - col("last_click_us") <= lit(windowUs))
+          .as("attributed"))
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.Det.dsum(col("value"), 2).as("revenue"))
+      .orderBy(col("day"), col("attributed"))
+  }
+
+  def b4Attribution(spark: SparkSession, dir: String): DataFrame =
+    lastTouch(Tables(spark, dir).events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts)").as("us"), col("event_id")))
 }

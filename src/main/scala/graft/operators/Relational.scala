@@ -153,6 +153,74 @@ object Relational {
       .orderBy(col("y"), col("m"))
   }
 
+  /** TPC-H Q7-style volume shipping: the deepest join tree in the declared
+    * surface — lineitem ⋈ orders ⋈ customer ⋈ nation(cust) on one arm and
+    * ⋈ supplier ⋈ nation(supp) on the other, revenue by (supplier nation,
+    * customer nation, ship year) for cross-border flows only.
+    *
+    * Scale posture: all four dimension sides (supplier, customer, and the
+    * two nation copies) ride [[broadcastIfSmall]], so the ONLY exchange is
+    * the fact-fact orders⋈lineitem shuffle on orderkey — one streaming
+    * pass over lineitem no matter how deep the tree. The cross-border
+    * predicate (s_nation ≠ c_nation) is a residual on an already-joined
+    * pair of broadcast columns, not a join explosion; the date filter
+    * pushes to the orders scan. At 100× the hints vanish past the
+    * threshold and AQE re-plans the dims from runtime stats — same code.
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sNation = t.nation.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    val cNation = t.nation.select(col("n_nationkey").as("cn_key"),
+      col("n_name").as("cust_nation"))
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcastIfSmall(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcastIfSmall(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcastIfSmall(sNation), col("s_nationkey") === col("sn_key"))
+      .join(broadcastIfSmall(cNation), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** A11: z-score outlier detection per event_type — the per-group anomaly
+    * gate a metrics pipeline runs before alerting/training. A row is an
+    * outlier when |x − μ| > 3σ (population σ over its group).
+    *
+    * Determinism: σ involves a sqrt, so the CONDITION is squared instead —
+    * (n·x − S)² > 9·(n·SS − S²) with x, S, SS exact integer micro-unit
+    * sums — every quantity is integer-exact on both engines, no
+    * transcendental in the plan. Scale posture: one partial-aggregated
+    * pass builds the per-group (n, S, SS) frame (grows with #groups, not
+    * rows), broadcast back into a second scan — no window over the full
+    * table, both scans narrow.
+    */
+  def a11Outliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.select(col("event_id"), col("event_type"), col("value"),
+      (col("value").cast("decimal(30,6)") * lit(1000000L)).cast("long").as("v"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(38,0)")).as("s"),
+      sum((col("v").cast("decimal(38,0)") * col("v").cast("decimal(38,0)"))).as("ss"))
+    val lhs = (col("n").cast("decimal(38,0)") * col("v").cast("decimal(38,0)")
+      - col("s")) * (col("n").cast("decimal(38,0)") * col("v").cast("decimal(38,0)")
+      - col("s"))
+    val rhs = (col("n").cast("decimal(38,0)") * col("ss") - col("s") * col("s")) * lit(9)
+    // stats is #event-types rows (an enum, not O(sf)) — broadcast is the
+    // right call at ANY scale; the gate would misread the pre-agg estimate
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(lhs > rhs)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   /** P2: predicate surface — IN / BETWEEN / LIKE / IS NULL / boolean mix.
     * All residuals are pushdown-eligible parquet filters.
     */

@@ -52,4 +52,52 @@ object TimeSeries {
   def o7GapFill(spark: SparkSession, dir: String): DataFrame =
     gapFill(Tables(spark, dir).events)
       .orderBy(col("user_id"), col("hour_id"))
+
+  /** O8: SCD Type-2 interval build — turn a change log (key, ts, value)
+    * into versioned dimension rows [valid_from, valid_to) with consecutive
+    * same-value observations collapsed into one interval. The other half
+    * of the CDC story next to `o6_upsert` (latest-wins snapshot): upsert
+    * answers "what is current", SCD2 answers "what was true when", which
+    * is what a point-in-time feature join needs.
+    *
+    * Island compression then interval close, both per-key window passes:
+    * (1) keep a row iff its tracked value differs from the previous
+    * observation (`lag`), (2) `lead` the surviving change times into
+    * `valid_to` (null = still current). Scale posture: two narrow window
+    * passes over key-partitioned data — no self-join, no state beyond one
+    * row per key; skew bounded by a single key's history length.
+    *
+    * Tracked attribute here: the events fixture's `event_type` per user —
+    * any (key, ordered-version, attribute) triple works the same.
+    */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+           valueCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    changes
+      .withColumn("__prev", lag(col(valueCol), 1).over(byKey))
+      // first observation (prev null) always opens an interval; a null
+      // tracked value is a real state, so compare null-safely
+      .filter(!(col(valueCol) <=> col("__prev")))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(byKey))
+      .select(col(keyCol), col(valueCol),
+        col(tsCol).as("valid_from"), col("valid_to"))
+  }
+
+  /** O8 declared query: SCD2 intervals of each user's event_type history.
+    * Times as integer epoch micros; ties within a microsecond broken by
+    * event_id via a pre-pass min so the change sequence is total.
+    */
+  def o8Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+    // totalize the per-user order: if two events share a microsecond keep
+    // the lowest event_id as that instant's observation
+    val oneUs = ev.groupBy(col("user_id"), col("us"))
+      .agg(min_by(col("event_type"), col("event_id")).as("event_type"))
+    scd2(oneUs, "user_id", "us", "event_type")
+      .select(col("user_id"), col("event_type"),
+        col("valid_from"), col("valid_to"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
 }

@@ -52,4 +52,42 @@ class BehaviorSpec extends SparkSuite {
     assert(r.filter(_.getAs[Long]("day_offset") == 0L)
       .map(_.getAs[Long]("n_users")).sum == users)
   }
+
+  test("B3 transitions: adjacent pairs per user under the total (us, event_id) order") {
+    val ev = Seq(
+      (1L, "view", 10L, 1L), (1L, "click", 20L, 2L), (1L, "view", 30L, 3L),
+      // user 2: two events on the SAME microsecond — event_id breaks the tie
+      (2L, "view", 5L, 4L), (2L, "purchase", 5L, 5L),
+      (3L, "signup", 7L, 6L)) // single event: no transition
+      .toDF("user_id", "event_type", "us", "event_id")
+    val got = Behavior.transitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(got == Map(("view", "click") -> 1L, ("click", "view") -> 1L,
+      ("view", "purchase") -> 1L))
+    // conservation: fixture transition counts sum to Σ_users (n_events − 1)
+    val total = Behavior.b3Transitions(spark, sf).agg(sum("n")).first().getLong(0)
+    val users = tables.events.groupBy("user_id").count()
+      .agg(sum(col("count") - 1)).first().getLong(0)
+    assert(total == users)
+  }
+
+  test("B4 attribution: only a click within the window attributes; later clicks don't") {
+    val us = 1000000L // 1s in micros; window below = 100s
+    val ev = Seq(
+      (1L, "click", 0L, 1L), (1L, "purchase", 50 * us, 2L),     // attributed
+      (2L, "purchase", 10 * us, 3L),                            // organic: no click
+      (3L, "click", 0L, 4L), (3L, "purchase", 200 * us, 5L),    // organic: stale click
+      (4L, "purchase", 10 * us, 6L), (4L, "click", 20 * us, 7L) // organic: click after
+    ).map { case (u, t, ts, id) => (u, t, 10.0, ts, id) }
+      .toDF("user_id", "event_type", "value", "us", "event_id")
+    val got = Behavior.lastTouch(ev, windowUs = 100 * us).collect()
+      .map(r => r.getAs[Boolean]("attributed") -> r.getAs[Long]("n_purchases"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(got == Map(true -> 1L, false -> 3L))
+    // fixture-level conservation: buckets partition all purchases
+    val b4 = Behavior.b4Attribution(spark, sf)
+      .agg(sum("n_purchases")).first().getLong(0)
+    val purchases = tables.events.filter(col("event_type") === "purchase").count()
+    assert(b4 == purchases)
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** G1 PageRank semantics the round-replay oracle can't see: hand-computed
+  * scores on a known graph and structural invariants on the fixture run.
+  */
+class GraphSpec extends SparkSuite {
+  import TestSpark.spark.implicits._
+
+  test("G1 pagerank: hand-computed star graph, exact integer rounds") {
+    // undirected star: center 0 — leaves 1,2,3 (both edge directions fed)
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // round 1: mass(0)=3·(1e6 DIV 1)=3e6 → (150e6+850·3e6) DIV 1e3 = 2_700_000
+    //          mass(leaf)=1e6 DIV 3=333_333 → (150e6+850·333_333) DIV 1e3 = 433_333
+    val r1 = Graph.pageRank(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(0L -> 2700000L, 1L -> 433333L, 2L -> 433333L, 3L -> 433333L))
+    // round 2: mass(0)=3·(433_333 DIV 1)=1_299_999 → 1_254_999
+    //          mass(leaf)=2_700_000 DIV 3=900_000 → 915_000
+    val r2 = Graph.pageRank(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(0L -> 1254999L, 1L -> 915000L, 2L -> 915000L, 3L -> 915000L))
+  }
+
+  test("G2 triangles: hand-computed K4-minus-an-edge; == naive id-ordered count on fixture") {
+    // edges (1,2)(1,3)(1,4)(2,3)(2,4): triangles {1,2,3} and {1,2,4};
+    // degrees 3,3,2,2 → wedges 3+3+1+1 = 8; cc = 3·2·1000 DIV 8 = 750
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("a", "b")
+    val r = Graph.triangleStats(und).first()
+    assert((r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),
+      r.getAs[Long]("n_triangles"), r.getAs[Long]("cc_permille")) == (5L, 8L, 2L, 750L))
+    // fixture co-purchase graph: degree-oriented count == naive a<b<c join
+    val t = Tables(spark, sf)
+    val fix = t.lineitem.alias("l1")
+      .join(t.lineitem.alias("l2"), col("l1.l_orderkey") === col("l2.l_orderkey"))
+      .filter(col("l1.l_partkey") < col("l2.l_partkey"))
+      .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+      .distinct()
+    val got = Graph.triangleStats(fix).first().getAs[Long]("n_triangles")
+    val e1 = fix.select(col("a"), col("b"))
+    val naive = e1.select(col("a"), col("b").as("m"))
+      .join(fix.select(col("a").as("m"), col("b").as("c")), "m")
+      .join(fix.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .count()
+    assert(got == naive && got > 0L)
+  }
+
+  test("G1 pagerank fixture: top-20, positive scores, mass conserved up to floor leak") {
+    val top = Graph.g1PageRank(spark, sf).collect()
+    assert(top.length == 20)
+    val scores = top.map(_.getAs[Long]("score"))
+    assert(scores.sameElements(scores.sortBy(-_)), "descending by score")
+    assert(scores.forall(_ > 0L))
+    // full frame: total mass can only shrink (teleport + floored shares),
+    // never grow past n·unit
+    val t = Tables(spark, sf)
+    val flows = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
+      .distinct()
+    val edges = flows.select(col("s").as("src"), col("c").as("dst"))
+      .unionByName(flows.select(col("c").as("src"), col("s").as("dst")))
+    val full = Graph.pageRank(edges)
+    val n = full.count()
+    val total = full.agg(sum("score")).first().getLong(0)
+    assert(total <= n * Graph.ScoreUnit)
+    assert(total >= n * (Graph.ScoreUnit / 2),
+      "teleport floor alone guarantees ≥ 150k per node; mass should not collapse")
+  }
+}

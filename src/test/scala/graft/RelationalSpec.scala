@@ -261,4 +261,59 @@ class RelationalSpec extends SparkSuite {
       else lastVal = r.getAs[Double]("carried_value")
     }
   }
+
+  test("o8 scd2: intervals tile each key's history, states compress, current row open") {
+    import TestSpark.spark.implicits._
+    // constructed: repeats collapse, value changes open intervals
+    val ch = Seq((1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"), (1L, 40L, "a"),
+      (2L, 5L, "x")).toDF("k", "t", "v")
+    val got = TimeSeries.scd2(ch, "k", "t", "v")
+      .orderBy(col("k"), col("valid_from"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[Long]("valid_from"), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq((1L, "a", 10L, Some(30L)), (1L, "b", 30L, Some(40L)),
+      (1L, "a", 40L, None), (2L, "x", 5L, None)))
+    // fixture invariants: per user, intervals chain exactly (valid_to ==
+    // next valid_from) and exactly one open (null) interval per user
+    val rows = TimeSeries.o8Scd2(spark, sf)
+      .orderBy(col("user_id"), col("valid_from")).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      assert(rs.count(_.isNullAt(3)) == 1)
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to") == b.getAs[Long]("valid_from"))
+          // island compression: adjacent intervals never share a state
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"))
+        case _ =>
+      }
+    }
+  }
+
+  test("a11 outliers: flags exactly the |x-mu| > 3 sigma rows (exact integer form)") {
+    val got = Relational.a11Outliers(spark, sf).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    // double reference: compute mu/sigma_pop per group the naive way
+    val ref = tables.events.select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("mu", avg("value").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .withColumn("sd", stddev_pop("value").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .filter(abs(col("value") - col("mu")) > lit(3.0) * col("sd"))
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(got == ref)
+    assert(got.nonEmpty, "fixture should contain at least one 3-sigma outlier")
+  }
+
+  test("q7 volume: only exchange is the fact-fact join; dims broadcast") {
+    val df = Relational.q7Volume(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the 4 dimension joins MUST broadcast; the orders⋈lineitem fact join
+    // may broadcast too at this sf (orders fits) or shuffle at larger ones
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    val smj = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 4, s"expected >=4 broadcast dim joins, got $bhj in:\n$plan")
+    assert(smj <= 1, s"only the orders⋈lineitem join may shuffle:\n$plan")
+    assert(bhj + smj == 5, s"all five joins must be resolved, got $bhj+$smj:\n$plan")
+  }
 }
