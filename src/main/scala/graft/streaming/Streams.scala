@@ -27,6 +27,11 @@ object Streams {
   /** Running per-user session state (T6). */
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double,
                              n_purchases: Long)
+  /** Per-user last-seen-event state (T11). */
+  final case class LastEvent(us: Long, event_id: Long, event_type: String)
+  /** One emitted event transition (T11). */
+  final case class Transition(user_id: Long, from_type: String, to_type: String,
+                              us: Long)
 
   // ---------- sources (S2/S3/S4) ----------
 
@@ -154,6 +159,57 @@ object Streams {
             state.update(next)
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTimeoutMs)
             Iterator.single(next)
+          }
+      }
+  }
+
+  /** T11: streaming event-transition emission — the incremental twin of
+    * the batch B3 transition matrix ([[graft.operators.Behavior.transitions]]):
+    * per user, every arriving event emits one (from_type → to_type)
+    * transition against the last event seen, then becomes the new last.
+    * Downstream the matrix is a plain streaming (or batch) count over the
+    * emitted transition stream.
+    *
+    * Ordering discipline: rows WITHIN a micro-batch are processed in
+    * (us, event_id) order (same total order as batch B3); an event at or
+    * before the user's already-advanced frontier — out-of-order ACROSS
+    * micro-batches — is dropped, the same "too late to retro-correct"
+    * contract a watermark gives a windowed aggregate. With a keyed
+    * (per-user-ordered) source, stream == batch exactly; StreamingSpec
+    * pins it. State per user is ONE (us, event_id, type) row, evicted
+    * after `idleTimeoutMs` past the watermark.
+    */
+  def transitionsStream(events: Dataset[Event], watermark: String = "10 minutes",
+                        idleTimeoutMs: Long = 3600L * 1000): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ordered = batch.toArray.sortBy(e => (micros(e.ts), e.event_id))
+            var prev = state.getOption
+            val out = Vector.newBuilder[Transition]
+            ordered.foreach { e =>
+              val us = micros(e.ts)
+              // frontier check: equal-time ties replay deterministically by
+              // event_id; anything at/behind the frontier is a late arrival
+              if (!prev.exists(p =>
+                  p.us > us || (p.us == us && p.event_id >= e.event_id))) {
+                prev.foreach(p =>
+                  out += Transition(uid, p.event_type, e.event_type, us))
+                prev = Some(LastEvent(us, e.event_id, e.event_type))
+              }
+            }
+            prev.foreach(state.update)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTimeoutMs)
+            out.result().iterator
           }
       }
   }

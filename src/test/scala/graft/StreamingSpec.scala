@@ -278,6 +278,21 @@ class StreamingSpec extends SparkSuite {
     assert(s == b)
   }
 
+  test("T11 streaming transitions == batch B3 transition matrix") {
+    import TestSpark.spark.implicits._
+    publishEvents("t_trans")
+    val streamed = Streams.runAvailableNow(
+      Streams.transitionsStream(stream("t_trans").as[Streams.Event]).toDF(),
+      "t11_out", OutputMode.Append)
+    val got = streamed.groupBy(col("from_type").as("event_type"),
+        col("to_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.Behavior.b3Transitions(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == batch)
+  }
+
   test("S5b MQ write-back sink: consume topic A, transform, produce topic B; B == batch twin") {
     val batchDecoded = publishEvents("t_wb_in")
     MqBroker.deleteTopic("t_wb_out")
