@@ -540,6 +540,43 @@ object Registry {
           AS valid_to
       FROM k ORDER BY user_id, valid_from""")),
 
+    // Data-quality constraint audit: one row per expectation, exact
+    // violation counts (scan rules fold per table; FKs are anti-joins)
+    QueryDef("s9_constraints", Quality.s9Constraints, Some("""
+      SELECT rule, n_violations FROM (
+        SELECT 'orders_custkey_not_null' AS rule,
+          CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violations FROM orders
+        UNION ALL SELECT 'orders_status_in_domain',
+          CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+        UNION ALL SELECT 'orders_totalprice_positive',
+          CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+        UNION ALL SELECT 'lineitem_quantity_in_range',
+          CAST(SUM(CASE WHEN l_quantity <= 0.0 OR l_quantity > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+        UNION ALL SELECT 'lineitem_discount_in_range',
+          CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+        UNION ALL SELECT 'events_type_in_domain',
+          CAST(SUM(CASE WHEN event_type NOT IN ('view','click','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT)
+          FROM events
+        UNION ALL SELECT 'documents_text_not_empty',
+          CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM documents
+        UNION ALL SELECT 'orders_orderkey_unique',
+          COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+        UNION ALL SELECT 'orders_custkey_fk_customer',
+          CAST(COUNT(*) AS BIGINT) FROM orders
+          WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL SELECT 'lineitem_orderkey_fk_orders',
+          CAST(COUNT(*) AS BIGINT) FROM lineitem
+          WHERE l_orderkey IS NOT NULL
+            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      ORDER BY rule""")),
+
     // PageRank: the oracle replays every propagation round as a CTE in
     // lock-step with Graph.DefaultIters — integer micro-unit scores, so
     // each round is bit-exact on both engines
@@ -595,17 +632,19 @@ object Registry {
           AS cc_permille
       FROM t""")),
 
-    // Fuzzy (edit-distance) join: blocked on the last name token — the
-    // oracle replays block + threshold on canonical a<b pairs (the Spark
-    // side's chunk salting changes the plan, not the pair set)
+    // Fuzzy (edit-distance) match table: DISTINCT names collapse before
+    // the blocked quadratic stage; oracle replays block + threshold on
+    // canonical name<name pairs (the Spark-side chunk salting changes the
+    // plan, not the pair set)
     QueryDef("j10_fuzzy_join", Fuzzy.j10FuzzyJoin, Some("""
-      SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
-        a.p_name AS a_name, b.p_name AS b_name,
+      WITH names AS (SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name)
+      SELECT a.p_name AS name_1, b.p_name AS name_2,
+        a.n_parts AS n_parts_1, b.n_parts AS n_parts_2,
         CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      FROM names a JOIN names b ON a.p_name < b.p_name
         AND regexp_extract(a.p_name, '[^ ]+$') = regexp_extract(b.p_name, '[^ ]+$')
       WHERE levenshtein(a.p_name, b.p_name) <= 4
-      ORDER BY a_id, b_id""")),
+      ORDER BY name_1, name_2""")),
   )
 
   /** L1–L6 (SURVEY.md §2.9): LLM-data-pipeline operators. */

@@ -50,14 +50,34 @@ object Fuzzy {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
-  /** J10 declared query: near-identical part names — blocked on the last
-    * name token, Levenshtein ≤ 4. Orders by the full pair for a total,
-    * engine-independent output order.
+  /** J10 declared query: the entity-resolution MATCH TABLE over part
+    * names — distinct names within Levenshtein ≤ 4, blocked on the last
+    * name token, each side carrying its record count.
+    *
+    * The load-bearing step is the DISTINCT-VALUE COLLAPSE before the
+    * quadratic stage (the same set-collapse discipline as the LSH
+    * self-join): a low-cardinality name column over many records would
+    * otherwise emit every identical-name record pair — quadratic output
+    * for zero information (observed: 139 s and ~10⁷ pairs at sf0.1
+    * record-level vs sub-second name-level; the fixture has 64 distinct
+    * names over 20k parts). A record-level result is the match table
+    * re-joined to records BY EQUALITY on name — linear, never pairwise.
+    * Dist ties broken by the full name pair for a total output order.
     */
   def j10FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
-    val parts = Tables(spark, dir).part
-    fuzzyPairs(parts, "p_partkey", "p_name",
+    val names = Tables(spark, dir).part
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+    // id IS the name (distinct by construction): fuzzyPairs' canonical
+    // a_id < b_id orientation becomes plain lexicographic name order,
+    // which the oracle replays directly
+    val collapsed = names.select(col("p_name").as("name_id"),
+      col("p_name"), col("n_parts"))
+    fuzzyPairs(collapsed, "name_id", "p_name",
       substring_index(col("p_name"), " ", -1), maxDist = 4)
-      .orderBy(col("a_id"), col("b_id"))
+      .join(names.select(col("p_name").as("a_id"), col("n_parts").as("n_parts_1")), "a_id")
+      .join(names.select(col("p_name").as("b_id"), col("n_parts").as("n_parts_2")), "b_id")
+      .select(col("a_id").as("name_1"), col("b_id").as("name_2"),
+        col("n_parts_1"), col("n_parts_2"), col("dist"))
+      .orderBy(col("name_1"), col("name_2"))
   }
 }

@@ -48,8 +48,12 @@ object Graph {
       "damping must be a permille in [0, 1000]")
     val teleport = (1000L - dampingPermille) * ScoreUnit
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // one materialization serves every round: (src, dst, src outdegree)
-    val linked = edges.join(deg, "src").localCheckpoint()
+    // one materialization serves every round: (src, dst, src outdegree),
+    // PRE-HASH-PARTITIONED on the per-round join key so only the (node-
+    // sized) score frame shuffles each iteration — the edge shuffle is
+    // paid once, not once per round
+    val linked = edges.join(deg, "src")
+      .repartition(col("src")).localCheckpoint()
     val nodes = linked.select(col("src").as("node")).distinct().localCheckpoint()
     var scores = nodes.select(col("node"), lit(ScoreUnit).as("score"))
     for (_ <- 1 to iters) {
@@ -82,7 +86,11 @@ object Graph {
     * global clustering coefficient 3·T/wedges as an exact integer
     * permille (DIV; no float in the plan).
     */
-  def triangleStats(und: DataFrame): DataFrame = {
+  def triangleStats(undRaw: DataFrame): DataFrame = {
+    // the edge set feeds FOUR consumers (degrees, orientation, closure,
+    // totals) — materialize once or the upstream edge build (often a
+    // fact-table self-join) re-executes per consumer
+    val und = undRaw.localCheckpoint()
     val deg = und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val withDeg = und
@@ -95,6 +103,7 @@ object Graph {
         .otherwise(col("b")).as("src"),
       when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
         .otherwise(col("a")).as("dst"))
+      .localCheckpoint() // feeds both wedge sides
     // wedges from out-neighbor pairs (x < y keeps each pair once), closed
     // against the oriented edge set (x→y or y→x both impossible to miss:
     // the closing edge is oriented by the same global order, so exactly

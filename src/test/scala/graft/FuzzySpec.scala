@@ -25,16 +25,21 @@ class FuzzySpec extends SparkSuite {
     assertSameRows(got, naive)
   }
 
-  test("J10: canonical orientation, no self-pairs, distance within bound") {
+  test("J10 match table: canonical name order, no self-pairs, bound respected, counts real") {
     val rows = Fuzzy.j10FuzzyJoin(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      assert(r.getAs[String]("name_1") < r.getAs[String]("name_2"))
       val d = r.getAs[Int]("dist")
       assert(d >= 0 && d <= 4)
       // blocked key: pairs share the last name token
-      assert(r.getAs[String]("a_name").split(" ").last ==
-        r.getAs[String]("b_name").split(" ").last)
+      assert(r.getAs[String]("name_1").split(" ").last ==
+        r.getAs[String]("name_2").split(" ").last)
+      assert(r.getAs[Long]("n_parts_1") > 0 && r.getAs[Long]("n_parts_2") > 0)
     }
+    // the match table is name-level: record expansion happens by equality
+    // join, so the table itself is bounded by (distinct names)²
+    val names = tables.part.select("p_name").distinct().count()
+    assert(rows.length <= names * (names - 1) / 2)
   }
 }
