@@ -6,11 +6,13 @@ package graft
   */
 object Explain {
   val defaults = Seq("q1_pricing_summary", "q3_join_agg", "q14_promo",
-    "l1_exact_dedup", "l3_cosine_topk", "l3_ivf_topk", "l6_simjoin",
-    "l6_ngram_simjoin", "l6_dedup_docs", "l4_tfidf", "l4_bm25",
+    "q7_volume", "l1_exact_dedup", "l3_cosine_topk", "l3_ivf_topk",
+    "l6_simjoin", "l6_ngram_simjoin", "l6_dedup_docs", "l4_tfidf", "l4_bm25",
     "l4_bm25_search", "l4_langid_ngram", "l4_termfreq_unicode",
     "l8_pack", "l8_quality_gate", "j7_asof", "s7_profile", "o6_upsert",
-    "a8_freq_items", "l9_decontam", "l8_shuffle", "l3_sq_topk")
+    "a8_freq_items", "l9_decontam", "l8_shuffle", "l3_sq_topk",
+    "g1_pagerank", "g2_triangles", "j10_fuzzy_join", "s9_constraints",
+    "b4_attribution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -632,6 +632,25 @@ object Registry {
           AS cc_permille
       FROM t""")),
 
+    // Point-in-time read: SCD2 dimension + ASOF on interval starts (the
+    // feature-store join); DuckDB replays the dimension build as CTEs and
+    // the read as a native ASOF LEFT JOIN
+    QueryDef("j11_pit", TimeSeries.j11Pit, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, event_id,
+        event_type FROM events),
+      c AS (SELECT user_id, us, MIN_BY(event_type, event_id) AS event_type
+            FROM e WHERE event_type <> 'purchase' GROUP BY user_id, us),
+      l AS (SELECT *, LAG(event_type) OVER
+        (PARTITION BY user_id ORDER BY us) AS prev FROM c),
+      k AS (SELECT user_id, event_type, us AS valid_from FROM l
+            WHERE event_type IS DISTINCT FROM prev),
+      p AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'purchase')
+      SELECT p.user_id, p.event_id AS purchase_id, p.us AS purchase_ts_us,
+        k.event_type AS state
+      FROM p ASOF LEFT JOIN k
+        ON p.user_id = k.user_id AND p.us >= k.valid_from
+      ORDER BY p.user_id, purchase_id""")),
+
     // Fuzzy (edit-distance) match table: DISTINCT names collapse before
     // the blocked quadratic stage; oracle replays block + threshold on
     // canonical name<name pairs (the Spark-side chunk salting changes the

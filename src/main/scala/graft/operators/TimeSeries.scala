@@ -83,6 +83,37 @@ object TimeSeries {
         col(tsCol).as("valid_from"), col("valid_to"))
   }
 
+  /** J11 declared query: point-in-time (PIT) read against the SCD2
+    * dimension — the feature-store join: for every purchase, the user's
+    * activity state (last non-purchase event_type) VALID AT purchase
+    * time. Composition of [[scd2]] (dimension build from the non-purchase
+    * change log) and [[AsOf.asOfJoin]] on the interval STARTS: because
+    * SCD2 intervals tile each key's timeline, "the interval containing t"
+    * IS "the greatest valid_from ≤ t" — no range join, no interval
+    * explosion, one shuffle via the as-of union-window form. A state
+    * opening exactly at the purchase's microsecond wins (ASOF ≥ bound),
+    * matching DuckDB ASOF JOIN.
+    */
+  def j11Pit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).eventsRaw.withColumn("ts_us", expr("ts DIV 1000"))
+    val changes = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+    val oneUs = changes.groupBy(col("user_id"), col("ts_us"))
+      .agg(min_by(col("event_type"), col("event_id")).as("event_type"))
+    val dim = scd2(oneUs, "user_id", "ts_us", "event_type")
+      .select(col("user_id"), col("valid_from").as("ts_us"),
+        // valid_from is unique per user (scd2 input is one row per
+        // microsecond) — the tie-break never fires on the left side
+        lit(-1L).as("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    AsOf.asOfJoin(dim, purchases, key = "user_id", timeCol = "ts_us",
+        tieBreak = "event_id", leftValue = "event_type")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_ts_us"), col("__asof").as("state"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
   /** O8 declared query: SCD2 intervals of each user's event_type history.
     * Times as integer epoch micros; ties within a microsecond broken by
     * event_id via a pre-pass min so the change sequence is total.

@@ -289,6 +289,26 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("j11 PIT: state at purchase == naive range-join argmax reference") {
+    val got = TimeSeries.j11Pit(spark, sf)
+      .select(col("purchase_id"), col("state"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // naive reference: every (purchase, earlier-or-equal change) pair,
+    // argmax by (us, -event_id) — O(matches) row explosion, test-only
+    val ev = tables.eventsRaw.withColumn("ts_us", expr("ts DIV 1000"))
+    val ch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("cu"), col("ts_us").as("cus"),
+        col("event_id").as("cid"), col("event_type").as("ctype"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val ref = p.join(ch, col("user_id") === col("cu") && col("cus") <= col("ts_us"), "left")
+      .groupBy(col("event_id"))
+      .agg(max_by(col("ctype"), struct(col("cus"), -col("cid"))).as("state"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == ref)
+    assert(got.values.exists(_.isDefined) && got.nonEmpty)
+  }
+
   test("a11 outliers: flags exactly the |x-mu| > 3 sigma rows (exact integer form)") {
     val got = Relational.a11Outliers(spark, sf).collect()
       .map(_.getAs[Long]("event_id")).toSet
