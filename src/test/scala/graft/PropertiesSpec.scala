@@ -212,4 +212,52 @@ class PropertiesSpec extends SparkSuite {
       assert(est == truth, s"parts=$parts")
     }
   }
+
+  test("scd2: intervals tile, compress, and replay the scalar state walk on random logs") {
+    val changes = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 40L), Gen.oneOf("a", "b", "c")))
+    for (log0 <- samples(changes, 8)) {
+      // one observation per (key, t): keep the generator's first
+      val log = log0.groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+      val df = log.toDF("k", "t", "v")
+      val got = graft.operators.TimeSeries.scd2(df, "k", "t", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      // scalar ground truth: walk each key's changes in time order,
+      // opening an interval on every state CHANGE
+      val truth = log.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+        val ordered = rows.sortBy(_._2)
+        val opens = ordered.foldLeft(Vector.empty[(Long, String)]) {
+          case (acc, (_, t, v)) =>
+            if (acc.lastOption.exists(_._2 == v)) acc else acc :+ (t, v)
+        }
+        opens.zipWithIndex.map { case ((t, v), i) =>
+          (k, v, t, opens.lift(i + 1).map(_._1))
+        }
+      }
+      assert(got.sortBy(x => (x._1, x._3)).toSeq == truth.sortBy(x => (x._1, x._3)))
+    }
+  }
+
+  test("pagerank: distributed rounds equal the scalar reference on random graphs") {
+    val edgeGen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))
+      .map(_.filter(e => e._1 != e._2).distinct)
+      .suchThat(_.nonEmpty)
+    for (und <- samples(edgeGen, 6)) {
+      val edges = (und ++ und.map(_.swap)).distinct
+      val df = edges.toDF("src", "dst")
+      val got = graft.operators.Graph.pageRank(df, iters = 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // scalar reference: same integer recurrence
+      val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val nodes = out.keySet
+      var score = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 3) {
+        val mass = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for ((s, ds) <- out; d <- ds) mass(d) += score(s) / ds.size
+        score = nodes.map(n => n -> (150L * 1000000L + 850L * mass(n)) / 1000L).toMap
+      }
+      assert(got == score)
+    }
+  }
 }
