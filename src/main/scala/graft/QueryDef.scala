@@ -25,7 +25,7 @@ object Det {
     * and the long cast are then exact. ANSI throws loudly on a per-value
     * overflow (|x| ≥ ~9.2e12), rather than corrupting a sum.
     */
-  private def micros(c: Column): Column =
+  def micros(c: Column): Column =
     (c.cast("decimal(30,6)") * lit(1000000L)).cast("long")
 
   /** The exact sum as DECIMAL(38,6) units — accumulated in dual long

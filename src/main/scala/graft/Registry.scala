@@ -568,13 +568,13 @@ object Registry {
         UNION ALL SELECT 'orders_orderkey_unique',
           COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
         UNION ALL SELECT 'orders_custkey_fk_customer',
-          CAST(COUNT(*) AS BIGINT) FROM orders
-          WHERE o_custkey IS NOT NULL
-            AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+          CAST(COUNT(*) AS BIGINT) FROM orders o
+          WHERE o_custkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)
         UNION ALL SELECT 'lineitem_orderkey_fk_orders',
-          CAST(COUNT(*) AS BIGINT) FROM lineitem
-          WHERE l_orderkey IS NOT NULL
-            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+          CAST(COUNT(*) AS BIGINT) FROM lineitem l
+          WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey))
       ORDER BY rule""")),
 
     // PageRank: the oracle replays every propagation round as a CTE in

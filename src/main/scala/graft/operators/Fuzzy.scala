@@ -69,9 +69,8 @@ object Fuzzy {
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
     // id IS the name (distinct by construction): fuzzyPairs' canonical
     // a_id < b_id orientation becomes plain lexicographic name order,
-    // which the oracle replays directly
-    val collapsed = names.select(col("p_name").as("name_id"),
-      col("p_name"), col("n_parts"))
+    // which the oracle replays directly; counts re-attach post-candidates
+    val collapsed = names.select(col("p_name").as("name_id"), col("p_name"))
     fuzzyPairs(collapsed, "name_id", "p_name",
       substring_index(col("p_name"), " ", -1), maxDist = 4)
       .join(names.select(col("p_name").as("a_id"), col("n_parts").as("n_parts_1")), "a_id")

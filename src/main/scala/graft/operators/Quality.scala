@@ -75,8 +75,11 @@ object Quality {
       (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
       .select(lit("orders_orderkey_unique").as("rule"), col("n_violations"))
     // FK violation = NON-NULL key with no parent (a null key is the
-    // not-null rule's business; left_anti would otherwise keep nulls,
-    // while SQL NOT IN silently drops them — pin one semantics)
+    // not-null rule's business; left_anti would otherwise keep null
+    // children). The oracle twin uses NOT EXISTS, not NOT IN — a NULL
+    // in the PARENT key column makes NOT IN return zero rows while the
+    // anti-join still counts true orphans; NOT EXISTS matches left_anti
+    // exactly under any null pattern on either side.
     val fkOrders = t.orders.filter(col("o_custkey").isNotNull)
       .join(Relational.broadcastIfSmall(t.customer),
         col("o_custkey") === col("c_custkey"), "left_anti")

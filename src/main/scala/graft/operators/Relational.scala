@@ -195,16 +195,22 @@ object Relational {
     *
     * Determinism: σ involves a sqrt, so the CONDITION is squared instead —
     * (n·x − S)² > 9·(n·SS − S²) with x, S, SS exact integer micro-unit
-    * sums — every quantity is integer-exact on both engines, no
-    * transcendental in the plan. Scale posture: one partial-aggregated
-    * pass builds the per-group (n, S, SS) frame (grows with #groups, not
-    * rows), broadcast back into a second scan — no window over the full
-    * table, both scans narrow.
+    * sums ([[graft.Det.micros]], the pinned recovery) — every quantity is
+    * integer-exact on both engines, no transcendental in the plan.
+    * Validity envelope of the exact form: (n·v_max)² must fit 38 digits,
+    * i.e. n·v_max < 10¹⁹ µ — ample for per-group cardinalities into the
+    * billions at metric magnitudes, but NOT unbounded; past it, use
+    * [[a11OutliersFast]] (double moments — a 3σ gate needs no
+    * bit-exactness; the exact form exists for the oracle contract).
+    * Scale posture: one partial-aggregated pass builds the per-group
+    * (n, S, SS) frame (grows with #groups, not rows), broadcast back
+    * into a second scan — no window over the full table, both scans
+    * narrow.
     */
   def a11Outliers(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val ev = t.events.select(col("event_id"), col("event_type"), col("value"),
-      (col("value").cast("decimal(30,6)") * lit(1000000L)).cast("long").as("v"))
+      graft.Det.micros(col("value")).as("v"))
     val stats = ev.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
       sum(col("v").cast("decimal(38,0)")).as("s"),
@@ -217,6 +223,22 @@ object Relational {
     // right call at ANY scale; the gate would misread the pre-agg estimate
     ev.join(broadcast(stats), Seq("event_type"))
       .filter(lhs > rhs)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** The unbounded-scale twin of [[a11Outliers]]: double moments, same
+    * plan shape (group-count frame broadcast back, no window). Flags can
+    * differ from the exact form only for rows within double rounding of
+    * the 3σ boundary — RelationalSpec asserts fixture agreement.
+    */
+  def a11OutliersFast(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      avg(col("value")).as("mu"), stddev_pop(col("value")).as("sd"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(abs(col("value") - col("mu")) > lit(3.0) * col("sd"))
       .select(col("event_id"), col("event_type"), col("value"))
       .orderBy(col("event_type"), col("event_id"))
   }

@@ -71,8 +71,12 @@ object TimeSeries {
     * any (key, ordered-version, attribute) triple works the same.
     */
   def scd2(changes: DataFrame, keyCol: String, tsCol: String,
-           valueCol: String): DataFrame = {
-    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+           valueCol: String, tieBreakCols: Seq[String] = Nil): DataFrame = {
+    // the per-key order must be TOTAL or lag/lead pick a physical row
+    // order: callers either guarantee one observation per (key, ts) —
+    // both in-repo callers pre-collapse via min_by — or pass tie-breaks
+    val order = (tsCol +: tieBreakCols).map(col)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     changes
       .withColumn("__prev", lag(col(valueCol), 1).over(byKey))
       // first observation (prev null) always opens an interval; a null

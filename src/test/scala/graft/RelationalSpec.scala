@@ -322,6 +322,10 @@ class RelationalSpec extends SparkSuite {
       .collect().map(_.getAs[Long]("event_id")).toSet
     assert(got == ref)
     assert(got.nonEmpty, "fixture should contain at least one 3-sigma outlier")
+    // the unbounded-scale double twin agrees away from the boundary
+    val fast = Relational.a11OutliersFast(spark, sf).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(fast == got)
   }
 
   test("q7 volume: only exchange is the fact-fact join; dims broadcast") {
