@@ -65,8 +65,11 @@ object Fuzzy {
     * Dist ties broken by the full name pair for a total output order.
     */
   def j10FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    // materialized once: feeds the candidate frame AND both count joins —
+    // without it the catalog scan + aggregate runs four times
     val names = Tables(spark, dir).part
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .localCheckpoint()
     // id IS the name (distinct by construction): fuzzyPairs' canonical
     // a_id < b_id orientation becomes plain lexicographic name order,
     // which the oracle replays directly; counts re-attach post-candidates

@@ -404,6 +404,49 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** S9b: streaming quality gate — the S9 constraint audit applied
+    * in-flight. Every DECODED row is annotated with the names of the
+    * scan rules it violates (`array_compact` of per-rule `when`s — one
+    * narrow, codegen'd projection, no extra pass per rule); rows with
+    * violations route to a quarantine topic CARRYING the rule names
+    * (so the quarantine is triageable per rule), clean rows flow on.
+    * Same foreachBatch fan-out shape as [[runWithDeadLetter]] — the DLQ
+    * handles rows that cannot DECODE, this handles rows that decode but
+    * break the data contract; a production pipeline runs both.
+    */
+  def violationNames(rules: Seq[(String, org.apache.spark.sql.Column)]): org.apache.spark.sql.Column =
+    array_compact(array(rules.map { case (n, p) =>
+      when(p, lit(n)).otherwise(lit(null).cast("string"))
+    }: _*))
+
+  def runWithQualityGate(mq: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)],
+                         outTopic: String, quarantineTopic: String,
+                         checkpoint: String): Unit = {
+    val annotated = decodeEvents(mq)
+      .withColumn("__violated", violationNames(rules))
+    val q = annotated.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          batch.filter(size(col("__violated")) === 0)
+            .select(col("user_id").cast("string").as("key"),
+              to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+                col("value"), col("ts"))).as("value"), col("ts").as("timestamp"))
+            .write.mode("append").format(MqSource.format).option("topic", outTopic).save()
+          batch.filter(size(col("__violated")) > 0)
+            .select(col("user_id").cast("string").as("key"),
+              to_json(struct(col("event_id"), col("__violated").as("violated"),
+                col("event_type"), col("value"))).as("value"), col("ts").as("timestamp"))
+            .write.mode("append").format(MqSource.format)
+            .option("topic", quarantineTopic).save()
+        } finally { batch.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
   /** S5d: DLQ REPLAY — the second half of the dead-letter contract.
     * After the producer-side defect is fixed, consume the dead-letter
     * topic as a BATCH (a DLQ is finite by construction), apply the

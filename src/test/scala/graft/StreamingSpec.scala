@@ -293,6 +293,40 @@ class StreamingSpec extends SparkSuite {
     assert(got == batch)
   }
 
+  test("S9b streaming quality gate: contract violations quarantined with rule names, clean rows flow") {
+    MqBroker.deleteTopic("t_gate_in"); MqBroker.createTopic("t_gate_in", 2)
+    MqBroker.deleteTopic("t_gate_out"); MqBroker.createTopic("t_gate_out", 2)
+    MqBroker.deleteTopic("t_gate_q"); MqBroker.createTopic("t_gate_q", 2)
+    def pay(id: Long, tpe: String, v: Double) =
+      s"""{"event_id":$id,"ts_us":${1000000L * id},"user_id":${id % 3},"event_type":"$tpe","value":$v}"""
+    // 2 clean, 1 bad type, 1 negative value, 1 violating BOTH rules
+    Seq(pay(1, "view", 1.0), pay(2, "click", 2.5), pay(3, "bogus", 1.0),
+      pay(4, "view", -7.0), pay(5, "bogus", -1.0))
+      .zipWithIndex.foreach { case (p, i) =>
+        MqBroker.publish("t_gate_in", s"k$i", p, 1000000L * i) }
+    val rules = Seq(
+      "type_in_domain" ->
+        !col("event_type").isin("view", "click", "purchase", "signup", "error"),
+      "value_non_negative" -> (col("value") < 0.0))
+    val cp = Files.createTempDirectory("graft-cp-gate").toString
+    Streams.runWithQualityGate(
+      spark.readStream.format(graft.sources.MqSource.format)
+        .option("topic", "t_gate_in").load(),
+      rules, "t_gate_out", "t_gate_q", cp)
+    val out = spark.read.format(graft.sources.MqSource.format)
+      .option("topic", "t_gate_out").load()
+    val quar = spark.read.format(graft.sources.MqSource.format)
+      .option("topic", "t_gate_q").load()
+    assert(out.count() == 2 && quar.count() == 3)
+    // quarantine rows carry exactly their violated rule names
+    val vio = quar.select(get_json_object(col("value"), "$.event_id").cast("long").as("id"),
+        get_json_object(col("value"), "$.violated").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vio(3L) == """["type_in_domain"]""")
+    assert(vio(4L) == """["value_non_negative"]""")
+    assert(vio(5L) == """["type_in_domain","value_non_negative"]""")
+  }
+
   test("S5b MQ write-back sink: consume topic A, transform, produce topic B; B == batch twin") {
     val batchDecoded = publishEvents("t_wb_in")
     MqBroker.deleteTopic("t_wb_out")
