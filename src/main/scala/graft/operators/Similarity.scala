@@ -461,6 +461,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** The composed production serving shape — IVF cells × SQ8 codes, what
+    * FAISS calls IVF-SQ: [[buildIvfIndex]]'s layout plus a per-vector
+    * signed-SQ8 code column and the one corpus-wide scale stored as index
+    * metadata. A probe then (1) statically prunes the scan to nprobe
+    * `cell=` partitions, (2) ranks the survivors by integer-cosine over
+    * the 1-byte codes (4× less scan bandwidth than floats), and
+    * (3) exact-rescoring only the top [[SqRescoreFactor]]·k. Each stage
+    * cuts the next stage's input: partitions → codes → floats.
+    */
+  def buildIvfSqIndex(emb: DataFrame, indexDir: String,
+                      nCells: Int = IvfCells): Unit = {
+    buildIvfIndex(emb, indexDir, nCells)
+    val spark = emb.sparkSession
+    val vecs = spark.read.parquet(s"$indexDir/vectors")
+    val scale = vecs.select(explode(dbl(col("embedding"))).as("x"))
+      .agg(max(abs(col("x"))).as("maxabs"))
+    scale.write.mode("overwrite").parquet(s"$indexDir/scale")
+    val s = spark.read.parquet(s"$indexDir/scale")
+    vecs.crossJoin(broadcast(s))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
+        transform(dbl(col("embedding")), x =>
+          when(col("maxabs") === 0, lit(0L))
+            .otherwise(floor(x / col("maxabs") * lit(127)))).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors_sq")
+  }
+
+  /** Probe of a [[buildIvfSqIndex]] index: partition-pruned scan →
+    * integer-cosine candidate rank → exact rescore. Both ranked stages
+    * ride TakeOrderedAndProject (no global sort).
+    */
+  def probeIvfSqIndex(spark: SparkSession, indexDir: String, query: Seq[Float],
+                      k: Int, nprobe: Int = IvfNprobe): DataFrame = {
+    val qDbl = typedLit(query.map(_.toDouble))
+    val probedCells = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cid"), d2Fast(col("ce"), qDbl).as("d2"))
+      .orderBy(col("d2"), col("cid")).limit(nprobe)
+      .collect().map(_.getAs[Long]("cid"))
+    // 1-row index metadata, same planning-time scale as the centroid rank
+    val maxabs = spark.read.parquet(s"$indexDir/scale").collect()(0).getDouble(0)
+    val qCodes = typedLit(query.map(x =>
+      if (maxabs == 0) 0L else math.floor(x.toDouble / maxabs * 127).toLong))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
+    spark.read.parquet(s"$indexDir/vectors_sq")
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .withColumn("intdot", idot(col("codes"), qCodes))
+      .withColumn("na", idot(col("codes"), col("codes")))
+      .withColumn("nb", idot(qCodes, qCodes))
+      .withColumn("approx",
+        when(col("na") === 0 || col("nb") === 0, lit(-2.0d))
+          .otherwise(col("intdot").cast("double") /
+            sqrt((col("na") * col("nb")).cast("double"))))
+      .orderBy(col("approx").desc, col("vec_id")).limit(SqRescoreFactor * k)
+      .withColumn("__q", typedLit(query))
+      .select(col("vec_id"), col("label"),
+        graft.functions.CosineFast(col("embedding"), col("__q")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** How many approximate candidates the SQ rescore pass keeps per
     * requested neighbour (top 4k by integer score → exact top-k).
     */

@@ -76,6 +76,28 @@ class BucketingSpec extends SparkSuite {
       Similarity.IvfCells, Similarity.IvfNprobe, Some(cents)))
   }
 
+  test("persisted IVF-SQ index: pruned scan + integer rank + rescore == float probe") {
+    import graft.operators.Similarity
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfsq").toString
+    Similarity.buildIvfSqIndex(tables.embeddings, idxDir)
+    val q = tables.embeddings.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect()(0)
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val probe = Similarity.probeIvfSqIndex(spark, idxDir, q, k = 10)
+    val rows = probe.collect()
+    assert(rows.length == 10 && rows.head.getAs[Long]("vec_id") == 0L)
+    // static pruning must reach the vectors_sq scan too
+    val scans = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("vectors_sq")) => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount <= Similarity.IvfNprobe)
+    // the SQ candidate pass + rescore recovers the float probe's answer
+    // (rescore factor 4k over cell-resident candidates on this corpus)
+    assertSameRows(probe, Similarity.probeIvfIndex(spark, idxDir, q, k = 10).drop("cell"))
+  }
+
   test("bucketed lineitem ⋈ orders on orderkey plans without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
