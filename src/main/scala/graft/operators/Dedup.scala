@@ -102,6 +102,24 @@ object Dedup {
         .as(f"sig_$i%02d")
     }
 
+  /** Production twin of [[minhashSigFromToks]]: the same min-over-tokens
+    * construction with the keyed-md5 "permutation" family swapped for
+    * seeded xxhash64 — a 64-bit LONG per hash instead of a 32-hex STRING,
+    * so no per-token string allocation, long comparisons in the min, and
+    * 8-byte signature columns through any downstream shuffle (4× narrower
+    * than hex). Same algebra (signature is a pure function of the token
+    * SET; equal sets ⇒ equal signatures; banding/LSH carries over
+    * unchanged), different hash family — so it is NOT oracle-comparable
+    * against the md5 form; the declared queries keep md5 because DuckDB
+    * can replay it. Use this family at scale where the signature mass
+    * dominates (SCALING.md: the md5 queries are the single-shot tail).
+    */
+  def minhashSigFastFromToks(toks: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { i =>
+      array_min(transform(toks, t => xxhash64(lit(i), t)))
+        .as(f"fsig_$i%02d")
+    }
+
   /** L2 declared query: full MinHash signature matrix for every document —
     * DefaultBands × DefaultRowsPerBand hashes, the matrix [[simJoin]] bands.
     */

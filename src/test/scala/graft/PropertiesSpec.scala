@@ -176,6 +176,28 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("fast minhash twin: pure function of the token SET, same containment algebra") {
+    for (t <- samples(text, 5)) {
+      val toksOf = (c: org.apache.spark.sql.Column) => split(c, " ")
+      val df = Seq(
+        (1L, t),
+        (2L, t.split(" ").reverse.mkString(" ") + " " + t), // same set, permuted + duplicated
+        (3L, t + " extra"),
+        (4L, "uno dos tres quatro cinco"))
+        .toDF("doc_id", "text")
+      val sigs = df.select(col("doc_id") +:
+          Dedup.minhashSigFastFromToks(toksOf(col("text")), 16): _*)
+        .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+      // set-function: permutation + duplication leave every signature fixed
+      assert(sigs(1L) == sigs(2L))
+      def agree(x: Seq[Long], y: Seq[Long]) = x.zip(y).count { case (p, q) => p == q }
+      // containment ordering holds under the fast family too
+      assert(agree(sigs(1L), sigs(3L)) >= agree(sigs(1L), sigs(4L)))
+      // disjoint vocabularies disagree somewhere (16 seeded hashes)
+      assert(agree(sigs(1L), sigs(4L)) < 16)
+    }
+  }
+
   test("misra-gries sketch: undercount bound and heavy-hitter recall under any partitioning") {
     import org.apache.spark.sql.Encoders
     // zipf-ish skew: item i appears ~ 200/(i+1) times; k far below distinct
