@@ -577,6 +577,35 @@ object Registry {
             (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey))
       ORDER BY rule""")),
 
+    // Rank-sum AUC: exact Mann-Whitney over the tie-broken score order,
+    // integer micro-unit ratio — the oracle replays scoring, ranking,
+    // and the (2S - P(P+1))*1e6 // 2PN arithmetic in HUGEINT
+    QueryDef("m1_auc", Eval.m1Auc, Some("""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qe, label AS q_label
+                 FROM embeddings WHERE vec_id = 0),
+      x AS (SELECT vec_id, (e.label = q.q_label) AS is_pos,
+              unnest(e.embedding::DOUBLE[]) AS a, unnest(q.qe) AS b
+            FROM embeddings e, q WHERE e.vec_id <> 0),
+      d AS (SELECT vec_id, is_pos,
+              SUM(CAST(a*b AS DECIMAL(30,15))) AS dot,
+              SUM(CAST(a*a AS DECIMAL(30,15))) AS na,
+              SUM(CAST(b*b AS DECIMAL(30,15))) AS nb
+            FROM x GROUP BY ALL),
+      s AS (SELECT vec_id, is_pos,
+              ROUND(CAST(dot AS DOUBLE) /
+                (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS score
+            FROM d),
+      r AS (SELECT is_pos,
+              ROW_NUMBER() OVER (ORDER BY score, vec_id) AS rank FROM s),
+      t AS (SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS HUGEINT) AS p,
+              CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS HUGEINT) AS n,
+              CAST(SUM(CASE WHEN is_pos THEN rank ELSE 0 END) AS HUGEINT) AS s
+            FROM r)
+      SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+        CAST((2*s - p*(p+1)) * 1000000 // NULLIF(2*p*n, 0) AS BIGINT)
+          AS auc_micro
+      FROM t""")),
+
     // PageRank: the oracle replays every propagation round as a CTE in
     // lock-step with Graph.DefaultIters — integer micro-unit scores, so
     // each round is bit-exact on both engines

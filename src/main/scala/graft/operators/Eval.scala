@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M1 (SURVEY.md §2.12): evaluation metrics — the measurement half of a
+  * training-data pipeline. First metric: rank-sum (Mann–Whitney) AUC,
+  * computed EXACTLY: AUC = (Σ ranks of positives − P(P+1)/2) / (P·N)
+  * over the fully tie-broken ascending score order, emitted as an
+  * integer micro-unit ratio — (2S − P(P+1))·10⁶ DIV 2PN — so no float
+  * division enters the cross-engine contract. (Tie discipline: ranks
+  * are tie-broken by id, not midranked — deterministic on any engine;
+  * the fixture's 6-dp scores make genuine ties rare.)
+  *
+  * Scale posture: scoring is one narrow broadcast pass; the global rank
+  * rides [[Relational.distributedRank]] (range partition → per-partition
+  * row_number → broadcast offsets — never a single-task global window);
+  * the final reduction is one 3-sum aggregate. AUC of a billion-row
+  * score table costs one range shuffle.
+  */
+object Eval {
+
+  /** Exact tie-broken rank-sum AUC of `pos` under ascending `order`.
+    * Output: one row (n_pos, n_neg, auc_micro); auc_micro is NULL when
+    * either class is empty (AUC undefined).
+    */
+  def rankSumAuc(scored: DataFrame, pos: Column, order: Seq[Column]): DataFrame = {
+    val ranked = Relational.distributedRank(scored.withColumn("__pos", pos), order)
+    val agg = ranked.agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("p"),
+      sum(when(!col("__pos"), 1L).otherwise(0L)).as("n"),
+      sum(when(col("__pos"), col("rank")).otherwise(0L)).as("s"))
+    val pd = col("p").cast("decimal(38,0)")
+    val nd = col("n").cast("decimal(38,0)")
+    val sd = col("s").cast("decimal(38,0)")
+    agg.select(col("p").as("n_pos"), col("n").as("n_neg"),
+      call_function("div",
+        (sd * lit(2) - pd * (pd + lit(1))) * lit(1000000L),
+        nullif(pd * nd * lit(2), lit(0).cast("decimal(38,0)")))
+        .cast("long").as("auc_micro"))
+  }
+
+  /** M1 declared query: does cosine-to-query rank same-class embeddings
+    * higher? Scores every non-query vector by exact-decimal cosine to
+    * vec 0 (one 1-row broadcast, the L3 scoring pass), positive class =
+    * shares vec 0's label, then exact AUC. The standard "are my
+    * embeddings any good" eval a curation run executes after training.
+    */
+  def m1Auc(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def dbl(a: Column): Column = transform(a, _.cast("double"))
+    val q = t.embeddings.filter(col("vec_id") === 0L)
+      .select(dbl(col("embedding")).as("q_emb"), col("label").as("q_label"))
+    val scored = t.embeddings.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), (col("label") === col("q_label")).as("is_pos"),
+        Similarity.cosine(dbl(col("embedding")), col("q_emb")).as("score"))
+    rankSumAuc(scored, col("is_pos"), Seq(col("score"), col("vec_id")))
+  }
+}

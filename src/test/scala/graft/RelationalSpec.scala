@@ -328,6 +328,34 @@ class RelationalSpec extends SparkSuite {
     assert(fast == got)
   }
 
+  test("m1 AUC: hand-computed rank-sum cases; fixture AUC well-defined") {
+    import TestSpark.spark.implicits._
+    import graft.operators.Eval
+    // perfect separation: positives all above → AUC = 1.0
+    val perfect = Seq((1L, false, 0.1), (2L, false, 0.2), (3L, true, 0.8),
+      (4L, true, 0.9)).toDF("id", "pos", "score")
+    val r1 = Eval.rankSumAuc(perfect, col("pos"), Seq(col("score"), col("id"))).first()
+    assert(r1.getLong(2) == 1000000L && r1.getLong(0) == 2L && r1.getLong(1) == 2L)
+    // inverted → 0; interleaved n-p-p-n: ranks of pos = {2,3}, S=5,
+    // AUC = (5-3)/(2*2) = 0.5
+    val inverted = Seq((1L, true, 0.1), (2L, false, 0.9)).toDF("id", "pos", "score")
+    assert(Eval.rankSumAuc(inverted, col("pos"),
+      Seq(col("score"), col("id"))).first().getLong(2) == 0L)
+    val mixed = Seq((1L, false, 0.1), (2L, true, 0.2), (3L, true, 0.3),
+      (4L, false, 0.4)).toDF("id", "pos", "score")
+    assert(Eval.rankSumAuc(mixed, col("pos"),
+      Seq(col("score"), col("id"))).first().getLong(2) == 500000L)
+    // one-class input → NULL (undefined), not a crash or a made-up value
+    val oneClass = Seq((1L, true, 0.1), (2L, true, 0.2)).toDF("id", "pos", "score")
+    assert(Eval.rankSumAuc(oneClass, col("pos"),
+      Seq(col("score"), col("id"))).first().isNullAt(2))
+    // fixture: both classes present, AUC in [0, 1e6]
+    val fx = Eval.m1Auc(spark, sf).first()
+    assert(fx.getLong(0) > 0 && fx.getLong(1) > 0)
+    val auc = fx.getLong(2)
+    assert(auc >= 0L && auc <= 1000000L)
+  }
+
   test("q7 volume: only exchange is the fact-fact join; dims broadcast") {
     val df = Relational.q7Volume(spark, sf)
     df.collect()
