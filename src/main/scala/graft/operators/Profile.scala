@@ -136,10 +136,12 @@ object Profile {
       .orderBy(col("table_name"), col("col_name"))
   }
 
-  /** The 100 TB variant: same single-pass shape, HLL++ distinct counts.
-    * Not declared (sketch estimates are engine-specific, like A3);
-    * RelationalSpec asserts every estimate within tolerance of the exact
-    * pass.
+  /** The 100 TB variant: same single-pass shape, HLL++ distinct counts —
+    * the documented default at scale, where s7Profile's extra exact
+    * per-column distinct passes are the bottleneck. Declared rows-only
+    * (`s7_profile_approx`; sketch estimates are engine-specific, like
+    * A3); RelationalSpec asserts every estimate within tolerance of the
+    * exact pass.
     */
   def s7ProfileApprox(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -66,6 +66,8 @@ object Quality {
     def tbl(name: String): DataFrame = name match {
       case "orders" => t.orders; case "lineitem" => t.lineitem
       case "events" => t.events; case "documents" => t.documents
+      case other => sys.error(
+        s"no table mapping for rule table '$other' — add it to s9Constraints.tbl")
     }
     // all scan rules of one table fold into a single aggregate pass
     val scans = scanRules.groupBy(_.table).toSeq.map { case (table, rules) =>

@@ -498,8 +498,15 @@ object Similarity {
       .select(col("cid"), d2Fast(col("ce"), qDbl).as("d2"))
       .orderBy(col("d2"), col("cid")).limit(nprobe)
       .collect().map(_.getAs[Long]("cid"))
-    // 1-row index metadata, same planning-time scale as the centroid rank
-    val maxabs = spark.read.parquet(s"$indexDir/scale").collect()(0).getDouble(0)
+    // 1-row index metadata, same planning-time scale as the centroid rank;
+    // read by NAME with a null guard — an index built over an empty corpus
+    // stores a NULL maxabs, which must fail loudly, not NPE
+    val scaleRows = spark.read.parquet(s"$indexDir/scale").collect()
+    require(scaleRows.nonEmpty, s"IVF-SQ index at $indexDir has no scale row")
+    val maxabsBoxed = scaleRows(0).getAs[java.lang.Double]("maxabs")
+    require(maxabsBoxed != null,
+      s"IVF-SQ index at $indexDir has NULL maxabs (built over an empty corpus?)")
+    val maxabs = maxabsBoxed.doubleValue()
     val qCodes = typedLit(query.map(x =>
       if (maxabs == 0) 0L else math.floor(x.toDouble / maxabs * 127).toLong))
     def idot(a: Column, b: Column): Column =

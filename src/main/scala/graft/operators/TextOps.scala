@@ -398,15 +398,21 @@ object TextOps {
     */
   def fingerprint(text: Column, shingle: Int = 3,
                   tokenizer: Column => Column = spaceTokenizer): Column = {
-    val ts = tokenizer(text)
-    val grams = transform(
-      sequence(lit(1), size(ts) - lit(shingle - 1)),
-      i => concat_ws(" ", (0 until shingle).map(o => element_at(ts, i + lit(o))): _*))
-    // docs shorter than one shingle have no fingerprint (guard: Spark's
-    // sequence(1, n) DESCENDS for n < 1 instead of being empty, and the
-    // DuckDB oracle's range() yields NULL for the same case)
-    when(size(ts) >= shingle, array_min(transform(grams, md5(_))))
-      .otherwise(lit(null).cast("string"))
+    // Bind the token array ONCE via a single-element wrapper (same trick
+    // as Dedup.shingles): HOF lambdas are interpreted with no CSE, so an
+    // element_at(tokenizer(text), …) inside the gram lambda would re-split
+    // the document for every (shingle, offset) pair — O(n²) per doc.
+    val bound = transform(array(tokenizer(text)), ts => {
+      val grams = transform(
+        sequence(lit(1), size(ts) - lit(shingle - 1)),
+        i => concat_ws(" ", (0 until shingle).map(o => element_at(ts, i + lit(o))): _*))
+      // docs shorter than one shingle have no fingerprint (guard: Spark's
+      // sequence(1, n) DESCENDS for n < 1 instead of being empty, and the
+      // DuckDB oracle's range() yields NULL for the same case)
+      when(size(ts) >= shingle, array_min(transform(grams, md5(_))))
+        .otherwise(lit(null).cast("string"))
+    })
+    element_at(bound, 1)
   }
 
   def l4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -442,9 +448,15 @@ object TextOps {
       .agg(count(lit(1)).as("df_block"),
         sort_array(collect_list(col("doc_id"))).as("postings"))
 
-  /** L4h declared query: the blocked inverted index of the fixture corpus. */
+  /** L4h declared query: the blocked inverted index of the fixture corpus.
+    * The posting list is emitted as a canonical comma-joined STRING (not a
+    * raw array column): the sorted list already has exactly one textual
+    * form, and a flat string is hashable by any downstream comparator —
+    * the driver's DuckDB-compare harness cannot lexsort array columns.
+    */
   def l4Postings(spark: SparkSession, dir: String): DataFrame =
     postings(Tables(spark, dir).documents)
+      .withColumn("postings", array_join(col("postings").cast("array<string>"), ","))
       .orderBy(col("token"), col("block"))
 
   /** Within-document repetition metrics (Gopher-style quality rules:

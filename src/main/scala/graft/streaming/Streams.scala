@@ -433,10 +433,15 @@ object Streams {
               to_json(struct(col("event_id"), col("user_id"), col("event_type"),
                 col("value"), col("ts"))).as("value"), col("ts").as("timestamp"))
             .write.mode("append").format(MqSource.format).option("topic", outTopic).save()
+          // carries ts too: the quarantine topic supports the same
+          // fix-rule-then-replay contract as the dead-letter topic, and a
+          // replay without the original event time would lose watermark /
+          // windowing fidelity downstream
           batch.filter(size(col("__violated")) > 0)
             .select(col("user_id").cast("string").as("key"),
               to_json(struct(col("event_id"), col("__violated").as("violated"),
-                col("event_type"), col("value"))).as("value"), col("ts").as("timestamp"))
+                col("event_type"), col("value"), col("ts"))).as("value"),
+              col("ts").as("timestamp"))
             .write.mode("append").format(MqSource.format)
             .option("topic", quarantineTopic).save()
         } finally { batch.unpersist(); () }
