@@ -116,5 +116,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"sum_micros_fixed expects exactly 1 BIGINT argument, got ${children.length}")
         FixedPointSum(children.head).toAggregateExpression()
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"minhash_sigs expects (array<string> tokens, int numHashes), got ${children.length} args")
+        val w = children(1) match {
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"minhash_sigs numHashes must be an integer literal, got $other")
+        }
+        MinhashSigs(children.head, w)
+      }))
   }
 }

@@ -110,31 +110,25 @@ object Dedup {
 
   /** [[minhashSig]] over an already-tokenized array column. The signature
     * depends only on the token SET, so duplicate token-sets share it.
-    * NOTE: this single-projection convenience form re-computes the md5
-    * array for the odd half (HOF lambdas see no CSE); hot paths use the
-    * two-stage [[minhashHashArrays]] → [[minhashSigsFromArrays]] pair,
-    * which yields the IDENTICAL values at one md5-array eval per j.
+    * This declarative form is the REFERENCE twin — the construction the
+    * DuckDB oracle replays token-for-token; hot paths use the native
+    * single-pass [[graft.functions.MinhashSigs]] expression (wired below
+    * as [[minhashSigsNative]]), which PropertiesSpec asserts produces
+    * identical values on the fixture corpus.
     */
   def minhashSigFromToks(toks: Column, numHashes: Int): Seq[Column] =
     (0 until numHashes).map { i =>
       sigFromArray(transform(toks, t => md5(concat(lit(s"${i / 2}:"), t))), i)
     }
 
-  /** The per-token md5 hash arrays backing a numHashes-wide signature:
-    * array j holds md5("j:" ‖ token) per token and supplies signatures
-    * 2j and 2j+1. Materialize these in their OWN projection before
-    * [[minhashSigsFromArrays]]: each array is referenced twice, and
-    * CollapseProject leaves non-cheap multiply-referenced expressions
-    * un-inlined, so every md5 array is computed once per row.
+  /** The production signature pass: all numHashes signatures in one
+    * native per-row array walk (one reused MD5 instance, unsigned-long
+    * min tracking — see [[graft.functions.MinhashSigs]] for why the
+    * HOF formulation pays an interpreter tax per token per hash).
+    * Returns ONE array column; index i is sig_i of [[minhashSigFromToks]].
     */
-  def minhashHashArrays(toks: Column, numHashes: Int): Seq[Column] =
-    (0 until (numHashes + 1) / 2).map { j =>
-      transform(toks, t => md5(concat(lit(s"$j:"), t))).as(s"__mh_$j")
-    }
-
-  /** Signature columns over materialized [[minhashHashArrays]] output. */
-  def minhashSigsFromArrays(numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(i => sigFromArray(col(s"__mh_${i / 2}"), i))
+  def minhashSigsNative(toks: Column, numHashes: Int): Column =
+    graft.functions.MinhashSigsCol(toks, numHashes)
 
   /** sig_i from its backing md5 array: even halves ride the identity
     * min(prefix₁₆(h)) = prefix₁₆(min(h)) (prefixing fixed-length hex is
@@ -172,9 +166,14 @@ object Dedup {
   def l2Minhash(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val w = DefaultBands * DefaultRowsPerBand
+    // native single-pass signature vector, unpacked to the declared
+    // sig_XX columns in a second projection (getItem on a materialized
+    // attribute is cheap; CollapseProject keeps the non-cheap signature
+    // expression un-inlined because it is referenced w times)
     t.documents
-      .select(col("doc_id") +: minhashHashArrays(tokens(col("text")), w): _*)
-      .select(col("doc_id") +: minhashSigsFromArrays(w): _*)
+      .select(col("doc_id"), minhashSigsNative(tokens(col("text")), w).as("__sigs"))
+      .select(col("doc_id") +:
+        (0 until w).map(i => col("__sigs").getItem(i).as(f"sig_$i%02d")): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -288,20 +287,24 @@ object Dedup {
     // (all members of a set_sig group hold the same token SET, but not
     // necessarily in the same order; every downstream use is
     // order-independent, so this is for auditability, not correctness)
+    // materialized once: the group frame feeds the signature/band build,
+    // the verify-stage token lookup, the member expansion, AND the rep
+    // list — without a checkpoint the tokenize+collapse aggregation
+    // re-executes under every consumer lineage
     val groups = tokset.groupBy(col("set_sig"))
       .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"),
         min_by(col("toks"), col("doc_id")).as("toks"))
-    // 2. signatures + band-hash array per representative, two-stage: md5
-    // hash arrays materialize in their own projection (each serves two
-    // signature halves), band hashes fold the sig columns on top
+      .localCheckpoint()
+    // 2. signatures + band-hash array per representative: ONE native
+    // single-pass signature vector per rep (see MinhashSigs), band
+    // hashes fold getItem slices of it in the next projection
     val w = bands * rowsPerBand
     val bandArr = {
-      val withHash = groups.select(col("rep_id"), col("toks"), size(col("toks")).as("n"))
-        .select(col("*") +: minhashHashArrays(col("toks"), w): _*)
-      val withSig = withHash.select(
-        Seq(col("rep_id"), col("toks"), col("n")) ++ minhashSigsFromArrays(w): _*)
+      val withSig = groups.select(col("rep_id"), col("toks"), size(col("toks")).as("n"),
+        minhashSigsNative(col("toks"), w).as("__sigs"))
       val bandCols = (0 until bands).map { b =>
-        md5(concat_ws("|", (0 until rowsPerBand).map(r => col(f"sig_${b * rowsPerBand + r}%02d")): _*))
+        md5(concat_ws("|",
+          (0 until rowsPerBand).map(r => col("__sigs").getItem(b * rowsPerBand + r)): _*))
       }
       withSig.select(col("rep_id"), col("toks"), col("n"), array(bandCols: _*).as("bands"))
     }
@@ -320,12 +323,17 @@ object Dedup {
     // Intersection/union SIZES (ints) are carried to the output instead of a
     // pre-rounded double: |union| = |A|+|B|-|A∩B| because inputs are distinct
     // sets, and the threshold compare i/u >= τ is a single IEEE division —
-    // bit-identical on any engine.
-    val repToks = bandArr.select(col("rep_id"), col("toks"))
+    // bit-identical on any engine. The intersection count is the native
+    // codegen'd merge walk over arrays SORTED ONCE PER REPRESENTATIVE
+    // (array_sort here, amortized over every pair the rep appears in):
+    // on a self-similar corpus verification dominates the whole join, and
+    // per-pair hash-set construction (size(array_intersect(...)),
+    // interpreted) was the single largest cost in the pipeline.
+    val repToks = bandArr.select(col("rep_id"), array_sort(col("toks")).as("toks"))
     val repPairs = candidates
       .join(repToks.withColumnRenamed("rep_id", "rep_a").withColumnRenamed("toks", "a_toks"), "rep_a")
       .join(repToks.withColumnRenamed("rep_id", "rep_b").withColumnRenamed("toks", "b_toks"), "rep_b")
-      .withColumn("i", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("i", graft.functions.SortedIntersectSizeCol(col("a_toks"), col("b_toks")))
       .withColumn("u", size(col("a_toks")) + size(col("b_toks")) - col("i"))
       .filter(col("i").cast("double") / col("u") >= threshold)
       .select(col("rep_a"), col("rep_b"), col("i"), col("u"))
@@ -417,10 +425,17 @@ object Dedup {
   def clusterCollapse(ids: DataFrame, pairs: DataFrame,
                       iters: Int = DefaultCcIters): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    // undirected graph: each pair propagates labels in both directions
-    val edges = pairs
+    // undirected graph: each pair propagates labels in both directions.
+    // The pair list is checkpointed BEFORE the flip-union: the two union
+    // branches are separate lineages of the same (possibly very
+    // expensive) pair pipeline, and only the subtree below the last
+    // exchange gets reused between them — an LSH verify stage above it
+    // would execute TWICE. Checkpoint once, flip the materialized rows.
+    val half = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    val edges = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint() // computed once, re-read every round
     var labels = ids.select(col("doc_id"), col("doc_id").as("label"))
     for (_ <- 1 to iters) {
@@ -492,9 +507,12 @@ object Dedup {
     */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
                           maxRounds: Int = 40): DataFrame = {
-    val edges = pairs
+    // checkpoint-then-flip, same double-execution guard as clusterCollapse
+    val half = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    val edges = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     var labels = ids.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()

@@ -161,10 +161,15 @@ object Graph {
     */
   def g1PageRank(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // checkpoint the flow list BEFORE the flip-union: the two union
+    // branches are separate lineages, so the lineitem⋈orders + distinct
+    // build would execute once per branch (and again under pageRank's
+    // degree aggregate) — materialized once, the flips read RAM blocks
     val flows = t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
       .distinct()
+      .localCheckpoint()
     val edges = flows.select(col("s").as("src"), col("c").as("dst"))
       .unionByName(flows.select(col("c").as("src"), col("s").as("dst")))
     pageRank(edges)

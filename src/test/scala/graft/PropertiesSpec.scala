@@ -176,6 +176,42 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("native minhash_sigs == declarative HOF reference, every byte, incl. empty docs") {
+    // the production single-pass expression must be bit-identical to the
+    // construction the DuckDB oracle replays — differential over the
+    // fixture corpus plus hand-built edge docs (empty text, 1 token)
+    val fixture = tables.documents.select(col("doc_id"), col("text"))
+    val edges = Seq((900001L, ""), (900002L, "solo"), (900003L, "a b a b"))
+      .toDF("doc_id", "text")
+    val docs = fixture.unionByName(edges)
+    val w = 16
+    val ref = docs.select(col("doc_id") +: Dedup.minhashSig(col("text"), w): _*)
+    val nat = docs.select(col("doc_id"), Dedup.minhashSigsNative(
+        Dedup.tokens(col("text")), w).as("__sigs"))
+      .select(col("doc_id") +:
+        (0 until w).map(i => col("__sigs").getItem(i).as(f"sig_$i%02d")): _*)
+    assert(ref.exceptAll(nat).isEmpty && nat.exceptAll(ref).isEmpty)
+    // SQL registration path evaluates too
+    val viaSql = docs.selectExpr("minhash_sigs(split(text, ' '), 4) AS s")
+    assert(viaSql.filter(size(col("s")) === 4).count() == docs.count())
+  }
+
+  test("native sorted_intersect_size == size(array_intersect) on sorted distinct arrays") {
+    // the verification kernel must agree with the declarative reference
+    // the oracle replays — randomized differential incl. empty/disjoint
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { i =>
+      def arr() = rnd.shuffle((1 to 40).toList).take(rnd.nextInt(12))
+        .map(x => s"w$x").distinct.sorted
+      (i.toLong, arr(), arr())
+    } :+ ((301L, List.empty[String], List("a"))) :+ ((302L, List.empty[String], List.empty[String]))
+    val df = rows.toDF("id", "a", "b")
+    val bad = df.filter(
+      graft.functions.SortedIntersectSizeCol(col("a"), col("b"))
+        =!= size(array_intersect(col("a"), col("b"))))
+    assert(bad.isEmpty, bad.collect().mkString(", "))
+  }
+
   test("fast minhash twin: pure function of the token SET, same containment algebra") {
     for (t <- samples(text, 5)) {
       val toksOf = (c: org.apache.spark.sql.Column) => split(c, " ")
