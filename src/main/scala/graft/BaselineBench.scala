@@ -73,5 +73,243 @@ object BaselineBench {
     }
     println(f"TOTAL count=${rows.map(_._2).sum}%.3f noop=${rows.map(_._3).sum}%.3f")
     spark.stop()
+    TailTwins.run(dir)
+  }
+}
+
+/** Vanilla twins of the EXPENSIVE-TAIL declared queries (the l2/l4/l6/l9
+  * text-pipeline family, the graph pair, the catalog profile) — the code
+  * an experienced Spark user would write for the same tasks with stock
+  * APIs: higher-order functions + md5 for signatures, MLlib MinHashLSH
+  * for the near-dup joins, iterative DataFrame loops for PageRank /
+  * label propagation, per-column aggregates for the profile. No graft
+  * operators, expressions, or layout tricks.
+  *
+  * Unlike the 4 headline twins above (which keep BASELINE.md's original
+  * round-1 local[4] environment for continuity), these run in the SAME
+  * environment as `graft.Bench` — local[32], 32 shuffle partitions — so
+  * "within 2× of vanilla" is an apples-to-apples per-query bar. Measured
+  * single-shot under the noop-sink write (full materialization) — the
+  * same action and basis as BENCH's all_queries map.
+  *
+  * The twins are TASK-equivalent, not byte-equivalent, where stock APIs
+  * make different choices (MinHashLSH's OR-amplified candidate set has
+  * different recall than banded AND/OR LSH; vanilla PageRank uses double
+  * scores) — the wall-time comparison is the point, correctness is the
+  * oracle gate's job.
+  */
+object TailTwins {
+  import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+
+  def run(dir: String): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("vanilla-baseline-tail")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try runAll(spark, dir) finally spark.stop()
+  }
+
+  private def runAll(spark: SparkSession, dir: String): Unit = {
+    def docs = spark.read.parquet(s"$dir/documents.parquet")
+    def li = spark.read.parquet(s"$dir/lineitem.parquet")
+    def ord = spark.read.parquet(s"$dir/orders.parquet")
+
+    // deterministic split twin (same md5-bucket rule as the engine)
+    def splitCol =
+      when(substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2) <= "cb", "train")
+        .when(substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2) <= "e5", "val")
+        .otherwise("test")
+
+    def tokDocs = docs
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .filter(size(col("toks")) > 0)
+
+    def shingleDocs = docs
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"),
+        when(size(col("t")) >= 3,
+          array_distinct(transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
+          .otherwise(array().cast("array<string>")).as("toks"))
+      .filter(size(col("toks")) > 0)
+
+    // MLlib MinHash LSH near-dup join at Jaccard >= 0.8 (distance <= 0.2)
+    def lshPairs(tok: DataFrame): DataFrame = {
+      val cv = new CountVectorizer().setInputCol("toks").setOutputCol("features")
+        .setBinary(true).fit(tok)
+      val feat = cv.transform(tok).persist()
+      val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(16).fit(feat)
+      mh.approxSimilarityJoin(feat, feat, 0.2, "dist")
+        .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+        .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"),
+          (lit(1.0) - col("dist")).as("jaccard"))
+    }
+
+    val twins: Seq[(String, () => DataFrame)] = Seq(
+      "l2_minhash" -> (() => docs.select(col("doc_id") +: (0 until 128).map(i =>
+        array_min(transform(split(col("text"), " "),
+          t => md5(concat(lit(s"$i:"), t)))).as(f"sig_$i%02d")): _*)
+        .orderBy("doc_id")),
+
+      "l2_simhash" -> (() => {
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .withColumn("h", md5(col("tok")))
+        val votes = (0 until 32).map(i => sum(
+          when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+            .otherwise(-1)).as(s"v_$i"))
+        val assembled = (0 until 32).map(i =>
+          when(col(s"v_$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+        tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+          .select(col("doc_id"), assembled.as("simhash")).orderBy("doc_id")
+      }),
+
+      "l4_fingerprint" -> (() => docs.withColumn("t", split(col("text"), " "))
+        .select(col("doc_id"),
+          when(size(col("t")) >= 3,
+            array_min(transform(sequence(lit(1), size(col("t")) - 2),
+              i => md5(concat_ws(" ", element_at(col("t"), i),
+                element_at(col("t"), i + 1), element_at(col("t"), i + 2))))))
+            .as("fingerprint"),
+          greatest(size(col("t")) - 2, lit(0)).as("n_shingles"))
+        .orderBy("doc_id")),
+
+      "l6_simjoin" -> (() => lshPairs(tokDocs).orderBy("a_id", "b_id")),
+
+      "l6_ngram_simjoin" -> (() => lshPairs(shingleDocs).orderBy("a_id", "b_id")),
+
+      "l6_dedup_docs" -> (() => {
+        val tok = tokDocs
+        val pairs = lshPairs(tok).select(col("a_id"), col("b_id")).persist()
+        val edges = pairs.unionByName(
+          pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).persist()
+        var labels = tok.select(col("doc_id"), col("doc_id").as("label")).persist()
+        for (_ <- 1 to 4) {
+          val nbr = edges.join(labels.select(col("doc_id").as("b_id"), col("label")), "b_id")
+            .groupBy(col("a_id")).agg(min(col("label")).as("m"))
+            .withColumnRenamed("a_id", "doc_id")
+          labels = labels.join(nbr, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("m"), col("label"))).as("label"))
+            .persist()
+        }
+        labels.select(col("doc_id"), col("label").as("cluster_rep"),
+          (col("doc_id") === col("label")).as("kept")).orderBy("doc_id")
+      }),
+
+      "l9_decontam" -> (() => {
+        val d = docs.withColumn("t", split(col("text"), " "))
+          .select(col("doc_id"), col("source"), col("t"), splitCol.as("split"))
+        def grams(f: DataFrame) = f.select(col("doc_id"),
+          explode(when(size(col("t")) >= 5,
+            transform(sequence(lit(1), size(col("t")) - 4),
+              i => concat_ws(" ", (0 until 5).map(o => element_at(col("t"), i + o)): _*)))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        val train = d.filter(col("split") === "train")
+        val test = d.filter(col("split") === "test")
+        val contaminated = grams(train)
+          .join(grams(test).select("gram").distinct(), "gram")
+          .select("doc_id").distinct().withColumn("contaminated", lit(true))
+        train.join(contaminated, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_train"),
+            sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+            sum(when(col("contaminated"), col("doc_id")).otherwise(0L)).as("contaminated_id_digest"))
+          .orderBy("source")
+      }),
+
+      "g1_pagerank" -> (() => {
+        val flows = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
+          .distinct()
+        val edges = flows.select(col("s").as("src"), col("c").as("dst"))
+          .unionByName(flows.select(col("c").as("src"), col("s").as("dst"))).persist()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        val linked = edges.join(deg, "src").persist()
+        var ranks = edges.select(col("src").as("node")).distinct()
+          .withColumn("rank", lit(1.0)).persist()
+        for (_ <- 1 to 5) {
+          val contribs = linked.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst")).agg(sum(col("rank") / col("d")).as("mass"))
+            .withColumnRenamed("dst", "node")
+          ranks = ranks.select(col("node"))
+            .join(contribs, Seq("node"), "left")
+            .select(col("node"),
+              (lit(0.15) + lit(0.85) * coalesce(col("mass"), lit(0.0))).as("rank"))
+            .persist()
+        }
+        ranks.orderBy(col("rank").desc, col("node")).limit(20)
+      }),
+
+      "g2_triangles" -> (() => {
+        val und = li.alias("l1")
+          .join(li.alias("l2"), col("l1.l_orderkey") === col("l2.l_orderkey"))
+          .filter(col("l1.l_partkey") < col("l2.l_partkey"))
+          .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+          .distinct().persist()
+        // textbook id-ordered closure: (a<b) ⋈ (b<c) closed by (a,c)
+        val tri = und.alias("e1")
+          .join(und.alias("e2"), col("e1.b") === col("e2.a"))
+          .join(und.alias("e3"),
+            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val deg = und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("d"))
+        und.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(deg.agg(sum(expr("d * (d - 1) / 2")).as("n_wedges")))
+          .crossJoin(tri)
+          .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+            expr("3 * n_triangles * 1000 / nullif(n_wedges, 0)").as("cc_permille"))
+      }),
+
+      "s7_profile" -> (() => {
+        // same column coverage as the declared query (TableCols is a data
+        // constant, not an operator); naive per-column agg + union loop
+        graft.operators.Profile.TableCols.flatMap { case (table, cols) =>
+          val df = spark.read.parquet(s"$dir/$table.parquet")
+          cols.map { case (c, cls) =>
+            val base = df.agg(
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+              countDistinct(col(c)).as("n_distinct"))
+            val (nmin, nmax) = cls match {
+              case "int" => (col(c).cast("long"), col(c).cast("long"))
+              case "ts" => (col(c).cast("long"), col(c).cast("long"))
+              case _ => (lit(null).cast("long"), lit(null).cast("long"))
+            }
+            df.agg(min(nmin).as("num_min"), max(nmax).as("num_max"))
+              .crossJoin(base)
+              .select(lit(table).as("table_name"), lit(c).as("col_name"),
+                col("n_nulls"), col("n_distinct"), col("num_min"), col("num_max"))
+          }
+        }.reduce(_ unionByName _).orderBy("table_name", "col_name")
+      }))
+
+    val only = sys.env.get("SPARK_GRAFT_BASELINE_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = twins.filter { case (n, _) => only.forall(_.contains(n)) }
+    // single-shot, the same basis as BENCH all_queries (and several of
+    // these twins are slow enough that a warm-up pass would double a
+    // multi-minute run for a second-order precision gain)
+    val results = picked.map { case (name, q) =>
+      val r = try {
+        val t0 = System.nanoTime()
+        q().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[tail-twin] $name failed: ${e.getMessage}"); -1.0
+      }
+      println(f"tail_twin $name%-18s noop=$r%.3f")
+      name -> r
+    }
+    println(results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{\"vanilla_tail\":{", ",", s"""},"sf":"$dir"}"""))
   }
 }

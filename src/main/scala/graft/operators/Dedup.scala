@@ -204,7 +204,15 @@ object Dedup {
     * [[minhashSigFromToks]]). Ties (vote sum 0) resolve to bit 0 on both
     * engines.
     */
-  def simhashCol(toks: Column, bits: Int = 32): Column = {
+  def simhashCol(toks: Column, bits: Int = 32): Column =
+    graft.functions.SimhashSigCol(toks, bits)
+
+  /** The declarative HOF fold [[simhashCol]]'s native expression fuses —
+    * the construction the DuckDB oracle replays (explode + conditional
+    * sums in SQL); kept as the differential reference (PropertiesSpec
+    * pins native == declarative on the fixture corpus).
+    */
+  def simhashColDeclarative(toks: Column, bits: Int = 32): Column = {
     require(bits <= 32, "one md5 supplies 32 hex digits")
     val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val votes = aggregate(

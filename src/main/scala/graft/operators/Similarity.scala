@@ -36,8 +36,20 @@ object Similarity {
       lit(0).cast("decimal(30,15)"),
       (acc, x) => (acc + x.cast("decimal(30,15)")).cast("decimal(30,15)"))
 
-  /** Cosine similarity of two array<double> columns, rounded at `scale`. */
-  def cosine(a: Column, b: Column, scale: Int = 6): Column = {
+  /** Cosine similarity of two array<double> columns, rounded at `scale`.
+    * At the default 6-dp scale this rides the fused native
+    * [[graft.functions.ExactCosine]] pass (same decimal algebra, one
+    * array walk instead of six interpreted ones); any other scale takes
+    * the declarative scaffold. PropertiesSpec pins native == declarative.
+    */
+  def cosine(a: Column, b: Column, scale: Int = 6): Column =
+    if (scale == 6) graft.functions.ExactCosineCol(a, b)
+    else cosineDeclarative(a, b, scale)
+
+  /** The declarative DECIMAL(30,15) formulation — the form the DuckDB
+    * oracle replays CTE-for-CTE; kept as the differential reference.
+    */
+  def cosineDeclarative(a: Column, b: Column, scale: Int = 6): Column = {
     val dot = dsumArr(zip_with(a, b, (x, y) => x * y)).cast("double")
     val na  = dsumArr(zip_with(a, a, (x, y) => x * y)).cast("double")
     val nb  = dsumArr(zip_with(b, b, (x, y) => x * y)).cast("double")

@@ -196,6 +196,49 @@ class PropertiesSpec extends SparkSuite {
     assert(viaSql.filter(size(col("s")) === 4).count() == docs.count())
   }
 
+  test("native simhash_sig == declarative HOF fold on the fixture corpus + edges") {
+    val fixture = tables.documents.select(col("doc_id"), col("text"))
+    val edges = Seq((900001L, ""), (900002L, "solo")).toDF("doc_id", "text")
+    val docs = fixture.unionByName(edges)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+    val bad = docs.select(col("doc_id"),
+        Dedup.simhashCol(col("toks")).as("nat"),
+        Dedup.simhashColDeclarative(col("toks")).as("ref"))
+      .filter(!(col("nat") <=> col("ref")))
+    assert(bad.isEmpty, bad.collect().take(5).mkString(", "))
+  }
+
+  test("native cosine_exact == declarative DECIMAL scaffold, every fixture vector + edges") {
+    // all fixture pairs against query vec 0 (the l3 shape) plus edge
+    // vectors: zero vector (0/0 → NaN passthrough), mismatched dims → null
+    val t = tables
+    val q = t.embeddings.filter(col("vec_id") === 0L)
+      .select(transform(col("embedding"), _.cast("double")).as("q"))
+    val pairs = t.embeddings.crossJoin(q)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"), col("q"))
+    val cmp = pairs.select(col("vec_id"),
+      Similarity.cosineDeclarative(col("e"), col("q")).as("ref"),
+      Similarity.cosine(col("e"), col("q")).as("nat"))
+    val bad = cmp.filter(!(col("ref") <=> col("nat")))
+    assert(bad.isEmpty, bad.collect().take(5).mkString(", "))
+    val edge = Seq(
+      (2L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),        // dim mismatch → null
+      (3L, Seq(1e-8, -2e-7, 3.5), Seq(-1e3, 2.25, 0.125)))
+      .toDF("id", "a", "b")
+    val eBad = edge.select(
+        Similarity.cosineDeclarative(col("a"), col("b")).as("ref"),
+        Similarity.cosine(col("a"), col("b")).as("nat"))
+      .filter(!(col("ref") <=> col("nat")))
+    assert(eBad.isEmpty, eBad.collect().mkString(", "))
+    // zero-norm input: the declarative form THROWS under ANSI (double
+    // divide-by-zero); the native form yields NULL — deliberately not
+    // NaN, which would sort FIRST in a descending similarity ranking
+    // (no fixture vector has zero norm, so oracle parity is unaffected)
+    val z = Seq((1L, Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("id", "a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("nat")).collect()(0)
+    assert(z.isNullAt(0))
+  }
+
   test("native sorted_intersect_size == size(array_intersect) on sorted distinct arrays") {
     // the verification kernel must agree with the declarative reference
     // the oracle replays — randomized differential incl. empty/disjoint
