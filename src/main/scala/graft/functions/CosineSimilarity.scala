@@ -116,19 +116,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"sum_micros_fixed expects exactly 1 BIGINT argument, got ${children.length}")
         FixedPointSum(children.head).toAggregateExpression()
       }))
+    def intLit(e: Expression, what: String): Int = e match {
+      case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType =>
+        l.eval().asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
     ext.injectFunction((
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
       (children: Seq[Expression]) => {
         require(children.length == 2,
           s"minhash_sigs expects (array<string> tokens, int numHashes), got ${children.length} args")
-        val w = children(1) match {
-          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
-            e.eval().asInstanceOf[Int]
-          case other => throw new IllegalArgumentException(
-            s"minhash_sigs numHashes must be an integer literal, got $other")
-        }
-        MinhashSigs(children.head, w)
+        MinhashSigs(children.head, intLit(children(1), "minhash_sigs numHashes"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"simhash_sig expects (array<string> tokens, int bits), got ${children.length} args")
+        SimhashSig(children.head, intLit(children(1), "simhash_sig bits"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"sorted_intersect_size expects 2 array<string> arguments, got ${children.length}")
+        SortedIntersectSize(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_exact"),
+      new ExpressionInfo(classOf[ExactCosine].getName, "cosine_exact"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"cosine_exact expects 2 array<double> arguments, got ${children.length}")
+        ExactCosine(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dist2_exact"),
+      new ExpressionInfo(classOf[ExactDist2].getName, "dist2_exact"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"dist2_exact expects 2 array<double> arguments, got ${children.length}")
+        ExactDist2(children.head, children(1))
       }))
   }
 }

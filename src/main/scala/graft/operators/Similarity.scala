@@ -148,7 +148,15 @@ object Similarity {
     * engine (IEEE subtract/multiply are deterministic; the sum order is
     * neutralized by the decimal cast; no sqrt is needed for ranking).
     */
+  /** Exact-DECIMAL squared L2 — fused native pass (same decimal algebra
+    * as the declarative scaffold the oracle replays; PropertiesSpec pins
+    * equality via [[dist2Declarative]]).
+    */
   private def dist2(a: Column, b: Column): Column =
+    graft.functions.ExactDist2Col(a, b)
+
+  /** Declarative reference for the [[dist2]] differential test. */
+  def dist2Declarative(a: Column, b: Column): Column =
     dsumArr(zip_with(a, b, (x, y) => (x - y) * (x - y)))
 
   /** Lloyd iterations for the trained IVF coarse quantizer (shared with

@@ -208,6 +208,19 @@ class PropertiesSpec extends SparkSuite {
     assert(bad.isEmpty, bad.collect().take(5).mkString(", "))
   }
 
+  test("native dist2_exact == declarative DECIMAL scaffold on all fixture pairs vs query vec") {
+    val t = tables
+    val q = t.embeddings.filter(col("vec_id") === 0L)
+      .select(transform(col("embedding"), _.cast("double")).as("q"))
+    val pairs = t.embeddings.crossJoin(q)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"), col("q"))
+    val bad = pairs.select(col("vec_id"),
+        graft.functions.ExactDist2Col(col("e"), col("q")).as("nat"),
+        Similarity.dist2Declarative(col("e"), col("q")).as("ref"))
+      .filter(!(col("nat") <=> col("ref")))
+    assert(bad.isEmpty, bad.collect().take(5).mkString(", "))
+  }
+
   test("native cosine_exact == declarative DECIMAL scaffold, every fixture vector + edges") {
     // all fixture pairs against query vec 0 (the l3 shape) plus edge
     // vectors: zero vector (0/0 → NaN passthrough), mismatched dims → null
