@@ -1066,6 +1066,23 @@ object Registry {
         LIMIT ${TextOps.Bm25SearchK}"""
       }),
 
+      // Unigram-LM NLL: ln snapped once per distinct count to integer
+      // micro-units (ln(T/cnt) >= 0, so truncating and flooring integer
+      // division agree), per-doc mean as the exact HALF_UP rational in
+      // integer arithmetic — the tf-idf transcendental discipline.
+      QueryDef("l4_unigram_lm", TextOps.l4UnigramLm, Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY ALL),
+        cnt AS (SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token),
+        tot AS (SELECT SUM(cnt) AS t_total FROM cnt),
+        nll AS (SELECT token, CAST(ROUND(ln(t_total::DOUBLE / cnt) * 1e6) AS BIGINT) AS nll_micro
+                FROM cnt CROSS JOIN tot),
+        doc AS (SELECT doc_id, SUM(tf) AS n_tokens, SUM(tf * nll_micro) AS s_micro
+                FROM tf JOIN nll USING (token) GROUP BY doc_id)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST((2 * s_micro + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1e6 AS mean_nll
+        FROM doc ORDER BY doc_id""")),
+
       QueryDef("l4_langid_ngram", TextOps.l4LangIdNgram, Some {
         val langs = Seq("en", "de", "es", "fr", "zh")
         def gramScore(l: String): String = {

@@ -8,6 +8,12 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Engine.session("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Dev-loop filter: SPARK_GRAFT_VERIFY_QUERIES=a,b,c runs (and emits
+    // oracle SQL for) just those queries, so one-query iteration doesn't
+    // pay the full 100-query dump. Unset → the driver's full run.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     // A failing query must leave NO output: a stale dir from a previous
     // run would otherwise be picked up by the oracle compare as a false
     // PASS, hiding the regression.
@@ -18,7 +24,7 @@ object Verify {
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
       }
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       clear(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -39,7 +45,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

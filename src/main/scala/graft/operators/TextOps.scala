@@ -297,6 +297,55 @@ object TextOps {
   def l4Bm25Search(spark: SparkSession, dir: String): DataFrame =
     bm25Search(spark, dir, Bm25SearchQuery, Bm25SearchK)
 
+  /** Unigram-LM document scoring — the perplexity-proxy quality filter of
+    * LLM-corpus curation (CCNet-style): fit a unigram language model on
+    * the corpus itself (token occurrence counts / total token mass), then
+    * score each document by its mean per-token negative log-likelihood.
+    * Low NLL ≈ typical of the corpus; high NLL flags outlier/garbage docs
+    * to drop or down-sample before training.
+    *
+    * Plan: one doc-term partial count (shuffle on (doc_id, token)), one
+    * token-count aggregate reusing the same exploded pass (shuffle on
+    * token), corpus total as a 1-row broadcast, then a token-keyed join
+    * of narrow (token, tf) rows and a doc-keyed final aggregate — the
+    * tf-idf plan shape, nothing corpus-sized on the driver. At 100 TB the
+    * token dimension is vocabulary-sized (≪ corpus), the join key is the
+    * token, and every row through the multiplicative stages is ≤ 3 longs.
+    *
+    * Same transcendental discipline as [[tfIdf]]: ln is snapped ONCE per
+    * distinct count to an integer micro-unit NLL (ln(T/cnt) ≥ 0, so no
+    * signed-division ambiguity), the per-doc mean is the exact HALF_UP
+    * rational (2·Σtf·nllµ + n) DIV (2n) in pure integer arithmetic, and
+    * the closing ÷1e6 is one correctly-rounded double op.
+    */
+  def unigramNll(docs: DataFrame,
+                 tokenizer: Column => Column = spaceTokenizer): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokenizer(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // token unigram counts derive from the tf frame (Σ tf per token), so
+    // the exploded scan is paid once and the second aggregate shuffles
+    // vocabulary-sized rows, not corpus-sized ones
+    val cnt = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).as("t_total"))
+    val nll = cnt.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("t_total").cast("double") / col("cnt")) * lit(1e6))
+          .cast("long").as("nll_micro"))
+    tf.join(nll, "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("nll_micro")).as("s_micro"))
+      .select(col("doc_id"), col("n_tokens"),
+        (expr("(2L * s_micro + n_tokens) DIV (2L * n_tokens)")
+          .cast("double") / lit(1e6)).as("mean_nll"))
+  }
+
+  /** L4 declared query: per-document mean unigram NLL over the fixture
+    * corpus, the rank curation pipelines threshold on.
+    */
+  def l4UnigramLm(spark: SparkSession, dir: String): DataFrame =
+    unigramNll(Tables(spark, dir).documents).orderBy(col("doc_id"))
+
   /** Stopword-profile language ID: score each language by how many of its
     * profile words appear, argmax with a fixed tie order (en→de→es→fr→zh).
     * (The fixture corpus is synthetic shared-vocabulary soup, so the

@@ -401,6 +401,29 @@ class LlmOpsSpec extends SparkSuite {
     assert(math.abs(out((1L, "rare1")) - math.log(3.0) / 4) < 1e-6)
   }
 
+  test("L4 unigram LM: typical docs score low NLL, outlier docs high, hand-computed exact") {
+    // corpus of 10 tokens total: 'the' x6, 'cat' x2, 'qq' x1, 'zz' x1
+    val docs = Seq(
+      (1L, "the the the cat"),   // typical: high-prob tokens
+      (2L, "the the the cat"),
+      (3L, "qq zz"))             // outlier: two singleton tokens
+      .toDF("doc_id", "text")
+    val out = TextOps.unigramNll(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 4L && out(3L)._1 == 2L)
+    // outlier doc scores strictly higher NLL than the typical docs
+    assert(out(3L)._2 > out(1L)._2)
+    // identical docs score identically
+    assert(out(1L) == out(2L))
+    // hand-computed: doc 3 = mean(ln(10/1), ln(10/1)) = ln(10); the
+    // engine value is the micro-unit-snapped HALF_UP mean of that
+    val nll10 = math.round(math.log(10.0) * 1e6)
+    assert(out(3L)._2 == ((2 * (nll10 * 2) + 2) / (2 * 2)) / 1e6)
+    // doc 1 = mean over (the,tf=3),(cat,tf=1): (3·ln(10/6)µ + 1·ln(10/2)µ)/4
+    val s1 = 3 * math.round(math.log(10.0 / 6) * 1e6) + math.round(math.log(5.0) * 1e6)
+    assert(out(1L)._2 == ((2 * s1 + 4) / (2 * 4)) / 1e6)
+  }
+
   test("L4 BM25: rare beats common, longer docs dampened, saturates with tf") {
     import org.apache.spark.sql.SaveMode
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
