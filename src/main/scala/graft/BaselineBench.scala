@@ -226,6 +226,22 @@ object TailTwins {
           .orderBy("source")
       }),
 
+      "l6_embed_neardup" -> (() => {
+        // the brute-force baseline an experienced user writes for
+        // "top-k strongest pairs": all-pairs join + HOF cosine
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+        def dot(a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+        e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            (dot(col("a.e"), col("b.e")) /
+              sqrt(dot(col("a.e"), col("a.e")) * dot(col("b.e"), col("b.e"))))
+              .as("cosine"))
+          .orderBy(col("cosine").desc, col("a_id"), col("b_id")).limit(20)
+      }),
+
       "g1_pagerank" -> (() => {
         val flows = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))

@@ -901,6 +901,22 @@ object Registry {
           s"""WHERE xor(bucket, (SELECT CAST($bucketSql AS INT) FROM embeddings WHERE vec_id = 0))
               IN (${(0 +: (0 until 6).map(1 << _)).mkString(", ")})"""))),
 
+      // Recall@k of the bucketed ANN vs the exact rank: both sides are
+      // the (already lock-step) L3 oracles wrapped as id sets; output is
+      // pure integer, so the comparison is exact.
+      QueryDef("m2_ann_recall", Eval.m2AnnRecall, Some(s"""
+        WITH exact_k AS (SELECT vec_id FROM (${cosineSql("SELECT * FROM embeddings", "")})),
+        ann_k AS (SELECT vec_id FROM (${cosineSql(
+          s"SELECT vec_id, label, embedding, CAST($bucketSql AS INT) AS bucket FROM embeddings",
+          ", bucket",
+          s"WHERE bucket = (SELECT CAST($bucketSql AS INT) FROM embeddings WHERE vec_id = 0)")})),
+        k AS (SELECT COUNT(*) AS k_exact FROM exact_k),
+        ka AS (SELECT COUNT(*) AS k_approx FROM ann_k),
+        c AS (SELECT COUNT(*) AS n_common FROM ann_k JOIN exact_k USING (vec_id))
+        SELECT k_exact, k_approx, n_common,
+          CAST((1000 * n_common) // k_exact AS BIGINT) AS recall_permille
+        FROM k CROSS JOIN ka CROSS JOIN c""")),
+
       // IVF replay: k-means-TRAINED centroids (Similarity.KmIters Lloyd
       // rounds over the deterministic vec_id % KmTrainMod == 0 training
       // slice from its first-cells init, one CTE chain

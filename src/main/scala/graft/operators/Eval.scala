@@ -58,4 +58,30 @@ object Eval {
         Similarity.cosine(dbl(col("embedding")), col("q_emb")).as("score"))
     rankSumAuc(scored, col("is_pos"), Seq(col("score"), col("vec_id")))
   }
+
+  /** Generic recall-vs-reference: |approx ∩ exact| / |exact| over id
+    * frames, in exact integer permille. Both inputs to the declared form
+    * are k-row TakeOrderedAndProject outputs, so every join/agg here is
+    * driver-scale — the COST of the metric is the two input pipelines.
+    */
+  def recallAgainst(approx: DataFrame, exact: DataFrame, idCol: String): DataFrame = {
+    val a = approx.select(col(idCol))
+    val e = exact.select(col(idCol))
+    e.agg(count(lit(1)).as("k_exact"))
+      .crossJoin(a.agg(count(lit(1)).as("k_approx")))
+      .crossJoin(a.join(e, idCol).agg(count(lit(1)).as("n_common")))
+      .select(col("k_exact"), col("k_approx"), col("n_common"),
+        expr("(1000 * n_common) DIV k_exact").as("recall_permille"))
+  }
+
+  /** M2 declared query: recall@k of the sign-bucket ANN (l3_ann_bucket)
+    * against the exact brute-force top-k (l3_cosine_topk) — the
+    * measurement a pipeline runs before trusting an ANN index for dedup
+    * or retrieval. Pure integer output, exactly replayed by composing
+    * the two L3 oracles.
+    */
+  def m2AnnRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainst(
+      Similarity.l3AnnBucket(spark, dir),
+      Similarity.l3CosineTopK(spark, dir), "vec_id")
 }

@@ -356,6 +356,25 @@ class RelationalSpec extends SparkSuite {
     assert(auc >= 0L && auc <= 1000000L)
   }
 
+  test("m2 ANN recall: hand-computed overlap; fixture ANN ⊆ exact semantics hold") {
+    import TestSpark.spark.implicits._
+    import graft.operators.Eval
+    // approx {1,2,3} vs exact {2,3,4,5}: common 2 → recall 500‰
+    val approx = Seq(1L, 2L, 3L).toDF("vec_id")
+    val exact = Seq(2L, 3L, 4L, 5L).toDF("vec_id")
+    val r = Eval.recallAgainst(approx, exact, "vec_id").first()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L &&
+      r.getLong(2) == 2L && r.getLong(3) == 500L)
+    // disjoint → 0‰; identical → 1000‰
+    assert(Eval.recallAgainst(Seq(9L).toDF("vec_id"), exact, "vec_id")
+      .first().getLong(3) == 0L)
+    assert(Eval.recallAgainst(exact, exact, "vec_id").first().getLong(3) == 1000L)
+    // fixture: counts consistent, recall within [0, 1000]
+    val fx = Eval.m2AnnRecall(spark, sf).first()
+    assert(fx.getLong(2) <= math.min(fx.getLong(0), fx.getLong(1)))
+    assert(fx.getLong(3) >= 0L && fx.getLong(3) <= 1000L)
+  }
+
   test("q7 volume: only exchange is the fact-fact join; dims broadcast") {
     val df = Relational.q7Volume(spark, sf)
     df.collect()
