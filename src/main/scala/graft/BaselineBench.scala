@@ -101,6 +101,14 @@ object BaselineBench {
 object TailTwins {
   import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
 
+  /** Standalone entry so the tail twins can be (re)measured without
+    * re-paying the headline pass — with SPARK_GRAFT_BASELINE_QUERIES to
+    * subset (the MLlib LSH twins are quadratic-explosion-bound on the
+    * dense fixture and get measured at a smaller sf).
+    */
+  def main(args: Array[String]): Unit =
+    run(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+
   def run(dir: String): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
