@@ -1099,6 +1099,20 @@ object Registry {
           CAST((2 * s_micro + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1e6 AS mean_nll
         FROM doc ORDER BY doc_id""")),
 
+      // BPE merge candidates: the pair explode runs over the distinct-word
+      // vocab with counts (both engines), exact integer weights throughout.
+      QueryDef("l4_bpe_pairs", TextOps.l4BpePairs, Some(s"""
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        vocab AS (SELECT word, COUNT(*) AS n_word FROM w GROUP BY word
+                  HAVING length(word) >= 2),
+        p AS (SELECT n_word,
+                unnest([substring(word, i, 2) for i in range(1, length(word))]) AS pair
+              FROM vocab)
+        SELECT pair, CAST(SUM(n_word) AS BIGINT) AS n_occurrences
+        FROM p GROUP BY pair
+        ORDER BY n_occurrences DESC, pair
+        LIMIT ${TextOps.BpePairsK}""")),
+
       QueryDef("l4_langid_ngram", TextOps.l4LangIdNgram, Some {
         val langs = Seq("en", "de", "es", "fr", "zh")
         def gramScore(l: String): String = {

@@ -346,6 +346,37 @@ object TextOps {
   def l4UnigramLm(spark: SparkSession, dir: String): DataFrame =
     unigramNll(Tables(spark, dir).documents).orderBy(col("doc_id"))
 
+  /** First BPE-merge iteration of tokenizer training: corpus-wide
+    * occurrence counts of adjacent character pairs inside words, the
+    * statistic each BPE round maximizes. Two-stage for scale — the
+    * corpus pass is ONE word-frequency aggregate (the standard BPE
+    * word-count table), and the character-pair explosion runs over the
+    * VOCABULARY (distinct words, weighted by count), which is
+    * sublinear in corpus size: at 100 TB the explode touches the ~10⁷
+    * distinct words, not the ~10¹³ word instances. All-integer output.
+    */
+  def bpePairStats(docs: DataFrame,
+                   tokenizer: Column => Column = spaceTokenizer): DataFrame = {
+    val vocab = docs
+      .select(explode(tokenizer(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
+      .filter(length(col("word")) >= 2)
+    vocab
+      .select(col("n_word"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n_word")).as("n_occurrences"))
+  }
+
+  /** Top-k adjacent pairs to merge — deterministic (count desc, pair asc). */
+  val BpePairsK = 20
+
+  /** L4 declared query: the top-[[BpePairsK]] BPE merge candidates. */
+  def l4BpePairs(spark: SparkSession, dir: String): DataFrame =
+    bpePairStats(Tables(spark, dir).documents)
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(BpePairsK)
+
   /** Stopword-profile language ID: score each language by how many of its
     * profile words appear, argmax with a fixed tie order (en→de→es→fr→zh).
     * (The fixture corpus is synthetic shared-vocabulary soup, so the

@@ -424,6 +424,15 @@ class LlmOpsSpec extends SparkSuite {
     assert(out(1L)._2 == ((2 * s1 + 4) / (2 * 4)) / 1e6)
   }
 
+  test("L4 BPE pairs: hand-enumerated adjacent-pair counts, 1-char words excluded") {
+    // vocab: "abc" x2, "bc" x1, "a" x1 (dropped: single char has no pair)
+    val docs = Seq((1L, "abc bc a"), (2L, "abc")).toDF("doc_id", "text")
+    val got = TextOps.bpePairStats(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "abc" contributes ab, bc each x2; "bc" contributes bc x1
+    assert(got == Map("ab" -> 2L, "bc" -> 3L))
+  }
+
   test("L4 BM25: rare beats common, longer docs dampened, saturates with tf") {
     import org.apache.spark.sql.SaveMode
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString

@@ -33,6 +33,25 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("unigram NLL: invariant under corpus duplication and token order") {
+    import graft.operators.TextOps
+    for (texts <- samples(Gen.listOfN(8, text), 5)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def scores(d: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+        TextOps.unigramNll(d).collect()
+          .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      // duplicating every doc doubles every count AND the total, leaving
+      // token probabilities — hence every per-doc NLL — exactly unchanged
+      val doubled = df.unionByName(df.withColumn("doc_id", col("doc_id") + 1000))
+      val sd = scores(doubled)
+      assert(scores(df).forall { case (k, v) => sd(k) == v })
+      // reversing token order changes nothing: unigram LM is order-blind
+      val reversed = df.withColumn("text",
+        concat_ws(" ", reverse(split(col("text"), " "))))
+      assert(scores(df) == scores(reversed))
+    }
+  }
+
   test("sequence packing equals the scalar prefix-sum binning on random corpora") {
     val lens = Gen.listOfN(40, Gen.chooseNum(1, 50))
     for ((xs, i) <- samples(lens, 6).zipWithIndex) {
