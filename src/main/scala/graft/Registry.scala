@@ -812,6 +812,30 @@ object Registry {
         FROM pairs ORDER BY a_id, b_id"""
     val wordBagTokset =
       "SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents"
+    // Full cluster-collapse chain (shared by l6_dedup_docs and
+    // l8_cluster_sample): the simJoin CTE body, the materialized rep edge
+    // list, DefaultCcIters min-label propagation rounds, and the
+    // member-expanded (doc_id, cluster_rep) frame.
+    val ccChainSql = {
+      val rounds = (1 to Dedup.DefaultCcIters).map { k =>
+        s"""lab$k AS (
+          SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
+          FROM lab${k - 1} l
+          LEFT JOIN edges e ON e.src = l.doc_id
+          LEFT JOIN lab${k - 1} n ON n.doc_id = e.dst
+          GROUP BY l.doc_id, l.label)"""
+      }.mkString(",\n        ")
+      s"""
+        ${simJoinCtes(wordBagTokset)},
+        -- MATERIALIZED: each propagation round references edges; inlined,
+        -- DuckDB would re-execute the rep-verify pipeline per round
+        edges AS MATERIALIZED (SELECT rep_a AS src, rep_b AS dst FROM vpass
+                  UNION ALL SELECT rep_b AS src, rep_a AS dst FROM vpass),
+        lab0 AS (SELECT rep_id AS doc_id, rep_id AS label FROM grp),
+        $rounds,
+        labels AS (SELECT m.doc_id, l.label AS cluster_rep
+                   FROM mem m JOIN lab${Dedup.DefaultCcIters} l ON l.doc_id = m.rep_id)"""
+    }
 
     Seq(
       QueryDef("l1_exact_dedup", Dedup.l1ExactDedup, Some("""
@@ -850,27 +874,24 @@ object Registry {
       // member-expansion join after convergence — never the member-expanded
       // pair list through the rounds (`pairs` is an unreferenced CTE here
       // and DuckDB never evaluates it).
-      QueryDef("l6_dedup_docs", Dedup.l6DedupDocs, Some {
-        val rounds = (1 to Dedup.DefaultCcIters).map { k =>
-          s"""lab$k AS (
-          SELECT l.doc_id, least(l.label, coalesce(MIN(n.label), l.label)) AS label
-          FROM lab${k - 1} l
-          LEFT JOIN edges e ON e.src = l.doc_id
-          LEFT JOIN lab${k - 1} n ON n.doc_id = e.dst
-          GROUP BY l.doc_id, l.label)"""
-        }.mkString(",\n        ")
-        s"""
-        ${simJoinCtes(wordBagTokset)},
-        -- MATERIALIZED: each propagation round references edges; inlined,
-        -- DuckDB would re-execute the rep-verify pipeline per round
-        edges AS MATERIALIZED (SELECT rep_a AS src, rep_b AS dst FROM vpass
-                  UNION ALL SELECT rep_b AS src, rep_a AS dst FROM vpass),
-        lab0 AS (SELECT rep_id AS doc_id, rep_id AS label FROM grp),
-        $rounds
-        SELECT m.doc_id, l.label AS cluster_rep, m.doc_id = l.label AS kept
-        FROM mem m JOIN lab${Dedup.DefaultCcIters} l ON l.doc_id = m.rep_id
-        ORDER BY m.doc_id"""
-      }),
+      QueryDef("l6_dedup_docs", Dedup.l6DedupDocs, Some(s"""
+        $ccChainSql
+        SELECT doc_id, cluster_rep, doc_id = cluster_rep AS kept
+        FROM labels ORDER BY doc_id""")),
+
+      // L8h: unbiased per-cluster representative sampling over the SAME
+      // clustering — seeded-hash rank replayed token-for-token.
+      QueryDef("l8_cluster_sample", Curation.l8ClusterSample, Some(s"""
+        $ccChainSql,
+        sz AS (SELECT cluster_rep, COUNT(*) AS cluster_size
+               FROM labels GROUP BY cluster_rep),
+        rk AS (SELECT doc_id, cluster_rep,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                   ORDER BY md5('${Curation.ClusterSampleSeed}|' || doc_id), doc_id) AS rk
+               FROM labels)
+        SELECT r.doc_id, r.cluster_rep, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+          r.rk <= 1 AS sampled
+        FROM rk r JOIN sz s USING (cluster_rep) ORDER BY r.doc_id""")),
 
       // n-gram Jaccard: same pipeline over word 3-gram shingles (DuckDB
       // range() is empty once its stop bound falls to 1, so short docs yield []

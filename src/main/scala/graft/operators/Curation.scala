@@ -356,4 +356,41 @@ object Curation {
   def l8Chunk(spark: SparkSession, dir: String): DataFrame =
     chunkTokens(Tables(spark, dir).documents)
       .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Per-cluster UNBIASED representative sampling — the "soft dedup" step
+    * after near-dup clustering: keep `k` members of every near-dup
+    * cluster, chosen by a seeded hash rank instead of min-doc_id (min-id
+    * systematically favours the oldest copy; the hash rank picks a
+    * uniformly pseudo-random member, the FineWeb/RedPajama-style choice),
+    * deterministically and with exact replay on any engine.
+    *
+    * `labels` is a (doc_id, cluster_rep) frame ([[Dedup.clusterCollapse]]
+    * output). One window shuffle on cluster_rep (near-dup clusters are
+    * small — the hot-cluster ceiling is the corpus' duplication factor,
+    * not corpus size) plus a broadcast-size count join.
+    */
+  def clusterSample(labels: DataFrame, k: Int, seed: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(md5(concat(lit(s"$seed|"), col("doc_id").cast("string"))), col("doc_id"))
+    val sizes = labels.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "cluster_rep")
+      .withColumn("__rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        (col("__rk") <= k).as("sampled"))
+  }
+
+  /** Fixed seed for the declared query (shared with the oracle builder). */
+  val ClusterSampleSeed = "clsample"
+
+  /** L8h declared query: one hash-chosen representative per near-dup
+    * cluster of the [[Dedup.l6DedupDocs]] clustering.
+    */
+  def l8ClusterSample(spark: SparkSession, dir: String): DataFrame =
+    clusterSample(
+      Dedup.l6DedupDocs(spark, dir).select(col("doc_id"), col("cluster_rep")),
+      k = 1, seed = ClusterSampleSeed)
+      .orderBy(col("doc_id"))
 }

@@ -128,6 +128,27 @@ class CurationSpec extends SparkSuite {
     binTotals.init.foreach(t => assert(t > 256L - maxDoc))
   }
 
+  test("L8 cluster sample: exactly k per cluster, singleton always kept, seed changes pick") {
+    import TestSpark.spark.implicits._
+    // clusters: {1,2,3}, {10,11}, {20}
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
+      .toDF("doc_id", "cluster_rep")
+    val s1 = Curation.clusterSample(labels, k = 1, seed = "s1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // sizes correct, exactly one sampled per cluster, singleton kept
+    assert(s1.map(r => r._2 -> r._3).toMap == Map(1L -> 3L, 10L -> 2L, 20L -> 1L))
+    assert(s1.filter(_._4).map(_._2).sorted.toSeq == Seq(1L, 10L, 20L))
+    assert(s1.find(_._1 == 20L).get._4)
+    // k = 2 keeps two of the triple, both of the pair
+    val s2 = Curation.clusterSample(labels, k = 2, seed = "s1").collect()
+      .map(r => (r.getLong(1), r.getBoolean(3)))
+    assert(s2.count(r => r._1 == 1L && r._2) == 2 && s2.count(r => r._1 == 10L && r._2) == 2)
+    // determinism: same seed → same picks; the hash rank is seed-driven
+    val s1b = Curation.clusterSample(labels, k = 1, seed = "s1").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).toSet
+    assert(s1.map(r => (r._1, r._4)).toSet == s1b)
+  }
+
   test("L9 decontam: exact n-gram hit flags, (n-1)-gram overlap does not") {
     // benchmark doc: 5 tokens = exactly one 5-gram "q w e r t"
     val benchmark = Seq((100L, "q w e r t")).toDF("doc_id", "text")
