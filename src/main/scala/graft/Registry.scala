@@ -1249,6 +1249,20 @@ object Registry {
         WHERE rn <= ${Curation.CapPerSource}
         ORDER BY source, rn""")),
 
+      // L8i: exact-count stratified sample — DuckDB replays the
+      // within-stratum salted-md5 rank with a plain window (the engine's
+      // distributed prefix-sum rank must equal it row for row), and the
+      // ⌈size·rate/1000⌉ keep bound with the same integer DIV identity.
+      QueryDef("l8_stratified", Curation.l8StratifiedSample, Some(s"""
+        SELECT doc_id, lang, source, stratum_size, CAST(rn AS INT) AS rn,
+          rn <= (stratum_size * ${Curation.StratifiedRatePermille} + 999) // 1000 AS sampled
+        FROM (SELECT doc_id, lang, source,
+            ROW_NUMBER() OVER (PARTITION BY lang, source
+              ORDER BY md5('${Curation.StratifiedSalt}|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY lang, source) AS stratum_size
+          FROM documents)
+        ORDER BY doc_id""")),
+
       QueryDef("l8_quality_gate", Curation.l8QualityGate, Some(s"""
         WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         q AS (SELECT doc_id,

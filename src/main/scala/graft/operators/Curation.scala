@@ -313,6 +313,76 @@ object Curation {
     epochOrder(t.documents, col("doc_id"), ShuffleSalt).orderBy(col("pos"))
   }
 
+  /** Exact-count STRATIFIED sampling: within every stratum (e.g.
+    * (lang, source)) keep exactly ⌈rate · stratum_size⌉ rows, chosen in
+    * deterministic salted-md5 order — the proportional-allocation sampler
+    * a curation run uses to thin a corpus while preserving its
+    * language/source composition exactly (a plain hash-threshold sample
+    * only hits the rate in expectation; per-stratum counts drift
+    * binomially, and rare strata can vanish outright — ⌈·⌉ guarantees
+    * every non-empty stratum survives).
+    *
+    * The within-stratum rank is the same DISTRIBUTED prefix sum as
+    * [[packBins]]/[[epochOrder]], keyed per stratum: range-partition on
+    * (strata…, hash, key) so each stratum occupies a contiguous partition
+    * range, rank within each (partition, stratum) slice, then add
+    * per-(partition, stratum) count offsets — a #partitions × #strata
+    * table, broadcast back. A `Window.partitionBy(strata)` rank would
+    * funnel the hottest stratum (one crawl source can be half of 100 TB)
+    * through ONE task; here a hot stratum spreads over as many range
+    * partitions as its mass demands. Stratum sizes join back as a
+    * broadcast (strata counts are small at any corpus scale).
+    */
+  def stratifiedSample(rows: DataFrame, strata: Seq[String], keyCol: String,
+                       ratePermille: Int, salt: String,
+                       partitions: Int = 32): DataFrame = {
+    require(ratePermille >= 0 && ratePermille <= 1000, s"bad rate: $ratePermille")
+    val sc = strata.map(col)
+    val parts = rows
+      .select(col(keyCol) +: sc :+
+        hexBucket(salt + "|", col(keyCol), 32).as("__h"): _*)
+      .repartitionByRange(partitions, sc :+ col("__h") :+ col(keyCol): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // same contract as packBins: offsets branch and
+                         // main branch must see ONE materialized partitioning
+    // per-stratum offsets of earlier partitions (tiny: #partitions × #strata)
+    val offsets = parts.groupBy(col("__pid") +: sc: _*)
+      .agg(count(lit(1)).as("__pn"))
+      .withColumn("__poff",
+        coalesce(sum(col("__pn")).over(
+          Window.partitionBy(sc: _*).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid") +: sc :+ col("__poff"): _*)
+    val sizes = parts.groupBy(sc: _*).agg(count(lit(1)).as("stratum_size"))
+    parts
+      .join(broadcast(offsets), "__pid" +: strata)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__pid") +: sc: _*).orderBy(col("__h"), col(keyCol))))
+      .join(broadcast(sizes), strata)
+      // ⌈size · rate / 1000⌉ in pure integer arithmetic (same DIV identity
+      // both engines evaluate exactly at any magnitude)
+      .select(col(keyCol) +: sc :+ col("stratum_size") :+
+        (col("__poff") + col("__rk")).cast("int").as("rn") :+
+        ((col("__poff") + col("__rk")) <=
+          expr(s"(stratum_size * $ratePermille + 999) DIV 1000")).as("sampled"): _*)
+  }
+
+  /** Rate and salt for the declared stratified-sample query. */
+  val StratifiedRatePermille = 200
+  val StratifiedSalt = "strat"
+
+  /** L8i declared query: 200‰ exact-count stratified sample of the corpus
+    * by (lang, source). Full per-doc output — rank and keep flag — so the
+    * oracle hash pins the entire within-stratum ordering, not just counts.
+    */
+  def l8StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    stratifiedSample(t.documents, Seq("lang", "source"), "doc_id",
+      StratifiedRatePermille, StratifiedSalt)
+      .orderBy(col("doc_id"))
+  }
+
   /** Context-window chunk length / stride (tokens). Stride < size gives
     * the overlapping windows long-doc training and RAG ingestion use so
     * no boundary context is lost between adjacent chunks.

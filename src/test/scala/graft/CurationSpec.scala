@@ -203,6 +203,41 @@ class CurationSpec extends SparkSuite {
     assert(moved > n / 2, s"only $moved of $n docs moved between epochs")
   }
 
+  test("L8i stratified sample: distributed rank == naive window, exact ⌈rate·n⌉ per stratum") {
+    val docs = tables.documents.select(col("doc_id"), col("lang"), col("source"))
+    val rate = 150
+    val dist = Curation.stratifiedSample(docs, Seq("lang", "source"), "doc_id",
+      rate, "tsalt", partitions = 8)
+    // boundary associativity: the prefix-sum rank equals a plain window rank
+    val naive = docs
+      .withColumn("__h", md5(concat(lit("tsalt|"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), col("source")).orderBy(col("__h"), col("doc_id"))))
+      .withColumn("stratum_size",
+        count(lit(1)).over(Window.partitionBy(col("lang"), col("source"))))
+      .select(col("doc_id"), col("lang"), col("source"), col("stratum_size"),
+        col("rn"), (col("rn") <= expr(s"(stratum_size * $rate + 999) DIV 1000")).as("sampled"))
+    assertSameRows(dist, naive)
+    // per-stratum kept count is EXACTLY ⌈rate · n⌉ — and never zero: the
+    // whole point over a hash-threshold sample, whose counts drift
+    val perStratum = dist.groupBy(col("lang"), col("source"))
+      .agg(max(col("stratum_size")).as("n"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("kept"))
+      .collect()
+    assert(perStratum.nonEmpty)
+    perStratum.foreach { r =>
+      val (n, kept) = (r.getAs[Long]("n"), r.getAs[Long]("kept"))
+      assert(kept == (n * rate + 999) / 1000,
+        s"stratum ${r.get(0)}/${r.get(1)}: kept $kept of $n at $rate‰")
+      assert(kept >= 1)
+    }
+    // rate endpoints: 1000‰ keeps everything, 0‰ keeps ⌈0⌉ = 0
+    val all = Curation.stratifiedSample(docs, Seq("lang"), "doc_id", 1000, "tsalt", 8)
+    assert(all.filter(!col("sampled")).count() == 0)
+    val none = Curation.stratifiedSample(docs, Seq("lang"), "doc_id", 0, "tsalt", 8)
+    assert(none.filter(col("sampled")).count() == 0)
+  }
+
   test("L8g chunking: full windows, declared overlap, tail reaches the end") {
     val (c, s) = (Curation.ChunkSize, Curation.ChunkStride)
     val docs = tables.documents.limit(50)
