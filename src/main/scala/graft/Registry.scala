@@ -842,6 +842,31 @@ object Registry {
         SELECT MIN(doc_id) AS keeper_id, sha256(text) AS content_sha, COUNT(*) AS n_copies
         FROM documents GROUP BY sha256(text) ORDER BY keeper_id""")),
 
+      // Cross-doc duplicated-span coverage: the oracle replays the span
+      // construction (1-based inclusive list slices == Spark slice), the
+      // dup filter, and the SAME lag-window interval merge; coverage is
+      // exact integer permille. generate_series(1, 0) and Spark's guarded
+      // empty array agree that short docs have no spans.
+      QueryDef("l1_dupspans", Dedup.l1DupSpans, Some(s"""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sp AS (SELECT doc_id, i AS p,
+                 array_to_string(t[i : i + ${Dedup.DupSpanN - 1}], ' ') AS span
+               FROM s, UNNEST(generate_series(1, len(t) - ${Dedup.DupSpanN - 1})) AS u(i)),
+        c AS (SELECT span FROM sp GROUP BY span HAVING COUNT(*) > 1),
+        d AS (SELECT sp.doc_id, least(${Dedup.DupSpanN},
+                 coalesce(sp.p - lag(sp.p) OVER (PARTITION BY sp.doc_id ORDER BY sp.p),
+                   ${Dedup.DupSpanN})) AS add
+              FROM sp JOIN c USING (span)),
+        cov AS (SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(add) AS covered FROM d GROUP BY doc_id)
+        SELECT s.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+          CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
+          CAST(CASE WHEN len(t) > 0 THEN coalesce(covered, 0) * 1000 // len(t) ELSE 0 END AS BIGINT)
+            AS dup_coverage_permille,
+          CASE WHEN len(t) > 0 THEN coalesce(covered, 0) * 1000 // len(t) ELSE 0 END
+            <= ${Dedup.DupSpanMaxCoveragePermille} AS keep
+        FROM s LEFT JOIN cov USING (doc_id) ORDER BY s.doc_id""")),
+
       QueryDef("l2_minhash", Dedup.l2Minhash, Some(s"""
         SELECT doc_id, $sigCols FROM documents ORDER BY doc_id""")),
 
@@ -1119,6 +1144,70 @@ object Registry {
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
           CAST((2 * s_micro + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1e6 AS mean_nll
         FROM doc ORDER BY doc_id""")),
+
+      // CCNet buckets: same unigram-NLL chain kept in integer micro-units,
+      // then ROW_NUMBER over the fully tie-broken (nll_micro, doc_id)
+      // order — the oracle's single-task window is the semantic twin of
+      // the engine's distributedRank — and the integer-tenths cut.
+      QueryDef("l4_ccnet_buckets", TextOps.l4CcnetBuckets, Some(s"""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY ALL),
+        cnt AS (SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token),
+        tot AS (SELECT SUM(cnt) AS t_total FROM cnt),
+        nll AS (SELECT token, CAST(ROUND(ln(t_total::DOUBLE / cnt) * 1e6) AS BIGINT) AS nll_micro
+                FROM cnt CROSS JOIN tot),
+        doc AS (SELECT doc_id, SUM(tf) AS n_tokens, SUM(tf * nll_micro) AS s_micro
+                FROM tf JOIN nll USING (token) GROUP BY doc_id),
+        scored AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     (2 * s_micro + n_tokens) // (2 * n_tokens) AS nll_micro FROM doc),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY nll_micro, doc_id) AS rank,
+                     COUNT(*) OVER () AS n FROM scored)
+        SELECT doc_id, n_tokens, CAST(nll_micro AS BIGINT) AS nll_micro,
+          CAST(rank AS INT) AS rank,
+          CASE WHEN (rank - 1) * 10 // n < ${TextOps.CcnetHeadTenths} THEN 'head'
+               WHEN (rank - 1) * 10 // n < ${TextOps.CcnetHeadTenths + TextOps.CcnetMiddleTenths}
+                 THEN 'middle' ELSE 'tail' END AS bucket
+        FROM ranked ORDER BY doc_id""")),
+
+      // Gopher ruleset: every metric is exact integer permille; the regex
+      // classes are ASCII so Java regex and RE2 count identically; the
+      // bigram-uniqueness form matches l4_repetition's.
+      QueryDef("l4_gopher", TextOps.l4Gopher, Some {
+        val stops = TextOps.GopherRequiredStops.map(s => s"'$s'").mkString(", ")
+        s"""
+        WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        m AS (SELECT doc_id,
+          CAST(len(t) AS INT) AS n_tokens,
+          list_sum([length(x) for x in t]) AS sum_tok_len,
+          len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+          CAST(len(list_filter([$stops], w -> list_contains(t, w))) AS INT) AS stop_hits,
+          len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+          greatest(len(t) - 1, 0)
+            - len(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS n_dup_bigrams,
+          greatest(greatest(len(t) - 1, 0), 1) AS n_bigrams
+        FROM s)
+        SELECT doc_id, n_tokens,
+          CAST(sum_tok_len * 1000 // n_tokens AS BIGINT) AS mean_len_permille,
+          CAST(n_alpha * 1000 // n_tokens AS BIGINT) AS alpha_permille,
+          stop_hits,
+          CAST(n_symbols * 1000 // n_tokens AS BIGINT) AS symbol_permille,
+          CAST(n_dup_bigrams * 1000 // n_bigrams AS BIGINT) AS dup_bigram_permille,
+          n_tokens BETWEEN ${TextOps.GopherMinWords} AND ${TextOps.GopherMaxWords} AS r_words,
+          sum_tok_len * 1000 // n_tokens
+            BETWEEN ${TextOps.GopherMinMeanLenPermille} AND ${TextOps.GopherMaxMeanLenPermille} AS r_mean_len,
+          n_alpha * 1000 // n_tokens >= ${TextOps.GopherMinAlphaPermille} AS r_alpha,
+          stop_hits >= ${TextOps.GopherMinStopHits} AS r_stops,
+          n_symbols * 1000 // n_tokens <= ${TextOps.GopherMaxSymbolPermille} AS r_symbols,
+          n_dup_bigrams * 1000 // n_bigrams <= ${TextOps.GopherMaxDupBigramPermille} AS r_dup_bigram,
+          (n_tokens BETWEEN ${TextOps.GopherMinWords} AND ${TextOps.GopherMaxWords})
+            AND (sum_tok_len * 1000 // n_tokens
+              BETWEEN ${TextOps.GopherMinMeanLenPermille} AND ${TextOps.GopherMaxMeanLenPermille})
+            AND (n_alpha * 1000 // n_tokens >= ${TextOps.GopherMinAlphaPermille})
+            AND (stop_hits >= ${TextOps.GopherMinStopHits})
+            AND (n_symbols * 1000 // n_tokens <= ${TextOps.GopherMaxSymbolPermille})
+            AND (n_dup_bigrams * 1000 // n_bigrams <= ${TextOps.GopherMaxDupBigramPermille}) AS keep
+        FROM m ORDER BY doc_id"""
+      }),
 
       // BPE merge candidates: the pair explode runs over the distinct-word
       // vocab with counts (both engines), exact integer weights throughout.

@@ -192,6 +192,74 @@ object Dedup {
       .orderBy(col("keeper_id"))
   }
 
+  /** Duplicated-span word length and keep threshold for [[dupSpanCoverage]]:
+    * the 8-word span of the MassiveText/RefinedWeb "fraction of tokens in
+    * duplicated n-grams" filter, and the coverage above which a document
+    * is dropped as substantially-duplicated content.
+    */
+  val DupSpanN = 8
+  val DupSpanMaxCoveragePermille = 300L
+
+  /** CROSS-document duplicated-span coverage (MassiveText §A.1.1 /
+    * RefinedWeb dup-n-gram filters): for every document, the fraction of
+    * its tokens lying inside some [[DupSpanN]]-word span that occurs more
+    * than once ANYWHERE in the corpus. Complements [[l1ExactDedup]]
+    * (whole-doc) and the within-doc [[TextOps.repetitionStats]]: this is
+    * the filter that catches boilerplate shared ACROSS documents that are
+    * not near-duplicates of each other as wholes.
+    *
+    * Shape, corpus-scale: (1) spans materialize per row as a narrow
+    * transform over the token array and explode WITH position — corpus
+    * token count × span length never materializes, only one row per span
+    * START; (2) one hash aggregation counts span occurrences (map-side
+    * partial combine absorbs locally-hot boilerplate); (3) duplicated
+    * spans join back on the span key (AQE skew-split handles a globally
+    * hot span; at 100 TB the key would be `xxhash64(span)` — 8 bytes
+    * instead of ~50 — with the text kept only through the aggregate);
+    * (4) covered-token count per doc is an INTERVAL MERGE via one
+    * per-doc window — `min(N, p − lag(p))` summed over span starts —
+    * never an exploded position set (which would multiply the shuffle by
+    * the span length). Docs with no duplicated span left-join back with
+    * coverage 0.
+    */
+  def dupSpanCoverage(docs: DataFrame, n: Int = DupSpanN,
+                      maxCoveragePermille: Long = DupSpanMaxCoveragePermille,
+                      tokenizer: Column => Column = TextOps.spaceTokenizer): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val ts = tokenizer(col("text"))
+    // span starts 1..(#tokens−n+1); sequence(1, 0) would descend, so docs
+    // shorter than one span get an explicit empty array
+    val spans = docs
+      .select(col("doc_id"),
+        posexplode(when(size(ts) >= n,
+          transform(sequence(lit(1), size(ts) - lit(n - 1)),
+            i => concat_ws(" ", slice(ts, i, lit(n)))))
+          .otherwise(array())))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("span"))
+    val dupSpans = spans.groupBy(col("span")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val covered = spans.join(dupSpans, "span")
+      .withColumn("add", least(lit(n.toLong),
+        coalesce(col("p") - lag(col("p"), 1).over(w), lit(n.toLong)).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("add")).as("covered_tokens"))
+    docs.select(col("doc_id"), size(ts).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_coverage_permille",
+        when(col("n_tokens") > 0,
+          call_function("div", col("covered_tokens") * lit(1000L), col("n_tokens")))
+          .otherwise(lit(0L)))
+      .withColumn("keep", col("dup_coverage_permille") <= maxCoveragePermille)
+  }
+
+  /** L1 declared query: duplicated-span coverage + keep flag per doc. */
+  def l1DupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpanCoverage(Tables(spark, dir).documents).orderBy(col("doc_id"))
+
   /** SimHash signature: bit i of the signature is the sign of
     * Σ_tokens (±1), where each token votes +1 on bit i iff hex digit i of
     * md5(token) is ≥ 8 — an unbiased per-bit coin derived from a hash the

@@ -319,7 +319,19 @@ object TextOps {
     * the closing ÷1e6 is one correctly-rounded double op.
     */
   def unigramNll(docs: DataFrame,
-                 tokenizer: Column => Column = spaceTokenizer): DataFrame = {
+                 tokenizer: Column => Column = spaceTokenizer): DataFrame =
+    unigramNllMicro(docs, tokenizer)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("nll_micro").cast("double") / lit(1e6)).as("mean_nll"))
+
+  /** [[unigramNll]] before the closing ÷1e6 — (doc_id, n_tokens,
+    * nll_micro) with the per-doc mean NLL as an exact HALF_UP integer in
+    * micro-units. The integer form is what downstream EXACT machinery
+    * (ranking, bucketing) consumes: integers order and replay identically
+    * on any engine, doubles need a rounding argument.
+    */
+  def unigramNllMicro(docs: DataFrame,
+                      tokenizer: Column => Column = spaceTokenizer): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokenizer(col("text"))).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     // token unigram counts derive from the tf frame (Σ tf per token), so
@@ -336,8 +348,7 @@ object TextOps {
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("nll_micro")).as("s_micro"))
       .select(col("doc_id"), col("n_tokens"),
-        (expr("(2L * s_micro + n_tokens) DIV (2L * n_tokens)")
-          .cast("double") / lit(1e6)).as("mean_nll"))
+        expr("(2L * s_micro + n_tokens) DIV (2L * n_tokens)").as("nll_micro"))
   }
 
   /** L4 declared query: per-document mean unigram NLL over the fixture
@@ -345,6 +356,46 @@ object TextOps {
     */
   def l4UnigramLm(spark: SparkSession, dir: String): DataFrame =
     unigramNll(Tables(spark, dir).documents).orderBy(col("doc_id"))
+
+  /** CCNet bucket shares in tenths of the corpus: ranks in the lowest
+    * [[CcnetHeadTenths]] tenths by NLL are "head" (closest to the LM =
+    * highest quality), the next [[CcnetMiddleTenths]] are "middle", the
+    * rest "tail" — CCNet's 30/30/40 split (Wenzek et al. 2020 §4.4).
+    */
+  val CcnetHeadTenths = 3
+  val CcnetMiddleTenths = 3
+
+  /** CCNet-style perplexity bucketing: rank every document by LM score
+    * (here [[unigramNllMicro]], ascending — lower NLL reads more like the
+    * reference corpus) and cut the ranking into head/middle/tail shares.
+    * Curation runs keep head+middle, or mix buckets at chosen rates.
+    *
+    * The global rank is [[Relational.distributedRank]] — one range
+    * exchange plus per-partition windows, never a single-task global
+    * window — and the bucket of a row is `(rank−1)·10 DIV n` compared to
+    * the share constants: pure integer arithmetic over an exactly
+    * replayable (nll_micro, doc_id) total order, so the cut points land
+    * identically on any engine at any scale. The corpus count joins in as
+    * a 1-row broadcast.
+    */
+  def ccnetBuckets(docs: DataFrame,
+                   tokenizer: Column => Column = spaceTokenizer): DataFrame = {
+    val scored = unigramNllMicro(docs, tokenizer)
+    val ranked = Relational.distributedRank(scored,
+      Seq(col("nll_micro"), col("doc_id")))
+    val total = scored.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("nll_micro"),
+        col("rank").cast("int").as("rank"),
+        when(expr("(rank - 1) * 10 DIV __n") < CcnetHeadTenths, lit("head"))
+          .when(expr("(rank - 1) * 10 DIV __n") < CcnetHeadTenths + CcnetMiddleTenths,
+            lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** L4 declared query: CCNet head/middle/tail assignment per document. */
+  def l4CcnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBuckets(Tables(spark, dir).documents).orderBy(col("doc_id"))
 
   /** First BPE-merge iteration of tokenizer training: corpus-wide
     * occurrence counts of adjacent character pairs inside words, the
@@ -597,6 +648,88 @@ object TextOps {
   /** L4i declared query: repetition metrics over the fixture corpus. */
   def l4Repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionStats(Tables(spark, dir).documents).orderBy(col("doc_id"))
+
+  /** Gopher rule thresholds (Rae et al. 2021 §A.1.1, the canonical
+    * LLM-corpus quality ruleset): word-count bounds, mean-word-length
+    * band (chars, permille), minimum share of words containing a letter,
+    * minimum count of DISTINCT required stopwords present, maximum
+    * symbol-to-word ratio, and maximum duplicate-bigram share.
+    */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMeanLenPermille = 3000L
+  val GopherMaxMeanLenPermille = 10000L
+  val GopherMinAlphaPermille = 800L
+  val GopherMinStopHits = 2
+  val GopherMaxSymbolPermille = 100L
+  val GopherMaxDupBigramPermille = 200L
+
+  /** The stopwords Gopher requires at least [[GopherMinStopHits]] of:
+    * the canonical eight (the, be, to, of, and, that, have, with)
+    * unioned with this engine's English profile ([[stopwords]]) — the
+    * list is a ruleset parameter, and the union keeps the rule
+    * discriminating on corpora whose function-word inventory differs
+    * from newswire English (on the fixture: 0/1/2 hits split the corpus
+    * 47/136/317 at sf0.01, so both rule outcomes are exercised).
+    */
+  val GopherRequiredStops: Seq[String] =
+    (Seq("the", "be", "to", "of", "and", "that", "have", "with") ++
+      stopwords("en")).distinct
+
+  /** Gopher-style document quality filter: evaluate every named rule as
+    * its own boolean column plus the conjunction `keep` — the repetition
+    * rule a curation run reads to see WHY a document was dropped, not
+    * just that it was. All metrics are exact integer permille (floor
+    * DIV), so the rule cut points land identically on any engine.
+    *
+    * Scale posture: one narrow, shuffle-free, codegen'd projection — every
+    * rule is a higher-order array function or regexp count over the row's
+    * own tokens (the bigram-uniqueness trick of [[repetitionStats]]:
+    * `array_distinct` per row, never an exploded corpus-wide pass). The
+    * filter scales with the scan; 100 TB costs exactly one read.
+    */
+  def gopherRules(docs: DataFrame,
+                  tokenizer: Column => Column = spaceTokenizer): DataFrame = {
+    val ts = tokenizer(col("text"))
+    val grams = zip_with(
+      slice(ts, lit(1), greatest(size(ts) - lit(1), lit(0))),
+      slice(ts, lit(2), greatest(size(ts) - lit(1), lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    def permille(num: Column): Column =
+      call_function("div", num * lit(1000L), col("n_tokens").cast("long"))
+    docs
+      .select(col("doc_id"),
+        size(ts).as("n_tokens"),
+        aggregate(transform(ts, length(_)), lit(0L), _ + _).as("sum_tok_len"),
+        size(filter(ts, t => t.rlike("[A-Za-z]"))).as("n_alpha"),
+        size(filter(typedLit(GopherRequiredStops),
+          s => array_contains(ts, s))).as("stop_hits"),
+        regexp_count(col("text"), lit("#|\\.\\.\\.")).as("n_symbols"),
+        (size(grams) - size(array_distinct(grams))).as("n_dup_bigrams"),
+        greatest(size(grams), lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_tokens"),
+        permille(col("sum_tok_len")).as("mean_len_permille"),
+        permille(col("n_alpha").cast("long")).as("alpha_permille"),
+        col("stop_hits"),
+        permille(col("n_symbols").cast("long")).as("symbol_permille"),
+        call_function("div", col("n_dup_bigrams").cast("long") * lit(1000L),
+          col("n_bigrams").cast("long")).as("dup_bigram_permille"))
+      .select(col("*"),
+        col("n_tokens").between(GopherMinWords, GopherMaxWords).as("r_words"),
+        col("mean_len_permille")
+          .between(GopherMinMeanLenPermille, GopherMaxMeanLenPermille).as("r_mean_len"),
+        (col("alpha_permille") >= GopherMinAlphaPermille).as("r_alpha"),
+        (col("stop_hits") >= GopherMinStopHits).as("r_stops"),
+        (col("symbol_permille") <= GopherMaxSymbolPermille).as("r_symbols"),
+        (col("dup_bigram_permille") <= GopherMaxDupBigramPermille).as("r_dup_bigram"))
+      .withColumn("keep",
+        col("r_words") && col("r_mean_len") && col("r_alpha") &&
+          col("r_stops") && col("r_symbols") && col("r_dup_bigram"))
+  }
+
+  /** L4 declared query: the Gopher ruleset over the fixture corpus. */
+  def l4Gopher(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables(spark, dir).documents).orderBy(col("doc_id"))
 
   /** PII scrub patterns, applied in this order. ASCII character classes
     * on purpose: Java regex (Spark) and RE2 (DuckDB) match identically,

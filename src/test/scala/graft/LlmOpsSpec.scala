@@ -639,4 +639,80 @@ class LlmOpsSpec extends SparkSuite {
       TextOps.scrub(col("text")).as("b")).filter(col("a") =!= col("b"))
     assert(twice.count() == 0)
   }
+
+  test("L4 Gopher rules: each rule fails on its constructed violator, fixture keep is non-degenerate") {
+    val pass = "the a " + (1 to 60).map(i => f"word$i%02d").mkString(" ")
+    val df = Seq(
+      (1L, pass),                                            // passes every rule
+      (2L, "the a cat"),                                     // too few words
+      (3L, "the a " + Seq.fill(60)("0123456789012").mkString(" ")), // mean len > 10
+      (4L, "the a " + (1 to 60).map(_.toString).mkString(" ")),     // digits: alpha < 80%
+      (5L, (1 to 60).map(i => f"word$i%02d").mkString(" ")),        // no required stopwords
+      (6L, "the a " + Seq.fill(60)("#").mkString(" ")),             // symbol-heavy
+      (7L, "the a " + Seq.fill(30)("x y").mkString(" ")))           // duplicate bigrams
+      .toDF("doc_id", "text")
+    val m = TextOps.gopherRules(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Boolean]("keep"))
+    assert(!m(2L).getAs[Boolean]("r_words") && !m(2L).getAs[Boolean]("keep"))
+    assert(!m(3L).getAs[Boolean]("r_mean_len"))
+    assert(!m(4L).getAs[Boolean]("r_alpha"))
+    assert(!m(5L).getAs[Boolean]("r_stops"))
+    assert(!m(6L).getAs[Boolean]("r_symbols"))
+    assert(!m(7L).getAs[Boolean]("r_dup_bigram"))
+    // doc 7: 62 tokens, 61 bigrams, distinct = {the a, a x, x y, y x} = 4
+    assert(m(7L).getAs[Long]("dup_bigram_permille") == 1000L * 57 / 61)
+    // the ruleset must discriminate on the fixture, not rubber-stamp it
+    val fixture = TextOps.l4Gopher(spark, sf)
+    assert(fixture.filter(col("keep")).count() > 0)
+    assert(fixture.filter(!col("keep")).count() > 0)
+  }
+
+  test("L4 CCNet buckets: exact 30/30/40 shares, rank is a permutation, NLL ordered by rank") {
+    val out = TextOps.l4CcnetBuckets(spark, sf).collect()
+    val n = out.length
+    assert(n == tables.documents.count())
+    val byBucket = out.groupBy(_.getAs[String]("bucket")).view.mapValues(_.length).toMap
+    def share(loTenth: Int, hiTenth: Int): Int =
+      (1 to n).count(r => { val t = (r - 1) * 10 / n; t >= loTenth && t < hiTenth })
+    assert(byBucket("head") == share(0, TextOps.CcnetHeadTenths))
+    assert(byBucket("middle") == share(TextOps.CcnetHeadTenths,
+      TextOps.CcnetHeadTenths + TextOps.CcnetMiddleTenths))
+    assert(byBucket("tail") == n - byBucket("head") - byBucket("middle"))
+    assert(out.map(_.getAs[Int]("rank")).sorted.sameElements(1 to n))
+    // rank order IS nll order (ties by doc_id): nll never decreases with rank
+    val byRank = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("nll_micro"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("L1 dup-span coverage: overlap merges, cross-doc detection, short docs exempt") {
+    val run = (1 to 9).map(i => s"s$i").mkString(" ") // 9 words = 2 overlapping 8-spans
+    val df = Seq(
+      (1L, run + " " + (1 to 30).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"b$i").mkString(" ") + " " + run),
+      (3L, (1 to 20).map(i => s"c$i").mkString(" ")), // no shared content
+      (4L, run + " d1 d2"),                           // mostly duplicated → dropped
+      (5L, "e1 e2"))                                  // shorter than one span
+      .toDF("doc_id", "text")
+    val m = Dedup.dupSpanCoverage(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the 9-word shared run = spans at p and p+1; interval-merged cover = 9, not 16
+    Seq(1L, 2L, 4L).foreach { id =>
+      assert(m(id).getAs[Long]("n_dup_spans") == 2L, s"doc $id")
+      assert(m(id).getAs[Long]("covered_tokens") == 9L, s"doc $id")
+    }
+    assert(m(1L).getAs[Long]("dup_coverage_permille") == 9000L / 39)
+    assert(m(1L).getAs[Boolean]("keep")) // 230‰ ≤ 300‰
+    assert(!m(4L).getAs[Boolean]("keep")) // 9/11 = 818‰
+    Seq(3L, 5L).foreach { id =>
+      assert(m(id).getAs[Long]("covered_tokens") == 0L)
+      assert(m(id).getAs[Boolean]("keep"))
+    }
+    // a WITHIN-doc repeat is also a duplicated span (global count > 1)
+    val self = Seq((1L, ((1 to 8) ++ (1 to 8)).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sm = Dedup.dupSpanCoverage(self).collect().head
+    assert(sm.getAs[Long]("covered_tokens") == 16L) // both copies covered
+    assert(sm.getAs[Long]("dup_coverage_permille") == 1000L)
+  }
 }
