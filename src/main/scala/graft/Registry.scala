@@ -1352,6 +1352,29 @@ object Registry {
           FROM documents)
         ORDER BY doc_id""")),
 
+      // L8j: temperature mix — the oracle replays the within-stratum
+      // salted-md5 rank, the micro-snapped √n weights (sqrt is one
+      // correctly-rounded IEEE op on both engines), and the integer quota
+      // ceiling, so quotas and per-row keep flags hash-match exactly.
+      QueryDef("l8_temperature_mix", Curation.l8TemperatureMix, Some(s"""
+        WITH r AS (SELECT doc_id, lang,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5('${Curation.TemperatureSalt}|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY lang) AS stratum_size
+          FROM documents),
+        sz AS (SELECT lang, COUNT(*) AS n,
+            CAST(ROUND(sqrt(COUNT(*)) * 1e6) AS BIGINT) AS s_micro
+          FROM documents GROUP BY lang),
+        tot AS (SELECT SUM(n) AS nn, SUM(s_micro) AS t FROM sz),
+        alloc AS (SELECT lang,
+            least(n, ((nn * ${Curation.TemperatureKeepPermille} // 1000) * s_micro + t - 1) // t)
+              AS quota
+          FROM sz CROSS JOIN tot)
+        SELECT r.doc_id, r.lang, CAST(r.stratum_size AS BIGINT) AS stratum_size,
+          CAST(r.rn AS INT) AS rn, CAST(a.quota AS BIGINT) AS quota,
+          r.rn <= a.quota AS sampled
+        FROM r JOIN alloc a USING (lang) ORDER BY r.doc_id""")),
+
       QueryDef("l8_quality_gate", Curation.l8QualityGate, Some(s"""
         WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         q AS (SELECT doc_id,

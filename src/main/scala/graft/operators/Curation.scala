@@ -337,6 +337,22 @@ object Curation {
                        ratePermille: Int, salt: String,
                        partitions: Int = 32): DataFrame = {
     require(ratePermille >= 0 && ratePermille <= 1000, s"bad rate: $ratePermille")
+    // ⌈size · rate / 1000⌉ in pure integer arithmetic (same DIV identity
+    // both engines evaluate exactly at any magnitude)
+    stratumRank(rows, strata, keyCol, salt, partitions)
+      .select(col(keyCol) +: strata.map(col) :+ col("stratum_size") :+
+        col("rn").cast("int").as("rn") :+
+        (col("rn") <=
+          expr(s"(stratum_size * $ratePermille + 999) DIV 1000")).as("sampled"): _*)
+  }
+
+  /** The distributed within-stratum rank both samplers share: every row of
+    * `rows` with its stratum's size and its 1-based rank in the stratum's
+    * salted-md5 order — (keyCol, strata…, stratum_size, rn). See
+    * [[stratifiedSample]] for the prefix-sum decomposition rationale.
+    */
+  def stratumRank(rows: DataFrame, strata: Seq[String], keyCol: String,
+                  salt: String, partitions: Int = 32): DataFrame = {
     val sc = strata.map(col)
     val parts = rows
       .select(col(keyCol) +: sc :+
@@ -360,12 +376,8 @@ object Curation {
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("__pid") +: sc: _*).orderBy(col("__h"), col(keyCol))))
       .join(broadcast(sizes), strata)
-      // ⌈size · rate / 1000⌉ in pure integer arithmetic (same DIV identity
-      // both engines evaluate exactly at any magnitude)
       .select(col(keyCol) +: sc :+ col("stratum_size") :+
-        (col("__poff") + col("__rk")).cast("int").as("rn") :+
-        ((col("__poff") + col("__rk")) <=
-          expr(s"(stratum_size * $ratePermille + 999) DIV 1000")).as("sampled"): _*)
+        (col("__poff") + col("__rk")).as("rn"): _*)
   }
 
   /** Rate and salt for the declared stratified-sample query. */
@@ -380,6 +392,61 @@ object Curation {
     val t = Tables(spark, dir)
     stratifiedSample(t.documents, Seq("lang", "source"), "doc_id",
       StratifiedRatePermille, StratifiedSalt)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Share of the corpus a temperature mix keeps, and its rank salt. */
+  val TemperatureKeepPermille = 500
+  val TemperatureSalt = "temp"
+
+  /** TEMPERATURE-based source/language rebalancing (the α-sampling of
+    * multilingual LM training, mT5/XLM-R style, here at α = 1/2): a
+    * proportional sample keeps big strata big — q_s ∝ n_s — while
+    * temperature flattens the distribution toward uniform by sampling
+    * stratum s with probability q_s ∝ n_s^α, boosting low-resource
+    * strata. With a total budget of K = ⌊N · keepPermille/1000⌋ rows, the
+    * per-stratum quota is k_s = min(n_s, ⌈K · √n_s / Σ√n⌉), and the kept
+    * rows are the first k_s of the stratum's deterministic salted-md5
+    * order ([[stratumRank]] — same distributed prefix-sum rank as
+    * [[stratifiedSample]], hot strata spread across range partitions).
+    *
+    * Exactness: √n of an integer is ONE correctly-rounded IEEE op
+    * (identical on any engine — unlike pow, which general α would need),
+    * snapped to integer micro-units before any summation, so the quota
+    * arithmetic is pure integers. The allocation table is strata-sized
+    * (tiny at any corpus scale) and joins in as a broadcast; at extreme
+    * cardinalities (K · s_micro beyond 2⁶³ ≈ corpora past ~10⁹ docs) the
+    * quota column — and only it — would move to DECIMAL(38,0).
+    */
+  def temperatureMix(rows: DataFrame, stratum: String, keyCol: String,
+                     keepPermille: Int, salt: String,
+                     partitions: Int = 32): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000, s"bad keep: $keepPermille")
+    val ranked = stratumRank(rows, Seq(stratum), keyCol, salt, partitions)
+    val sizes = ranked.groupBy(col(stratum))
+      .agg(max(col("stratum_size")).as("n"))
+      .withColumn("s_micro", round(sqrt(col("n")) * lit(1e6)).cast("long"))
+    val totals = sizes.agg(sum(col("n")).as("__N"), sum(col("s_micro")).as("__T"))
+    val alloc = sizes.crossJoin(broadcast(totals))
+      .select(col(stratum),
+        least(col("n"), expr(
+          s"((__N * $keepPermille DIV 1000) * s_micro + __T - 1) DIV __T"))
+          .as("quota"))
+    ranked.join(broadcast(alloc), stratum)
+      .select(col(keyCol), col(stratum), col("stratum_size"),
+        col("rn").cast("int").as("rn"), col("quota"),
+        (col("rn") <= col("quota")).as("sampled"))
+  }
+
+  /** L8j declared query: 500‰ temperature mix over `lang` — the fixture's
+    * languages are skewed (en ≈ 44 % of docs), so the √-flattened quotas
+    * visibly differ from proportional ones and both keep outcomes are
+    * exercised per language.
+    */
+  def l8TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    temperatureMix(t.documents, "lang", "doc_id",
+      TemperatureKeepPermille, TemperatureSalt)
       .orderBy(col("doc_id"))
   }
 

@@ -238,6 +238,46 @@ class CurationSpec extends SparkSuite {
     assert(none.filter(col("sampled")).count() == 0)
   }
 
+  test("L8j temperature mix: √-flattened quotas, budget respected, rank == naive window") {
+    val docs = tables.documents.select(col("doc_id"), col("lang"))
+    val keep = 400
+    val out = Curation.temperatureMix(docs, "lang", "doc_id", keep, "tsalt", partitions = 8)
+    val strata = out.groupBy(col("lang"))
+      .agg(max(col("stratum_size")).as("n"), max(col("quota")).as("q"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("kept"))
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("q"), r.getAs[Long]("kept")))
+    assert(strata.length > 1)
+    strata.foreach { case (n, q, kept) =>
+      assert(q >= 1 && q <= n, s"quota $q outside [1, $n]")
+      assert(kept == q, s"kept $kept != quota $q")
+    }
+    // flattening: the IDEAL keep rate K·√n/(T·n) is strictly decreasing in
+    // n; quotas sit within +1 of ideal (⌈·⌉), so adjacent strata get the
+    // ceiling-tolerant inequality and the extreme strata the strict one
+    val bySize = strata.sortBy(_._1)
+    bySize.zip(bySize.tail).foreach { case ((n1, q1, _), (n2, q2, _)) =>
+      assert((q1 + 1) * n2 >= (q2 - 1) * n1,
+        s"keep rate increased with size: $q1/$n1 -> $q2/$n2")
+      assert(q1 <= q2, s"quota not monotone in stratum size: $q1 > $q2")
+    }
+    val (nMin, qMin, _) = bySize.head
+    val (nMax, qMax, _) = bySize.last
+    assert(qMax * nMin < qMin * nMax,
+      s"largest stratum not flattened: $qMax/$nMax vs $qMin/$nMin")
+    // total stays within the budget K plus the per-stratum ceiling slack
+    val N = strata.map(_._1).sum
+    val K = N * keep / 1000
+    val total = strata.map(_._2).sum
+    assert(total <= K + strata.length, s"quotas $total blow the budget $K")
+    // the distributed rank is the same as a naive per-stratum window rank
+    val naive = docs
+      .withColumn("__h", md5(concat(lit("tsalt|"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("rn"))
+    assertSameRows(out.select(col("doc_id"), col("rn")), naive)
+  }
+
   test("L8g chunking: full windows, declared overlap, tail reaches the end") {
     val (c, s) = (Curation.ChunkSize, Curation.ChunkStride)
     val docs = tables.documents.limit(50)
