@@ -1388,6 +1388,73 @@ object Registry {
         WHERE quality_permille >= median_permille
         ORDER BY doc_id""")),
 
+      // L0: the end-to-end curation run. Each CTE block replays the SAME
+      // construction as the standalone oracle of its stage (l4_gopher,
+      // l1_dupspans, l4_ccnet_buckets over the survivor set, l8_pack) with
+      // the same shared constants — the hash pins the whole composed
+      // manifest, so a drift in ANY stage breaks this query too.
+      QueryDef("l0_pipeline", Curation.l0Pipeline, Some {
+        val stops = TextOps.GopherRequiredStops.map(s => s"'$s'").mkString(", ")
+        s"""
+        WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        gm AS (SELECT doc_id,
+          CAST(len(t) AS INT) AS n_tokens,
+          list_sum([length(x) for x in t]) AS sum_tok_len,
+          len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+          len(list_filter([$stops], w -> list_contains(t, w))) AS stop_hits,
+          len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+          greatest(len(t) - 1, 0)
+            - len(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS n_dup_bigrams,
+          greatest(greatest(len(t) - 1, 0), 1) AS n_bigrams
+        FROM s),
+        g AS (SELECT doc_id FROM gm
+          WHERE n_tokens BETWEEN ${TextOps.GopherMinWords} AND ${TextOps.GopherMaxWords}
+            AND sum_tok_len * 1000 // n_tokens
+              BETWEEN ${TextOps.GopherMinMeanLenPermille} AND ${TextOps.GopherMaxMeanLenPermille}
+            AND n_alpha * 1000 // n_tokens >= ${TextOps.GopherMinAlphaPermille}
+            AND stop_hits >= ${TextOps.GopherMinStopHits}
+            AND n_symbols * 1000 // n_tokens <= ${TextOps.GopherMaxSymbolPermille}
+            AND n_dup_bigrams * 1000 // n_bigrams <= ${TextOps.GopherMaxDupBigramPermille}),
+        sp AS (SELECT doc_id, i AS p,
+                 array_to_string(t[i : i + ${Dedup.DupSpanN - 1}], ' ') AS span
+               FROM s, UNNEST(generate_series(1, len(t) - ${Dedup.DupSpanN - 1})) AS u(i)),
+        dsc AS (SELECT span FROM sp GROUP BY span HAVING COUNT(*) > 1),
+        dd AS (SELECT sp.doc_id, least(${Dedup.DupSpanN},
+                 coalesce(sp.p - lag(sp.p) OVER (PARTITION BY sp.doc_id ORDER BY sp.p),
+                   ${Dedup.DupSpanN})) AS add
+               FROM sp JOIN dsc USING (span)),
+        cov AS (SELECT doc_id, SUM(add) AS covered FROM dd GROUP BY doc_id),
+        dk AS (SELECT s.doc_id FROM s LEFT JOIN cov USING (doc_id)
+               WHERE CASE WHEN len(t) > 0 THEN coalesce(covered, 0) * 1000 // len(t) ELSE 0 END
+                 <= ${Dedup.DupSpanMaxCoveragePermille}),
+        surv AS (SELECT s.doc_id, s.text FROM s
+                 JOIN g USING (doc_id) JOIN dk USING (doc_id)),
+        toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM surv),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY ALL),
+        cnt AS (SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token),
+        tot AS (SELECT SUM(cnt) AS t_total FROM cnt),
+        nll AS (SELECT token, CAST(ROUND(ln(t_total::DOUBLE / cnt) * 1e6) AS BIGINT) AS nll_micro
+                FROM cnt CROSS JOIN tot),
+        doc AS (SELECT doc_id, SUM(tf) AS n_tokens, SUM(tf * nll_micro) AS s_micro
+                FROM tf JOIN nll USING (token) GROUP BY doc_id),
+        scored AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     (2 * s_micro + n_tokens) // (2 * n_tokens) AS nll_micro FROM doc),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY nll_micro, doc_id) AS rank,
+                     COUNT(*) OVER () AS n FROM scored),
+        bk AS (SELECT doc_id, n_tokens,
+                 CASE WHEN (rank - 1) * 10 // n < ${TextOps.CcnetHeadTenths} THEN 'head'
+                      ELSE 'middle' END AS bucket
+               FROM ranked
+               WHERE (rank - 1) * 10 // n < ${TextOps.CcnetHeadTenths + TextOps.CcnetMiddleTenths}),
+        p AS (SELECT doc_id, n_tokens, bucket,
+                SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS tokens_before
+              FROM bk)
+        SELECT doc_id, n_tokens, bucket,
+          CAST(tokens_before // ${Curation.PackBudget} AS BIGINT) AS bin
+        FROM p ORDER BY doc_id"""
+      }),
+
       QueryDef("l8_pack", Curation.l8Pack, Some(s"""
         WITH s AS (SELECT doc_id,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

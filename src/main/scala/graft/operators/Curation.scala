@@ -450,6 +450,35 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** L0 declared query: the curation RUN — the stages this library exists
+    * for, composed end-to-end as ONE declarative plan. (1) Gopher ruleset
+    * filter and (2) cross-doc duplicated-span filter gate the raw corpus
+    * (both computed corpus-wide, intersected on doc_id); (3) CCNet
+    * bucketing re-fits the unigram LM on the SURVIVORS (the reference-LM
+    * discipline: score against the distribution you are keeping) and
+    * drops the tail; (4) survivors pack into [[PackBudget]]-token bins in
+    * doc_id order. Output is the training-data manifest: one row per kept
+    * doc with its quality bucket and its bin.
+    *
+    * Composition is the point: every stage is the SAME operator the
+    * standalone queries declare, so Catalyst sees one tree — the gopher
+    * pass stays a narrow projection fused into the scan, the two keep
+    * sets reach the corpus join as constant-width id frames, and packing
+    * adds its prefix-sum exchanges only over the ~halved survivor set.
+    */
+  def l0Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val keepG = TextOps.gopherRules(docs).filter(col("keep")).select("doc_id")
+    val keepD = Dedup.dupSpanCoverage(docs).filter(col("keep")).select("doc_id")
+    val survivors = docs.join(keepG, "doc_id").join(keepD, "doc_id")
+    val bucketed = TextOps.ccnetBuckets(survivors)
+      .filter(col("bucket") =!= lit("tail"))
+    packBins(bucketed, col("n_tokens"), PackBudget)
+      .join(bucketed.select(col("doc_id"), col("bucket")), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("bin"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Context-window chunk length / stride (tokens). Stride < size gives
     * the overlapping windows long-doc training and RAG ingestion use so
     * no boundary context is lost between adjacent chunks.

@@ -278,6 +278,33 @@ class CurationSpec extends SparkSuite {
     assertSameRows(out.select(col("doc_id"), col("rn")), naive)
   }
 
+  test("L0 pipeline: composed manifest == stagewise recomputation with naive pack") {
+    import graft.operators.{Dedup, TextOps}
+    val out = Curation.l0Pipeline(spark, sf)
+    val docs = tables.documents
+    val g = TextOps.gopherRules(docs).filter(col("keep")).select("doc_id")
+    val d = Dedup.dupSpanCoverage(docs).filter(col("keep")).select("doc_id")
+    val surv = docs.join(g, "doc_id").join(d, "doc_id")
+    val bk = TextOps.ccnetBuckets(surv).filter(col("bucket") =!= lit("tail"))
+    val naive = bk
+      .withColumn("tokens_before", coalesce(
+        sum(col("n_tokens")).over(Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        expr(s"tokens_before DIV ${Curation.PackBudget}L").as("bin"))
+    assertSameRows(out, naive)
+    // the tail really is dropped, and the kept share is the integer-tenths
+    // 60 % cut of the survivor ranking
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(r => Set("head", "middle")(r.getAs[String]("bucket"))))
+    val nSurv = surv.count()
+    val expectKept = (1 to nSurv.toInt).count(r => (r - 1) * 10 / nSurv < 6)
+    assert(rows.length == expectKept, s"${rows.length} kept of $nSurv survivors")
+    // bins are contiguous from 0
+    val bins = rows.map(_.getAs[Long]("bin")).distinct.sorted
+    assert(bins.head == 0L && bins.sameElements(0L to bins.last))
+  }
+
   test("L8g chunking: full windows, declared overlap, tail reaches the end") {
     val (c, s) = (Curation.ChunkSize, Curation.ChunkStride)
     val docs = tables.documents.limit(50)
