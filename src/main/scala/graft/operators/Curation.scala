@@ -471,8 +471,13 @@ object Curation {
     val keepG = TextOps.gopherRules(docs).filter(col("keep")).select("doc_id")
     val keepD = Dedup.dupSpanCoverage(docs).filter(col("keep")).select("doc_id")
     val survivors = docs.join(keepG, "doc_id").join(keepD, "doc_id")
+    // materialized ONCE: both the pack branch and the bucket join-back
+    // consume it — without this, the join-back would re-execute the whole
+    // filter + LM chain (same contract as packBins/stratumRank;
+    // a cluster run would use reliable `checkpoint`)
     val bucketed = TextOps.ccnetBuckets(survivors)
       .filter(col("bucket") =!= lit("tail"))
+      .localCheckpoint()
     packBins(bucketed, col("n_tokens"), PackBudget)
       .join(bucketed.select(col("doc_id"), col("bucket")), "doc_id")
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("bin"))

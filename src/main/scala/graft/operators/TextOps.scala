@@ -383,7 +383,12 @@ object TextOps {
     val scored = unigramNllMicro(docs, tokenizer)
     val ranked = Relational.distributedRank(scored,
       Seq(col("nll_micro"), col("doc_id")))
-    val total = scored.agg(count(lit(1)).as("__n"))
+    // count the RANKED frame, not `scored`: distributedRank materializes
+    // its input once (localCheckpoint), so this rides the checkpointed
+    // partitions — an agg over `scored` would re-execute the whole
+    // upstream chain (the full NLL derivation, plus whatever filters a
+    // caller like the L0 pipeline stacked below it) a second time
+    val total = ranked.agg(count(lit(1)).as("__n"))
     ranked.crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_tokens"), col("nll_micro"),
         col("rank").cast("int").as("rank"),
