@@ -294,6 +294,57 @@ object TailTwins {
             expr("3 * n_triangles * 1000 / nullif(n_wedges, 0)").as("cc_permille"))
       }),
 
+      "l1_dupspans" -> (() => {
+        // the form an experienced user writes first: window-count the
+        // spans, then EXPLODE every duplicated span into its covered
+        // positions and count them distinct — correct, but the explode
+        // multiplies the shuffle by the span length (the engine's
+        // lag-window interval merge keeps one row per span start)
+        import org.apache.spark.sql.expressions.Window
+        val d = docs.withColumn("t", split(col("text"), " "))
+        val spans = d.select(col("doc_id"),
+          posexplode(when(size(col("t")) >= 8,
+            transform(sequence(lit(1), size(col("t")) - 7),
+              i => concat_ws(" ", (0 until 8).map(o => element_at(col("t"), i + o)): _*)))
+            .otherwise(array().cast("array<string>"))))
+          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("span"))
+        val dup = spans.withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("span")))).filter(col("cnt") > 1)
+        val cov = dup.select(col("doc_id"),
+            explode(sequence(col("p"), col("p") + 7)).as("q"))
+          .groupBy("doc_id").agg(countDistinct(col("q")).as("covered"))
+        d.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+          .join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("covered"), lit(0L)).as("covered_tokens"))
+          .orderBy("doc_id")
+      }),
+
+      "l4_ccnet_buckets" -> (() => {
+        // idiomatic single-node form: the same NLL scoring, then ONE
+        // global Window.orderBy rank — fine on local[32], the 1-task
+        // funnel the engine's distributedRank exists to avoid
+        import org.apache.spark.sql.expressions.Window
+        val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val cnt = tf.groupBy("token").agg(sum("tf").as("cnt"))
+        val total = cnt.agg(sum("cnt").as("t_total"))
+        val scored = tf.join(cnt.crossJoin(broadcast(total))
+            .select(col("token"), round(log(col("t_total").cast("double") / col("cnt")) * lit(1e6))
+              .cast("long").as("nllm")), "token")
+          .groupBy("doc_id")
+          .agg(sum("tf").as("n_tokens"), sum(col("tf") * col("nllm")).as("s"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("(2L * s + n_tokens) DIV (2L * n_tokens)").as("nll_micro"))
+        scored.crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("nll_micro"), col("doc_id"))))
+          .select(col("doc_id"), col("n_tokens"), col("nll_micro"), col("rank"),
+            when(expr("(rank - 1) * 10 DIV n") < 3, lit("head"))
+              .when(expr("(rank - 1) * 10 DIV n") < 6, lit("middle"))
+              .otherwise(lit("tail")).as("bucket"))
+      }),
+
       "s7_profile" -> (() => {
         // same column coverage as the declared query (TableCols is a data
         // constant, not an operator); naive per-column agg + union loop
