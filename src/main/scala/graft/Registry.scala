@@ -963,6 +963,36 @@ object Registry {
           CAST((1000 * n_common) // k_exact AS BIGINT) AS recall_permille
         FROM k CROSS JOIN ka CROSS JOIN c""")),
 
+      // M3: MRR / precision@k — the oracle replays the shared BM25 body,
+      // a VALUES query-token table, the same micro-unit score sum, and a
+      // per-query window rank (the single-task twin of the engine's
+      // offset-localized distributedRank).
+      QueryDef("m3_mrr", Eval.m3Mrr, Some {
+        val qVals = Eval.MrrQueries.flatMap { q =>
+          val ts = q.split("\\s+").filter(_.nonEmpty).distinct
+          ts.map(t => s"('$q', '$t', ${ts.length})")
+        }.mkString(", ")
+        s"""
+        WITH bmq AS ($bm25BodySql),
+        q(query, token, n_q) AS (SELECT * FROM (VALUES $qVals)),
+        sc AS (SELECT query, doc_id, n_q,
+                 SUM(CAST(ROUND(bm25 * 1e6) AS BIGINT)) AS score_micro,
+                 COUNT(*) AS n_terms_hit
+               FROM bmq JOIN q USING (token) GROUP BY ALL),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query
+                 ORDER BY score_micro DESC, doc_id) AS rnk FROM sc),
+        tk AS (SELECT * FROM rk WHERE rnk <= ${Eval.MrrK})
+        SELECT query,
+          CAST(coalesce(MIN(CASE WHEN n_terms_hit = n_q THEN rnk END), 0) AS INT)
+            AS first_rel_rank,
+          CAST(coalesce(1000000 // MIN(CASE WHEN n_terms_hit = n_q THEN rnk END), 0) AS BIGINT)
+            AS rr_micro,
+          CAST(SUM(CASE WHEN n_terms_hit = n_q THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k,
+          CAST(SUM(CASE WHEN n_terms_hit = n_q THEN 1 ELSE 0 END) * 1000000 // ${Eval.MrrK}
+            AS BIGINT) AS prec_at_k_micro
+        FROM tk GROUP BY query ORDER BY query"""
+      }),
+
       // IVF replay: k-means-TRAINED centroids (Similarity.KmIters Lloyd
       // rounds over the deterministic vec_id % KmTrainMod == 0 training
       // slice from its first-cells init, one CTE chain

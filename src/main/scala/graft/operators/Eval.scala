@@ -84,4 +84,68 @@ object Eval {
     recallAgainst(
       Similarity.l3AnnBucket(spark, dir),
       Similarity.l3CosineTopK(spark, dir), "vec_id")
+
+  /** The declared retrieval-eval query set: conjunctive relevance (a doc
+    * is relevant iff it contains EVERY query token). One rare-term query,
+    * one common-term query, and one with a vocabulary-absent token
+    * ("zebra") so the no-relevant-document path (rr = 0) is exercised
+    * deterministically at every fixture scale.
+    */
+  val MrrQueries: Seq[String] =
+    Seq("dup scan query", "merge sort table", "stream batch zebra")
+  val MrrK = 15
+
+  /** M3: ranking-quality metrics — MRR and precision@k of BM25 retrieval
+    * under conjunctive relevance, per query. Reciprocal rank and
+    * precision are exact integer micro-units (floor DIV), so the metric
+    * joins the oracle contract like AUC and recall do.
+    *
+    * Scale shape: the corpus-wide BM25 weight table is computed ONCE for
+    * all queries ([[TextOps.bm25Frame]] — tf/df aggregates); the
+    * query-token frame joins in as a BROADCAST (a benchmark's query set
+    * is KBs against 100 TB); only matching (query, doc) candidates — a
+    * posting-list-sized set — survive to scoring. The per-query rank
+    * does NOT use a `Window.partitionBy(query)` (a common-token query's
+    * candidate set is corpus-sized — one task would take the whole
+    * corpus): it rides ONE [[Relational.distributedRank]] over
+    * (query, score desc, doc_id) and localizes by subtracting each
+    * query's broadcast rank offset.
+    */
+  def mrrAtK(docs: DataFrame, queries: Seq[String], k: Int): DataFrame = {
+    require(queries.nonEmpty && k >= 1, "need queries and k >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qdf = queries.flatMap { q =>
+      val ts = q.split("\\s+").filter(_.nonEmpty).distinct
+      ts.map(t => (q, t, ts.length))
+    }.toDF("query", "token", "n_q")
+    val scored = TextOps.bm25Frame(docs)
+      .join(broadcast(qdf), "token")
+      .groupBy(col("query"), col("doc_id"), col("n_q"))
+      .agg(sum(round(col("bm25") * lit(1e6)).cast("long")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+    val ranked = Relational.distributedRank(scored,
+      Seq(col("query"), col("score_micro").desc, col("doc_id")))
+    val offsets = ranked.groupBy(col("query")).agg(min(col("rank")).as("__off"))
+    val topk = ranked.join(broadcast(offsets), "query")
+      .withColumn("rnk", (col("rank") - col("__off") + 1).cast("int"))
+      .filter(col("rnk") <= k)
+      .withColumn("relevant", col("n_terms_hit") === col("n_q"))
+    topk.groupBy(col("query"))
+      .agg(min(when(col("relevant"), col("rnk"))).as("__first"),
+        sum(when(col("relevant"), 1L).otherwise(0L)).as("n_rel_at_k"))
+      .select(col("query"),
+        coalesce(col("__first"), lit(0)).cast("int").as("first_rel_rank"),
+        coalesce(expr("1000000 DIV __first"), lit(0L)).as("rr_micro"),
+        col("n_rel_at_k"),
+        expr(s"n_rel_at_k * 1000000 DIV $k").as("prec_at_k_micro"))
+  }
+
+  /** M3 declared query: MRR / precision@[[MrrK]] of BM25 retrieval over
+    * [[MrrQueries]] — the search-quality eval a pipeline runs on its
+    * index before serving it.
+    */
+  def m3Mrr(spark: SparkSession, dir: String): DataFrame =
+    mrrAtK(Tables(spark, dir).documents, MrrQueries, MrrK)
+      .orderBy(col("query"))
 }

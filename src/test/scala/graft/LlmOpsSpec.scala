@@ -668,6 +668,16 @@ class LlmOpsSpec extends SparkSuite {
     assert(fixture.filter(!col("keep")).count() > 0)
   }
 
+  test("L4 Gopher plan: shuffle-free narrow pass, scan pruned to the used columns") {
+    val plan = TextOps.gopherRules(tables.documents).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"gopherRules must stay a narrow per-row pass, got:\n$plan")
+    // only doc_id + text reach the scan — n_chars/lang/source are pruned
+    val scan = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("doc_id") && scan.contains("text") && !scan.contains("n_chars"),
+      s"scan not pruned: $scan")
+  }
+
   test("L4 CCNet buckets: exact 30/30/40 shares, rank is a permutation, NLL ordered by rank") {
     val out = TextOps.l4CcnetBuckets(spark, sf).collect()
     val n = out.length

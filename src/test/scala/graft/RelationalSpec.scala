@@ -375,6 +375,54 @@ class RelationalSpec extends SparkSuite {
     assert(fx.getLong(3) >= 0L && fx.getLong(3) <= 1000L)
   }
 
+  test("m3 MRR: constructed relevance cases; fixture ranks match a naive window twin") {
+    import TestSpark.spark.implicits._
+    import graft.operators.Eval
+    // 4 docs: doc 1 contains both terms (relevant), others one term each;
+    // rare+common makes doc 1 the top hit → rr = 1e6, one relevant in top-k
+    val docs = Seq(
+      (1L, "alpha beta x y z"),
+      (2L, "alpha p q r s"),
+      (3L, "alpha u v w t"),
+      (4L, "beta m n o k")).toDF("doc_id", "text")
+    val m = Eval.mrrAtK(docs, Seq("alpha beta", "alpha zebra"), k = 3).collect()
+      .map(r => r.getAs[String]("query") -> r).toMap
+    val ab = m("alpha beta")
+    assert(ab.getAs[Int]("first_rel_rank") == 1 && ab.getAs[Long]("rr_micro") == 1000000L)
+    assert(ab.getAs[Long]("n_rel_at_k") == 1L &&
+      ab.getAs[Long]("prec_at_k_micro") == 333333L)
+    // zebra never occurs → conjunctive relevance is empty → all zeros,
+    // even though "alpha" docs still fill the ranking
+    val az = m("alpha zebra")
+    assert(az.getAs[Int]("first_rel_rank") == 0 && az.getAs[Long]("rr_micro") == 0L &&
+      az.getAs[Long]("prec_at_k_micro") == 0L)
+    // fixture: the offset-localized distributedRank produces the same
+    // metrics as a naive per-query window rank over the same scored frame
+    val engine = Eval.m3Mrr(spark, sf).collect()
+    val qdf = Eval.MrrQueries.flatMap { q =>
+      val ts = q.split("\\s+").distinct; ts.map(t => (q, t, ts.length))
+    }.toDF("query", "token", "n_q")
+    val scored = graft.operators.TextOps.bm25Frame(tables.documents)
+      .join(broadcast(qdf), "token")
+      .groupBy(col("query"), col("doc_id"), col("n_q"))
+      .agg(sum(round(col("bm25") * lit(1e6)).cast("long")).as("s"),
+        count(lit(1)).as("hit"))
+    val naive = scored.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query"))
+          .orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rnk") <= Eval.MrrK)
+      .groupBy(col("query"))
+      .agg(min(when(col("hit") === col("n_q"), col("rnk"))).as("f"),
+        sum(when(col("hit") === col("n_q"), 1L).otherwise(0L)).as("nr"))
+      .collect().map(r => r.getAs[String]("query") ->
+        (Option(r.get(1)).map(_.toString.toInt).getOrElse(0), r.getAs[Long]("nr"))).toMap
+    engine.foreach { r =>
+      val (f, nr) = naive(r.getAs[String]("query"))
+      assert(r.getAs[Int]("first_rel_rank") == f && r.getAs[Long]("n_rel_at_k") == nr,
+        s"mismatch for ${r.getAs[String]("query")}")
+    }
+  }
+
   test("q7 volume: only exchange is the fact-fact join; dims broadcast") {
     val df = Relational.q7Volume(spark, sf)
     df.collect()
