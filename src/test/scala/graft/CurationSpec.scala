@@ -231,6 +231,12 @@ class CurationSpec extends SparkSuite {
         s"stratum ${r.get(0)}/${r.get(1)}: kept $kept of $n at $rate‰")
       assert(kept >= 1)
     }
+    // input partitioning must not matter: the internal range repartition
+    // + localCheckpoint pins one materialized order regardless of how the
+    // caller's frame arrives
+    val reparted = Curation.stratifiedSample(docs.repartition(13),
+      Seq("lang", "source"), "doc_id", rate, "tsalt", partitions = 8)
+    assertSameRows(dist, reparted)
     // rate endpoints: 1000‰ keeps everything, 0‰ keeps ⌈0⌉ = 0
     val all = Curation.stratifiedSample(docs, Seq("lang"), "doc_id", 1000, "tsalt", 8)
     assert(all.filter(!col("sampled")).count() == 0)

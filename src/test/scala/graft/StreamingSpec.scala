@@ -743,6 +743,22 @@ class StreamingSpec extends SparkSuite {
     assertSameRows(result, operators.Relational.tumblingWindow(spark, sf))
   }
 
+  test("S9b streaming Gopher gate: in-flight ruleset == batch filter, rule flags intact") {
+    // gopherRules is a narrow per-row projection, so the SAME operator
+    // runs unchanged on a stream — the in-flight curation gate needs no
+    // streaming-specific twin. Replay the documents fixture as a file
+    // stream and compare against the batch ruleset row for row.
+    val dir = Files.createTempDirectory("graft-docs-stream")
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val batchDocs = spark.read.parquet(s"$sf/documents.parquet")
+    val streamed = Streams.runAvailableNow(
+      operators.TextOps.gopherRules(
+        Streams.fileStream(spark, batchDocs.schema, dir.toString)),
+      "s9b_gopher_out", OutputMode.Append)
+    assertSameRows(streamed, operators.TextOps.gopherRules(batchDocs))
+  }
+
   test("S3 socket source ingests lines from a live TCP server") {
     val server = new java.net.ServerSocket(0)
     val writer = new Thread(() => {
