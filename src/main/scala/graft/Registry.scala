@@ -1496,6 +1496,45 @@ object Registry {
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM c GROUP BY bin ORDER BY bin""")),
 
+      // L8k: shard assembly — DuckDB's ordered string_agg is the
+      // single-node twin of the engine's struct-sorted collect_list;
+      // md5 pins byte-exact shard content.
+      QueryDef("l8_shards", Curation.l8Shards, Some(s"""
+        WITH s AS (SELECT doc_id, text,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        c AS (SELECT doc_id, text, n_tokens,
+          SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS tokens_before
+        FROM s)
+        SELECT CAST(tokens_before // ${Curation.PackBudget} AS BIGINT) AS bin,
+          COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          md5(string_agg(text, ' ' ORDER BY doc_id)) AS shard_md5
+        FROM c GROUP BY bin ORDER BY bin""")),
+
+      // M4: token-distribution drift — ln ratio snapped once per
+      // (group, token) to micro-nats, weighted HALF_UP mean via the
+      // sign-decomposed integer DIV (Spark DIV truncates, DuckDB //
+      // floors; operands are kept non-negative so both agree).
+      QueryDef("m4_drift", Eval.m4Drift, Some("""
+        WITH cg AS (SELECT source, token, COUNT(*) AS c_gt
+               FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+               GROUP BY ALL),
+        ct AS (SELECT token, SUM(c_gt) AS c_t FROM cg GROUP BY token),
+        ng AS (SELECT source, SUM(c_gt) AS n_g FROM cg GROUP BY source),
+        nt AS (SELECT SUM(c_t) AS n_total FROM ct),
+        term AS (SELECT cg.source, cg.c_gt, ng.n_g,
+            CAST(ROUND(ln((cg.c_gt * n_total)::DOUBLE / (ct.c_t * ng.n_g)) * 1e6) AS BIGINT)
+              AS ln_micro
+          FROM cg JOIN ct USING (token) JOIN ng USING (source) CROSS JOIN nt),
+        agg AS (SELECT source, MAX(n_g) AS n_tokens, COUNT(*) AS n_token_types,
+                  SUM(c_gt * ln_micro) AS s_micro
+                FROM term GROUP BY source)
+        SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(n_token_types AS BIGINT) AS n_token_types,
+          CAST(CASE WHEN s_micro >= 0
+               THEN (2 * s_micro + n_tokens) // (2 * n_tokens)
+               ELSE -((2 * -s_micro + n_tokens) // (2 * n_tokens)) END AS BIGINT) AS kl_micro
+        FROM agg ORDER BY source""")),
+
       QueryDef("l8_shuffle", Curation.l8Shuffle, Some(s"""
         SELECT doc_id,
           CAST(ROW_NUMBER() OVER (

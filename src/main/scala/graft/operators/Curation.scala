@@ -213,6 +213,41 @@ object Curation {
       .orderBy(col("bin"))
   }
 
+  /** Training-shard assembly: materialize [[packBins]]'s bins as the
+    * concatenated text shards a data loader streams — one row per bin
+    * with the docs concatenated in doc_id order (exactly the contiguous
+    * concat-and-chunk order the packing promised). The declared query
+    * emits `md5(shard_text)` instead of the shard body: the hash pins
+    * byte-exact shard CONTENT cross-engine without shipping megabyte rows
+    * through the comparator.
+    *
+    * Scale: per-group state is bounded by the pack budget (a bin holds ≤
+    * budget + one doc tail of tokens, by construction), so the ordered
+    * `collect_list` is safe at any corpus size — the shuffle moves each
+    * doc's text exactly once, keyed by bin. Ordering inside the group is
+    * an `array_sort` over (doc_id, text) structs (doc_id leads the struct,
+    * so the sort IS doc order), not an `orderBy` the aggregate would
+    * silently drop.
+    */
+  def buildShards(docs: DataFrame, tokens: Column, budget: Long,
+                  partitions: Int = 32): DataFrame = {
+    val packed = packBins(docs, tokens, budget, partitions)
+    packed.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            _.getField("text")))).as("shard_md5"))
+  }
+
+  /** L8k declared query: shards at [[PackBudget]] tokens. */
+  def l8Shards(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    buildShards(t.documents, size(split(col("text"), " ")).cast("long"), PackBudget)
+      .orderBy(col("bin"))
+  }
+
   /** Decontamination gram width: 5-word grams. Real pipelines use ~13-gram
     * overlap (benchmark answer strings are long); the fixture word-soup's
     * tiny vocabulary makes 4-grams collide by chance (60/403 train docs at

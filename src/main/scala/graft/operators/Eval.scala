@@ -148,4 +148,52 @@ object Eval {
   def m3Mrr(spark: SparkSession, dir: String): DataFrame =
     mrrAtK(Tables(spark, dir).documents, MrrQueries, MrrK)
       .orderBy(col("query"))
+
+  /** M4: per-group token-distribution drift — exact KL divergence
+    * KL(p_group ‖ p_corpus) in micro-nats, the monitoring metric that
+    * tells a curation run when one source/language/snapshot has drifted
+    * away from the corpus it feeds (mixing weights stale, a crawl gone
+    * bad, a split skewed). Only tokens PRESENT in the group contribute
+    * (c_gt > 0 ⇒ c_t > 0), so no smoothing constant enters the contract.
+    *
+    * Exactness: the log ratio ln((c_gt·N)/(c_t·n_g)) is snapped ONCE per
+    * (group, token) to integer micro-nats; the weighted mean over the
+    * group's token mass is the HALF_UP rational (2·Σc·lnµ + n) DIV 2n —
+    * the [[TextOps.unigramNll]] discipline, signed. Plan: one exploded
+    * (group, token) count, one token rollup derived FROM it (vocabulary-
+    * sized shuffle, not corpus-sized), totals as 1-row broadcasts, one
+    * token-keyed join of narrow count rows, one group-keyed reduction.
+    */
+  def tokenDrift(docs: DataFrame, groupCol: String,
+                 tokenizer: Column => Column = TextOps.spaceTokenizer): DataFrame = {
+    val cg = docs
+      .select(col(groupCol), explode(tokenizer(col("text"))).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("c_gt"))
+    val ct = cg.groupBy(col("token")).agg(sum(col("c_gt")).as("c_t"))
+    val ng = cg.groupBy(col(groupCol)).agg(sum(col("c_gt")).as("n_g"))
+    val n = ct.agg(sum(col("c_t")).as("n_total"))
+    cg.join(ct, "token")
+      .join(broadcast(ng), groupCol)
+      .crossJoin(broadcast(n))
+      .select(col(groupCol), col("c_gt"), col("n_g"),
+        round(log((col("c_gt") * col("n_total")).cast("double") /
+          (col("c_t") * col("n_g"))) * lit(1e6)).cast("long").as("ln_micro"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_g")).as("n_tokens"), count(lit(1)).as("n_token_types"),
+        sum(col("c_gt") * col("ln_micro")).as("s_micro"))
+      // HALF_UP by sign decomposition: micro-rounding can push a
+      // near-zero KL a hair negative, and Spark's DIV truncates toward
+      // zero while DuckDB's // floors — so the division must only ever
+      // see non-negative operands to agree across engines
+      .select(col(groupCol), col("n_tokens"), col("n_token_types"),
+        expr("""CASE WHEN s_micro >= 0
+                THEN (2L * s_micro + n_tokens) DIV (2L * n_tokens)
+                ELSE -((2L * -s_micro + n_tokens) DIV (2L * n_tokens)) END""")
+          .as("kl_micro"))
+  }
+
+  /** M4 declared query: drift of every source against the corpus. */
+  def m4Drift(spark: SparkSession, dir: String): DataFrame =
+    tokenDrift(Tables(spark, dir).documents, "source")
+      .orderBy(col("source"))
 }

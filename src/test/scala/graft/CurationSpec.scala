@@ -311,6 +311,35 @@ class CurationSpec extends SparkSuite {
     assert(bins.head == 0L && bins.sameElements(0L to bins.last))
   }
 
+  test("L8k shards: content hash == driver-side reconstruction, token mass conserved") {
+    val docs = tables.documents
+    val budget = 300L
+    val shards = Curation.buildShards(docs, size(split(col("text"), " ")).cast("long"), budget)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    // token mass is conserved: every doc lands in exactly one shard
+    val totalTokens = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .first().getLong(0)
+    assert(shards.values.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+    assert(shards.values.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // byte-exact content: rebuild each shard on the driver from the same
+    // packing and compare md5s
+    val packed = Curation.packBins(docs, size(split(col("text"), " ")).cast("long"), budget)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("bin"), col("doc_id"), col("text")).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    packed.groupBy(_.getAs[Long]("bin")).foreach { case (bin, rows) =>
+      val text = rows.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[String]("text")).mkString(" ")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(shards(bin).getAs[String]("shard_md5") == hex, s"bin $bin content differs")
+    }
+    // bins respect the budget up to one doc tail: every bin except the
+    // last holds at least the budget's worth of starts
+    val binSizes = shards.toSeq.sortBy(_._1).map(_._2.getAs[Long]("n_tokens"))
+    binSizes.dropRight(1).zipWithIndex.foreach { case (n, i) =>
+      assert(n > 0, s"empty bin $i")
+    }
+  }
+
   test("L8g chunking: full windows, declared overlap, tail reaches the end") {
     val (c, s) = (Curation.ChunkSize, Curation.ChunkStride)
     val docs = tables.documents.limit(50)

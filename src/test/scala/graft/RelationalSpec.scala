@@ -423,6 +423,28 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("m4 drift: identical groups score exactly 0, skew scores positive, fixture sane") {
+    import TestSpark.spark.implicits._
+    import graft.operators.Eval
+    // two groups with the SAME distribution: every per-token ratio is
+    // exactly 1 → ln 0 → KL exactly 0 (no rounding residue)
+    val same = Seq(("a", "x x y z"), ("b", "x x y z")).toDF("source", "text")
+    Eval.tokenDrift(same, "source").collect().foreach { r =>
+      assert(r.getAs[Long]("kl_micro") == 0L, s"${r.get(0)}: ${r.get(3)}")
+    }
+    // a skewed group diverges positively from the pooled corpus
+    val skew = Seq(("a", "x x x x x x y"), ("b", "y y y y y y x")).toDF("source", "text")
+    Eval.tokenDrift(skew, "source").collect().foreach { r =>
+      assert(r.getAs[Long]("kl_micro") > 0L, s"${r.get(0)} not positive")
+    }
+    // fixture: KL is never materially negative (micro-rounding may leave
+    // a ±1 residue), and every source covers some token types
+    Eval.m4Drift(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("kl_micro") >= -1L)
+      assert(r.getAs[Long]("n_token_types") > 0L)
+    }
+  }
+
   test("q7 volume: only exchange is the fact-fact join; dims broadcast") {
     val df = Relational.q7Volume(spark, sf)
     df.collect()
