@@ -540,6 +540,35 @@ object Registry {
           AS valid_to
       FROM k ORDER BY user_id, valid_from""")),
 
+    // J12: the oracle is the plain THETA overlap join the engine's
+    // day-bucket equi-join must equal pair-for-pair (busy windows are
+    // bucket-aligned, so bucket equality == overlap, no dedup).
+    QueryDef("j12_interval_join", TimeSeries.j12IntervalJoin, Some(s"""
+      WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, event_id,
+        event_type FROM events),
+      o AS (SELECT user_id, us, MIN_BY(event_type, event_id) AS event_type
+            FROM e GROUP BY user_id, us),
+      c AS (SELECT *, LAG(event_type) OVER
+        (PARTITION BY user_id ORDER BY us) AS prev FROM o),
+      k AS (SELECT user_id, event_type, us AS valid_from FROM c
+            WHERE event_type IS DISTINCT FROM prev),
+      iv0 AS (SELECT user_id, event_type, valid_from,
+        LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+          AS valid_to FROM k),
+      h AS (SELECT MAX(us) + 1 AS hz FROM e),
+      iv AS (SELECT user_id, event_type, valid_from,
+               coalesce(valid_to, hz) AS to_us FROM iv0 CROSS JOIN h),
+      busy AS (SELECT us // ${TimeSeries.DayUs} AS day, COUNT(*) AS n_events
+               FROM e GROUP BY 1
+               ORDER BY n_events DESC, day LIMIT ${TimeSeries.BusyDays})
+      SELECT user_id, event_type, valid_from, to_us, day, CAST(n_events AS BIGINT) AS n_events,
+        least(to_us, (day + 1) * ${TimeSeries.DayUs})
+          - greatest(valid_from, day * ${TimeSeries.DayUs}) AS overlap_us
+      FROM iv JOIN busy
+        ON valid_from < (day + 1) * ${TimeSeries.DayUs}
+       AND day * ${TimeSeries.DayUs} < to_us
+      ORDER BY user_id, valid_from, day""")),
+
     // Data-quality constraint audit: one row per expectation, exact
     // violation counts (scan rules fold per table; FKs are anti-joins)
     QueryDef("s9_constraints", Quality.s9Constraints, Some("""

@@ -135,4 +135,51 @@ object TimeSeries {
         col("valid_from"), col("valid_to"))
       .orderBy(col("user_id"), col("valid_from"))
   }
+
+  /** Day length in epoch micros and busy-window count for [[j12IntervalJoin]]. */
+  val DayUs = 86400000000L
+  val BusyDays = 5
+
+  /** J12: KEYLESS interval-overlap join — which user-state intervals (the
+    * SCD2 history) overlap the corpus's [[BusyDays]] busiest days, with
+    * the overlap duration. The temporal-join shape j5 (point-in-range)
+    * and j11 (point-in-time) don't cover: interval × interval overlap
+    * with NO equi key to hash on.
+    *
+    * Scale strategy: never a theta join (every-pair comparison is a
+    * cartesian at 100 TB). Each interval EXPLODES into the day buckets it
+    * spans — the factor is bounded by the data's time horizon over the
+    * bucket width, and a longer horizon just wants a coarser bucket — and
+    * the overlap becomes an EQUI join on the bucket id. Because the busy
+    * windows are bucket-aligned, bucket equality is exactly overlap (no
+    * post-dedup needed: one output row per (interval, day) pair IS the
+    * contract). The busy side is a k-row TakeOrdered → broadcast; open
+    * intervals clip at the horizon (max event time + 1µs, 1-row
+    * broadcast). The oracle replays the same result as a plain THETA
+    * join — pinning that bucketing loses no pair.
+    */
+  def j12IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+    val oneUs = ev.groupBy(col("user_id"), col("us"))
+      .agg(min_by(col("event_type"), col("event_id")).as("event_type"))
+    val horizon = ev.agg((max(col("us")) + lit(1L)).as("__h"))
+    val clipped = scd2(oneUs, "user_id", "us", "event_type")
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        coalesce(col("valid_to"), col("__h")).as("to_us"))
+    val busy = ev.groupBy(expr(s"us DIV $DayUs").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("day")).limit(BusyDays)
+    clipped
+      .select(col("*"), explode(sequence(
+        expr(s"valid_from DIV $DayUs"), expr(s"(to_us - 1) DIV $DayUs"))).as("day"))
+      .join(broadcast(busy), "day")
+      .select(col("user_id"), col("event_type"), col("valid_from"), col("to_us"),
+        col("day"), col("n_events"),
+        (least(col("to_us"), (col("day") + 1) * lit(DayUs)) -
+          greatest(col("valid_from"), col("day") * lit(DayUs))).as("overlap_us"))
+      .orderBy(col("user_id"), col("valid_from"), col("day"))
+  }
 }

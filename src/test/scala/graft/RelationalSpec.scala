@@ -423,6 +423,40 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("j12 interval join: bucketed equi-join == theta overlap join on the fixture") {
+    import graft.operators.TimeSeries
+    val got = TimeSeries.j12IntervalJoin(spark, sf)
+    // rebuild both sides and join by the PLAIN overlap predicate — the
+    // cartesian form the bucket explode must reproduce pair-for-pair
+    val ev = tables.events
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+    val oneUs = ev.groupBy(col("user_id"), col("us"))
+      .agg(min_by(col("event_type"), col("event_id")).as("event_type"))
+    val horizon = ev.agg((max(col("us")) + lit(1L)).as("__h"))
+    val iv = TimeSeries.scd2(oneUs, "user_id", "us", "event_type")
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        coalesce(col("valid_to"), col("__h")).as("to_us"))
+    val d = TimeSeries.DayUs
+    val busy = ev.groupBy(expr(s"us DIV $d").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("day")).limit(TimeSeries.BusyDays)
+    val theta = iv.join(busy,
+        col("valid_from") < (col("day") + 1) * lit(d) &&
+          col("day") * lit(d) < col("to_us"))
+      .select(col("user_id"), col("event_type"), col("valid_from"), col("to_us"),
+        col("day"), col("n_events"),
+        (least(col("to_us"), (col("day") + 1) * lit(d)) -
+          greatest(col("valid_from"), col("day") * lit(d))).as("overlap_us"))
+    assertSameRows(got, theta)
+    // overlaps are positive and never exceed a day
+    got.collect().foreach { r =>
+      val o = r.getAs[Long]("overlap_us")
+      assert(o > 0 && o <= d, s"bad overlap $o")
+    }
+  }
+
   test("m4 drift: identical groups score exactly 0, skew scores positive, fixture sane") {
     import TestSpark.spark.implicits._
     import graft.operators.Eval
