@@ -393,4 +393,32 @@ class PropertiesSpec extends SparkSuite {
       assert(got == score)
     }
   }
+
+  test("dup-span coverage: interval merge == scalar position-set reference on random corpora") {
+    // small vocabulary + short spans force genuine cross-doc span
+    // collisions; the reference computes covered positions as an explicit
+    // set, the engine as a lag-window interval merge — they must agree
+    // exactly, including within-doc repeats and overlap chains
+    val n = 3
+    for (texts <- samples(Gen.listOfN(10, Gen.listOfN(12, word).map(_.mkString(" "))), 8)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.dupSpanCoverage(df, n = n).collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[Long]("n_dup_spans"), r.getAs[Long]("covered_tokens")))).toMap
+      // scalar reference
+      val toks = texts.map(_.split(" ").toSeq)
+      val allSpans = toks.zipWithIndex.flatMap { case (ts, d) =>
+        ts.sliding(n).zipWithIndex.collect {
+          case (w, p) if w.length == n => (d.toLong, p + 1, w.mkString(" "))
+        }
+      }
+      val counts = allSpans.groupBy(_._3).view.mapValues(_.size).toMap
+      val want = toks.indices.map { d =>
+        val dups = allSpans.filter(s => s._1 == d && counts(s._3) > 1)
+        val covered = dups.flatMap { case (_, p, _) => p until (p + n) }.toSet.size
+        d.toLong -> (dups.size.toLong, covered.toLong)
+      }.toMap
+      assert(got == want)
+    }
+  }
 }
