@@ -1168,6 +1168,23 @@ object Registry {
       QueryDef("l4_bm25", TextOps.l4Bm25,
         Some(s"$bm25BodySql\n        ORDER BY doc_id, token")),
 
+      // Keyword extraction: the tf-idf chain + a per-doc window rank;
+      // tf_idf is integer/1e6 on both engines so DESC ordering agrees.
+      QueryDef("l4_keywords", TextOps.l4Keywords, Some(s"""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        terms AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens, unnest(t) AS token FROM s),
+        tf AS (SELECT doc_id, n_tokens, token, COUNT(*) AS tf FROM terms GROUP BY ALL),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT COUNT(*) AS n_docs_total FROM documents),
+        w AS (SELECT doc_id, token, tf,
+          CAST((2 * tf * CAST(ROUND(ln(n_docs_total::DOUBLE / df) * 1e6) AS BIGINT)
+                + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1e6 AS tf_idf
+        FROM tf JOIN df USING (token) CROSS JOIN n),
+        r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tf_idf DESC, token) AS INT) AS rnk FROM w)
+        SELECT doc_id, rnk, token, tf, tf_idf FROM r
+        WHERE rnk <= ${TextOps.KeywordsK} ORDER BY doc_id, rnk""")),
+
       // BM25 retrieval: same per-term frame, filtered to the fixed query's
       // tokens, summed in exact integer micro-units (each weight is
       // 6-dp-rounded, so round(bm25·1e6) recovers the exact long and the

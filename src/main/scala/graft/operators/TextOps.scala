@@ -215,6 +215,28 @@ object TextOps {
           .cast("double") / lit(1e6)).as("tf_idf"))
   }
 
+  /** Keywords kept per document by [[l4Keywords]]. */
+  val KeywordsK = 3
+
+  /** L4 declared query: per-document keyword extraction — the top
+    * [[KeywordsK]] terms by TF-IDF, the doc-tagging signal curation and
+    * retrieval pipelines attach to every document. Ranking happens inside
+    * a `Window.partitionBy(doc_id)` — each partition is one document's
+    * vocabulary, so the window state is row-sized at any corpus scale
+    * (unlike a global rank, per-doc top-k is embarrassingly parallel).
+    * The tf_idf double is an exact integer/1e6, so its ordering IS the
+    * integer ordering on both engines; ties break on the token text.
+    */
+  def l4Keywords(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tf_idf").desc, col("token"))
+    tfIdf(Tables(spark, dir).documents)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KeywordsK)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("tf_idf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** BM25 term weights — the standard retrieval scoring function (and the
     * relevance signal retrieval-augmented curation ranks by):
     * idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with the classic
