@@ -196,4 +196,52 @@ object Eval {
   def m4Drift(spark: SparkSession, dir: String): DataFrame =
     tokenDrift(Tables(spark, dir).documents, "source")
       .orderBy(col("source"))
+
+  /** Drift of ONE document set against a STATIC reference distribution —
+    * the form a streaming monitor evaluates per micro-batch (the
+    * reference is the training corpus; incoming data is scored against
+    * it). `ref` is a (token, c_t) count frame. Tokens absent from the
+    * reference make the KL term undefined, so they are reported
+    * separately as out-of-vocabulary mass (`oov_permille`) and the KL
+    * integrates over the in-vocabulary mass — the practical monitor pair
+    * (distribution shift among known tokens; novelty mass for the rest).
+    * One row out: (n_tokens, oov_permille, kl_micro).
+    *
+    * Same integer discipline as [[tokenDrift]]; the in-vocabulary batch
+    * mass n_iv (not the full batch mass) normalizes p_batch so it stays a
+    * probability over the joint support.
+    */
+  def driftAgainst(docs: DataFrame, ref: DataFrame,
+                   tokenizer: Column => Column = TextOps.spaceTokenizer): DataFrame = {
+    val cb = docs.select(explode(tokenizer(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c_bt"))
+    val refTot = ref.agg(sum(col("c_t")).as("n_ref"))
+    val joined = cb.join(ref, Seq("token"), "left")
+    val masses = joined.agg(
+      sum(col("c_bt")).as("n_tokens"),
+      sum(when(col("c_t").isNull, col("c_bt")).otherwise(0L)).as("n_oov"))
+    val iv = joined.filter(col("c_t").isNotNull)
+      .crossJoin(broadcast(refTot))
+      .crossJoin(broadcast(masses.select((col("n_tokens") - col("n_oov")).as("n_iv"))))
+      .select(col("c_bt"),
+        round(log((col("c_bt") * col("n_ref")).cast("double") /
+          (col("c_t") * col("n_iv"))) * lit(1e6)).cast("long").as("ln_micro"))
+      .agg(coalesce(sum(col("c_bt") * col("ln_micro")), lit(0L)).as("s_micro"),
+        coalesce(sum(col("c_bt")), lit(0L)).as("n_iv"))
+    masses.crossJoin(iv)
+      .select(col("n_tokens"),
+        expr("CASE WHEN n_tokens > 0 THEN 1000 * n_oov DIV n_tokens ELSE 0 END")
+          .as("oov_permille"),
+        expr("""CASE WHEN n_iv = 0 THEN 0
+                WHEN s_micro >= 0 THEN (2L * s_micro + n_iv) DIV (2L * n_iv)
+                ELSE -((2L * -s_micro + n_iv) DIV (2L * n_iv)) END""").as("kl_micro"))
+  }
+
+  /** The (token, c_t) reference-count frame [[driftAgainst]] scores
+    * batches with, built from a reference corpus once and reused.
+    */
+  def referenceCounts(docs: DataFrame,
+                      tokenizer: Column => Column = TextOps.spaceTokenizer): DataFrame =
+    docs.select(explode(tokenizer(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c_t"))
 }

@@ -639,4 +639,32 @@ object Streams {
         else df
       case None => throw new IllegalStateException(s"no committed snapshot in $snapshotDir")
     }
+
+  /** T12: streaming DRIFT MONITOR — score every micro-batch of documents
+    * against a static reference token distribution
+    * ([[graft.operators.Eval.driftAgainst]]: in-vocabulary KL in
+    * micro-nats + out-of-vocabulary mass) and hand the one-row result to
+    * `sink` with the batch id. This is the data-quality counterpart of
+    * [[runWithQualityGate]]: the gate judges ROWS, the monitor judges the
+    * batch's DISTRIBUTION — the signal that a source went stale or a
+    * crawl started emitting garbage even when every row passes its rules.
+    *
+    * The reference frame is computed once by the caller
+    * ([[graft.operators.Eval.referenceCounts]]) — vocabulary-sized, so on
+    * a cluster it broadcasts into each batch's join. foreachBatch because
+    * the metric is a full re-aggregation per batch, not an incremental
+    * state update (a batch's KL is not mergeable across batches).
+    */
+  def runDriftMonitor(docs: DataFrame, ref: DataFrame, checkpoint: String)
+                     (sink: (Long, org.apache.spark.sql.Row) => Unit): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(id, graft.operators.Eval.driftAgainst(batch, ref).head())
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -759,6 +759,39 @@ class StreamingSpec extends SparkSuite {
     assertSameRows(streamed, operators.TextOps.gopherRules(batchDocs))
   }
 
+  test("T12 drift monitor: per-batch KL vs static reference == batch twin, OOV mass surfaces") {
+    import graft.operators.Eval
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ref = Eval.referenceCounts(docs)
+    // two micro-batches: a clean half and a half with an injected
+    // out-of-vocabulary document
+    val dir = Files.createTempDirectory("graft-drift-stream")
+    val half1 = docs.filter(col("doc_id") < 250)
+    val half2 = docs.filter(col("doc_id") >= 250)
+      .unionByName(half1.limit(1).select(col("doc_id") + 100000,
+        lit(Seq.fill(400)("qqxyzzy").mkString(" ")), col("lang"), col("source"),
+        col("n_chars")).toDF(docs.columns: _*))
+    half1.coalesce(1).write.parquet(s"$dir/b1")
+    half2.coalesce(1).write.parquet(s"$dir/b2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    Streams.runDriftMonitor(stream, ref,
+      Files.createTempDirectory("graft-drift-cp").toString) { (_, r) =>
+      got += ((r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_permille"),
+        r.getAs[Long]("kl_micro")))
+    }
+    assert(got.size == 2, s"expected 2 micro-batches, got ${got.size}")
+    // == the batch twin on each half, whatever order the files triggered in
+    def expect(d: org.apache.spark.sql.DataFrame) = {
+      val r = Eval.driftAgainst(d, ref).head()
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_permille"), r.getAs[Long]("kl_micro"))
+    }
+    assert(got.toSet == Set(expect(half1), expect(half2)))
+    // the injected unknown-token doc shows up as OOV mass in exactly one batch
+    assert(got.count(_._2 > 0) == 1)
+  }
+
   test("S3 socket source ingests lines from a live TCP server") {
     val server = new java.net.ServerSocket(0)
     val writer = new Thread(() => {
