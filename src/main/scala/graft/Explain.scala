@@ -12,7 +12,9 @@ object Explain {
     "l8_pack", "l8_quality_gate", "j7_asof", "s7_profile", "o6_upsert",
     "a8_freq_items", "l9_decontam", "l8_shuffle", "l3_sq_topk",
     "g1_pagerank", "g2_triangles", "j10_fuzzy_join", "s9_constraints",
-    "b4_attribution")
+    "b4_attribution", "l0_pipeline", "l1_dupspans", "l4_gopher",
+    "l4_ccnet_buckets", "l8_stratified", "l8_temperature_mix", "l8_shards",
+    "j12_interval_join", "m3_mrr", "m4_drift", "l4_keywords")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
