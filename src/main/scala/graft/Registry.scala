@@ -899,6 +899,10 @@ object Registry {
       QueryDef("l2_minhash", Dedup.l2Minhash, Some(s"""
         SELECT doc_id, $sigCols FROM documents ORDER BY doc_id""")),
 
+      // Production signature family (xxhash64): DuckDB cannot replay
+      // Spark's xxhash64, so rows-only — semantics pinned in scalatest.
+      QueryDef("l2_minhash_fast", Dedup.l2MinhashFast, None),
+
       QueryDef("l2_simhash", Dedup.l2Simhash, Some {
         val votes = (0 until 32).map { i =>
           s"SUM(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_$i"

@@ -177,6 +177,23 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** L2 declared query (rows-only, the `s7_profile_approx` pattern): the
+    * PRODUCTION xxhash64 signature matrix — 8-byte integer hashing with
+    * no hex-string allocation, the family [[minhashSigFastFromToks]]
+    * documents as the at-scale choice. No DuckDB oracle exists for
+    * Spark's xxhash64, so the driver records a rows-only check; the
+    * collision behavior and simJoin-equivalence are pinned in scalatest
+    * (PropertiesSpec), and the md5 twin [[l2Minhash]] keeps the
+    * hash-exact oracle.
+    */
+  def l2MinhashFast(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id") +:
+        minhashSigFastFromToks(tokens(col("text")), DefaultBands * DefaultRowsPerBand): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** L1 declared query: exact-dedup summary — one row per distinct content
     * hash with the surviving doc id and the duplicate count. (The fixture
     * corpus has no exact dups, so n_copies is 1 throughout; duplicate
