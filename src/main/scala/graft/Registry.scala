@@ -1035,6 +1035,71 @@ object Registry {
       // Similarity.trainedCentroids), then the same exact assignment,
       // nprobe nearest cells of the query, and the shared
       // exact-cosine/ROUND(,6) rank.
+      // PQ-ADC replay: one k-means chain per SUBSPACE (the IVF chain over
+      // sliced vectors, CTE names prefixed), per-subspace code assignment,
+      // ADC tables as d² between each codebook row and the query slice,
+      // candidate rank by the exact-decimal ADC sum, exact-cosine rescore.
+      QueryDef("l3_pq_topk", Similarity.l3PqTopK, Some {
+        import Similarity.{PqM, PqSubDim, PqK, PqRescoreFactor, KmIters, KmTrainMod}
+        def chain(j: Int): String = {
+          val p = s"p$j"
+          val (lo, hi) = (j * PqSubDim + 1, (j + 1) * PqSubDim)
+          val rounds = (1 to KmIters).map { k =>
+            s"""${p}pr$k AS (SELECT v.vec_id, c.cid, unnest(v.e) AS x, unnest(c.ce) AS y FROM ${p}tv v, ${p}c${k - 1} c),
+        ${p}a2x$k AS (SELECT vec_id, cid, SUM(CAST((x-y)*(x-y) AS DECIMAL(30,15))) AS d2
+               FROM ${p}pr$k GROUP BY vec_id, cid),
+        ${p}cel$k AS (SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM ${p}a2x$k) WHERE rn = 1),
+        ${p}mem$k AS (SELECT cell, unnest(e) AS x, generate_subscripts(e, 1) AS pos
+               FROM ${p}tv JOIN ${p}cel$k USING (vec_id)),
+        ${p}dim$k AS (SELECT cell, pos,
+            CAST((CAST(SUM(CAST(x + 1024 AS DECIMAL(30,15))) * 2000000000000000 AS HUGEINT)
+                  + COUNT(*) * 1000000) // (COUNT(*) * 2000000) AS DOUBLE) / 1000000000.0
+              - 1024 AS cx
+          FROM ${p}mem$k GROUP BY cell, pos),
+        ${p}c$k AS (SELECT cell AS cid, list(cx ORDER BY pos) AS ce FROM ${p}dim$k GROUP BY cell)"""
+          }.mkString(",\n        ")
+          s"""${p}v AS (SELECT vec_id, (embedding::DOUBLE[])[$lo:$hi] AS e FROM embeddings),
+        ${p}c0 AS (SELECT vec_id // $KmTrainMod AS cid, e AS ce FROM ${p}v
+                   WHERE vec_id % $KmTrainMod = 0 AND vec_id < ${PqK * KmTrainMod}),
+        ${p}tv AS (SELECT * FROM ${p}v WHERE vec_id % $KmTrainMod = 0),
+        $rounds,
+        ${p}apr AS (SELECT v.vec_id, c.cid, unnest(v.e) AS x, unnest(c.ce) AS y
+                    FROM ${p}v v, ${p}c$KmIters c),
+        ${p}a2 AS (SELECT vec_id, cid, SUM(CAST((x-y)*(x-y) AS DECIMAL(30,15))) AS d2
+               FROM ${p}apr GROUP BY vec_id, cid),
+        ${p}code AS (SELECT vec_id, cid AS code FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM ${p}a2) WHERE rn = 1),
+        ${p}qt AS (SELECT cid, SUM(CAST((x-y)*(x-y) AS DECIMAL(30,15))) AS adc FROM
+            (SELECT c.cid, unnest(c.ce) AS x, unnest(q.e) AS y
+             FROM ${p}c$KmIters c, (SELECT e FROM ${p}v WHERE vec_id = 0) q)
+          GROUP BY cid)"""
+        }
+        val chains = (0 until PqM).map(chain).mkString(",\n        ")
+        val codeJoins = (1 until PqM).map(j => s"JOIN p${j}code c$j USING (vec_id)").mkString(" ")
+        val tblJoins = (0 until PqM).map(j => s"JOIN p${j}qt t$j ON t$j.cid = c$j.code").mkString(" ")
+        val adcSum = (0 until PqM).map(j => s"t$j.adc").mkString(" + ")
+        s"""
+        WITH $chains,
+        adc AS (SELECT c0.vec_id, $adcSum AS adc_d2
+                FROM p0code c0 $codeJoins $tblJoins),
+        cand AS (SELECT vec_id FROM adc ORDER BY adc_d2, vec_id LIMIT ${PqRescoreFactor * 10}),
+        fv AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT e AS qe FROM fv WHERE vec_id = 0),
+        u AS (SELECT fv.vec_id, fv.label, unnest(fv.e) AS a, unnest(qe) AS b
+              FROM fv JOIN cand USING (vec_id), q),
+        d AS (SELECT vec_id, label,
+                SUM(CAST(a*b AS DECIMAL(30,15))) AS dot,
+                SUM(CAST(a*a AS DECIMAL(30,15))) AS na,
+                SUM(CAST(b*b AS DECIMAL(30,15))) AS nb
+              FROM u GROUP BY ALL)
+        SELECT vec_id, label,
+          ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
+        FROM d ORDER BY cosine DESC, vec_id LIMIT 10"""
+      }),
+
       QueryDef("l3_ivf_topk", Similarity.l3IvfTopK, Some {
         val rounds = (1 to Similarity.KmIters).map { k =>
           s"""pr$k AS (SELECT v.vec_id, c.cid, unnest(v.e) AS x, unnest(c.ce) AS y FROM tv v, c${k - 1} c),

@@ -433,6 +433,73 @@ object Similarity {
     ivfTopK(Tables(spark, dir), queryId = 0L, k = 10,
       nCells = IvfCells, nprobe = IvfNprobe)
 
+  /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims (m·sub = the
+    * fixture's 64), [[PqK]] centroids per subspace — 4-bit codes, so a
+    * vector compresses 64 floats → 4 codes. Candidates kept per
+    * requested neighbour before the exact rescore.
+    */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 16
+  val PqRescoreFactor = 4
+
+  /** L3f: PRODUCT QUANTIZATION (ADC) top-k — the third classic
+    * compression path beside cell pruning (IVF) and scalar quantization
+    * (SQ8): each subspace gets its own k-means codebook
+    * ([[trainedCentroids]] over the sliced vectors — same Lloyd rounds,
+    * same deterministic init, exact arithmetic), a vector's code is its
+    * per-subspace nearest centroid, and a query ranks candidates by
+    * ASYMMETRIC DISTANCE — the sum of m table lookups d²(q_j, cb_j[code])
+    * — touching only m·k precomputed distances instead of the full
+    * vector. Top [[PqRescoreFactor]]·k candidates rescore by exact
+    * cosine.
+    *
+    * Scale shape: codebooks and ADC tables are k-row broadcasts;
+    * encoding is m narrow crossJoin+partial-min passes (the IVF
+    * assignment, per subspace); the candidate rank rides
+    * TakeOrderedAndProject. At 100 TB the 4-byte codes column IS the
+    * index (16× less scan bandwidth than the floats), exactly FAISS's
+    * PQ storage layout; all distances stay exact DECIMAL so the oracle
+    * replays the ranking bit-for-bit.
+    */
+  def pqTopK(t: Tables, queryId: Long, k: Int): DataFrame = {
+    val emb = t.embeddings
+    def sub(j: Int): DataFrame = emb.select(col("vec_id"),
+      slice(col("embedding"), j * PqSubDim + 1, PqSubDim).as("embedding"))
+    val query = queryVec(t, queryId)
+    val books = (0 until PqM).map(j => trainedCentroids(sub(j), PqK))
+    val codes = (0 until PqM).map { j =>
+      sub(j).select(col("vec_id"), dbl(col("embedding")).as("e"))
+        .crossJoin(broadcast(books(j)))
+        .select(col("vec_id"), col("cid"), dist2(col("e"), col("ce")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as(s"code_$j"))
+    }.reduce(_.join(_, "vec_id"))
+    val tables = (0 until PqM).map { j =>
+      books(j).crossJoin(broadcast(query))
+        .select(col("cid").as(s"code_$j"),
+          dist2(col("ce"),
+            slice(col("q_emb"), j * PqSubDim + 1, PqSubDim)).as(s"adc_$j"))
+    }
+    val approx = tables.zipWithIndex.foldLeft(codes) { case (df, (tb, j)) =>
+      df.join(broadcast(tb), s"code_$j")
+    }.select(col("vec_id"),
+      (0 until PqM).map(j => col(s"adc_$j")).reduce(_ + _).as("adc_d2"))
+    emb
+      .join(approx.orderBy(col("adc_d2"), col("vec_id"))
+        .limit(PqRescoreFactor * k).select("vec_id"), "vec_id")
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), col("label"),
+        cosine(dbl(col("embedding")), col("q_emb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** L3f declared query: PQ-ADC top-10 for query vector 0. */
+  def l3PqTopK(spark: SparkSession, dir: String): DataFrame =
+    pqTopK(Tables(spark, dir), queryId = 0L, k = 10)
+
   /** PERSISTED IVF index — the actual serving shape at 100 TB, where
     * [[ivfTopKFast]]'s in-session centroid reuse still re-scans and
     * re-assigns the full corpus per session. The index is built once,

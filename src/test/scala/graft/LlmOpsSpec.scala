@@ -299,6 +299,30 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("L3f PQ-ADC: self first, sane recall vs brute force, rescored cosines exact") {
+    val pq = Similarity.l3PqTopK(spark, sf).collect()
+    assert(pq.length == 10)
+    // the query's own code distance is minimal in every subspace, so the
+    // ADC rank keeps it and the exact rescore puts it first
+    assert(pq.head.getAs[Long]("vec_id") == 0L && pq.head.getAs[Double]("cosine") == 1.0)
+    val cos = pq.map(_.getAs[Double]("cosine")).toSeq
+    assert(cos == cos.sorted.reverse)
+    // 4×16-dim codebooks are a much coarser sketch than SQ8, but the 4k
+    // candidate pool must still recover most of the exact top-10
+    val brute = Similarity.l3CosineTopK(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = pq.map(_.getAs[Long]("vec_id")).toSet.intersect(brute).size
+    assert(recall >= 5, s"recall@10 = $recall/10")
+    // the approximation is only in WHICH candidates reach the rescore:
+    // every reported cosine equals the exact path's value for that id
+    val bruteAll = Similarity.bruteForceTopK(tables, 0L, 100).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    pq.foreach { r =>
+      bruteAll.get(r.getAs[Long]("vec_id"))
+        .foreach(c => assert(r.getAs[Double]("cosine") == c))
+    }
+  }
+
   test("L3 IVF fast path probes the same cells and finds the same neighbours") {
     val exact = Similarity.l3IvfTopK(spark, sf).collect()
     val fast = Similarity.ivfTopKFast(Tables(spark, sf), 0L, 10,
