@@ -127,4 +127,28 @@ object BatchIO {
     laid.write.mode("overwrite").parquet(path)
     files
   }
+
+  /** IDEMPOTENT partition backfill: overwrite ONLY the hive partitions
+    * present in `df`, leaving every other partition untouched — the
+    * warehouse maintenance op behind daily re-runs ("recompute 2024-06-01
+    * and 2024-06-02, don't touch the other 3 years"). Static overwrite
+    * mode would first DELETE the whole table root; the dynamic mode
+    * scopes the delete to the partitions the job actually emits, which is
+    * what makes a failed backfill re-runnable. The mode is set on the
+    * single writer, not the session, so concurrent writers keep their own
+    * semantics.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+    // drop cached plans/data over this path: the overwrite DELETED part
+    // files that an already-planned reader would still chase (a reader
+    // created after this call re-lists and is fine)
+    df.sparkSession.catalog.refreshByPath(path)
+  }
 }

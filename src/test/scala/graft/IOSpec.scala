@@ -115,4 +115,37 @@ class IOSpec extends SparkSuite {
       info(f"$label: z-layout scans $zScan of $total (${100.0 * zScan / total}%.0f%%), shuffled $rScan")
     }
   }
+
+  test("S6c dynamic partition overwrite: backfill touches only the emitted partitions") {
+    import graft.sources.BatchIO
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpo").toString + "/t"
+    val docs = tables.documents.select(col("doc_id"), col("text"), col("lang"))
+    BatchIO.overwritePartitions(docs, dir, Seq("lang"))
+    // materialize the pre-backfill state NOW — a lazy read over the same
+    // path would silently re-read the post-overwrite files
+    val before = spark.read.parquet(dir).collect()
+    val langs = before.map(_.getAs[String]("lang")).distinct
+    assert(langs.length > 2)
+    // backfill ONE partition with halved content
+    val one = langs.sorted.head
+    val halved = docs.filter(col("lang") === one && col("doc_id") % 2 === 0)
+    val halvedCount = halved.count()
+    BatchIO.overwritePartitions(halved, dir, Seq("lang"))
+    val after = spark.read.parquet(dir)
+    // the touched partition shrank to exactly the new content...
+    assert(after.filter(col("lang") === one).count() == halvedCount)
+    // ...and every OTHER partition is untouched row-for-row
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang"))
+    val beforeOthers = before.filter(_.getAs[String]("lang") != one).map(key).sorted
+    val afterOthers = after.filter(col("lang") =!= one).collect().map(key).sorted
+    assert(beforeOthers.sameElements(afterOthers))
+    // re-running the same backfill is a no-op (idempotent). Count the
+    // CURRENT state first: `after`'s plan snapshotted its file listing,
+    // and the re-run replaces the backfilled partition's files — driving
+    // the stale plan again would chase deleted part files
+    val afterCount = after.count()
+    BatchIO.overwritePartitions(halved, dir, Seq("lang"))
+    assert(spark.read.parquet(dir).count() == afterCount)
+  }
 }
