@@ -87,7 +87,11 @@ object Bench {
     // ms precision is plenty; raw Double.toString (17 sig digits) tripled
     // the line size and got the round-6 artifact truncated mid-key by the
     // driver's log-tail capture
-    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f"" interpolator is locale-sensitive, and a JVM
+    // defaulting to a comma-decimal locale would emit "1,234" — invalid
+    // JSON — into the artifact
+    def fmt(v: Double) =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-truncation barrier with a cluster-mode switch.
+  *
+  * Every iterative or multi-consumer plan in the engine (connected
+  * components, PageRank, the L0 curation pipeline, the shared simJoin
+  * parts, distributedRank's range-partitioned input, …) must materialize
+  * an intermediate frame: without a barrier the lineage re-executes under
+  * every consumer and grows unboundedly across loop rounds. The barrier
+  * has two faithful implementations:
+  *
+  *  - `localCheckpoint()` (the default): blocks pinned on executors, no
+  *    distributed-FS round trip — the right local/dev posture, and fine
+  *    on a cluster for re-derivable intermediates, EXCEPT that losing an
+  *    executor loses its blocks and fails the job (lineage is truncated,
+  *    so there is nothing to recompute from).
+  *  - reliable `checkpoint()`: files under a distributed-FS directory —
+  *    survives executor loss, the posture for long multi-hour 100 TB runs
+  *    where the probability of losing at least one executor approaches 1.
+  *
+  * Setting `spark.graft.checkpoint.dir` (a runtime conf, no code change:
+  * `spark.conf.set("spark.graft.checkpoint.dir", "hdfs://…/ckpt")` or
+  * `--conf` at submit) flips EVERY materialization site in the engine
+  * from the first form to the second. CheckpointSpec runs the heavy
+  * iterative operators under both paths and pins identical results.
+  */
+object Ckpt {
+  val DirKey = "spark.graft.checkpoint.dir"
+
+  implicit final class GraftMaterializeOps(private val df: DataFrame) extends AnyVal {
+    /** Eagerly materialize `df` and truncate its lineage — local blocks by
+      * default, reliable checkpoint files when [[DirKey]] is set.
+      */
+    def materialize(): DataFrame = {
+      val spark = df.sparkSession
+      spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
+        case Some(dir) =>
+          val sc = spark.sparkContext
+          // setCheckpointDir appends a fresh UUID subdirectory per call —
+          // set it only when unset or pointed somewhere else, so one run's
+          // checkpoints share a directory
+          if (!sc.getCheckpointDir.exists(_.contains(dir.stripSuffix("/"))))
+            sc.setCheckpointDir(dir)
+          df.checkpoint()
+        case None => df.localCheckpoint()
+      }
+    }
+  }
+}

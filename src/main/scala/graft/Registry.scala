@@ -21,6 +21,48 @@ object Registry {
   private val ds = Det.dsumSql _
   private val da = Det.davgSql _
 
+  /** Shared SQL generator for the two profile oracles — generated from
+    * the SAME Profile.TableCols spec the operator reads, so the SQL and
+    * the Scala cannot drift. `distinctSlot` fills the one column the
+    * twins differ on: exact `COUNT(DISTINCT $c)` for s7_profile, the
+    * literal-TRUE `nd_est_ok` sanity predicate for s7_profile_approx
+    * (`$c` is substituted with each column name). The `events` view
+    * reaches DuckDB as raw TIMESTAMP(NANOS) parquet which it truncates
+    * to micros — identical to Tables.events' `ts DIV 1000`.
+    */
+  private def profileOracle(distinctSlot: String): String = {
+    def one(t: String, c: String, cls: String) = {
+      val expr = if (cls == "ts") s"epoch_us($c)" else c
+      val slots = cls match {
+        case "int" | "ts" =>
+          s"""CAST(MIN($expr) AS BIGINT) AS num_min, CAST(MAX($expr) AS BIGINT) AS num_max,
+        NULL::DOUBLE AS dbl_min, NULL::DOUBLE AS dbl_max,
+        NULL::VARCHAR AS str_min, NULL::VARCHAR AS str_max"""
+        case "dbl" =>
+          s"""NULL::BIGINT AS num_min, NULL::BIGINT AS num_max,
+        MIN($c) AS dbl_min, MAX($c) AS dbl_max,
+        NULL::VARCHAR AS str_min, NULL::VARCHAR AS str_max"""
+        case "str" =>
+          s"""NULL::BIGINT AS num_min, NULL::BIGINT AS num_max,
+        NULL::DOUBLE AS dbl_min, NULL::DOUBLE AS dbl_max,
+        MIN($c) AS str_min, MAX($c) AS str_max"""
+        case "arr" =>
+          s"""NULL::BIGINT AS num_min, NULL::BIGINT AS num_max,
+        NULL::DOUBLE AS dbl_min, NULL::DOUBLE AS dbl_max,
+        NULL::VARCHAR AS str_min, NULL::VARCHAR AS str_max"""
+      }
+      s"""SELECT '$t' AS table_name, '$c' AS col_name,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        ${distinctSlot.replace("$c", c)},
+        $slots FROM $t"""
+    }
+    operators.Profile.TableCols
+      .flatMap { case (t, cols) => cols.map { case (c, cls) => one(t, c, cls) } }
+      .mkString("", "\n        UNION ALL\n        ",
+        "\n        ORDER BY table_name, col_name")
+  }
+
   val relational: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", Relational.q1PricingSummary, Some(s"""
       SELECT l_returnflag, l_linestatus,
@@ -900,8 +942,19 @@ object Registry {
         SELECT doc_id, $sigCols FROM documents ORDER BY doc_id""")),
 
       // Production signature family (xxhash64): DuckDB cannot replay
-      // Spark's xxhash64, so rows-only — semantics pinned in scalatest.
-      QueryDef("l2_minhash_fast", Dedup.l2MinhashFast, None),
+      // Spark's xxhash64 VALUES, but the structural contract — every doc
+      // yields a complete width-w signature with no null slots — is
+      // oracle-checkable (tokens = split(text,' ') is never empty, so
+      // every min is over a non-empty set). The declared form emits that
+      // contract (Dedup.l2MinhashFastChecked, which still materializes
+      // the full signature matrix in-plan); value semantics stay pinned
+      // in PropertiesSpec and the md5 twin l2_minhash keeps the
+      // value-exact oracle.
+      QueryDef("l2_minhash_fast", Dedup.l2MinhashFastChecked, Some(s"""
+        SELECT doc_id,
+          CAST(${Dedup.DefaultBands * Dedup.DefaultRowsPerBand} AS BIGINT) AS n_hashes,
+          TRUE AS sig_complete
+        FROM documents ORDER BY doc_id""")),
 
       QueryDef("l2_simhash", Dedup.l2Simhash, Some {
         val votes = (0 until 32).map { i =>
@@ -1308,7 +1361,7 @@ object Registry {
         ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY nll_micro, doc_id) AS rank,
                      COUNT(*) OVER () AS n FROM scored)
         SELECT doc_id, n_tokens, CAST(nll_micro AS BIGINT) AS nll_micro,
-          CAST(rank AS INT) AS rank,
+          CAST(rank AS BIGINT) AS rank,
           CASE WHEN (rank - 1) * 10 // n < ${TextOps.CcnetHeadTenths} THEN 'head'
                WHEN (rank - 1) * 10 // n < ${TextOps.CcnetHeadTenths + TextOps.CcnetMiddleTenths}
                  THEN 'middle' ELSE 'tail' END AS bucket
@@ -1406,45 +1459,18 @@ object Registry {
       // spec the operator reads, one per-column SELECT per table. The
       // `events` view reaches DuckDB as raw TIMESTAMP(NANOS) parquet which
       // it truncates to micros — identical to Tables.events' `ts DIV 1000`.
-      QueryDef("s7_profile", Profile.s7Profile, Some {
-        def one(t: String, c: String, cls: String) = {
-          val expr = if (cls == "ts") s"epoch_us($c)" else c
-          val slots = cls match {
-            case "int" | "ts" =>
-              s"""CAST(MIN($expr) AS BIGINT) AS num_min, CAST(MAX($expr) AS BIGINT) AS num_max,
-            NULL::DOUBLE AS dbl_min, NULL::DOUBLE AS dbl_max,
-            NULL::VARCHAR AS str_min, NULL::VARCHAR AS str_max"""
-            case "dbl" =>
-              s"""NULL::BIGINT AS num_min, NULL::BIGINT AS num_max,
-            MIN($c) AS dbl_min, MAX($c) AS dbl_max,
-            NULL::VARCHAR AS str_min, NULL::VARCHAR AS str_max"""
-            case "str" =>
-              s"""NULL::BIGINT AS num_min, NULL::BIGINT AS num_max,
-            NULL::DOUBLE AS dbl_min, NULL::DOUBLE AS dbl_max,
-            MIN($c) AS str_min, MAX($c) AS str_max"""
-            case "arr" =>
-              s"""NULL::BIGINT AS num_min, NULL::BIGINT AS num_max,
-            NULL::DOUBLE AS dbl_min, NULL::DOUBLE AS dbl_max,
-            NULL::VARCHAR AS str_min, NULL::VARCHAR AS str_max"""
-          }
-          s"""SELECT '$t' AS table_name, '$c' AS col_name,
-            CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-            COUNT(DISTINCT $c) AS n_distinct,
-            $slots FROM $t"""
-        }
-        Profile.TableCols
-          .flatMap { case (t, cols) => cols.map { case (c, cls) => one(t, c, cls) } }
-          .mkString("", "\n        UNION ALL\n        ",
-            "\n        ORDER BY table_name, col_name")
-      }),
+      QueryDef("s7_profile", Profile.s7Profile,
+        Some(profileOracle(distinctSlot = "COUNT(DISTINCT $c) AS n_distinct"))),
 
       // The 100 TB-default profile: HLL++ distinct counts in the SAME
-      // single-pass shape — declared rows-only (sketch estimates are
-      // engine-specific, like a3_approx_distinct); RelationalSpec asserts
-      // every estimate within tolerance of the exact pass. s7_profile
-      // stays the hash-checked oracle form; this row makes the scale path
-      // driver-visible instead of scalatest-only.
-      QueryDef("s7_profile_approx", Profile.s7ProfileApprox, None),
+      // single-pass shape. The sketch estimate is engine-specific (like
+      // a3_approx_distinct), so the declared form trades the raw value
+      // for the nd_est_ok sanity predicate (literal TRUE in the oracle —
+      // see Profile.s7ProfileApproxChecked) and every deterministic
+      // column hash-compares exactly; RelationalSpec keeps the estimate
+      // tolerance-asserted against the exact pass.
+      QueryDef("s7_profile_approx", Profile.s7ProfileApproxChecked,
+        Some(profileOracle(distinctSlot = "TRUE AS nd_est_ok"))),
 
       QueryDef("l8_split", Curation.l8Split, Some("""
         WITH s AS (SELECT doc_id,
@@ -1488,7 +1514,7 @@ object Registry {
       // distributed prefix-sum rank must equal it row for row), and the
       // ⌈size·rate/1000⌉ keep bound with the same integer DIV identity.
       QueryDef("l8_stratified", Curation.l8StratifiedSample, Some(s"""
-        SELECT doc_id, lang, source, stratum_size, CAST(rn AS INT) AS rn,
+        SELECT doc_id, lang, source, stratum_size, CAST(rn AS BIGINT) AS rn,
           rn <= (stratum_size * ${Curation.StratifiedRatePermille} + 999) // 1000 AS sampled
         FROM (SELECT doc_id, lang, source,
             ROW_NUMBER() OVER (PARTITION BY lang, source
@@ -1516,7 +1542,7 @@ object Registry {
               AS quota
           FROM sz CROSS JOIN tot)
         SELECT r.doc_id, r.lang, CAST(r.stratum_size AS BIGINT) AS stratum_size,
-          CAST(r.rn AS INT) AS rn, CAST(a.quota AS BIGINT) AS quota,
+          CAST(r.rn AS BIGINT) AS rn, CAST(a.quota AS BIGINT) AS quota,
           r.rn <= a.quota AS sampled
         FROM r JOIN alloc a USING (lang) ORDER BY r.doc_id""")),
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -177,7 +178,7 @@ object Curation {
       .select(col("doc_id"), tokens.as("n_tokens"))
       .repartitionByRange(partitions, col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .materialize()
     val offsets = parts.groupBy(col("pid"))
       .agg(sum(col("n_tokens")).as("ptot"))
       .withColumn("poff",
@@ -322,7 +323,7 @@ object Curation {
       .select(key.as("k"), hexBucket(salt + "|", key, 32).as("h"))
       .repartitionByRange(partitions, col("h"), col("k"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // same contract as packBins: offsets branch and
+      .materialize() // same contract as packBins: offsets branch and
                          // main branch must see ONE materialized partitioning
     val offsets = parts.groupBy(col("pid"))
       .agg(count(lit(1)).as("pcnt"))
@@ -376,7 +377,10 @@ object Curation {
     // both engines evaluate exactly at any magnitude)
     stratumRank(rows, strata, keyCol, salt, partitions)
       .select(col(keyCol) +: strata.map(col) :+ col("stratum_size") :+
-        col("rn").cast("int").as("rn") :+
+        // rn stays BIGINT: a single stratum (one crawl source) can exceed
+        // 2^31 rows at 100 TB, and an INT cast would silently wrap the
+        // emitted rank (the keep flag is computed from the pre-cast long)
+        col("rn").as("rn") :+
         (col("rn") <=
           expr(s"(stratum_size * $ratePermille + 999) DIV 1000")).as("sampled"): _*)
   }
@@ -394,7 +398,7 @@ object Curation {
         hexBucket(salt + "|", col(keyCol), 32).as("__h"): _*)
       .repartitionByRange(partitions, sc :+ col("__h") :+ col(keyCol): _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // same contract as packBins: offsets branch and
+      .materialize() // same contract as packBins: offsets branch and
                          // main branch must see ONE materialized partitioning
     // per-stratum offsets of earlier partitions (tiny: #partitions × #strata)
     val offsets = parts.groupBy(col("__pid") +: sc: _*)
@@ -469,7 +473,7 @@ object Curation {
           .as("quota"))
     ranked.join(broadcast(alloc), stratum)
       .select(col(keyCol), col(stratum), col("stratum_size"),
-        col("rn").cast("int").as("rn"), col("quota"),
+        col("rn").as("rn"), col("quota"), // BIGINT rank, same 2^31 rationale as stratifiedSample
         (col("rn") <= col("quota")).as("sampled"))
   }
 
@@ -512,7 +516,7 @@ object Curation {
     // a cluster run would use reliable `checkpoint`)
     val bucketed = TextOps.ccnetBuckets(survivors)
       .filter(col("bucket") =!= lit("tail"))
-      .localCheckpoint()
+      .materialize()
     packBins(bucketed, col("n_tokens"), PackBudget)
       .join(bucketed.select(col("doc_id"), col("bucket")), "doc_id")
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("bin"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -191,6 +192,30 @@ object Dedup {
     t.documents
       .select(col("doc_id") +:
         minhashSigFastFromToks(tokens(col("text")), DefaultBands * DefaultRowsPerBand): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle-CHECKABLE form of [[l2MinhashFast]] (the declared
+    * `l2_minhash_fast` query): the xxhash64 signature VALUES cannot be
+    * replayed by DuckDB, but the signature's structural contract can —
+    * every document yields a complete width-[[DefaultBands]]·
+    * [[DefaultRowsPerBand]] signature with no null slots (a null slot
+    * would mean a min over an empty hash set, i.e. a lost document). The
+    * full signature matrix still materializes inside the plan (n_hashes
+    * consumes every fsig column, so pruning cannot drop the hashing);
+    * statistical semantics (Jaccard estimation, simJoin equivalence)
+    * stay pinned in PropertiesSpec, and the md5 twin [[l2Minhash]] keeps
+    * the value-exact oracle. Upgrades the driver's check for this query
+    * from rows-only to rows+schema+hash.
+    */
+  def l2MinhashFastChecked(spark: SparkSession, dir: String): DataFrame = {
+    val w = DefaultBands * DefaultRowsPerBand
+    l2MinhashFast(spark, dir)
+      .select(col("doc_id"),
+        (0 until w).map(i =>
+          when(col(f"fsig_$i%02d").isNotNull, 1L).otherwise(0L))
+          .reduce(_ + _).as("n_hashes"))
+      .withColumn("sig_complete", col("n_hashes") === lit(w.toLong))
       .orderBy(col("doc_id"))
   }
 
@@ -387,7 +412,7 @@ object Dedup {
     val groups = tokset.groupBy(col("set_sig"))
       .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"),
         min_by(col("toks"), col("doc_id")).as("toks"))
-      .localCheckpoint()
+      .materialize()
     // 2. signatures + band-hash array per representative: ONE native
     // single-pass signature vector per rep (see MinhashSigs), band
     // hashes fold getItem slices of it in the next projection
@@ -438,8 +463,20 @@ object Dedup {
               rowsPerBand: Int = DefaultRowsPerBand,
               threshold: Double = DefaultThreshold,
               chunks: Int = DefaultChunks,
-              tokenizer: Column => Column = tokens): DataFrame = {
-    val parts = simJoinParts(docs, bands, rowsPerBand, threshold, chunks, tokenizer)
+              tokenizer: Column => Column = tokens): DataFrame =
+    simJoinFromParts(
+      simJoinParts(docs, bands, rowsPerBand, threshold, chunks, tokenizer),
+      threshold)
+
+  /** Member expansion + jaccard rounding over an already-computed
+    * [[SimJoinParts]] — split out so the three declared consumers of the
+    * default chain ([[l6SimJoin]], [[l6DedupDocs]],
+    * [[graft.operators.Curation.l8ClusterSample]]) can share ONE
+    * materialization via [[defaultSimJoinParts]] instead of re-running
+    * the banded-LSH + exact-verify pipeline per query.
+    */
+  def simJoinFromParts(parts: SimJoinParts,
+                       threshold: Double = DefaultThreshold): DataFrame = {
     val repPairs = parts.repPairs
     val member = parts.members
     // expand representatives back to document pairs
@@ -469,10 +506,30 @@ object Dedup {
     * tie-break), so it carries a full DuckDB oracle; LSH cluster semantics
     * are additionally asserted in scalatest.
     */
-  def l6SimJoin(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    simJoin(t.documents).orderBy(col("a_id"), col("b_id"))
-  }
+  def l6SimJoin(spark: SparkSession, dir: String): DataFrame =
+    simJoinFromParts(defaultSimJoinParts(spark, dir))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** The simJoin chain at its declared defaults, materialized ONCE per
+    * (session, corpus dir): `l6_simjoin`, `l6_dedup_docs` and
+    * `l8_cluster_sample` all consume it, and a Verify/Bench run would
+    * otherwise pay the banded-LSH + exact-verify chain once per query.
+    * The checkpointed parts are exactly what the un-memoized call
+    * computes (rows, not plan, are cached), so declared-query semantics
+    * — and the DuckDB oracle replay — are unchanged; LlmOpsSpec pins the
+    * memoized l6 results against an independent recompute. Entries are
+    * keyed by session so a stopped session's cache is unreachable, and
+    * the frames are localCheckpoint'd (a cluster deploy would swap in
+    * reliable `checkpoint`, see SCALING.md).
+    */
+  private val defaultPartsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SimJoinParts]
+  private[graft] def defaultSimJoinParts(spark: SparkSession, dir: String): SimJoinParts =
+    defaultPartsCache.getOrElseUpdate((spark, dir), {
+      val p = simJoinParts(Tables(spark, dir).documents)
+      SimJoinParts(p.reps.materialize(), p.repPairs.materialize(),
+        p.members.materialize())
+    })
 
   /** Shingle size for the declared n-gram Jaccard query (shared with the
     * Registry oracle builder, same no-drift rule as the LSH defaults).
@@ -482,12 +539,14 @@ object Dedup {
   /** Propagation rounds for the declared cluster-collapse query, shared
     * with the Registry oracle builder: BOTH engines replay exactly this
     * many rounds, so the hash compare holds even on a graph that needs
-    * fewer (or, pathologically, more) rounds. Convergence at fixture scale
-    * (round N == round N+1) is asserted separately in LlmOpsSpec. 4 =
-    * measured convergence bound on the fixture corpus (2–3 rounds — the
-    * near-dup rep graph's diameter) + one round of margin; each round is
-    * a full materialized pass over the edge list, so rounds that provably
-    * never change a label are pure wall-time.
+    * fewer rounds. 4 = measured convergence bound on the fixture corpus
+    * (2–3 rounds — the near-dup rep graph's diameter) + one round of
+    * margin; each round is a full materialized pass over the edge list, so
+    * rounds that provably never change a label are pure wall-time. A graph
+    * that needs MORE rounds is caught at runtime: [[clusterCollapse]]
+    * verifies convergence with one extra propagation pass and fails loudly
+    * instead of returning split clusters the oracle compare could never
+    * catch (both engines would replay the same insufficient round count).
     */
   val DefaultCcIters = 4
 
@@ -516,7 +575,8 @@ object Dedup {
     * reanalysis); a cluster run would use reliable `checkpoint` instead.
     */
   def clusterCollapse(ids: DataFrame, pairs: DataFrame,
-                      iters: Int = DefaultCcIters): DataFrame = {
+                      iters: Int = DefaultCcIters,
+                      verifyConverged: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // undirected graph: each pair propagates labels in both directions.
     // The pair list is checkpointed BEFORE the flip-union: the two union
@@ -526,10 +586,10 @@ object Dedup {
     // would execute TWICE. Checkpoint once, flip the materialized rows.
     val half = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .localCheckpoint()
+      .materialize()
     val edges = half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint() // computed once, re-read every round
+      .materialize() // computed once, re-read every round
     var labels = ids.select(col("doc_id"), col("doc_id").as("label"))
     for (_ <- 1 to iters) {
       val nbrMin = edges
@@ -540,7 +600,27 @@ object Dedup {
         .join(nbrMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint()
+        .materialize()
+    }
+    // Convergence guard: a fixed round count that undershoots the graph
+    // diameter yields SPLIT clusters, and because the DuckDB oracle
+    // replays the same round count the hash compare is structurally blind
+    // to it. One more neighbour-min pass (same join shape as a round, one
+    // scalar to the driver) turns that silent wrong answer into a loud
+    // failure pointing at connectedComponents (adaptive rounds) or a
+    // larger `iters`. Skippable only where the caller replays an
+    // intentionally-truncated round count (none of ours do).
+    if (verifyConverged) {
+      val improvable = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+        .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+        .filter(col("nbr_min") < col("label"))
+        .count()
+      if (improvable > 0) throw new IllegalStateException(
+        s"clusterCollapse did not converge in $iters rounds ($improvable labels " +
+          "still improvable); graph diameter exceeds the round count — raise " +
+          "`iters` or use connectedComponents (pointer jumping, ~log2 rounds)")
     }
     labels.select(col("doc_id"), col("label").as("cluster_rep"),
       (col("doc_id") === col("label")).as("kept"))
@@ -562,18 +642,28 @@ object Dedup {
     * same [[DefaultCcIters]] rep-level rounds in SQL; LlmOpsSpec asserts
     * equality with member-expanded propagation at convergence.
     */
-  def l6DedupDocs(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val parts = simJoinParts(t.documents)
-    val repLabels = clusterCollapse(
-      parts.reps.select(col("rep_id").as("doc_id")),
-      parts.repPairs.select(col("rep_a").as("a_id"), col("rep_b").as("b_id")))
-    parts.members
-      .join(repLabels.select(col("doc_id").as("rep_id"), col("cluster_rep")), "rep_id")
-      .select(col("doc_id"), col("cluster_rep"),
-        (col("doc_id") === col("cluster_rep")).as("kept"))
-      .orderBy(col("doc_id"))
-  }
+  def l6DedupDocs(spark: SparkSession, dir: String): DataFrame =
+    l6LabelsCache.getOrElseUpdate((spark, dir), {
+      val parts = defaultSimJoinParts(spark, dir)
+      val repLabels = clusterCollapse(
+        parts.reps.select(col("rep_id").as("doc_id")),
+        parts.repPairs.select(col("rep_a").as("a_id"), col("rep_b").as("b_id")))
+      parts.members
+        .join(repLabels.select(col("doc_id").as("rep_id"), col("cluster_rep")), "rep_id")
+        .select(col("doc_id"), col("cluster_rep"),
+          (col("doc_id") === col("cluster_rep")).as("kept"))
+        .materialize()
+      // the checkpoint caches ROWS; the declared ordering is re-applied per
+      // call because checkpointed partition order is not a contract
+    }).orderBy(col("doc_id"))
+
+  /** Converged cluster labels at the declared defaults, shared by
+    * `l6_dedup_docs` and `l8_cluster_sample` (see [[defaultSimJoinParts]]
+    * for the memoization rationale — the collapse + convergence guard run
+    * once per session instead of once per consumer).
+    */
+  private val l6LabelsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Production connected components — the O(log n)-round twin of
     * [[clusterCollapse]] for graphs whose diameter is NOT small (the
@@ -603,12 +693,12 @@ object Dedup {
     // checkpoint-then-flip, same double-execution guard as clusterCollapse
     val half = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .localCheckpoint()
+      .materialize()
     val edges = half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .materialize()
     var labels = ids.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
+      .materialize()
     var prevSum: Option[java.math.BigDecimal] = None
     var round = 0
     var converged = false
@@ -623,7 +713,7 @@ object Dedup {
       val l2 = l1
         .join(l1.select(col("doc_id").as("label"), col("label").as("plabel")), Seq("label"))
         .select(col("doc_id"), col("plabel").as("label"))
-        .localCheckpoint()
+        .materialize()
       // cast the ELEMENTS, not the finished sum: a Long-typed aggregate
       // overflows (ANSI throw or silent wrap) before the cast could help
       // at 100 TB id magnitudes

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -216,7 +217,12 @@ object Eval {
     val cb = docs.select(explode(tokenizer(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c_bt"))
     val refTot = ref.agg(sum(col("c_t")).as("n_ref"))
-    val joined = cb.join(ref, Seq("token"), "left")
+    // materialized ONCE: `joined` feeds both the mass aggregate and the
+    // in-vocab KL aggregate (and `masses` is consumed twice more below) —
+    // without this every streaming micro-batch in runDriftMonitor pays
+    // the tokenize+join roughly twice. Same contract as packBins /
+    // stratumRank; the frame is batch-vocabulary-sized, not corpus-sized.
+    val joined = cb.join(ref, Seq("token"), "left").materialize()
     val masses = joined.agg(
       sum(col("c_bt")).as("n_tokens"),
       sum(when(col("c_t").isNull, col("c_bt")).otherwise(0L)).as("n_oov"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -69,7 +70,7 @@ object Fuzzy {
     // without it the catalog scan + aggregate runs four times
     val names = Tables(spark, dir).part
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
-      .localCheckpoint()
+      .materialize()
     // id IS the name (distinct by construction): fuzzyPairs' canonical
     // a_id < b_id orientation becomes plain lexicographic name order,
     // which the oracle replays directly; counts re-attach post-candidates

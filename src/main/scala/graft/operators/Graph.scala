@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -56,8 +57,8 @@ object Graph {
     // sized) score frame shuffles each iteration — the edge shuffle is
     // paid once, not once per round
     val linked = edges.join(deg, "src")
-      .repartition(col("src")).localCheckpoint()
-    val nodes = linked.select(col("src").as("node")).distinct().localCheckpoint()
+      .repartition(col("src")).materialize()
+    val nodes = linked.select(col("src").as("node")).distinct().materialize()
     // Enforce the documented precondition, don't just state it: a node
     // with in-edges but no out-edges would be silently absent from the
     // node frame (derived from src only) — its rows vanish and its
@@ -83,7 +84,7 @@ object Graph {
         .select(col("node"),
           expr(s"($teleport + $dampingPermille * coalesce(mass, 0L)) DIV 1000")
             .as("score"))
-        .localCheckpoint()
+        .materialize()
     }
     scores
   }
@@ -107,7 +108,7 @@ object Graph {
     // the edge set feeds FOUR consumers (degrees, orientation, closure,
     // totals) — materialize once or the upstream edge build (often a
     // fact-table self-join) re-executes per consumer
-    val und = undRaw.localCheckpoint()
+    val und = undRaw.materialize()
     val deg = und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val withDeg = und
@@ -120,7 +121,7 @@ object Graph {
         .otherwise(col("b")).as("src"),
       when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
         .otherwise(col("a")).as("dst"))
-      .localCheckpoint() // feeds both wedge sides
+      .materialize() // feeds both wedge sides
     // wedges from out-neighbor pairs (x < y keeps each pair once), closed
     // against the oriented edge set (x→y or y→x both impossible to miss:
     // the closing edge is oriented by the same global order, so exactly
@@ -169,7 +170,7 @@ object Graph {
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
       .distinct()
-      .localCheckpoint()
+      .materialize()
     val edges = flows.select(col("s").as("src"), col("c").as("dst"))
       .unionByName(flows.select(col("c").as("src"), col("s").as("dst")))
     pageRank(edges)

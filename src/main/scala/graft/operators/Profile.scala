@@ -88,7 +88,10 @@ object Profile {
       if (cls == "ts") unix_micros(col(c)).as(c) else col(c)
     }: _*)
     val eff = cols.map { case (c, cls) => (c, if (cls == "ts") "int" else cls) }
-    val aggs = eff.flatMap { case (c, cls) =>
+    // total row count rides the same single pass (free beside the other
+    // accumulators) — emitted per column as n_rows, and the anchor for the
+    // checked-approx form's HLL sanity band
+    val aggs = count(lit(1)).as("__nrows") +: eff.flatMap { case (c, cls) =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn")) ++
         (if (approx) Seq(approx_count_distinct(col(c)).as(s"${c}_nd")) else Nil) ++
         (if (cls == "arr") Nil
@@ -101,6 +104,7 @@ object Profile {
     val structRows = eff.map { case (c, cls) =>
       struct(
         lit(c).as("col_name"),
+        col("__nrows").as("n_rows"),
         col(s"${c}_nn").as("n_nulls"),
         (if (approx) col(s"${c}_nd") else lit(null).cast("long")).as("n_distinct"),
         slot(c, cls, "int", "long", "num_min"),
@@ -122,9 +126,9 @@ object Profile {
           .join(nd, "col_name")
           .withColumnRenamed("nd", "n_distinct")
       }
-    withNd.select(lit(table).as("table_name"), col("col_name"), col("n_nulls"),
-      col("n_distinct"), col("num_min"), col("num_max"), col("dbl_min"),
-      col("dbl_max"), col("str_min"), col("str_max"))
+    withNd.select(lit(table).as("table_name"), col("col_name"), col("n_rows"),
+      col("n_nulls"), col("n_distinct"), col("num_min"), col("num_max"),
+      col("dbl_min"), col("dbl_max"), col("str_min"), col("str_max"))
   }
 
   /** S7 declared query: the full-catalog profile, one row per column. */
@@ -151,4 +155,29 @@ object Profile {
       .reduce(_ unionByName _)
       .orderBy(col("table_name"), col("col_name"))
   }
+
+  /** Oracle-CHECKABLE form of [[s7ProfileApprox]] (the declared
+    * `s7_profile_approx` query): identical single-pass HLL++ plan, but
+    * the engine-specific sketch estimate enters the compare as a SANITY
+    * PREDICATE instead of a raw value — `nd_est_ok` holds iff the
+    * estimate sits in [1 if any non-null else 0, max(10, ⌈1.2·n_rows⌉)],
+    * a band far outside HLL++'s 5 % rsd envelope, which the DuckDB
+    * oracle replays as literal TRUE. Every deterministic column
+    * (n_rows, nulls, typed min/max) is hash-compared exactly; the
+    * estimate VALUE stays tolerance-asserted against the exact pass in
+    * RelationalSpec. The predicate consumes the estimate, so column
+    * pruning cannot drop the HLL accumulator from the measured plan.
+    * Upgrades the driver's check from rows-only to rows+schema+hash.
+    */
+  def s7ProfileApproxChecked(spark: SparkSession, dir: String): DataFrame =
+    s7ProfileApprox(spark, dir)
+      .select(col("table_name"), col("col_name"), col("n_rows"), col("n_nulls"),
+        (col("n_distinct") >=
+            when(col("n_rows") > col("n_nulls"), 1L).otherwise(0L) &&
+          col("n_distinct") <=
+            greatest(lit(10L), ceil(col("n_rows") * 1.2).cast("long")))
+          .as("nd_est_ok"),
+        col("num_min"), col("num_max"), col("dbl_min"), col("dbl_max"),
+        col("str_min"), col("str_max"))
+      .orderBy(col("table_name"), col("col_name"))
 }

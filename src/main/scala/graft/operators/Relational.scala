@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import graft.{Det, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -492,7 +493,7 @@ object Relational {
                       partitions: Int = 32): DataFrame = {
     val parts = df.repartitionByRange(partitions, sort: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .materialize()
     val offsets = parts.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__pcnt"))
       .withColumn("__poff",

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -53,7 +54,12 @@ object Similarity {
     val dot = dsumArr(zip_with(a, b, (x, y) => x * y)).cast("double")
     val na  = dsumArr(zip_with(a, a, (x, y) => x * y)).cast("double")
     val nb  = dsumArr(zip_with(b, b, (x, y) => x * y)).cast("double")
-    round(dot / (sqrt(na) * sqrt(nb)), scale)
+    // zero-norm → NULL, matching the native kernel: without the guard a
+    // caller changing only `scale` would flip edge behavior from NULL to
+    // an ANSI divide-by-zero error. CaseWhen evaluates the division only
+    // when the guard is false, so the ANSI path is never reached.
+    when(na === 0d || nb === 0d, lit(null).cast("double"))
+      .otherwise(round(dot / (sqrt(na) * sqrt(nb)), scale))
   }
 
   /** The query vector (vec_id = `queryId`) as a 1-row broadcastable frame. */
@@ -241,7 +247,7 @@ object Similarity {
       cents = dims.groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
         .select(col("cell").as("cid"), transform(col("pc"), p => p.getField("cx")).as("ce"))
-        .localCheckpoint()
+        .materialize()
     }
     cents
   }
@@ -499,6 +505,96 @@ object Similarity {
   /** L3f declared query: PQ-ADC top-10 for query vector 0. */
   def l3PqTopK(spark: SparkSession, dir: String): DataFrame =
     pqTopK(Tables(spark, dir), queryId = 0L, k = 10)
+
+  /** PERSISTED PQ index — the serving shape for PQ at 100 TB, where
+    * [[pqTopK]]'s in-query codebook training (4 Lloyd chains over the
+    * corpus per execution) is an index-BUILD cost paid once, exactly like
+    * [[buildIvfIndex]]'s centroids:
+    *
+    *   indexDir/codebooks/   m·k rows (sub, cid, ce) — the per-subspace
+    *                         k-means codebooks
+    *   indexDir/codes/       (vec_id, label, code_0..code_{m-1}) — each
+    *                         code a 4-byte INT ∈ 0..k−1, 16× less scan
+    *                         bandwidth than the 64 floats it replaces
+    *
+    * Training and encoding reuse the exact-DECIMAL trainer/assignment
+    * ([[trainedCentroids]], [[dist2]]) so a probe's candidate ranking is
+    * bit-identical to the in-query [[pqTopK]] form — BucketingSpec pins
+    * probe == pqTopK on the fixture. Encoding assigns against the RE-READ
+    * codebooks (double roundtrips parquet exactly), same discipline as
+    * [[buildIvfIndex]].
+    */
+  def buildPqIndex(emb: DataFrame, indexDir: String, m: Int = PqM,
+                   subDim: Int = PqSubDim, k: Int = PqK): Unit = {
+    val spark = emb.sparkSession
+    def sub(j: Int): DataFrame = emb.select(col("vec_id"),
+      slice(col("embedding"), j * subDim + 1, subDim).as("embedding"))
+    (0 until m).map(j => trainedCentroids(sub(j), k).withColumn("sub", lit(j)))
+      .reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    val books = spark.read.parquet(s"$indexDir/codebooks")
+    val codes = (0 until m).map { j =>
+      sub(j).select(col("vec_id"), dbl(col("embedding")).as("e"))
+        .crossJoin(broadcast(books.filter(col("sub") === j)))
+        .select(col("vec_id"), col("cid"), dist2(col("e"), col("ce")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").cast("int").as(s"code_$j"))
+    }.reduce(_.join(_, "vec_id"))
+    emb.select(col("vec_id"), col("label")).join(codes, "vec_id")
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** ADC candidate ranking over a [[buildPqIndex]] index: broadcast the
+    * m·k-entry ADC table (squared distance of each codebook centroid to
+    * the query's subspace slice — computed on the k-row codebook frame,
+    * never the corpus), then rank codes rows by the sum of m table
+    * lookups. The ONLY corpus-sized input is the codes parquet —
+    * BucketingSpec asserts the scan schema is vec_id + code_* and
+    * nothing else. Exposed separately from [[probePqIndex]] so the
+    * candidate-stage plan is assertable.
+    */
+  def pqCandidates(spark: SparkSession, indexDir: String, query: Seq[Float],
+                   nCand: Int, m: Int = PqM, subDim: Int = PqSubDim): DataFrame = {
+    val qDbl = typedLit(query.map(_.toDouble))
+    val books = spark.read.parquet(s"$indexDir/codebooks")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .select(col("vec_id") +: (0 until m).map(j => col(s"code_$j")): _*)
+    (0 until m).foldLeft(codes) { (df, j) =>
+      val tb = books.filter(col("sub") === j)
+        .select(col("cid").cast("int").as(s"code_$j"),
+          dist2(col("ce"), slice(qDbl, j * subDim + 1, subDim)).as(s"adc_$j"))
+      df.join(broadcast(tb), s"code_$j")
+    }.select(col("vec_id"),
+        (0 until m).map(j => col(s"adc_$j")).reduce(_ + _).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(nCand)
+  }
+
+  /** Top-k cosine neighbours of an out-of-corpus query against a
+    * [[buildPqIndex]] index: ADC candidate rank over the codes column
+    * ([[pqCandidates]], TakeOrderedAndProject), then exact-cosine rescore
+    * of only the top [[PqRescoreFactor]]·k survivors. The candidate id
+    * set is a bounded factor·k-row collect (index-metadata scale, like
+    * [[probeIvfIndex]]'s cell rank) so the rescore reaches `rescoreFrom`
+    * as a pushed-down `vec_id IN (...)` filter instead of a join that
+    * would scan the corpus — PQ stores codes, not vectors, so the
+    * original embeddings live wherever the caller keeps them (FAISS's
+    * refine-from-flat-store shape).
+    */
+  def probePqIndex(spark: SparkSession, indexDir: String, query: Seq[Float],
+                   k: Int, rescoreFrom: DataFrame, m: Int = PqM,
+                   subDim: Int = PqSubDim): DataFrame = {
+    val candIds = pqCandidates(spark, indexDir, query, PqRescoreFactor * k, m, subDim)
+      .collect().map(_.getAs[Long]("vec_id"))
+    val qDbl = typedLit(query.map(_.toDouble))
+    rescoreFrom
+      .filter(col("vec_id").isin(candIds.toIndexedSeq: _*))
+      .select(col("vec_id"), col("label"),
+        cosine(dbl(col("embedding")), qDbl).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
 
   /** PERSISTED IVF index — the actual serving shape at 100 TB, where
     * [[ivfTopKFast]]'s in-session centroid reuse still re-scans and

@@ -413,7 +413,9 @@ object TextOps {
     val total = ranked.agg(count(lit(1)).as("__n"))
     ranked.crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_tokens"), col("nll_micro"),
-        col("rank").cast("int").as("rank"),
+        // corpus-global rank stays BIGINT — it passes 2^31 long before
+        // 100 TB and an INT cast would silently wrap
+        col("rank"),
         when(expr("(rank - 1) * 10 DIV __n") < CcnetHeadTenths, lit("head"))
           .when(expr("(rank - 1) * 10 DIV __n") < CcnetHeadTenths + CcnetMiddleTenths,
             lit("middle"))

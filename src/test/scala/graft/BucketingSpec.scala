@@ -98,6 +98,41 @@ class BucketingSpec extends SparkSuite {
     assertSameRows(probe, Similarity.probeIvfIndex(spark, idxDir, q, k = 10).drop("cell"))
   }
 
+  test("persisted PQ index: codes-only candidate scan + ADC rank + exact rescore == in-query PQ") {
+    import graft.operators.Similarity
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.buildPqIndex(tables.embeddings, idxDir)
+    val q = tables.embeddings.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect()(0)
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    // probe against the persisted codebooks+codes must reproduce the
+    // in-query-trained form bit for bit: same exact trainer, same exact
+    // ADC ranking, same exact rescore
+    val probe = Similarity.probePqIndex(spark, idxDir, q, k = 10, tables.embeddings)
+    assertSameRows(probe, Similarity.pqTopK(tables, 0L, 10))
+    // the candidate stage's only corpus-sized input is the codes parquet:
+    // its scan schema is vec_id + the m 4-byte code columns — no embedding
+    val cand = Similarity.pqCandidates(spark, idxDir, q,
+      Similarity.PqRescoreFactor * 10)
+    cand.collect() // finalize the adaptive plan before inspecting it
+    // AQE wraps the stages as leaf QueryStageExec nodes, so assert on the
+    // rendered plan: the /codes scan's ReadSchema is vec_id + the m 4-byte
+    // INT code columns and nothing else — no embedding ever reaches the
+    // candidate stage
+    val scanLine = cand.queryExecution.executedPlan.toString.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/codes"))
+      .getOrElse(fail(s"no codes scan in:\n${cand.queryExecution.executedPlan}"))
+    val expectSchema = "ReadSchema: struct<vec_id:bigint," +
+      (0 until Similarity.PqM).map(j => s"code_$j:int").mkString(",") + ">"
+    assert(scanLine.contains(expectSchema),
+      s"codes scan must read only vec_id + INT codes:\n$scanLine")
+    // and the rescore reaches the vector store as a pushed-down id filter,
+    // not a corpus scan: the probe plan's scan carries an In(vec_id) push
+    val probePlan = probe.queryExecution.executedPlan.toString
+    assert(probePlan.contains("PushedFilters") && probePlan.contains("vec_id"),
+      probePlan)
+  }
+
   test("bucketed lineitem ⋈ orders on orderkey plans without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")

@@ -224,7 +224,17 @@ class LlmOpsSpec extends SparkSuite {
     val chainIds = spark.range(1, n + 1).select(col("id").as("doc_id"))
     val chainPairs = spark.range(1, n)
       .select(col("id").as("a_id"), (col("id") + 1L).as("b_id"))
-    val fixedWrong = Dedup.clusterCollapse(chainIds, chainPairs, Dedup.DefaultCcIters)
+    // the fixed-round form must refuse to return the split clustering: the
+    // convergence guard (one extra neighbour-min pass) fails loudly where
+    // the oracle compare is structurally blind
+    val guardHit = intercept[IllegalStateException] {
+      Dedup.clusterCollapse(chainIds, chainPairs, Dedup.DefaultCcIters).count()
+    }
+    assert(guardHit.getMessage.contains("did not converge"))
+    // with the guard off (the introspection escape hatch), the truncated
+    // labels show WHY: most of the chain is still mislabeled at 4 hops
+    val fixedWrong = Dedup.clusterCollapse(chainIds, chainPairs,
+      Dedup.DefaultCcIters, verifyConverged = false)
       .filter(col("cluster_rep") =!= 1L).count()
     assert(fixedWrong > 0, "fixed-round form should NOT converge on a long chain")
     val cc = Dedup.connectedComponents(chainIds, chainPairs, maxRounds = 20)
@@ -713,9 +723,9 @@ class LlmOpsSpec extends SparkSuite {
     assert(byBucket("middle") == share(TextOps.CcnetHeadTenths,
       TextOps.CcnetHeadTenths + TextOps.CcnetMiddleTenths))
     assert(byBucket("tail") == n - byBucket("head") - byBucket("middle"))
-    assert(out.map(_.getAs[Int]("rank")).sorted.sameElements(1 to n))
+    assert(out.map(_.getAs[Long]("rank")).sorted.toSeq == (1 to n).map(_.toLong))
     // rank order IS nll order (ties by doc_id): nll never decreases with rank
-    val byRank = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("nll_micro"))
+    val byRank = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("nll_micro"))
     assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
   }
 

@@ -43,8 +43,8 @@ class RelationalSpec extends SparkSuite {
       // HLL++ default rsd 0.05 → allow 5 sigma (small counts: exact)
       assert(math.abs(an - en) <= math.max(5, 0.25 * en), s"$k: $an vs $en")
       // every non-sketch stat must be bit-identical to the exact pass
-      for (c <- Seq("n_nulls", "num_min", "num_max", "dbl_min", "dbl_max",
-          "str_min", "str_max"))
+      for (c <- Seq("n_rows", "n_nulls", "num_min", "num_max", "dbl_min",
+          "dbl_max", "str_min", "str_max"))
         assert(a.getAs[Any](c) == e.getAs[Any](c), s"$k.$c")
     }
   }
