@@ -345,6 +345,137 @@ object TailTwins {
               .otherwise(lit("tail")).as("bucket"))
       }),
 
+      "m3_mrr" -> (() => {
+        // idiomatic form: BM25 via explode/groupBy, then a PER-QUERY
+        // Window.partitionBy rank — the 1-partition-per-query funnel the
+        // engine's offset-localized distributedRank exists to avoid
+        import org.apache.spark.sql.expressions.Window
+        val (k1, b, k) = (1.2, 0.75, 15)
+        val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val stats = docs.agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("sum_dl"))
+        val scored = tf.join(dl, "doc_id").join(dfq, "token")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf", log(lit(1.0) +
+            (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          .withColumn("bm25", col("idf") * col("tf") * lit(k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) *
+              col("dl") / (col("sum_dl").cast("double") / col("n_docs")))))
+        val qdf = graft.operators.Eval.MrrQueries.flatMap { q =>
+          val ts = q.split("\\s+").filter(_.nonEmpty).distinct
+          ts.map(t => (q, t, ts.length))
+        }.toSeq
+        val qframe = spark.createDataFrame(qdf).toDF("query", "token", "n_q")
+        val cand = scored.join(broadcast(qframe), "token")
+          .groupBy(col("query"), col("doc_id"), col("n_q"))
+          .agg(sum(col("bm25")).as("score"), count(lit(1)).as("hits"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("query")).orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("rnk") <= k)
+          .withColumn("relevant", col("hits") === col("n_q"))
+        cand.groupBy("query")
+          .agg(min(when(col("relevant"), col("rnk"))).as("first_rel"),
+            sum(when(col("relevant"), 1L).otherwise(0L)).as("n_rel"))
+          .select(col("query"), col("first_rel"),
+            (lit(1.0) / col("first_rel")).as("rr"), col("n_rel"),
+            (col("n_rel") / lit(k.toDouble)).as("prec_at_k"))
+          .orderBy("query")
+      }),
+
+      "l4_keywords" -> (() => {
+        // classic tf-idf + per-doc window top-3
+        import org.apache.spark.sql.expressions.Window
+        val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(dfq, "token").crossJoin(broadcast(n))
+          .withColumn("tf_idf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("tf_idf").desc, col("token"))))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("tf_idf"))
+          .orderBy("doc_id", "rnk")
+      }),
+
+      "l8_stratified" -> (() => {
+        // idiomatic exact-count stratified sample: per-stratum window rank
+        // over a salted hash + a window count (the engine's stratumRank
+        // trades these for a range exchange + broadcast offsets)
+        import org.apache.spark.sql.expressions.Window
+        val h = md5(concat(lit("strat|"), col("doc_id").cast("string")))
+        docs.select(col("doc_id"), col("lang"), col("source"))
+          .withColumn("stratum_size",
+            count(lit(1)).over(Window.partitionBy("lang", "source")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang", "source").orderBy(h, col("doc_id"))))
+          .withColumn("sampled", col("rn") <= expr("(stratum_size * 200 + 999) DIV 1000"))
+          .orderBy("doc_id")
+      }),
+
+      "l8_temperature_mix" -> (() => {
+        // α=0.5 temperature mix: √-flattened per-language quotas computed
+        // on a collected size table, then a per-language hash-rank window
+        import org.apache.spark.sql.expressions.Window
+        val sz = docs.groupBy("lang").agg(count(lit(1)).as("stratum_size"))
+        val tot = sz.agg(sum(sqrt(col("stratum_size"))).as("z"),
+          sum(col("stratum_size")).as("n"))
+        val alloc = sz.crossJoin(broadcast(tot))
+          .select(col("lang"), col("stratum_size"),
+            ceil(col("n") * lit(0.5) * sqrt(col("stratum_size")) / col("z"))
+              .cast("long").as("quota"))
+        val h = md5(concat(lit("temp|"), col("doc_id").cast("string")))
+        docs.select(col("doc_id"), col("lang"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy(h, col("doc_id"))))
+          .join(broadcast(alloc), "lang")
+          .select(col("doc_id"), col("lang"), col("stratum_size"), col("rn"),
+            col("quota"), (col("rn") <= col("quota")).as("sampled"))
+          .orderBy("doc_id")
+      }),
+
+      "l3_pq_topk" -> (() => {
+        // the form an experienced user writes with MLlib: per-subspace
+        // KMeans codebooks, codes via model.transform, ADC as a literal
+        // code→distance map, exact cosine rescore of the top candidates
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.linalg.Vectors
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val e = emb.select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("e"))
+        val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+        val qArr = e.filter(col("vec_id") === 0L).head()
+          .getAs[scala.collection.Seq[Double]]("e").toArray
+        var coded = e.select(col("vec_id"))
+        for (j <- 0 until 4) {
+          val sub = e.select(col("vec_id"),
+            toVec(slice(col("e"), j * 16 + 1, 16)).as("features"))
+          val km = new KMeans().setK(16).setMaxIter(3).setSeed(7 + j).fit(sub)
+          val pred = km.transform(sub)
+            .select(col("vec_id"), col("prediction").as(s"code_$j"))
+          val qs = qArr.slice(j * 16, j * 16 + 16)
+          val adc = km.clusterCenters.map(c =>
+            c.toArray.zip(qs).map { case (x, y) => (x - y) * (x - y) }.sum)
+          coded = coded.join(pred, "vec_id")
+            .withColumn(s"adc_$j",
+              element_at(typedLit(adc.indices.map(i => i -> adc(i)).toMap),
+                col(s"code_$j")))
+        }
+        val cand = coded
+          .withColumn("adc_d2", (0 until 4).map(j => col(s"adc_$j")).reduce(_ + _))
+          .orderBy(col("adc_d2"), col("vec_id")).limit(40).select("vec_id")
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+        val q = typedLit(qArr.toSeq)
+        e.join(cand, "vec_id")
+          .select(col("vec_id"), col("label"),
+            (dot(col("e"), q) / sqrt(dot(col("e"), col("e")) * dot(q, q))).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+      }),
+
       "s7_profile" -> (() => {
         // same column coverage as the declared query (TableCols is a data
         // constant, not an operator); naive per-column agg + union loop

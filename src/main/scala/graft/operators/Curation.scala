@@ -505,8 +505,15 @@ object Curation {
     * sets reach the corpus join as constant-width id frames, and packing
     * adds its prefix-sum exchanges only over the ~halved survivor set.
     */
-  def l0Pipeline(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+  def l0Pipeline(spark: SparkSession, dir: String): DataFrame =
+    l0PipelineFrom(Tables(spark, dir).documents)
+
+  /** [[l0Pipeline]] over any documents frame — shared by the declared
+    * query and the streaming recuration twin
+    * ([[graft.streaming.Streams.curationPipelineStream]]), which re-runs
+    * these exact stages over its accumulated corpus per commit.
+    */
+  def l0PipelineFrom(docs: DataFrame): DataFrame = {
     val keepG = TextOps.gopherRules(docs).filter(col("keep")).select("doc_id")
     val keepD = Dedup.dupSpanCoverage(docs).filter(col("keep")).select("doc_id")
     val survivors = docs.join(keepG, "doc_id").join(keepD, "doc_id")

@@ -537,7 +537,8 @@ object Streams {
     */
   def applyChangesStream(changes: DataFrame, snapshotDir: String, checkpoint: String,
                          keys: Seq[String], versionCols: Seq[String],
-                         isDelete: Column): Unit = {
+                         isDelete: Column,
+                         onBeforeCommit: Long => Unit = _ => ()): Unit = {
     val q = changes.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
@@ -550,6 +551,10 @@ object Streams {
         }
         graft.operators.Relational.latestPerKey(merged, keys, versionCols.map(col))
           .write.mode("overwrite").parquet(s"$snapshotDir/v$id")
+        // crash-injection seam for the torn-commit soak (StreamingSpec):
+        // a process death exactly here — version fully written, pointer
+        // not yet flipped — is the protocol's critical window
+        onBeforeCommit(id)
         // pointer flip: write-then-rename, atomic on a POSIX fs
         commitVersion(snapshotDir, id)
         ()
@@ -639,6 +644,53 @@ object Streams {
         else df
       case None => throw new IllegalStateException(s"no committed snapshot in $snapshotDir")
     }
+
+  /** L0 × streaming: CONTINUOUS CURATION — maintain the curated
+    * training-data manifest over an unbounded documents topic. The L0
+    * stages are corpus-GLOBAL by definition (the dup-span gate counts
+    * spans across documents, the CCNet cut is a rank over all survivors,
+    * bin packing is a corpus prefix sum), so the faithful streaming form
+    * is not per-row gating but versioned RECURATION:
+    *
+    *  1. each micro-batch lands its decoded documents in an immutable
+    *     per-batch store directory (`store/b<id>`, overwrite — so a
+    *     REPLAYED batch rewrites the same directory instead of
+    *     double-appending; work ∝ batch);
+    *  2. the SAME composed [[graft.operators.Curation.l0PipelineFrom]]
+    *     stages re-run over the accumulated store, and the refreshed
+    *     manifest commits through the immutable-version + pointer-flip
+    *     protocol of [[applyChangesStream]] (readers pin versions, a
+    *     retried batch rebuilds its version idempotently).
+    *
+    * Step 2 is work ∝ corpus — the honest price of corpus-global
+    * semantics (a rank cut cannot be maintained from per-row state). A
+    * deployment amortizes it by triggering recuration every N batches or
+    * on schedule, while the in-flight per-row stages run continuously at
+    * batch cost: S9b ([[runWithQualityGate]]) for the ruleset gate, T5
+    * ([[nearDedupStream]]) for near-dedup admission, T12
+    * ([[runDriftMonitor]]) for distribution health. StreamingSpec pins
+    * the committed manifest == the batch `l0_pipeline` answer over the
+    * same corpus, across multiple arrival waves.
+    */
+  def curationPipelineStream(docs: DataFrame, storeDir: String,
+                             manifestDir: String, checkpoint: String): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        new java.io.File(storeDir).mkdirs()
+        new java.io.File(manifestDir).mkdirs()
+        batch.write.mode("overwrite").parquet(s"$storeDir/b$id")
+        val corpus = spark.read.parquet(s"$storeDir/b*")
+        graft.operators.Curation.l0PipelineFrom(corpus)
+          .write.mode("overwrite").parquet(s"$manifestDir/v$id")
+        commitVersion(manifestDir, id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
 
   /** T12: streaming DRIFT MONITOR — score every micro-batch of documents
     * against a static reference token distribution

@@ -634,6 +634,59 @@ class StreamingSpec extends SparkSuite {
       .filter(col("user_id") === uid).count() == 0, "late older upsert resurrected a deleted key")
   }
 
+  test("T9 torn-commit soak: crash between version write and pointer flip never surfaces to readers; replay converges") {
+    val topic = "t_cdc_torn"
+    publishEvents(topic)
+    val snapDir = Files.createTempDirectory("graft-snap-torn").toString
+    val cp = Files.createTempDirectory("graft-cp-torn").toString
+    val del = col("event_type") === "error"
+    def applyNow(hook: Long => Unit = _ => ()): Unit =
+      Streams.applyChangesStream(stream(topic), snapDir, cp,
+        keys = Seq("user_id"), versionCols = Seq("ts", "event_id"),
+        isDelete = del, onBeforeCommit = hook)
+    def batchTwin(): DataFrame = graft.operators.Relational.upsertCompact(
+      Streams.decodeEvents(spark.read.format(graft.sources.MqSource.format)
+        .option("topic", topic).load()),
+      Seq("user_id"), Seq(col("ts"), col("event_id")), del)
+    def pointer(): String = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(snapDir, "LATEST")).trim
+
+    applyNow() // committed baseline
+    val vBefore = pointer()
+    val seen = Streams.readSnapshot(spark, snapDir).collect()
+      .map(_.toString).sorted.toSeq
+
+    // new changes arrive, then the process dies in the protocol's critical
+    // window: version directory fully written, pointer NOT yet flipped
+    val live = Streams.readSnapshot(spark, snapDir).orderBy(col("user_id")).head()
+    val uid = live.getAs[Long]("user_id")
+    val tsUs = live.getAs[java.sql.Timestamp]("ts").getTime * 1000L + 5000000L
+    MqBroker.publish(topic, uid.toString,
+      s"""{"event_id": 920001, "ts_us": $tsUs, "user_id": $uid, "event_type": "view", "value": 9.0}""",
+      tsUs)
+    val crash = intercept[Exception] {
+      applyNow(_ => throw new RuntimeException("injected crash before pointer flip"))
+    }
+    assert(Option(crash.getMessage).getOrElse("").contains("injected crash")
+      || crash.getCause != null, crash.toString)
+    // the torn (uncommitted) version directory exists on disk…
+    val newestOnDisk = new java.io.File(snapDir).listFiles().map(_.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong).max
+    assert(newestOnDisk > vBefore.toLong, "no torn version written")
+    // …but the pointer is untouched and readers see EXACTLY the pre-crash
+    // snapshot — never a half-committed state
+    assert(pointer() == vBefore, s"pointer moved across a crash: $vBefore -> ${pointer()}")
+    assert(Streams.readSnapshot(spark, snapDir).collect()
+      .map(_.toString).sorted.toSeq == seen, "reader observed a torn snapshot")
+
+    // restart over the same checkpoint: the failed batch replays, rebuilds
+    // the SAME version idempotently, and the pointer flips — the final
+    // snapshot equals one compaction of the full changelog
+    applyNow()
+    assert(pointer().toLong > vBefore.toLong, "replay did not commit a new version")
+    assertSameRows(Streams.readSnapshot(spark, snapDir), batchTwin())
+  }
+
   test("incremental aggregate view: merge-with-snapshot == re-aggregating the full topic") {
     val topic = "t_aggview"
     publishEvents(topic)
@@ -720,6 +773,44 @@ class StreamingSpec extends SparkSuite {
     assert(curated.nonEmpty)
     // the injected re-deliveries were absorbed: one curated row per doc
     assert(curated.size == curated.map(_._1).size)
+  }
+
+  test("L0 streaming curation: committed manifest == batch l0_pipeline, across arrival waves") {
+    import org.apache.spark.sql.types.StructType
+    val topic = "t_l0_stream"
+    MqBroker.deleteTopic(topic); MqBroker.createTopic(topic, 3)
+    val docsFixture = spark.read.parquet(s"$sf/documents.parquet")
+    def publish(df: DataFrame): Unit = df
+      .select(col("doc_id").cast("string").as("k"),
+        to_json(struct(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))).as("v"))
+      .collect().foreach(r => MqBroker.publish(topic, r.getString(0), r.getString(1), 0L))
+    publish(docsFixture)
+    val store = Files.createTempDirectory("graft-l0-store").toString
+    val manifest = Files.createTempDirectory("graft-l0-manifest").toString
+    val cp = Files.createTempDirectory("graft-l0-cp").toString
+    val schema = StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    def decoded = Streams.mqStream(spark, topic)
+      .select(from_json(col("value"), schema).as("d")).select("d.*")
+    def runNow(): Unit = Streams.curationPipelineStream(decoded, store, manifest, cp)
+
+    runNow()
+    // wave 1: the committed manifest IS the declared batch pipeline's answer
+    assertSameRows(Streams.readSnapshot(spark, manifest),
+      graft.operators.Curation.l0Pipeline(spark, sf))
+
+    // wave 2: 40 late documents arrive (re-published texts under new ids —
+    // cross-doc duplicate spans, so the dup-span gate's corpus-global
+    // semantics are genuinely exercised); recuration must commit a NEW
+    // version equal to the batch pipeline over the accumulated corpus
+    val extra = docsFixture.limit(40)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    publish(extra)
+    runNow()
+    assertSameRows(Streams.readSnapshot(spark, manifest),
+      graft.operators.Curation.l0PipelineFrom(docsFixture.unionByName(extra)))
   }
 
   test("T8 file-source stream reproduces the declared tumbling_window answer") {
