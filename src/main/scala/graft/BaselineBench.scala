@@ -28,8 +28,14 @@ object BaselineBench {
     def li   = spark.read.parquet(s"$dir/lineitem.parquet")
     def cust = spark.read.parquet(s"$dir/customer.parquet")
     def ord  = spark.read.parquet(s"$dir/orders.parquet")
-    def ev   = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    def ev = {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match { // fixture generations differ: ns-as-long vs native µs
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case _ => raw
+      }
+    }
     val queries: Seq[(String, () => DataFrame)] = Seq(
       "q1_pricing_summary" -> (() => li
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Engine {
   /** Build the one session configuration the whole engine uses.
-    * `spark.sql.legacy.parquet.nanosAsLong=true` is load-bearing:
-    * `events.ts` is Parquet TIMESTAMP(NANOS) which Spark 4.x otherwise
-    * refuses to read (SURVEY.md §1.2).
+    * `spark.sql.legacy.parquet.nanosAsLong=true` stays set defensively:
+    * earlier fixture generations stored `events.ts` as Parquet
+    * TIMESTAMP(NANOS), which Spark 4.x refuses to read without it
+    * (SURVEY.md §1.2). Current fixtures store TIMESTAMP(MICROS) — the
+    * flag is a no-op there, and [[Tables.events]] adapts to either shape.
     */
   def session(appName: String = "graft", cores: Int = defaultCores): SparkSession = {
     // local[N, 2]: N worker threads with ONE task retry allowed — the
@@ -72,15 +74,33 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = load("documents")
   def embeddings: DataFrame = load("embeddings")
 
-  /** `events` with `ts` restored to a proper microsecond TimestampType.
-    * The file stores TIMESTAMP(NANOS); with the legacy flag Spark reads it
-    * as LONG nanoseconds. Integer division (`DIV`) is mandatory — a double
-    * roundtrip at ~1.7e18 ns loses ~189 ns of precision and can flip the
-    * resulting microsecond.
+  /** `events` with `ts` as a proper microsecond TimestampType, whatever the
+    * fixture generation stored. Older driver fixtures wrote `ts` as Parquet
+    * TIMESTAMP(NANOS) — with the legacy nanosAsLong flag Spark reads that as
+    * LONG nanoseconds, and integer division (`DIV`) is mandatory (a double
+    * roundtrip at ~1.7e18 ns loses ~189 ns and can flip the microsecond).
+    * Newer fixtures store TIMESTAMP(MICROS), which reads as TimestampType
+    * directly. Both shapes normalize to the same µs timestamp here.
     */
-  def events: DataFrame =
-    load("events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  def events: DataFrame = {
+    val raw = load("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw
+    }
+  }
 
-  /** Raw events with `ts` still LONG nanos (for callers that want exact ns). */
-  def eventsRaw: DataFrame = load("events")
+  /** Raw events with `ts` as LONG nanoseconds — the exact-integer form the
+    * as-of/PIT operators and the MQ payload encoder key on. Adaptive like
+    * [[events]]: a native-timestamp fixture converts via `unix_micros * 1000`
+    * (exact — µs-precision input has no sub-µs bits to lose).
+    */
+  def eventsRaw: DataFrame = {
+    val raw = load("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+    }
+  }
 }

@@ -11,8 +11,10 @@ import graft.sources.BatchIO
   *  - column names identical to the Spark result (driver sorts by name);
   *  - money sums via Det.dsumSql (exact DECIMAL, order-independent);
   *  - timestamps surfaced as `epoch_us(..)` BIGINT (Spark: `unix_micros`);
-  *  - `events.ts` is TIMESTAMP_NS in DuckDB → `ts::TIMESTAMP` truncates to
-  *    µs exactly like Spark's `ts DIV 1000` (both toward zero, data > 0);
+  *  - `events.ts` reaches DuckDB as TIMESTAMP (µs) in current fixtures,
+  *    TIMESTAMP_NS in older ones → `ts::TIMESTAMP` is identity on the
+  *    former and truncates to µs on the latter, exactly like the Spark
+  *    loader's normalization (Tables.events adapts to either shape);
   *  - window-function ints cast to INT (Spark row_number is 32-bit);
   *  - conditional sums cast to BIGINT (DuckDB SUM(int) is HUGEINT);
   *  - full tie-break ORDER BY everywhere.

@@ -819,9 +819,13 @@ class StreamingSpec extends SparkSuite {
     Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    val streamEvents = Streams
-      .fileStream(spark, raw.schema, dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val streamEvents0 = Streams.fileStream(spark, raw.schema, dir.toString)
+    // fixture generations differ: ns-as-long needs the DIV recipe, native µs doesn't
+    val streamEvents = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        streamEvents0.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => streamEvents0
+    }
     val result = Streams.runAvailableNow(
       streamEvents
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
