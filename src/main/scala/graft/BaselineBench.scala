@@ -521,7 +521,11 @@ object TailTwins {
       println(f"tail_twin $name%-18s noop=$r%.3f")
       name -> r
     }
-    println(results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the f"" interpolator is locale-sensitive and a
+    // comma-decimal JVM locale would emit invalid JSON (same fix as
+    // Bench.fmt); the human-readable per-line prints above stay f""
+    println(results.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{\"vanilla_tail\":{", ",", s"""},"sf":"$dir"}"""))
   }
 }

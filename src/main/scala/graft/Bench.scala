@@ -74,6 +74,25 @@ object Bench {
     // first run exactly as a real session would; the reported min is the
     // steady-state query cost. SPARK_GRAFT_BENCH_SINGLESHOT restores the
     // cheap one-pass map for quick dev loops.
+    // The memoized l6 near-dup chain (shared by l6_simjoin /
+    // l6_dedup_docs / l8_cluster_sample / l0_pipeline) builds once per
+    // session, so per-query warm best-of-3 reports steady-state cost
+    // with the build paid during a warm-up pass. Surface the build as
+    // its own artifact field — a one-time cost a cluster deployment
+    // schedules like an index build must stay visible, not vanish into
+    // an unreported warm-up.
+    val sharedBuild: Double =
+      if (headlineOnly) -1.0
+      else {
+        val t0 = System.nanoTime()
+        try {
+          graft.operators.Dedup.l6DedupDocs(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] l6 chain build failed: ${e.getMessage}")
+          -1.0
+        }
+      }
     val tail = qs.keys.toSeq.sorted.filterNot(headline.contains)
     // SPARK_GRAFT_BENCH_QUERIES=a,b,c restricts the per-query map — dev
     // loop for timing one query's change without a full pass
@@ -100,7 +119,7 @@ object Bench {
     val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     val allJson =
       if (headlineOnly) ""
-      else s""","all_queries":${toJson(allResults.sortBy(_._1))}"""
+      else s""","shared_build":{"l6_chain":${fmt(sharedBuild)}},"all_queries":${toJson(allResults.sortBy(_._1))}"""
     // The full artifact (headline + all 100+ per-query timings) goes to a
     // FILE: the driver captures only the tail of stdout, and round 6
     // proved a single giant line loses its head (the whole a*–i* range of

@@ -215,38 +215,57 @@ object Similarity {
     * sample and the final assignment pass writes cell as the partition
     * key; the round structure here is exactly that job.
     */
-  def trainedCentroids(emb: DataFrame, nCells: Int, iters: Int = KmIters): DataFrame = {
-    val train = emb.filter(col("vec_id") % KmTrainMod === 0)
+  def trainedCentroids(emb: DataFrame, nCells: Int, iters: Int = KmIters): DataFrame =
+    trainedCentroidsSub(emb.withColumn("sub", lit(0)), nCells, iters).drop("sub")
+
+  /** The keyed generalization of [[trainedCentroids]]: trains an
+    * INDEPENDENT k-means codebook per value of a `sub` column in ONE
+    * chained job — every Lloyd round is one assignment pass and one
+    * re-center pass grouped by (sub, …), so PQ's m codebooks cost m-times
+    * the rows of one codebook but the same number of Spark jobs and
+    * materializations (the per-round barrier dominates at any scale where
+    * the train sample fits the cluster; sequential per-subspace training
+    * paid it m times). Subspaces never interact — every groupBy carries
+    * `sub` — so each codebook is bit-identical to what a solo
+    * [[trainedCentroids]] run over that slice produces; the PQ oracle's
+    * per-subspace SQL replay and the single-space IVF delegation both
+    * hold without change. Input: (vec_id, sub, embedding); output:
+    * (sub, cid, ce).
+    */
+  def trainedCentroidsSub(subbed: DataFrame, nCells: Int,
+                          iters: Int = KmIters): DataFrame = {
+    val train = subbed.filter(col("vec_id") % KmTrainMod === 0)
     // cid renormalized to 0..nCells-1 (vec_id DIV mod) so cell ids keep
     // the same compact range as the untrained-init form
     var cents = train.filter(col("vec_id") < nCells * KmTrainMod)
-      .select(expr(s"vec_id DIV $KmTrainMod").as("cid"),
+      .select(col("sub"), expr(s"vec_id DIV $KmTrainMod").as("cid"),
         dbl(col("embedding")).as("ce"))
     for (_ <- 1 to iters) {
-      val cells = train.select(col("vec_id"), dbl(col("embedding")).as("e"))
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"), dist2(col("e"), col("ce")).as("d2"))
-        .groupBy(col("vec_id"))
+      val cells = train.select(col("vec_id"), col("sub"), dbl(col("embedding")).as("e"))
+        .join(broadcast(cents), "sub")
+        .select(col("vec_id"), col("sub"), col("cid"), dist2(col("e"), col("ce")).as("d2"))
+        .groupBy(col("vec_id"), col("sub"))
         .agg(min(struct(col("d2"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cell"))
+        .select(col("vec_id"), col("sub"), col("m.cid").as("cell"))
       // R = ⌊(2·S·10¹⁵ + c·10⁶) / (2c·10⁶)⌋ = HALF_UP(mean·10⁹) for the
       // offset-shifted values; mean = R/10⁹ − offset (all ops bit-identical
       // cross-engine: exact decimal sum, integer div, correctly-rounded
       // double divide/subtract)
-      val dims = train.join(cells, "vec_id")
-        .select(col("cell"), posexplode(dbl(col("embedding"))).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
+      val dims = train.join(cells, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cell"), posexplode(dbl(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
         .agg(sum((col("x") + lit(KmOffset.toDouble)).cast("decimal(30,15)")).as("s"),
           count(lit(1)).as("c"))
-        .select(col("cell"), col("pos"),
+        .select(col("sub"), col("cell"), col("pos"),
           (call_function("div",
             (col("s") * lit(2L * 1000000000000000L)).cast("decimal(38,0)")
               + (col("c") * lit(1000000L)).cast("decimal(38,0)"),
             (col("c") * lit(2000000L)).cast("decimal(38,0)"))
             .cast("double") / lit(1e9) - lit(KmOffset.toDouble)).as("cx"))
-      cents = dims.groupBy(col("cell"))
+      cents = dims.groupBy(col("sub"), col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
-        .select(col("cell").as("cid"), transform(col("pc"), p => p.getField("cx")).as("ce"))
+        .select(col("sub"), col("cell").as("cid"),
+          transform(col("pc"), p => p.getField("cx")).as("ce"))
         .materialize()
     }
     cents
@@ -452,17 +471,17 @@ object Similarity {
   /** L3f: PRODUCT QUANTIZATION (ADC) top-k — the third classic
     * compression path beside cell pruning (IVF) and scalar quantization
     * (SQ8): each subspace gets its own k-means codebook
-    * ([[trainedCentroids]] over the sliced vectors — same Lloyd rounds,
-    * same deterministic init, exact arithmetic), a vector's code is its
-    * per-subspace nearest centroid, and a query ranks candidates by
-    * ASYMMETRIC DISTANCE — the sum of m table lookups d²(q_j, cb_j[code])
-    * — touching only m·k precomputed distances instead of the full
-    * vector. Top [[PqRescoreFactor]]·k candidates rescore by exact
-    * cosine.
+    * ([[trainedCentroidsSub]], all m trained in one keyed job — same
+    * Lloyd rounds, same deterministic init, exact arithmetic), a
+    * vector's code is its per-subspace nearest centroid, and a query
+    * ranks candidates by ASYMMETRIC DISTANCE — the sum of m table
+    * lookups d²(q_j, cb_j[code]) — touching only m·k precomputed
+    * distances instead of the full vector. Top [[PqRescoreFactor]]·k
+    * candidates rescore by exact cosine.
     *
-    * Scale shape: codebooks and ADC tables are k-row broadcasts;
-    * encoding is m narrow crossJoin+partial-min passes (the IVF
-    * assignment, per subspace); the candidate rank rides
+    * Scale shape: codebooks and ADC tables are m·k-row broadcasts;
+    * encoding is ONE narrow broadcast-join+partial-min pass over the
+    * subspace-exploded rows ([[pqAssign]]); the candidate rank rides
     * TakeOrderedAndProject. At 100 TB the 4-byte codes column IS the
     * index (16× less scan bandwidth than the floats), exactly FAISS's
     * PQ storage layout; all distances stay exact DECIMAL so the oracle
@@ -470,28 +489,23 @@ object Similarity {
     */
   def pqTopK(t: Tables, queryId: Long, k: Int): DataFrame = {
     val emb = t.embeddings
-    def sub(j: Int): DataFrame = emb.select(col("vec_id"),
-      slice(col("embedding"), j * PqSubDim + 1, PqSubDim).as("embedding"))
+    val subbed = subspaced(emb)
     val query = queryVec(t, queryId)
-    val books = (0 until PqM).map(j => trainedCentroids(sub(j), PqK))
-    val codes = (0 until PqM).map { j =>
-      sub(j).select(col("vec_id"), dbl(col("embedding")).as("e"))
-        .crossJoin(broadcast(books(j)))
-        .select(col("vec_id"), col("cid"), dist2(col("e"), col("ce")).as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as(s"code_$j"))
-    }.reduce(_.join(_, "vec_id"))
-    val tables = (0 until PqM).map { j =>
-      books(j).crossJoin(broadcast(query))
-        .select(col("cid").as(s"code_$j"),
-          dist2(col("ce"),
-            slice(col("q_emb"), j * PqSubDim + 1, PqSubDim)).as(s"adc_$j"))
-    }
-    val approx = tables.zipWithIndex.foldLeft(codes) { case (df, (tb, j)) =>
-      df.join(broadcast(tb), s"code_$j")
-    }.select(col("vec_id"),
-      (0 until PqM).map(j => col(s"adc_$j")).reduce(_ + _).as("adc_d2"))
+    // ONE joint training job for all m codebooks (see
+    // [[trainedCentroidsSub]]) — bit-identical codebooks to sequential
+    // per-subspace training at 1/m the Spark jobs and materializations
+    val books = trainedCentroidsSub(subbed, PqK)
+    val adc = books.crossJoin(broadcast(query))
+      .select(col("sub"), col("cid"),
+        dist2(col("ce"),
+          slice(col("q_emb"), col("sub") * lit(PqSubDim) + lit(1),
+            lit(PqSubDim))).as("adc"))
+    // adc_d2 via sum() over the m DECIMAL(30,15) lookups: exact decimal
+    // addition is order-independent, so the value equals the fixed-order
+    // adc_0+…+adc_{m-1} chain the oracle computes
+    val approx = pqAssign(subbed, books)
+      .join(broadcast(adc), Seq("sub", "cid"))
+      .groupBy(col("vec_id")).agg(sum(col("adc")).as("adc_d2"))
     emb
       .join(approx.orderBy(col("adc_d2"), col("vec_id"))
         .limit(PqRescoreFactor * k).select("vec_id"), "vec_id")
@@ -502,13 +516,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Each embedding exploded into its m PQ subspace slices:
+    * (vec_id, sub ∈ 0..m−1, embedding = the subDim-wide slice). One
+    * narrow pass; the slices stay in the float element type (callers
+    * [[dbl]] exactly where the unexploded paths did).
+    */
+  def subspaced(emb: DataFrame, m: Int = PqM, subDim: Int = PqSubDim): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col("embedding"), j * subDim + 1, lit(subDim))))
+        .as(Seq("sub", "embedding")))
+
+  /** Nearest-codebook-centroid assignment for every (vec_id, sub) slice:
+    * one broadcast join + partial-agg argmin over all m subspaces at
+    * once — (vec_id, sub, cid). The encode kernel shared by the in-query
+    * [[pqTopK]] and the persisted [[buildPqIndex]].
+    */
+  private def pqAssign(subbed: DataFrame, books: DataFrame): DataFrame =
+    subbed.select(col("vec_id"), col("sub"), dbl(col("embedding")).as("e"))
+      .join(broadcast(books), "sub")
+      .select(col("vec_id"), col("sub"), col("cid"), dist2(col("e"), col("ce")).as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+
   /** L3f declared query: PQ-ADC top-10 for query vector 0. */
   def l3PqTopK(spark: SparkSession, dir: String): DataFrame =
     pqTopK(Tables(spark, dir), queryId = 0L, k = 10)
 
   /** PERSISTED PQ index — the serving shape for PQ at 100 TB, where
-    * [[pqTopK]]'s in-query codebook training (4 Lloyd chains over the
-    * corpus per execution) is an index-BUILD cost paid once, exactly like
+    * [[pqTopK]]'s in-query codebook training (a joint Lloyd chain over
+    * the corpus per execution) is an index-BUILD cost paid once, exactly like
     * [[buildIvfIndex]]'s centroids:
     *
     *   indexDir/codebooks/   m·k rows (sub, cid, ce) — the per-subspace
@@ -527,20 +565,18 @@ object Similarity {
   def buildPqIndex(emb: DataFrame, indexDir: String, m: Int = PqM,
                    subDim: Int = PqSubDim, k: Int = PqK): Unit = {
     val spark = emb.sparkSession
-    def sub(j: Int): DataFrame = emb.select(col("vec_id"),
-      slice(col("embedding"), j * subDim + 1, subDim).as("embedding"))
-    (0 until m).map(j => trainedCentroids(sub(j), k).withColumn("sub", lit(j)))
-      .reduce(_.unionByName(_))
+    val subbed = subspaced(emb, m, subDim)
+    trainedCentroidsSub(subbed, k)
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
     val books = spark.read.parquet(s"$indexDir/codebooks")
-    val codes = (0 until m).map { j =>
-      sub(j).select(col("vec_id"), dbl(col("embedding")).as("e"))
-        .crossJoin(broadcast(books.filter(col("sub") === j)))
-        .select(col("vec_id"), col("cid"), dist2(col("e"), col("ce")).as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").cast("int").as(s"code_$j"))
-    }.reduce(_.join(_, "vec_id"))
+    // one joint assignment pass ([[pqAssign]]) pivoted to the 4-byte
+    // code_0..code_{m-1} storage columns
+    val assigns = pqAssign(subbed, books)
+      .select(col("vec_id"), col("sub"), col("cid").cast("int").as("code"))
+    val codes = assigns.groupBy(col("vec_id"))
+      .agg(max(when(col("sub") === 0, col("code"))).as("code_0"),
+        (1 until m).map(j =>
+          max(when(col("sub") === j, col("code"))).as(s"code_$j")): _*)
     emb.select(col("vec_id"), col("label")).join(codes, "vec_id")
       .write.mode("overwrite").parquet(s"$indexDir/codes")
   }
