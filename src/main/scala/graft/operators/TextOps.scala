@@ -170,9 +170,15 @@ object TextOps {
     */
   private def termStats(docs: DataFrame, lenCol: String,
                         tokenizer: Column => Column): (DataFrame, DataFrame) = {
+    // tokenize ONCE per row: size() and explode() both consume the
+    // projected array — two independent tokenizer(col("text")) calls
+    // straddle the Generate boundary, which common-subexpression
+    // elimination does not cross, so the regex split would run twice
+    // over every document
     val terms = docs
-      .select(col("doc_id"), size(tokenizer(col("text"))).as(lenCol),
-        explode(tokenizer(col("text"))).as("token"))
+      .select(col("doc_id"), tokenizer(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as(lenCol),
+        explode(col("toks")).as("token"))
       .groupBy(col("doc_id"), col(lenCol), col("token"))
       .agg(count(lit(1)).as("tf"))
     (terms, terms.groupBy(col("token")).agg(count(lit(1)).as("df")))
