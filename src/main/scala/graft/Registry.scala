@@ -1019,6 +1019,31 @@ object Registry {
       QueryDef("l3_cosine_topk", Similarity.l3CosineTopK,
         Some(cosineSql("SELECT * FROM embeddings", ""))),
 
+      // Batched exact top-k: one corpus pass scores all three queries;
+      // the oracle replays the same cosine algebra per (query, vector)
+      // and ranks inside each query partition (the oracle-side window is
+      // fine — DuckDB ranks a fixture-sized frame; the ENGINE avoids the
+      // per-query window via offset-localized distributedRank).
+      QueryDef("l3_batch_topk", Similarity.l3BatchTopK, Some(s"""
+        WITH fv AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM fv
+              WHERE vec_id IN (${Similarity.BatchQueryIds.mkString(", ")})),
+        u AS (SELECT q.query_id, fv.vec_id, fv.label,
+                unnest(fv.e) AS a, unnest(q.qe) AS b
+              FROM fv, q),
+        d AS (SELECT query_id, vec_id, label,
+                SUM(CAST(a*b AS DECIMAL(30,15))) AS dot,
+                SUM(CAST(a*a AS DECIMAL(30,15))) AS na,
+                SUM(CAST(b*b AS DECIMAL(30,15))) AS nb
+              FROM u GROUP BY ALL),
+        c AS (SELECT query_id, vec_id, label,
+                ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
+              FROM d),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+              FROM c)
+        SELECT query_id, CAST(rn AS INT) AS rnk, vec_id, label, cosine
+        FROM r WHERE rn <= 10 ORDER BY query_id, rnk""")),
+
       QueryDef("l3_ann_bucket", Similarity.l3AnnBucket,
         Some(cosineSql(
           s"SELECT vec_id, label, embedding, CAST($bucketSql AS INT) AS bucket FROM embeddings",

@@ -632,6 +632,107 @@ object Similarity {
       .limit(k)
   }
 
+  /** Query ids for the declared batched top-k: one per region of the id
+    * space so the three exact rankings exercise different neighborhoods
+    * at every fixture scale.
+    */
+  val BatchQueryIds: Seq[Long] = Seq(0L, 7L, 42L)
+
+  /** The batch-query frame (query_id, q_emb) for a bounded id set — the
+    * multi-query counterpart of [[queryVec]]. Broadcast-sized by
+    * contract: a serving/eval query batch is KBs against a 100 TB
+    * corpus, so every consumer attaches it with `broadcast(...)`.
+    */
+  def batchQueryVecs(t: Tables, ids: Seq[Long]): DataFrame =
+    t.embeddings.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("query_id"), dbl(col("embedding")).as("q_emb"))
+
+  /** Per-query top-k over an UNBOUNDED per-query candidate frame. A
+    * `Window.partitionBy(query_id)` would funnel each query's candidate
+    * set — the whole corpus, for exact batch scoring — through one task;
+    * this rides ONE [[Relational.distributedRank]] over
+    * (query_id, order…) and localizes ranks by subtracting each query's
+    * broadcast rank offset (the [[Eval.mrrAtK]] shape). Appends
+    * `rnk` ∈ 1..k, keeps every scored column.
+    */
+  private def perQueryTopK(scored: DataFrame, order: Seq[Column], k: Int): DataFrame = {
+    val ranked = Relational.distributedRank(scored, col("query_id") +: order)
+    val offsets = ranked.groupBy(col("query_id")).agg(min(col("rank")).as("__off"))
+    ranked.join(broadcast(offsets), "query_id")
+      .withColumn("rnk", (col("rank") - col("__off") + 1).cast("int"))
+      .filter(col("rnk") <= k)
+      .drop("rank", "__off")
+  }
+
+  /** L3g: BATCHED exact top-k — every query of a batch scored in ONE
+    * corpus pass. The single-query [[bruteForceTopK]] rides
+    * TakeOrderedAndProject, but a per-query loop re-scans the corpus per
+    * query; serving and eval (ground truth for recall@k over a query
+    * SET) score the batch at once: corpus × broadcast(queries) is one
+    * narrow codegen'd pass emitting |Q| rows per vector, and the
+    * per-query rank is offset-localized [[Relational.distributedRank]]
+    * — no per-query scan, no 1-task window, at any corpus scale.
+    */
+  def topKBatch(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = emb.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(dbl(col("embedding")), col("q_emb")).as("cosine"))
+    perQueryTopK(scored, Seq(col("cosine").desc, col("vec_id")), k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** L3g declared query: exact top-10 for the [[BatchQueryIds]] batch. */
+  def l3BatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    topKBatch(t.embeddings, batchQueryVecs(t, BatchQueryIds), k = 10)
+  }
+
+  /** Batched [[probePqIndex]]: a whole query batch served off the
+    * persisted PQ index in one pass over the CODES columns. Per query
+    * the plan is the single probe's; across the batch everything is
+    * shared: the codes scan melts once to (vec_id, sub, code), the ADC
+    * tables for ALL queries are one |Q|·m·k-row broadcast, candidate
+    * ranking is offset-localized [[Relational.distributedRank]]
+    * (corpus-sized per query — never a per-query window), and the exact
+    * rescore touches `rescoreFrom` through ONE broadcast semi-join of
+    * the bounded |Q|·factor·k candidate ids (the batch form of the
+    * single probe's pushed-down `vec_id IN (...)`). The final per-query
+    * rank IS a `Window.partitionBy(query_id)` — by then each query
+    * holds ≤ factor·k rescored rows, row-bounded state. Candidate
+    * selection and tie-breaks replay [[pqCandidates]] exactly, so each
+    * query's slice equals its solo probe (BucketingSpec pins this).
+    */
+  def probePqIndexBatch(spark: SparkSession, indexDir: String, queries: DataFrame,
+                        k: Int, rescoreFrom: DataFrame, m: Int = PqM,
+                        subDim: Int = PqSubDim): DataFrame = {
+    val books = spark.read.parquet(s"$indexDir/codebooks")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .select(col("vec_id") +: (0 until m).map(j => col(s"code_$j")): _*)
+    val melted = codes.select(col("vec_id"),
+      posexplode(array((0 until m).map(j => col(s"code_$j")): _*))
+        .as(Seq("sub", "cid")))
+    val adc = books.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("sub"), col("cid").cast("int").as("cid"),
+        dist2(col("ce"),
+          slice(col("q_emb"), col("sub") * lit(subDim) + lit(1),
+            lit(subDim))).as("adc"))
+    val cand = melted.join(broadcast(adc), Seq("sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id")).agg(sum(col("adc")).as("adc_d2"))
+    val top = perQueryTopK(cand, Seq(col("adc_d2"), col("vec_id")), PqRescoreFactor * k)
+      .select(col("query_id"), col("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    rescoreFrom.join(broadcast(top), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(dbl(col("embedding")), col("q_emb")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** PERSISTED IVF index — the actual serving shape at 100 TB, where
     * [[ivfTopKFast]]'s in-session centroid reuse still re-scans and
     * re-assigns the full corpus per session. The index is built once,

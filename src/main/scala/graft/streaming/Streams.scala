@@ -719,4 +719,45 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** T13: streaming ANN SERVING — answer a stream of query vectors
+    * against the persisted PQ index
+    * ([[graft.operators.Similarity.buildPqIndex]]), the online half of
+    * the offline-build/online-probe split: queries arrive as
+    * (query_id, q_emb ARRAY<DOUBLE>) rows, each micro-batch is served by
+    * the BATCHED probe ([[graft.operators.Similarity.probePqIndexBatch]]
+    * — one codes-columns pass for the whole batch, ADC tables for all
+    * the batch's queries in one broadcast), and the per-batch answer
+    * frame goes to `sink` with the batch id.
+    *
+    * foreachBatch because a top-k is a per-batch re-ranking against
+    * STATIC state (the index), not an incremental stream-state update —
+    * the stream-static-join shape, with the join replaced by the probe
+    * plan. Work per batch ∝ codes-scan + |batch| bounded rescores;
+    * nothing accumulates across batches, so the query runs indefinitely
+    * at steady memory. StreamingSpec pins the streamed answers, batch by
+    * batch, to the batch [[graft.operators.Similarity.probePqIndexBatch]]
+    * over the same query set.
+    */
+  def runAnnServe(queries: DataFrame, indexDir: String, k: Int,
+                  rescoreFrom: DataFrame, checkpoint: String)
+                 (sink: (Long, DataFrame) => Unit): Unit = {
+    val q = queries.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        // the probe broadcasts the query frame into every stage; a
+        // micro-batch source is re-playable but not broadcast-friendly,
+        // so pin the (KB-sized by contract) batch as a local frame first
+        val qFrame = spark.createDataFrame(
+          spark.sparkContext.parallelize(batch.collect().toIndexedSeq, 1),
+          batch.schema)
+        sink(id, graft.operators.Similarity.probePqIndexBatch(
+          spark, indexDir, qFrame, k, rescoreFrom))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -133,6 +133,33 @@ class BucketingSpec extends SparkSuite {
       probePlan)
   }
 
+  test("batched ANN: batch PQ probe == each solo probe; batch exact top-k == brute force") {
+    import graft.operators.Similarity
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-pq-batch").toString
+    Similarity.buildPqIndex(tables.embeddings, idxDir)
+    val queries = Similarity.batchQueryVecs(tables, Similarity.BatchQueryIds)
+    // one codes pass + one ADC broadcast for the whole batch must slice
+    // into exactly the per-query solo probes (same candidates, same
+    // tie-breaks, same rescore)
+    val served = Similarity.probePqIndexBatch(
+      spark, idxDir, queries, 10, tables.embeddings)
+    for (id <- Similarity.BatchQueryIds) {
+      val q = tables.embeddings.filter(col("vec_id") === id)
+        .select(col("embedding")).collect()(0)
+        .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      assertSameRows(
+        served.filter(col("query_id") === id).select("vec_id", "label", "cosine"),
+        Similarity.probePqIndex(spark, idxDir, q, 10, tables.embeddings))
+    }
+    // the one-pass exact batch ranking equals the per-query brute force
+    val exact = Similarity.topKBatch(tables.embeddings, queries, 10)
+    for (id <- Similarity.BatchQueryIds) {
+      assertSameRows(
+        exact.filter(col("query_id") === id).select("vec_id", "label", "cosine"),
+        Similarity.bruteForceTopK(tables, id, 10))
+    }
+  }
+
   test("bucketed lineitem ⋈ orders on orderkey plans without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")

@@ -887,6 +887,32 @@ class StreamingSpec extends SparkSuite {
     assert(got.count(_._2 > 0) == 1)
   }
 
+  test("T13 ANN serving: streamed query waves against the persisted PQ index == batch probe") {
+    import graft.operators.Similarity
+    val idxDir = Files.createTempDirectory("graft-pq-serve").toString
+    val emb = tables.embeddings
+    Similarity.buildPqIndex(emb, idxDir)
+    val queries = Similarity.batchQueryVecs(tables, Similarity.BatchQueryIds)
+    // two arrival waves: the serving answer must not depend on how the
+    // query stream is batched
+    val dir = Files.createTempDirectory("graft-ann-queries")
+    queries.filter(col("query_id") < 42L).coalesce(1).write.parquet(s"$dir/w1")
+    queries.filter(col("query_id") === 42L).coalesce(1).write.parquet(s"$dir/w2")
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+    val got = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var batches = 0
+    Streams.runAnnServe(stream, idxDir, 10, emb,
+      Files.createTempDirectory("graft-ann-cp").toString) { (_, ans) =>
+      got ++= ans.collect(); batches += 1
+    }
+    assert(batches == 2, s"expected 2 micro-batches, got $batches")
+    assert(got.size == Similarity.BatchQueryIds.size * 10)
+    val expect = Similarity.probePqIndexBatch(spark, idxDir, queries, 10, emb)
+      .collect()
+    assert(got.map(_.toString).sorted.toSeq == expect.map(_.toString).sorted.toSeq)
+  }
+
   test("S3 socket source ingests lines from a live TCP server") {
     val server = new java.net.ServerSocket(0)
     val writer = new Thread(() => {
