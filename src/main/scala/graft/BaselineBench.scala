@@ -482,6 +482,30 @@ object TailTwins {
           .orderBy(col("cosine").desc, col("vec_id")).limit(10)
       }),
 
+      "l3_batch_topk" -> (() => {
+        // idiomatic batch scoring: corpus × query set, then a PER-QUERY
+        // Window.partitionBy rank — each query's corpus-sized candidate
+        // set funnels through one task (the shape the engine's
+        // offset-localized distributedRank exists to avoid)
+        import org.apache.spark.sql.expressions.Window
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val e = emb.select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("e"))
+        val queries = e.filter(col("vec_id").isin(0L, 7L, 42L))
+          .select(col("vec_id").as("query_id"), col("e").as("q"))
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+        e.crossJoin(broadcast(queries))
+          .select(col("query_id"), col("vec_id"), col("label"),
+            (dot(col("e"), col("q")) /
+              sqrt(dot(col("e"), col("e")) * dot(col("q"), col("q")))).as("cosine"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("cosine").desc, col("vec_id"))))
+          .filter(col("rnk") <= 10)
+          .orderBy(col("query_id"), col("rnk"))
+      }),
+
       "s7_profile" -> (() => {
         // same column coverage as the declared query (TableCols is a data
         // constant, not an operator); naive per-column agg + union loop
