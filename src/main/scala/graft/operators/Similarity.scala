@@ -781,6 +781,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched [[probeIvfIndex]]: a query batch served off the persisted
+    * IVF index with ONE partition-pruned scan. Per-query cell choice is a
+    * centroid-frame × batch cross (index-metadata scale, |Q|·k rows,
+    * ranked by a row-bounded per-query window); the vectors scan is
+    * statically pruned to the UNION of all probed `cell=` partitions
+    * (collected like the solo probe's cell rank — bounded |Q|·nprobe
+    * rows, never data); each cell's vectors fan out only to the queries
+    * that probed it via a broadcast join. The per-query final rank is
+    * corpus-scale (nprobe/k of the corpus per query), so it rides the
+    * offset-localized [[perQueryTopK]], not a per-query window.
+    */
+  def probeIvfIndexBatch(spark: SparkSession, indexDir: String, queries: DataFrame,
+                         k: Int, nprobe: Int = IvfNprobe): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2"), col("cid"))
+    val probed = cents.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("cid"), d2Fast(col("ce"), col("q_emb")).as("d2"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val probedRows = probed.collect() // |Q|·nprobe rows — index metadata, not data
+    val cellsUnion = probedRows.map(_.getAs[Long]("cell")).distinct.toIndexedSeq
+    val probedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probedRows.toIndexedSeq, 1), probed.schema)
+    val scored = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("cell").isin(cellsUnion: _*)) // static partition pruning
+      .join(broadcast(probedDf), "cell")
+      .join(broadcast(queries.select(col("query_id"),
+        // CosineFast wants the raw float arrays; the double form cast
+        // back is exact (the values originated as floats)
+        col("q_emb").cast("array<float>").as("__q"))), "query_id")
+      .select(col("query_id"), col("vec_id"), col("label"), col("cell"),
+        graft.functions.CosineFast(col("embedding"), col("__q")).as("cosine"))
+    perQueryTopK(scored, Seq(col("cosine").desc, col("vec_id")), k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("label"),
+        col("cell"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** The composed production serving shape — IVF cells × SQ8 codes, what
     * FAISS calls IVF-SQ: [[buildIvfIndex]]'s layout plus a per-vector
     * signed-SQ8 code column and the one corpus-wide scale stored as index

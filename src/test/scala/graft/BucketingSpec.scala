@@ -158,6 +158,19 @@ class BucketingSpec extends SparkSuite {
         exact.filter(col("query_id") === id).select("vec_id", "label", "cosine"),
         Similarity.bruteForceTopK(tables, id, 10))
     }
+    // batched IVF probe: one union-pruned scan slices into the solo probes
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-ivf-batch").toString
+    Similarity.buildIvfIndex(tables.embeddings, ivfDir)
+    val ivfServed = Similarity.probeIvfIndexBatch(spark, ivfDir, queries, 10)
+    for (id <- Similarity.BatchQueryIds) {
+      val q = tables.embeddings.filter(col("vec_id") === id)
+        .select(col("embedding")).collect()(0)
+        .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      assertSameRows(
+        ivfServed.filter(col("query_id") === id)
+          .select("vec_id", "label", "cell", "cosine"),
+        Similarity.probeIvfIndex(spark, ivfDir, q, 10))
+    }
   }
 
   test("bucketed lineitem ⋈ orders on orderkey plans without a shuffle") {
