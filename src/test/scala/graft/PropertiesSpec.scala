@@ -83,6 +83,38 @@ class PropertiesSpec extends SparkSuite {
       }
   }
 
+  test("batched top-k slices equal single-query ranking: random corpora, forced ties, k > n") {
+    for ((vecs, i) <- samples(Gen.listOfN(15, vec), 4).zipWithIndex) {
+      // duplicate every vector under a shifted id so every cosine value
+      // occurs at least twice — the (cosine desc, vec_id) tie-break is
+      // exercised on every row, not just by generator luck
+      val rows = vecs.zipWithIndex.flatMap { case (v, id) =>
+        Seq((id.toLong, id % 3, v.map(_.toFloat)),
+          (id.toLong + 1000L, id % 3, v.map(_.toFloat)))
+      }
+      val emb = rows.toDF("vec_id", "label", "embedding")
+      val qids = Seq(0L, 7L)
+      val queries = emb.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("q_emb"))
+      val k = 5 + 10 * i // i=3 → k=35 > corpus size 30: returns the full ranking
+      val batch = Similarity.topKBatch(emb, queries, k).collect()
+      for (qid <- qids) {
+        val solo = emb.crossJoin(
+            broadcast(queries.filter(col("query_id") === qid)))
+          .select(col("vec_id"), col("label"),
+            Similarity.cosine(
+              transform(col("embedding"), _.cast("double")), col("q_emb")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id")).limit(k).collect()
+          .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+        val slice = batch.filter(_.getAs[Long]("query_id") == qid)
+          .sortBy(_.getAs[Int]("rnk"))
+          .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+        assert(slice == solo, s"query $qid k=$k corpus=${rows.size}")
+      }
+    }
+  }
+
   test("FixedPointSum limb accumulator equals the decimal sum bit-for-bit") {
     // mixed-sign magnitudes spanning the limb boundary region, random
     // partitioning (partial-agg merge order varies), plus null rows
