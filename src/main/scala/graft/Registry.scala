@@ -807,6 +807,46 @@ object Registry {
       FROM d ORDER BY cosine DESC, vec_id LIMIT 10"""
     val bucketSql = (0 until 6)
       .map(i => s"${1 << i}*(embedding[${i + 1}]>0)::INT").mkString(" + ")
+    // BPE training replay: v0 = the character-symbol state of the word
+    // vocabulary (weight = corpus word count); each round k counts
+    // adjacent pairs, takes the (count desc, l, r) argmax, and applies it
+    // greedily leftmost-first (run-grouped parity over the match
+    // positions — the same set-wise formulation TextOps.bpeApplyPair
+    // executes). Lock-step with TextOps.bpeTrain.
+    val bpeCteSql: String = {
+      def round(k: Int): String = s"""
+        n$k AS (SELECT word, n_word, pos, sym,
+                  LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+                FROM v${k - 1}),
+        c$k AS (SELECT sym AS l, nxt AS r, SUM(n_word) AS n FROM n$k
+                WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        b$k AS (SELECT l, r, n FROM c$k ORDER BY n DESC, l, r LIMIT 1),
+        h$k AS (SELECT word, pos FROM n$k
+                WHERE sym = (SELECT l FROM b$k) AND nxt = (SELECT r FROM b$k)),
+        s$k AS (SELECT word, pos FROM (
+                 SELECT word, pos, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS idx
+                 FROM (SELECT word, pos,
+                         pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+                       FROM h$k))
+                WHERE idx % 2 = 1),
+        v$k AS (SELECT word, n_word,
+                  ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+                  CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+                FROM (SELECT n.word, n.n_word, n.pos, n.sym, n.nxt,
+                        (se.pos IS NOT NULL) AS sel, (dr.pos IS NOT NULL) AS dropped
+                      FROM n$k n
+                      LEFT JOIN s$k se ON n.word = se.word AND n.pos = se.pos
+                      LEFT JOIN s$k dr ON n.word = dr.word AND n.pos = dr.pos + 1)
+                WHERE NOT dropped)"""
+      s"""
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        vocab AS (SELECT word, COUNT(*) AS n_word FROM w GROUP BY word),
+        v0 AS (SELECT word, n_word, pos, substr(word, pos, 1) AS sym FROM (
+                 SELECT word, n_word,
+                   CAST(unnest(range(1, length(word) + 1)) AS INT) AS pos
+                 FROM vocab)),
+        ${(1 to TextOps.BpeTrainRounds).map(round).mkString(",\n        ")}"""
+    }
     def stopFilter(words: Seq[String]): String =
       s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
     // Shared BM25 per-(doc, token) frame (lock-step replay of
@@ -1447,6 +1487,31 @@ object Registry {
         FROM p GROUP BY pair
         ORDER BY n_occurrences DESC, pair
         LIMIT ${TextOps.BpePairsK}""")),
+
+      // BPE training + encode: the DuckDB replay runs the SAME
+      // BpeTrainRounds merge rounds — pair count weighted by word
+      // frequency, argmax (count desc, l, r), greedy leftmost-first
+      // application via run-grouped parity — over the character-symbol
+      // state of the word vocabulary (the trainedCentroids discipline,
+      // text-side). Shared CTE prefix between the two queries.
+      QueryDef("l4_bpe_train", TextOps.l4BpeTrain, Some(
+        bpeCteSql + s"""
+        SELECT * FROM (${(1 to TextOps.BpeTrainRounds).map(k =>
+          s"SELECT $k AS round, l AS lhs, r AS rhs, CAST(n AS BIGINT) AS n_occurrences FROM b$k")
+          .mkString("\n          UNION ALL ")})
+        ORDER BY round""")),
+
+      QueryDef("l4_bpe_encode", TextOps.l4BpeEncode, Some(
+        bpeCteSql + s""",
+        ws AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms_word
+               FROM v${TextOps.BpeTrainRounds} GROUP BY word),
+        dwords AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(n_syms_word) AS BIGINT) AS n_syms,
+          CAST(SUM(n_syms_word) AS BIGINT) * 1000
+            // CAST(SUM(length(word)) AS BIGINT) AS compression_permille
+        FROM dwords JOIN ws USING (word) GROUP BY doc_id ORDER BY doc_id""")),
 
       QueryDef("l4_langid_ngram", TextOps.l4LangIdNgram, Some {
         val langs = Seq("en", "de", "es", "fr", "zh")

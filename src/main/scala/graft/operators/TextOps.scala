@@ -1,7 +1,9 @@
 package graft.operators
 
+import graft.Ckpt._
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** L4 (SURVEY.md §2.9): text-analysis operators for corpus curation —
@@ -462,6 +464,138 @@ object TextOps {
     bpePairStats(Tables(spark, dir).documents)
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(BpePairsK)
+
+  /** Fixed merge rounds for the declared BPE TRAINING query — shared with
+    * the Registry oracle builder (the DuckDB replay runs exactly this many
+    * rounds, the `trainedCentroids`/`DefaultCcIters` discipline).
+    */
+  val BpeTrainRounds = 4
+
+  /** The character-symbol state BPE trains over: one row per
+    * (distinct word, position) with the word's corpus count as weight —
+    * the Sennrich formulation (train on the word-frequency dictionary,
+    * never the raw corpus; documents re-attach by a word join). Symbols
+    * start as single characters.
+    */
+  private def bpeInitSyms(vocab: DataFrame): DataFrame =
+    vocab.select(col("word"), col("n_word"),
+      posexplode(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1)))).as(Seq("pos0", "sym")))
+      .select(col("word"), col("n_word"), (col("pos0") + 1).as("pos"), col("sym"))
+
+  /** Apply ONE merge pair (the 1-row `best` frame, columns l/r) to the
+    * symbol state with GREEDY LEFTMOST-FIRST non-overlapping semantics —
+    * the standard BPE application order, computed set-wise: among the
+    * matching positions, maximal runs of CONSECUTIVE matches (overlapping
+    * occurrences share their middle symbol) keep every ODD-indexed
+    * member — exactly the pairs a left-to-right scan would take. All
+    * windows partition by `word` (state bounded by word length); the
+    * merge pair is a 1-row broadcast.
+    */
+  private def bpeApplyPair(syms: DataFrame, best: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(wd))
+    val flagged = withNext.join(broadcast(best.select(col("l"), col("r"))),
+      col("sym") === col("l") && col("nxt") === col("r"), "left_outer")
+    val sel = flagged.filter(col("l").isNotNull).select(col("word"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(wd))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy(col("word"), col("grp")).orderBy(col("pos"))))
+      .filter(col("idx") % 2 === 1)
+      .select(col("word"), col("pos"))
+    flagged.drop("l", "r")
+      .join(sel.withColumn("sel", lit(true)), Seq("word", "pos"), "left_outer")
+      .join(sel.select(col("word"), (col("pos") + 1).as("pos"))
+        .withColumn("dropped", lit(true)), Seq("word", "pos"), "left_outer")
+      .filter(col("dropped").isNull)
+      .select(col("word"), col("n_word"), col("pos").as("oldpos"),
+        when(col("sel"), concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("word")).orderBy(col("oldpos"))))
+      .drop("oldpos")
+  }
+
+  /** L4e: BPE TRAINING — `rounds` full merge iterations (the multi-round
+    * generalization of [[bpePairStats]]' "first iteration"): each round
+    * counts adjacent symbol pairs weighted by word frequency, merges the
+    * most frequent pair (ties broken (count desc, left, right) — both
+    * engines agree), and rewrites the symbol state greedily. Returns the
+    * merge table (round, lhs, rhs, n_occurrences) and the final symbol
+    * state. Deterministic end to end, so the DuckDB oracle replays the
+    * training round-for-round — the text-side analogue of the k-means
+    * Lloyd chain ([[graft.operators.Similarity.trainedCentroids]]):
+    * fixed rounds, state `materialize()`d per round (constant-size plan),
+    * 1-row argmax broadcast. At 100 TB training runs on a vocabulary
+    * SAMPLE (the trainer only ever sees the distinct-word dictionary —
+    * corpus size enters via the weights, not the row count) and
+    * documents encode by joining the merged vocabulary ([[l4BpeEncode]]).
+    *
+    * A round with no remaining adjacent pair contributes no merge row
+    * and leaves the state unchanged (the 1-row broadcast is empty, every
+    * left-join misses) — both engines compute that identically.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int = BpeTrainRounds,
+               tokenizer: Column => Column = spaceTokenizer): (DataFrame, DataFrame) = {
+    val vocab = docs.select(explode(tokenizer(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
+    var syms = bpeInitSyms(vocab).materialize()
+    var merges = List.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val wd = Window.partitionBy(col("word")).orderBy(col("pos"))
+      val best = syms.withColumn("nxt", lead(col("sym"), 1).over(wd))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt"))
+        .agg(sum(col("n_word")).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("sym"), col("nxt"))
+        .limit(1)
+        .select(col("sym").as("l"), col("nxt").as("r"), col("n_occurrences"))
+        .materialize() // 1 row; feeds both the merge table and the apply
+      merges = best.select(lit(r).as("round"), col("l").as("lhs"),
+        col("r").as("rhs"), col("n_occurrences")) :: merges
+      syms = bpeApplyPair(syms, best).materialize()
+    }
+    (merges.reverse.reduce(_ unionByName _), syms)
+  }
+
+  /** Serving-path encode: apply a FIXED merge table (training is offline,
+    * like a persisted ANN index) in priority order to a vocabulary. Same
+    * greedy kernel as training; TextOpsSpec pins applying the trained
+    * table == the state training itself produced.
+    */
+  def bpeApply(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    merges.foldLeft(bpeInitSyms(vocab).materialize()) { case (syms, (l, r)) =>
+      bpeApplyPair(syms, Seq((l, r)).toDF("l", "r")).materialize()
+    }
+  }
+
+  /** L4e declared query: the [[BpeTrainRounds]]-round merge table. */
+  def l4BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables(spark, dir).documents)._1.orderBy(col("round"))
+
+  /** L4f declared query: per-document BPE token accounting under the
+    * trained merges — words count, post-merge symbol count, and the
+    * symbols-per-character compression permille. The encode itself is
+    * vocabulary-sized work (symbol counts per distinct word) that
+    * documents pick up through ONE word join — the only corpus-sized
+    * pass; at 100 TB this is the token-budget input the packing/mix
+    * operators consume.
+    */
+  def l4BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val (_, syms) = bpeTrain(docs)
+    val wordSyms = syms.groupBy(col("word")).agg(count(lit(1)).as("n_syms_word"))
+    docs.select(col("doc_id"), explode(spaceTokenizer(col("text"))).as("word"))
+      .join(wordSyms, "word") // every corpus word is in the trained vocab
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms_word")).as("n_syms"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_syms"),
+        expr("n_syms * 1000 DIV n_chars").as("compression_permille"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Stopword-profile language ID: score each language by how many of its
     * profile words appear, argmax with a fixed tie order (en→de→es→fr→zh).

@@ -467,6 +467,70 @@ class LlmOpsSpec extends SparkSuite {
     assert(got == Map("ab" -> 2L, "bc" -> 3L))
   }
 
+  test("L4e BPE training: greedy leftmost merges, weighted argmax, apply == train state") {
+    // "aaaa"×3 dominates: round 1 must merge (a,a) — and apply it greedy
+    // leftmost-first: aaaa→(aa)(aa), aaa→(aa)a, ab untouched
+    val docs = Seq((1L, "aaaa aaaa aaaa aaa ab")).toDF("doc_id", "text")
+    val (merges, syms) = TextOps.bpeTrain(docs, rounds = 1)
+    val m = merges.collect()
+    assert(m.length == 1 && m(0).getAs[String]("lhs") == "a"
+      && m(0).getAs[String]("rhs") == "a")
+    // weight: "aaaa"(n=3) has runs {1,2,3} → pairs at parity {1,3} but the
+    // COUNT is adjacency occurrences pre-merge: 3 per word × 3 + 2 (aaa) = 11
+    assert(m(0).getAs[Long]("n_occurrences") == 3L * 3 + 2)
+    val state = syms.orderBy(col("word"), col("pos")).collect()
+      .groupBy(_.getAs[String]("word"))
+      .view.mapValues(_.map(_.getAs[String]("sym")).toSeq).toMap
+    assert(state("aaaa") == Seq("aa", "aa"), state)
+    assert(state("aaa") == Seq("aa", "a"), state)
+    assert(state("ab") == Seq("a", "b"), state)
+    // serving path: applying the trained merge table reproduces the
+    // trained symbol state exactly
+    val mergeList = merges.orderBy(col("round")).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    val vocab = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
+    assertSameRows(TextOps.bpeApply(vocab, mergeList), syms)
+  }
+
+  test("L4e BPE training matches a sequential reference over multiple rounds") {
+    // reference: textbook per-word greedy merge, driven by the same
+    // weighted pair argmax with (count desc, l, r) tie-break
+    def refMerge(word: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < word.length) {
+        if (i + 1 < word.length && word(i) == l && word(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += word(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val corpus = Seq("banana", "bandana", "cabana", "ban", "anna", "a",
+      "nanana", "baba", "cab")
+    val weights = corpus.zipWithIndex.map { case (w, i) => w -> (1L + i % 3) }.toMap
+    var state: Map[String, Seq[String]] =
+      weights.keys.map(w => w -> w.map(_.toString): (String, Seq[String])).toMap
+    val docs = weights.toSeq.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val rounds = 4
+    val (merges, syms) = TextOps.bpeTrain(docs, rounds)
+    for (_ <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, segs) <- state; i <- 0 until segs.length - 1)
+        counts((segs(i), segs(i + 1))) = counts.getOrElse((segs(i), segs(i + 1)), 0L) + weights(w)
+      if (counts.nonEmpty) {
+        val (l, r) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        state = state.map { case (w, segs) => w -> refMerge(segs, l, r) }
+      }
+    }
+    val got = syms.orderBy(col("word"), col("pos")).collect()
+      .groupBy(_.getAs[String]("word"))
+      .view.mapValues(_.map(_.getAs[String]("sym")).toSeq).toMap
+    assert(got == state, s"engine $got\nref $state")
+    assert(merges.count() == rounds)
+  }
+
   test("L4 BM25: rare beats common, longer docs dampened, saturates with tf") {
     import org.apache.spark.sql.SaveMode
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
