@@ -506,6 +506,55 @@ object TailTwins {
           .orderBy(col("query_id"), col("rnk"))
       }),
 
+      "l4_bpe_train" -> (() => {
+        // the naive formulation: train over the CORPUS token stream
+        // (doc_id, pos) instead of the weighted distinct-word dictionary
+        // — every merge round pays a corpus-sized window + shuffle where
+        // the engine pays a vocabulary-sized one. Same algorithm, same
+        // greedy run-parity application, same 4 rounds.
+        import org.apache.spark.sql.expressions.Window
+        val wd = Window.partitionBy(col("doc_id"), col("widx")).orderBy(col("pos"))
+        var syms = docs
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("widx", "word")))
+          .select(col("doc_id"), col("widx"),
+            posexplode(transform(sequence(lit(1), length(col("word"))),
+              i => col("word").substr(i, lit(1)))).as(Seq("pos", "sym")))
+          .localCheckpoint()
+        var out = Seq.empty[DataFrame]
+        for (r <- 1 to 4) {
+          val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(wd))
+          val best = withNext.filter(col("nxt").isNotNull)
+            .groupBy(col("sym"), col("nxt")).agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("sym"), col("nxt")).limit(1)
+            .select(col("sym").as("l"), col("nxt").as("r"), col("n"))
+            .localCheckpoint()
+          out :+= best.select(lit(r).as("round"), col("l").as("lhs"),
+            col("r").as("rhs"), col("n").as("n_occurrences"))
+          val flagged = withNext.join(broadcast(best.select(col("l"), col("r"))),
+            col("sym") === col("l") && col("nxt") === col("r"), "left_outer")
+          val sel = flagged.filter(col("l").isNotNull)
+            .select(col("doc_id"), col("widx"), col("pos"))
+            .withColumn("grp", col("pos") - row_number().over(wd))
+            .withColumn("idx", row_number().over(Window
+              .partitionBy(col("doc_id"), col("widx"), col("grp")).orderBy(col("pos"))))
+            .filter(col("idx") % 2 === 1)
+            .select(col("doc_id"), col("widx"), col("pos"))
+          syms = flagged.drop("l", "r")
+            .join(sel.withColumn("sel", lit(true)),
+              Seq("doc_id", "widx", "pos"), "left_outer")
+            .join(sel.select(col("doc_id"), col("widx"), (col("pos") + 1).as("pos"))
+              .withColumn("dropped", lit(true)), Seq("doc_id", "widx", "pos"), "left_outer")
+            .filter(col("dropped").isNull)
+            .select(col("doc_id"), col("widx"), col("pos").as("op"),
+              when(col("sel"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
+            .withColumn("pos", row_number().over(
+              Window.partitionBy(col("doc_id"), col("widx")).orderBy(col("op"))))
+            .drop("op")
+            .localCheckpoint()
+        }
+        out.reduce(_ unionByName _).orderBy(col("round"))
+      }),
+
       "s7_profile" -> (() => {
         // same column coverage as the declared query (TableCols is a data
         // constant, not an operator); naive per-column agg + union loop
