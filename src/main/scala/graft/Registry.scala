@@ -1576,6 +1576,34 @@ object Registry {
           CAST(SUM(doc_id) AS BIGINT) AS id_digest
         FROM s GROUP BY split ORDER BY split""")),
 
+      // Importance sampling: the unigram-NLL chain (lock-step with
+      // l4_unigram_lm), corpus bounds as a 1-row cross, linear integer
+      // interpolation to a per-doc keep permille, membership by salted
+      // md5 hex against the per-row printf'd threshold.
+      QueryDef("l8_importance_sample", Curation.l8ImportanceSample, Some(s"""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY ALL),
+        cnt AS (SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token),
+        tot AS (SELECT SUM(cnt) AS t_total FROM cnt),
+        nll AS (SELECT token, CAST(ROUND(ln(t_total::DOUBLE / cnt) * 1e6) AS BIGINT) AS nll_micro
+                FROM cnt CROSS JOIN tot),
+        doc AS (SELECT doc_id, SUM(tf) AS n_tokens, SUM(tf * nll_micro) AS s_micro
+                FROM tf JOIN nll USING (token) GROUP BY doc_id),
+        scored AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     (2 * s_micro + n_tokens) // (2 * n_tokens) AS nll_micro FROM doc),
+        b AS (SELECT MIN(nll_micro) AS lo, MAX(nll_micro) AS hi FROM scored),
+        p AS (SELECT doc_id, n_tokens, nll_micro,
+                ${Curation.ImpFloorPermille} + (hi - nll_micro)
+                  * ${Curation.ImpCeilPermille - Curation.ImpFloorPermille}
+                  // greatest(hi - lo, 1) AS p_permille
+              FROM scored CROSS JOIN b)
+        SELECT doc_id, n_tokens, CAST(nll_micro AS BIGINT) AS nll_micro,
+          CAST(p_permille AS BIGINT) AS p_permille,
+          (p_permille >= 1000 OR
+           substr(md5('imp|' || CAST(doc_id AS VARCHAR)), 1, 4) <
+             printf('%04x', CAST(p_permille * 65536 // 1000 AS BIGINT))) AS kept
+        FROM p ORDER BY doc_id""")),
+
       QueryDef("l8_mix", Curation.l8Mix, Some {
         val cases = Curation.MixRates.map { case (src, p) =>
           s"WHEN '$src' THEN '${Curation.rateThreshold(p)}'"

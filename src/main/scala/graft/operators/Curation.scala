@@ -58,6 +58,54 @@ object Curation {
       .orderBy(col("split"))
   }
 
+  /** Floor/ceiling keep-permilles for the declared importance sample. */
+  val ImpFloorPermille = 100
+  val ImpCeilPermille = 1000
+
+  /** L8i: IMPORTANCE (quality-weighted) SAMPLING — the DSIR-shaped
+    * thinning step between a flat rate and a hard quality gate: every
+    * document keeps a PROBABILITY that interpolates linearly (in exact
+    * integer permille) with its unigram-LM NLL quality score between
+    * `floorPermille` (worst doc in the corpus) and `ceilPermille` (best),
+    * and a salted md5 bucket decides membership — so the thinned corpus
+    * is biased toward in-distribution text without a cliff at any
+    * threshold, yet membership stays deterministic (rerun/engine/
+    * partition-stable, no RNG) and exactly oracle-replayable.
+    *
+    * Scale shape: the NLL score is [[TextOps.unigramNllMicro]] (two
+    * narrow shuffles); the corpus score bounds are a 1-row broadcast; the
+    * decision itself is a shuffle-free per-row expression (md5 + an
+    * integer compare against the per-row hex threshold). A corpus with
+    * one distinct score keeps everything at `floorPermille` (the
+    * interpolation numerator is 0) — both engines compute that
+    * identically via the greatest(hi−lo, 1) guard.
+    */
+  def importanceSample(docs: DataFrame, salt: String = "imp|",
+                       floorPermille: Int = ImpFloorPermille,
+                       ceilPermille: Int = ImpCeilPermille): DataFrame = {
+    require(0 <= floorPermille && floorPermille <= ceilPermille
+      && ceilPermille <= 1000, s"bad permilles: $floorPermille..$ceilPermille")
+    val scored = TextOps.unigramNllMicro(docs)
+    val bounds = scored.agg(min(col("nll_micro")).as("lo"),
+      max(col("nll_micro")).as("hi"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("p_permille", lit(floorPermille.toLong) +
+        expr(s"(hi - nll_micro) * ${ceilPermille - floorPermille}" +
+          " DIV greatest(hi - lo, 1L)"))
+      .select(col("doc_id"), col("n_tokens"), col("nll_micro"), col("p_permille"),
+        // p = 1000 needs the sentinel case (its 4-hex threshold would be
+        // the 5-char "10000", which sorts BELOW "2…"); every lower p
+        // compares lexicographically on same-length lowercase hex
+        (col("p_permille") >= 1000 ||
+          hexBucket(salt, col("doc_id"), 4) <
+            format_string("%04x", expr("p_permille * 65536 DIV 1000"))).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** L8i declared query: importance-sample the documents corpus. */
+  def l8ImportanceSample(spark: SparkSession, dir: String): DataFrame =
+    importanceSample(Tables(spark, dir).documents)
+
   /** Permille sampling rate → 4-hex-char threshold: keep iff
     * bucket < threshold (lexicographic on same-length lowercase hex =
     * numeric). 1000‰ needs a sentinel ABOVE every hex string — "10000"

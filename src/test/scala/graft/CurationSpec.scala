@@ -284,6 +284,31 @@ class CurationSpec extends SparkSuite {
     assertSameRows(out.select(col("doc_id"), col("rn")), naive)
   }
 
+  test("L8m importance sample: permille interpolates with quality, bounds hit, membership deterministic") {
+    val out = Curation.importanceSample(tables.documents).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("nll_micro"), r.getAs[Long]("p_permille"), r.getAs[Boolean]("kept"))).toMap
+    assert(byId.size == tables.documents.count())
+    val ps = byId.values.map(_._2)
+    // bounds: the best doc sits at the ceiling, the worst at the floor
+    assert(ps.max == Curation.ImpCeilPermille && ps.min == Curation.ImpFloorPermille)
+    // monotone: lower NLL (better) never gets a lower keep-permille
+    val sorted = byId.values.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 >= b._2, s"p not antitone in NLL: $a vs $b") case _ => }
+    // p=1000 docs are always kept (the hex threshold has no sentinel row)
+    byId.values.filter(_._2 >= 1000).foreach { v => assert(v._3) }
+    // determinism: a rerun keeps exactly the same membership
+    val again = Curation.importanceSample(tables.documents).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(byId.forall { case (id, (_, _, k)) => again(id) == k })
+    // the sample is biased: kept docs have a better (lower) mean NLL
+    val keptNll = byId.values.filter(_._3).map(_._1)
+    val dropNll = byId.values.filterNot(_._3).map(_._1)
+    assert(keptNll.nonEmpty && dropNll.nonEmpty)
+    assert(keptNll.sum / keptNll.size < dropNll.sum / dropNll.size)
+  }
+
   test("L0 pipeline: composed manifest == stagewise recomputation with naive pack") {
     import graft.operators.{Dedup, TextOps}
     val out = Curation.l0Pipeline(spark, sf)
