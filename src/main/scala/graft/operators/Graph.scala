@@ -130,9 +130,21 @@ object Graph {
     val o2 = oriented.select(col("src"), col("dst").as("y"))
     val wedges = o1.join(o2, "src").filter(col("x") < col("y"))
     // the closing x–y edge in canonical form IS a row of `und` (x < y by
-    // id, und is canonical a<b) — close against the input edge set
-    val closed = wedges.join(
-      und.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    // id, und is canonical a<b) — close against the input edge set. The
+    // wedge frame is the O(m^1.5) bulk of the whole job, so its shuffle
+    // key is packed into ONE long when ids fit 32 bits (narrower rows,
+    // single-column hash/sort on the biggest exchange); the id bound is a
+    // 1-row read off the already-aggregated degree frame, and the packed
+    // and two-column paths are value-identical
+    val maxRow = deg.agg(max(col("v")).cast("long")).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val closed =
+      if (maxId < (1L << 31)) {
+        wedges.select((col("x") * lit(1L << 32) + col("y")).as("xy"))
+          .join(und.select((col("a") * lit(1L << 32) + col("b")).as("xy")), "xy")
+      } else {
+        wedges.join(und.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+      }
     val tri = closed.agg(count(lit(1)).as("n_triangles"))
     val totals = und.agg(count(lit(1)).as("n_edges")).crossJoin(
       deg.agg(sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))).crossJoin(tri)
