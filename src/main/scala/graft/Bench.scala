@@ -127,7 +127,14 @@ object Bench {
     // in the repo and is committed, so round-over-round regression diffing
     // works from artifacts alone.
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"queries_full":${toJson(resultsFull)}$allJson,"sf":"$sfDir"}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    // a FILTERED or headline-only dev-loop run must not clobber the
+    // committed full artifact — partial maps default to /tmp, only a
+    // full pass lands in the repo (explicit SPARK_GRAFT_BENCH_OUT
+    // overrides either way)
+    val defaultOut =
+      if (headlineOnly || singleShot || only.isDefined) "/tmp/BENCH_FULL.json"
+      else "/root/repo/BENCH_FULL.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes("UTF-8"))
