@@ -565,20 +565,28 @@ object Similarity {
   def buildPqIndex(emb: DataFrame, indexDir: String, m: Int = PqM,
                    subDim: Int = PqSubDim, k: Int = PqK): Unit = {
     val spark = emb.sparkSession
-    val subbed = subspaced(emb, m, subDim)
-    trainedCentroidsSub(subbed, k)
+    trainedCentroidsSub(subspaced(emb, m, subDim), k)
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
-    val books = spark.read.parquet(s"$indexDir/codebooks")
-    // one joint assignment pass ([[pqAssign]]) pivoted to the 4-byte
-    // code_0..code_{m-1} storage columns
-    val assigns = pqAssign(subbed, books)
+    encodePq(emb, spark.read.parquet(s"$indexDir/codebooks"), m, subDim)
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** Encode a vector frame against FIXED codebooks: one joint assignment
+    * pass ([[pqAssign]]) pivoted to the 4-byte code_0..code_{m-1} storage
+    * columns — (vec_id, label, code_*). The kernel [[buildPqIndex]] uses
+    * for the initial corpus and [[graft.streaming.Streams.runPqIngest]]
+    * uses per arriving micro-batch (work ∝ batch; codebooks are static
+    * serving state, exactly like an IVF quantizer's centroids).
+    */
+  def encodePq(emb: DataFrame, books: DataFrame, m: Int = PqM,
+               subDim: Int = PqSubDim): DataFrame = {
+    val assigns = pqAssign(subspaced(emb, m, subDim), books)
       .select(col("vec_id"), col("sub"), col("cid").cast("int").as("code"))
     val codes = assigns.groupBy(col("vec_id"))
       .agg(max(when(col("sub") === 0, col("code"))).as("code_0"),
         (1 until m).map(j =>
           max(when(col("sub") === j, col("code"))).as(s"code_$j")): _*)
     emb.select(col("vec_id"), col("label")).join(codes, "vec_id")
-      .write.mode("overwrite").parquet(s"$indexDir/codes")
   }
 
   /** ADC candidate ranking over a [[buildPqIndex]] index: broadcast the
@@ -705,9 +713,19 @@ object Similarity {
     */
   def probePqIndexBatch(spark: SparkSession, indexDir: String, queries: DataFrame,
                         k: Int, rescoreFrom: DataFrame, m: Int = PqM,
-                        subDim: Int = PqSubDim): DataFrame = {
-    val books = spark.read.parquet(s"$indexDir/codebooks")
-    val codes = spark.read.parquet(s"$indexDir/codes")
+                        subDim: Int = PqSubDim): DataFrame =
+    probePqCodes(spark.read.parquet(s"$indexDir/codebooks"),
+      spark.read.parquet(s"$indexDir/codes"), queries, k, rescoreFrom, m, subDim)
+
+  /** The batch probe over EXPLICIT codebook/codes frames — the core
+    * [[probePqIndexBatch]] (flat index) and
+    * [[graft.streaming.Streams.probePqIngested]] (segmented, streaming-
+    * ingested index) both delegate to.
+    */
+  def probePqCodes(books: DataFrame, codesRaw: DataFrame, queries: DataFrame,
+                   k: Int, rescoreFrom: DataFrame, m: Int = PqM,
+                   subDim: Int = PqSubDim): DataFrame = {
+    val codes = codesRaw
       .select(col("vec_id") +: (0 until m).map(j => col(s"code_$j")): _*)
     val melted = codes.select(col("vec_id"),
       posexplode(array((0 until m).map(j => col(s"code_$j")): _*))

@@ -739,6 +739,76 @@ object Streams {
     * batch, to the batch [[graft.operators.Similarity.probePqIndexBatch]]
     * over the same query set.
     */
+  /** T14: streaming PQ INDEX INGESTION — the write side of the serving
+    * split: vectors arrive on a stream and join the searchable index in
+    * SEGMENTS (the Lucene shape), while the codebooks stay the static
+    * serving state they are in any PQ deployment:
+    *
+    *  1. each micro-batch encodes ONLY its own vectors against the
+    *     persisted codebooks ([[graft.operators.Similarity.encodePq]] —
+    *     work ∝ batch) and lands them as an immutable segment
+    *     `codes_seg/b<id>` (overwrite — a replayed batch rewrites its
+    *     segment instead of double-appending);
+    *  2. the segment MANIFEST (one row per visible segment path) commits
+    *     through the immutable-version + pointer-flip protocol of
+    *     [[applyChangesStream]]: version content = the previously
+    *     committed segment set ∪ this batch's segment, a set union that
+    *     rebuilds identically whether the crash hit before or after the
+    *     pointer flip — readers pin a version and never see a torn
+    *     segment list.
+    *
+    * Readers ([[probePqIngested]]) union the committed segments — codes
+    * are 4-byte columns, so even many segments stay a fraction of the
+    * float corpus's scan cost; segment compaction is [[BatchIO]]'s
+    * compactor applied to codes parquet, unchanged.
+    */
+  def runPqIngest(vectors: DataFrame, indexDir: String, checkpoint: String): Unit = {
+    val manifestDir = s"$indexDir/manifest"
+    val q = vectors.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        new java.io.File(manifestDir).mkdirs()
+        val books = spark.read.parquet(s"$indexDir/codebooks")
+        val segDir = s"$indexDir/codes_seg/b$id"
+        graft.operators.Similarity.encodePq(batch, books)
+          .write.mode("overwrite").parquet(segDir)
+        import spark.implicits._
+        val prior = latestVersion(manifestDir) match {
+          case Some(v) => spark.read.parquet(s"$manifestDir/v$v")
+            .as[String].collect().toSeq // segment list: index metadata, not data
+          case None => Seq.empty[String]
+        }
+        (prior :+ segDir).distinct.toDF("segment")
+          .coalesce(1).write.mode("overwrite").parquet(s"$manifestDir/v$id")
+        commitVersion(manifestDir, id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Serve a query batch off a [[runPqIngest]]-maintained segmented index:
+    * read the COMMITTED segment manifest, union the code segments, and
+    * delegate to the shared probe core — identical answers to a flat
+    * [[graft.operators.Similarity.buildPqIndex]] index over the same
+    * vectors (StreamingSpec pins this across arrival waves).
+    */
+  def probePqIngested(spark: SparkSession, indexDir: String, queries: DataFrame,
+                      k: Int, rescoreFrom: DataFrame): DataFrame = {
+    val manifestDir = s"$indexDir/manifest"
+    val segs = latestVersion(manifestDir) match {
+      case Some(v) =>
+        import spark.implicits._
+        spark.read.parquet(s"$manifestDir/v$v").as[String].collect().toSeq
+      case None => throw new IllegalStateException(s"no committed manifest in $manifestDir")
+    }
+    graft.operators.Similarity.probePqCodes(
+      spark.read.parquet(s"$indexDir/codebooks"),
+      spark.read.parquet(segs: _*), queries, k, rescoreFrom)
+  }
+
   def runAnnServe(queries: DataFrame, indexDir: String, k: Int,
                   rescoreFrom: DataFrame, checkpoint: String)
                  (sink: (Long, DataFrame) => Unit): Unit = {

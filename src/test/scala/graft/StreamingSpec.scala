@@ -913,6 +913,32 @@ class StreamingSpec extends SparkSuite {
     assert(got.map(_.toString).sorted.toSeq == expect.map(_.toString).sorted.toSeq)
   }
 
+  test("T14 PQ ingest: streamed vector waves build a segmented index == flat-index probe") {
+    import graft.operators.Similarity
+    val emb = tables.embeddings
+    val idxDir = Files.createTempDirectory("graft-pq-ingest").toString
+    // offline build = the static codebooks + the flat reference codes
+    Similarity.buildPqIndex(emb, idxDir)
+    // the same vectors arrive as two waves; each must become a segment
+    val dir = Files.createTempDirectory("graft-pq-vecs")
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/w1")
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/w2")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+    Streams.runPqIngest(stream, idxDir,
+      Files.createTempDirectory("graft-pq-ingest-cp").toString)
+    // committed manifest lists both segments; the segmented probe equals
+    // the flat probe over the same vectors for every query
+    val queries = Similarity.batchQueryVecs(tables, Similarity.BatchQueryIds)
+    assertSameRows(
+      Streams.probePqIngested(spark, idxDir, queries, 10, emb),
+      Similarity.probePqIndexBatch(spark, idxDir, queries, 10, emb))
+    val segs = spark.read.parquet(
+      s"$idxDir/manifest/v${new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$idxDir/manifest/LATEST")))}")
+    assert(segs.count() == 2, s"expected 2 segments, got ${segs.count()}")
+  }
+
   test("S3 socket source ingests lines from a live TCP server") {
     val server = new java.net.ServerSocket(0)
     val writer = new Thread(() => {
