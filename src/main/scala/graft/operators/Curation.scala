@@ -106,6 +106,85 @@ object Curation {
   def l8ImportanceSample(spark: SparkSession, dir: String): DataFrame =
     importanceSample(Tables(spark, dir).documents)
 
+  /** The STATIC reference state [[importanceAgainst]] scores with — the
+    * serving form of [[importanceSample]], where the scoring corpus is
+    * not the arriving data but a fixed training corpus: (per-token NLL
+    * table, 1-row per-doc NLL bounds), both computed once offline and
+    * broadcast-sized at serve time (vocabulary + 1 row). Scoring the
+    * reference against itself reproduces [[TextOps.unigramNllMicro]]
+    * exactly (every token in-vocabulary), so the streaming gate pins to
+    * the batch sampler on the fixture.
+    */
+  def importanceRef(refDocs: DataFrame,
+                    tokenizer: Column => Column = TextOps.spaceTokenizer)
+      : (DataFrame, DataFrame) = {
+    val tf = refDocs
+      .select(col("doc_id"), explode(tokenizer(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).as("t_total"))
+    val nll = cnt.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("t_total").cast("double") / col("cnt")) * lit(1e6))
+          .cast("long").as("nll_micro"))
+      .materialize()
+    val bounds = scoreAgainst(refDocs, nll, tokenizer)
+      .agg(min(col("nll_micro")).as("lo"), max(col("nll_micro")).as("hi"))
+      .materialize()
+    (nll, bounds)
+  }
+
+  /** Per-doc mean NLL over the IN-VOCABULARY tokens against a static NLL
+    * table (OOV tokens carry no reference probability, so they are
+    * excluded from the mean — the [[graft.operators.Eval.driftAgainst]]
+    * convention; a wholly-OOV doc drops out and the caller defaults it).
+    */
+  private def scoreAgainst(docs: DataFrame, nll: DataFrame,
+                           tokenizer: Column => Column): DataFrame =
+    docs.select(col("doc_id"), explode(tokenizer(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .join(nll, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_iv"),
+        sum(col("tf") * col("nll_micro")).as("s_micro"))
+      .select(col("doc_id"), col("n_iv"),
+        expr("(2L * s_micro + n_iv) DIV (2L * n_iv)").as("nll_micro"))
+
+  /** [[importanceSample]] against a FIXED reference — the admission-
+    * control form a streaming pipeline runs per micro-batch
+    * ([[graft.streaming.Streams.runImportanceGate]]): arriving documents
+    * score against the reference LM, the keep-permille interpolates
+    * inside the REFERENCE corpus' score bounds (scores beyond them clamp
+    * to floor/ceiling — arriving data may be better or worse than
+    * anything the reference saw), membership by the same salted hash.
+    * Wholly-OOV documents (no reference token at all) keep the floor
+    * permille — novel text is exactly what the drift monitor (T12), not
+    * the quality gate, is for. Output: (doc_id, n_iv, nll_micro,
+    * p_permille, kept); nll_micro is NULL for wholly-OOV docs.
+    */
+  def importanceAgainst(docs: DataFrame, nll: DataFrame, bounds: DataFrame,
+                        salt: String = "imp|",
+                        floorPermille: Int = ImpFloorPermille,
+                        ceilPermille: Int = ImpCeilPermille,
+                        tokenizer: Column => Column = TextOps.spaceTokenizer): DataFrame = {
+    require(0 <= floorPermille && floorPermille <= ceilPermille
+      && ceilPermille <= 1000, s"bad permilles: $floorPermille..$ceilPermille")
+    docs.select(col("doc_id"))
+      .join(scoreAgainst(docs, nll, tokenizer), Seq("doc_id"), "left_outer")
+      .crossJoin(broadcast(bounds))
+      .withColumn("p_permille",
+        when(col("nll_micro").isNull, lit(floorPermille.toLong))
+          .otherwise(lit(floorPermille.toLong) +
+            expr(s"greatest(0L, least(hi - nll_micro, hi - lo))" +
+              s" * ${ceilPermille - floorPermille} DIV greatest(hi - lo, 1L)")))
+      .select(col("doc_id"), coalesce(col("n_iv"), lit(0L)).as("n_iv"),
+        col("nll_micro"), col("p_permille"),
+        (col("p_permille") >= 1000 ||
+          hexBucket(salt, col("doc_id"), 4) <
+            format_string("%04x", expr("p_permille * 65536 DIV 1000"))).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Permille sampling rate → 4-hex-char threshold: keep iff
     * bucket < threshold (lexicographic on same-length lowercase hex =
     * numeric). 1000‰ needs a sentinel ABOVE every hex string — "10000"

@@ -739,6 +739,34 @@ object Streams {
     * batch, to the batch [[graft.operators.Similarity.probePqIndexBatch]]
     * over the same query set.
     */
+  /** T15: streaming IMPORTANCE-SAMPLING ADMISSION — the quality-weighted
+    * gate between S9b's hard ruleset and T12's batch-level drift alarm:
+    * every arriving document keeps a PROBABILITY that follows its
+    * unigram-NLL score against a STATIC reference LM
+    * ([[graft.operators.Curation.importanceRef]] — vocabulary-sized
+    * state computed once, broadcast into each batch's join), decided by
+    * the same salted hash as the batch sampler, so admission is
+    * deterministic under replay and the thinned stream is biased toward
+    * in-distribution text without a quality cliff. Per batch the
+    * annotated frame (scores, permilles, kept flags) goes to `sink`;
+    * no cross-batch state. StreamingSpec pins each batch's annotation to
+    * the batch [[graft.operators.Curation.importanceAgainst]] twin, and
+    * self-reference scoring to the declared `l8_importance_sample`.
+    */
+  def runImportanceGate(docs: DataFrame, nllRef: DataFrame, bounds: DataFrame,
+                        checkpoint: String)
+                       (sink: (Long, DataFrame) => Unit): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(id, graft.operators.Curation.importanceAgainst(batch, nllRef, bounds))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
   /** T14: streaming PQ INDEX INGESTION — the write side of the serving
     * split: vectors arrive on a stream and join the searchable index in
     * SEGMENTS (the Lucene shape), while the codebooks stay the static

@@ -913,6 +913,49 @@ class StreamingSpec extends SparkSuite {
     assert(got.map(_.toString).sorted.toSeq == expect.map(_.toString).sorted.toSeq)
   }
 
+  test("T15 importance gate: per-batch annotation == batch twin; self-reference == declared sampler") {
+    import graft.operators.Curation
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (nllRef, bounds) = Curation.importanceRef(docs)
+    // self-reference: scoring the reference corpus against itself must
+    // reproduce the declared batch sampler's decisions exactly
+    val self = Curation.importanceAgainst(docs, nllRef, bounds)
+      .select(col("doc_id"), col("nll_micro"), col("p_permille"), col("kept"))
+    val declared = Curation.importanceSample(docs)
+      .select(col("doc_id"), col("nll_micro"), col("p_permille"), col("kept"))
+    assertSameRows(self, declared)
+    // streamed in two waves (one with an injected wholly-OOV doc): each
+    // batch's annotation == the batch twin; the OOV doc floors and scores NULL
+    val dir = Files.createTempDirectory("graft-imp-stream")
+    val half1 = docs.filter(col("doc_id") < 250)
+    val oovId = 990000L
+    val half2 = docs.filter(col("doc_id") >= 250)
+      .unionByName(half1.limit(1).select(lit(oovId).as("doc_id"),
+        lit(Seq.fill(60)("qqxyzzy").mkString(" ")).as("text"), col("lang"),
+        col("source"), col("n_chars")).toDF(docs.columns: _*))
+    half1.coalesce(1).write.parquet(s"$dir/b1")
+    half2.coalesce(1).write.parquet(s"$dir/b2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[org.apache.spark.sql.Row])]
+    Streams.runImportanceGate(stream, nllRef, bounds,
+      Files.createTempDirectory("graft-imp-cp").toString) { (id, ann) =>
+      got += ((id, ann.collect().toSeq))
+    }
+    assert(got.size == 2)
+    val allRows = got.flatMap(_._2)
+    val oovRow = allRows.find(_.getAs[Long]("doc_id") == oovId).get
+    assert(oovRow.isNullAt(oovRow.fieldIndex("nll_micro"))
+      && oovRow.getAs[Long]("p_permille") == Curation.ImpFloorPermille
+      && oovRow.getAs[Long]("n_iv") == 0L)
+    // batch-twin equality per wave, whatever order the files triggered in
+    def key(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(_.toString).sorted.mkString("\n")
+    val twins = Seq(half1, half2)
+      .map(h => key(Curation.importanceAgainst(h, nllRef, bounds).collect().toIndexedSeq))
+    assert(got.map(g => key(g._2)).toSet == twins.toSet)
+  }
+
   test("T14 PQ ingest: streamed vector waves build a segmented index == flat-index probe") {
     import graft.operators.Similarity
     val emb = tables.embeddings
