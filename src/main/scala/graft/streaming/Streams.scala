@@ -790,7 +790,8 @@ object Streams {
     * float corpus's scan cost; segment compaction is [[BatchIO]]'s
     * compactor applied to codes parquet, unchanged.
     */
-  def runPqIngest(vectors: DataFrame, indexDir: String, checkpoint: String): Unit = {
+  def runPqIngest(vectors: DataFrame, indexDir: String, checkpoint: String,
+                  onBeforeCommit: Long => Unit = _ => ()): Unit = {
     val manifestDir = s"$indexDir/manifest"
     val q = vectors.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -808,6 +809,11 @@ object Streams {
         }
         (prior :+ segDir).distinct.toDF("segment")
           .coalesce(1).write.mode("overwrite").parquet(s"$manifestDir/v$id")
+        // crash-injection seam (StreamingSpec torn-commit soak): a death
+        // here — segment + manifest version fully written, pointer not
+        // flipped — is the protocol's critical window; replay must
+        // rebuild the same segment and version idempotently
+        onBeforeCommit(id)
         commitVersion(manifestDir, id)
         ()
       }

@@ -982,6 +982,52 @@ class StreamingSpec extends SparkSuite {
     assert(segs.count() == 2, s"expected 2 segments, got ${segs.count()}")
   }
 
+  test("T14 torn-commit soak: ingest crash before pointer flip leaves readers on the pre-crash segment set; replay converges") {
+    import graft.operators.Similarity
+    val emb = tables.embeddings
+    val idxDir = Files.createTempDirectory("graft-pq-torn").toString
+    Similarity.buildPqIndex(emb, idxDir)
+    val dir = Files.createTempDirectory("graft-pq-torn-vecs")
+    val cp = Files.createTempDirectory("graft-pq-torn-cp").toString
+    def stream() = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+    def pointer(): String = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$idxDir/manifest/LATEST")).trim
+    val queries = Similarity.batchQueryVecs(tables, Similarity.BatchQueryIds)
+
+    // wave 1 commits normally
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/w1")
+    Streams.runPqIngest(stream(), idxDir, cp)
+    val vBefore = pointer()
+    val seen = Streams.probePqIngested(spark, idxDir, queries, 10, emb)
+      .collect().map(_.toString).sorted.toSeq
+
+    // wave 2 arrives; the process dies with segment + manifest version
+    // fully written but the pointer NOT yet flipped
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/w2")
+    val crash = intercept[Exception] {
+      Streams.runPqIngest(stream(), idxDir, cp,
+        onBeforeCommit = _ => throw new RuntimeException("injected crash before pointer flip"))
+    }
+    assert(Option(crash.getMessage).getOrElse("").contains("injected crash")
+      || crash.getCause != null, crash.toString)
+    // torn version on disk, pointer untouched, probes answer EXACTLY as
+    // before the crash — never a half-visible segment set
+    assert(pointer() == vBefore, s"pointer moved across a crash: $vBefore -> ${pointer()}")
+    assert(Streams.probePqIngested(spark, idxDir, queries, 10, emb)
+      .collect().map(_.toString).sorted.toSeq == seen,
+      "reader observed a torn segment manifest")
+
+    // restart over the same checkpoint: the batch replays, rebuilds its
+    // segment + version idempotently, and the segmented probe equals the
+    // flat-index probe over the full corpus
+    Streams.runPqIngest(stream(), idxDir, cp)
+    assert(pointer().toLong > vBefore.toLong, "replay did not commit")
+    assertSameRows(
+      Streams.probePqIngested(spark, idxDir, queries, 10, emb),
+      Similarity.probePqIndexBatch(spark, idxDir, queries, 10, emb))
+  }
+
   test("S3 socket source ingests lines from a live TCP server") {
     val server = new java.net.ServerSocket(0)
     val writer = new Thread(() => {
