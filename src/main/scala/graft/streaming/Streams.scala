@@ -823,6 +823,36 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Segment GC for a [[runPqIngest]] index: rewrite the committed
+    * segment set as ONE compacted segment and commit a manifest version
+    * pointing at it — the maintenance pass every segment-based index
+    * needs once the ingest tail grows. Codes are 4-byte columns, so the
+    * rewrite is a fraction of a float-corpus copy. Version ids for
+    * compactions live in a reserved high range ([[CompactionIdBase]]+n):
+    * the pointer protocol only requires version UNIQUENESS (readers
+    * follow the pointer, not the max id), and the reserved range keeps a
+    * future ingest batch id from ever overwriting a version directory a
+    * reader may still be pinned to. Old segments are left on disk —
+    * removal is a retention decision for once no reader can pin them.
+    * After compaction the next ingest batch unions the compacted segment
+    * with its own, exactly as before.
+    */
+  val CompactionIdBase = 1000000000L
+  def compactPqSegments(spark: SparkSession, indexDir: String): Long = {
+    val manifestDir = s"$indexDir/manifest"
+    import spark.implicits._
+    val v = latestVersion(manifestDir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $manifestDir"))
+    val segs = spark.read.parquet(s"$manifestDir/v$v").as[String].collect().toSeq
+    val newId = CompactionIdBase + v + 1
+    val target = s"$indexDir/codes_seg/c$newId"
+    spark.read.parquet(segs: _*).write.mode("overwrite").parquet(target)
+    Seq(target).toDF("segment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$manifestDir/v$newId")
+    commitVersion(manifestDir, newId)
+    newId
+  }
+
   /** Serve a query batch off a [[runPqIngest]]-maintained segmented index:
     * read the COMMITTED segment manifest, union the code segments, and
     * delegate to the shared probe core — identical answers to a flat

@@ -980,6 +980,21 @@ class StreamingSpec extends SparkSuite {
       s"$idxDir/manifest/v${new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$idxDir/manifest/LATEST")))}")
     assert(segs.count() == 2, s"expected 2 segments, got ${segs.count()}")
+    // segment GC: compaction rewrites the set as one segment in a
+    // reserved-id version; probes answer identically, and the pre-compact
+    // version is still pinnable on disk
+    val preCompact = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$idxDir/manifest/LATEST"))).trim
+    val cid = Streams.compactPqSegments(spark, idxDir)
+    assert(cid >= Streams.CompactionIdBase)
+    val after = spark.read.parquet(s"$idxDir/manifest/v$cid")
+    assert(after.count() == 1, "compaction must leave one segment")
+    assertSameRows(
+      Streams.probePqIngested(spark, idxDir, queries, 10, emb),
+      Similarity.probePqIndexBatch(spark, idxDir, queries, 10, emb))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idxDir/manifest/v$preCompact")),
+      "pre-compaction version must stay pinnable")
   }
 
   test("T14 torn-commit soak: ingest crash before pointer flip leaves readers on the pre-crash segment set; replay converges") {
