@@ -1084,6 +1084,29 @@ object Registry {
         SELECT query_id, CAST(rn AS INT) AS rnk, vec_id, label, cosine
         FROM r WHERE rn <= 10 ORDER BY query_id, rnk""")),
 
+      // Filtered vector search: same batch-cosine replay restricted to
+      // the label predicate on the CANDIDATE side only (query vectors
+      // come from the unfiltered corpus).
+      QueryDef("l3_filtered_topk", Similarity.l3FilteredTopK, Some(s"""
+        WITH fv AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM fv
+              WHERE vec_id IN (${Similarity.BatchQueryIds.mkString(", ")})),
+        u AS (SELECT q.query_id, fv.vec_id, fv.label,
+                unnest(fv.e) AS a, unnest(q.qe) AS b
+              FROM fv, q WHERE fv.label = ${Similarity.FilteredLabel}),
+        d AS (SELECT query_id, vec_id, label,
+                SUM(CAST(a*b AS DECIMAL(30,15))) AS dot,
+                SUM(CAST(a*a AS DECIMAL(30,15))) AS na,
+                SUM(CAST(b*b AS DECIMAL(30,15))) AS nb
+              FROM u GROUP BY ALL),
+        c AS (SELECT query_id, vec_id, label,
+                ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
+              FROM d),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+              FROM c)
+        SELECT query_id, CAST(rn AS INT) AS rnk, vec_id, label, cosine
+        FROM r WHERE rn <= 10 ORDER BY query_id, rnk""")),
+
       QueryDef("l3_ann_bucket", Similarity.l3AnnBucket,
         Some(cosineSql(
           s"SELECT vec_id, label, embedding, CAST($bucketSql AS INT) AS bucket FROM embeddings",

@@ -696,6 +696,40 @@ object Similarity {
     topKBatch(t.embeddings, batchQueryVecs(t, BatchQueryIds), k = 10)
   }
 
+  /** Label predicate for the declared FILTERED search query. */
+  val FilteredLabel = 3
+
+  /** L3h declared query: FILTERED vector search — top-10 among only the
+    * label-[[FilteredLabel]] vectors, for the same query batch. Filtered
+    * ANN is its own serving feature (metadata predicate + similarity
+    * rank); the exact form is the oracle anchor, and the index-side
+    * scale path is [[probePqIndexBatchFiltered]], where the predicate
+    * rides the CODES scan as a pushed-down filter BEFORE candidate
+    * ranking (post-filtering a top-k would under-fill it).
+    */
+  def l3FilteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    topKBatch(t.embeddings.filter(col("label") === FilteredLabel),
+      batchQueryVecs(t, BatchQueryIds), k = 10)
+  }
+
+  /** [[probePqIndexBatch]] under a metadata predicate: the filter
+    * applies to the codes frame (which carries the metadata columns)
+    * BEFORE ADC candidate ranking — so the top factor·k candidates are
+    * all predicate-true and the final k is never under-filled by
+    * post-filtering — and to the rescore store symmetrically. On the
+    * codes parquet the predicate is a pushed-down scan filter
+    * (BucketingSpec asserts PushedFilters), so a selective predicate
+    * cuts the candidate scan itself, the FAISS-style pre-filter shape.
+    */
+  def probePqIndexBatchFiltered(spark: SparkSession, indexDir: String,
+                                queries: DataFrame, k: Int, rescoreFrom: DataFrame,
+                                pred: Column, m: Int = PqM,
+                                subDim: Int = PqSubDim): DataFrame =
+    probePqCodes(spark.read.parquet(s"$indexDir/codebooks"),
+      spark.read.parquet(s"$indexDir/codes").filter(pred),
+      queries, k, rescoreFrom.filter(pred), m, subDim)
+
   /** Batched [[probePqIndex]]: a whole query batch served off the
     * persisted PQ index in one pass over the CODES columns. Per query
     * the plan is the single probe's; across the batch everything is

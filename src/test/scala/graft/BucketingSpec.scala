@@ -158,6 +158,28 @@ class BucketingSpec extends SparkSuite {
         exact.filter(col("query_id") === id).select("vec_id", "label", "cosine"),
         Similarity.bruteForceTopK(tables, id, 10))
     }
+    // filtered probe: predicate rides the codes scan BEFORE candidate
+    // ranking — every hit satisfies it, k stays filled, and the scan
+    // carries the filter as a parquet pushdown
+    val pred = col("label") === Similarity.FilteredLabel
+    val filtered = Similarity.probePqIndexBatchFiltered(
+      spark, idxDir, queries, 10, tables.embeddings, pred)
+    val frows = filtered.collect()
+    assert(frows.length == Similarity.BatchQueryIds.size * 10, "k under-filled")
+    assert(frows.forall(_.getAs[Int]("label") == Similarity.FilteredLabel))
+    // the full probe's codes scan hides inside finished AQE broadcast
+    // stages (their subtrees truncate in the plan string), so assert the
+    // pushdown on the candidate-side frame the probe builds: the
+    // predicate lands in the codes parquet scan's PushedFilters
+    val fcodes = spark.read.parquet(s"$idxDir/codes").filter(pred)
+      .select(col("vec_id"), col("code_0"))
+    fcodes.collect()
+    val fScan = fcodes.queryExecution.executedPlan.toString.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/codes"))
+      .getOrElse(fail("no codes scan in filtered candidate plan"))
+    assert(fScan.contains("PushedFilters") && fScan.contains("EqualTo(label"),
+      s"label predicate not pushed to the codes scan:\n$fScan")
+
     // batched IVF probe: one union-pruned scan slices into the solo probes
     val ivfDir = java.nio.file.Files.createTempDirectory("graft-ivf-batch").toString
     Similarity.buildIvfIndex(tables.embeddings, ivfDir)
