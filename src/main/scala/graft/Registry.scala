@@ -1627,6 +1627,44 @@ object Registry {
              printf('%04x', CAST(p_permille * 65536 // 1000 AS BIGINT))) AS kept
         FROM p ORDER BY doc_id""")),
 
+      // The gate form: the whole corpus scored against the quarter-slice
+      // reference LM — OOV tokens drop from the per-doc mean (inner join
+      // with the REFERENCE vocabulary), scores clamp into the reference
+      // bounds, wholly-OOV docs floor with a NULL score.
+      QueryDef("l8_importance_gate", Curation.l8ImportanceGate, Some(s"""
+        WITH ref AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+        rtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM ref),
+        rtf AS (SELECT doc_id, token, COUNT(*) AS tf FROM rtoks GROUP BY ALL),
+        rcnt AS (SELECT token, SUM(tf) AS cnt FROM rtf GROUP BY token),
+        rtot AS (SELECT SUM(cnt) AS t_total FROM rcnt),
+        nll AS (SELECT token, CAST(ROUND(ln(t_total::DOUBLE / cnt) * 1e6) AS BIGINT) AS nll_micro
+                FROM rcnt CROSS JOIN rtot),
+        rdoc AS (SELECT doc_id, SUM(tf) AS n_iv, SUM(tf * nll_micro) AS s
+                 FROM rtf JOIN nll USING (token) GROUP BY doc_id),
+        b AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM
+               (SELECT (2 * s + n_iv) // (2 * n_iv) AS m FROM rdoc)),
+        dtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        dtf AS (SELECT doc_id, token, COUNT(*) AS tf FROM dtoks GROUP BY ALL),
+        sc AS (SELECT doc_id, SUM(tf) AS n_iv, SUM(tf * nll_micro) AS s
+               FROM dtf JOIN nll USING (token) GROUP BY doc_id),
+        sd AS (SELECT doc_id, n_iv, (2 * s + n_iv) // (2 * n_iv) AS nll_micro FROM sc),
+        j AS (SELECT a.doc_id, COALESCE(sd.n_iv, 0) AS n_iv, sd.nll_micro
+              FROM (SELECT doc_id FROM documents) a LEFT JOIN sd USING (doc_id)),
+        p AS (SELECT doc_id, n_iv, nll_micro,
+                CASE WHEN nll_micro IS NULL THEN ${Curation.ImpFloorPermille}
+                     ELSE ${Curation.ImpFloorPermille}
+                       + greatest(0, least(hi - nll_micro, hi - lo))
+                         * ${Curation.ImpCeilPermille - Curation.ImpFloorPermille}
+                         // greatest(hi - lo, 1) END AS p_permille
+              FROM j CROSS JOIN b)
+        SELECT doc_id, CAST(n_iv AS BIGINT) AS n_iv,
+          CAST(nll_micro AS BIGINT) AS nll_micro,
+          CAST(p_permille AS BIGINT) AS p_permille,
+          (p_permille >= 1000 OR
+           substr(md5('imp|' || CAST(doc_id AS VARCHAR)), 1, 4) <
+             printf('%04x', CAST(p_permille * 65536 // 1000 AS BIGINT))) AS kept
+        FROM p ORDER BY doc_id""")),
+
       QueryDef("l8_mix", Curation.l8Mix, Some {
         val cases = Curation.MixRates.map { case (src, p) =>
           s"WHEN '$src' THEN '${Curation.rateThreshold(p)}'"

@@ -106,6 +106,18 @@ object Curation {
   def l8ImportanceSample(spark: SparkSession, dir: String): DataFrame =
     importanceSample(Tables(spark, dir).documents)
 
+  /** L8n declared query: the admission gate against a PROPER reference —
+    * the corpus scored against the `doc_id % 4 == 0` quarter's LM, so
+    * the oracle exercises everything self-reference cannot: OOV token
+    * exclusion from the mean, out-of-bounds clamping, and (at small
+    * scales) the wholly-OOV floor.
+    */
+  def l8ImportanceGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val (nll, bounds) = importanceRef(docs.filter(col("doc_id") % 4 === 0))
+    importanceAgainst(docs, nll, bounds)
+  }
+
   /** The STATIC reference state [[importanceAgainst]] scores with — the
     * serving form of [[importanceSample]], where the scoring corpus is
     * not the arriving data but a fixed training corpus: (per-token NLL
