@@ -115,6 +115,46 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("BPE training equals the sequential reference on random corpora") {
+    import graft.operators.TextOps
+    def refMerge(segs: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < segs.length) {
+        if (i + 1 < segs.length && segs(i) == l && segs(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += segs(i); i += 1 }
+      }
+      out.toSeq
+    }
+    // words over a 3-letter alphabet: heavy pair collisions, overlapping
+    // self-pairs (aa/bb runs), frequent count ties for the argmax order
+    val word3 = Gen.listOfN(6, Gen.oneOf("a", "b", "c")).map(_.mkString)
+    for ((ws, i) <- samples(Gen.listOfN(14, word3), 3).zipWithIndex) {
+      val weights = ws.distinct.map(w => w -> (1L + (w.length + i) % 3)).toMap
+      val docs = weights.toSeq.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+        .zipWithIndex.map { case (w, j) => (j.toLong, w) }.toDF("doc_id", "text")
+      val rounds = 3
+      val (_, syms) = TextOps.bpeTrain(docs, rounds)
+      var state: Map[String, Seq[String]] =
+        weights.keys.map(w => w -> w.map(_.toString): (String, Seq[String])).toMap
+      for (_ <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, segs) <- state; k <- 0 until segs.length - 1)
+          counts((segs(k), segs(k + 1))) =
+            counts.getOrElse((segs(k), segs(k + 1)), 0L) + weights(w)
+        if (counts.nonEmpty) {
+          val (l, r) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+          state = state.map { case (w, segs) => w -> refMerge(segs, l, r) }
+        }
+      }
+      val got = syms.orderBy(col("word"), col("pos")).collect()
+        .groupBy(_.getAs[String]("word"))
+        .view.mapValues(_.map(_.getAs[String]("sym")).toSeq).toMap
+      assert(got == state, s"sample $i: engine $got\nref $state")
+    }
+  }
+
   test("FixedPointSum limb accumulator equals the decimal sum bit-for-bit") {
     // mixed-sign magnitudes spanning the limb boundary region, random
     // partitioning (partial-agg merge order varies), plus null rows
