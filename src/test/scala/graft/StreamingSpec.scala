@@ -968,8 +968,8 @@ class StreamingSpec extends SparkSuite {
     emb.filter(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/w2")
     val stream = spark.readStream.schema(emb.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
-    Streams.runPqIngest(stream, idxDir,
-      Files.createTempDirectory("graft-pq-ingest-cp").toString)
+    val cp = Files.createTempDirectory("graft-pq-ingest-cp").toString
+    Streams.runPqIngest(stream, idxDir, cp)
     // committed manifest lists both segments; the segmented probe equals
     // the flat probe over the same vectors for every query
     val queries = Similarity.batchQueryVecs(tables, Similarity.BatchQueryIds)
@@ -995,6 +995,24 @@ class StreamingSpec extends SparkSuite {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$idxDir/manifest/v$preCompact")),
       "pre-compaction version must stay pinnable")
+    // ingestion continues after compaction: a third wave of NEW vectors
+    // unions with the compacted segment through the manifest, and the
+    // probe equals the shared core over (flat codes ∪ new-wave codes)
+    val wave3 = emb.filter(col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + 10000L)
+    wave3.coalesce(1).write.parquet(s"$dir/w3")
+    // SAME checkpoint: only the new wave ingests (w1/w2 already
+    // processed), so its segment unions with the compacted one
+    Streams.runPqIngest(spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/"), idxDir, cp)
+    val books = spark.read.parquet(s"$idxDir/codebooks")
+    val store = emb.unionByName(wave3)
+    assertSameRows(
+      Streams.probePqIngested(spark, idxDir, queries, 10, store),
+      Similarity.probePqCodes(books,
+        spark.read.parquet(s"$idxDir/codes")
+          .unionByName(Similarity.encodePq(wave3, books)),
+        queries, 10, store))
   }
 
   test("T14 torn-commit soak: ingest crash before pointer flip leaves readers on the pre-crash segment set; replay converges") {
