@@ -1032,6 +1032,30 @@ object Registry {
         SELECT doc_id, cluster_rep, doc_id = cluster_rep AS kept
         FROM labels ORDER BY doc_id""")),
 
+      // L7b: quality-aware survivor selection over the SAME clustering —
+      // per cluster keep the lowest-NLL member (ties by doc_id), with
+      // the unigram-NLL chain replayed beside the cluster chain.
+      QueryDef("l6_dedup_best", Dedup.l6DedupBest, Some(s"""
+        $ccChainSql,
+        qtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        qtf AS (SELECT doc_id, token, COUNT(*) AS tf FROM qtoks GROUP BY ALL),
+        qcnt AS (SELECT token, SUM(tf) AS cnt FROM qtf GROUP BY token),
+        qtot AS (SELECT SUM(cnt) AS t_total FROM qcnt),
+        qnll AS (SELECT token, CAST(ROUND(ln(t_total::DOUBLE / cnt) * 1e6) AS BIGINT) AS nll_micro
+                 FROM qcnt CROSS JOIN qtot),
+        qdoc AS (SELECT doc_id,
+                   (2 * SUM(tf * nll_micro) + SUM(tf)) // (2 * SUM(tf)) AS nll_micro
+                 FROM qtf JOIN qnll USING (token) GROUP BY doc_id),
+        br AS (SELECT l.cluster_rep, d.doc_id, d.nll_micro,
+                 ROW_NUMBER() OVER (PARTITION BY l.cluster_rep
+                   ORDER BY d.nll_micro, d.doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY l.cluster_rep) AS cluster_size
+               FROM labels l JOIN qdoc d USING (doc_id))
+        SELECT cluster_rep, doc_id AS best_id,
+          CAST(nll_micro AS BIGINT) AS best_nll_micro,
+          CAST(cluster_size AS BIGINT) AS cluster_size
+        FROM br WHERE rn = 1 ORDER BY cluster_rep""")),
+
       // L8h: unbiased per-cluster representative sampling over the SAME
       // clustering — seeded-hash rank replayed token-for-token.
       QueryDef("l8_cluster_sample", Curation.l8ClusterSample, Some(s"""

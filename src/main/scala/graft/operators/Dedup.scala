@@ -665,6 +665,32 @@ object Dedup {
   private val l6LabelsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** L7b: QUALITY-AWARE survivor selection — per near-dup cluster, keep
+    * the member a curation run actually wants: the LOWEST unigram-LM NLL
+    * (most in-distribution) document, not the arbitrary min id the plain
+    * keep-list uses. One row per cluster: (cluster_rep, best_id,
+    * best_nll_micro, cluster_size); ties break on doc_id.
+    *
+    * Scale shape: the converged cluster labels come from the memoized
+    * [[l6DedupDocs]] chain (computed once per session); the quality score
+    * is the two-shuffle [[TextOps.unigramNllMicro]]; the per-cluster
+    * argmin is a partial-aggregated `min(struct(nll, id))` — no window,
+    * no per-cluster state beyond one struct.
+    */
+  def l6DedupBest(spark: SparkSession, dir: String): DataFrame = {
+    val labels = l6DedupDocs(spark, dir).select(col("doc_id"), col("cluster_rep"))
+    val scored = graft.operators.TextOps
+      .unigramNllMicro(graft.Tables(spark, dir).documents)
+      .select(col("doc_id"), col("nll_micro"))
+    labels.join(scored, "doc_id")
+      .groupBy(col("cluster_rep"))
+      .agg(min(struct(col("nll_micro"), col("doc_id"))).as("m"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_rep"), col("m.doc_id").as("best_id"),
+        col("m.nll_micro").as("best_nll_micro"), col("cluster_size"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** Production connected components — the O(log n)-round twin of
     * [[clusterCollapse]] for graphs whose diameter is NOT small (the
     * fixed-round form needs O(diameter) rounds, fine for dense near-dup
