@@ -136,10 +136,14 @@ object Graph {
     // single-column hash/sort on the biggest exchange); the id bound is a
     // 1-row read off the already-aggregated degree frame, and the packed
     // and two-column paths are value-identical
-    val maxRow = deg.agg(max(col("v")).cast("long")).head()
-    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val idRow = deg.agg(min(col("v")).cast("long"), max(col("v")).cast("long")).head()
+    val (minId, maxId) =
+      if (idRow.isNullAt(0)) (0L, 0L) else (idRow.getLong(0), idRow.getLong(1))
     val closed =
-      if (maxId < (1L << 31)) {
+      // BOTH bounds matter: a negative id sign-extends into the high
+      // word and aliases packed keys, so packing requires ids in
+      // [0, 2^31) — anything else keeps the two-column join
+      if (minId >= 0L && maxId < (1L << 31)) {
         wedges.select((col("x") * lit(1L << 32) + col("y")).as("xy"))
           .join(und.select((col("a") * lit(1L << 32) + col("b")).as("xy")), "xy")
       } else {
