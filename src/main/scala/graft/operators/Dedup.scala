@@ -250,19 +250,34 @@ object Dedup {
     * the filter that catches boilerplate shared ACROSS documents that are
     * not near-duplicates of each other as wholes.
     *
-    * Shape, corpus-scale: (1) spans materialize per row as a narrow
-    * transform over the token array and explode WITH position — corpus
-    * token count × span length never materializes, only one row per span
-    * START; (2) one hash aggregation counts span occurrences (map-side
-    * partial combine absorbs locally-hot boilerplate); (3) duplicated
-    * spans join back on the span key (AQE skew-split handles a globally
-    * hot span; at 100 TB the key would be `xxhash64(span)` — 8 bytes
-    * instead of ~50 — with the text kept only through the aggregate);
+    * Shape, corpus-scale: (1) ONE tokenize+explode pass materializes a
+    * narrow `(doc_id, n_tokens, p, h)` span-start frame — corpus token
+    * count × span length never materializes, only one row per span
+    * START, and the span TEXT never materializes AT ALL: `h =
+    * xxhash64(slice(toks, i, n))` hashes the n-token slice in place
+    * (tokens come from a split on the separator, so slice-equality ==
+    * joined-string equality), and that 8-byte hash is the only key any
+    * shuffle ever carries, not a ~50-byte span string — the per-doc
+    * span array is `array<long>`, not an array of allocated strings.
+    * The frame is `materialize()`d because
+    * THREE consumers read it (the occurrence count, the join-back, and
+    * the per-doc token base) — without the barrier the tokenize+explode
+    * lineage would re-execute under each. (2) one hash aggregation
+    * counts span-hash occurrences (map-side partial combine absorbs
+    * locally-hot boilerplate); (3) duplicated spans join back on the
+    * 8-byte hash (AQE skew-split handles a globally hot span);
     * (4) covered-token count per doc is an INTERVAL MERGE via one
     * per-doc window — `min(N, p − lag(p))` summed over span starts —
     * never an exploded position set (which would multiply the shuffle by
     * the span length). Docs with no duplicated span left-join back with
     * coverage 0.
+    *
+    * Hashing the span key is the standard sketch trade: two distinct
+    * spans colliding under xxhash64 would be conflated (P ≈ m²/2⁶⁵ —
+    * ~10⁻⁷ even at 5M distinct spans). The collision is deterministic
+    * per corpus, and the DuckDB oracle counts the true STRINGS, so a
+    * real collision at fixture scale would surface as a hash-gate
+    * mismatch rather than pass silently.
     */
   def dupSpanCoverage(docs: DataFrame, n: Int = DupSpanN,
                       maxCoveragePermille: Long = DupSpanMaxCoveragePermille,
@@ -270,23 +285,37 @@ object Dedup {
     require(n >= 2, s"span length must be >= 2, got $n")
     val ts = tokenizer(col("text"))
     // span starts 1..(#tokens−n+1); sequence(1, 0) would descend, so docs
-    // shorter than one span get an explicit empty array
-    val spans = docs
-      .select(col("doc_id"),
-        posexplode(when(size(ts) >= n,
-          transform(sequence(lit(1), size(ts) - lit(n - 1)),
-            i => concat_ws(" ", slice(ts, i, lit(n)))))
+    // shorter than one span get an explicit empty array. posexplode_OUTER
+    // keeps short docs as one null-position row, so this single pass also
+    // carries every doc's n_tokens (no second tokenize for the base).
+    //
+    // The token array is BOUND in its own projection below the Generate:
+    // Catalyst does not common-subexpression-eliminate a lambda body's
+    // free references, so inlining `tokenizer(text)` into the transform
+    // would re-run the tokenizer once per span START — O(tokens²) per
+    // doc (measured 2.4 s vs 0.4 s at sf0.1). The Generate boundary
+    // keeps the projection from collapsing back in.
+    val spanRows = docs
+      .select(col("doc_id"), size(ts).cast("long").as("n_tokens"), ts.as("toks"))
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode_outer(when(col("n_tokens") >= n,
+          transform(sequence(lit(1), col("n_tokens").cast("int") - lit(n - 1)),
+            i => xxhash64(slice(col("toks"), i, lit(n)))))
           .otherwise(array())))
-      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("span"))
-    val dupSpans = spans.groupBy(col("span")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("p"),
+        col("col").as("h"))
+      .materialize()
+    val spans = spanRows.filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p"), col("h"))
+    val dupSpans = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val covered = spans.join(dupSpans, "span")
+    val covered = spans.join(dupSpans, "h")
       .withColumn("add", least(lit(n.toLong),
         coalesce(col("p") - lag(col("p"), 1).over(w), lit(n.toLong)).cast("long")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_spans"), sum(col("add")).as("covered_tokens"))
-    docs.select(col("doc_id"), size(ts).cast("long").as("n_tokens"))
+    spanRows.groupBy(col("doc_id")).agg(max(col("n_tokens")).as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
