@@ -777,13 +777,25 @@ object Streams {
     *     work ∝ batch) and lands them as an immutable segment
     *     `codes_seg/b<id>` (overwrite — a replayed batch rewrites its
     *     segment instead of double-appending);
-    *  2. the segment MANIFEST (one row per visible segment path) commits
-    *     through the immutable-version + pointer-flip protocol of
+    *  2. the segment MANIFEST (one row per visible segment path, with
+    *     the INGEST BATCH IDS the segment covers) commits through the
+    *     immutable-version + pointer-flip protocol of
     *     [[applyChangesStream]]: version content = the previously
     *     committed segment set ∪ this batch's segment, a set union that
     *     rebuilds identically whether the crash hit before or after the
     *     pointer flip — readers pin a version and never see a torn
     *     segment list.
+    *
+    * The covered-batch ids close the one replay window the pointer
+    * protocol alone leaves open: if the process dies AFTER the pointer
+    * flip but BEFORE the streaming checkpoint records the batch, and
+    * [[compactPqSegments]] runs before restart, the replayed batch
+    * would otherwise re-add its segment NEXT TO the compacted segment
+    * that already absorbed its rows — duplicate vec_ids that double
+    * their summed ADC distances in the probe. A replayed batch whose id
+    * is already covered by a committed segment commits idempotently
+    * without encoding or re-adding anything (StreamingSpec soaks this
+    * exact crash point via `onAfterCommit`).
     *
     * Readers ([[probePqIngested]]) union the committed segments — codes
     * are 4-byte columns, so even many segments stay a fraction of the
@@ -791,23 +803,32 @@ object Streams {
     * compactor applied to codes parquet, unchanged.
     */
   def runPqIngest(vectors: DataFrame, indexDir: String, checkpoint: String,
-                  onBeforeCommit: Long => Unit = _ => ()): Unit = {
+                  onBeforeCommit: Long => Unit = _ => (),
+                  onAfterCommit: Long => Unit = _ => ()): Unit = {
     val manifestDir = s"$indexDir/manifest"
     val q = vectors.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         new java.io.File(manifestDir).mkdirs()
-        val books = spark.read.parquet(s"$indexDir/codebooks")
-        val segDir = s"$indexDir/codes_seg/b$id"
-        graft.operators.Similarity.encodePq(batch, books)
-          .write.mode("overwrite").parquet(segDir)
         import spark.implicits._
         val prior = latestVersion(manifestDir) match {
           case Some(v) => spark.read.parquet(s"$manifestDir/v$v")
-            .as[String].collect().toSeq // segment list: index metadata, not data
-          case None => Seq.empty[String]
+            .as[(String, Seq[Long])].collect().toSeq // segment list: index metadata, not data
+          case None => Seq.empty[(String, Seq[Long])]
         }
-        (prior :+ segDir).distinct.toDF("segment")
+        // replay of a batch some committed segment already covers (crash
+        // after pointer flip, possibly compacted since): commit the
+        // manifest unchanged — re-adding the segment would duplicate rows
+        val rows =
+          if (prior.exists(_._2.contains(id))) prior
+          else {
+            val books = spark.read.parquet(s"$indexDir/codebooks")
+            val segDir = s"$indexDir/codes_seg/b$id"
+            graft.operators.Similarity.encodePq(batch, books)
+              .write.mode("overwrite").parquet(segDir)
+            prior :+ (segDir -> Seq(id))
+          }
+        rows.toDF("segment", "batches")
           .coalesce(1).write.mode("overwrite").parquet(s"$manifestDir/v$id")
         // crash-injection seam (StreamingSpec torn-commit soak): a death
         // here — segment + manifest version fully written, pointer not
@@ -815,6 +836,10 @@ object Streams {
         // rebuild the same segment and version idempotently
         onBeforeCommit(id)
         commitVersion(manifestDir, id)
+        // second crash-injection seam: death here — pointer flipped, the
+        // streaming checkpoint NOT yet holding the batch — is the window
+        // the covered-batch check closes
+        onAfterCommit(id)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -843,11 +868,16 @@ object Streams {
     import spark.implicits._
     val v = latestVersion(manifestDir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $manifestDir"))
-    val segs = spark.read.parquet(s"$manifestDir/v$v").as[String].collect().toSeq
+    val rows = spark.read.parquet(s"$manifestDir/v$v")
+      .as[(String, Seq[Long])].collect().toSeq
+    val segs = rows.map(_._1).distinct
+    // the compacted segment inherits every batch id its inputs covered,
+    // so a late replay of any absorbed batch still commits as a no-op
+    val covered = rows.flatMap(_._2).distinct.sorted
     val newId = CompactionIdBase + v + 1
     val target = s"$indexDir/codes_seg/c$newId"
     spark.read.parquet(segs: _*).write.mode("overwrite").parquet(target)
-    Seq(target).toDF("segment")
+    Seq(target -> covered).toDF("segment", "batches")
       .coalesce(1).write.mode("overwrite").parquet(s"$manifestDir/v$newId")
     commitVersion(manifestDir, newId)
     newId
@@ -865,7 +895,8 @@ object Streams {
     val segs = latestVersion(manifestDir) match {
       case Some(v) =>
         import spark.implicits._
-        spark.read.parquet(s"$manifestDir/v$v").as[String].collect().toSeq
+        spark.read.parquet(s"$manifestDir/v$v")
+          .select("segment").as[String].collect().toSeq.distinct
       case None => throw new IllegalStateException(s"no committed manifest in $manifestDir")
     }
     graft.operators.Similarity.probePqCodes(
@@ -873,17 +904,35 @@ object Streams {
       spark.read.parquet(segs: _*), queries, k, rescoreFrom)
   }
 
+  /** Hard cap on query rows per [[runAnnServe]] micro-batch. The serving
+    * contract is interactive-scale query batches (KBs); the cap makes the
+    * contract EXECUTABLE — a mis-wired high-volume stream fails with a
+    * clear message at the limit instead of OOMing the driver on
+    * `collect()`. 64k queries × ~1 KB vector ≈ 64 MB, comfortably inside
+    * any driver heap yet far beyond any sane serving batch.
+    */
+  val AnnServeMaxQueriesPerBatch = 65536
+
   def runAnnServe(queries: DataFrame, indexDir: String, k: Int,
-                  rescoreFrom: DataFrame, checkpoint: String)
+                  rescoreFrom: DataFrame, checkpoint: String,
+                  maxQueriesPerBatch: Int = AnnServeMaxQueriesPerBatch)
                  (sink: (Long, DataFrame) => Unit): Unit = {
     val q = queries.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         // the probe broadcasts the query frame into every stage; a
         // micro-batch source is re-playable but not broadcast-friendly,
-        // so pin the (KB-sized by contract) batch as a local frame first
+        // so pin the (KB-sized by contract) batch as a local frame first.
+        // limit(cap+1) bounds what can ever reach the driver: the
+        // oversize CHECK itself must not collect the oversized batch.
+        val rows = batch.limit(maxQueriesPerBatch + 1).collect()
+        if (rows.length > maxQueriesPerBatch)
+          throw new IllegalStateException(
+            s"ANN serve batch $id exceeds $maxQueriesPerBatch query rows; " +
+            "this path collects the query batch to the driver by design — " +
+            "route bulk scoring through the batch probe (probePqIndexBatch) instead")
         val qFrame = spark.createDataFrame(
-          spark.sparkContext.parallelize(batch.collect().toIndexedSeq, 1),
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
           batch.schema)
         sink(id, graft.operators.Similarity.probePqIndexBatch(
           spark, indexDir, qFrame, k, rescoreFrom))

@@ -913,6 +913,26 @@ class StreamingSpec extends SparkSuite {
     assert(got.map(_.toString).sorted.toSeq == expect.map(_.toString).sorted.toSeq)
   }
 
+  test("T13 ANN serve cap: an oversized query micro-batch fails loudly instead of collecting to the driver") {
+    import graft.operators.Similarity
+    val idxDir = Files.createTempDirectory("graft-pq-serve-cap").toString
+    val emb = tables.embeddings
+    Similarity.buildPqIndex(emb, idxDir)
+    val queries = Similarity.batchQueryVecs(tables, Similarity.BatchQueryIds)
+    assert(queries.count() > 2) // the test cap must actually be exceeded
+    val dir = Files.createTempDirectory("graft-ann-cap-queries")
+    queries.coalesce(1).write.parquet(s"$dir/w1")
+    val stream = spark.readStream.schema(queries.schema).parquet(s"$dir/*/")
+    val crash = intercept[Exception] {
+      Streams.runAnnServe(stream, idxDir, 10, emb,
+        Files.createTempDirectory("graft-ann-cap-cp").toString,
+        maxQueriesPerBatch = 2) { (_, _) => () }
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(crash).exists(_.contains("exceeds 2 query rows")), crash.toString)
+  }
+
   test("T15 importance gate: per-batch annotation == batch twin; self-reference == declared sampler") {
     import graft.operators.Curation
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -1059,6 +1079,47 @@ class StreamingSpec extends SparkSuite {
     assertSameRows(
       Streams.probePqIngested(spark, idxDir, queries, 10, emb),
       Similarity.probePqIndexBatch(spark, idxDir, queries, 10, emb))
+  }
+
+  test("T14 replay-after-compaction: a committed-but-uncheckpointed batch absorbed by compaction replays as a no-op") {
+    import graft.operators.Similarity
+    val emb = tables.embeddings
+    val idxDir = Files.createTempDirectory("graft-pq-replay").toString
+    Similarity.buildPqIndex(emb, idxDir)
+    val dir = Files.createTempDirectory("graft-pq-replay-vecs")
+    val cp = Files.createTempDirectory("graft-pq-replay-cp").toString
+    def stream() = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+    val queries = Similarity.batchQueryVecs(tables, Similarity.BatchQueryIds)
+
+    // wave 1 commits normally
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/w1")
+    Streams.runPqIngest(stream(), idxDir, cp)
+
+    // wave 2: the process dies AFTER the pointer flip but BEFORE the
+    // streaming checkpoint records the batch — the one window the
+    // pointer protocol alone leaves open
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/w2")
+    val crash = intercept[Exception] {
+      Streams.runPqIngest(stream(), idxDir, cp,
+        onAfterCommit = _ => throw new RuntimeException("injected crash after pointer flip"))
+    }
+    assert(Option(crash.getMessage).getOrElse("").contains("injected crash")
+      || crash.getCause != null, crash.toString)
+
+    // compaction runs before restart and absorbs the committed (but
+    // uncheckpointed) wave-2 segment
+    Streams.compactPqSegments(spark, idxDir)
+
+    // restart over the same checkpoint: wave 2 replays; its id is
+    // already covered by the compacted segment, so the replay must NOT
+    // re-add a segment next to it — duplicate vec_ids would double
+    // their summed ADC distances in the probe
+    Streams.runPqIngest(stream(), idxDir, cp)
+    val got = Streams.probePqIngested(spark, idxDir, queries, 10, emb)
+    assertSameRows(got, Similarity.probePqIndexBatch(spark, idxDir, queries, 10, emb))
+    assert(got.groupBy("query_id", "vec_id").count().filter(col("count") > 1).count() == 0,
+      "replayed batch duplicated vectors in the segment set")
   }
 
   test("S3 socket source ingests lines from a live TCP server") {
