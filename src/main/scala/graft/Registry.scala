@@ -1557,7 +1557,7 @@ object Registry {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
           CAST(SUM(n_syms_word) AS BIGINT) AS n_syms,
           CAST(SUM(n_syms_word) AS BIGINT) * 1000
-            // CAST(SUM(length(word)) AS BIGINT) AS compression_permille
+            // greatest(CAST(SUM(length(word)) AS BIGINT), 1) AS compression_permille
         FROM dwords JOIN ws USING (word) GROUP BY doc_id ORDER BY doc_id""")),
 
       QueryDef("l4_langid_ngram", TextOps.l4LangIdNgram, Some {
@@ -1604,10 +1604,13 @@ object Registry {
       // The 100 TB-default profile: HLL++ distinct counts in the SAME
       // single-pass shape. The sketch estimate is engine-specific (like
       // a3_approx_distinct), so the declared form trades the raw value
-      // for the nd_est_ok sanity predicate (literal TRUE in the oracle —
-      // see Profile.s7ProfileApproxChecked) and every deterministic
+      // for the nd_est_ok acceptance predicate — estimate within ±3·rsd
+      // of the exact count, computed engine-side against s7Profile's
+      // frame (literal TRUE in the oracle — see
+      // Profile.s7ProfileApproxChecked) — and every deterministic
       // column hash-compares exactly; RelationalSpec keeps the estimate
-      // tolerance-asserted against the exact pass.
+      // tolerance-asserted and proves the predicate rejects a broken
+      // sketch.
       QueryDef("s7_profile_approx", Profile.s7ProfileApproxChecked,
         Some(profileOracle(distinctSlot = "TRUE AS nd_est_ok"))),
 

@@ -156,28 +156,62 @@ object Profile {
       .orderBy(col("table_name"), col("col_name"))
   }
 
+  /** approx_count_distinct's default relative standard deviation (the
+    * value Spark documents and this engine never overrides). The checked
+    * band below is ±3·rsd — a >3σ miss is a broken sketch, not noise.
+    */
+  val ApproxNdRsd = 0.05
+
+  /** The 3·rsd band width in PERMILLE — integer-exact so the band edge
+    * is deterministic (3 · 0.05 in binary doubles is 0.15000…02, which
+    * would silently widen ⌈exact·band⌉ by one at round cardinalities).
+    */
+  val NdBandPermille = 150L
+
+  /** The ±3·rsd acceptance band for an HLL++ estimate against the exact
+    * distinct count: |est − exact| ≤ max(1, ⌈exact · 3·rsd⌉), the ceil
+    * computed in integer permille arithmetic ([[NdBandPermille]]). The
+    * absolute floor of 1 covers the tiny-cardinality range where HLL++'s
+    * sparse/linear-counting mode is exact-or-off-by-rounding. Extracted
+    * so RelationalSpec can prove the predicate FAILS on a broken sketch
+    * (e.g. one returning n_rows for a 3-value column).
+    */
+  def ndEstOk(est: org.apache.spark.sql.Column,
+              exact: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    abs(est - exact) <=
+      greatest(lit(1L),
+        floor((exact * lit(NdBandPermille) + lit(999L)).divide(lit(1000L)))
+          .cast("long"))
+
   /** Oracle-CHECKABLE form of [[s7ProfileApprox]] (the declared
     * `s7_profile_approx` query): identical single-pass HLL++ plan, but
-    * the engine-specific sketch estimate enters the compare as a SANITY
-    * PREDICATE instead of a raw value — `nd_est_ok` holds iff the
-    * estimate sits in [1 if any non-null else 0, max(10, ⌈1.2·n_rows⌉)],
-    * a band far outside HLL++'s 5 % rsd envelope, which the DuckDB
-    * oracle replays as literal TRUE. Every deterministic column
-    * (n_rows, nulls, typed min/max) is hash-compared exactly; the
-    * estimate VALUE stays tolerance-asserted against the exact pass in
-    * RelationalSpec. The predicate consumes the estimate, so column
-    * pruning cannot drop the HLL accumulator from the measured plan.
-    * Upgrades the driver's check from rows-only to rows+schema+hash.
+    * the engine-specific sketch estimate enters the compare as an
+    * ACCEPTANCE PREDICATE instead of a raw value — `nd_est_ok` holds iff
+    * the estimate sits within ±3·[[ApproxNdRsd]] of the EXACT distinct
+    * count ([[ndEstOk]]), which the DuckDB oracle replays as literal
+    * TRUE. The exact counts come from [[s7Profile]]'s per-column passes
+    * joined in engine-side — this makes the declared CHECK roughly the
+    * cost of exact + approx together, a price the check harness pays so
+    * the contract is executable; [[s7ProfileApprox]] stays the
+    * single-pass production operator at 100 TB. A sketch off by more
+    * than 3·rsd on ANY column (e.g. a broken implementation returning
+    * n_rows everywhere) flips its nd_est_ok to false and fails the
+    * driver's hash gate. Every deterministic column (n_rows, nulls,
+    * typed min/max) is hash-compared exactly; the estimate VALUE also
+    * stays tolerance-asserted in RelationalSpec. The predicate consumes
+    * the estimate, so column pruning cannot drop the HLL accumulator
+    * from the measured plan. Upgrades the driver's check from rows-only
+    * to rows+schema+hash.
     */
-  def s7ProfileApproxChecked(spark: SparkSession, dir: String): DataFrame =
+  def s7ProfileApproxChecked(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s7Profile(spark, dir)
+      .select(col("table_name"), col("col_name"), col("n_distinct").as("nd_exact"))
     s7ProfileApprox(spark, dir)
+      .join(exact, Seq("table_name", "col_name"))
       .select(col("table_name"), col("col_name"), col("n_rows"), col("n_nulls"),
-        (col("n_distinct") >=
-            when(col("n_rows") > col("n_nulls"), 1L).otherwise(0L) &&
-          col("n_distinct") <=
-            greatest(lit(10L), ceil(col("n_rows") * 1.2).cast("long")))
-          .as("nd_est_ok"),
+        ndEstOk(col("n_distinct"), col("nd_exact")).as("nd_est_ok"),
         col("num_min"), col("num_max"), col("dbl_min"), col("dbl_max"),
         col("str_min"), col("str_max"))
       .orderBy(col("table_name"), col("col_name"))
+  }
 }

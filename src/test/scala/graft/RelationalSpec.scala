@@ -49,6 +49,37 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("s7 nd_est_ok band: accepts a 3-sigma estimate, rejects a broken sketch") {
+    import graft.operators.Profile
+    import TestSpark.spark.implicits._
+    // (est, exact) probes of the ±3·rsd acceptance band, rsd = 0.05:
+    // small counts get the ±1 floor; a sketch answering n_rows for a
+    // low-cardinality column (the broken-sketch failure mode the
+    // declared s7_profile_approx gate must catch) is far outside it
+    val rows = Seq(
+      (3L, 3L),       // exact hit
+      (4L, 3L),       // floor: |4-3| <= 1
+      (150L, 3L),     // broken sketch: n_rows for a 3-value col
+      (1150L, 1000L), // ON the band edge: |diff| == ceil(1000*0.15) = 150
+      (1151L, 1000L), // strictly past the band
+      (1149L, 1000L),
+      (0L, 2L)        // lost columns must not pass either
+    )
+    val checked = rows.toDF("est", "exact")
+      .withColumn("ok", Profile.ndEstOk(col("est"), col("exact")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Boolean]("ok")).toMap
+    assert(checked((3L, 3L)))
+    assert(checked((4L, 3L)))
+    assert(!checked((150L, 3L)), "a broken sketch returning n_rows must fail the band")
+    assert(checked((1150L, 1000L)), "band edge |diff| == ceil(exact*3rsd) is accepted")
+    assert(!checked((1151L, 1000L)), "past the 3-sigma band must fail")
+    assert(checked((1149L, 1000L)))
+    assert(!checked((0L, 2L)))
+    // and the declared checked query itself is all-TRUE on the fixtures
+    val declared = Profile.s7ProfileApproxChecked(spark, sf)
+    assert(declared.filter(!col("nd_est_ok")).count() == 0)
+  }
+
   test("q3 plan shape: one fact pass — two broadcast joins, single shuffle, pushed scans") {
     val df = Relational.q3JoinAgg(spark, sf)
     df.collect() // materialize so AQE finalizes the plan
