@@ -30,8 +30,33 @@ object Bench {
   val headline: Seq[String] =
     Seq("q1_pricing_summary", "q3_join_agg", "window_topk", "tumbling_window")
 
+  /** 1-minute load average from /proc/loadavg (-1 where unreadable,
+    * e.g. non-Linux). Recorded at artifact start and end so a run taken
+    * on a contended box is machine-discountable: two rounds of phantom
+    * 2–5× "regressions" traced to ambient load, each costing a manual
+    * re-measurement.
+    */
+  private def loadAvg1m(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Cumulative CPU seconds of THIS JVM (-1 where the JMX bean is
+    * unavailable). cpu_sec ≫ wall_sec × cores means the measured
+    * queries themselves saturated the box; cpu_sec ≪ expectation with
+    * inflated wall times means SOMETHING ELSE did.
+    */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val wallT0 = System.nanoTime()
+    val loadStart = loadAvg1m()
     val spark = Engine.session("graft-bench")
     val qs = SparkEntry.queries
     val headlineOnly = sys.env.contains("SPARK_GRAFT_BENCH_HEADLINE_ONLY")
@@ -120,13 +145,20 @@ object Bench {
     val allJson =
       if (headlineOnly) ""
       else s""","shared_build":{"l6_chain":${fmt(sharedBuild)}},"all_queries":${toJson(allResults.sortBy(_._1))}"""
+    // contention evidence: ambient load at both ends plus this JVM's own
+    // cpu-vs-wall split — a reader can discount an inflated artifact
+    // (load ≫ cores in use, or wall ≫ cpu/cores) without re-running it
+    val loadJson = {
+      val cores = Runtime.getRuntime.availableProcessors
+      s""","load":{"start_1m":${fmt(loadStart)},"end_1m":${fmt(loadAvg1m())},"cores":$cores,"jvm_cpu_sec":${fmt(processCpuSec())},"wall_sec":${fmt((System.nanoTime() - wallT0) / 1e9)}}"""
+    }
     // The full artifact (headline + all 100+ per-query timings) goes to a
     // FILE: the driver captures only the tail of stdout, and round 6
     // proved a single giant line loses its head (the whole a*–i* range of
     // all_queries) to that capture. The file is the durable copy; it lands
     // in the repo and is committed, so round-over-round regression diffing
     // works from artifacts alone.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"queries_full":${toJson(resultsFull)}$allJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"queries_full":${toJson(resultsFull)}$allJson$loadJson,"sf":"$sfDir"}"""
     // a FILTERED or headline-only dev-loop run must not clobber the
     // committed full artifact — partial maps default to /tmp, only a
     // full pass lands in the repo (explicit SPARK_GRAFT_BENCH_OUT
@@ -148,6 +180,6 @@ object Bench {
     // flushed: ~400 bytes, so it always survives a tail capture whole. It
     // carries everything BASELINE.md comparison needs plus a pointer to
     // the full artifact.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"queries_full":${toJson(resultsFull)},"all_queries_file":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"queries_full":${toJson(resultsFull)}$loadJson,"all_queries_file":"$outPath","sf":"$sfDir"}""")
   }
 }

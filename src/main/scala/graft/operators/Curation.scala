@@ -474,6 +474,11 @@ object Curation {
     parts.join(broadcast(offsets), "pid")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("pid")).orderBy(col("h"), col("k"))))
+      // INT is safe here: pos is a corpus-row ordinal, and an epoch
+      // permutation is materialized per training run over the POST-
+      // curation corpus — beyond 2³¹ rows you shard epochs (l8_shards)
+      // long before this cast binds. (Contrast stratified rank, which
+      // is BIGINT because it ranks the unbounded raw corpus.)
       .select(col("k").as("doc_id"), (col("poff") + col("rn")).cast("int").as("pos"))
   }
 
@@ -700,6 +705,9 @@ object Curation {
       .select(col("doc_id"), col("t"), explode(sequence(lit(0),
         expr(s"greatest(0L, (size(t) - $chunkSize + ${stride - 1}) DIV $stride)")))
         .as("chunk_id"))
+      // INT is safe here: chunk_id is PER-DOCUMENT (≤ doc tokens /
+      // stride), so the cast binds only for a single document beyond
+      // ~2³¹ stride windows — orders of magnitude past any real doc
       .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
         expr(s"slice(t, chunk_id * $stride + 1, $chunkSize)").as("ct"))
       .select(col("doc_id"), col("chunk_id"),

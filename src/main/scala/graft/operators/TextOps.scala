@@ -593,7 +593,11 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms_word")).as("n_syms"),
         sum(length(col("word")).cast("long")).as("n_chars"))
       .select(col("doc_id"), col("n_words"), col("n_syms"),
-        expr("n_syms * 1000 DIV n_chars").as("compression_permille"))
+        // greatest(n_chars, 1): a doc whose words are all empty strings
+        // has n_chars = 0, where Spark DIV yields NULL but DuckDB //
+        // raises — guard BOTH sides identically (oracle mirrors this)
+        // so degenerate input stays lock-step instead of diverging
+        expr("n_syms * 1000 DIV greatest(n_chars, 1)").as("compression_permille"))
       .orderBy(col("doc_id"))
   }
 
