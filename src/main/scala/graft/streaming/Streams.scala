@@ -883,6 +883,73 @@ object Streams {
     newId
   }
 
+  /** Size-tiered BACKGROUND segment merge for a [[runPqIngest]] index —
+    * the freshness policy between per-batch ingest (many small segments)
+    * and [[compactPqSegments]] (everything → one): merge only the
+    * smallest TIER, i.e. the longest size-ascending prefix of segments
+    * whose every member is within `tierFactor`× of the smallest, and
+    * only when that tier has at least `minMerge` members. Repeated calls
+    * converge to a logarithmic segment count (the LSM/Lucene shape)
+    * while write amplification stays O(log n) per row instead of the
+    * full-compaction O(n).
+    *
+    * Concurrency with a racing ingest: the merge rewrites IMMUTABLE
+    * input segments, so before committing it re-reads the CURRENT
+    * manifest and REMAPS — segments added since the merge began are
+    * kept, exactly the merge inputs are replaced, and the merged
+    * segment inherits the union of its inputs' covered batch ids. If
+    * the current manifest no longer contains every input (another
+    * maintenance pass won the race), the merge ABORTS (returns None,
+    * orphaning only its own unreferenced output — a retention sweep
+    * concern, never a correctness one). Maintenance passes are
+    * single-writer by deployment contract; the remap makes the
+    * merge-vs-INGEST race safe, which StreamingSpec pins by committing
+    * an ingest between the merge's rewrite and its manifest commit.
+    *
+    * Returns the committed manifest version, or None when no tier
+    * qualifies or the merge aborted.
+    */
+  def mergePqSegments(spark: SparkSession, indexDir: String,
+                      tierFactor: Long = 4, minMerge: Int = 2,
+                      onBeforeCommit: () => Unit = () => ()): Option[Long] = {
+    val manifestDir = s"$indexDir/manifest"
+    import spark.implicits._
+    val v0 = latestVersion(manifestDir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $manifestDir"))
+    val rows = spark.read.parquet(s"$manifestDir/v$v0")
+      .as[(String, Seq[Long])].collect().toSeq
+    if (rows.size < minMerge) return None
+    // segment weight = on-disk bytes (one recursive FS summary per
+    // segment, through the Hadoop FS API so it works on HDFS/S3A too;
+    // codes are 4-byte columns so bytes track row count closely)
+    def segBytes(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+    }
+    val sorted = rows.map { case (seg, b) => (seg, b, segBytes(seg)) }.sortBy(_._3)
+    val smallest = math.max(sorted.head._3, 1L)
+    val tier = sorted.takeWhile(_._3 <= smallest * tierFactor)
+    if (tier.size < minMerge) return None
+    val newId = CompactionIdBase + v0 + 1
+    val target = s"$indexDir/codes_seg/m$newId"
+    spark.read.parquet(tier.map(_._1): _*).write.mode("overwrite").parquet(target)
+    onBeforeCommit()
+    // remap against the CURRENT manifest: an ingest may have committed
+    // while the merge rewrote its (immutable) inputs
+    val vNow = latestVersion(manifestDir).getOrElse(v0)
+    val current =
+      if (vNow == v0) rows
+      else spark.read.parquet(s"$manifestDir/v$vNow").as[(String, Seq[Long])].collect().toSeq
+    val inputs = tier.map(_._1).toSet
+    if (!inputs.subsetOf(current.map(_._1).toSet)) return None // lost the race to another maintenance pass
+    val mergedRow = target -> tier.flatMap(_._2).distinct.sorted
+    (current.filterNot(r => inputs(r._1)) :+ mergedRow).toDF("segment", "batches")
+      .coalesce(1).write.mode("overwrite").parquet(s"$manifestDir/v$newId")
+    commitVersion(manifestDir, newId)
+    Some(newId)
+  }
+
   /** Serve a query batch off a [[runPqIngest]]-maintained segmented index:
     * read the COMMITTED segment manifest, union the code segments, and
     * delegate to the shared probe core — identical answers to a flat
