@@ -112,10 +112,12 @@ object TailTwins {
     * subset (the MLlib LSH twins are quadratic-explosion-bound on the
     * dense fixture and get measured at a smaller sf).
     */
-  def main(args: Array[String]): Unit =
+  def main(args: Array[String]): Unit = {
     run(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ()
+  }
 
-  def run(dir: String): Unit = {
+  def run(dir: String, keep: String => Boolean = _ => true): Seq[(String, Double)] = {
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("vanilla-baseline-tail")
@@ -127,10 +129,11 @@ object TailTwins {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try runAll(spark, dir) finally spark.stop()
+    try runAll(spark, dir, keep) finally spark.stop()
   }
 
-  private def runAll(spark: SparkSession, dir: String): Unit = {
+  private def runAll(spark: SparkSession, dir: String,
+                     keep: String => Boolean): Seq[(String, Double)] = {
     def docs = spark.read.parquet(s"$dir/documents.parquet")
     def li = spark.read.parquet(s"$dir/lineitem.parquet")
     def ord = spark.read.parquet(s"$dir/orders.parquet")
@@ -579,7 +582,7 @@ object TailTwins {
 
     val only = sys.env.get("SPARK_GRAFT_BASELINE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
-    val picked = twins.filter { case (n, _) => only.forall(_.contains(n)) }
+    val picked = twins.filter { case (n, _) => only.forall(_.contains(n)) && keep(n) }
     // single-shot, the same basis as BENCH all_queries (and several of
     // these twins are slow enough that a warm-up pass would double a
     // multi-minute run for a second-order precision gain)
@@ -600,5 +603,68 @@ object TailTwins {
     println(results.map { case (k, v) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{\"vanilla_tail\":{", ",", s"""},"sf":"$dir"}"""))
+    results
+  }
+}
+
+/** Per-round twin-ratio artifact: measures the vanilla tail twins AND
+  * their engine counterparts in one run and writes `TWINS.json`
+  * (query → twin s / engine s / ratio) — replacing BASELINE.md's
+  * hand-edited twin tables, whose engine numbers drifted stale within a
+  * round of being written. BASELINE.md keeps one pointer paragraph; the
+  * artifact is the source of truth and is regenerated each round.
+  *
+  * Measurement bases match the published ones so numbers stay
+  * longitudinally comparable: twins are single-shot noop-sink (the
+  * `vanilla_tail` basis), engine queries warm best-of-3 noop-sink (the
+  * `BENCH_FULL.all_queries` basis); on an idle box the difference is
+  * first-run JIT, second-order against every ratio here. The MLlib
+  * `approxSimilarityJoin` twin family is quadratic-explosion-bound on
+  * the dense fixture (killed after 20 min at sf0.1 in round 7), so
+  * those pairs measure at sf0.01 where the twin completes — recorded
+  * per query in the artifact's `sf` field.
+  */
+object Twins {
+  val SmallSfTwins: Set[String] = Set("l6_simjoin", "l6_ngram_simjoin", "l6_dedup_docs")
+
+  def main(args: Array[String]): Unit = {
+    val bigSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val smallSf = sys.env.getOrElse("SPARK_GRAFT_TWINS_SMALL_SF_DIR", "/root/testdata/sf0.01")
+    val out = sys.env.getOrElse("SPARK_GRAFT_TWINS_OUT", "/root/repo/TWINS.json")
+    // vanilla side first — each sf in its own stock session
+    val twinBig = TailTwins.run(bigSf, n => !SmallSfTwins(n))
+    val twinSmall = TailTwins.run(smallSf, SmallSfTwins)
+    val sfOf = (twinBig.map(_._1 -> bigSf) ++ twinSmall.map(_._1 -> smallSf)).toMap
+    // engine side in the graft session, warm best-of-3 per query at the
+    // SAME sf as its twin
+    val spark = Engine.session("graft-twins")
+    val qs = SparkEntry.queries
+    def engineBest(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        qs(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try { once(); (1 to 3).map(_ => once()).min }
+      catch { case e: Throwable =>
+        System.err.println(s"[twins] engine $name failed: ${e.getMessage}"); -1.0 }
+    }
+    val pairs = (twinBig ++ twinSmall).map { case (name, twinS) =>
+      val engineS = if (qs.contains(name)) engineBest(name, sfOf(name)) else -1.0
+      println(f"twin_ratio $name%-18s twin=$twinS%.3f engine=$engineS%.3f")
+      (name, twinS, engineS)
+    }
+    spark.stop()
+    def fmt(v: Double) =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val entries = pairs.sortBy(_._1).map { case (name, t, e) =>
+      val ratio = if (t > 0 && e >= 0) e / t else -1.0
+      s""""$name":{"twin_s":${fmt(t)},"engine_s":${fmt(e)},"ratio":${fmt(ratio)},"sf":"${sfOf(name)}"}"""
+    }
+    val json = entries.mkString(
+      s"""{"generator":"graft.Twins","twin_action":"single-shot noop","engine_action":"warm best-of-3 noop","queries":{""",
+      ",", "}}\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
+    println(s"[twins] artifact written to $out")
   }
 }
