@@ -220,7 +220,17 @@ object Registry {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""")),
 
-    QueryDef("a3_approx_distinct", Relational.a3ApproxDistinct, None),
+    // HLL++ estimates are engine-specific, so the declared form emits
+    // exact per-group counts (hash-compared) plus ±3·rsd acceptance
+    // predicates the oracle replays as literal TRUE — the same
+    // structural-contract pattern as s7_profile_approx. Estimate values
+    // stay tolerance-asserted in RelationalSpec.
+    QueryDef("a3_approx_distinct", Relational.a3ApproxDistinctChecked, Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_orderkey) AS n_orders,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        TRUE AS orders_est_ok, TRUE AS parts_est_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     QueryDef("j2_full_outer", Relational.j2FullOuter, Some("""
       SELECT COALESCE(c.nk, s.nk) AS nk,

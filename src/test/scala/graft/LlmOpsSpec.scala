@@ -493,6 +493,17 @@ class LlmOpsSpec extends SparkSuite {
     assertSameRows(TextOps.bpeApply(vocab, mergeList), syms)
   }
 
+  test("L4e memoized BPE chain == independent recompute (merges and encode)") {
+    // the (session, dir)-memoized trainer must return exactly what the
+    // un-memoized call computes — same discipline as the l6 chain pin
+    val (cachedMerges, cachedSyms) = TextOps.defaultBpeTrain(spark, sf)
+    val (freshMerges, freshSyms) = TextOps.bpeTrain(Tables(spark, sf).documents)
+    assertSameRows(cachedMerges, freshMerges)
+    assertSameRows(cachedSyms, freshSyms)
+    // and the cache is a cache: a second call returns the same instances
+    assert(TextOps.defaultBpeTrain(spark, sf)._1 eq cachedMerges)
+  }
+
   test("L4e BPE training matches a sequential reference over multiple rounds") {
     // reference: textbook per-word greedy merge, driven by the same
     // weighted pair argmax with (count desc, l, r) tie-break
