@@ -1203,6 +1203,48 @@ object Registry {
         FROM tk GROUP BY query ORDER BY query"""
       }),
 
+      // M5: nDCG@k under graded relevance (rel = #query terms hit). The
+      // oracle replays the BM25 body, the per-position micro-snapped
+      // discounted gain — ROUND(1e6·(2^rel−1)/log2(pos+1)) — and the
+      // grade-count IDCG construction (prefix offsets over ≤ n_q grade
+      // rows, exploded into ideal positions); the final ratio is integer
+      // floor-DIV micro-units on both engines. The oracle's per-query
+      // window rank is the single-task twin of the engine's bounded
+      // TopKAgg partial aggregate.
+      QueryDef("m5_ndcg", Eval.m5Ndcg, Some {
+        val qVals = Eval.MrrQueries.flatMap { q =>
+          q.split("\\s+").filter(_.nonEmpty).distinct.map(t => s"('$q', '$t')")
+        }.mkString(", ")
+        val k = Eval.NdcgK
+        s"""
+        WITH bmq AS ($bm25BodySql),
+        q(query, token) AS (SELECT * FROM (VALUES $qVals)),
+        sc AS (SELECT query, doc_id,
+                 SUM(CAST(ROUND(bm25 * 1e6) AS BIGINT)) AS score_micro,
+                 COUNT(*) AS rel
+               FROM bmq JOIN q USING (token) GROUP BY ALL),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query
+                 ORDER BY score_micro DESC, doc_id) AS pos FROM sc),
+        tk AS (SELECT query, pos, rel FROM rk WHERE pos <= $k),
+        dcg AS (SELECT query,
+                  SUM(CAST(ROUND(1e6 * (pow(2, rel) - 1) / log2(pos + 1)) AS BIGINT)) AS dcg_micro
+                FROM tk GROUP BY query),
+        rc AS (SELECT query, rel, COUNT(*) AS c FROM sc GROUP BY query, rel),
+        ofs AS (SELECT query, rel, c,
+                  CAST(COALESCE(SUM(c) OVER (PARTITION BY query ORDER BY rel DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+                FROM rc),
+        ip AS (SELECT query, rel,
+                 unnest(range(off + 1, least(off + c, $k) + 1)) AS pos
+               FROM ofs WHERE off < $k),
+        idcg AS (SELECT query,
+                   SUM(CAST(ROUND(1e6 * (pow(2, rel) - 1) / log2(pos + 1)) AS BIGINT)) AS idcg_micro
+                 FROM ip GROUP BY query)
+        SELECT dcg.query, dcg_micro, idcg_micro,
+          dcg_micro * 1000000 // idcg_micro AS ndcg_micro
+        FROM dcg JOIN idcg USING (query) ORDER BY query"""
+      }),
+
       // IVF replay: k-means-TRAINED centroids (Similarity.KmIters Lloyd
       // rounds over the deterministic vec_id % KmTrainMod == 0 training
       // slice from its first-cells init, one CTE chain
@@ -1921,6 +1963,60 @@ object Registry {
           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN d.doc_id ELSE 0 END) AS BIGINT) AS contaminated_id_digest
         FROM d LEFT JOIN hit h ON d.doc_id = h.doc_id
+        WHERE d.split = 'train'
+        GROUP BY d.source ORDER BY d.source"""
+      }),
+
+      // L9b FUZZY decontamination: the oracle replays the bipartite
+      // banded-minhash probe — keyed-md5 signatures and band folds
+      // (identical algebra to the l2/l6 replays), train×test band-bucket
+      // join, the conservative size-ratio prune, exact list_intersect
+      // Jaccard at τ — then the l9 per-source summary.
+      QueryDef("l9_fuzzy_decontam", Curation.l9FuzzyDecontam, Some {
+        val bands = Dedup.DefaultBands
+        val rowsPerBand = Dedup.DefaultRowsPerBand
+        val tau = Dedup.DefaultThreshold
+        def sig(i: Int): String = {
+          val h = s"md5('${i / 2}:' || t)"
+          if (i % 2 == 0)
+            s"substr(list_min(list_transform(toks, t -> $h)), 1, 16)"
+          else
+            s"list_min(list_transform(toks, t -> substr($h, 17, 16)))"
+        }
+        val bandHashes = (0 until bands).map { b =>
+          val rows = (0 until rowsPerBand).map(r => sig(b * rowsPerBand + r))
+          s"md5(${rows.mkString(" || '|' || ")})"
+        }.mkString(",\n            ")
+        val bandIdx = (0 until bands).mkString("[", ",", "]")
+        s"""
+        WITH d AS (SELECT doc_id, source, text,
+          CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+               WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+               ELSE 'test' END AS split
+          FROM documents),
+        tk AS (SELECT doc_id, split, list_distinct(string_split(text, ' ')) AS toks FROM d),
+        sigs AS (SELECT doc_id, split, len(toks) AS n,
+            [$bandHashes] AS bands
+          FROM tk),
+        b AS (SELECT doc_id, split, n, unnest(bands) AS band_hash,
+            unnest($bandIdx) AS band_idx
+          FROM sigs),
+        cand AS (SELECT DISTINCT x.doc_id AS train_id, y.doc_id AS bench_id
+          FROM b x JOIN b y
+            ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+          WHERE x.split = 'train' AND y.split = 'test'
+            AND least(x.n, y.n)::DOUBLE >= greatest(x.n, y.n) * $tau - 1e-9),
+        ver AS (SELECT DISTINCT train_id AS doc_id
+          FROM cand
+          JOIN tk ta ON ta.doc_id = cand.train_id
+          JOIN tk tb ON tb.doc_id = cand.bench_id
+          WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE
+              / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+              >= $tau)
+        SELECT d.source, COUNT(*) AS n_train,
+          CAST(SUM(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+          CAST(SUM(CASE WHEN v.doc_id IS NOT NULL THEN d.doc_id ELSE 0 END) AS BIGINT) AS contaminated_id_digest
+        FROM d LEFT JOIN ver v ON d.doc_id = v.doc_id
         WHERE d.split = 'train'
         GROUP BY d.source ORDER BY d.source"""
       }),

@@ -441,6 +441,82 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Ids of `corpus` rows whose token SET is near-duplicate (exact
+    * Jaccard ≥ `threshold`) of some `benchmark` row — FUZZY
+    * decontamination, catching the contamination [[contaminatedIds]]'
+    * exact n-gram subtraction misses: benchmark text that was
+    * reformatted, lightly paraphrased, or word-reordered into the crawl
+    * (word-bag Jaccard is order-blind where a 5-gram is order-exact).
+    * Real curation runs use both: exact grams for verbatim leaks, set
+    * similarity for mutated ones.
+    *
+    * Scale shape — the bipartite cousin of [[Dedup.simJoinParts]]:
+    *  1. both sides get [[Dedup.bandedToks]] banded-minhash signatures;
+    *     the benchmark side is tiny at any corpus scale (eval suites are
+    *     MBs against 100 TB), so its exploded band rows ride a BROADCAST
+    *     hash join against the corpus's — candidate generation is one
+    *     narrow corpus pass, no self-join, no salting needed (bucket
+    *     skew is bounded by the broadcast side's size);
+    *  2. the size-ratio prune (|A|/|B| ∈ [τ, 1/τ], conservative epsilon)
+    *     discards most false candidates as a two-int compare;
+    *  3. exact-Jaccard verification re-reads ONLY candidate rows: the
+    *     candidate id set (bounded by the benchmark's near-dup footprint,
+    *     ≪ corpus) broadcasts back against the corpus scan, so tokens are
+    *     re-derived for survivors instead of caching a corpus-wide token
+    *     frame — the second scan is narrow and the big frame is never
+    *     shuffled or materialized. The intersect is the sorted-merge
+    *     native kernel over arrays sorted once per side
+    *     ([[graft.functions.SortedIntersectSize]], the simJoin verify
+    *     discipline).
+    */
+  def fuzzyContaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           threshold: Double = Dedup.DefaultThreshold): DataFrame = {
+    def named(d: DataFrame) = d.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val cb = Dedup.bandedToks(named(corpus))
+    val bb = Dedup.bandedToks(named(benchmark))
+    def bandRows(d: DataFrame, side: String) =
+      d.select(col("doc_id").as(s"${side}_id"), col("n").as(s"${side}_n"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cand = bandRows(cb, "train")
+      .join(broadcast(bandRows(bb, "bench")), Seq("band_idx", "band_hash"))
+      .filter(least(col("train_n"), col("bench_n")).cast("double")
+        >= greatest(col("train_n"), col("bench_n")) * threshold - 1e-9)
+      .select(col("train_id"), col("bench_id")).distinct()
+    val candToks = named(corpus)
+      .join(broadcast(cand.select(col("train_id").as("doc_id")).distinct()), "doc_id")
+      .select(col("doc_id").as("train_id"),
+        array_sort(array_distinct(Dedup.tokens(col("text")))).as("a_toks"))
+    val benchToks = bb.select(col("doc_id").as("bench_id"),
+      array_sort(col("toks")).as("b_toks"))
+    cand.join(candToks, "train_id")
+      .join(broadcast(benchToks), "bench_id")
+      .withColumn("i", graft.functions.SortedIntersectSizeCol(col("a_toks"), col("b_toks")))
+      .withColumn("u", size(col("a_toks")) + size(col("b_toks")) - col("i"))
+      .filter(col("i").cast("double") / col("u") >= threshold)
+      .select(col("train_id").as(idCol)).distinct()
+  }
+
+  /** L9b declared query: FUZZY benchmark decontamination — same
+    * train/test construction and per-source summary as [[l9Decontam]],
+    * with near-dup token-set overlap as the contamination predicate.
+    */
+  def l9FuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(col("doc_id"), col("source"), col("text"),
+      splitExpr(col("doc_id")).as("split"))
+    val train = docs.filter(col("split") === "train")
+    val contaminated =
+      fuzzyContaminatedIds(train, docs.filter(col("split") === "test"))
+        .withColumn("contaminated", lit(true))
+    train.join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("contaminated"), col("doc_id")).otherwise(0L)).as("contaminated_id_digest"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic epoch SHUFFLE: assign every doc its global training-order
     * position under a seeded md5 permutation — the "random but reproducible"
     * per-epoch reorder a pretraining data loader applies (new salt per

@@ -488,6 +488,29 @@ object Dedup {
     SimJoinParts(groups.select(col("rep_id")), repPairs, member)
   }
 
+  /** Banded-minhash frame for BIPARTITE near-dup matching — one row per
+    * doc: (doc_id, toks, n, bands), the same keyed-md5 signatures and
+    * band folds as [[simJoinParts]] stage 2, WITHOUT the set-collapse
+    * (a bipartite probe matches ACROSS two frames, so identical sets on
+    * one side don't quadratically multiply pair work the way a
+    * self-join's do, and the collapse's group bookkeeping would be pure
+    * overhead). Consumers: [[graft.operators.Curation.fuzzyContaminatedIds]].
+    */
+  def bandedToks(docs: DataFrame, bands: Int = DefaultBands,
+                 rowsPerBand: Int = DefaultRowsPerBand,
+                 tokenizer: Column => Column = tokens): DataFrame = {
+    val w = bands * rowsPerBand
+    val base = docs.select(col("doc_id"),
+        array_distinct(tokenizer(col("text"))).as("toks"))
+      .withColumn("__sigs", minhashSigsNative(col("toks"), w))
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col("__sigs").getItem(b * rowsPerBand + r)): _*))
+    }
+    base.select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
+      array(bandCols: _*).as("bands"))
+  }
+
   def simJoin(docs: DataFrame, bands: Int = DefaultBands,
               rowsPerBand: Int = DefaultRowsPerBand,
               threshold: Double = DefaultThreshold,

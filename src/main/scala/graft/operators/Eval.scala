@@ -3,6 +3,7 @@ package graft.operators
 import graft.Ckpt._
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** M1 (SURVEY.md §2.12): evaluation metrics — the measurement half of a
@@ -149,6 +150,82 @@ object Eval {
   def m3Mrr(spark: SparkSession, dir: String): DataFrame =
     mrrAtK(Tables(spark, dir).documents, MrrQueries, MrrK)
       .orderBy(col("query"))
+
+  /** Rank cutoff for the declared nDCG query. */
+  val NdcgK = 10
+
+  /** M5: normalized DCG@k of the same BM25 retrieval as [[mrrAtK]],
+    * under GRADED relevance — rel(query, doc) = number of distinct query
+    * terms the doc contains (1..n_q; 0-term docs never enter the
+    * candidate set). MRR sees only the first fully-relevant hit; nDCG
+    * grades the whole ranked prefix, which is the metric a retrieval
+    * pipeline actually tunes against.
+    *
+    * Exactness: each position's discounted gain is snapped ONCE to
+    * integer micro-units — round(10⁶·(2^rel−1)/log2(pos+1)) — and DCG,
+    * IDCG, and their ratio (micro-units, floor DIV) are integer
+    * arithmetic from there, the [[mrrAtK]] discipline. IDCG places the
+    * candidate set's best k grades in ideal order WITHOUT ranking
+    * anything: per-(query, rel) counts (≤ n_q rows per query) get
+    * prefix offsets from a row-bounded window, then explode into ideal
+    * positions off+1..min(off+c, k) — identical gain regardless of
+    * which same-grade doc takes which slot.
+    *
+    * Scale shape: the corpus-wide BM25 table is computed once; the query
+    * tokens broadcast in; only posting-sized candidates survive. The
+    * per-query top-k rides the bounded [[graft.functions.TopKAgg]]
+    * partial aggregate — O(k) state, no per-query window, no
+    * corpus-sized exchange (score_micro < 2⁵³, exact as the aggregator's
+    * double rank key).
+    */
+  def ndcgAtK(docs: DataFrame, queries: Seq[String], k: Int): DataFrame = {
+    require(queries.nonEmpty && k >= 1, "need queries and k >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qdf = queries.flatMap { q =>
+      q.split("\\s+").filter(_.nonEmpty).distinct.map(t => (q, t))
+    }.toDF("query", "token")
+    // materialized once: feeds both the top-k prefix and the IDCG
+    // grade-count branch (the driftAgainst contract)
+    val scored = TextOps.bm25Frame(docs)
+      .join(broadcast(qdf), "token")
+      .groupBy(col("query"), col("doc_id"))
+      .agg(sum(round(col("bm25") * lit(1e6)).cast("long")).as("score_micro"),
+        count(lit(1)).as("rel"))
+      .materialize()
+    def discounted(rel: Column, pos: Column): Column =
+      round(lit(1e6) * (pow(lit(2.0), rel) - lit(1.0)) /
+        log2(pos + lit(1.0))).cast("long")
+    val topk = scored.groupBy(col("query"))
+      .agg(graft.functions.TopK.topKUdaf(k)(
+        negate(col("score_micro").cast("double")), col("doc_id"),
+        lit(0.0), col("rel"), lit(0L)).as("__tk"))
+      .select(col("query"), posexplode(col("__tk")).as(Seq("__i", "__r")))
+      .select(col("query"), (col("__i") + 1).as("pos"), col("__r.tag").as("rel"))
+    val dcg = topk.groupBy(col("query"))
+      .agg(sum(discounted(col("rel"), col("pos"))).as("dcg_micro"))
+    val wq = Window.partitionBy(col("query")).orderBy(col("rel").desc)
+    val ideal = scored.groupBy(col("query"), col("rel"))
+      .agg(count(lit(1)).as("c"))
+      // ≤ n_q distinct grades per query — a row-bounded window, not a
+      // corpus-sized one
+      .withColumn("off", coalesce(sum(col("c")).over(
+        wq.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("off") < k)
+      .select(col("query"), col("rel"),
+        explode(sequence(col("off") + 1,
+          least(col("off") + col("c"), lit(k.toLong)))).as("pos"))
+    val idcg = ideal.groupBy(col("query"))
+      .agg(sum(discounted(col("rel"), col("pos"))).as("idcg_micro"))
+    dcg.join(idcg, "query")
+      .select(col("query"), col("dcg_micro"), col("idcg_micro"),
+        expr("dcg_micro * 1000000 DIV idcg_micro").as("ndcg_micro"))
+      .orderBy(col("query"))
+  }
+
+  /** M5 declared query: nDCG@[[NdcgK]] over [[MrrQueries]]. */
+  def m5Ndcg(spark: SparkSession, dir: String): DataFrame =
+    ndcgAtK(Tables(spark, dir).documents, MrrQueries, NdcgK)
 
   /** M4: per-group token-distribution drift — exact KL divergence
     * KL(p_group ‖ p_corpus) in micro-nats, the monitoring metric that

@@ -657,20 +657,29 @@ object Similarity {
 
   /** Per-query top-k over an UNBOUNDED per-query candidate frame. A
     * `Window.partitionBy(query_id)` would funnel each query's candidate
-    * set — the whole corpus, for exact batch scoring — through one task;
-    * this rides ONE [[Relational.distributedRank]] over
-    * (query_id, order…) and localizes ranks by subtracting each query's
-    * broadcast rank offset (the [[Eval.mrrAtK]] shape). Appends
-    * `rnk` ∈ 1..k, keeps every scored column.
+    * set — the whole corpus, for exact batch scoring — through one task,
+    * and a full distributed ranking would exchange the corpus-sized
+    * scored frame twice for a k-row answer; this rides the bounded
+    * [[graft.functions.TopKAgg]] partial aggregate instead: one narrow
+    * pass, O(k) state per (query × partition), and a shuffle of
+    * `|Q| · partitions · k` structs regardless of corpus size. `s` is
+    * the ASCENDING rank key (negate a descending score); `payload`,
+    * `tag`, `tag2` ride through to the output columns of those names.
+    * NULL rank keys are dropped (the typed aggregate cannot represent
+    * them; every caller's NULL is a zero-norm sentinel that never ranks).
+    * Emits (query_id, rnk ∈ 1..k, vec_id, payload, tag, tag2).
     */
-  private def perQueryTopK(scored: DataFrame, order: Seq[Column], k: Int): DataFrame = {
-    val ranked = Relational.distributedRank(scored, col("query_id") +: order)
-    val offsets = ranked.groupBy(col("query_id")).agg(min(col("rank")).as("__off"))
-    ranked.join(broadcast(offsets), "query_id")
-      .withColumn("rnk", (col("rank") - col("__off") + 1).cast("int"))
-      .filter(col("rnk") <= k)
-      .drop("rank", "__off")
-  }
+  private def perQueryTopK(scored: DataFrame, s: Column, k: Int,
+                           payload: Column = lit(0.0), tag: Column = lit(0L),
+                           tag2: Column = lit(0L)): DataFrame =
+    scored.filter(s.isNotNull)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topKUdaf(k)(
+        s, col("vec_id"), payload, tag, tag2).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__i", "__r")))
+      .select(col("query_id"), (col("__i") + 1).cast("int").as("rnk"),
+        col("__r.id").as("vec_id"), col("__r.payload").as("payload"),
+        col("__r.tag").as("tag"), col("__r.tag2").as("tag2"))
 
   /** L3g: BATCHED exact top-k — every query of a batch scored in ONE
     * corpus pass. The single-query [[bruteForceTopK]] rides
@@ -678,15 +687,21 @@ object Similarity {
     * query; serving and eval (ground truth for recall@k over a query
     * SET) score the batch at once: corpus × broadcast(queries) is one
     * narrow codegen'd pass emitting |Q| rows per vector, and the
-    * per-query rank is offset-localized [[Relational.distributedRank]]
-    * — no per-query scan, no 1-task window, at any corpus scale.
+    * per-query rank is the bounded [[perQueryTopK]] partial aggregate —
+    * no per-query scan, no 1-task window, no corpus-sized exchange, at
+    * any corpus scale. Rank key is `-cosine` (same total order as the
+    * window form's `desc`, signed zeros included); the unnegated cosine
+    * rides through as the payload so no double negation can perturb it.
     */
   def topKBatch(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = emb.crossJoin(broadcast(queries))
       .select(col("query_id"), col("vec_id"), col("label"),
         cosine(dbl(col("embedding")), col("q_emb")).as("cosine"))
-    perQueryTopK(scored, Seq(col("cosine").desc, col("vec_id")), k)
-      .select(col("query_id"), col("rnk"), col("vec_id"), col("label"), col("cosine"))
+    perQueryTopK(scored, negate(col("cosine")), k,
+      payload = col("cosine"), tag = col("label").cast("long"))
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        col("tag").cast(scored.schema("label").dataType).as("label"),
+        col("payload").as("cosine"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -735,8 +750,9 @@ object Similarity {
     * the plan is the single probe's; across the batch everything is
     * shared: the codes scan melts once to (vec_id, sub, code), the ADC
     * tables for ALL queries are one |Q|·m·k-row broadcast, candidate
-    * ranking is offset-localized [[Relational.distributedRank]]
-    * (corpus-sized per query — never a per-query window), and the exact
+    * ranking is the bounded [[perQueryTopK]] partial aggregate
+    * (corpus-sized per query — never a per-query window, never a
+    * corpus-sized exchange), and the exact
     * rescore touches `rescoreFrom` through ONE broadcast semi-join of
     * the bounded |Q|·factor·k candidate ids (the batch form of the
     * single probe's pushed-down `vec_id IN (...)`). The final per-query
@@ -771,7 +787,7 @@ object Similarity {
             lit(subDim))).as("adc"))
     val cand = melted.join(broadcast(adc), Seq("sub", "cid"))
       .groupBy(col("query_id"), col("vec_id")).agg(sum(col("adc")).as("adc_d2"))
-    val top = perQueryTopK(cand, Seq(col("adc_d2"), col("vec_id")), PqRescoreFactor * k)
+    val top = perQueryTopK(cand, col("adc_d2"), PqRescoreFactor * k)
       .select(col("query_id"), col("vec_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
@@ -867,9 +883,12 @@ object Similarity {
         col("q_emb").cast("array<float>").as("__q"))), "query_id")
       .select(col("query_id"), col("vec_id"), col("label"), col("cell"),
         graft.functions.CosineFast(col("embedding"), col("__q")).as("cosine"))
-    perQueryTopK(scored, Seq(col("cosine").desc, col("vec_id")), k)
-      .select(col("query_id"), col("rnk"), col("vec_id"), col("label"),
-        col("cell"), col("cosine"))
+    perQueryTopK(scored, negate(col("cosine")), k, payload = col("cosine"),
+      tag = col("label").cast("long"), tag2 = col("cell").cast("long"))
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        col("tag").cast(scored.schema("label").dataType).as("label"),
+        col("tag2").cast(scored.schema("cell").dataType).as("cell"),
+        col("payload").as("cosine"))
       .orderBy(col("query_id"), col("rnk"))
   }
 

@@ -309,6 +309,33 @@ class CurationSpec extends SparkSuite {
     assert(keptNll.sum / keptNll.size < dropNll.sum / dropNll.size)
   }
 
+  test("L9b fuzzy decontam catches reordered benchmark text that exact n-grams miss") {
+    // benchmark doc + three corpus docs: a word-REORDERED copy (token-set
+    // Jaccard 1.0 but no shared 5-gram), a near-copy with one word swapped
+    // (Jaccard just under 1), and an unrelated doc
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"), // reordered
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // 9/11 ≈ 0.82
+      (3L, "one two three four five six seven eight nine ten")           // disjoint
+    ).toDF("doc_id", "text")
+    val fuzzy = Curation.fuzzyContaminatedIds(corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(fuzzy.contains(1L), "reordered copy must be caught")
+    assert(!fuzzy.contains(3L), "disjoint doc must not be caught")
+    // doc 2: Jaccard 9/11 ≈ 0.818 ≥ 0.8 — caught IF some band collides;
+    // with 8 bands × 2 rows the expected band-agreement is high but not
+    // certain, so only assert it never FALSELY verifies below τ
+    val exact = Curation.contaminatedIds(corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(!exact.contains(1L), "exact 5-gram decontam is blind to reordering")
+    // threshold respected: τ=0.9 must drop doc 2 (0.818) but keep doc 1 (1.0)
+    val strict = Curation.fuzzyContaminatedIds(corpus, bench, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict.contains(1L) && !strict.contains(2L))
+  }
+
   test("L0 pipeline: composed manifest == stagewise recomputation with naive pack") {
     import graft.operators.{Dedup, TextOps}
     val out = Curation.l0Pipeline(spark, sf)

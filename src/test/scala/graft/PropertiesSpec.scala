@@ -115,6 +115,35 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("TopKAgg: partition-invariant, equals scalar sort-take, bounded at k") {
+    import graft.functions.TopK
+    val scoreGen = Gen.listOfN(60, Gen.chooseNum(-5, 5)) // narrow domain → many ties
+    for ((ss, i) <- samples(scoreGen, 5).zipWithIndex) {
+      val k = 1 + 3 * i
+      val rows = ss.zipWithIndex.map { case (s, id) =>
+        (id.toLong % 4, s.toDouble, id.toLong) // 4 groups
+      }
+      val expect = rows.groupBy(_._1).view.mapValues(
+        _.map { case (_, s, id) => (s, id) }.sorted.take(k)).toMap
+      for (nPart <- Seq(1, 7, 32)) {
+        val df = rows.toDF("g", "s", "id").repartition(nPart)
+        val got = df.groupBy(col("g"))
+          .agg(TopK.topKUdaf(k)(col("s"), col("id"), col("s"), lit(0L), lit(0L)).as("tk"))
+          .select(col("g"), col("tk"))
+          .collect()
+          .map { r =>
+            val tk = r.getSeq[org.apache.spark.sql.Row](1)
+            assert(tk.length <= k, s"buffer exceeded k=$k")
+            // payload rides through unperturbed
+            tk.foreach(x => assert(x.getDouble(0) == x.getDouble(2)))
+            r.getLong(0) -> tk.map(x => (x.getDouble(0), x.getLong(1)))
+          }.toMap
+        assert(got.view.mapValues(_.toList).toMap ==
+          expect.view.mapValues(_.toList).toMap, s"nPart=$nPart k=$k")
+      }
+    }
+  }
+
   test("BPE training equals the sequential reference on random corpora") {
     import graft.operators.TextOps
     def refMerge(segs: Seq[String], l: String, r: String): Seq[String] = {

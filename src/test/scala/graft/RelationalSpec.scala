@@ -454,6 +454,50 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("m5 nDCG: perfect prefix scores exactly 1e6; fixture == scalar replay") {
+    import TestSpark.spark.implicits._
+    import graft.operators.Eval
+    // doc 1 holds both terms → grade 2, ranks first; every other candidate
+    // shares grade 1, so ANY order below position 1 is ideal → nDCG = 1
+    val docs = Seq(
+      (1L, "alpha beta x y z"),
+      (2L, "alpha p q r s"),
+      (3L, "alpha u v w t"),
+      (4L, "beta m n o k")).toDF("doc_id", "text")
+    val c = Eval.ndcgAtK(docs, Seq("alpha beta"), 3).collect()
+    assert(c.length == 1 && c.head.getAs[Long]("ndcg_micro") == 1000000L)
+    assert(c.head.getAs[Long]("dcg_micro") == c.head.getAs[Long]("idcg_micro"))
+    // fixture differential: engine == scalar replay of the same micro-unit
+    // DCG/IDCG algebra over the collected candidate frame
+    val k = Eval.NdcgK
+    val engine = Eval.m5Ndcg(spark, sf).collect()
+      .map(r => r.getAs[String]("query") ->
+        (r.getAs[Long]("dcg_micro"), r.getAs[Long]("idcg_micro"),
+          r.getAs[Long]("ndcg_micro"))).toMap
+    val qdf = Eval.MrrQueries.flatMap { q =>
+      q.split("\\s+").distinct.map(t => (q, t))
+    }.toDF("query", "token")
+    val cand = graft.operators.TextOps.bm25Frame(tables.documents)
+      .join(broadcast(qdf), "token")
+      .groupBy(col("query"), col("doc_id"))
+      .agg(sum(round(col("bm25") * lit(1e6)).cast("long")).as("s"),
+        count(lit(1)).as("rel"))
+      .collect()
+      .map(r => (r.getAs[String]("query"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("s"), r.getAs[Long]("rel")))
+    def gain(rel: Long, pos: Int): Long =
+      math.round(1e6 * (math.pow(2.0, rel.toDouble) - 1.0) /
+        (math.log(pos + 1.0) / math.log(2.0)))
+    val replay = cand.groupBy(_._1).map { case (q, rows) =>
+      val byScore = rows.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+      val dcg = byScore.map { case (r, i) => gain(r._4, i + 1) }.sum
+      val ideal = rows.map(_._4).sorted(Ordering[Long].reverse).take(k).zipWithIndex
+      val idcg = ideal.map { case (rel, i) => gain(rel, i + 1) }.sum
+      q -> (dcg, idcg, dcg * 1000000L / idcg)
+    }
+    assert(engine == replay.toMap, s"engine=$engine replay=${replay.toMap}")
+  }
+
   test("j12 interval join: bucketed equi-join == theta overlap join on the fixture") {
     import graft.operators.TimeSeries
     val got = TimeSeries.j12IntervalJoin(spark, sf)
