@@ -394,6 +394,47 @@ object TailTwins {
           .orderBy("query")
       }),
 
+      "m5_ndcg" -> (() => {
+        // idiomatic form: BM25 + TWO per-query Window ranks — one by
+        // score for DCG, one by grade for the ideal order — both the
+        // 1-partition-per-query funnel the engine's bounded TopKAgg
+        // partial aggregate (+ grade-count IDCG) exists to avoid
+        import org.apache.spark.sql.expressions.Window
+        val (k1, b, k) = (1.2, 0.75, 10)
+        val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val stats = docs.agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("sum_dl"))
+        val scored = tf.join(dl, "doc_id").join(dfq, "token")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf", log(lit(1.0) +
+            (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          .withColumn("bm25", col("idf") * col("tf") * lit(k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) *
+              col("dl") / (col("sum_dl").cast("double") / col("n_docs")))))
+        val qdf = graft.operators.Eval.MrrQueries.flatMap { q =>
+          q.split("\\s+").filter(_.nonEmpty).distinct.map(t => (q, t))
+        }.toSeq
+        val qframe = spark.createDataFrame(qdf).toDF("query", "token")
+        val cand = scored.join(broadcast(qframe), "token")
+          .groupBy(col("query"), col("doc_id"))
+          .agg(sum(col("bm25")).as("score"), count(lit(1)).as("rel"))
+        def g(rel: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column) =
+          (pow(lit(2.0), rel) - lit(1.0)) / log2(pos + lit(1.0))
+        val byScore = cand.withColumn("pos", row_number().over(
+            Window.partitionBy(col("query")).orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("pos") <= k)
+        val ideal = cand.withColumn("pos", row_number().over(
+            Window.partitionBy(col("query")).orderBy(col("rel").desc, col("doc_id"))))
+          .filter(col("pos") <= k)
+        byScore.groupBy("query").agg(sum(g(col("rel"), col("pos"))).as("dcg"))
+          .join(ideal.groupBy("query").agg(sum(g(col("rel"), col("pos"))).as("idcg")), "query")
+          .select(col("query"), col("dcg"), col("idcg"), (col("dcg") / col("idcg")).as("ndcg"))
+          .orderBy("query")
+      }),
+
       "l4_keywords" -> (() => {
         // classic tf-idf + per-doc window top-3
         import org.apache.spark.sql.expressions.Window

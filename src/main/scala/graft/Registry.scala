@@ -959,6 +959,45 @@ object Registry {
         labels AS (SELECT m.doc_id, l.label AS cluster_rep
                    FROM mem m JOIN lab${Dedup.DefaultCcIters} l ON l.doc_id = m.rep_id)"""
     }
+    // Shared k-means + full-corpus assignment CTE chain (exact-decimal
+    // Lloyd rounds from the deterministic slice init, HALF_UP 9-dp
+    // re-center with the +1024 offset, argmin assignment tie-broken on
+    // cid) — the lock-step twin of Similarity.trainedCentroids +
+    // exact-dist2 assignment, consumed by BOTH the IVF probe oracle and
+    // the semantic-dedup oracle. Defines CTEs: c0, v, tv, the per-round
+    // chains, pr, a2 (per-(vec, cid) d2), cell (final assignment).
+    val kmAssignCtes = {
+      val rounds = (1 to Similarity.KmIters).map { k =>
+        s"""pr$k AS (SELECT v.vec_id, c.cid, unnest(v.e) AS x, unnest(c.ce) AS y FROM tv v, c${k - 1} c),
+        a2x$k AS (SELECT vec_id, cid, SUM(CAST((x-y)*(x-y) AS DECIMAL(30,15))) AS d2
+               FROM pr$k GROUP BY vec_id, cid),
+        cel$k AS (SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM a2x$k) WHERE rn = 1),
+        mem$k AS (SELECT cell, unnest(e) AS x, generate_subscripts(e, 1) AS pos
+               FROM tv JOIN cel$k USING (vec_id)),
+        dim$k AS (SELECT cell, pos,
+            CAST((CAST(SUM(CAST(x + 1024 AS DECIMAL(30,15))) * 2000000000000000 AS HUGEINT)
+                  + COUNT(*) * 1000000) // (COUNT(*) * 2000000) AS DOUBLE) / 1000000000.0
+              - 1024 AS cx
+          FROM mem$k GROUP BY cell, pos),
+        c$k AS (SELECT cell AS cid, list(cx ORDER BY pos) AS ce FROM dim$k GROUP BY cell)"""
+      }.mkString(",\n        ")
+      val cf = s"c${Similarity.KmIters}"
+      s"""c0 AS (SELECT vec_id // ${Similarity.KmTrainMod} AS cid,
+                     embedding::DOUBLE[] AS ce FROM embeddings
+                   WHERE vec_id % ${Similarity.KmTrainMod} = 0
+                     AND vec_id < ${Similarity.IvfCells * Similarity.KmTrainMod}),
+        v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        tv AS (SELECT * FROM v WHERE vec_id % ${Similarity.KmTrainMod} = 0),
+        $rounds,
+        pr AS (SELECT v.vec_id, c.cid, unnest(v.e) AS x, unnest(c.ce) AS y FROM v, $cf c),
+        a2 AS (SELECT vec_id, cid, SUM(CAST((x-y)*(x-y) AS DECIMAL(30,15))) AS d2
+               FROM pr GROUP BY vec_id, cid),
+        cell AS (SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM a2) WHERE rn = 1)"""
+    }
 
     Seq(
       QueryDef("l1_exact_dedup", Dedup.l1ExactDedup, Some("""
@@ -1319,38 +1358,8 @@ object Registry {
         FROM d ORDER BY cosine DESC, vec_id LIMIT 10"""
       }),
 
-      QueryDef("l3_ivf_topk", Similarity.l3IvfTopK, Some {
-        val rounds = (1 to Similarity.KmIters).map { k =>
-          s"""pr$k AS (SELECT v.vec_id, c.cid, unnest(v.e) AS x, unnest(c.ce) AS y FROM tv v, c${k - 1} c),
-        a2x$k AS (SELECT vec_id, cid, SUM(CAST((x-y)*(x-y) AS DECIMAL(30,15))) AS d2
-               FROM pr$k GROUP BY vec_id, cid),
-        cel$k AS (SELECT vec_id, cid AS cell FROM (
-            SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-            FROM a2x$k) WHERE rn = 1),
-        mem$k AS (SELECT cell, unnest(e) AS x, generate_subscripts(e, 1) AS pos
-               FROM tv JOIN cel$k USING (vec_id)),
-        dim$k AS (SELECT cell, pos,
-            CAST((CAST(SUM(CAST(x + 1024 AS DECIMAL(30,15))) * 2000000000000000 AS HUGEINT)
-                  + COUNT(*) * 1000000) // (COUNT(*) * 2000000) AS DOUBLE) / 1000000000.0
-              - 1024 AS cx
-          FROM mem$k GROUP BY cell, pos),
-        c$k AS (SELECT cell AS cid, list(cx ORDER BY pos) AS ce FROM dim$k GROUP BY cell)"""
-        }.mkString(",\n        ")
-        val cf = s"c${Similarity.KmIters}"
-        s"""
-        WITH c0 AS (SELECT vec_id // ${Similarity.KmTrainMod} AS cid,
-                     embedding::DOUBLE[] AS ce FROM embeddings
-                   WHERE vec_id % ${Similarity.KmTrainMod} = 0
-                     AND vec_id < ${Similarity.IvfCells * Similarity.KmTrainMod}),
-        v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-        tv AS (SELECT * FROM v WHERE vec_id % ${Similarity.KmTrainMod} = 0),
-        $rounds,
-        pr AS (SELECT v.vec_id, c.cid, unnest(v.e) AS x, unnest(c.ce) AS y FROM v, $cf c),
-        a2 AS (SELECT vec_id, cid, SUM(CAST((x-y)*(x-y) AS DECIMAL(30,15))) AS d2
-               FROM pr GROUP BY vec_id, cid),
-        cell AS (SELECT vec_id, cid AS cell FROM (
-            SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-            FROM a2) WHERE rn = 1),
+      QueryDef("l3_ivf_topk", Similarity.l3IvfTopK, Some(s"""
+        WITH $kmAssignCtes,
         probe AS (SELECT cid AS cell FROM a2 WHERE vec_id = 0
                   ORDER BY d2, cid LIMIT ${Similarity.IvfNprobe}),
         q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
@@ -1364,8 +1373,34 @@ object Registry {
               FROM u GROUP BY ALL)
         SELECT vec_id, label, cell,
           ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
-        FROM d ORDER BY cosine DESC, vec_id LIMIT 10"""
-      }),
+        FROM d ORDER BY cosine DESC, vec_id LIMIT 10""")),
+
+      // L11 SemDeDup: the oracle replays the SAME k-means + assignment
+      // chain as the IVF probe, then the within-cell pair sweep — a_id <
+      // b_id pairing, 6-dp exact-decimal cosine at τ, greedy
+      // drop-the-larger-id — and the per-cell summary with the dropped-id
+      // digest. The oracle-side within-cell self-join is fixture-sized;
+      // the ENGINE's rides the triangle-salted decomposition.
+      QueryDef("l11_semantic_dedup", Similarity.l11SemanticDedup, Some(s"""
+        WITH $kmAssignCtes,
+        vc AS (SELECT v.vec_id, v.e, cell.cell FROM v JOIN cell USING (vec_id)),
+        p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id
+              FROM vc x JOIN vc y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        u AS (SELECT a_id, b_id, unnest(xa.e) AS a, unnest(yb.e) AS bb
+              FROM p JOIN vc xa ON xa.vec_id = p.a_id JOIN vc yb ON yb.vec_id = p.b_id),
+        d AS (SELECT a_id, b_id,
+                SUM(CAST(a*bb AS DECIMAL(30,15))) AS dot,
+                SUM(CAST(a*a AS DECIMAL(30,15))) AS na,
+                SUM(CAST(bb*bb AS DECIMAL(30,15))) AS nb
+              FROM u GROUP BY a_id, b_id),
+        dup AS (SELECT DISTINCT b_id AS vec_id FROM d
+                WHERE ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+                      >= ${Similarity.SemTau})
+        SELECT cell, COUNT(*) AS n_vecs,
+          CAST(SUM(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+          CAST(SUM(CASE WHEN dup.vec_id IS NOT NULL THEN vc.vec_id ELSE 0 END) AS BIGINT) AS dropped_id_digest
+        FROM vc LEFT JOIN dup ON vc.vec_id = dup.vec_id
+        GROUP BY cell ORDER BY cell""")),
 
       QueryDef("l6_embed_neardup", Similarity.l6EmbedNearDup, Some(s"""
         WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e, CAST($bucketSql AS INT) AS bucket FROM embeddings),

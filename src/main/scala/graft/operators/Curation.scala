@@ -483,6 +483,10 @@ object Curation {
       .filter(least(col("train_n"), col("bench_n")).cast("double")
         >= greatest(col("train_n"), col("bench_n")) * threshold - 1e-9)
       .select(col("train_id"), col("bench_id")).distinct()
+      // materialized once: the candidate-id broadcast AND the verify join
+      // both consume it — inlined, the corpus-side minhash pass would run
+      // twice (the l0Pipeline/driftAgainst contract)
+      .materialize()
     val candToks = named(corpus)
       .join(broadcast(cand.select(col("train_id").as("doc_id")).distinct()), "doc_id")
       .select(col("doc_id").as("train_id"),

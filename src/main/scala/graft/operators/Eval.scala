@@ -109,9 +109,10 @@ object Eval {
     * posting-list-sized set — survive to scoring. The per-query rank
     * does NOT use a `Window.partitionBy(query)` (a common-token query's
     * candidate set is corpus-sized — one task would take the whole
-    * corpus): it rides ONE [[Relational.distributedRank]] over
-    * (query, score desc, doc_id) and localizes by subtracting each
-    * query's broadcast rank offset.
+    * corpus): it rides the bounded [[graft.functions.TopKAgg]] partial
+    * aggregate — O(k) state per (query × partition), map-side combine,
+    * no corpus-sized exchange (score_micro ≪ 2⁵³, exact as the
+    * aggregator's double rank key).
     */
   def mrrAtK(docs: DataFrame, queries: Seq[String], k: Int): DataFrame = {
     require(queries.nonEmpty && k >= 1, "need queries and k >= 1")
@@ -126,12 +127,16 @@ object Eval {
       .groupBy(col("query"), col("doc_id"), col("n_q"))
       .agg(sum(round(col("bm25") * lit(1e6)).cast("long")).as("score_micro"),
         count(lit(1)).as("n_terms_hit"))
-    val ranked = Relational.distributedRank(scored,
-      Seq(col("query"), col("score_micro").desc, col("doc_id")))
-    val offsets = ranked.groupBy(col("query")).agg(min(col("rank")).as("__off"))
-    val topk = ranked.join(broadcast(offsets), "query")
-      .withColumn("rnk", (col("rank") - col("__off") + 1).cast("int"))
-      .filter(col("rnk") <= k)
+    val topk = scored
+      // n_q is functionally dependent on query — grouping by both keeps
+      // it in scope without a join-back
+      .groupBy(col("query"), col("n_q"))
+      .agg(graft.functions.TopK.topKUdaf(k)(
+        negate(col("score_micro").cast("double")), col("doc_id"),
+        lit(0.0), col("n_terms_hit"), lit(0L)).as("__tk"))
+      .select(col("query"), col("n_q"), posexplode(col("__tk")).as(Seq("__i", "__r")))
+      .select(col("query"), (col("__i") + 1).cast("int").as("rnk"),
+        col("__r.tag").as("n_terms_hit"), col("n_q"))
       .withColumn("relevant", col("n_terms_hit") === col("n_q"))
     topk.groupBy(col("query"))
       .agg(min(when(col("relevant"), col("rnk"))).as("__first"),

@@ -458,6 +458,74 @@ object Similarity {
     ivfTopK(Tables(spark, dir), queryId = 0L, k = 10,
       nCells = IvfCells, nprobe = IvfNprobe)
 
+  /** Semantic-dedup cosine threshold for the declared query. Real
+    * corpora run SemDeDup-style pruning at τ ≈ 0.95+ (embeddings of
+    * near-identical documents); the fixture's embeddings are
+    * near-isotropic random vectors (max pairwise cosine ≈ 0.6 at sf0.1),
+    * so the declared constant sits low enough that the drop path is
+    * exercised with real eliminations at fixture scale. The semantics
+    * are τ-independent and pinned with constructed vectors in
+    * LlmOpsSpec.
+    */
+  val SemTau = 0.45
+
+  /** L11: SEMANTIC dedup (SemDeDup-shaped, Abbas et al. 2023): cluster
+    * the corpus with the deterministic k-means coarse quantizer
+    * ([[trainedCentroids]] — the IVF trainer, exact-decimal, oracle-
+    * replayable), then drop every vector that has a same-cell neighbor
+    * with cosine ≥ τ and a SMALLER id — the greedy keep-first sweep of
+    * an ε-ball, pairwise by design (NOT transitively closed: a dropped
+    * doc still shadows its own neighbors, exactly the paper's greedy
+    * semantics; the transitive variant is [[Dedup.clusterCollapse]]
+    * over an L6 pair graph).
+    *
+    * Why cluster first: within-cell pairing bounds the quadratic —
+    * Σ|cell|² pairs instead of n², the entire reason SemDeDup k-means
+    * partitions before comparing. Scale shape: assignment is the IVF
+    * pass (broadcast k-row centroids, partial-agg argmin), the narrow
+    * (cell, vec_id) frame is materialized ONCE for pair-gen + summary,
+    * within-cell pairs ride [[Dedup.saltedSelfJoin]] (a hot cell's m²
+    * pair generation spreads over chunk-pair tasks), and the wide
+    * embedding arrays join back only at pair-scoring time (the
+    * narrow-candidates discipline). The per-cell summary + id digest
+    * pins exactly WHICH vectors the sweep removes.
+    */
+  def semanticDedup(emb: DataFrame, nCells: Int = IvfCells, tau: Double = SemTau,
+                    chunks: Int = Dedup.DefaultChunks): DataFrame = {
+    val cents = trainedCentroids(emb, nCells)
+    val e = emb.select(col("vec_id"), dbl(col("embedding")).as("e"))
+    val cells = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), dist2(col("e"), col("ce")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+      .materialize() // two consumers: pair generation and the summary
+    val pairs = Dedup.saltedSelfJoin(cells, Seq("cell"), "vec_id", chunks)
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+    val dropped = pairs
+      .join(e.select(col("vec_id").as("a_id"), col("e").as("ea")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("e").as("eb")), "b_id")
+      .filter(cosine(col("ea"), col("eb")) >= tau)
+      // saltedSelfJoin orients cross-chunk pairs arbitrarily — greatest()
+      // recovers "drop the larger id of every qualifying pair", i.e. a
+      // vector dies iff SOME smaller-id neighbor is within τ
+      .select(greatest(col("a_id"), col("b_id")).as("vec_id"))
+      .distinct()
+      .withColumn("dropped", lit(true))
+    cells.join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("dropped"), col("vec_id")).otherwise(0L)).as("dropped_id_digest"))
+      .orderBy(col("cell"))
+  }
+
+  /** L11 declared query: semantic dedup of the embeddings corpus at
+    * [[SemTau]] over [[IvfCells]] k-means cells.
+    */
+  def l11SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables(spark, dir).embeddings)
+
   /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims (m·sub = the
     * fixture's 64), [[PqK]] centroids per subspace — 4-bit codes, so a
     * vector compresses 64 floats → 4 codes. Candidates kept per

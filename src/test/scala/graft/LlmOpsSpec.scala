@@ -724,6 +724,37 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("L11 semantic dedup: greedy keep-first sweep, non-transitive, salt-invariant") {
+    // one cell (nCells = 1 → single deterministic centroid) so assignment
+    // can't split the constructed geometry. Angles 0° / 18.2° / 36° / 180°:
+    // cos(x,y) ≈ 0.950 ≥ τ, cos(y,z) ≈ 0.952 ≥ τ, cos(x,z) ≈ 0.809 < τ,
+    // the antipode matches nothing.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),       // x — survivor (lowest id)
+      (1L, Seq(0.95f, 0.3122f), 0),   // y — dropped by x
+      (2L, Seq(0.809f, 0.5878f), 0),  // z — dropped by y EVEN THOUGH y is
+                                      // itself dropped: the greedy sweep is
+                                      // pairwise, not transitively closed
+      (3L, Seq(-1.0f, 0.0f), 0)       // antipode — survives (cos = −1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDedup(emb, nCells = 1, tau = 0.95).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_vecs") == 4L)
+    assert(r.getAs[Long]("n_dropped") == 2L, s"expected drops {1,2}: $r")
+    assert(r.getAs[Long]("dropped_id_digest") == 3L) // ids 1 + 2
+    // salting decomposition must not change the pair set
+    for (chunks <- Seq(1, 3)) {
+      val alt = Similarity.semanticDedup(emb, nCells = 1, tau = 0.95,
+        chunks = chunks).collect()
+      assert(alt.map(_.toSeq.toList).toList == got.map(_.toSeq.toList).toList,
+        s"chunks=$chunks")
+    }
+    // τ above every pairwise cosine → nothing dropped
+    val none = Similarity.semanticDedup(emb, nCells = 1, tau = 0.999).collect()
+    assert(none.head.getAs[Long]("n_dropped") == 0L)
+  }
+
   test("L10 PII scrub: redacts email/url/ip spans, idempotent, clean text unchanged") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org now"),
