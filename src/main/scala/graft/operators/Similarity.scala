@@ -456,7 +456,26 @@ object Similarity {
     */
   def l3IvfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables(spark, dir), queryId = 0L, k = 10,
-      nCells = IvfCells, nprobe = IvfNprobe)
+      nCells = IvfCells, nprobe = IvfNprobe,
+      centroids = Some(defaultCentroids(spark, dir)))
+
+  /** Trained coarse-quantizer centroids memoized per (session, corpus
+    * dir, nCells) — the [[Dedup.defaultSimJoinParts]] discipline. An IVF
+    * index is trained ONCE offline and amortized over every probe; a
+    * Verify/Bench session re-training the same centroids for each of
+    * the IVF probe, the semantic dedup, and the index build would
+    * charge the Lloyd chain once per query instead. The cached frame is
+    * the [[trainedCentroids]] output, whose final round already
+    * materialized — recompute-equality is spec-pinned in LlmOpsSpec.
+    * Keyed by session so a stopped session's entries are unreachable.
+    */
+  private val CentroidCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+
+  def defaultCentroids(spark: SparkSession, dir: String,
+                       nCells: Int = IvfCells): DataFrame =
+    CentroidCache.getOrElseUpdate((spark, dir, nCells),
+      trainedCentroids(Tables(spark, dir).embeddings, nCells))
 
   /** Semantic-dedup cosine threshold for the declared query. Real
     * corpora run SemDeDup-style pruning at τ ≈ 0.95+ (embeddings of
@@ -491,8 +510,9 @@ object Similarity {
     * pins exactly WHICH vectors the sweep removes.
     */
   def semanticDedup(emb: DataFrame, nCells: Int = IvfCells, tau: Double = SemTau,
-                    chunks: Int = Dedup.DefaultChunks): DataFrame = {
-    val cents = trainedCentroids(emb, nCells)
+                    chunks: Int = Dedup.DefaultChunks,
+                    centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(trainedCentroids(emb, nCells))
     val e = emb.select(col("vec_id"), dbl(col("embedding")).as("e"))
     val cells = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), dist2(col("e"), col("ce")).as("d2"))
@@ -524,7 +544,8 @@ object Similarity {
     * [[SemTau]] over [[IvfCells]] k-means cells.
     */
   def l11SemanticDedup(spark: SparkSession, dir: String): DataFrame =
-    semanticDedup(Tables(spark, dir).embeddings)
+    semanticDedup(Tables(spark, dir).embeddings,
+      centroids = Some(defaultCentroids(spark, dir)))
 
   /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims (m·sub = the
     * fixture's 64), [[PqK]] centroids per subspace — 4-bit codes, so a

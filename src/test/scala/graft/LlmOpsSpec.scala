@@ -724,6 +724,18 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("L3 centroid memoization: cached frame == independent recompute, instance-stable") {
+    val cached = Similarity.defaultCentroids(TestSpark.spark, sf)
+    // memoized: the second lookup must hand back the SAME frame, not a
+    // retrained chain
+    assert(cached eq Similarity.defaultCentroids(TestSpark.spark, sf))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+        .sortBy(_._1).toList
+    val fresh = Similarity.trainedCentroids(tables.embeddings, Similarity.IvfCells)
+    assert(rows(cached) == rows(fresh), "cached centroids must equal a recompute")
+  }
+
   test("L11 semantic dedup: greedy keep-first sweep, non-transitive, salt-invariant") {
     // one cell (nCells = 1 → single deterministic centroid) so assignment
     // can't split the constructed geometry. Angles 0° / 18.2° / 36° / 180°:
