@@ -1243,8 +1243,11 @@ object Registry {
       }),
 
       // M5: nDCG@k under graded relevance (rel = #query terms hit). The
-      // oracle replays the BM25 body, the per-position micro-snapped
-      // discounted gain — ROUND(1e6·(2^rel−1)/log2(pos+1)) — and the
+      // oracle replays the BM25 body, then sums the SAME precomputed
+      // (rel, pos) → gain_micro literal table the engine plan carries
+      // (Eval.ndcgGainTable — baked here as a VALUES CTE, so neither
+      // engine evaluates log2/pow at query time; the round-9 hash-red
+      // came from JVM-vs-libm log2 disagreeing by a ULP), and the
       // grade-count IDCG construction (prefix offsets over ≤ n_q grade
       // rows, exploded into ideal positions); the final ratio is integer
       // floor-DIV micro-units on both engines. The oracle's per-query
@@ -1255,9 +1258,12 @@ object Registry {
           q.split("\\s+").filter(_.nonEmpty).distinct.map(t => s"('$q', '$t')")
         }.mkString(", ")
         val k = Eval.NdcgK
+        val gVals = Eval.ndcgGainTable(Eval.ndcgMaxRel(Eval.MrrQueries), k)
+          .map { case (r, p, g) => s"($r, $p, ${g}::BIGINT)" }.mkString(", ")
         s"""
         WITH bmq AS ($bm25BodySql),
         q(query, token) AS (SELECT * FROM (VALUES $qVals)),
+        g(rel, pos, gain_micro) AS (SELECT * FROM (VALUES $gVals)),
         sc AS (SELECT query, doc_id,
                  SUM(CAST(ROUND(bm25 * 1e6) AS BIGINT)) AS score_micro,
                  COUNT(*) AS rel
@@ -1265,9 +1271,8 @@ object Registry {
         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query
                  ORDER BY score_micro DESC, doc_id) AS pos FROM sc),
         tk AS (SELECT query, pos, rel FROM rk WHERE pos <= $k),
-        dcg AS (SELECT query,
-                  SUM(CAST(ROUND(1e6 * (pow(2, rel) - 1) / log2(pos + 1)) AS BIGINT)) AS dcg_micro
-                FROM tk GROUP BY query),
+        dcg AS (SELECT query, CAST(SUM(gain_micro) AS BIGINT) AS dcg_micro
+                FROM tk JOIN g USING (rel, pos) GROUP BY query),
         rc AS (SELECT query, rel, COUNT(*) AS c FROM sc GROUP BY query, rel),
         ofs AS (SELECT query, rel, c,
                   CAST(COALESCE(SUM(c) OVER (PARTITION BY query ORDER BY rel DESC
@@ -1276,9 +1281,8 @@ object Registry {
         ip AS (SELECT query, rel,
                  unnest(range(off + 1, least(off + c, $k) + 1)) AS pos
                FROM ofs WHERE off < $k),
-        idcg AS (SELECT query,
-                   SUM(CAST(ROUND(1e6 * (pow(2, rel) - 1) / log2(pos + 1)) AS BIGINT)) AS idcg_micro
-                 FROM ip GROUP BY query)
+        idcg AS (SELECT query, CAST(SUM(gain_micro) AS BIGINT) AS idcg_micro
+                 FROM ip JOIN g USING (rel, pos) GROUP BY query)
         SELECT dcg.query, dcg_micro, idcg_micro,
           dcg_micro * 1000000 // idcg_micro AS ndcg_micro
         FROM dcg JOIN idcg USING (query) ORDER BY query"""

@@ -166,10 +166,17 @@ object Eval {
     * grades the whole ranked prefix, which is the metric a retrieval
     * pipeline actually tunes against.
     *
-    * Exactness: each position's discounted gain is snapped ONCE to
-    * integer micro-units — round(10⁶·(2^rel−1)/log2(pos+1)) — and DCG,
-    * IDCG, and their ratio (micro-units, floor DIV) are integer
-    * arithmetic from there, the [[mrrAtK]] discipline. IDCG places the
+    * Exactness: each position's discounted gain is an integer
+    * micro-unit CONSTANT from [[ndcgGainTable]] — round(10⁶·(2^rel−1)/
+    * log2(pos+1)) precomputed ONCE in Scala and injected as literals
+    * into BOTH the engine plan (a ≤ maxRel·k-entry map lookup) and the
+    * oracle SQL (a VALUES table) — so no engine evaluates a
+    * transcendental function inside the hash-checked computation. (The
+    * first formulation evaluated log2 independently on the JVM and on
+    * DuckDB's libm, which round a ULP apart on some platforms — the
+    * round-9 driver flagged exactly that.) DCG, IDCG, and their ratio
+    * (micro-units, floor DIV) are integer arithmetic from there, the
+    * [[mrrAtK]] discipline. IDCG places the
     * candidate set's best k grades in ideal order WITHOUT ranking
     * anything: per-(query, rel) counts (≤ n_q rows per query) get
     * prefix offsets from a row-bounded window, then explode into ideal
@@ -183,6 +190,26 @@ object Eval {
     * corpus-sized exchange (score_micro < 2⁵³, exact as the aggregator's
     * double rank key).
     */
+  /** Largest graded-relevance value any query can produce: rel counts
+    * distinct matched query terms, so it is bounded by the widest
+    * query's distinct-token count.
+    */
+  def ndcgMaxRel(queries: Seq[String]): Int =
+    queries.map(_.split("\\s+").filter(_.nonEmpty).distinct.length).max
+
+  /** The environment-pinned discounted-gain table: (rel, pos) →
+    * round(10⁶·(2^rel−1)/log2(pos+1)) for rel ∈ 1..maxRel, pos ∈ 1..k —
+    * ≤ maxRel·k rows, computed once on THIS JVM and injected verbatim
+    * into both the engine plan and the Registry oracle's VALUES table,
+    * so the hash contract never depends on how a query engine's libm
+    * rounds log2. Shared with the oracle builder (the no-drift
+    * discipline of [[graft.operators.Profile.TableCols]]).
+    */
+  def ndcgGainTable(maxRel: Int, k: Int): Seq[(Int, Int, Long)] =
+    for { rel <- 1 to maxRel; pos <- 1 to k } yield (rel, pos,
+      Math.round(1e6 * (Math.pow(2.0, rel) - 1.0) /
+        (Math.log(pos + 1.0) / Math.log(2.0))))
+
   def ndcgAtK(docs: DataFrame, queries: Seq[String], k: Int): DataFrame = {
     require(queries.nonEmpty && k >= 1, "need queries and k >= 1")
     val spark = docs.sparkSession
@@ -198,9 +225,13 @@ object Eval {
       .agg(sum(round(col("bm25") * lit(1e6)).cast("long")).as("score_micro"),
         count(lit(1)).as("rel"))
       .materialize()
+    // literal gain map keyed rel·1000+pos; element_at under ANSI fails
+    // LOUD on a key outside the table (impossible by construction: rel ≤
+    // maxRel, pos ≤ k in both branches) rather than silently mis-scoring
+    val gainMap = typedLit(ndcgGainTable(ndcgMaxRel(queries), k)
+      .map { case (r, p, g) => (r.toLong * 1000L + p, g) }.toMap)
     def discounted(rel: Column, pos: Column): Column =
-      round(lit(1e6) * (pow(lit(2.0), rel) - lit(1.0)) /
-        log2(pos + lit(1.0))).cast("long")
+      element_at(gainMap, rel.cast("long") * lit(1000L) + pos.cast("long"))
     val topk = scored.groupBy(col("query"))
       .agg(graft.functions.TopK.topKUdaf(k)(
         negate(col("score_micro").cast("double")), col("doc_id"),
