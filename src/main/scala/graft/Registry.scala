@@ -966,7 +966,11 @@ object Registry {
     // exact-dist2 assignment, consumed by BOTH the IVF probe oracle and
     // the semantic-dedup oracle. Defines CTEs: c0, v, tv, the per-round
     // chains, pr, a2 (per-(vec, cid) d2), cell (final assignment).
-    val kmAssignCtes = {
+    // `nCellsSql` is the cell count as a SQL expression: the IVF probe
+    // pins the literal IvfCells; semantic dedup derives it from the
+    // corpus size (Similarity.semCellsFor as a scalar subquery), so the
+    // oracle trains exactly as many centroids as the engine at any sf.
+    def kmAssignCtes(nCellsSql: String): String = {
       val rounds = (1 to Similarity.KmIters).map { k =>
         s"""pr$k AS (SELECT v.vec_id, c.cid, unnest(v.e) AS x, unnest(c.ce) AS y FROM tv v, c${k - 1} c),
         a2x$k AS (SELECT vec_id, cid, SUM(CAST((x-y)*(x-y) AS DECIMAL(30,15))) AS d2
@@ -987,7 +991,7 @@ object Registry {
       s"""c0 AS (SELECT vec_id // ${Similarity.KmTrainMod} AS cid,
                      embedding::DOUBLE[] AS ce FROM embeddings
                    WHERE vec_id % ${Similarity.KmTrainMod} = 0
-                     AND vec_id < ${Similarity.IvfCells * Similarity.KmTrainMod}),
+                     AND vec_id < ($nCellsSql) * ${Similarity.KmTrainMod}),
         v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
         tv AS (SELECT * FROM v WHERE vec_id % ${Similarity.KmTrainMod} = 0),
         $rounds,
@@ -1363,7 +1367,7 @@ object Registry {
       }),
 
       QueryDef("l3_ivf_topk", Similarity.l3IvfTopK, Some(s"""
-        WITH $kmAssignCtes,
+        WITH ${kmAssignCtes(Similarity.IvfCells.toString)},
         probe AS (SELECT cid AS cell FROM a2 WHERE vec_id = 0
                   ORDER BY d2, cid LIMIT ${Similarity.IvfNprobe}),
         q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
@@ -1380,13 +1384,18 @@ object Registry {
         FROM d ORDER BY cosine DESC, vec_id LIMIT 10""")),
 
       // L11 SemDeDup: the oracle replays the SAME k-means + assignment
-      // chain as the IVF probe, then the within-cell pair sweep — a_id <
+      // chain as the IVF probe — but with the cell count derived from
+      // the corpus size (GREATEST(IvfCells, CEIL(n/SemCellTarget)), the
+      // scalar-subquery twin of Similarity.semCellsFor, so k ∝ n is part
+      // of the hash contract) — then the within-cell pair sweep: a_id <
       // b_id pairing, 6-dp exact-decimal cosine at τ, greedy
       // drop-the-larger-id — and the per-cell summary with the dropped-id
       // digest. The oracle-side within-cell self-join is fixture-sized;
-      // the ENGINE's rides the triangle-salted decomposition.
+      // the ENGINE's rides the triangle-salted decomposition with a
+      // codegen'd double prefilter ahead of the exact-decimal confirm.
       QueryDef("l11_semantic_dedup", Similarity.l11SemanticDedup, Some(s"""
-        WITH $kmAssignCtes,
+        WITH ${kmAssignCtes(s"SELECT GREATEST(${Similarity.IvfCells}, " +
+          s"CAST(CEIL(COUNT(*) / ${Similarity.SemCellTarget}.0) AS BIGINT)) FROM embeddings")},
         vc AS (SELECT v.vec_id, v.e, cell.cell FROM v JOIN cell USING (vec_id)),
         p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id
               FROM vc x JOIN vc y ON x.cell = y.cell AND x.vec_id < y.vec_id),

@@ -477,6 +477,18 @@ object Similarity {
     CentroidCache.getOrElseUpdate((spark, dir, nCells),
       trainedCentroids(Tables(spark, dir).embeddings, nCells))
 
+  /** Drop every memoized per-session frame ([[defaultCentroids]],
+    * [[embeddingCount]]). The caches assume a corpus dir is IMMUTABLE
+    * within a session — the parquet-lake posture every reader here takes
+    * — so a caller that rewrites a fixture dir in place mid-session must
+    * invalidate explicitly or stale centroids/counts are served
+    * (spec-pinned in LlmOpsSpec).
+    */
+  def invalidateSessionCaches(): Unit = {
+    CentroidCache.clear()
+    CorpusCountCache.clear()
+  }
+
   /** Semantic-dedup cosine threshold for the declared query. Real
     * corpora run SemDeDup-style pruning at τ ≈ 0.95+ (embeddings of
     * near-identical documents); the fixture's embeddings are
@@ -487,6 +499,47 @@ object Similarity {
     * LlmOpsSpec.
     */
   val SemTau = 0.45
+
+  /** Target mean cell population for [[semanticDedup]]'s coarse
+    * quantizer: cells = max([[IvfCells]], ⌈n/[[SemCellTarget]]⌉), so the
+    * cluster count GROWS with the corpus and the within-cell pair sweep
+    * is Σ|cell|² ≈ n·[[SemCellTarget]] — linear in n at a fixed target,
+    * the SemDeDup paper's k ∝ n discipline — instead of n²/k at a fixed
+    * k (quadratic, the round-9 finding). 128 exercises the scaling at
+    * fixture scale (sf0.1's 2000 vectors → 16 cells, not the floor) and
+    * the oracle replays the same formula as a scalar subquery, so the
+    * declared query stays hash-checked at every scale.
+    */
+  val SemCellTarget = 128L
+
+  /** ⌈n/[[SemCellTarget]]⌉ floored at [[IvfCells]] — the engine side of
+    * the cell-count formula (integer ceil; the oracle's
+    * CEIL(COUNT(*)/128.0) agrees exactly for any corpus below 2⁵³).
+    */
+  def semCellsFor(n: Long): Int =
+    math.max(IvfCells.toLong, (n + SemCellTarget - 1) / SemCellTarget).toInt
+
+  /** Corpus row count memoized per (session, dir) — one metadata-cheap
+    * count job per session feeds every [[semCellsFor]] call (Verify and
+    * Bench invoke the declared query repeatedly). Same immutable-corpus
+    * assumption as [[CentroidCache]]; [[invalidateSessionCaches]] clears
+    * both.
+    */
+  private val CorpusCountCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  def embeddingCount(spark: SparkSession, dir: String): Long =
+    CorpusCountCache.getOrElseUpdate((spark, dir),
+      Tables(spark, dir).embeddings.count())
+
+  /** Prefilter slack for [[semanticDedup]]'s two-stage scoring: a pair
+    * whose 6-dp-rounded exact-DECIMAL cosine reaches τ has a plain
+    * double cosine within 5·10⁻⁷ + O(64·2⁻⁵²) of it (rounding half-step
+    * plus 64-term float accumulation error), so a 10⁻⁴ band is ~200×
+    * safety — the codegen'd double pass can never drop a pair the exact
+    * contract would keep.
+    */
+  val SemPrefilterEps = 1e-4
 
   /** L11: SEMANTIC dedup (SemDeDup-shaped, Abbas et al. 2023): cluster
     * the corpus with the deterministic k-means coarse quantizer
@@ -499,21 +552,33 @@ object Similarity {
     * over an L6 pair graph).
     *
     * Why cluster first: within-cell pairing bounds the quadratic —
-    * Σ|cell|² pairs instead of n², the entire reason SemDeDup k-means
-    * partitions before comparing. Scale shape: assignment is the IVF
+    * Σ|cell|² pairs instead of n² — and because callers size `nCells`
+    * with the corpus ([[semCellsFor]]: cells ∝ n at a fixed
+    * [[SemCellTarget]] mean population), the sweep is ~n·target pairs,
+    * LINEAR in n — the SemDeDup paper's k ∝ n discipline (a fixed cell
+    * count would leave it n²/k). Scale shape: assignment is the IVF
     * pass (broadcast k-row centroids, partial-agg argmin), the narrow
     * (cell, vec_id) frame is materialized ONCE for pair-gen + summary,
     * within-cell pairs ride [[Dedup.saltedSelfJoin]] (a hot cell's m²
-    * pair generation spreads over chunk-pair tasks), and the wide
-    * embedding arrays join back only at pair-scoring time (the
-    * narrow-candidates discipline). The per-cell summary + id digest
-    * pins exactly WHICH vectors the sweep removes.
+    * pair generation spreads over chunk-pair tasks), and the embedding
+    * arrays join back only at pair-scoring time (the narrow-candidates
+    * discipline) — as FLOATS, half the shuffle bytes of the widened
+    * doubles. Pair scoring is TWO-STAGE, the L3 probe discipline: the
+    * codegen'd double [[graft.functions.CosineFast]] screens every
+    * candidate (short-circuit conjunct, one fused array pass), and only
+    * pairs inside [[SemPrefilterEps]] of τ reach the interpreted
+    * exact-DECIMAL [[cosine]] that defines the contract — on a
+    * near-isotropic corpus that is a vanishing fraction, so the exact
+    * kernel prices the decision boundary, not the candidate set. The
+    * per-cell summary + id digest pins exactly WHICH vectors the sweep
+    * removes.
     */
   def semanticDedup(emb: DataFrame, nCells: Int = IvfCells, tau: Double = SemTau,
                     chunks: Int = Dedup.DefaultChunks,
                     centroids: Option[DataFrame] = None): DataFrame = {
     val cents = centroids.getOrElse(trainedCentroids(emb, nCells))
     val e = emb.select(col("vec_id"), dbl(col("embedding")).as("e"))
+    val ef = emb.select(col("vec_id"), col("embedding"))
     val cells = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), dist2(col("e"), col("ce")).as("d2"))
       .groupBy(col("vec_id"))
@@ -523,9 +588,12 @@ object Similarity {
     val pairs = Dedup.saltedSelfJoin(cells, Seq("cell"), "vec_id", chunks)
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
     val dropped = pairs
-      .join(e.select(col("vec_id").as("a_id"), col("e").as("ea")), "a_id")
-      .join(e.select(col("vec_id").as("b_id"), col("e").as("eb")), "b_id")
-      .filter(cosine(col("ea"), col("eb")) >= tau)
+      .join(ef.select(col("vec_id").as("a_id"), col("embedding").as("fa")), "a_id")
+      .join(ef.select(col("vec_id").as("b_id"), col("embedding").as("fb")), "b_id")
+      // stage 1: fused double screen; stage 2: the exact-DECIMAL contract
+      // cosine, reached only when the screen passes (And short-circuits)
+      .filter(graft.functions.CosineFast(col("fa"), col("fb")) >= tau - SemPrefilterEps)
+      .filter(cosine(dbl(col("fa")), dbl(col("fb"))) >= tau)
       // saltedSelfJoin orients cross-chunk pairs arbitrarily — greatest()
       // recovers "drop the larger id of every qualifying pair", i.e. a
       // vector dies iff SOME smaller-id neighbor is within τ
@@ -541,11 +609,16 @@ object Similarity {
   }
 
   /** L11 declared query: semantic dedup of the embeddings corpus at
-    * [[SemTau]] over [[IvfCells]] k-means cells.
+    * [[SemTau]] over [[semCellsFor]](n) k-means cells — the cell count
+    * derives from the corpus size on BOTH engines (the oracle computes
+    * the same formula as a scalar subquery), so the declared query
+    * exercises the k ∝ n scaling, not a fixture-pinned constant.
     */
-  def l11SemanticDedup(spark: SparkSession, dir: String): DataFrame =
-    semanticDedup(Tables(spark, dir).embeddings,
-      centroids = Some(defaultCentroids(spark, dir)))
+  def l11SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val nCells = semCellsFor(embeddingCount(spark, dir))
+    semanticDedup(Tables(spark, dir).embeddings, nCells = nCells,
+      centroids = Some(defaultCentroids(spark, dir, nCells)))
+  }
 
   /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims (m·sub = the
     * fixture's 64), [[PqK]] centroids per subspace — 4-bit codes, so a

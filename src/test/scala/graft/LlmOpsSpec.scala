@@ -767,6 +767,26 @@ class LlmOpsSpec extends SparkSuite {
     assert(none.head.getAs[Long]("n_dropped") == 0L)
   }
 
+  test("L11 cell scaling: semCellsFor is ceil(n/target) floored at IvfCells; caches invalidate") {
+    import Similarity.{semCellsFor, IvfCells, SemCellTarget}
+    assert(semCellsFor(0L) == IvfCells)
+    assert(semCellsFor(1L) == IvfCells)
+    assert(semCellsFor(IvfCells * SemCellTarget) == IvfCells)
+    // first n where the formula leaves the floor
+    assert(semCellsFor(IvfCells * SemCellTarget + 1) == IvfCells + 1)
+    assert(semCellsFor(2000L) == 16)   // the sf0.1 fixture's cell count
+    assert(semCellsFor(SemCellTarget * 1000L) == 1000) // exact multiple: no off-by-one
+    assert(semCellsFor(SemCellTarget * 1000L + 1) == 1001)
+    // invalidation hook: after clearing, lookups retrain/recount into NEW
+    // entries (the immutable-corpus-dir assumption's escape hatch)
+    val before = Similarity.defaultCentroids(TestSpark.spark, sf)
+    val nBefore = Similarity.embeddingCount(TestSpark.spark, sf)
+    Similarity.invalidateSessionCaches()
+    val after = Similarity.defaultCentroids(TestSpark.spark, sf)
+    assert(!(before eq after), "cleared cache must not serve the old frame")
+    assert(Similarity.embeddingCount(TestSpark.spark, sf) == nBefore)
+  }
+
   test("L10 PII scrub: redacts email/url/ip spans, idempotent, clean text unchanged") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org now"),
