@@ -106,18 +106,26 @@ object Bench {
     // its own artifact field — a one-time cost a cluster deployment
     // schedules like an index build must stay visible, not vanish into
     // an unreported warm-up.
+    def timedBuild(label: String)(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try { body; (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $label build failed: ${e.getMessage}")
+        -1.0
+      }
+    }
     val sharedBuild: Double =
       if (headlineOnly) -1.0
-      else {
-        val t0 = System.nanoTime()
-        try {
-          graft.operators.Dedup.l6DedupDocs(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] l6 chain build failed: ${e.getMessage}")
-          -1.0
-        }
-      }
+      else timedBuild("l6 chain") {
+        graft.operators.Dedup.l6DedupDocs(spark, sfDir).count() }
+    // the catalog's exact ANALYZE pass: memoized per session (s7_profile
+    // and the approx gate's acceptance band both consume it), so its
+    // one-time cost must surface here — warm per-query minima would
+    // otherwise hide it entirely
+    val s7Build: Double =
+      if (headlineOnly) -1.0
+      else timedBuild("s7 exact profile") {
+        graft.operators.Profile.s7Profile(spark, sfDir).count() }
     val tail = qs.keys.toSeq.sorted.filterNot(headline.contains)
     // SPARK_GRAFT_BENCH_QUERIES=a,b,c restricts the per-query map — dev
     // loop for timing one query's change without a full pass
@@ -144,13 +152,13 @@ object Bench {
     val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     val allJson =
       if (headlineOnly) ""
-      else s""","shared_build":{"l6_chain":${fmt(sharedBuild)}},"all_queries":${toJson(allResults.sortBy(_._1))}"""
+      else s""","shared_build":{"l6_chain":${fmt(sharedBuild)},"s7_exact_profile":${fmt(s7Build)}},"all_queries":${toJson(allResults.sortBy(_._1))}"""
     // contention evidence: ambient load at both ends plus this JVM's own
     // cpu-vs-wall split — a reader can discount an inflated artifact
     // (load ≫ cores in use, or wall ≫ cpu/cores) without re-running it
     val loadJson = {
       val cores = Runtime.getRuntime.availableProcessors
-      s""","load":{"start_1m":${fmt(loadStart)},"end_1m":${fmt(loadAvg1m())},"cores":$cores,"jvm_cpu_sec":${fmt(processCpuSec())},"wall_sec":${fmt((System.nanoTime() - wallT0) / 1e9)}}"""
+      s""","load":{"start_1m":${fmt(loadStart)},"end_1m":${fmt(loadAvg1m())},"cores":$cores,"jvm_cpu_sec":${fmt(processCpuSec())},"wall_sec":${fmt((System.nanoTime() - wallT0) / 1e9)},"contended":${loadStart > 2.0}}"""
     }
     // The full artifact (headline + all 100+ per-query timings) goes to a
     // FILE: the driver captures only the tail of stdout, and round 6
@@ -162,9 +170,21 @@ object Bench {
     // a FILTERED or headline-only dev-loop run must not clobber the
     // committed full artifact — partial maps default to /tmp, only a
     // full pass lands in the repo (explicit SPARK_GRAFT_BENCH_OUT
-    // overrides either way)
+    // overrides either way). A CONTENDED-box run is likewise diverted:
+    // three rounds running, artifacts taken beside ambient load have
+    // manufactured phantom 2–12× regressions that each cost a manual
+    // re-measure, so a start load-average above 2 (an idle box sits
+    // ~0.1; the round-9 poisoned artifact started at 7.86) keeps the
+    // last clean artifact committed and parks this run in /tmp. Gate on
+    // AMBIENT load only — the jvm_cpu/wall ratio also shipped in `load`
+    // is for readers, not gating: local[32] on sf0.1 legitimately runs
+    // ~4–5 cores busy, indistinguishable from a mildly starved box.
+    val contended = loadStart > 2.0
+    if (contended)
+      System.err.println(f"[bench] start_1m=$loadStart%.2f > 2: contended box, " +
+        "diverting artifact to /tmp (committed BENCH_FULL.json left untouched)")
     val defaultOut =
-      if (headlineOnly || singleShot || only.isDefined) "/tmp/BENCH_FULL.json"
+      if (headlineOnly || singleShot || only.isDefined || contended) "/tmp/BENCH_FULL.json"
       else "/root/repo/BENCH_FULL.json"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try {

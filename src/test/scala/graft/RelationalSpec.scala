@@ -49,6 +49,16 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("s7 profile memoization: cached result == recompute, invalidation hook works") {
+    import graft.operators.Profile
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toList
+    val first = rows(Profile.s7Profile(spark, sf))   // may hit or fill the cache
+    assert(rows(Profile.s7Profile(spark, sf)) == first, "cached != first")
+    Profile.invalidateSessionCache()
+    assert(rows(Profile.s7Profile(spark, sf)) == first, "recompute != cached")
+  }
+
   test("s7 nd_est_ok band: accepts a 3-sigma estimate, rejects a broken sketch") {
     import graft.operators.Profile
     import TestSpark.spark.implicits._
