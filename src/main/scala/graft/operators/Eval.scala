@@ -131,7 +131,7 @@ object Eval {
       // n_q is functionally dependent on query — grouping by both keeps
       // it in scope without a join-back
       .groupBy(col("query"), col("n_q"))
-      .agg(graft.functions.TopK.topKUdaf(k)(
+      .agg(graft.functions.TopKNative.topK(k)(
         negate(col("score_micro").cast("double")), col("doc_id"),
         lit(0.0), col("n_terms_hit"), lit(0L)).as("__tk"))
       .select(col("query"), col("n_q"), posexplode(col("__tk")).as(Seq("__i", "__r")))
@@ -233,7 +233,7 @@ object Eval {
     def discounted(rel: Column, pos: Column): Column =
       element_at(gainMap, rel.cast("long") * lit(1000L) + pos.cast("long"))
     val topk = scored.groupBy(col("query"))
-      .agg(graft.functions.TopK.topKUdaf(k)(
+      .agg(graft.functions.TopKNative.topK(k)(
         negate(col("score_micro").cast("double")), col("doc_id"),
         lit(0.0), col("rel"), lit(0L)).as("__tk"))
       .select(col("query"), posexplode(col("__tk")).as(Seq("__i", "__r")))

@@ -834,9 +834,16 @@ object Similarity {
   private def perQueryTopK(scored: DataFrame, s: Column, k: Int,
                            payload: Column = lit(0.0), tag: Column = lit(0L),
                            tag2: Column = lit(0L)): DataFrame =
-    scored.filter(s.isNotNull)
+    // NULL rank keys (zero-norm sentinels that never rank) are skipped by
+    // the aggregate's own update — an explicit filter(s.isNotNull) here
+    // pushed through the scoring projection and made Catalyst evaluate
+    // the exact-DECIMAL cosine TWICE per row (once as predicate, once as
+    // aggregate input): the classic double-eval of an expensive
+    // expression under predicate pushdown, measured as ~2× the scoring
+    // pass on l3_batch_topk
+    scored
       .groupBy(col("query_id"))
-      .agg(graft.functions.TopK.topKUdaf(k)(
+      .agg(graft.functions.TopKNative.topK(k)(
         s, col("vec_id"), payload, tag, tag2).as("__tk"))
       .select(col("query_id"), posexplode(col("__tk")).as(Seq("__i", "__r")))
       .select(col("query_id"), (col("__i") + 1).cast("int").as("rnk"),
@@ -847,22 +854,50 @@ object Similarity {
     * corpus pass. The single-query [[bruteForceTopK]] rides
     * TakeOrderedAndProject, but a per-query loop re-scans the corpus per
     * query; serving and eval (ground truth for recall@k over a query
-    * SET) score the batch at once: corpus × broadcast(queries) is one
-    * narrow codegen'd pass emitting |Q| rows per vector, and the
-    * per-query rank is the bounded [[perQueryTopK]] partial aggregate —
-    * no per-query scan, no 1-task window, no corpus-sized exchange, at
-    * any corpus scale. Rank key is `-cosine` (same total order as the
-    * window form's `desc`, signed zeros included); the unnegated cosine
-    * rides through as the payload so no double negation can perturb it.
+    * SET) score the batch at once, and the per-query rank is the bounded
+    * [[perQueryTopK]] partial aggregate — no per-query scan, no 1-task
+    * window, no corpus-sized exchange, at any corpus scale.
+    *
+    * TWO-STAGE, the L3 rescore discipline: the corpus pass scores with
+    * the fused codegen'd double [[graft.functions.CosineFast]] and keeps
+    * a PADDED top-P per query (P = max(4k, k+30)); only those ≤ P·|Q|
+    * survivors pay the exact-DECIMAL [[cosine]] that defines the output
+    * values, joined back by id (broadcast candidate list — the corpus is
+    * never exchanged). Why the answer is still the EXACT top-k: a
+    * 6-dp-rounded exact cosine differs from the double screen score by
+    * < 5.1·10⁻⁷ ([[SemPrefilterEps]] rationale), so a true top-k member
+    * can only be screened out if ≥ P vectors pack inside a ~10⁻⁶ cosine
+    * band above it — and EQUAL screen scores (exact duplicates, the one
+    * realistic mass-tie) tie-break by id in BOTH stages, so the padded
+    * set keeps exactly the ids the exact rank would. Rank key is
+    * `-cosine` (same total order as the window form's `desc`, signed
+    * zeros included); the unnegated cosine rides through as the payload
+    * so no double negation can perturb it.
     */
   def topKBatch(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = emb.crossJoin(broadcast(queries))
+    val pad = math.max(4 * k, k + 30)
+    // q_f: float cast of the widened doubles == the original float
+    // vector, so the screen sees the same bits CosineFast callers do
+    val qn = queries.select(col("query_id"), col("q_emb"),
+      transform(col("q_emb"), _.cast("float")).as("q_f"))
+    val screened = emb.crossJoin(broadcast(qn.select(col("query_id"), col("q_f"))))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.CosineFast(col("embedding"), col("q_f")).as("cf"))
+    // zero-norm/NaN screen scores order LAST ascending (Double.compare),
+    // so they fill only leftover slots; their exact rescore is NULL and
+    // the final aggregate skips them — same nulls-never-rank outcome as
+    // the single-stage form
+    val cand = perQueryTopK(screened, negate(col("cf")), pad)
+      .select(col("query_id"), col("vec_id"))
+    val exact = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(qn.select(col("query_id"), col("q_emb"))), "query_id")
       .select(col("query_id"), col("vec_id"), col("label"),
         cosine(dbl(col("embedding")), col("q_emb")).as("cosine"))
-    perQueryTopK(scored, negate(col("cosine")), k,
+    perQueryTopK(exact, negate(col("cosine")), k,
       payload = col("cosine"), tag = col("label").cast("long"))
       .select(col("query_id"), col("rnk"), col("vec_id"),
-        col("tag").cast(scored.schema("label").dataType).as("label"),
+        col("tag").cast(emb.schema("label").dataType).as("label"),
         col("payload").as("cosine"))
       .orderBy(col("query_id"), col("rnk"))
   }

@@ -144,6 +144,42 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("TopK native == typed Aggregator: random, ties, signed zeros, partition-invariant") {
+    import graft.functions.{TopK, TopKNative}
+    val scoreGen = Gen.listOfN(80, Gen.chooseNum(-5, 5))
+    for ((ss, i) <- samples(scoreGen, 4).zipWithIndex) {
+      val k = 1 + 4 * i
+      // inject signed-zero and duplicate-score rows: the orders must agree
+      // on java.lang.Double.compare semantics (-0.0 < 0.0), not just ==
+      val rows = ss.zipWithIndex.map { case (s, id) =>
+        (id.toLong % 3, s.toDouble, id.toLong)
+      } ++ Seq((0L, -0.0, 900L), (0L, 0.0, 901L), (1L, -0.0, 902L),
+        (2L, 2.0, 903L), (2L, 2.0, 904L))
+      for (nPart <- Seq(1, 13)) {
+        val df = rows.toDF("g", "s", "id").repartition(nPart)
+        def run(agg: org.apache.spark.sql.Column) =
+          df.groupBy(col("g")).agg(agg.as("tk"))
+            .select(col("g"), col("tk")).collect()
+            .map { r =>
+              r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+                .map(x => (x.getDouble(0), x.getLong(1), x.getDouble(2),
+                  x.getLong(3), x.getLong(4))).toList
+            }.toMap
+        val typed = run(TopK.topKUdaf(k)(
+          col("s"), col("id"), negate(col("s")), col("id") * 2, lit(7L)))
+        val native = run(TopKNative.topK(k)(
+          col("s"), col("id"), negate(col("s")), col("id") * 2, lit(7L)))
+        // compare with signed-zero sensitivity (tuple == would treat
+        // -0.0 == 0.0 as equal and hide an order divergence)
+        def bits(m: Map[Long, List[(Double, Long, Double, Long, Long)]]) =
+          m.view.mapValues(_.map { case (a, b, c, d, e) =>
+            (java.lang.Double.doubleToRawLongBits(a), b,
+              java.lang.Double.doubleToRawLongBits(c), d, e) }).toMap
+        assert(bits(native) == bits(typed), s"nPart=$nPart k=$k")
+      }
+    }
+  }
+
   test("BPE training equals the sequential reference on random corpora") {
     import graft.operators.TextOps
     def refMerge(segs: Seq[String], l: String, r: String): Seq[String] = {
