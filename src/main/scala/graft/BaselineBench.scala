@@ -619,6 +619,129 @@ object TailTwins {
                 col("n_nulls"), col("n_distinct"), col("num_min"), col("num_max"))
           }
         }.reduce(_ unionByName _).orderBy("table_name", "col_name")
+      }),
+
+      "s7_profile_approx" -> (() => {
+        // same naive per-column loop as the s7_profile twin, carrying
+        // BOTH the HLL estimate and the exact distinct it is checked
+        // against (the declared query's acceptance band needs the exact
+        // count) — each column pays its own scan with two distinct
+        // accumulators
+        graft.operators.Profile.TableCols.flatMap { case (table, cols) =>
+          val df = spark.read.parquet(s"$dir/$table.parquet")
+          cols.map { case (c, _) =>
+            df.agg(
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+              approx_count_distinct(col(c)).as("nd_est"),
+              countDistinct(col(c)).as("nd_exact"))
+              .select(lit(table).as("table_name"), lit(c).as("col_name"),
+                col("n_nulls"),
+                (abs(col("nd_est") - col("nd_exact")) <=
+                  greatest(lit(1L), ceil(col("nd_exact") * lit(0.15)).cast("long")))
+                  .as("nd_est_ok"))
+          }
+        }.reduce(_ unionByName _).orderBy("table_name", "col_name")
+      }),
+
+      "o7_gap_fill" -> (() => {
+        // idiomatic gap fill: one GLOBAL hour range crossed with every
+        // user — the dense-grid-per-key naive form (the engine builds a
+        // per-key lo..hi spine instead, so sparse keys don't inflate)
+        import org.apache.spark.sql.expressions.Window
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        val hours = ev.select(col("user_id"),
+          expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000").as("hour_id"),
+          col("value"))
+        val buckets = hours.groupBy("user_id", "hour_id")
+          .agg(count(lit(1)).as("n_events"), sum("value").as("hour_value"))
+        val range = buckets.agg(min("hour_id").as("lo"), max("hour_id").as("hi"))
+        val spine = buckets.select("user_id").distinct()
+          .crossJoin(broadcast(range))
+          .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("hour_id"))
+        val fill = Window.partitionBy("user_id").orderBy("hour_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(buckets, Seq("user_id", "hour_id"), "left")
+          .select(col("user_id"), col("hour_id"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            last(col("hour_value"), ignoreNulls = true).over(fill).as("carried_value"))
+          .orderBy("user_id", "hour_id")
+      }),
+
+      "m2_ann_recall" -> (() => {
+        // vanilla recall@k: both rankings as double-cosine orderBy+limit,
+        // then a plain join-count
+        def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+        val e = emb.select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("e"),
+          (0 until 6).map(i => (col("embedding").getItem(i) > 0).cast("int") * lit(1 << i))
+            .reduce(_ + _).as("bucket"))
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("e").as("qe"), col("bucket").as("qbucket"))
+        def scored(df: DataFrame) = df.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            (dot(col("e"), col("qe")) /
+              sqrt(dot(col("e"), col("e")) * dot(col("qe"), col("qe")))).as("cosine"))
+        val exact = scored(e).orderBy(col("cosine").desc, col("vec_id")).limit(10)
+        val ann = scored(e.filter(col("bucket") === q.select("qbucket").first().getInt(0)))
+          .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+        val a = ann.select("vec_id"); val x = exact.select("vec_id")
+        x.agg(count(lit(1)).as("k_exact"))
+          .crossJoin(a.agg(count(lit(1)).as("k_approx")))
+          .crossJoin(a.join(x, "vec_id").agg(count(lit(1)).as("n_common")))
+          .select(col("k_exact"), col("k_approx"), col("n_common"),
+            (col("n_common") / col("k_exact")).as("recall"))
+      }),
+
+      "m4_drift" -> (() => {
+        // idiomatic per-source KL in plain doubles — structurally the
+        // engine's plan minus the integer micro-nat snap, so the ratio
+        // prices the exactness discipline itself
+        val toks = docs.select(col("source"), explode(split(col("text"), " ")).as("token"))
+        val cg = toks.groupBy("source", "token").agg(count(lit(1)).as("c_gt"))
+        val ct = cg.groupBy("token").agg(sum("c_gt").as("c_t"))
+        val ng = cg.groupBy("source").agg(sum("c_gt").as("n_g"))
+        val n = ct.agg(sum("c_t").as("n_total"))
+        cg.join(ct, "token").join(broadcast(ng), "source").crossJoin(broadcast(n))
+          .withColumn("term", col("c_gt") / col("n_g") *
+            log((col("c_gt") * col("n_total")).cast("double") / (col("c_t") * col("n_g"))))
+          .groupBy("source")
+          .agg(max("n_g").as("n_tokens"), count(lit(1)).as("n_token_types"),
+            sum("term").as("kl"))
+          .orderBy("source")
+      }),
+
+      "l11_semantic_dedup" -> (() => {
+        // idiomatic SemDeDup: MLlib KMeans for the coarse quantizer (the
+        // off-the-shelf clustering a user reaches for), then a plain
+        // within-cell self-join scoring EVERY pair with the interpreted
+        // HOF double cosine — no salting, no screen/confirm split
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val k = graft.operators.Similarity.semCellsFor(emb.count())
+        val feat = emb.select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("e"),
+          array_to_vector(col("embedding")).as("features"))
+        val model = new KMeans().setK(k).setMaxIter(3).setSeed(0L).fit(feat)
+        val cells = model.transform(feat)
+          .select(col("vec_id"), col("e"), col("prediction").as("cell"))
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+        val pairs = cells.as("x").join(cells.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+            (dot(col("x.e"), col("y.e")) /
+              sqrt(dot(col("x.e"), col("x.e")) * dot(col("y.e"), col("y.e")))).as("cosine"))
+        val dropped = pairs.filter(col("cosine") >= graft.operators.Similarity.SemTau)
+          .select(col("b_id").as("vec_id")).distinct().withColumn("dropped", lit(true))
+        cells.join(dropped, Seq("vec_id"), "left")
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(col("dropped"), col("vec_id")).otherwise(0L)).as("dropped_id_digest"))
+          .orderBy("cell")
       }))
 
     val only = sys.env.get("SPARK_GRAFT_BASELINE_QUERIES")
