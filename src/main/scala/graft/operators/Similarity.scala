@@ -573,17 +573,31 @@ object Similarity {
     * per-cell summary + id digest pins exactly WHICH vectors the sweep
     * removes.
     */
+  /** The IVF assignment pass as a shared helper: nearest trained
+    * centroid per vector — broadcast k-row centroids, exact-DECIMAL
+    * squared-L2, partial-agg argmin tie-broken on cid (the min-struct
+    * trick). Output: (vec_id, embedding, cell). Consumed by the batch
+    * [[semanticDedup]] sweep and the streaming
+    * [[graft.streaming.Streams.runSemanticDedupStream]] admission, so
+    * the two cannot drift on cell geometry.
+    */
+  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"), dbl(col("embedding")).as("e"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        dist2(col("e"), col("ce")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("m.cid").as("cell"))
+
   def semanticDedup(emb: DataFrame, nCells: Int = IvfCells, tau: Double = SemTau,
                     chunks: Int = Dedup.DefaultChunks,
                     centroids: Option[DataFrame] = None): DataFrame = {
     val cents = centroids.getOrElse(trainedCentroids(emb, nCells))
-    val e = emb.select(col("vec_id"), dbl(col("embedding")).as("e"))
     val ef = emb.select(col("vec_id"), col("embedding"))
-    val cells = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"), dist2(col("e"), col("ce")).as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cell"))
+    val cells = assignCells(emb, cents)
+      .select(col("vec_id"), col("cell"))
       .materialize() // two consumers: pair generation and the summary
     val pairs = Dedup.saltedSelfJoin(cells, Seq("cell"), "vec_id", chunks)
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))

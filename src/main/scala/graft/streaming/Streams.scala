@@ -1010,4 +1010,75 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** T16: STREAMING SEMANTIC DEDUP — L11 as an admission stream.
+    * Vectors arrive as (vec_id, embedding) waves; each wave is assigned
+    * to cells of a TRAINED coarse quantizer
+    * ([[graft.operators.Similarity.assignCells]] — the same broadcast
+    * argmin pass as the batch sweep, trained offline like the T13/T14
+    * index), appended to a per-wave immutable store directory, and each
+    * arriving vector is DROPPED iff some smaller-id vector already in
+    * the store shares its cell with cosine ≥ τ — evaluated with the
+    * batch sweep's exact two-stage scoring (codegen'd double screen,
+    * exact-DECIMAL confirm at the τ boundary).
+    *
+    * EQUIVALENCE CONTRACT: when ids are nondecreasing across arrival
+    * waves (the MQ-offset discipline every source here provides), the
+    * accumulated kept/dropped labels equal the batch
+    * [[graft.operators.Similarity.semanticDedup]] single-pass sweep over
+    * the full corpus, wave count notwithstanding — because the store
+    * keeps EVERY arrival (dropped ones included: the batch greedy is
+    * pairwise, a dropped vector still shadows its own neighbors), and
+    * the current wave's store write lands before the comparison, so
+    * within-wave smaller-id partners participate exactly like the batch
+    * sweep's. StreamingSpec pins the per-cell summary equal to the batch
+    * answer across 3 waves and under re-runs.
+    *
+    * Scale shape: per batch, work = assignment (broadcast k-row
+    * centroids) + one store read FILTERED to the wave's touched cells
+    * (`cell IN (...)` — a bounded list, collected like T14's manifest
+    * metadata; at 100 TB the store is written cell-partitioned so the
+    * filter prunes partitions, and per-cell population is bounded by the
+    * k ∝ n cell-count discipline). Replay-idempotent: a retried wave
+    * overwrites its own b<id> directory and recomputes identical labels
+    * (at-least-once sink, the T12/T15 contract).
+    */
+  def runSemanticDedupStream(vectors: DataFrame, storeDir: String, checkpoint: String,
+                             centroids: DataFrame,
+                             tau: Double = graft.operators.Similarity.SemTau)
+                            (sink: (Long, DataFrame) => Unit = (_, _) => ()): Unit = {
+    import graft.operators.Similarity
+    val q = vectors.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        new java.io.File(storeDir).mkdirs()
+        val cells = Similarity.assignCells(batch, centroids)
+        cells.write.mode("overwrite").parquet(s"$storeDir/b$id")
+        // bounded metadata collect: the wave's distinct cell ids (≤ the
+        // quantizer's cell count)
+        val touched = spark.read.parquet(s"$storeDir/b$id")
+          .select("cell").distinct().collect().map(_.getLong(0))
+        val prior = spark.read.parquet(s"$storeDir/b*")
+          .filter(col("cell").isin(touched.toIndexedSeq: _*))
+        def dbl(c: Column) = transform(c, _.cast("double"))
+        val dropped = spark.read.parquet(s"$storeDir/b$id").as("a")
+          .join(prior.as("p"),
+            col("a.cell") === col("p.cell") && col("p.vec_id") < col("a.vec_id"))
+          .filter(graft.functions.CosineFast(col("a.embedding"), col("p.embedding"))
+            >= tau - Similarity.SemPrefilterEps)
+          .filter(Similarity.cosine(dbl(col("a.embedding")), dbl(col("p.embedding"))) >= tau)
+          .select(col("a.vec_id").as("vec_id")).distinct()
+          .withColumn("dropped", lit(true))
+        val annotated = cells.select(col("vec_id"), col("cell"))
+          .join(dropped, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("dropped"), lit(false)).as("dropped"))
+        sink(id, annotated)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
 }

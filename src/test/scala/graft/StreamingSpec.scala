@@ -1222,6 +1222,51 @@ class StreamingSpec extends SparkSuite {
     val written = spark.read.parquet(s"$out/batch_*")
     assert(written.count() == tables.eventsRaw.count())
   }
+
+  test("T16 streaming semantic dedup: 3 id-ordered waves == batch sweep, rerun-idempotent") {
+    import graft.operators.Similarity
+    val emb = tables.embeddings
+    val n = emb.count()
+    val nCells = Similarity.semCellsFor(n)
+    val cents = Similarity.trainedCentroids(emb, nCells)
+    // waves split by id range: ids nondecreasing across arrival — the
+    // equivalence contract's precondition (the MQ-offset discipline)
+    val dir = Files.createTempDirectory("graft-semdedup-waves")
+    val cut1 = n / 3; val cut2 = 2 * n / 3
+    emb.filter(col("vec_id") < cut1).coalesce(1).write.parquet(s"$dir/w1")
+    emb.filter(col("vec_id") >= cut1 && col("vec_id") < cut2)
+      .coalesce(1).write.parquet(s"$dir/w2")
+    emb.filter(col("vec_id") >= cut2).coalesce(1).write.parquet(s"$dir/w3")
+    def run(): Seq[(Long, Long, Boolean)] = {
+      val store = Files.createTempDirectory("graft-semdedup-store").toString
+      val cp = Files.createTempDirectory("graft-semdedup-cp").toString
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+      Streams.runSemanticDedupStream(
+        spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/"),
+        store, cp, cents) { (_, ann) =>
+        got.synchronized { got ++= ann.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getBoolean(2))) }; ()
+      }
+      got.toSeq
+    }
+    val streamed = run()
+    assert(streamed.length == n, "every arrival labeled exactly once")
+    // per-cell summary of the accumulated labels == the batch sweep
+    val summary = streamed.groupBy(_._2).map { case (cell, rows) =>
+      (cell, rows.size.toLong, rows.count(_._3).toLong,
+        rows.filter(_._3).map(_._1).sum)
+    }.toSet
+    val batch = Similarity.semanticDedup(emb, nCells, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(summary == batch, s"streamed summary != batch sweep")
+    // drop path actually exercised at fixture scale (τ sits below the
+    // fixture's max pairwise cosine by construction)
+    assert(streamed.exists(_._3), "no drops — the sweep was not exercised")
+    // a fresh run over the same waves (new store/checkpoint) reproduces
+    // the identical labels: per-wave overwrite + deterministic scoring
+    assert(run().toSet == streamed.toSet, "rerun diverged")
+  }
 }
 
 /** One-shot mid-partition task-failure injector (local mode: executor
