@@ -103,4 +103,22 @@ final case class Tables(spark: SparkSession, dir: String) {
       case _ => raw.withColumn("ts", expr("unix_micros(ts) * 1000L"))
     }
   }
+
+  /** The SQL STRING entry point: register every fixture table as a temp
+    * view so `spark.sql("SELECT … FROM lineitem …")` works against this
+    * corpus with zero further setup — Catalyst gives the whole SQL
+    * surface (joins, windows, CTEs, the engine's registered native
+    * functions via GraftExtensions) for free once the views exist.
+    * `events` registers in its NORMALIZED µs-timestamp form, so SQL
+    * users see the same chrono semantics as every DataFrame operator.
+    * Temp views are lazy metadata (name → plan), re-registration is
+    * idempotent, and each view's scan still gets full pushdown/pruning.
+    */
+  def registerViews(): Unit = {
+    Seq("region" -> region, "nation" -> nation, "customer" -> customer,
+      "supplier" -> supplier, "part" -> part, "orders" -> orders,
+      "lineitem" -> lineitem, "documents" -> documents,
+      "embeddings" -> embeddings, "events" -> events)
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+  }
 }

@@ -2308,7 +2308,33 @@ object Registry {
       ORDER BY cnt DESC, item""")),
   )
 
-  def all: Seq[QueryDef] = relational ++ llm ++ fns
+  /** S10: the SQL-STRING entry point, declared end-to-end. ONE portable
+    * SQL text is both the engine query (spark.sql over
+    * [[Tables.registerViews]] temp views) and the DuckDB oracle — the
+    * strongest possible pin that the registered-view surface gives a
+    * SQL user cross-engine-correct answers with zero translation. The
+    * text keeps to the shared dialect (CAST/ROUND/JOIN/GROUP BY; money
+    * snapped to integer cents BEFORE the sum, the Det discipline, so no
+    * float accumulation order enters the contract; outer CAST because
+    * DuckDB's SUM(BIGINT) is HUGEINT).
+    */
+  private val sqlEntryText = """
+      SELECT n_name,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""
+
+  val sqlEntry: Seq[QueryDef] = Seq(
+    QueryDef("s10_sql_entry", (spark, dir) => {
+      Tables(spark, dir).registerViews()
+      spark.sql(sqlEntryText)
+    }, Some(sqlEntryText)))
+
+  def all: Seq[QueryDef] = relational ++ llm ++ fns ++ sqlEntry
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(d => d.name -> d.fn).toMap

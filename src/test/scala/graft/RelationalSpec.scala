@@ -49,6 +49,19 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("s10 SQL entry: registered views serve spark.sql, native fns visible, re-registration idempotent") {
+    tables.registerViews()
+    assert(spark.sql("SELECT COUNT(*) AS c FROM lineitem").head().getLong(0)
+      == tables.lineitem.count())
+    // GraftExtensions' native functions reach SQL users through the views
+    val c = spark.sql(
+      "SELECT cosine_fast(embedding, embedding) AS c FROM embeddings WHERE vec_id = 0")
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9, s"self-cosine $c")
+    tables.registerViews() // idempotent re-registration
+    assert(spark.sql("SELECT COUNT(*) AS c FROM nation").head().getLong(0) == 25L)
+  }
+
   test("s7 profile memoization: cached result == recompute, invalidation hook works") {
     import graft.operators.Profile
     def rows(df: org.apache.spark.sql.DataFrame) =
