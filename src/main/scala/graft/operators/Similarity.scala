@@ -379,28 +379,59 @@ object Similarity {
     * NARROW (vec_id, bucket) rows traverse the multiplicative join; the
     * 64-d vectors join back per-side afterwards.
     */
-  def embedNearDupPairs(t: Tables, bits: Int, k: Int, chunks: Int = 8): DataFrame =
-    nearDupPairs(t.embeddings, bits, chunks)
+  def embedNearDupPairs(t: Tables, bits: Int, k: Int, chunks: Int = 8): DataFrame = {
+    // screen/rescore, the topKBatch discipline: rank ALL within-bucket
+    // pairs with the fused double kernel (TakeOrderedAndProject over a
+    // codegen'd pass), keep a padded top-P, and pay the exact-DECIMAL
+    // contract kernel only for those P rows. Same bounded-divergence
+    // argument as topKBatch (< 5.1e-7 per score, equal screen scores
+    // tie-break identically), so the exact top-k is preserved. NaN
+    // screen scores (zero-norm vectors — absent from any real embedding
+    // store) are dropped: NaN sorts GREATEST and would otherwise squat
+    // the padded slots while rescoring to a never-ranking NULL.
+    val pad = math.max(4 * k, k + 30)
+    val cand = bucketPairsF(t.embeddings, bits, chunks)
+      .select(col("a_id"), col("b_id"),
+        graft.functions.CosineFast(col("fa"), col("fb")).as("cf"))
+      .filter(!isnan(col("cf")))
+      .orderBy(col("cf").desc, col("a_id"), col("b_id"))
+      .limit(pad)
+      .select(col("a_id"), col("b_id"))
+    val e = t.embeddings.select(col("vec_id"), dbl(col("embedding")).as("e"))
+    cand
+      .join(e.withColumnRenamed("vec_id", "a_id").withColumnRenamed("e", "ea"), "a_id")
+      .join(e.withColumnRenamed("vec_id", "b_id").withColumnRenamed("e", "eb"), "b_id")
+      .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("cosine"))
       .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
       .limit(k)
+  }
 
-  /** All within-bucket candidate pairs with their exact cosine, over any
-    * (vec_id, embedding) frame — the shared engine behind
-    * [[embedNearDupPairs]] (top-k form) and [[dedupByEmbedding]]
-    * (threshold form).
+  /** All within-bucket candidate pairs carrying BOTH float vectors —
+    * the shared pair generator behind [[nearDupPairs]] (exact scoring),
+    * [[embedNearDupPairs]] (screen + rescore) and [[dedupByEmbedding]]
+    * (two-stage threshold). Floats, not widened doubles: half the join
+    * bytes, and the screen kernel wants them raw.
     */
-  def nearDupPairs(emb: DataFrame, bits: Int, chunks: Int = 8): DataFrame = {
+  private def bucketPairsF(emb: DataFrame, bits: Int, chunks: Int): DataFrame = {
     val narrow = emb.select(col("vec_id"),
       signBucket(col("embedding"), bits).as("bucket"))
     val pairs = Dedup.saltedSelfJoin(narrow, Seq("bucket"), "vec_id", chunks)
       .select(least(col("x.vec_id"), col("y.vec_id")).as("a_id"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("b_id"))
-    val e = emb.select(col("vec_id"), dbl(col("embedding")).as("e"))
+    val ef = emb.select(col("vec_id"), col("embedding"))
     pairs
-      .join(e.withColumnRenamed("vec_id", "a_id").withColumnRenamed("e", "ea"), "a_id")
-      .join(e.withColumnRenamed("vec_id", "b_id").withColumnRenamed("e", "eb"), "b_id")
-      .select(col("a_id"), col("b_id"), cosine(col("ea"), col("eb")).as("cosine"))
+      .join(ef.select(col("vec_id").as("a_id"), col("embedding").as("fa")), "a_id")
+      .join(ef.select(col("vec_id").as("b_id"), col("embedding").as("fb")), "b_id")
   }
+
+  /** All within-bucket candidate pairs with their exact cosine — the
+    * single-stage reference form (LlmOpsSpec pins the screened declared
+    * paths against it).
+    */
+  def nearDupPairs(emb: DataFrame, bits: Int, chunks: Int = 8): DataFrame =
+    bucketPairsF(emb, bits, chunks)
+      .select(col("a_id"), col("b_id"),
+        cosine(dbl(col("fa")), dbl(col("fb"))).as("cosine"))
 
   /** Embedding-cosine near-duplicate DEDUP: drop every vector that has a
     * lower-id partner with cosine ≥ `minCosine` in its sign-bucket —
@@ -423,8 +454,13 @@ object Similarity {
     */
   def dedupByEmbedding(emb: DataFrame, bits: Int, minCosine: Double,
                        chunks: Int = 8): DataFrame = {
-    val dropIds = nearDupPairs(emb, bits, chunks)
-      .filter(col("cosine") >= minCosine)
+    // two-stage threshold, the semanticDedup discipline: the codegen'd
+    // double screen rejects the overwhelming non-dup mass; only pairs
+    // inside SemPrefilterEps of the threshold pay the exact-DECIMAL
+    // contract kernel (And short-circuits left to right)
+    val dropIds = bucketPairsF(emb, bits, chunks)
+      .filter(graft.functions.CosineFast(col("fa"), col("fb")) >= minCosine - SemPrefilterEps)
+      .filter(cosine(dbl(col("fa")), dbl(col("fb"))) >= minCosine)
       .select(col("b_id").as("vec_id")).distinct()
     emb.join(dropIds, Seq("vec_id"), "left_anti")
   }
