@@ -67,17 +67,49 @@ object Similarity {
     t.embeddings.filter(col("vec_id") === queryId)
       .select(dbl(col("embedding")).as("q_emb"))
 
-  /** Top-k rows by cosine similarity to the query vector. Broadcast
-    * nested-loop against a 1-row side, then TakeOrderedAndProject — the
-    * plan never materializes a global sort.
+  /** Single-query screen/rescore core shared by [[bruteForceTopK]],
+    * [[annTopK]] and [[annMultiProbeTopK]]: rank `corpus` (vec_id,
+    * label, embedding[, carry…]) against the 1-row query frame `q`
+    * (q_f float array + q_emb double array) with the fused codegen'd
+    * double kernel (TakeOrderedAndProject, no shuffle), keep a padded
+    * top-P, and pay the exact-DECIMAL contract [[cosine]] only for
+    * those P rows. Same bounded-divergence + identical-tie-break
+    * argument as [[topKBatch]], so the exact top-k is preserved by
+    * construction; NaN screen scores (zero-norm vectors) are dropped —
+    * their exact cosine is a never-ranking NULL.
     */
-  def bruteForceTopK(t: Tables, queryId: Long, k: Int): DataFrame =
-    t.embeddings
-      .crossJoin(broadcast(queryVec(t, queryId)))
-      .select(col("vec_id"), col("label"),
-        cosine(dbl(col("embedding")), col("q_emb")).as("cosine"))
+  private def screenRescoreTopK(corpus: DataFrame, q: DataFrame, k: Int,
+                                carry: Seq[String] = Nil): DataFrame = {
+    val pad = math.max(4 * k, k + 30)
+    val cand = corpus.crossJoin(broadcast(q.select(col("q_f"))))
+      .select(col("vec_id"),
+        graft.functions.CosineFast(col("embedding"), col("q_f")).as("cf"))
+      .filter(!isnan(col("cf")))
+      .orderBy(col("cf").desc, col("vec_id"))
+      .limit(pad)
+      .select(col("vec_id"))
+    corpus.join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(q.select(col("q_emb"))))
+      .select(Seq(col("vec_id"), col("label")) ++ carry.map(col) :+
+        cosine(dbl(col("embedding")), col("q_emb")).as("cosine"): _*)
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** The 1-row query frame for [[screenRescoreTopK]]: raw floats for
+    * the screen kernel, widened doubles for the exact rescore.
+    */
+  private def queryBoth(t: Tables, queryId: Long): DataFrame =
+    t.embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_f"), dbl(col("embedding")).as("q_emb"))
+
+  /** Top-k rows by cosine similarity to the query vector. Both stages
+    * ride broadcast nested-loop + TakeOrderedAndProject — the plan never
+    * materializes a global sort, and the exact-DECIMAL kernel prices
+    * only the padded candidate set ([[screenRescoreTopK]]).
+    */
+  def bruteForceTopK(t: Tables, queryId: Long, k: Int): DataFrame =
+    screenRescoreTopK(t.embeddings, queryBoth(t, queryId), k)
 
   /** Sign-bit bucket id over the first `bits` dimensions: bit i set iff
     * embedding[i] > 0. SQL-expressible (oracle-checked) and computable at
@@ -89,20 +121,18 @@ object Similarity {
       .reduce(_ + _)
 
   /** ANN: search only the query's sign-bucket, then exact cosine top-k
-    * within it. Recall vs [[bruteForceTopK]] is asserted in scalatest.
+    * within it ([[screenRescoreTopK]] over the bucket-restricted
+    * corpus). Recall vs [[bruteForceTopK]] is asserted in scalatest.
     */
   def annTopK(t: Tables, queryId: Long, k: Int, bits: Int): DataFrame = {
     val bucketed = t.embeddings
       .withColumn("bucket", signBucket(col("embedding"), bits))
-    val q = t.embeddings.filter(col("vec_id") === queryId)
-      .select(dbl(col("embedding")).as("q_emb"),
-        signBucket(col("embedding"), bits).as("q_bucket"))
-    bucketed
-      .join(broadcast(q), col("bucket") === col("q_bucket"))
-      .select(col("vec_id"), col("label"), col("bucket"),
-        cosine(dbl(col("embedding")), col("q_emb")).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-      .limit(k)
+    val qb = t.embeddings.filter(col("vec_id") === queryId)
+      .select(signBucket(col("embedding"), bits).as("q_bucket"))
+    val corpus = bucketed
+      .join(broadcast(qb), col("bucket") === col("q_bucket"))
+      .drop("q_bucket")
+    screenRescoreTopK(corpus, queryBoth(t, queryId), k, carry = Seq("bucket"))
   }
 
   /** L3c: MULTI-PROBE sign-bit LSH — search the query's bucket plus every
@@ -118,19 +148,16 @@ object Similarity {
   def annMultiProbeTopK(t: Tables, queryId: Long, k: Int, bits: Int): DataFrame = {
     val bucketed = t.embeddings
       .withColumn("bucket", signBucket(col("embedding"), bits))
-    val q = t.embeddings.filter(col("vec_id") === queryId)
-      .select(dbl(col("embedding")).as("q_emb"),
-        signBucket(col("embedding"), bits).as("q_bucket"))
+    val qb = t.embeddings.filter(col("vec_id") === queryId)
+      .select(signBucket(col("embedding"), bits).as("q_bucket"))
     // q_bucket XOR each of the `bits` single-bit masks, plus q_bucket itself
-    val probes = q.select(col("q_emb"), col("q_bucket"), explode(array(
+    val probes = qb.select(col("q_bucket"), explode(array(
       lit(0) +: (0 until bits).map(i => lit(1 << i)): _*)).as("flip"))
-      .select(col("q_emb"), col("q_bucket").bitwiseXOR(col("flip")).as("probe"))
-    bucketed
+      .select(col("q_bucket").bitwiseXOR(col("flip")).as("probe"))
+    val corpus = bucketed
       .join(broadcast(probes), col("bucket") === col("probe"))
-      .select(col("vec_id"), col("label"), col("bucket"),
-        cosine(dbl(col("embedding")), col("q_emb")).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-      .limit(k)
+      .drop("probe")
+    screenRescoreTopK(corpus, queryBoth(t, queryId), k, carry = Seq("bucket"))
   }
 
   /** Production-fast top-k via the native codegen'd [[graft.functions.CosineSimilarity]]
