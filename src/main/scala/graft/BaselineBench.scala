@@ -712,6 +712,37 @@ object TailTwins {
           .orderBy("source")
       }),
 
+      "l9_fuzzy_decontam" -> (() => {
+        // idiomatic fuzzy decontamination: MLlib MinHashLSH bipartite
+        // approxSimilarityJoin at Jaccard distance ≤ 0.2 (= similarity
+        // ≥ 0.8, the engine's threshold) — the off-the-shelf reach; the
+        // engine broadcasts banded benchmark signatures with a
+        // size-ratio prune and a sorted-merge exact verify instead
+        val d = docs.select(col("doc_id"), col("source"), col("text"),
+          splitCol.as("split"))
+        val tok = d.select(col("doc_id"), col("source"), col("split"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+          .filter(size(col("toks")) > 0)
+        val cv = new CountVectorizer().setInputCol("toks").setOutputCol("features")
+          .setBinary(true).fit(tok)
+        val feat = cv.transform(tok).persist()
+        val train = feat.filter(col("split") === "train")
+        val test = feat.filter(col("split") === "test")
+        val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+          .setNumHashTables(16).fit(feat)
+        val contaminated = mh.approxSimilarityJoin(train, test, 0.2, "dist")
+          .select(col("datasetA.doc_id").as("doc_id")).distinct()
+          .withColumn("contaminated", lit(true))
+        train.select("doc_id", "source")
+          .join(contaminated, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_train"),
+            sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+            sum(when(col("contaminated"), col("doc_id")).otherwise(0L))
+              .as("contaminated_id_digest"))
+          .orderBy("source")
+      }),
+
       "l11_semantic_dedup" -> (() => {
         // idiomatic SemDeDup: MLlib KMeans for the coarse quantizer (the
         // off-the-shelf clustering a user reaches for), then a plain
