@@ -114,7 +114,8 @@ object Eval {
     * no corpus-sized exchange (score_micro ≪ 2⁵³, exact as the
     * aggregator's double rank key).
     */
-  def mrrAtK(docs: DataFrame, queries: Seq[String], k: Int): DataFrame = {
+  def mrrAtK(docs: DataFrame, queries: Seq[String], k: Int,
+             bm25: Option[DataFrame] = None): DataFrame = {
     require(queries.nonEmpty && k >= 1, "need queries and k >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -122,7 +123,7 @@ object Eval {
       val ts = q.split("\\s+").filter(_.nonEmpty).distinct
       ts.map(t => (q, t, ts.length))
     }.toDF("query", "token", "n_q")
-    val scored = TextOps.bm25Frame(docs)
+    val scored = bm25.getOrElse(TextOps.bm25Frame(docs))
       .join(broadcast(qdf), "token")
       .groupBy(col("query"), col("doc_id"), col("n_q"))
       .agg(sum(round(col("bm25") * lit(1e6)).cast("long")).as("score_micro"),
@@ -153,7 +154,8 @@ object Eval {
     * index before serving it.
     */
   def m3Mrr(spark: SparkSession, dir: String): DataFrame =
-    mrrAtK(Tables(spark, dir).documents, MrrQueries, MrrK)
+    mrrAtK(Tables(spark, dir).documents, MrrQueries, MrrK,
+      bm25 = Some(TextOps.defaultBm25(spark, dir)))
       .orderBy(col("query"))
 
   /** Rank cutoff for the declared nDCG query. */
@@ -210,7 +212,8 @@ object Eval {
       Math.round(1e6 * (Math.pow(2.0, rel) - 1.0) /
         (Math.log(pos + 1.0) / Math.log(2.0))))
 
-  def ndcgAtK(docs: DataFrame, queries: Seq[String], k: Int): DataFrame = {
+  def ndcgAtK(docs: DataFrame, queries: Seq[String], k: Int,
+              bm25: Option[DataFrame] = None): DataFrame = {
     require(queries.nonEmpty && k >= 1, "need queries and k >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -219,7 +222,7 @@ object Eval {
     }.toDF("query", "token")
     // materialized once: feeds both the top-k prefix and the IDCG
     // grade-count branch (the driftAgainst contract)
-    val scored = TextOps.bm25Frame(docs)
+    val scored = bm25.getOrElse(TextOps.bm25Frame(docs))
       .join(broadcast(qdf), "token")
       .groupBy(col("query"), col("doc_id"))
       .agg(sum(round(col("bm25") * lit(1e6)).cast("long")).as("score_micro"),
@@ -261,7 +264,8 @@ object Eval {
 
   /** M5 declared query: nDCG@[[NdcgK]] over [[MrrQueries]]. */
   def m5Ndcg(spark: SparkSession, dir: String): DataFrame =
-    ndcgAtK(Tables(spark, dir).documents, MrrQueries, NdcgK)
+    ndcgAtK(Tables(spark, dir).documents, MrrQueries, NdcgK,
+      bm25 = Some(TextOps.defaultBm25(spark, dir)))
 
   /** M4: per-group token-distribution drift — exact KL divergence
     * KL(p_group ‖ p_corpus) in micro-nats, the monitoring metric that

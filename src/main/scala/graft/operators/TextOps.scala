@@ -261,7 +261,32 @@ object TextOps {
     * boundaries to land on).
     */
   def l4Bm25(spark: SparkSession, dir: String): DataFrame =
-    bm25Frame(Tables(spark, dir).documents).orderBy(col("doc_id"), col("token"))
+    defaultBm25(spark, dir).orderBy(col("doc_id"), col("token"))
+
+  /** The corpus BM25 table memoized per (session, corpus dir) — the
+    * [[defaultBpeTrain]] discipline: an index a real deployment builds
+    * once and serves many retrieval/eval queries from, consumed here by
+    * `l4_bm25`, `m3_mrr` and `m5_ndcg` (a Verify/Bench session would
+    * otherwise re-pay the corpus tf/df pass once per query). Cached
+    * ROWS equal the un-memoized call's exactly (RelationalSpec pins a
+    * recompute); the one-time build cost surfaces in the bench
+    * artifact's `shared_build.bm25` instead of vanishing into warm-up.
+    * Same immutable-corpus-dir assumption as every session cache;
+    * [[invalidateSessionCache]] clears it.
+    */
+  private val bm25Cache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private[graft] def defaultBm25(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): DataFrame =
+    bm25Cache.getOrElseUpdate((spark, dir), {
+      import graft.Ckpt._
+      bm25Frame(Tables(spark, dir).documents).materialize()
+    })
+
+  def invalidateSessionCache(): Unit = {
+    bm25Cache.clear()
+    bpeTrainCache.clear()
+  }
 
   /** Per-(doc, token) BM25 frame over any documents frame with a
     * pluggable tokenizer (declared queries keep [[spaceTokenizer]]).

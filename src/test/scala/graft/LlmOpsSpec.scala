@@ -724,6 +724,16 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("L4 bm25 memoization: cached frame == independent recompute, invalidation hook works") {
+    import graft.operators.TextOps
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    val fresh = rows(TextOps.bm25Frame(tables.documents))
+    assert(rows(TextOps.defaultBm25(spark, sf)) == fresh, "cached != recompute")
+    TextOps.invalidateSessionCache()
+    assert(rows(TextOps.defaultBm25(spark, sf)) == fresh, "post-invalidation != recompute")
+  }
+
   test("L3 centroid memoization: cached frame == independent recompute, instance-stable") {
     val cached = Similarity.defaultCentroids(TestSpark.spark, sf)
     // memoized: the second lookup must hand back the SAME frame, not a
