@@ -550,6 +550,7 @@ object Similarity {
   def invalidateSessionCaches(): Unit = {
     CentroidCache.clear()
     CorpusCountCache.clear()
+    PqBooksCache.clear()
   }
 
   /** Semantic-dedup cosine threshold for the declared query. Real
@@ -726,14 +727,30 @@ object Similarity {
     * PQ storage layout; all distances stay exact DECIMAL so the oracle
     * replays the ranking bit-for-bit.
     */
+  /** PQ codebooks memoized per (session, corpus dir) — the
+    * [[defaultCentroids]] discipline: a quantizer is trained once
+    * offline and amortized over every probe; a Verify/Bench session
+    * re-training the joint Lloyd chain per `l3_pq_topk` execution would
+    * charge the build once per query. Cached frame == what the
+    * un-memoized call computes (the final Lloyd round is already
+    * materialized); [[invalidateSessionCaches]] clears it.
+    */
+  private val PqBooksCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int, Int), DataFrame]
+
+  private[graft] def defaultPqBooks(t: Tables): DataFrame =
+    PqBooksCache.getOrElseUpdate((t.spark, t.dir, PqM, PqK),
+      trainedCentroidsSub(subspaced(t.embeddings), PqK))
+
   def pqTopK(t: Tables, queryId: Long, k: Int): DataFrame = {
     val emb = t.embeddings
     val subbed = subspaced(emb)
     val query = queryVec(t, queryId)
     // ONE joint training job for all m codebooks (see
     // [[trainedCentroidsSub]]) — bit-identical codebooks to sequential
-    // per-subspace training at 1/m the Spark jobs and materializations
-    val books = trainedCentroidsSub(subbed, PqK)
+    // per-subspace training at 1/m the Spark jobs and materializations —
+    // memoized per session like every quantizer here
+    val books = defaultPqBooks(t)
     val adc = books.crossJoin(broadcast(query))
       .select(col("sub"), col("cid"),
         dist2(col("ce"),
