@@ -14,7 +14,9 @@ object Explain {
     "g1_pagerank", "g2_triangles", "j10_fuzzy_join", "s9_constraints",
     "b4_attribution", "l0_pipeline", "l1_dupspans", "l4_gopher",
     "l4_ccnet_buckets", "l8_stratified", "l8_temperature_mix", "l8_shards",
-    "j12_interval_join", "m3_mrr", "m4_drift", "l4_keywords")
+    "j12_interval_join", "m3_mrr", "m4_drift", "l4_keywords",
+    "l11_semantic_dedup", "l3_batch_topk", "l6_embed_neardup",
+    "l9_fuzzy_decontam", "m5_ndcg", "s10_sql_entry")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

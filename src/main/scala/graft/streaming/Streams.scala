@@ -1045,7 +1045,8 @@ object Streams {
     */
   def runSemanticDedupStream(vectors: DataFrame, storeDir: String, checkpoint: String,
                              centroids: DataFrame,
-                             tau: Double = graft.operators.Similarity.SemTau)
+                             tau: Double = graft.operators.Similarity.SemTau,
+                             onAfterStore: Long => Unit = _ => ())
                             (sink: (Long, DataFrame) => Unit = (_, _) => ()): Unit = {
     import graft.operators.Similarity
     val q = vectors.writeStream
@@ -1054,6 +1055,12 @@ object Streams {
         new java.io.File(storeDir).mkdirs()
         val cells = Similarity.assignCells(batch, centroids)
         cells.write.mode("overwrite").parquet(s"$storeDir/b$id")
+        // crash-injection seam (StreamingSpec torn-write soak): a death
+        // here — wave store written, labels not sunk, checkpoint not
+        // holding the batch — is the protocol's critical window; replay
+        // overwrites the same b<id> with identical content and labels
+        // the wave once, so the accumulated label set is unchanged
+        onAfterStore(id)
         // bounded metadata collect: the wave's distinct cell ids (≤ the
         // quantizer's cell count)
         val touched = spark.read.parquet(s"$storeDir/b$id")

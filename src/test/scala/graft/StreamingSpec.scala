@@ -1267,6 +1267,46 @@ class StreamingSpec extends SparkSuite {
     // the identical labels: per-wave overwrite + deterministic scoring
     assert(run().toSet == streamed.toSet, "rerun diverged")
   }
+
+  test("T16 torn-write soak: crash after store write, before sink — replay idempotent") {
+    import graft.operators.Similarity
+    val emb = tables.embeddings
+    val n = emb.count()
+    val cents = Similarity.trainedCentroids(emb, Similarity.semCellsFor(n))
+    val dir = Files.createTempDirectory("graft-semdedup-soak")
+    emb.filter(col("vec_id") < n / 2).coalesce(1).write.parquet(s"$dir/w1")
+    emb.filter(col("vec_id") >= n / 2).coalesce(1).write.parquet(s"$dir/w2")
+    val store = Files.createTempDirectory("graft-semdedup-soak-store").toString
+    val cp = Files.createTempDirectory("graft-semdedup-soak-cp").toString
+    def stream() = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    def sink(ann: DataFrame): Unit =
+      got.synchronized { got ++= ann.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getBoolean(2))) }
+    // first run dies in the critical window of batch 1: wave store
+    // written, labels NOT sunk, checkpoint not holding the batch
+    val boom = intercept[Exception] {
+      Streams.runSemanticDedupStream(stream(), store, cp, cents,
+        onAfterStore = id => if (id == 1) throw new RuntimeException("injected crash")) {
+        (_, ann) => sink(ann) }
+    }
+    assert(boom.getMessage != null)
+    // replay with the same checkpoint + store: batch 1 re-runs (same
+    // overwrite, same labels), batch 0 is not re-delivered
+    Streams.runSemanticDedupStream(stream(), store, cp, cents) {
+      (_, ann) => sink(ann) }
+    val labels = got.toSeq.distinct
+    assert(labels.length == n, s"every arrival labeled exactly once: ${labels.length} != $n")
+    val summary = labels.groupBy(_._2).map { case (cell, rows) =>
+      (cell, rows.size.toLong, rows.count(_._3).toLong,
+        rows.filter(_._3).map(_._1).sum)
+    }.toSet
+    val batch = Similarity.semanticDedup(emb, Similarity.semCellsFor(n),
+        centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(summary == batch, "post-crash accumulated labels != batch sweep")
+  }
 }
 
 /** One-shot mid-partition task-failure injector (local mode: executor
