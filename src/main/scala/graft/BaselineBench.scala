@@ -134,6 +134,20 @@ object TailTwins {
 
   private def runAll(spark: SparkSession, dir: String,
                      keep: String => Boolean): Seq[(String, Double)] = {
+    measure(twinDefs(spark, dir), keep, dir)
+  }
+
+  /** One twin's frame, lazily — lets specs pin a twin's ANSWER against
+    * the engine operator's (a twin that silently computed a different
+    * task would make every ratio in TWINS.json meaningless).
+    */
+  private[graft] def twinFrame(spark: SparkSession, dir: String,
+                               name: String): DataFrame =
+    twinDefs(spark, dir).collectFirst { case (`name`, f) => f() }
+      .getOrElse(throw new NoSuchElementException(s"no twin named $name"))
+
+  private def twinDefs(spark: SparkSession,
+                       dir: String): Seq[(String, () => DataFrame)] = {
     def docs = spark.read.parquet(s"$dir/documents.parquet")
     def li = spark.read.parquet(s"$dir/lineitem.parquet")
     def ord = spark.read.parquet(s"$dir/orders.parquet")
@@ -157,6 +171,58 @@ object TailTwins {
               element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
           .otherwise(array().cast("array<string>")).as("toks"))
       .filter(size(col("toks")) > 0)
+
+    // the dup-span form an experienced user writes first: window-count
+    // the spans, then EXPLODE every duplicated span into its covered
+    // positions and count them distinct — correct, but the explode
+    // multiplies the shuffle by the span length (the engine's lag-window
+    // interval merge keeps one row per span start). Shared by the
+    // l1_dupspans twin and the composed l0_pipeline twin.
+    def dupCoverageNaive(ds: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val d = ds.withColumn("t", split(col("text"), " "))
+      val spans = d.select(col("doc_id"),
+        posexplode(when(size(col("t")) >= 8,
+          transform(sequence(lit(1), size(col("t")) - 7),
+            i => concat_ws(" ", (0 until 8).map(o => element_at(col("t"), i + o)): _*)))
+          .otherwise(array().cast("array<string>"))))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("span"))
+      val dup = spans.withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("span")))).filter(col("cnt") > 1)
+      val cov = dup.select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + 7)).as("q"))
+        .groupBy("doc_id").agg(countDistinct(col("q")).as("covered"))
+      d.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("covered"), lit(0L)).as("covered_tokens"))
+    }
+
+    // idiomatic single-node CCNet: the same NLL scoring, then ONE global
+    // Window.orderBy rank — fine on local[32], the 1-task funnel the
+    // engine's distributedRank exists to avoid. Shared by the
+    // l4_ccnet_buckets twin and the composed l0_pipeline twin.
+    def ccnetNaive(ds: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val toks = ds.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val cnt = tf.groupBy("token").agg(sum("tf").as("cnt"))
+      val total = cnt.agg(sum("cnt").as("t_total"))
+      val scored = tf.join(cnt.crossJoin(broadcast(total))
+          .select(col("token"), round(log(col("t_total").cast("double") / col("cnt")) * lit(1e6))
+            .cast("long").as("nllm")), "token")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_tokens"), sum(col("tf") * col("nllm")).as("s"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(2L * s + n_tokens) DIV (2L * n_tokens)").as("nll_micro"))
+      scored.crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("nll_micro"), col("doc_id"))))
+        .select(col("doc_id"), col("n_tokens"), col("nll_micro"), col("rank"),
+          when(expr("(rank - 1) * 10 DIV n") < 3, lit("head"))
+            .when(expr("(rank - 1) * 10 DIV n") < 6, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+    }
 
     // MLlib MinHash LSH near-dup join at Jaccard >= 0.8 (distance <= 0.2)
     def lshPairs(tok: DataFrame): DataFrame = {
@@ -303,56 +369,9 @@ object TailTwins {
             expr("3 * n_triangles * 1000 / nullif(n_wedges, 0)").as("cc_permille"))
       }),
 
-      "l1_dupspans" -> (() => {
-        // the form an experienced user writes first: window-count the
-        // spans, then EXPLODE every duplicated span into its covered
-        // positions and count them distinct — correct, but the explode
-        // multiplies the shuffle by the span length (the engine's
-        // lag-window interval merge keeps one row per span start)
-        import org.apache.spark.sql.expressions.Window
-        val d = docs.withColumn("t", split(col("text"), " "))
-        val spans = d.select(col("doc_id"),
-          posexplode(when(size(col("t")) >= 8,
-            transform(sequence(lit(1), size(col("t")) - 7),
-              i => concat_ws(" ", (0 until 8).map(o => element_at(col("t"), i + o)): _*)))
-            .otherwise(array().cast("array<string>"))))
-          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("span"))
-        val dup = spans.withColumn("cnt",
-          count(lit(1)).over(Window.partitionBy(col("span")))).filter(col("cnt") > 1)
-        val cov = dup.select(col("doc_id"),
-            explode(sequence(col("p"), col("p") + 7)).as("q"))
-          .groupBy("doc_id").agg(countDistinct(col("q")).as("covered"))
-        d.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
-          .join(cov, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            coalesce(col("covered"), lit(0L)).as("covered_tokens"))
-          .orderBy("doc_id")
-      }),
+      "l1_dupspans" -> (() => dupCoverageNaive(docs).orderBy("doc_id")),
 
-      "l4_ccnet_buckets" -> (() => {
-        // idiomatic single-node form: the same NLL scoring, then ONE
-        // global Window.orderBy rank — fine on local[32], the 1-task
-        // funnel the engine's distributedRank exists to avoid
-        import org.apache.spark.sql.expressions.Window
-        val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val cnt = tf.groupBy("token").agg(sum("tf").as("cnt"))
-        val total = cnt.agg(sum("cnt").as("t_total"))
-        val scored = tf.join(cnt.crossJoin(broadcast(total))
-            .select(col("token"), round(log(col("t_total").cast("double") / col("cnt")) * lit(1e6))
-              .cast("long").as("nllm")), "token")
-          .groupBy("doc_id")
-          .agg(sum("tf").as("n_tokens"), sum(col("tf") * col("nllm")).as("s"))
-          .select(col("doc_id"), col("n_tokens"),
-            expr("(2L * s + n_tokens) DIV (2L * n_tokens)").as("nll_micro"))
-        scored.crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
-          .withColumn("rank", row_number().over(
-            Window.orderBy(col("nll_micro"), col("doc_id"))))
-          .select(col("doc_id"), col("n_tokens"), col("nll_micro"), col("rank"),
-            when(expr("(rank - 1) * 10 DIV n") < 3, lit("head"))
-              .when(expr("(rank - 1) * 10 DIV n") < 6, lit("middle"))
-              .otherwise(lit("tail")).as("bucket"))
-      }),
+      "l4_ccnet_buckets" -> (() => ccnetNaive(docs)),
 
       "m3_mrr" -> (() => {
         // idiomatic form: BM25 via explode/groupBy, then a PER-QUERY
@@ -743,6 +762,58 @@ object TailTwins {
           .orderBy("source")
       }),
 
+      "l0_pipeline" -> (() => {
+        // idiomatic composition of the four curation stages, each in its
+        // naive form: exploded dup-span coverage, per-row Gopher rules,
+        // the GLOBAL-window CCNet rank, and a GLOBAL-window cumulative-sum
+        // pack — plus NO materialization between stages, so the whole
+        // filter+LM chain re-executes under the bucket join-back (the
+        // fusions and distributed ranks the engine's l0 exists for).
+        // Thresholds are the engine's published constants; the logic is
+        // written the way a user would first write it.
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.{Curation, Dedup, TextOps}
+        val spanKeep = dupCoverageNaive(docs)
+          .filter(expr(s"covered_tokens * 1000 DIV n_tokens") <=
+            Dedup.DupSpanMaxCoveragePermille)
+          .select("doc_id")
+        val ts = split(col("text"), " ")
+        val grams = zip_with(
+          slice(ts, lit(1), greatest(size(ts) - lit(1), lit(0))),
+          slice(ts, lit(2), greatest(size(ts) - lit(1), lit(0))),
+          (a, b) => concat_ws(" ", a, b))
+        val gopherKeep = docs
+          .select(col("doc_id"),
+            size(ts).as("n_tokens"),
+            aggregate(transform(ts, length(_)), lit(0L), _ + _).as("sum_tok_len"),
+            size(filter(ts, t => t.rlike("[A-Za-z]"))).as("n_alpha"),
+            size(filter(typedLit(TextOps.GopherRequiredStops),
+              s => array_contains(ts, s))).as("stop_hits"),
+            regexp_count(col("text"), lit("#|\\.\\.\\.")).as("n_symbols"),
+            (size(grams) - size(array_distinct(grams))).as("n_dup_bigrams"),
+            greatest(size(grams), lit(1)).as("n_bigrams"))
+          .filter(
+            col("n_tokens").between(TextOps.GopherMinWords, TextOps.GopherMaxWords) &&
+            expr("sum_tok_len * 1000 DIV n_tokens")
+              .between(TextOps.GopherMinMeanLenPermille, TextOps.GopherMaxMeanLenPermille) &&
+            expr("n_alpha * 1000 DIV n_tokens") >= TextOps.GopherMinAlphaPermille &&
+            col("stop_hits") >= TextOps.GopherMinStopHits &&
+            expr("n_symbols * 1000 DIV n_tokens") <= TextOps.GopherMaxSymbolPermille &&
+            expr("n_dup_bigrams * 1000 DIV n_bigrams") <= TextOps.GopherMaxDupBigramPermille)
+          .select("doc_id")
+        val survivors = docs.join(gopherKeep, "doc_id").join(spanKeep, "doc_id")
+        val bucketed = ccnetNaive(survivors).filter(col("bucket") =!= "tail")
+        val packed = bucketed
+          .withColumn("tokens_before",
+            coalesce(sum(col("n_tokens")).over(Window.orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("doc_id"), col("n_tokens"),
+            expr(s"tokens_before DIV ${Curation.PackBudget}L").as("bin"))
+        packed.join(bucketed.select(col("doc_id"), col("bucket")), "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("bucket"), col("bin"))
+          .orderBy("doc_id")
+      }),
+
       "l11_semantic_dedup" -> (() => {
         // idiomatic SemDeDup: MLlib KMeans for the coarse quantizer (the
         // off-the-shelf clustering a user reaches for), then a plain
@@ -774,7 +845,11 @@ object TailTwins {
             sum(when(col("dropped"), col("vec_id")).otherwise(0L)).as("dropped_id_digest"))
           .orderBy("cell")
       }))
+    twins
+  }
 
+  private def measure(twins: Seq[(String, () => DataFrame)],
+                      keep: String => Boolean, dir: String): Seq[(String, Double)] = {
     val only = sys.env.get("SPARK_GRAFT_BASELINE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
     val picked = twins.filter { case (n, _) => only.forall(_.contains(n)) && keep(n) }

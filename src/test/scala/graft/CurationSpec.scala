@@ -419,6 +419,16 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("l0 vanilla twin computes the engine's answer (twin-honesty pin)") {
+    // the TWINS.json ratio for l0_pipeline is only meaningful if the
+    // naive composition answers the same question — both sides share the
+    // published thresholds and integer snaps, so the pin is exact
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toList
+    assert(rows(graft.TailTwins.twinFrame(spark, sf, "l0_pipeline")) ==
+      rows(Curation.l0Pipeline(spark, sf)))
+  }
+
   test("L8g chunking with stride == size reconstructs the document exactly") {
     val docs = tables.documents.limit(20)
     val rebuilt = Curation.chunkTokens(docs, chunkSize = 64, stride = 64)
