@@ -617,30 +617,42 @@ object Curation {
   def stratumRank(rows: DataFrame, strata: Seq[String], keyCol: String,
                   salt: String, partitions: Int = 32): DataFrame = {
     val sc = strata.map(col)
-    val parts = rows
+    // The decomposition key is a PREFIX of the salted order hash itself:
+    // every row whose hash starts with bucket b precedes every row in
+    // bucket b' > b under the (hash, key) order, so global stratum rank
+    // = (count of earlier buckets) + (rank within bucket) — and because
+    // the bucket is a deterministic function of the row (not a sampled
+    // physical partition id), the offsets branch and the rank branch
+    // agree with NO materialization barrier. The earlier form
+    // repartitionByRange'd on the hash and keyed on spark_partition_id,
+    // which cost a sampling job + a checkpoint write/read per call —
+    // ~0.5 s of fixed overhead at any input size (the round-10
+    // symmetric-twin measurement surfaced it). Funnel bound: a window
+    // group is stratum/16^chars rows; `partitions` sizes the fan-out
+    // (32 → 256 buckets; raise for a mega-stratum at 100 TB).
+    val chars = math.max(1, math.ceil(math.log(math.max(partitions, 2)) / math.log(16)).toInt)
+    val withH = rows
       .select(col(keyCol) +: sc :+
         hexBucket(salt + "|", col(keyCol), 32).as("__h"): _*)
-      .repartitionByRange(partitions, sc :+ col("__h") :+ col(keyCol): _*)
-      .withColumn("__pid", spark_partition_id())
-      .materialize() // same contract as packBins: offsets branch and
-                         // main branch must see ONE materialized partitioning
-    // per-stratum offsets of earlier partitions (tiny: #partitions × #strata)
-    val offsets = parts.groupBy(col("__pid") +: sc: _*)
-      .agg(count(lit(1)).as("__pn"))
-      .withColumn("__poff",
-        coalesce(sum(col("__pn")).over(
-          Window.partitionBy(sc: _*).orderBy(col("__pid"))
+      .withColumn("__b", substring(col("__h"), 1, chars))
+    // per-(stratum, bucket) counts → offsets of earlier buckets (tiny:
+    // #strata × 16^chars rows) and stratum sizes, from ONE aggregate
+    val offsets = withH.groupBy(sc :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__boff",
+        coalesce(sum(col("__bn")).over(
+          Window.partitionBy(sc: _*).orderBy(col("__b"))
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("__pid") +: sc :+ col("__poff"): _*)
-    val sizes = parts.groupBy(sc: _*).agg(count(lit(1)).as("stratum_size"))
-    parts
-      .join(broadcast(offsets), "__pid" +: strata)
+    val sizes = offsets.groupBy(sc: _*).agg(sum(col("__bn")).as("stratum_size"))
+    withH
       .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("__pid") +: sc: _*).orderBy(col("__h"), col(keyCol))))
+        Window.partitionBy(sc :+ col("__b"): _*).orderBy(col("__h"), col(keyCol))))
+      .join(broadcast(offsets.select(col("__b") +: sc :+ col("__boff"): _*)),
+        "__b" +: strata)
       .join(broadcast(sizes), strata)
       .select(col(keyCol) +: sc :+ col("stratum_size") :+
-        (col("__poff") + col("__rk")).as("rn"): _*)
+        (col("__boff") + col("__rk")).as("rn"): _*)
   }
 
   /** Rate and salt for the declared stratified-sample query. */
