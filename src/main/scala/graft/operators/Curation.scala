@@ -636,7 +636,11 @@ object Curation {
         hexBucket(salt + "|", col(keyCol), 32).as("__h"): _*)
       .withColumn("__b", substring(col("__h"), 1, chars))
     // per-(stratum, bucket) counts → offsets of earlier buckets (tiny:
-    // #strata × 16^chars rows) and stratum sizes, from ONE aggregate
+    // #strata × 16^chars rows) and stratum sizes, from ONE aggregate —
+    // materialized, so its TWO consumers (the offsets broadcast and the
+    // sizes broadcast) execute the upstream chain once, not twice; when
+    // the caller stacks this on an expensive filter/score chain (the L0
+    // pipeline) each avoided execution is a full corpus pass
     val offsets = withH.groupBy(sc :+ col("__b"): _*)
       .agg(count(lit(1)).as("__bn"))
       .withColumn("__boff",
@@ -644,6 +648,7 @@ object Curation {
           Window.partitionBy(sc: _*).orderBy(col("__b"))
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
+      .materialize()
     val sizes = offsets.groupBy(sc: _*).agg(sum(col("__bn")).as("stratum_size"))
     withH
       .withColumn("__rk", row_number().over(
@@ -698,9 +703,16 @@ object Curation {
                      partitions: Int = 32): DataFrame = {
     require(keepPermille >= 0 && keepPermille <= 1000, s"bad keep: $keepPermille")
     val ranked = stratumRank(rows, Seq(stratum), keyCol, salt, partitions)
-    val sizes = ranked.groupBy(col(stratum))
-      .agg(max(col("stratum_size")).as("n"))
+    // sizes come from the BASE rows (one narrow scan-and-count), not from
+    // `ranked`: the hash-prefix stratumRank is checkpoint-free, so every
+    // consumer of `ranked` re-executes its window + offsets plan — the
+    // quota table must not pay that three more times (sizes, totals,
+    // alloc). The strata-sized result is materialized once (tiny: one row
+    // per stratum) so `totals` and `alloc` ride the same computed frame.
+    val sizes = rows.groupBy(col(stratum))
+      .agg(count(lit(1)).as("n"))
       .withColumn("s_micro", round(sqrt(col("n")) * lit(1e6)).cast("long"))
+      .materialize()
     val totals = sizes.agg(sum(col("n")).as("__N"), sum(col("s_micro")).as("__T"))
     val alloc = sizes.crossJoin(broadcast(totals))
       .select(col(stratum),

@@ -16,19 +16,36 @@ import org.apache.spark.sql.functions._
   * the fixture's 6-dp scores make genuine ties rare.)
   *
   * Scale posture: scoring is one narrow broadcast pass; the global rank
-  * rides [[Relational.distributedRank]] (range partition → per-partition
-  * row_number → broadcast offsets — never a single-task global window);
+  * rides [[Relational.bucketedRank]] when the caller can bound the score
+  * shape (monotone integer buckets → per-bucket row_number → broadcast
+  * offsets — no single-task global window, no range-sampling job, no
+  * corpus-wide checkpoint) and falls back to
+  * [[Relational.distributedRank]]'s adaptive range sampler otherwise;
   * the final reduction is one 3-sum aggregate. AUC of a billion-row
-  * score table costs one range shuffle.
+  * score table costs one hash shuffle.
   */
 object Eval {
 
   /** Exact tie-broken rank-sum AUC of `pos` under ascending `order`.
     * Output: one row (n_pos, n_neg, auc_micro); auc_micro is NULL when
     * either class is empty (AUC undefined).
+    *
+    * `bucket`: optional monotone coarsening of the first order key
+    * (the [[Relational.bucketedRank]] contract) — when the caller can
+    * bound the score's shape (a cosine in [−1,1], a probability), the
+    * rank drops `distributedRank`'s range-sampling job and corpus-wide
+    * checkpoint; when it can't, omit it and the adaptive sampler rules.
     */
-  def rankSumAuc(scored: DataFrame, pos: Column, order: Seq[Column]): DataFrame = {
-    val ranked = Relational.distributedRank(scored.withColumn("__pos", pos), order)
+  def rankSumAuc(scored: DataFrame, pos: Column, order: Seq[Column],
+                 bucket: Option[Column] = None): DataFrame = {
+    val withPos = scored.withColumn("__pos", pos)
+    val ranked = bucket match {
+      // scoring (a cross-join cosine pass in the declared query) is the
+      // expensive side — pin it once rather than re-derive per branch
+      case Some(b) => Relational.bucketedRank(withPos, order, b,
+        materializeInput = true)
+      case None    => Relational.distributedRank(withPos, order)
+    }
     val agg = ranked.agg(
       sum(when(col("__pos"), 1L).otherwise(0L)).as("p"),
       sum(when(!col("__pos"), 1L).otherwise(0L)).as("n"),
@@ -58,7 +75,11 @@ object Eval {
       .crossJoin(broadcast(q))
       .select(col("vec_id"), (col("label") === col("q_label")).as("is_pos"),
         Similarity.cosine(dbl(col("embedding")), col("q_emb")).as("score"))
-    rankSumAuc(scored, col("is_pos"), Seq(col("score"), col("vec_id")))
+    // scores are 6-dp cosines in [−1,1]: floor(score·1024) is a monotone
+    // integer projection (IEEE multiply by a positive constant preserves
+    // order) with ≤ 2049 buckets — the bucketedRank fast path
+    rankSumAuc(scored, col("is_pos"), Seq(col("score"), col("vec_id")),
+      bucket = Some(floor(col("score") * lit(1024d)).cast("long")))
   }
 
   /** Generic recall-vs-reference: |approx ∩ exact| / |exact| over id

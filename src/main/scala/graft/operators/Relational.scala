@@ -535,6 +535,79 @@ object Relational {
       .drop("__pid", "__poff")
   }
 
+  /** [[distributedRank]] for sort keys the CALLER can coarsen into a
+    * deterministic monotone bucket — the same decomposition as
+    * `Curation.stratumRank`'s hash-prefix buckets, generalized: global
+    * rank = (count of rows in strictly-earlier buckets) + (row_number
+    * within the bucket under the full sort). Because the bucket is a pure
+    * function of the row — not a sampled range boundary or a physical
+    * partition id — the offsets branch and the rank branch agree with no
+    * range-sampling job and, when the input is a cheap scan, no
+    * full-frame checkpoint either: the only forced materialization is
+    * the bucket-count frame (≤ #buckets rows). `distributedRank` always
+    * pays the range-sampling job plus a corpus-wide checkpoint
+    * write/read per call; at 100 TB that checkpoint is the dominant
+    * cost of ranking.
+    *
+    * CONTRACT on `bucket`: monotone non-decreasing in the sort order —
+    * bucket(r1) < bucket(r2) must imply r1 precedes r2 under `sort`
+    * (ascending first key; NULLS FIRST on both sides, which Spark's
+    * default ascending null ordering gives when bucket(NULL key) is
+    * NULL). A monotone integer projection of the first sort key —
+    * `key DIV width`, `floor(key · scale)` — satisfies it. Bucket
+    * GRANULARITY is a perf knob only, never correctness: heavy ties on
+    * the first key funnel one bucket's window exactly as they funnel one
+    * range partition in [[distributedRank]] (equal keys cannot split
+    * across range boundaries either), so the worst cases coincide; for a
+    * key with no usable spread, or one the caller cannot bound, use
+    * [[distributedRank]] — its sampler adapts to any distribution.
+    *
+    * `totalCol`: when set, the grand total row count is attached under
+    * that name via a 1-row broadcast derived from the ALREADY-materialized
+    * bucket counts — callers that need n (decile cuts, equi-depth
+    * buckets) get it without re-executing the upstream a third time.
+    *
+    * `materializeInput` decides who pays for the offsets/rank two-branch
+    * shape: `false` (the a10 posture) re-executes the upstream once per
+    * branch — right when the input is a cheap column-pruned scan, where a
+    * second scan is cheaper than any checkpoint. `true` (the CCNet/AUC
+    * posture) pins the narrow bucketed input with ONE materialization
+    * both branches ride — right when the input is an expensive derived
+    * chain (a corpus LM scoring pass, a cross-join cosine pass). Note
+    * `distributedRank` cannot offer the `false` option at all: its range
+    * sampler + checkpoint exist precisely because sampled boundaries are
+    * not a deterministic function of the row.
+    */
+  def bucketedRank(df: DataFrame, sort: Seq[Column], bucket: Column,
+                   totalCol: Option[String] = None,
+                   materializeInput: Boolean = false): DataFrame = {
+    val withB0 = df.withColumn("__b", bucket)
+    val withB = if (materializeInput) withB0.materialize() else withB0
+    val offsets = withB.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__boff",
+        coalesce(sum(col("__bn")).over(
+          Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .materialize() // bucket-sized: pins ONE upstream execution for the
+                     // broadcast side (and the optional total)
+    val ranked = withB
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__b")).orderBy(sort: _*)))
+      // null-safe equality: bucket(NULL key) is NULL, and those rows form
+      // a real bucket (groupBy groups them; a plain equi-join would
+      // silently DROP them — spec-pinned)
+      .join(broadcast(offsets.select(col("__b").as("__ob"), col("__boff"))),
+        col("__b") <=> col("__ob"))
+      .withColumn("rank", col("__boff") + col("__rk"))
+      .drop("__b", "__ob", "__boff", "__rk")
+    totalCol match {
+      case Some(n) => ranked.crossJoin(broadcast(
+        offsets.agg(sum(col("__bn")).cast("long").as(n))))
+      case None => ranked
+    }
+  }
+
   /** Equi-depth bucket count for [[a10EquiDepth]]. */
   val DepthBuckets = 20
 
@@ -543,18 +616,21 @@ object Relational {
     * `(rank-1)·k DIV n` over the fully tie-broken global order: pure
     * integer arithmetic, bucket sizes differ by at most one, and no
     * engine-specific NTILE fill order to disagree about. Rides
-    * [[distributedRank]], so the only wide operations are one range
-    * exchange and the keyed final aggregation — never a 1-task global
-    * window over the table.
+    * [[bucketedRank]] on ~$328 price slices (exact integer cents DIV
+    * 2¹⁵ — prices span ~$900–$105k, so a few hundred populated buckets),
+    * so the only wide operations are one hash exchange and the keyed
+    * final aggregation — never a 1-task global window over the table,
+    * and never a corpus-wide range-sample + checkpoint.
     */
   def a10EquiDepth(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val li = t.lineitem.select(col("l_extendedprice"), col("l_orderkey"),
       col("l_linenumber"))
-    val ranked = distributedRank(li,
-      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
-    val total = li.agg(count(lit(1)).as("__n"))
-    ranked.crossJoin(broadcast(total))
+    val ranked = bucketedRank(li,
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT) DIV 32768L"),
+      totalCol = Some("__n"))
+    ranked
       .groupBy(expr(s"(rank - 1) * $DepthBuckets DIV __n").as("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("l_extendedprice")).as("lo_price"),

@@ -425,26 +425,33 @@ object TextOps {
     * reference corpus) and cut the ranking into head/middle/tail shares.
     * Curation runs keep head+middle, or mix buckets at chosen rates.
     *
-    * The global rank is [[Relational.distributedRank]] — one range
-    * exchange plus per-partition windows, never a single-task global
-    * window — and the bucket of a row is `(rank−1)·10 DIV n` compared to
-    * the share constants: pure integer arithmetic over an exactly
-    * replayable (nll_micro, doc_id) total order, so the cut points land
-    * identically on any engine at any scale. The corpus count joins in as
-    * a 1-row broadcast.
+    * The global rank is [[Relational.bucketedRank]] — the NLL itself
+    * coarsened into monotone integer buckets (`nll_micro DIV 2¹³` ≈
+    * 0.008-nat slices; per-doc mean NLL spans a few nats, so the corpus
+    * spreads over hundreds of populated buckets), one hash exchange plus
+    * per-bucket windows, never a single-task global window and never a
+    * range-sampling job (the bucket is a pure function of the row, not a
+    * sampled boundary) — and the bucket of a row is `(rank−1)·10 DIV n`
+    * compared to the share constants: pure integer arithmetic over an
+    * exactly replayable (nll_micro, doc_id) total order, so the cut
+    * points land identically on any engine at any scale. The scored
+    * frame is pinned with ONE narrow materialization
+    * (`materializeInput`) that the bucket-count branch, the rank branch
+    * AND the corpus count (`totalCol`) all ride, so the expensive NLL
+    * derivation — plus whatever filters a caller like the L0 pipeline
+    * stacked below it — executes exactly once.
     */
   def ccnetBuckets(docs: DataFrame,
                    tokenizer: Column => Column = spaceTokenizer): DataFrame = {
     val scored = unigramNllMicro(docs, tokenizer)
-    val ranked = Relational.distributedRank(scored,
-      Seq(col("nll_micro"), col("doc_id")))
-    // count the RANKED frame, not `scored`: distributedRank materializes
-    // its input once (localCheckpoint), so this rides the checkpointed
-    // partitions — an agg over `scored` would re-execute the whole
-    // upstream chain (the full NLL derivation, plus whatever filters a
-    // caller like the L0 pipeline stacked below it) a second time
-    val total = ranked.agg(count(lit(1)).as("__n"))
-    ranked.crossJoin(broadcast(total))
+    val ranked = Relational.bucketedRank(scored,
+      Seq(col("nll_micro"), col("doc_id")),
+      expr("nll_micro DIV 8192L"),
+      totalCol = Some("__n"),
+      // the NLL chain (tokenize + LM fit + score, plus whatever filters
+      // a composed caller stacked below) is expensive — pin it once
+      materializeInput = true)
+    ranked
       .select(col("doc_id"), col("n_tokens"), col("nll_micro"),
         // corpus-global rank stays BIGINT — it passes 2^31 long before
         // 100 TB and an INT cast would silently wrap

@@ -289,6 +289,36 @@ class RelationalSpec extends SparkSuite {
     assertSameRows(Relational.distributedRank(li, sortCols), naive)
   }
 
+  test("bucketedRank == distributedRank == naive window; degenerate one-bucket and null keys") {
+    import org.apache.spark.sql.expressions.Window
+    val sortCols = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val li = tables.lineitem.select(sortCols: _*)
+    val naive = li.withColumn("rank",
+      row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
+    val priceBucket = expr("CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT) DIV 32768L")
+    val bucketed = Relational.bucketedRank(li, sortCols, priceBucket,
+      totalCol = Some("__n"))
+    assert(bucketed.select("__n").head().getLong(0) == li.count())
+    assertSameRows(bucketed.drop("__n"), naive)
+    // degenerate coarsening — every row in ONE bucket — must still be the
+    // exact global rank (it degrades to the naive window, never to a
+    // wrong answer)
+    assertSameRows(Relational.bucketedRank(li.limit(1000), sortCols, lit(0L)),
+      li.limit(1000).withColumn("rank",
+        row_number().over(Window.orderBy(sortCols: _*)).cast("long")))
+    // NULL first keys: bucket(NULL) is NULL, which sorts first exactly as
+    // the ascending NULLS FIRST sort does — ranks 1..n_null go to nulls
+    val s = spark
+    import s.implicits._
+    val withNulls = Seq[(Option[Double], Int)]((None, 1), (Some(2.5), 2), (None, 3),
+      (Some(0.5), 4), (Some(-1.25), 5), (Some(0.5), 6)).toDF("k", "id")
+    val nSort = Seq(col("k"), col("id"))
+    assertSameRows(
+      Relational.bucketedRank(withNulls, nSort, floor(col("k") * lit(4d)).cast("long")),
+      withNulls.withColumn("rank",
+        row_number().over(Window.orderBy(nSort: _*)).cast("long")))
+  }
+
   test("o7 gap fill: dense per-user hourly grid, gaps carry the last value forward") {
     val g = TimeSeries.gapFill(tables.events)
     // dense: per user, exactly one row per hour in [min, max]
