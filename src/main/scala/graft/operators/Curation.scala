@@ -1,10 +1,13 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import graft.Ckpt._
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** L8 (SURVEY.md §2): training-data ASSEMBLY — the operations that turn a
   * curated corpus into training input: deterministic train/val/test
@@ -615,7 +618,18 @@ object Curation {
     * [[stratifiedSample]] for the prefix-sum decomposition rationale.
     */
   def stratumRank(rows: DataFrame, strata: Seq[String], keyCol: String,
-                  salt: String, partitions: Int = 32): DataFrame = {
+                  salt: String, partitions: Int = 32): DataFrame =
+    stratumRankWithSizes(rows, strata, keyCol, salt, partitions)._1
+
+  /** [[stratumRank]] plus the per-stratum sizes its decomposition already
+    * collected — (strata values → row count), in the sorted stratum order
+    * of the broadcast relation — so a caller that needs a strata-sized
+    * side table ([[temperatureMix]]'s quota allocation) derives it from
+    * the SAME one collect job instead of paying its own aggregate.
+    */
+  private[operators] def stratumRankWithSizes(
+      rows: DataFrame, strata: Seq[String], keyCol: String,
+      salt: String, partitions: Int = 32): (DataFrame, Seq[(Vector[Any], Long)]) = {
     val sc = strata.map(col)
     // The decomposition key is a PREFIX of the salted order hash itself:
     // every row whose hash starts with bucket b precedes every row in
@@ -635,29 +649,55 @@ object Curation {
       .select(col(keyCol) +: sc :+
         hexBucket(salt + "|", col(keyCol), 32).as("__h"): _*)
       .withColumn("__b", substring(col("__h"), 1, chars))
-    // per-(stratum, bucket) counts → offsets of earlier buckets (tiny:
-    // #strata × 16^chars rows) and stratum sizes, from ONE aggregate —
-    // materialized, so its TWO consumers (the offsets broadcast and the
-    // sizes broadcast) execute the upstream chain once, not twice; when
-    // the caller stacks this on an expensive filter/score chain (the L0
-    // pipeline) each avoided execution is a full corpus pass
-    val offsets = withH.groupBy(sc :+ col("__b"): _*)
-      .agg(count(lit(1)).as("__bn"))
-      .withColumn("__boff",
-        coalesce(sum(col("__bn")).over(
-          Window.partitionBy(sc: _*).orderBy(col("__b"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .materialize()
-    val sizes = offsets.groupBy(sc: _*).agg(sum(col("__bn")).as("stratum_size"))
-    withH
+    // per-(stratum, bucket) counts: a BOUNDED frame (#strata × 16^chars
+    // rows — join-side metadata that broadcast() would collect to the
+    // driver anyway), so collect it explicitly ONCE and derive BOTH tiny
+    // join sides — earlier-bucket offsets and stratum sizes — from that
+    // single job. The round-10 first cut instead materialized
+    // (localCheckpoint) the offsets frame so its two broadcast builds
+    // would not re-run the corpus pass: a block-persist barrier plus two
+    // broadcast-build jobs of ~0.2 s fixed overhead at any input size
+    // (the symmetric twins surfaced it). The collect pays the same one
+    // corpus pass and zero barriers; the prefix sum over each stratum's
+    // ≤ 16^chars bucket counts is driver-side integer addition.
+    val spark = rows.sparkSession
+    val k = strata.length
+    val counts = withH.groupBy(sc :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__bn")).collect()
+    // deterministic local relations: strata groups and buckets in sorted
+    // order, so the injected plan (and any cache key over it) is stable
+    // run to run regardless of collect order
+    val grouped = counts.groupBy(r => Vector.tabulate(k)(r.get))
+      .toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+    // one broadcast relation carries BOTH the bucket offset and the
+    // stratum size (the driver computed both), so the main pass pays a
+    // single broadcast hash join — the same stage count as the naive
+    // single-window plan, minus its hot-stratum funnel
+    val offRows = new scala.collection.mutable.ArrayBuffer[Row]
+    val sizes = new scala.collection.mutable.ArrayBuffer[(Vector[Any], Long)]
+    grouped.foreach { case (sv, rs) =>
+      val inB = rs.sortBy(_.getString(k))
+      val size = inB.map(_.getLong(k + 1)).sum
+      sizes += ((sv, size))
+      var acc = 0L
+      inB.foreach { r =>
+        offRows += Row.fromSeq(r.getString(k) +: sv :+ acc :+ size)
+        acc += r.getLong(k + 1)
+      }
+    }
+    val fieldByName = withH.schema.fields.map(f => f.name -> f).toMap
+    val strataFields = strata.map(fieldByName)
+    val offsets = spark.createDataFrame(offRows.asJava, StructType(
+      StructField("__b", StringType, nullable = false) +: strataFields :+
+        StructField("__boff", LongType, nullable = false) :+
+        StructField("stratum_size", LongType, nullable = false)))
+    val ranked = withH
       .withColumn("__rk", row_number().over(
         Window.partitionBy(sc :+ col("__b"): _*).orderBy(col("__h"), col(keyCol))))
-      .join(broadcast(offsets.select(col("__b") +: sc :+ col("__boff"): _*)),
-        "__b" +: strata)
-      .join(broadcast(sizes), strata)
+      .join(broadcast(offsets), "__b" +: strata)
       .select(col(keyCol) +: sc :+ col("stratum_size") :+
         (col("__boff") + col("__rk")).as("rn"): _*)
+    (ranked, sizes.toSeq)
   }
 
   /** Rate and salt for the declared stratified-sample query. */
@@ -694,31 +734,40 @@ object Curation {
     * (identical on any engine — unlike pow, which general α would need),
     * snapped to integer micro-units before any summation, so the quota
     * arithmetic is pure integers. The allocation table is strata-sized
-    * (tiny at any corpus scale) and joins in as a broadcast; at extreme
-    * cardinalities (K · s_micro beyond 2⁶³ ≈ corpora past ~10⁹ docs) the
-    * quota column — and only it — would move to DECIMAL(38,0).
+    * (tiny at any corpus scale), computed on the driver from the counts
+    * [[stratumRankWithSizes]] already collected (in BigInt, so the
+    * K · s_micro product that would exceed 2⁶³ past ~10⁹ docs cannot
+    * wrap), and joins in as a broadcast local relation.
     */
   def temperatureMix(rows: DataFrame, stratum: String, keyCol: String,
                      keepPermille: Int, salt: String,
                      partitions: Int = 32): DataFrame = {
     require(keepPermille >= 0 && keepPermille <= 1000, s"bad keep: $keepPermille")
-    val ranked = stratumRank(rows, Seq(stratum), keyCol, salt, partitions)
-    // sizes come from the BASE rows (one narrow scan-and-count), not from
-    // `ranked`: the hash-prefix stratumRank is checkpoint-free, so every
-    // consumer of `ranked` re-executes its window + offsets plan — the
-    // quota table must not pay that three more times (sizes, totals,
-    // alloc). The strata-sized result is materialized once (tiny: one row
-    // per stratum) so `totals` and `alloc` ride the same computed frame.
-    val sizes = rows.groupBy(col(stratum))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("s_micro", round(sqrt(col("n")) * lit(1e6)).cast("long"))
-      .materialize()
-    val totals = sizes.agg(sum(col("n")).as("__N"), sum(col("s_micro")).as("__T"))
-    val alloc = sizes.crossJoin(broadcast(totals))
-      .select(col(stratum),
-        least(col("n"), expr(
-          s"((__N * $keepPermille DIV 1000) * s_micro + __T - 1) DIV __T"))
-          .as("quota"))
+    val (ranked, sizes) =
+      stratumRankWithSizes(rows, Seq(stratum), keyCol, salt, partitions)
+    // the quota table derives from the SAME per-stratum counts the rank
+    // decomposition collected — no extra aggregate, no materialization.
+    // Driver-side arithmetic replicates the engine expressions it
+    // replaces exactly: sqrt is one correctly-rounded IEEE op, the micro
+    // snap is Spark round()'s toString-BigDecimal HALF_UP (what DuckDB's
+    // ROUND also produced on every oracle-checked value), and the quota
+    // ceiling runs in BigInt — so the 2^63 K·s_micro overflow the old
+    // in-plan BIGINT form documented as a caveat simply cannot wrap here.
+    val sMicro = sizes.map { case (sv, n) =>
+      (sv.head, n, BigDecimal(math.sqrt(n.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+    }
+    val totalN = sMicro.iterator.map(_._2).sum
+    val totalT = sMicro.iterator.map(x => BigInt(x._3)).sum
+    val budget = BigInt(totalN) * keepPermille / 1000
+    val allocRows: Seq[Row] = sMicro.map { case (s, n, sm) =>
+      val q = ((budget * sm + totalT - 1) / totalT).min(BigInt(n))
+      require(q.isValidLong, s"quota $q overflows BIGINT for stratum $s")
+      Row(s, q.toLong)
+    }
+    val stratumField = rows.schema.fields.find(_.name == stratum).get
+    val alloc = rows.sparkSession.createDataFrame(allocRows.asJava, StructType(
+      Seq(stratumField, StructField("quota", LongType, nullable = false))))
     ranked.join(broadcast(alloc), stratum)
       .select(col(keyCol), col(stratum), col("stratum_size"),
         col("rn").as("rn"), col("quota"), // BIGINT rank, same 2^31 rationale as stratifiedSample
