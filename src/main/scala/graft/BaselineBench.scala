@@ -374,6 +374,81 @@ object TailTwins {
 
       "l4_ccnet_buckets" -> (() => ccnetNaive(docs)),
 
+      "a10_equi_depth" -> (() => {
+        // idiomatic equi-depth histogram: a GLOBAL row_number window —
+        // one task sorts the whole table, the funnel bucketedRank exists
+        // to avoid — then the same (rank−1)·k DIV n bucket arithmetic
+        import org.apache.spark.sql.expressions.Window
+        val k = graft.operators.Relational.DepthBuckets
+        val pr = li.select(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+        val n = pr.count()
+        pr.withColumn("rank", row_number().over(
+            Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
+              col("l_linenumber"))))
+          .groupBy(expr(s"(rank - 1) * $k DIV ${n}L").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("lo_price"),
+            max(col("l_extendedprice")).as("hi_price"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          .orderBy(col("bucket"))
+      }),
+
+      "l4_gopher" -> (() => {
+        // naive Gopher ruleset: explode the corpus token-wise, aggregate
+        // per-doc stats, rebuild bigrams with a lead() window, join the
+        // pieces back — the explode-and-join formulation a first draft
+        // writes (the engine computes every rule inside ONE narrow
+        // shuffle-free per-row projection instead)
+        import graft.operators.TextOps._
+        import org.apache.spark.sql.expressions.Window
+        val pos = docs.select(col("doc_id"), col("text"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val stats = pos.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(length(col("tok"))).as("sum_tok_len"),
+            sum(when(col("tok").rlike("[A-Za-z]"), 1L).otherwise(0L))
+              .as("n_alpha"),
+            countDistinct(when(col("tok").isin(GopherRequiredStops: _*),
+              col("tok"))).as("stop_hits"))
+        val grams = pos
+          .withColumn("nxt",
+            lead(col("tok"), 1).over(
+              Window.partitionBy("doc_id").orderBy("pos")))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id"),
+            concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+        val biStats = grams.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            countDistinct(col("gram")).as("n_distinct_grams"))
+        val symbols = docs.select(col("doc_id"),
+          regexp_count(col("text"), lit("#|\\.\\.\\.")).as("n_symbols"))
+        stats
+          .join(biStats, Seq("doc_id"), "left")
+          .join(symbols, "doc_id")
+          .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+            expr("sum_tok_len * 1000 DIV n_tokens").as("mean_len_permille"),
+            expr("n_alpha * 1000 DIV n_tokens").as("alpha_permille"),
+            col("stop_hits").cast("int").as("stop_hits"),
+            expr("n_symbols * 1000 DIV n_tokens").as("symbol_permille"),
+            expr("(coalesce(n_grams, 0) - coalesce(n_distinct_grams, 0)) * 1000" +
+              " DIV greatest(coalesce(n_grams, 0), 1)").as("dup_bigram_permille"))
+          .select(col("*"),
+            col("n_tokens").between(GopherMinWords, GopherMaxWords).as("r_words"),
+            col("mean_len_permille")
+              .between(GopherMinMeanLenPermille, GopherMaxMeanLenPermille)
+              .as("r_mean_len"),
+            (col("alpha_permille") >= GopherMinAlphaPermille).as("r_alpha"),
+            (col("stop_hits") >= GopherMinStopHits).as("r_stops"),
+            (col("symbol_permille") <= GopherMaxSymbolPermille).as("r_symbols"),
+            (col("dup_bigram_permille") <= GopherMaxDupBigramPermille)
+              .as("r_dup_bigram"))
+          .withColumn("keep",
+            col("r_words") && col("r_mean_len") && col("r_alpha") &&
+              col("r_stops") && col("r_symbols") && col("r_dup_bigram"))
+          .orderBy(col("doc_id"))
+      }),
+
       "m3_mrr" -> (() => {
         // idiomatic form: BM25 via explode/groupBy, then a PER-QUERY
         // Window.partitionBy rank — the 1-partition-per-query funnel the

@@ -907,4 +907,11 @@ class LlmOpsSpec extends SparkSuite {
     assert(sm.getAs[Long]("covered_tokens") == 16L) // both copies covered
     assert(sm.getAs[Long]("dup_coverage_permille") == 1000L)
   }
+
+  test("l4_gopher vanilla twin computes the engine's answer (twin-honesty pin)") {
+    // explode+window+join-back naive formulation vs the engine's single
+    // narrow projection: all-integer outputs, so the pin is exact
+    assertSameRows(graft.TailTwins.twinFrame(spark, sf, "l4_gopher"),
+      TextOps.l4Gopher(spark, sf))
+  }
 }

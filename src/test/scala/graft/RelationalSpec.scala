@@ -619,4 +619,23 @@ class RelationalSpec extends SparkSuite {
     assert(smj <= 1, s"only the orders⋈lineitem join may shuffle:\n$plan")
     assert(bhj + smj == 5, s"all five joins must be resolved, got $bhj+$smj:\n$plan")
   }
+
+  test("a10 vanilla twin computes the engine's answer (twin-honesty pin)") {
+    // the TWINS.json ratio for a10_equi_depth is only meaningful if the
+    // naive global-window formulation answers the same question; the
+    // bucket geometry pins exactly, the price sum within float tolerance
+    // (the twin sums doubles in partial-agg order, the engine exactly)
+    val twin = graft.TailTwins.twinFrame(spark, sf, "a10_equi_depth")
+    val eng = Relational.a10EquiDepth(spark, sf)
+    assertSameRows(twin.drop("sum_price"), eng.drop("sum_price"))
+    val ts = twin.select("bucket", "sum_price").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val es = eng.select("bucket", "sum_price").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString.toDouble).toMap
+    assert(ts.keySet == es.keySet)
+    es.foreach { case (b, v) =>
+      assert(math.abs(ts(b) - v) <= math.abs(v) * 1e-9 + 1e-6,
+        s"bucket $b sum drifted: ${ts(b)} vs $v")
+    }
+  }
 }
