@@ -691,12 +691,23 @@ object Curation {
       StructField("__b", StringType, nullable = false) +: strataFields :+
         StructField("__boff", LongType, nullable = false) :+
         StructField("stratum_size", LongType, nullable = false)))
-    val ranked = withH
+    // NULL-SAFE strata equality (<=>): a USING join would silently drop
+    // every row whose stratum value is null — at corpus scale that is a
+    // document with missing metadata vanishing from the sample, not an
+    // edge case (the same trap bucketedRank's null-bucket join pins)
+    val withRk = withH
       .withColumn("__rk", row_number().over(
         Window.partitionBy(sc :+ col("__b"): _*).orderBy(col("__h"), col(keyCol))))
-      .join(broadcast(offsets), "__b" +: strata)
-      .select(col(keyCol) +: sc :+ col("stratum_size") :+
-        (col("__boff") + col("__rk")).as("rn"): _*)
+      .alias("__l")
+    val off = broadcast(offsets).alias("__r")
+    val joinCond = ((col("__l.__b") === col("__r.__b")) +:
+      strata.map(s => col(s"__l.$s") <=> col(s"__r.$s"))).reduce(_ && _)
+    val ranked = withRk
+      .join(off, joinCond)
+      .select(col(s"__l.$keyCol").as(keyCol) +:
+        strata.map(s => col(s"__l.$s").as(s)) :+
+        col("__r.stratum_size").as("stratum_size") :+
+        (col("__r.__boff") + col("__l.__rk")).as("rn"): _*)
     (ranked, sizes.toSeq)
   }
 

@@ -440,4 +440,23 @@ class CurationSpec extends SparkSuite {
       .filter(col("rebuilt") =!= col("text"))
     assert(joined.count() == 0)
   }
+
+  test("L8i stratified sample: NULL-stratum rows survive with correct ranks") {
+    // a USING/equi join on strata drops null-stratum rows silently — a
+    // document with missing metadata vanishing from the sample; the
+    // null-safe (<=>) offsets join keeps them as their own stratum
+    val docs = tables.documents.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")).as("lang"))
+    val out = Curation.stratifiedSample(docs, Seq("lang"), "doc_id", 500, "nsalt", 8)
+    assert(out.count() == docs.count(), "null-stratum rows were dropped")
+    assert(out.filter(col("lang").isNull).count() ==
+      docs.filter(col("lang").isNull).count())
+    val naive = docs
+      .withColumn("__h", md5(concat(lit("nsalt|"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rn"))
+    assertSameRows(out.select(col("doc_id"), col("rn")), naive)
+  }
 }
