@@ -685,7 +685,10 @@ object Curation {
         acc += r.getLong(k + 1)
       }
     }
-    val fieldByName = withH.schema.fields.map(f => f.name -> f).toMap
+    // nullable=true regardless of the source schema's claim: a null
+    // GROUP value must be representable in the driver-built relation
+    val fieldByName =
+      withH.schema.fields.map(f => f.name -> f.copy(nullable = true)).toMap
     val strataFields = strata.map(fieldByName)
     val offsets = spark.createDataFrame(offRows.asJava, StructType(
       StructField("__b", StringType, nullable = false) +: strataFields :+
@@ -776,13 +779,21 @@ object Curation {
       require(q.isValidLong, s"quota $q overflows BIGINT for stratum $s")
       Row(s, q.toLong)
     }
-    val stratumField = rows.schema.fields.find(_.name == stratum).get
+    val stratumField =
+      rows.schema.fields.find(_.name == stratum).get.copy(nullable = true)
     val alloc = rows.sparkSession.createDataFrame(allocRows.asJava, StructType(
       Seq(stratumField, StructField("quota", LongType, nullable = false))))
-    ranked.join(broadcast(alloc), stratum)
-      .select(col(keyCol), col(stratum), col("stratum_size"),
-        col("rn").as("rn"), col("quota"), // BIGINT rank, same 2^31 rationale as stratifiedSample
-        (col("rn") <= col("quota")).as("sampled"))
+    // null-safe stratum equality: the ranked frame keeps null-stratum
+    // rows (stratumRank's <=> offsets join), so the quota join must not
+    // silently drop them back out
+    ranked.alias("__l")
+      .join(broadcast(alloc).alias("__r"),
+        col(s"__l.$stratum") <=> col(s"__r.$stratum"))
+      .select(col(s"__l.$keyCol").as(keyCol),
+        col(s"__l.$stratum").as(stratum), col("__l.stratum_size"),
+        col("__l.rn").as("rn"), // BIGINT rank, same 2^31 rationale as stratifiedSample
+        col("__r.quota"),
+        (col("__l.rn") <= col("__r.quota")).as("sampled"))
   }
 
   /** L8j declared query: 500‰ temperature mix over `lang` — the fixture's

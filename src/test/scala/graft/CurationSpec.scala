@@ -458,5 +458,13 @@ class CurationSpec extends SparkSuite {
         Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("rn"))
     assertSameRows(out.select(col("doc_id"), col("rn")), naive)
+    // temperatureMix composes the same rank with a quota join — the null
+    // stratum must survive there too, with a genuine quota
+    val mix = Curation.temperatureMix(docs, "lang", "doc_id", 400, "nsalt", 8)
+    assert(mix.count() == docs.count(), "temperatureMix dropped null-stratum rows")
+    val nullRows = mix.filter(col("lang").isNull)
+    assert(nullRows.count() == docs.filter(col("lang").isNull).count())
+    assert(nullRows.filter(col("sampled")).count() ==
+      nullRows.select(max(when(col("rn") <= col("quota"), col("rn")))).head().getLong(0))
   }
 }
