@@ -101,12 +101,16 @@ object Eval {
     * against the exact brute-force top-k (l3_cosine_topk) — the
     * measurement a pipeline runs before trusting an ANN index for dedup
     * or retrieval. Pure integer output, exactly replayed by composing
-    * the two L3 oracles.
+    * the two L3 oracles; the engine side rides
+    * [[Similarity.annVsExactTopK]]'s shared screen scan, which is
+    * row-identical to running the two L3 queries independently
+    * (LlmOpsSpec pins it) at half the scans and kernel work.
     */
-  def m2AnnRecall(spark: SparkSession, dir: String): DataFrame =
-    recallAgainst(
-      Similarity.l3AnnBucket(spark, dir),
-      Similarity.l3CosineTopK(spark, dir), "vec_id")
+  def m2AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (ann, exact) =
+      Similarity.annVsExactTopK(Tables(spark, dir), queryId = 0L, k = 10, bits = 6)
+    recallAgainst(ann, exact, "vec_id")
+  }
 
   /** The declared retrieval-eval query set: conjunctive relevance (a doc
     * is relevant iff it contains EVERY query token). One rare-term query,

@@ -160,6 +160,58 @@ object Similarity {
     screenRescoreTopK(corpus, queryBoth(t, queryId), k, carry = Seq("bucket"))
   }
 
+  /** Shared-scan exact + bucket-ANN top-k pair for the recall eval (M2):
+    * ONE [[graft.functions.CosineFast]] screen pass over the corpus
+    * feeds BOTH candidate sets (global top-P and bucket-restricted
+    * top-P), and ONE exact-DECIMAL rescore join prices their union —
+    * result frames are row-identical to [[bruteForceTopK]] /
+    * [[annTopK]] at the same (k, bits) (same pad, same kernels, same
+    * tie-break; superset candidates cannot change a top-k the screen
+    * bound already guarantees — pinned against the composed forms in
+    * LlmOpsSpec), at half the corpus scans and half the exact-kernel
+    * work the composed form pays. The query vector is 1-row bounded
+    * metadata: collected once and injected as literals (the SCALING.md
+    * local-relation lesson), so no per-site query-broadcast build jobs.
+    * The narrow screen frame and the ≤ 2·pad-row rescore frame are
+    * materialized because their repeated consumers sit under SEPARATE
+    * TakeOrdered/aggregate subtrees, which ReuseExchange cannot share
+    * (it deduplicates exchange subtrees only) — without the barrier
+    * the screen kernel re-executes once per branch, measured slower at
+    * fixture scale and linearly worse with corpus size.
+    */
+  def annVsExactTopK(t: Tables, queryId: Long, k: Int,
+                     bits: Int): (DataFrame, DataFrame) = {
+    val pad = math.max(4 * k, k + 30)
+    val qRow = t.embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding"), signBucket(col("embedding"), bits)).head()
+    val qF = qRow.getSeq[Float](0)
+    val qBucket = qRow.getInt(1)
+    val qfLit = typedLit(qF)
+    val qeLit = typedLit(qF.map(_.toDouble))
+    val scored = t.embeddings
+      .select(col("vec_id"),
+        signBucket(col("embedding"), bits).as("bucket"),
+        graft.functions.CosineFast(col("embedding"), qfLit).as("cf"))
+      .filter(!isnan(col("cf")))
+      .materialize()
+    def cand(df: DataFrame) =
+      df.orderBy(col("cf").desc, col("vec_id")).limit(pad).select(col("vec_id"))
+    val candidates = cand(scored)
+      .union(cand(scored.filter(col("bucket") === lit(qBucket))))
+      .distinct()
+    val rescored = t.embeddings.join(broadcast(candidates), "vec_id")
+      .select(col("vec_id"), col("label"),
+        signBucket(col("embedding"), bits).as("bucket"),
+        cosine(dbl(col("embedding")), qeLit).as("cosine"))
+      .materialize()
+    val exact = rescored.select(col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+    val ann = rescored.filter(col("bucket") === lit(qBucket))
+      .select(col("vec_id"), col("label"), col("bucket"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+    (ann, exact)
+  }
+
   /** Production-fast top-k via the native codegen'd [[graft.functions.CosineSimilarity]]
     * expression (`cosine_fast`): single fused pass, no decimal casts, no
     * interpreted higher-order calls. The declared queries keep the exact-

@@ -210,6 +210,13 @@ class LlmOpsSpec extends SparkSuite {
     assert(multi.head.getAs[Long]("vec_id") == 0L) // self first at 1.0
   }
 
+  test("M2 shared-scan pair == composed l3_ann_bucket / l3_cosine_topk") {
+    val t = Tables(spark, sf)
+    val (ann, exact) = Similarity.annVsExactTopK(t, 0L, k = 10, bits = 6)
+    assertSameRows(exact, Similarity.bruteForceTopK(t, 0L, 10))
+    assertSameRows(ann, Similarity.annTopK(t, 0L, 10, 6))
+  }
+
   test("L7 pointer-jumping CC: equals fixed-round collapse, solves a 2000-node chain") {
     // same fixture graph as the fixed-round test → identical answer
     val ids = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("doc_id")
