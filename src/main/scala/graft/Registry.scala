@@ -1581,6 +1581,40 @@ object Registry {
                  THEN 'middle' ELSE 'tail' END AS bucket
         FROM ranked ORDER BY doc_id""")),
 
+      // Naive-Bayes quality classifier: the oracle replays train + apply
+      // verbatim — class-conditional token counts, ONE snapped ln per
+      // vocabulary row (the l4_unigram_lm / m4_drift transcendental
+      // discipline), integer micro-nat doc sums, and the same add-one
+      // smoothing constants injected from TextOps.
+      QueryDef("l4_quality_classifier", TextOps.l4QualityClassifier, Some {
+        val refs = TextOps.NbRefSources.map(s => s"'$s'").mkString(", ")
+        s"""
+        WITH cls AS (SELECT doc_id, COALESCE(source IN ($refs), FALSE) AS is_ref
+                     FROM documents),
+        toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY ALL),
+        cnt AS (SELECT token,
+                  SUM(CASE WHEN is_ref THEN tf ELSE 0 END) AS c_pos,
+                  SUM(CASE WHEN NOT is_ref THEN tf ELSE 0 END) AS c_neg
+                FROM tf JOIN cls USING (doc_id) GROUP BY token),
+        scal AS (SELECT SUM(c_pos) AS t_pos, SUM(c_neg) AS t_neg, COUNT(*) AS v FROM cnt),
+        nd AS (SELECT SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_pos,
+                 SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_neg FROM cls),
+        w AS (SELECT token,
+                CAST(ROUND(ln(((c_pos + 1) * (t_neg + v))::DOUBLE /
+                  ((c_neg + 1) * (t_pos + v))) * 1e6) AS BIGINT) AS w_micro
+              FROM cnt CROSS JOIN scal),
+        pri AS (SELECT CAST(ROUND(ln(n_pos::DOUBLE / n_neg) * 1e6) AS BIGINT)
+                  AS prior_micro FROM nd),
+        agg AS (SELECT doc_id, SUM(tf) AS n_tokens, SUM(tf * w_micro) AS s_micro
+                FROM tf JOIN w USING (token) GROUP BY doc_id)
+        SELECT a.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cls.is_ref,
+          CAST(prior_micro + s_micro AS BIGINT) AS score_micro,
+          (prior_micro + s_micro) > 0 AS predicted_ref
+        FROM agg a JOIN cls USING (doc_id) CROSS JOIN pri
+        ORDER BY doc_id"""
+      }),
+
       // Gopher ruleset: every metric is exact integer permille; the regex
       // classes are ASCII so Java regex and RE2 count identically; the
       // bigram-uniqueness form matches l4_repetition's.

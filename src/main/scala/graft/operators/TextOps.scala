@@ -466,6 +466,99 @@ object TextOps {
   def l4CcnetBuckets(spark: SparkSession, dir: String): DataFrame =
     ccnetBuckets(Tables(spark, dir).documents).orderBy(col("doc_id"))
 
+  /** Reference-source set for the declared quality-classifier query: a
+    * deterministic "known-good" slice (five of the fixture's twenty
+    * sources) standing in for the curated reference corpus (Wikipedia /
+    * books) real pipelines label positive.
+    */
+  val NbRefSources: Seq[String] = Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** LEARNED binary quality classifier, trained and applied in one
+    * declarative plan: multinomial Naive Bayes with add-one smoothing
+    * over unigram counts — the reference-vs-crawl gate (the GPT-3 /
+    * LLaMA-style "does this look like the reference corpus" classifier,
+    * Brown et al. 2020 App. A; fastText plays this role in CCNet) that
+    * complements the heuristic filters: Gopher scores FORM (lengths,
+    * ratios), the unigram LM scores typicality of the corpus to ITSELF,
+    * this scores resemblance to a LABELED reference slice.
+    *
+    * score(d) = ln(N₊/N₋) + Σ_t tf_{d,t} · ln(((c₊ₜ+1)·(T₋+V)) /
+    * ((c₋ₜ+1)·(T₊+V))) in integer micro-nats: each token's log-odds
+    * weight is snapped ONCE per vocabulary row (the [[unigramNllMicro]] /
+    * m4 transcendental discipline — one correctly-rounded ln per
+    * distinct count vector, never per corpus row), and the per-doc sum
+    * is exact integer arithmetic, so the scores and the keep decisions
+    * replay bit-identically on any engine. Long products inside the ln
+    * argument error LOUD on overflow under ANSI, matching DuckDB's
+    * BIGINT-overflow error (the m4 posture).
+    *
+    * Plan shape: one exploded doc-term pass (shared tf frame), a
+    * vocabulary-sized class-count aggregate, scalars (T±, V, N±) as one
+    * 1-row broadcast, then a token-keyed weight join and a doc-keyed
+    * final aggregate — the tf-idf plan. The trained model IS the
+    * (token → w_micro) frame: vocabulary-sized state, the 100 TB shape
+    * (train once, persist the weight table, score any corpus by one
+    * token-keyed join).
+    */
+  def nbQualityScore(docs: DataFrame, isRef: Column,
+                     tokenizer: Column => Column = spaceTokenizer): DataFrame = {
+    // is_ref rides the doc-term frame (functionally dependent on doc_id —
+    // the mrrAtK keep-in-scope trick), so neither the class counts nor
+    // the final select needs a label join-back. Pinned ONCE: the frame
+    // feeds the class-count aggregate and the final scoring aggregate,
+    // separate non-exchange subtrees Catalyst will not share (the
+    // ReuseExchange refinement in SCALING.md — the unpinned first cut
+    // re-ran the tokenize pass per consumer, 4 Generates in one plan).
+    val tf = docs.select(col("doc_id"),
+        coalesce(isRef, lit(false)).as("is_ref"),
+        explode(tokenizer(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("is_ref"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .materialize()
+    // vocabulary-sized class-conditional counts — the trained model's
+    // support; pinned for its two consumers (scalar fold + weight map)
+    val cnt = tf.groupBy(col("token")).agg(
+        sum(when(col("is_ref"), col("tf")).otherwise(0L)).as("c_pos"),
+        sum(when(!col("is_ref"), col("tf")).otherwise(0L)).as("c_neg"))
+      .materialize()
+    // bounded model scalars (class token masses, vocab size, class doc
+    // counts): collected once and injected as literals — the SCALING.md
+    // local-relation lesson. The doc-count side scans only (doc_id,
+    // label) columns; it cannot derive from tf because zero-token docs
+    // carry prior mass too. The ln snap itself stays IN the plan so the
+    // round() semantics are Spark's single HALF_UP everywhere.
+    val s = cnt.agg(
+        sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"),
+        count(lit(1)).as("v"))
+      .crossJoin(docs.select(coalesce(isRef, lit(false)).as("is_ref")).agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_neg")))
+      .head()
+    val (tPos, tNeg, v) = (s.getLong(0), s.getLong(1), s.getLong(2))
+    val (nPos, nNeg) = (s.getLong(3), s.getLong(4))
+    val w = cnt.select(col("token"),
+      round(log(((col("c_pos") + 1) * lit(tNeg + v)).cast("double") /
+          ((col("c_neg") + 1) * lit(tPos + v))) * lit(1e6))
+        .cast("long").as("w_micro"))
+    val priorMicro =
+      round(log(lit(nPos.toDouble) / lit(nNeg.toDouble)) * lit(1e6)).cast("long")
+    tf.join(w, "token")
+      .groupBy(col("doc_id"), col("is_ref"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("w_micro")).as("s_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("is_ref"),
+        (priorMicro + col("s_micro")).as("score_micro"),
+        (priorMicro + col("s_micro") > 0L).as("predicted_ref"))
+  }
+
+  /** L4 declared query: Naive-Bayes reference-resemblance score per
+    * document, reference class = [[NbRefSources]].
+    */
+  def l4QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    nbQualityScore(Tables(spark, dir).documents,
+      col("source").isin(NbRefSources: _*))
+      .orderBy(col("doc_id"))
+
   /** First BPE-merge iteration of tokenizer training: corpus-wide
     * occurrence counts of adjacent character pairs inside words, the
     * statistic each BPE round maximizes. Two-stage for scale — the

@@ -465,6 +465,31 @@ class LlmOpsSpec extends SparkSuite {
     assert(out(1L)._2 == ((2 * s1 + 4) / (2 * 4)) / 1e6)
   }
 
+  test("L4 NB quality classifier: separable corpus classified, hand-computed weight") {
+    // ref docs speak 'good', crawl docs speak 'bad'; one held-out-style
+    // mixed doc leans good 2:1
+    val docs = Seq(
+      (1L, "good good clean", "ref"),
+      (2L, "good clean",      "ref"),
+      (3L, "bad bad spam",    "crawl"),
+      (4L, "bad spam spam",   "crawl"),
+      (5L, "good good bad",   "crawl"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.nbQualityScore(docs, col("source") === "ref").collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L)._1 && !out(3L)._1)                 // ground truth carried
+    assert(out(1L)._3 && out(2L)._3)                  // ref docs predicted ref
+    assert(!out(3L)._3 && !out(4L)._3)                // crawl docs predicted crawl
+    assert(out(5L)._2 > out(3L)._2)                   // mixed doc beats pure spam
+    // hand-computed: T+=5 (good×3, clean×2), T−=9, V=4 (good bad clean spam),
+    // prior = ln(2/3); w(good) = ln((3+1)(9+4) / ((2+1)(5+4)))
+    val wGood = math.round(math.log(4.0 * 13 / (3 * 9)) * 1e6)
+    val wClean = math.round(math.log(3.0 * 13 / (1 * 9)) * 1e6)
+    val prior = math.round(math.log(2.0 / 3) * 1e6)
+    assert(out(1L)._2 == prior + 2 * wGood + wClean)
+  }
+
   test("L4 BPE pairs: hand-enumerated adjacent-pair counts, 1-char words excluded") {
     // vocab: "abc" x2, "bc" x1, "a" x1 (dropped: single char has no pair)
     val docs = Seq((1L, "abc bc a"), (2L, "abc")).toDF("doc_id", "text")
