@@ -559,6 +559,82 @@ object TextOps {
       col("source").isin(NbRefSources: _*))
       .orderBy(col("doc_id"))
 
+  /** A trained [[nbTrain]] classifier: the vocabulary-sized token →
+    * micro-nat log-odds weight frame plus the five smoothing scalars.
+    * The prior and the out-of-vocabulary weight are exposed as COLUMNS
+    * of literals, not pre-rounded longs, so every consumer snaps them
+    * with the same single in-plan HALF_UP round the fused
+    * [[nbQualityScore]] uses — no second rounding implementation to
+    * drift.
+    */
+  final case class NbModel(weights: DataFrame, tPos: Long, tNeg: Long,
+                           v: Long, nPos: Long, nNeg: Long) {
+    /** ln(N₊/N₋), snapped in-plan to micro-nats. */
+    def priorMicro: Column =
+      round(log(lit(nPos.toDouble) / lit(nNeg.toDouble)) * lit(1e6)).cast("long")
+    /** Weight of a token the training corpus never saw — the smoothing
+      * mass only: ln((T₋+V)/(T₊+V)).
+      */
+    def oovMicro: Column =
+      round(log(lit((tNeg + v).toDouble) / lit((tPos + v).toDouble)) * lit(1e6))
+        .cast("long")
+  }
+
+  /** TRAIN-ONCE half of the classifier: the same counts/weights chain as
+    * [[nbQualityScore]], ending in a pinned vocabulary-sized model frame
+    * instead of self-scoring — persist `weights` and re-create the model
+    * to score any other corpus or stream ([[nbApply]],
+    * [[graft.streaming.Streams.runNbQualityGate]]). LlmOpsSpec pins
+    * train+apply over the training corpus equal to the fused declared
+    * query.
+    */
+  def nbTrain(docs: DataFrame, isRef: Column,
+              tokenizer: Column => Column = spaceTokenizer): NbModel = {
+    val tf = docs.select(col("doc_id"),
+        coalesce(isRef, lit(false)).as("is_ref"),
+        explode(tokenizer(col("text"))).as("token"))
+      .groupBy(col("is_ref"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("token")).agg(
+        sum(when(col("is_ref"), col("tf")).otherwise(0L)).as("c_pos"),
+        sum(when(!col("is_ref"), col("tf")).otherwise(0L)).as("c_neg"))
+      .materialize()
+    val s = cnt.agg(
+        sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"),
+        count(lit(1)).as("v"))
+      .crossJoin(docs.select(coalesce(isRef, lit(false)).as("is_ref")).agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_neg")))
+      .head()
+    val (tPos, tNeg, v) = (s.getLong(0), s.getLong(1), s.getLong(2))
+    val w = cnt.select(col("token"),
+      round(log(((col("c_pos") + 1) * lit(tNeg + v)).cast("double") /
+          ((col("c_neg") + 1) * lit(tPos + v))) * lit(1e6))
+        .cast("long").as("w_micro"))
+      .materialize()
+    NbModel(w, tPos, tNeg, v, s.getLong(3), s.getLong(4))
+  }
+
+  /** APPLY half: score any documents frame against a trained model —
+    * one tokenize pass, a token-keyed left join against the weight
+    * table (vocabulary-sized: broadcasts on a cluster), unseen tokens
+    * at the model's smoothing-mass weight. Output matches
+    * [[nbQualityScore]] minus the training label.
+    */
+  def nbApply(docs: DataFrame, model: NbModel,
+              tokenizer: Column => Column = spaceTokenizer): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(tokenizer(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    tf.join(model.weights, Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * coalesce(col("w_micro"), model.oovMicro)).as("s_micro"))
+      .select(col("doc_id"), col("n_tokens"),
+        (model.priorMicro + col("s_micro")).as("score_micro"),
+        (model.priorMicro + col("s_micro") > 0L).as("predicted_ref"))
+  }
+
   /** First BPE-merge iteration of tokenizer training: corpus-wide
     * occurrence counts of adjacent character pairs inside words, the
     * statistic each BPE round maximizes. Two-stage for scale — the

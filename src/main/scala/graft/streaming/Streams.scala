@@ -767,6 +767,36 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** T17: streaming LEARNED-CLASSIFIER ADMISSION — the trained
+    * counterpart of [[runImportanceGate]]'s LM gate: every arriving
+    * document is scored by the Naive-Bayes reference-resemblance
+    * classifier ([[graft.operators.TextOps.nbApply]]) against a model
+    * trained ONCE offline ([[graft.operators.TextOps.nbTrain]] — the
+    * vocabulary-sized weight frame is the static serving state, exactly
+    * the fastText-classifier deployment shape of GPT-3/LLaMA-style
+    * curation). Unseen tokens score at the model's smoothing-mass
+    * weight, so a wholly-OOV document degrades to the prior+OOV floor
+    * instead of erroring. Per batch the scored frame (integer micro-nat
+    * log-odds + keep flag) goes to `sink`; no cross-batch state, so
+    * work per batch ∝ batch tokens and the query runs indefinitely at
+    * steady memory. StreamingSpec pins each batch's scores to the batch
+    * [[graft.operators.TextOps.nbApply]] twin, and train+apply on the
+    * training corpus to the declared `l4_quality_classifier`.
+    */
+  def runNbQualityGate(docs: DataFrame, model: graft.operators.TextOps.NbModel,
+                       checkpoint: String)
+                      (sink: (Long, DataFrame) => Unit): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(id, graft.operators.TextOps.nbApply(batch, model))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
   /** T14: streaming PQ INDEX INGESTION — the write side of the serving
     * split: vectors arrive on a stream and join the searchable index in
     * SEGMENTS (the Lucene shape), while the codebooks stay the static

@@ -490,6 +490,25 @@ class LlmOpsSpec extends SparkSuite {
     assert(out(1L)._2 == prior + 2 * wGood + wClean)
   }
 
+  test("L4 NB train+apply == fused declared form; OOV doc floors at smoothing mass") {
+    val docs = Tables(spark, sf).documents
+    val isRef = col("source").isin(TextOps.NbRefSources: _*)
+    val model = TextOps.nbTrain(docs, isRef)
+    // applying the trained model to its own corpus reproduces the fused
+    // self-scoring query exactly (no OOV tokens exist by construction)
+    assertSameRows(
+      TextOps.nbApply(docs, model),
+      TextOps.nbQualityScore(docs, isRef)
+        .select("doc_id", "n_tokens", "score_micro", "predicted_ref"))
+    // a wholly-OOV doc scores prior + n·oov — the floor, not an error
+    val oov = Seq((999999L, "qqxyzzy qqxyzzy qqxyzzy")).toDF("doc_id", "text")
+    val r = TextOps.nbApply(oov, model).head()
+    val expected = spark.range(1)
+      .select((model.priorMicro + lit(3L) * model.oovMicro).as("e"))
+      .head().getLong(0)
+    assert(r.getAs[Long]("score_micro") == expected)
+  }
+
   test("L4 BPE pairs: hand-enumerated adjacent-pair counts, 1-char words excluded") {
     // vocab: "abc" x2, "bc" x1, "a" x1 (dropped: single char has no pair)
     val docs = Seq((1L, "abc bc a"), (2L, "abc")).toDF("doc_id", "text")

@@ -976,6 +976,39 @@ class StreamingSpec extends SparkSuite {
     assert(got.map(g => key(g._2)).toSet == twins.toSet)
   }
 
+  test("T17 NB classifier gate: per-batch scores == batch twin; trained state is static") {
+    import graft.operators.TextOps
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val model = TextOps.nbTrain(docs, col("source").isin(TextOps.NbRefSources: _*))
+    // two waves, the second with an injected wholly-OOV doc
+    val dir = Files.createTempDirectory("graft-nb-stream")
+    val half1 = docs.filter(col("doc_id") < 250)
+    val oovId = 991000L
+    val half2 = docs.filter(col("doc_id") >= 250)
+      .unionByName(half1.limit(1).select(lit(oovId).as("doc_id"),
+        lit(Seq.fill(5)("qqxyzzy").mkString(" ")).as("text"), col("lang"),
+        col("source"), col("n_chars")).toDF(docs.columns: _*))
+    half1.coalesce(1).write.parquet(s"$dir/b1")
+    half2.coalesce(1).write.parquet(s"$dir/b2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[org.apache.spark.sql.Row])]
+    Streams.runNbQualityGate(stream, model,
+      Files.createTempDirectory("graft-nb-cp").toString) { (id, scored) =>
+      got += ((id, scored.collect().toSeq))
+    }
+    assert(got.size == 2)
+    // the OOV doc floors at prior + n·oov deterministically
+    val oovRow = got.flatMap(_._2).find(_.getAs[Long]("doc_id") == oovId).get
+    val floor = spark.range(1)
+      .select((model.priorMicro + lit(5L) * model.oovMicro).as("e")).head().getLong(0)
+    assert(oovRow.getAs[Long]("score_micro") == floor)
+    // batch-twin equality per wave, whatever order the files triggered in
+    def key(rs: Seq[org.apache.spark.sql.Row]) = rs.map(_.toString).sorted.mkString("\n")
+    val twins = Seq(half1, half2).map(h => key(TextOps.nbApply(h, model).collect().toIndexedSeq))
+    assert(got.map(g => key(g._2)).toSet == twins.toSet)
+  }
+
   test("T14 PQ ingest: streamed vector waves build a segmented index == flat-index probe") {
     import graft.operators.Similarity
     val emb = tables.embeddings
