@@ -1,6 +1,11 @@
 package graft
 
-/** TEMPORARY warm best-of-3 probe — not committed. */
+/** Supported single-query timing probe: `runMain graft.Probe <query>…`
+  * runs each named declared query against `SPARK_GRAFT_SF_DIR` and
+  * prints its warm best-of-3 noop-sink wall time — the same measurement
+  * discipline as [[graft.Twins]], for spot-checking one query without a
+  * full bench sweep.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

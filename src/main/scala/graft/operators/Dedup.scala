@@ -574,14 +574,13 @@ object Dedup {
     * the frames are localCheckpoint'd (a cluster deploy would swap in
     * reliable `checkpoint`, see SCALING.md).
     */
-  private val defaultPartsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SimJoinParts]
+  private val defaultPartsCache = new graft.SessionCache[String, SimJoinParts]
   private[graft] def defaultSimJoinParts(spark: SparkSession, dir: String): SimJoinParts =
-    defaultPartsCache.getOrElseUpdate((spark, dir), {
+    defaultPartsCache.getOrElseUpdate(spark, dir) {
       val p = simJoinParts(Tables(spark, dir).documents)
       SimJoinParts(p.reps.materialize(), p.repPairs.materialize(),
         p.members.materialize())
-    })
+    }
 
   /** Shingle size for the declared n-gram Jaccard query (shared with the
     * Registry oracle builder, same no-drift rule as the LSH defaults).
@@ -695,7 +694,7 @@ object Dedup {
     * equality with member-expanded propagation at convergence.
     */
   def l6DedupDocs(spark: SparkSession, dir: String): DataFrame =
-    l6LabelsCache.getOrElseUpdate((spark, dir), {
+    l6LabelsCache.getOrElseUpdate(spark, dir) {
       val parts = defaultSimJoinParts(spark, dir)
       val repLabels = clusterCollapse(
         parts.reps.select(col("rep_id").as("doc_id")),
@@ -707,15 +706,14 @@ object Dedup {
         .materialize()
       // the checkpoint caches ROWS; the declared ordering is re-applied per
       // call because checkpointed partition order is not a contract
-    }).orderBy(col("doc_id"))
+    }.orderBy(col("doc_id"))
 
   /** Converged cluster labels at the declared defaults, shared by
     * `l6_dedup_docs` and `l8_cluster_sample` (see [[defaultSimJoinParts]]
     * for the memoization rationale — the collapse + convergence guard run
     * once per session instead of once per consumer).
     */
-  private val l6LabelsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val l6LabelsCache = new graft.SessionCache[String, DataFrame]
 
   /** L7b: QUALITY-AWARE survivor selection — per near-dup cluster, keep
     * the member a curation run actually wants: the LOWEST unigram-LM NLL

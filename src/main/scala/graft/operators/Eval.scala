@@ -107,9 +107,35 @@ object Eval {
     * (LlmOpsSpec pins it) at half the scans and kernel work.
     */
   def m2AnnRecall(spark: SparkSession, dir: String): DataFrame = {
-    val (ann, exact) =
-      Similarity.annVsExactTopK(Tables(spark, dir), queryId = 0L, k = 10, bits = 6)
-    recallAgainst(ann, exact, "vec_id")
+    val k = 10
+    val (cand, qBucket) =
+      Similarity.annVsExactScored(Tables(spark, dir), queryId = 0L, k = k, bits = 6)
+    // Both rankings live inside the ONE candidate frame (a band-cut
+    // superset of both top-k sets — Similarity.annVsExactScored), so the
+    // recall counters come from a single pass: rank globally and within
+    // the query bucket via row_number over the ≤ ~2·pad-row frame, then
+    // reduce with conditional sums in the same job. The global window is
+    // single-task BY DESIGN — its input is bounded by the band cut, not
+    // corpus-sized. This replaces recallAgainst's four-branch consumption
+    // (2 joins + 3 aggregates) of the pair frames, which forced a second
+    // materialize barrier and tripled the tiny-job count; the counters
+    // are definitionally identical (rank ≤ k membership == the limit(k)
+    // cut at the same (cosine desc, vec_id) tie-break).
+    val wAll = Window.orderBy(col("cosine").desc, col("vec_id"))
+    val wB = Window.partitionBy(col("in_bucket"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .withColumn("in_bucket", col("bucket") === lit(qBucket))
+      .withColumn("r_all", row_number().over(wAll))
+      .withColumn("r_b", row_number().over(wB))
+      .agg(
+        sum(when(col("r_all") <= k, 1L).otherwise(0L)).as("k_exact"),
+        sum(when(col("in_bucket") && col("r_b") <= k, 1L).otherwise(0L))
+          .as("k_approx"),
+        sum(when(col("r_all") <= k && col("in_bucket") && col("r_b") <= k, 1L)
+          .otherwise(0L)).as("n_common"))
+      .select(col("k_exact"), col("k_approx"), col("n_common"),
+        expr("(1000 * n_common) DIV k_exact").as("recall_permille"))
   }
 
   /** The declared retrieval-eval query set: conjunctive relevance (a doc
@@ -253,13 +279,18 @@ object Eval {
       .agg(sum(round(col("bm25") * lit(1e6)).cast("long")).as("score_micro"),
         count(lit(1)).as("rel"))
       .materialize()
-    // literal gain map keyed rel·1000+pos; element_at under ANSI fails
-    // LOUD on a key outside the table (impossible by construction: rel ≤
-    // maxRel, pos ≤ k in both branches) rather than silently mis-scoring
+    // literal gain map keyed rel·(k+1)+pos — pos ≤ k < k+1, so the key is
+    // collision-free for EVERY k (a fixed ·1000 stride would alias
+    // (rel, 1000+p) with (rel+1, p) once k > 1000); element_at under ANSI
+    // fails LOUD on a key outside the table (impossible by construction:
+    // rel ≤ maxRel, pos ≤ k in both branches) rather than silently
+    // mis-scoring
+    val keyStride = (k + 1).toLong
     val gainMap = typedLit(ndcgGainTable(ndcgMaxRel(queries), k)
-      .map { case (r, p, g) => (r.toLong * 1000L + p, g) }.toMap)
+      .map { case (r, p, g) => (r.toLong * keyStride + p, g) }.toMap)
     def discounted(rel: Column, pos: Column): Column =
-      element_at(gainMap, rel.cast("long") * lit(1000L) + pos.cast("long"))
+      element_at(gainMap,
+        rel.cast("long") * lit(keyStride) + pos.cast("long"))
     val topk = scored.groupBy(col("query"))
       .agg(graft.functions.TopKNative.topK(k)(
         negate(col("score_micro").cast("double")), col("doc_id"),

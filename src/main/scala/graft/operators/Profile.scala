@@ -145,17 +145,16 @@ object Profile {
     import graft.Ckpt._
     // cache the UNORDERED stats frame; the ~50-row sort is re-applied per
     // call so output order never depends on checkpoint partitioning
-    ExactProfileCache.getOrElseUpdate((spark, dir), {
+    ExactProfileCache.getOrElseUpdate(spark, dir) {
       val t = Tables(spark, dir)
       TableCols
         .map { case (name, cols) => profileTable(tableByName(t, name), name, cols) }
         .reduce(_ unionByName _)
         .materialize()
-    }).orderBy(col("table_name"), col("col_name"))
+    }.orderBy(col("table_name"), col("col_name"))
   }
 
-  private val ExactProfileCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val ExactProfileCache = new graft.SessionCache[String, DataFrame]
 
   def invalidateSessionCache(): Unit = ExactProfileCache.clear()
 

@@ -172,15 +172,41 @@ object Similarity {
     * work the composed form pays. The query vector is 1-row bounded
     * metadata: collected once and injected as literals (the SCALING.md
     * local-relation lesson), so no per-site query-broadcast build jobs.
-    * The narrow screen frame and the ≤ 2·pad-row rescore frame are
-    * materialized because their repeated consumers sit under SEPARATE
-    * TakeOrdered/aggregate subtrees, which ReuseExchange cannot share
-    * (it deduplicates exchange subtrees only) — without the barrier
-    * the screen kernel re-executes once per branch, measured slower at
-    * fixture scale and linearly worse with corpus size.
+    * The narrow screen frame is materialized because its repeated
+    * consumers (two band thresholds + the candidate filter) sit under
+    * SEPARATE TakeOrdered/aggregate subtrees, which ReuseExchange cannot
+    * share (it deduplicates exchange subtrees only) — without the
+    * barrier the screen kernel re-executes once per branch, measured
+    * slower at fixture scale and linearly worse with corpus size. Both
+    * candidate cuts are score BANDS, not counts (the
+    * [[embedNearDupPairs]] argument): every row whose screen score
+    * reaches (pad-th score − 2·[[SemPrefilterEps]]) survives, so each
+    * candidate set is a strict superset of its exact top-k even when
+    * > pad near-identical scores pack at the boundary.
     */
   def annVsExactTopK(t: Tables, queryId: Long, k: Int,
                      bits: Int): (DataFrame, DataFrame) = {
+    val (rescored0, qBucket) = annVsExactScored(t, queryId, k, bits)
+    // ≤ ~2·pad-row frame consumed by four subtrees downstream — barrier
+    // it so the rescore join never re-runs per branch
+    val rescored = rescored0.materialize()
+    val exact = rescored.select(col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+    val ann = rescored.filter(col("bucket") === lit(qBucket))
+      .select(col("vec_id"), col("label"), col("bucket"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+    (ann, exact)
+  }
+
+  /** The shared scan behind [[annVsExactTopK]] and [[Eval.m2AnnRecall]]:
+    * the LAZY exact-rescored candidate frame (vec_id, label, bucket,
+    * cosine) — a band-cut superset of BOTH the global and the
+    * bucket-restricted top-k — plus the query's bucket id. Returned
+    * un-materialized so a single-consumer caller (the fused recall) pays
+    * no extra barrier; multi-branch callers materialize it themselves.
+    */
+  private[graft] def annVsExactScored(t: Tables, queryId: Long, k: Int,
+                                      bits: Int): (DataFrame, Int) = {
     val pad = math.max(4 * k, k + 30)
     val qRow = t.embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding"), signBucket(col("embedding"), bits)).head()
@@ -194,22 +220,24 @@ object Similarity {
         graft.functions.CosineFast(col("embedding"), qfLit).as("cf"))
       .filter(!isnan(col("cf")))
       .materialize()
-    def cand(df: DataFrame) =
-      df.orderBy(col("cf").desc, col("vec_id")).limit(pad).select(col("vec_id"))
-    val candidates = cand(scored)
-      .union(cand(scored.filter(col("bucket") === lit(qBucket))))
-      .distinct()
+    // 1-row band thresholds, in-plan (broadcast), one per candidate set;
+    // an empty bucket yields a NULL thr_b whose disjunct three-values to
+    // false — only the global band survives, which is correct
+    def bandThr(df: DataFrame, name: String) =
+      df.orderBy(col("cf").desc, col("vec_id")).limit(pad)
+        .agg((min(col("cf")) - lit(2 * SemPrefilterEps)).as(name))
+    val thrAll = bandThr(scored, "thr_all")
+    val thrB = bandThr(scored.filter(col("bucket") === lit(qBucket)), "thr_b")
+    val candidates = scored
+      .crossJoin(broadcast(thrAll)).crossJoin(broadcast(thrB))
+      .filter(col("cf") >= col("thr_all") ||
+        (col("bucket") === lit(qBucket) && col("cf") >= col("thr_b")))
+      .select(col("vec_id"))
     val rescored = t.embeddings.join(broadcast(candidates), "vec_id")
       .select(col("vec_id"), col("label"),
         signBucket(col("embedding"), bits).as("bucket"),
         cosine(dbl(col("embedding")), qeLit).as("cosine"))
-      .materialize()
-    val exact = rescored.select(col("vec_id"), col("label"), col("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id")).limit(k)
-    val ann = rescored.filter(col("bucket") === lit(qBucket))
-      .select(col("vec_id"), col("label"), col("bucket"), col("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id")).limit(k)
-    (ann, exact)
+    (rescored, qBucket)
   }
 
   /** Production-fast top-k via the native codegen'd [[graft.functions.CosineSimilarity]]
@@ -461,20 +489,32 @@ object Similarity {
   def embedNearDupPairs(t: Tables, bits: Int, k: Int, chunks: Int = 8): DataFrame = {
     // screen/rescore, the topKBatch discipline: rank ALL within-bucket
     // pairs with the fused double kernel (TakeOrderedAndProject over a
-    // codegen'd pass), keep a padded top-P, and pay the exact-DECIMAL
-    // contract kernel only for those P rows. Same bounded-divergence
-    // argument as topKBatch (< 5.1e-7 per score, equal screen scores
-    // tie-break identically), so the exact top-k is preserved. NaN
+    // codegen'd pass), cut by a score BAND, and pay the exact-DECIMAL
+    // contract kernel only for the band. The cut is a band, not a count:
+    // a count cut of pad rows could drop a true top-k pair when > pad
+    // near-duplicate (not bit-identical) pairs pack inside the ~1e-6
+    // screen-vs-exact divergence at the k-th boundary — exactly the mass
+    // a dedup corpus concentrates there. Keeping every pair whose screen
+    // score reaches (pad-th score − 2·SemPrefilterEps) makes the candidate
+    // set a superset of the exact top-k outright: an excluded pair's exact
+    // score is < pad-th exact score, and ≥ pad ≥ k pairs beat it. NaN
     // screen scores (zero-norm vectors — absent from any real embedding
     // store) are dropped: NaN sorts GREATEST and would otherwise squat
     // the padded slots while rescoring to a never-ranking NULL.
     val pad = math.max(4 * k, k + 30)
-    val cand = bucketPairsF(t.embeddings, bits, chunks)
+    val scored = bucketPairsF(t.embeddings, bits, chunks)
       .select(col("a_id"), col("b_id"),
         graft.functions.CosineFast(col("fa"), col("fb")).as("cf"))
       .filter(!isnan(col("cf")))
-      .orderBy(col("cf").desc, col("a_id"), col("b_id"))
+      .materialize() // narrow (id, id, double) — scored once, read twice
+    // 1-row threshold frame: the pad-th screen score minus the band.
+    // Stays in-plan (broadcast), no driver collect; an empty corpus gives
+    // a NULL threshold and the >= predicate filters everything — correct.
+    val thr = scored.orderBy(col("cf").desc, col("a_id"), col("b_id"))
       .limit(pad)
+      .agg((min(col("cf")) - lit(2 * SemPrefilterEps)).as("thr"))
+    val cand = scored.crossJoin(broadcast(thr))
+      .filter(col("cf") >= col("thr"))
       .select(col("a_id"), col("b_id"))
     val e = t.embeddings.select(col("vec_id"), dbl(col("embedding")).as("e"))
     cand
@@ -582,14 +622,14 @@ object Similarity {
     * charge the Lloyd chain once per query instead. The cached frame is
     * the [[trainedCentroids]] output, whose final round already
     * materialized — recompute-equality is spec-pinned in LlmOpsSpec.
-    * Keyed by session so a stopped session's entries are unreachable.
+    * Keyed by session; stopped sessions' entries are purged on access
+    * ([[graft.SessionCache]]).
     */
-  private val CentroidCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+  private val CentroidCache = new graft.SessionCache[(String, Int), DataFrame]
 
   def defaultCentroids(spark: SparkSession, dir: String,
                        nCells: Int = IvfCells): DataFrame =
-    CentroidCache.getOrElseUpdate((spark, dir, nCells),
+    CentroidCache.getOrElseUpdate(spark, (dir, nCells))(
       trainedCentroids(Tables(spark, dir).embeddings, nCells))
 
   /** Drop every memoized per-session frame ([[defaultCentroids]],
@@ -631,9 +671,18 @@ object Similarity {
   /** ⌈n/[[SemCellTarget]]⌉ floored at [[IvfCells]] — the engine side of
     * the cell-count formula (integer ceil; the oracle's
     * CEIL(COUNT(*)/128.0) agrees exactly for any corpus below 2⁵³).
+    * The result must fit an Int (the k-means trainer's centroid count);
+    * past ~2.7e11 rows the silent `.toInt` wrap would diverge from the
+    * oracle long before 2⁵³, so fail LOUD there instead — a corpus that
+    * big needs a larger [[SemCellTarget]], not a wrapped cell count.
     */
-  def semCellsFor(n: Long): Int =
-    math.max(IvfCells.toLong, (n + SemCellTarget - 1) / SemCellTarget).toInt
+  def semCellsFor(n: Long): Int = {
+    val cells = math.max(IvfCells.toLong, (n + SemCellTarget - 1) / SemCellTarget)
+    require(cells.isValidInt,
+      s"semanticDedup cell count $cells (n=$n, target=$SemCellTarget) " +
+        "exceeds Int.MaxValue; raise SemCellTarget for this corpus")
+    cells.toInt
+  }
 
   /** Corpus row count memoized per (session, dir) — one metadata-cheap
     * count job per session feeds every [[semCellsFor]] call (Verify and
@@ -641,11 +690,10 @@ object Similarity {
     * assumption as [[CentroidCache]]; [[invalidateSessionCaches]] clears
     * both.
     */
-  private val CorpusCountCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private val CorpusCountCache = new graft.SessionCache[String, Long]
 
   def embeddingCount(spark: SparkSession, dir: String): Long =
-    CorpusCountCache.getOrElseUpdate((spark, dir),
+    CorpusCountCache.getOrElseUpdate(spark, dir)(
       Tables(spark, dir).embeddings.count())
 
   /** Prefilter slack for [[semanticDedup]]'s two-stage scoring: a pair
@@ -788,10 +836,10 @@ object Similarity {
     * materialized); [[invalidateSessionCaches]] clears it.
     */
   private val PqBooksCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int, Int), DataFrame]
+    new graft.SessionCache[(String, Int, Int), DataFrame]
 
   private[graft] def defaultPqBooks(t: Tables): DataFrame =
-    PqBooksCache.getOrElseUpdate((t.spark, t.dir, PqM, PqK),
+    PqBooksCache.getOrElseUpdate(t.spark, (t.dir, PqM, PqK))(
       trainedCentroidsSub(subspaced(t.embeddings), PqK))
 
   def pqTopK(t: Tables, queryId: Long, k: Int): DataFrame = {

@@ -274,14 +274,13 @@ object TextOps {
     * Same immutable-corpus-dir assumption as every session cache;
     * [[invalidateSessionCache]] clears it.
     */
-  private val bm25Cache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private val bm25Cache = new graft.SessionCache[String, DataFrame]
   private[graft] def defaultBm25(spark: org.apache.spark.sql.SparkSession,
                                  dir: String): DataFrame =
-    bm25Cache.getOrElseUpdate((spark, dir), {
+    bm25Cache.getOrElseUpdate(spark, dir) {
       import graft.Ckpt._
       bm25Frame(Tables(spark, dir).documents).materialize()
-    })
+    }
 
   def invalidateSessionCache(): Unit = {
     bm25Cache.clear()
@@ -784,12 +783,12 @@ object TextOps {
     * independent recompute.
     */
   private val bpeTrainCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+    new graft.SessionCache[String, (DataFrame, DataFrame)]
   private[graft] def defaultBpeTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    bpeTrainCache.getOrElseUpdate((spark, dir), {
+    bpeTrainCache.getOrElseUpdate(spark, dir) {
       val (merges, syms) = bpeTrain(Tables(spark, dir).documents)
       (merges.materialize(), syms.materialize())
-    })
+    }
 
   /** L4e declared query: the [[BpeTrainRounds]]-round merge table. */
   def l4BpeTrain(spark: SparkSession, dir: String): DataFrame =

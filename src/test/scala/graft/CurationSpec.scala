@@ -244,6 +244,25 @@ class CurationSpec extends SparkSuite {
     assert(none.filter(col("sampled")).count() == 0)
   }
 
+  test("L8 declared samplers: memoized stratum counts == fresh recompute") {
+    // the declared queries route the decomposition's bucket-count collect
+    // through a session cache (documentsStratumCounts); the cached path
+    // must be row-identical to the generic un-memoized call at the same
+    // (strata, keyCol, salt, partitions) — the recompute-equality pin
+    // every session cache in the engine carries
+    val docs = tables.documents
+    assertSameRows(
+      Curation.l8StratifiedSample(spark, sf),
+      Curation.stratifiedSample(docs, Seq("lang", "source"), "doc_id",
+        Curation.StratifiedRatePermille, Curation.StratifiedSalt)
+        .orderBy(col("doc_id")))
+    assertSameRows(
+      Curation.l8TemperatureMix(spark, sf),
+      Curation.temperatureMix(docs, "lang", "doc_id",
+        Curation.TemperatureKeepPermille, Curation.TemperatureSalt)
+        .orderBy(col("doc_id")))
+  }
+
   test("L8j temperature mix: √-flattened quotas, budget respected, rank == naive window") {
     val docs = tables.documents.select(col("doc_id"), col("lang"))
     val keep = 400
