@@ -298,49 +298,92 @@ object Curation {
     * in LLM data loaders).
     *
     * The running total is a DISTRIBUTED prefix sum, not a
-    * single-partition window: range-partition by doc_id, per-partition
-    * cumulative sums, then one tiny (numPartitions rows) aggregate of
-    * per-partition totals broadcast back as offsets. A global
-    * `Window.orderBy` would funnel 100 TB through ONE task; this form's
-    * largest sequential structure is the partition-count-sized offset
-    * table. Output is invariant to the (sampled, nondeterministic) range
-    * boundaries because a prefix sum over a fixed total order is
-    * boundary-associative — asserted against the naive single-partition
-    * window in CurationSpec.
+    * single-partition window — in one of two shapes. With `bucket`
+    * (a deterministic column MONOTONE non-decreasing in doc_id, e.g.
+    * `doc_id DIV width` — the [[graft.operators.Relational.bucketedRank]]
+    * contract, sums instead of counts): per-bucket token sums feed
+    * broadcast earlier-bucket offsets, per-bucket cumulative sums finish
+    * the total — no range-sampling job, no corpus checkpoint; only the
+    * ≤ #buckets-row offset frame is pinned, and the (cheap, or
+    * caller-materialized) input executes once per branch. Without it:
+    * range-partition by doc_id, per-partition cumulative sums, offsets
+    * from per-partition totals — adaptive to ANY doc_id distribution,
+    * at the price of the sampler job plus a corpus-wide checkpoint
+    * (the boundaries are nondeterministic, so both branches must see
+    * ONE materialized partitioning). A global `Window.orderBy` would
+    * funnel 100 TB through ONE task either way; both forms' largest
+    * sequential structure is the offset table. Output is invariant to
+    * the decomposition because a prefix sum over a fixed total order is
+    * boundary-associative — both forms asserted against the naive
+    * single-partition window in CurationSpec.
     */
   def packBins(docs: DataFrame, tokens: Column, budget: Long,
-               partitions: Int = 32): DataFrame = {
+               partitions: Int = 32,
+               bucket: Option[Column] = None): DataFrame = {
     require(budget > 0, "budget must be positive")
-    // materialized ONCE: the range boundaries are sampled (nondeterministic
-    // across evaluations) and pid is stage-dependent — the offsets branch
-    // and the main branch must see the SAME partitioning, not two
-    // independent re-executions (a cluster run would use reliable
-    // `checkpoint`; ReuseExchange usually saves us but is not a contract)
-    val parts = docs
-      .select(col("doc_id"), tokens.as("n_tokens"))
-      .repartitionByRange(partitions, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .materialize()
-    val offsets = parts.groupBy(col("pid"))
-      .agg(sum(col("n_tokens")).as("ptot"))
-      .withColumn("poff",
-        coalesce(sum(col("ptot")).over(
-          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("pid"), col("poff"))
-    parts.join(broadcast(offsets), "pid")
-      // explicit ROWS frame: the default RANGE frame treats order-by PEERS
-      // as one unit, double-counting tokens if doc_id ever duplicates
-      .withColumn("cum_in_part",
-        sum(col("n_tokens")).over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tokens_before",
-        col("poff") + col("cum_in_part") - col("n_tokens"))
-      // integer DIV: exact at any magnitude (a double round-trip could
-      // misplace a boundary doc once cumulative tokens pass ~2^45)
-      .select(col("doc_id"), col("n_tokens"),
-        expr(s"tokens_before DIV ${budget}L").as("bin"))
+    val narrow = docs.select(col("doc_id"), tokens.as("n_tokens"))
+    val located = bucket match {
+      case Some(b) =>
+        val withB = narrow.withColumn("__b", b)
+        val offsets = withB.groupBy(col("__b"))
+          .agg(sum(col("n_tokens")).as("__btok"))
+          .withColumn("__boff",
+            coalesce(sum(col("__btok")).over(
+              Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .materialize() // bucket-sized: pins ONE upstream execution
+        withB
+          // explicit ROWS frame: the default RANGE frame treats order-by
+          // PEERS as one unit, double-counting if doc_id ever duplicates
+          .withColumn("__cum",
+            sum(col("n_tokens")).over(
+              Window.partitionBy(col("__b")).orderBy(col("doc_id"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          // null-safe: bucket(NULL id) is NULL — grouped above, droppable
+          // by a plain equi-join
+          .join(broadcast(offsets.select(col("__b").as("__ob"), col("__boff"))),
+            col("__b") <=> col("__ob"))
+          .withColumn("tokens_before", col("__boff") + col("__cum") - col("n_tokens"))
+      case None =>
+        // materialized ONCE: the range boundaries are sampled
+        // (nondeterministic across evaluations) and pid is
+        // stage-dependent — the offsets branch and the main branch must
+        // see the SAME partitioning, not two independent re-executions
+        // (a cluster run would use reliable `checkpoint`; ReuseExchange
+        // usually saves us but is not a contract)
+        val parts = narrow
+          .repartitionByRange(partitions, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .materialize()
+        val offsets = parts.groupBy(col("pid"))
+          .agg(sum(col("n_tokens")).as("ptot"))
+          .withColumn("poff",
+            coalesce(sum(col("ptot")).over(
+              Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select(col("pid"), col("poff"))
+        parts.join(broadcast(offsets), "pid")
+          .withColumn("cum_in_part",
+            sum(col("n_tokens")).over(
+              Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tokens_before",
+            col("poff") + col("cum_in_part") - col("n_tokens"))
+    }
+    // integer DIV: exact at any magnitude (a double round-trip could
+    // misplace a boundary doc once cumulative tokens pass ~2^45)
+    located.select(col("doc_id"), col("n_tokens"),
+      expr(s"tokens_before DIV ${budget}L").as("bin"))
   }
+
+  /** Monotone doc_id bucket the DECLARED packing queries decompose on:
+    * fixture doc_ids are dense 1..n, so `doc_id DIV 256` yields ~n/256
+    * balanced buckets with zero jobs spent learning boundaries. A corpus
+    * with sparse or unbounded ids picks its own width (~n / desired
+    * buckets) or falls back to the sampler path (`bucket = None`).
+    */
+  val PackBucketWidth = 256L
+  private def packBucket: Column = expr(s"doc_id DIV ${PackBucketWidth}L")
 
   val PackBudget = 512L
 
@@ -349,7 +392,8 @@ object Curation {
     */
   def l8Pack(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    packBins(t.documents, size(split(col("text"), " ")).cast("long"), PackBudget)
+    packBins(t.documents, size(split(col("text"), " ")).cast("long"), PackBudget,
+      bucket = Some(packBucket))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -373,8 +417,9 @@ object Curation {
     * silently drop.
     */
   def buildShards(docs: DataFrame, tokens: Column, budget: Long,
-                  partitions: Int = 32): DataFrame = {
-    val packed = packBins(docs, tokens, budget, partitions)
+                  partitions: Int = 32,
+                  bucket: Option[Column] = None): DataFrame = {
+    val packed = packBins(docs, tokens, budget, partitions, bucket)
     packed.join(docs.select(col("doc_id"), col("text")), "doc_id")
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
@@ -387,7 +432,8 @@ object Curation {
   /** L8k declared query: shards at [[PackBudget]] tokens. */
   def l8Shards(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    buildShards(t.documents, size(split(col("text"), " ")).cast("long"), PackBudget)
+    buildShards(t.documents, size(split(col("text"), " ")).cast("long"), PackBudget,
+      bucket = Some(packBucket))
       .orderBy(col("bin"))
   }
 
@@ -539,30 +585,45 @@ object Curation {
     */
   def epochOrder(docs: DataFrame, key: Column, salt: String,
                  partitions: Int = 32): DataFrame = {
-    val parts = docs
+    // Hash-PREFIX buckets, the stratumRank decomposition: the bucket is
+    // the leading hex chars of the order hash itself, so bucket(r1) <
+    // bucket(r2) implies r1 precedes r2 under (h, k) (fixed-length hex —
+    // prefix order agrees with full-string order) and the offsets branch
+    // and the rank branch agree with NO corpus materialization. The
+    // earlier form repartitionByRange'd on (h, k) and keyed on
+    // spark_partition_id, paying a range-sampling job plus a corpus-wide
+    // checkpoint write/read per call — at 100 TB that checkpoint IS the
+    // cost of the permutation. md5 is uniform, so 16^chars buckets are
+    // balanced by construction; only the ≤ 16^chars-row count frame is
+    // pinned.
+    val chars = math.max(1,
+      math.ceil(math.log(math.max(partitions, 2)) / math.log(16)).toInt)
+    val withH = docs
       // full 32-hex md5: practically collision-free, and the key still
       // tie-breaks so the permutation is total by construction
       .select(key.as("k"), hexBucket(salt + "|", key, 32).as("h"))
-      .repartitionByRange(partitions, col("h"), col("k"))
-      .withColumn("pid", spark_partition_id())
-      .materialize() // same contract as packBins: offsets branch and
-                         // main branch must see ONE materialized partitioning
-    val offsets = parts.groupBy(col("pid"))
-      .agg(count(lit(1)).as("pcnt"))
-      .withColumn("poff",
-        coalesce(sum(col("pcnt")).over(
-          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+      .withColumn("__b", substring(col("h"), 1, chars))
+    val offsets = withH.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__boff",
+        coalesce(sum(col("__bn")).over(
+          Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("pid"), col("poff"))
-    parts.join(broadcast(offsets), "pid")
+      .materialize() // bucket-sized: pins ONE upstream execution for the
+                     // broadcast side
+    withH
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("pid")).orderBy(col("h"), col("k"))))
+        Window.partitionBy(col("__b")).orderBy(col("h"), col("k"))))
+      // null-safe bucket equality: a null key hashes to a null bucket,
+      // which groupBy groups but a plain equi-join would silently drop
+      .join(broadcast(offsets.select(col("__b").as("__ob"), col("__boff"))),
+        col("__b") <=> col("__ob"))
       // INT is safe here: pos is a corpus-row ordinal, and an epoch
       // permutation is materialized per training run over the POST-
       // curation corpus — beyond 2³¹ rows you shard epochs (l8_shards)
       // long before this cast binds. (Contrast stratified rank, which
       // is BIGINT because it ranks the unbounded raw corpus.)
-      .select(col("k").as("doc_id"), (col("poff") + col("rn")).cast("int").as("pos"))
+      .select(col("k").as("doc_id"), (col("__boff") + col("rn")).cast("int").as("pos"))
   }
 
   val ShuffleSalt = "epoch0"
@@ -892,7 +953,7 @@ object Curation {
     val bucketed = TextOps.ccnetBuckets(survivors)
       .filter(col("bucket") =!= lit("tail"))
       .materialize()
-    packBins(bucketed, col("n_tokens"), PackBudget)
+    packBins(bucketed, col("n_tokens"), PackBudget, bucket = Some(packBucket))
       .join(bucketed.select(col("doc_id"), col("bucket")), "doc_id")
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("bin"))
       .orderBy(col("doc_id"))

@@ -112,6 +112,17 @@ class CurationSpec extends SparkSuite {
       .select(col("doc_id"), col("n_tokens"),
         expr("tokens_before DIV 256L").as("bin"))
     assertSameRows(dist, naive)
+    // the monotone-bucket decomposition (the declared queries' path)
+    // computes the same bins as both the sampler path and the naive
+    // window — boundary associativity holds for ANY monotone bucket,
+    // including a deliberately skewed one (width 7 over dense ids) and
+    // the degenerate single-bucket one
+    val bucketed = Curation.packBins(docs, tokens, budget = 256L,
+      bucket = Some(expr("doc_id DIV 7")))
+    assertSameRows(bucketed, naive)
+    val oneBucket = Curation.packBins(docs, tokens, budget = 256L,
+      bucket = Some(lit(0L)))
+    assertSameRows(oneBucket, naive)
     // bins cover a contiguous doc_id range: max(bin k) < min(bin k+1)
     val perBin = dist.groupBy(col("bin"))
       .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
