@@ -422,6 +422,22 @@ class PropertiesSpec extends SparkSuite {
       graft.functions.SortedIntersectSizeCol(col("a"), col("b"))
         =!= size(array_intersect(col("a"), col("b"))))
     assert(bad.isEmpty, bad.collect().mkString(", "))
+    // the LONG variant (the triangle-closure kernel) under the same
+    // differential, with negative ids in range to exercise signed compare
+    val lrows = (1 to 300).map { i =>
+      def arr() = rnd.shuffle((-20 to 20).toList).take(rnd.nextInt(12))
+        .map(_.toLong).distinct.sorted
+      (i.toLong, arr(), arr())
+    } :+ ((301L, List.empty[Long], List(3L))) :+ ((302L, List.empty[Long], List.empty[Long]))
+    val ldf = lrows.toDF("id", "a", "b")
+    val lbad = ldf.filter(
+      graft.functions.SortedIntersectSizeCol(col("a"), col("b"))
+        =!= size(array_intersect(col("a"), col("b"))))
+    assert(lbad.isEmpty, lbad.collect().mkString(", "))
+    // mixed types must be rejected loudly, not silently miscounted
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.SortedIntersectSizeCol(col("a"), lit(Array(1L, 2L)))).collect()
+    }
   }
 
   test("fast minhash twin: pure function of the token SET, same containment algebra") {
