@@ -370,6 +370,17 @@ object TailTwins {
             expr("3 * n_triangles * 1000 / nullif(n_wedges, 0)").as("cc_permille"))
       }),
 
+      "a6_stats" -> (() => li
+        // honesty pin: the engine's A6 already IS idiomatic Spark
+        // (built-in percentile/stddev_samp/corr — nothing to strip), so
+        // this twin is the same plan by construction; the row exists for
+        // the ≥2s-coverage rule and prices only the session configs
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))),
+
       "l1_dupspans" -> (() => dupCoverageNaive(docs).orderBy("doc_id")),
 
       "l4_ccnet_buckets" -> (() => ccnetNaive(docs)),

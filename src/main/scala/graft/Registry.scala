@@ -1292,6 +1292,26 @@ object Registry {
         FROM dcg JOIN idcg USING (query) ORDER BY query"""
       }),
 
+      // M6: embedding-space diversity — the oracle replays the SAME
+      // k-means + exact-DECIMAL assignment chain as the IVF probe
+      // (kmAssignCtes), counts per-cell occupancy, snaps ln once per
+      // distinct count into micro-nat surprisal, and integer-folds the
+      // entropy over the #cells-row frame (window SUM, bounded by
+      // construction on both engines).
+      QueryDef("m6_diversity", Eval.m6Diversity, Some(s"""
+        WITH ${kmAssignCtes(Similarity.IvfCells.toString)},
+        occ AS (SELECT cell, COUNT(*) AS n_vecs FROM cell GROUP BY cell),
+        tot AS (SELECT SUM(n_vecs) AS n_total FROM occ),
+        s AS (SELECT cell, n_vecs, n_total,
+                CAST(n_vecs * 1000 // n_total AS BIGINT) AS share_permille,
+                CAST(ROUND(ln(CAST(n_total AS DOUBLE) / n_vecs) * 1e6) AS BIGINT)
+                  AS surprisal_micro
+              FROM occ, tot)
+        SELECT cell, n_vecs, share_permille, surprisal_micro,
+          CAST(SUM(n_vecs * surprisal_micro) OVER () // n_total AS BIGINT)
+            AS entropy_micro
+        FROM s ORDER BY cell""")),
+
       // IVF replay: k-means-TRAINED centroids (Similarity.KmIters Lloyd
       // rounds over the deterministic vec_id % KmTrainMod == 0 training
       // slice from its first-cells init, one CTE chain

@@ -371,6 +371,50 @@ object Eval {
     tokenDrift(Tables(spark, dir).documents, "source")
       .orderBy(col("source"))
 
+  /** M6: embedding-space DIVERSITY — per-IVF-cell occupancy of the
+    * corpus under the session-trained [[Similarity.defaultCentroids]]
+    * quantizer, plus the occupancy distribution's Shannon entropy in
+    * integer micro-nats. The "has my embedding corpus collapsed"
+    * diagnostic a curation run checks after dedup/sampling: a healthy
+    * corpus spreads mass across cells (entropy near ln(k)); a collapsed
+    * or over-deduped one concentrates it (entropy → 0). Same monitoring
+    * family as M4's distribution drift, measured in the geometry the
+    * ANN index actually serves.
+    *
+    * Exactness discipline: shares the L3/L11 exact-DECIMAL cell
+    * assignment (the oracle replays the identical k-means chain), the
+    * per-cell share is integer permille, and ln — the one transcendental
+    * — is snapped to micro-nats once per DISTINCT (n_total, n_vecs) pair
+    * (≤ #cells values; the m4/tf-idf posture), after which the entropy
+    * Σ n_c·surprisalµ DIV n is pure integer arithmetic. The grand
+    * entropy rides every row via an unpartitioned window SUM — bounded
+    * by construction: the frame is one row per CELL ([[Similarity
+    * .IvfCells]] rows), never corpus-sized.
+    *
+    * Scale shape: one broadcast-centroid assignment pass (partial-agg
+    * argmin — the IVF pass), one cell-keyed count aggregate, then
+    * arithmetic over a #cells-row frame. Diversity of a 100 TB corpus
+    * costs one scan and one k-row shuffle.
+    */
+  def m6Diversity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cells = Similarity.assignCells(t.embeddings,
+        Similarity.defaultCentroids(spark, dir))
+      .select(col("vec_id"), col("cell"))
+    val occ = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val tot = occ.agg(sum(col("n_vecs")).as("n_total"))
+    occ.crossJoin(broadcast(tot))
+      .withColumn("share_permille", expr("n_vecs * 1000 DIV n_total"))
+      .withColumn("surprisal_micro",
+        round(log(col("n_total").cast("double") / col("n_vecs")) * lit(1e6))
+          .cast("long"))
+      .withColumn("entropy_micro",
+        expr("SUM(n_vecs * surprisal_micro) OVER () DIV n_total"))
+      .select(col("cell"), col("n_vecs"), col("share_permille"),
+        col("surprisal_micro"), col("entropy_micro"))
+      .orderBy(col("cell"))
+  }
+
   /** Drift of ONE document set against a STATIC reference distribution —
     * the form a streaming monitor evaluates per micro-batch (the
     * reference is the training corpus; incoming data is scored against

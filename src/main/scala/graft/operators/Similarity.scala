@@ -1006,10 +1006,19 @@ object Similarity {
     * multi-query counterpart of [[queryVec]]. Broadcast-sized by
     * contract: a serving/eval query batch is KBs against a 100 TB
     * corpus, so every consumer attaches it with `broadcast(...)`.
+    * Collected ONCE and re-injected as a LOCAL relation (the SCALING.md
+    * local-relation lesson, same as [[annVsExactScored]]'s 1-row query):
+    * a lazy frame here made every consumer's `broadcast()` pay its own
+    * id-filtered corpus-scan build job — topKBatch broadcasts the batch
+    * twice (screen + rescore), so the lazy form cost two scans per
+    * execution for 3 rows of metadata.
     */
-  def batchQueryVecs(t: Tables, ids: Seq[Long]): DataFrame =
-    t.embeddings.filter(col("vec_id").isin(ids: _*))
+  def batchQueryVecs(t: Tables, ids: Seq[Long]): DataFrame = {
+    val lazyQ = t.embeddings.filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id").as("query_id"), dbl(col("embedding")).as("q_emb"))
+    t.spark.createDataFrame(
+      java.util.Arrays.asList(lazyQ.collect(): _*), lazyQ.schema)
+  }
 
   /** Per-query top-k over an UNBOUNDED per-query candidate frame. A
     * `Window.partitionBy(query_id)` would funnel each query's candidate

@@ -210,6 +210,36 @@ class LlmOpsSpec extends SparkSuite {
     assert(multi.head.getAs[Long]("vec_id") == 0L) // self first at 1.0
   }
 
+  test("M6 diversity: cells partition the corpus, surprisal/entropy arithmetic exact") {
+    val rows = operators.Eval.m6Diversity(spark, sf).collect()
+    val t = Tables(spark, sf)
+    val n = t.embeddings.count()
+    // occupancies partition the corpus — no vector lost or double-binned
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n)
+    // integer-permille shares under-count only by per-cell floor
+    val shares = rows.map(_.getAs[Long]("share_permille"))
+    assert(shares.sum <= 1000L && shares.sum > 1000L - rows.length)
+    // surprisal is the snapped ln of the inverse share; entropy is the
+    // exact integer fold of (n_c · surprisalµ) DIV n — recompute both
+    rows.foreach { r =>
+      val exp = Math.round(Math.log(n.toDouble / r.getAs[Long]("n_vecs")) * 1e6)
+      assert(r.getAs[Long]("surprisal_micro") == exp)
+    }
+    val entropy = rows.map(r => r.getAs[Long]("n_vecs") * r.getAs[Long]("surprisal_micro")).sum / n
+    assert(rows.forall(_.getAs[Long]("entropy_micro") == entropy))
+    // bounds: 0 ≤ H ≤ ln(k) (+1 µnat slack for the per-cell snap)
+    assert(entropy >= 0L &&
+      entropy <= Math.round(Math.log(rows.length.toDouble) * 1e6) + 1)
+    // a collapsed corpus: every vector in one cell → zero entropy
+    val one = Seq.fill(50)(Seq.fill(4)(0.25f)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val cents1 = Similarity.trainedCentroids(one, 1)
+    val occ1 = Similarity.assignCells(one, cents1)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs")).collect()
+    assert(occ1.length == 1 && occ1.head.getAs[Long]("n_vecs") == 50L)
+  }
+
   test("M2 shared-scan pair == composed l3_ann_bucket / l3_cosine_topk") {
     val t = Tables(spark, sf)
     val (ann, exact) = Similarity.annVsExactTopK(t, 0L, k = 10, bits = 6)
