@@ -156,7 +156,10 @@ object Profile {
 
   private val ExactProfileCache = new graft.SessionCache[String, DataFrame]
 
-  def invalidateSessionCache(): Unit = ExactProfileCache.clear()
+  def invalidateSessionCache(): Unit = {
+    ExactProfileCache.clear()
+    ApproxProfileCache.clear()
+  }
 
   /** The 100 TB variant: same single-pass shape, HLL++ distinct counts —
     * the documented default at scale, where s7Profile's extra exact
@@ -167,12 +170,23 @@ object Profile {
     */
   def s7ProfileApprox(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    TableCols
-      .map { case (name, cols) =>
-        profileTable(tableByName(t, name), name, cols, approx = true) }
-      .reduce(_ unionByName _)
-      .orderBy(col("table_name"), col("col_name"))
+    import graft.Ckpt._
+    // memoized like the exact pass ([[s7Profile]]): the sketch catalog is
+    // the same ~50-row ANALYZE artifact, consumed by the declared query's
+    // warm re-executions and by the acceptance-band join; its one-time
+    // build surfaces in Bench's `shared_build.s7_approx_sketch` instead
+    // of vanishing into warm-up. HLL++ is deterministic on fixed input,
+    // so cached ROWS equal the un-memoized call's exactly.
+    ApproxProfileCache.getOrElseUpdate(spark, dir) {
+      TableCols
+        .map { case (name, cols) =>
+          profileTable(tableByName(t, name), name, cols, approx = true) }
+        .reduce(_ unionByName _)
+        .materialize()
+    }.orderBy(col("table_name"), col("col_name"))
   }
+
+  private val ApproxProfileCache = new graft.SessionCache[String, DataFrame]
 
   /** approx_count_distinct's default relative standard deviation (the
     * value Spark documents and this engine never overrides). The checked
