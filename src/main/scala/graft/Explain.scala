@@ -16,7 +16,8 @@ object Explain {
     "l4_ccnet_buckets", "l8_stratified", "l8_temperature_mix", "l8_shards",
     "j12_interval_join", "m3_mrr", "m4_drift", "l4_keywords",
     "l11_semantic_dedup", "l3_batch_topk", "l6_embed_neardup",
-    "l9_fuzzy_decontam", "m5_ndcg", "s10_sql_entry", "l4_quality_classifier")
+    "l9_fuzzy_decontam", "m5_ndcg", "s10_sql_entry", "l4_quality_classifier",
+    "m6_diversity", "g2_triangles", "l8_pack", "l8_shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

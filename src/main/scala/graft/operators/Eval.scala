@@ -396,10 +396,17 @@ object Eval {
     * arithmetic over a #cells-row frame. Diversity of a 100 TB corpus
     * costs one scan and one k-row shuffle.
     */
-  def m6Diversity(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val cells = Similarity.assignCells(t.embeddings,
-        Similarity.defaultCentroids(spark, dir))
+  def m6Diversity(spark: SparkSession, dir: String): DataFrame =
+    diversityOf(Tables(spark, dir).embeddings,
+      Similarity.defaultCentroids(spark, dir))
+
+  /** [[m6Diversity]] over any embeddings frame against any trained
+    * centroid frame — shared by the declared query and the streaming
+    * monitor ([[graft.streaming.Streams.runDiversityMonitor]]), which
+    * evaluates it per micro-batch against the static quantizer.
+    */
+  def diversityOf(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cells = Similarity.assignCells(emb, centroids)
       .select(col("vec_id"), col("cell"))
     val occ = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
     val tot = occ.agg(sum(col("n_vecs")).as("n_total"))

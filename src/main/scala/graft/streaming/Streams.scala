@@ -720,6 +720,35 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** T18: streaming embedding-DIVERSITY monitor — the M6 metric per
+    * micro-batch of arriving vectors against the STATIC offline-trained
+    * coarse quantizer (the T12 drift-monitor shape in embedding space):
+    * each wave's per-cell occupancy, shares, and entropy go to `sink`
+    * with the batch id, so a collapsing upstream (a dedup gone wrong, a
+    * crawl stuck on one template) raises the alarm wave-by-wave even
+    * when individual vectors look fine. Centroids are k-row bounded
+    * state computed once by the caller ([[graft.operators.Similarity
+    * .trainedCentroids]] or the persisted index's centroid frame) —
+    * broadcast into each batch's assignment join. foreachBatch because
+    * entropy is a full per-batch re-aggregation, not an incremental
+    * state update (a batch's entropy is not mergeable across batches).
+    * StreamingSpec pins each wave's monitor rows to the batch
+    * [[graft.operators.Eval.diversityOf]] twin on that wave's frame.
+    */
+  def runDiversityMonitor(vecs: DataFrame, centroids: DataFrame,
+                          checkpoint: String)
+                         (sink: (Long, Array[org.apache.spark.sql.Row]) => Unit): Unit = {
+    val q = vecs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(id, graft.operators.Eval.diversityOf(batch, centroids).collect())
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
   /** T13: streaming ANN SERVING — answer a stream of query vectors
     * against the persisted PQ index
     * ([[graft.operators.Similarity.buildPqIndex]]), the online half of

@@ -887,6 +887,35 @@ class StreamingSpec extends SparkSuite {
     assert(got.count(_._2 > 0) == 1)
   }
 
+  test("T18 diversity monitor: per-wave cell occupancy + entropy == batch twin") {
+    import graft.operators.{Eval, Similarity}
+    val emb = tables.embeddings
+    val cents = Similarity.defaultCentroids(spark, sf)
+    // two arrival waves, split mid-corpus so their occupancy histograms
+    // genuinely differ; the second wave is a near-collapsed slice (one
+    // label's vectors only) to exercise the low-entropy alarm path
+    val w1 = emb.filter(col("vec_id") < 250L)
+    val w2 = emb.filter(col("vec_id") >= 250L && col("label") === 3)
+    val dir = Files.createTempDirectory("graft-div-waves")
+    w1.coalesce(1).write.parquet(s"$dir/w1")
+    w2.coalesce(1).write.parquet(s"$dir/w2")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    Streams.runDiversityMonitor(stream, cents,
+      Files.createTempDirectory("graft-div-cp").toString) { (_, rows) =>
+      got += rows.map(_.toString).toSeq
+    }
+    assert(got.size == 2, s"expected 2 micro-batches, got ${got.size}")
+    // == the batch twin on each wave, whatever order the files triggered in
+    def expect(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      Eval.diversityOf(d, cents).collect().map(_.toString).toSeq
+    assert(got.toSet == Set(expect(w1), expect(w2)))
+    // both waves' occupancies partition their inputs
+    def nOf(rows: Seq[String]) = rows.size
+    assert(got.forall(nOf(_) >= 1))
+  }
+
   test("T13 ANN serving: streamed query waves against the persisted PQ index == batch probe") {
     import graft.operators.Similarity
     val idxDir = Files.createTempDirectory("graft-pq-serve").toString
