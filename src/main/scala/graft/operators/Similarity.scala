@@ -643,6 +643,7 @@ object Similarity {
     CentroidCache.clear()
     CorpusCountCache.clear()
     PqBooksCache.clear()
+    BatchQueryCache.clear()
   }
 
   /** Semantic-dedup cosine threshold for the declared query. Real
@@ -1011,13 +1012,21 @@ object Similarity {
     * a lazy frame here made every consumer's `broadcast()` pay its own
     * id-filtered corpus-scan build job — topKBatch broadcasts the batch
     * twice (screen + rescore), so the lazy form cost two scans per
-    * execution for 3 rows of metadata.
+    * execution for 3 rows of metadata. The collected rows are memoized
+    * per (session, dir, ids) — bounded query metadata over an immutable
+    * corpus dir, the [[defaultCentroids]] discipline — so a serving/eval
+    * session re-ranking against the same query batch pays the id-probe
+    * scan once, not once per execution; [[invalidateSessionCaches]]
+    * clears it with the rest.
     */
+  private val BatchQueryCache =
+    new graft.SessionCache[(String, Seq[Long]), Array[org.apache.spark.sql.Row]]
+
   def batchQueryVecs(t: Tables, ids: Seq[Long]): DataFrame = {
     val lazyQ = t.embeddings.filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id").as("query_id"), dbl(col("embedding")).as("q_emb"))
-    t.spark.createDataFrame(
-      java.util.Arrays.asList(lazyQ.collect(): _*), lazyQ.schema)
+    val rows = BatchQueryCache.getOrElseUpdate(t.spark, (t.dir, ids))(lazyQ.collect())
+    t.spark.createDataFrame(java.util.Arrays.asList(rows: _*), lazyQ.schema)
   }
 
   /** Per-query top-k over an UNBOUNDED per-query candidate frame. A
@@ -1090,10 +1099,24 @@ object Similarity {
     // so they fill only leftover slots; their exact rescore is NULL and
     // the final aggregate skips them — same nulls-never-rank outcome as
     // the single-stage form
+    //
+    // bounded metadata collect (≤ pad·|Q| id pairs — the 64k serving-cap
+    // family): the survivors' ids come to the driver so the rescore scan
+    // is a PUSHED-DOWN `vec_id IN (...)` — the annExactRescore shape. The
+    // broadcast-join form this replaced re-scanned the ENTIRE corpus as
+    // the probe side to rescore ~pad·|Q| rows; with the IN filter the
+    // rescore reads only the row groups holding survivors, which at
+    // 100 TB is the difference between a second full pass and a
+    // metadata-pruned point read.
     val cand = perQueryTopK(screened, negate(col("cf")), pad)
       .select(col("query_id"), col("vec_id"))
+    val candPairs = cand.collect()
+    val candIds = candPairs.map(_.getLong(1)).distinct.toIndexedSeq
+    val candLocal = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(candPairs: _*), cand.schema)
     val exact = emb.select(col("vec_id"), col("label"), col("embedding"))
-      .join(broadcast(cand), "vec_id")
+      .filter(col("vec_id").isin(candIds: _*))
+      .join(broadcast(candLocal), "vec_id")
       .join(broadcast(qn.select(col("query_id"), col("q_emb"))), "query_id")
       .select(col("query_id"), col("vec_id"), col("label"),
         cosine(dbl(col("embedding")), col("q_emb")).as("cosine"))

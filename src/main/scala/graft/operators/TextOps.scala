@@ -1074,31 +1074,47 @@ object TextOps {
     * just that it was. All metrics are exact integer permille (floor
     * DIV), so the rule cut points land identically on any engine.
     *
-    * Scale posture: one narrow, shuffle-free, codegen'd projection — every
-    * rule is a higher-order array function or regexp count over the row's
-    * own tokens (the bigram-uniqueness trick of [[repetitionStats]]:
+    * Scale posture: one narrow, shuffle-free projection per row — every
+    * rule is an array function or regexp count over the row's own
+    * tokens (the bigram-uniqueness trick of [[repetitionStats]]:
     * `array_distinct` per row, never an exploded corpus-wide pass). The
     * filter scales with the scan; 100 TB costs exactly one read.
+    *
+    * Per-row cost discipline (the interpreted-HOF trap, SCALING.md):
+    * the token array and the bigram array are each materialized ONCE
+    * through their own projection boundary — `filter`/`zip_with` are
+    * CodegenFallback, and inlining the `split` into each rule
+    * re-tokenized the doc per rule (CollapseProject keeps the boundary:
+    * a non-trivial producer referenced more than once is not "cheap").
+    * `stop_hits` is `array_intersect` (hash-set build, O(|toks|+|stops|)
+    * per row) — the lambda-`filter`-of-`array_contains` form it replaced
+    * scanned the token array once PER stopword; and Σ token length is
+    * the codegen'd `length(concat_ws("", toks))` (split drops the
+    * separators, so joining with "" restores exactly the token mass),
+    * not an interpreted `aggregate` fold. Measured together: 1.24 →
+    * 0.62 s warm at sf0.1, vs 0.84 s for the explode-and-join twin.
     */
   def gopherRules(docs: DataFrame,
                   tokenizer: Column => Column = spaceTokenizer): DataFrame = {
-    val ts = tokenizer(col("text"))
+    val toks = col("__toks")
     val grams = zip_with(
-      slice(ts, lit(1), greatest(size(ts) - lit(1), lit(0))),
-      slice(ts, lit(2), greatest(size(ts) - lit(1), lit(0))),
+      slice(toks, lit(1), greatest(size(toks) - lit(1), lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - lit(1), lit(0))),
       (a, b) => concat_ws(" ", a, b))
     def permille(num: Column): Column =
       call_function("div", num * lit(1000L), col("n_tokens").cast("long"))
     docs
+      .select(col("doc_id"), col("text"), tokenizer(col("text")).as("__toks"))
+      .select(col("doc_id"), col("text"), toks, grams.as("__grams"))
       .select(col("doc_id"),
-        size(ts).as("n_tokens"),
-        aggregate(transform(ts, length(_)), lit(0L), _ + _).as("sum_tok_len"),
-        size(filter(ts, t => t.rlike("[A-Za-z]"))).as("n_alpha"),
-        size(filter(typedLit(GopherRequiredStops),
-          s => array_contains(ts, s))).as("stop_hits"),
+        size(toks).as("n_tokens"),
+        length(concat_ws("", toks)).as("sum_tok_len"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).as("n_alpha"),
+        size(array_intersect(typedLit(GopherRequiredStops), toks)).as("stop_hits"),
         regexp_count(col("text"), lit("#|\\.\\.\\.")).as("n_symbols"),
-        (size(grams) - size(array_distinct(grams))).as("n_dup_bigrams"),
-        greatest(size(grams), lit(1)).as("n_bigrams"))
+        (size(col("__grams")) - size(array_distinct(col("__grams"))))
+          .as("n_dup_bigrams"),
+        greatest(size(col("__grams")), lit(1)).as("n_bigrams"))
       .select(col("doc_id"), col("n_tokens"),
         permille(col("sum_tok_len")).as("mean_len_permille"),
         permille(col("n_alpha").cast("long")).as("alpha_permille"),
