@@ -1003,6 +1003,41 @@ object Registry {
             FROM a2) WHERE rn = 1)"""
     }
 
+    // Naive-Bayes train + score replay, shared by the declared classifier
+    // query and BOTH M7 eval queries — class-conditional token counts,
+    // ONE snapped ln per vocabulary row (the l4_unigram_lm / m4_drift
+    // transcendental discipline), integer micro-nat doc sums, identical
+    // add-one smoothing constants injected from TextOps. Ends in a
+    // `scored` CTE: (doc_id, n_tokens, is_ref, score_micro,
+    // predicted_ref) — zero-token docs absent on both engines (no tf
+    // rows), the fused nbQualityScore contract.
+    def nbScoredCtes: String = {
+      val refs = TextOps.NbRefSources.map(s => s"'$s'").mkString(", ")
+      s"""cls AS (SELECT doc_id, COALESCE(source IN ($refs), FALSE) AS is_ref
+                     FROM documents),
+        toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY ALL),
+        cnt AS (SELECT token,
+                  SUM(CASE WHEN is_ref THEN tf ELSE 0 END) AS c_pos,
+                  SUM(CASE WHEN NOT is_ref THEN tf ELSE 0 END) AS c_neg
+                FROM tf JOIN cls USING (doc_id) GROUP BY token),
+        scal AS (SELECT SUM(c_pos) AS t_pos, SUM(c_neg) AS t_neg, COUNT(*) AS v FROM cnt),
+        nd AS (SELECT SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_pos,
+                 SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_neg FROM cls),
+        w AS (SELECT token,
+                CAST(ROUND(ln(((c_pos + 1) * (t_neg + v))::DOUBLE /
+                  ((c_neg + 1) * (t_pos + v))) * 1e6) AS BIGINT) AS w_micro
+              FROM cnt CROSS JOIN scal),
+        pri AS (SELECT CAST(ROUND(ln(n_pos::DOUBLE / n_neg) * 1e6) AS BIGINT)
+                  AS prior_micro FROM nd),
+        agg AS (SELECT doc_id, SUM(tf) AS n_tokens, SUM(tf * w_micro) AS s_micro
+                FROM tf JOIN w USING (token) GROUP BY doc_id),
+        scored AS (SELECT a.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cls.is_ref,
+            CAST(prior_micro + s_micro AS BIGINT) AS score_micro,
+            (prior_micro + s_micro) > 0 AS predicted_ref
+          FROM agg a JOIN cls USING (doc_id) CROSS JOIN pri)"""
+    }
+
     Seq(
       QueryDef("l1_exact_dedup", Dedup.l1ExactDedup, Some("""
         SELECT MIN(doc_id) AS keeper_id, sha256(text) AS content_sha, COUNT(*) AS n_copies
@@ -1606,34 +1641,47 @@ object Registry {
       // vocabulary row (the l4_unigram_lm / m4_drift transcendental
       // discipline), integer micro-nat doc sums, and the same add-one
       // smoothing constants injected from TextOps.
-      QueryDef("l4_quality_classifier", TextOps.l4QualityClassifier, Some {
-        val refs = TextOps.NbRefSources.map(s => s"'$s'").mkString(", ")
+      QueryDef("l4_quality_classifier", TextOps.l4QualityClassifier, Some(s"""
+        WITH $nbScoredCtes
+        SELECT doc_id, n_tokens, is_ref, score_micro, predicted_ref
+        FROM scored ORDER BY doc_id""")),
+
+      // M7a: classifier calibration — the shared NB chain, then a
+      // SIGN-DECOMPOSED floor bin (both engines divide only non-negative
+      // operands; Spark DIV truncates, DuckDB // floors) and exact
+      // integer permille per bin.
+      QueryDef("m7_calibration", Eval.m7Calibration, Some {
+        val w = Eval.CalibrationBinMicro
         s"""
-        WITH cls AS (SELECT doc_id, COALESCE(source IN ($refs), FALSE) AS is_ref
-                     FROM documents),
-        toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY ALL),
-        cnt AS (SELECT token,
-                  SUM(CASE WHEN is_ref THEN tf ELSE 0 END) AS c_pos,
-                  SUM(CASE WHEN NOT is_ref THEN tf ELSE 0 END) AS c_neg
-                FROM tf JOIN cls USING (doc_id) GROUP BY token),
-        scal AS (SELECT SUM(c_pos) AS t_pos, SUM(c_neg) AS t_neg, COUNT(*) AS v FROM cnt),
-        nd AS (SELECT SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_pos,
-                 SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_neg FROM cls),
-        w AS (SELECT token,
-                CAST(ROUND(ln(((c_pos + 1) * (t_neg + v))::DOUBLE /
-                  ((c_neg + 1) * (t_pos + v))) * 1e6) AS BIGINT) AS w_micro
-              FROM cnt CROSS JOIN scal),
-        pri AS (SELECT CAST(ROUND(ln(n_pos::DOUBLE / n_neg) * 1e6) AS BIGINT)
-                  AS prior_micro FROM nd),
-        agg AS (SELECT doc_id, SUM(tf) AS n_tokens, SUM(tf * w_micro) AS s_micro
-                FROM tf JOIN w USING (token) GROUP BY doc_id)
-        SELECT a.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cls.is_ref,
-          CAST(prior_micro + s_micro AS BIGINT) AS score_micro,
-          (prior_micro + s_micro) > 0 AS predicted_ref
-        FROM agg a JOIN cls USING (doc_id) CROSS JOIN pri
-        ORDER BY doc_id"""
+        WITH $nbScoredCtes,
+        b AS (SELECT CASE WHEN score_micro >= 0 THEN score_micro // $w
+                     ELSE -((-score_micro + ${w - 1}) // $w) END AS bin,
+                is_ref, predicted_ref FROM scored)
+        SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+          CAST(SUM(CASE WHEN predicted_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_ref,
+          CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+            AS ref_permille
+        FROM b GROUP BY bin ORDER BY bin"""
       }),
+
+      // M7b: confusion matrix + permille rates; zero-denominator rates
+      // are NULL via nullif on both engines.
+      QueryDef("m7_confusion", Eval.m7Confusion, Some(s"""
+        WITH $nbScoredCtes,
+        c AS (SELECT
+            SUM(CASE WHEN is_ref AND predicted_ref THEN 1 ELSE 0 END) AS tp,
+            SUM(CASE WHEN NOT is_ref AND predicted_ref THEN 1 ELSE 0 END) AS fp,
+            SUM(CASE WHEN is_ref AND NOT predicted_ref THEN 1 ELSE 0 END) AS fn,
+            SUM(CASE WHEN NOT is_ref AND NOT predicted_ref THEN 1 ELSE 0 END) AS tn
+          FROM scored)
+        SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+          CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+          CAST((tp + tn) * 1000 // (tp + fp + fn + tn) AS BIGINT) AS accuracy_permille,
+          CAST(tp * 1000 // nullif(tp + fp, 0) AS BIGINT) AS precision_permille,
+          CAST(tp * 1000 // nullif(tp + fn, 0) AS BIGINT) AS recall_permille,
+          CAST(2 * tp * 1000 // nullif(2 * tp + fp + fn, 0) AS BIGINT) AS f1_permille
+        FROM c""")),
 
       // Gopher ruleset: every metric is exact integer permille; the regex
       // classes are ASCII so Java regex and RE2 count identically; the

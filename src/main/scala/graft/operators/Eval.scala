@@ -422,6 +422,72 @@ object Eval {
       .orderBy(col("cell"))
   }
 
+  /** M7 calibration bin width: 0.2 nats of NB log-odds per bin — at
+    * fixture scale the score range spans ~20 populated bins, enough to
+    * see the reliability trend without starving bin counts.
+    */
+  val CalibrationBinMicro = 200000L
+
+  /** M7a: reliability table of a trained classifier's scores — per
+    * log-odds bin, how many docs landed there, how many are ACTUALLY
+    * reference-class, and the observed reference fraction. The
+    * calibration read ("is a +2-nat score really ~88% reference?") a
+    * pipeline does before using classifier scores as sampling weights
+    * or mixing priors (an over-confident gate silently reweights the
+    * corpus). Bins are floor(score/binMicro) with the division
+    * SIGN-DECOMPOSED so both engines only ever divide non-negative
+    * operands (Spark DIV truncates, DuckDB // floors — the m4 lesson);
+    * everything after is exact integer permille.
+    *
+    * Scale shape: one narrow pass over the scored frame, one bin-keyed
+    * partial aggregate — #bins rows out, corpus-size-independent state.
+    */
+  def classifierCalibration(scored: DataFrame,
+                            binMicro: Long = CalibrationBinMicro): DataFrame =
+    scored
+      .select(col("is_ref"), col("predicted_ref"),
+        expr(s"""CASE WHEN score_micro >= 0 THEN score_micro DIV ${binMicro}L
+                 ELSE -((-score_micro + ${binMicro - 1}L) DIV ${binMicro}L) END""")
+          .as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("predicted_ref"), 1L).otherwise(0L)).as("n_pred_ref"))
+      .select(col("bin"), col("n_docs"), col("n_ref"), col("n_pred_ref"),
+        expr("n_ref * 1000 DIV n_docs").as("ref_permille"))
+      .orderBy(col("bin"))
+
+  /** M7b: confusion matrix + exact permille precision/recall/F1/accuracy
+    * of the classifier's keep decision against the true labels — the
+    * one-row health report read before trusting the gate. Zero-denominator
+    * rates (e.g. a classifier that never predicts positive) surface as
+    * NULL via `nullif`, identically on both engines; all divisions see
+    * non-negative operands only.
+    */
+  def classifierConfusion(scored: DataFrame): DataFrame =
+    scored
+      .agg(
+        sum(when(col("is_ref") && col("predicted_ref"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("is_ref") && col("predicted_ref"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("is_ref") && !col("predicted_ref"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("is_ref") && !col("predicted_ref"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(tp + tn) * 1000 DIV (tp + fp + fn + tn)").as("accuracy_permille"),
+        expr("tp * 1000 DIV nullif(tp + fp, 0)").as("precision_permille"),
+        expr("tp * 1000 DIV nullif(tp + fn, 0)").as("recall_permille"),
+        expr("2 * tp * 1000 DIV nullif(2 * tp + fp + fn, 0)").as("f1_permille"))
+
+  /** M7 declared queries: calibration + confusion of the fixture NB
+    * classifier ([[TextOps.defaultNbScored]] — the same memoized scored
+    * frame the declared classifier query reads, so the M7 pair prices
+    * as two cheap aggregates over a shared build, not two retrains).
+    */
+  def m7Calibration(spark: SparkSession, dir: String): DataFrame =
+    classifierCalibration(TextOps.defaultNbScored(spark, dir))
+
+  def m7Confusion(spark: SparkSession, dir: String): DataFrame =
+    classifierConfusion(TextOps.defaultNbScored(spark, dir))
+
   /** Drift of ONE document set against a STATIC reference distribution —
     * the form a streaming monitor evaluates per micro-batch (the
     * reference is the training corpus; incoming data is scored against

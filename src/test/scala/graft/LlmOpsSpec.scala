@@ -539,6 +539,59 @@ class LlmOpsSpec extends SparkSuite {
     assert(r.getAs[Long]("score_micro") == expected)
   }
 
+  test("M7 confusion: hand-computed counts and rates; zero-denominator rate is NULL") {
+    val scored = Seq(
+      (true, true, 100L), (true, true, 50L),     // tp ×2
+      (false, true, 10L),                        // fp
+      (true, false, -5L),                        // fn
+      (false, false, -100L), (false, false, -1L) // tn ×2
+    ).toDF("is_ref", "predicted_ref", "score_micro")
+    val r = operators.Eval.classifierConfusion(scored).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 1L, 1L, 2L)))
+    assert(r.getAs[Long]("accuracy_permille") == 4L * 1000 / 6)
+    assert(r.getAs[Long]("precision_permille") == 2L * 1000 / 3)
+    assert(r.getAs[Long]("recall_permille") == 2L * 1000 / 3)
+    assert(r.getAs[Long]("f1_permille") == 4000L / 6)
+    // a gate that never predicts positive: precision and F1 are NULL
+    // (undefined), recall is 0 — not a crash, not a fake zero
+    val never = Seq((true, false, -1L), (false, false, -2L))
+      .toDF("is_ref", "predicted_ref", "score_micro")
+    val n = operators.Eval.classifierConfusion(never).head()
+    assert(n.isNullAt(n.fieldIndex("precision_permille")))
+    assert(n.getAs[Long]("recall_permille") == 0L)
+    assert(n.getAs[Long]("f1_permille") == 0L) // 2tp+fp+fn = 1 ≠ 0: defined, zero
+    // all four cells empty only when the frame is empty — but an
+    // all-negative-never-predicted frame zeroes every rate denominator
+    // except accuracy's
+    val allNeg = Seq((false, false, -1L)).toDF("is_ref", "predicted_ref", "score_micro")
+    val a = operators.Eval.classifierConfusion(allNeg).head()
+    assert(a.isNullAt(a.fieldIndex("precision_permille")))
+    assert(a.isNullAt(a.fieldIndex("recall_permille")))
+    assert(a.isNullAt(a.fieldIndex("f1_permille")))
+    assert(a.getAs[Long]("accuracy_permille") == 1000L)
+  }
+
+  test("M7 calibration: floor bins on signed scores, bins partition the scored corpus") {
+    val w = operators.Eval.CalibrationBinMicro
+    // boundary scores either side of zero: floor semantics, not truncation
+    val scored = Seq(
+      (false, false, 0L), (false, false, w - 1), (true, true, w),
+      (false, false, -1L), (false, false, -w), (true, false, -w - 1))
+      .toDF("is_ref", "predicted_ref", "score_micro")
+    val bins = operators.Eval.classifierCalibration(scored).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_docs")).toMap
+    assert(bins == Map(0L -> 2L, 1L -> 1L, -1L -> 2L, -2L -> 1L))
+    // fixture invariants: bins partition the scored frame, permille floors
+    val fx = operators.Eval.m7Calibration(spark, sf).collect()
+    val total = TextOps.defaultNbScored(spark, sf).count()
+    assert(fx.map(_.getAs[Long]("n_docs")).sum == total)
+    fx.foreach { r =>
+      assert(r.getAs[Long]("ref_permille") ==
+        r.getAs[Long]("n_ref") * 1000 / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_ref") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("L4 BPE pairs: hand-enumerated adjacent-pair counts, 1-char words excluded") {
     // vocab: "abc" x2, "bc" x1, "a" x1 (dropped: single char has no pair)
     val docs = Seq((1L, "abc bc a"), (2L, "abc")).toDF("doc_id", "text")
