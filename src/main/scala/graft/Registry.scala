@@ -1683,6 +1683,62 @@ object Registry {
           CAST(2 * tp * 1000 // nullif(2 * tp + fp + fn, 0) AS BIGINT) AS f1_permille
         FROM c""")),
 
+      // M8: Cohen's κ between the Gopher rule gate and the NB classifier
+      // gate — the gopher CTEs replay the l4_gopher ruleset (g_-prefixed
+      // names to avoid clashing with the NB chain), joint counts over the
+      // common doc set, then the snapped-rates κ arithmetic: po and the
+      // four marginal rates in micro-units FIRST (non-negative // only),
+      // pe from the snapped products, κ sign-decomposed with nullif for
+      // the pe = 10⁶ undefined case. No n² term ever forms.
+      QueryDef("m8_agreement", Eval.m8Agreement, Some {
+        val stops = TextOps.GopherRequiredStops.map(s => s"'$s'").mkString(", ")
+        import TextOps.{GopherMinWords, GopherMaxWords, GopherMinMeanLenPermille,
+          GopherMaxMeanLenPermille, GopherMinAlphaPermille, GopherMinStopHits,
+          GopherMaxSymbolPermille, GopherMaxDupBigramPermille}
+        s"""
+        WITH $nbScoredCtes,
+        g_s AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        g_m AS (SELECT doc_id,
+          CAST(len(t) AS INT) AS n_tokens,
+          list_sum([length(x) for x in t]) AS sum_tok_len,
+          len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+          CAST(len(list_filter([$stops], w -> list_contains(t, w))) AS INT) AS stop_hits,
+          len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+          greatest(len(t) - 1, 0)
+            - len(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS n_dup_bigrams,
+          greatest(greatest(len(t) - 1, 0), 1) AS n_bigrams
+        FROM g_s),
+        gkeep AS (SELECT doc_id,
+            (n_tokens BETWEEN $GopherMinWords AND $GopherMaxWords)
+            AND (sum_tok_len * 1000 // n_tokens
+              BETWEEN $GopherMinMeanLenPermille AND $GopherMaxMeanLenPermille)
+            AND (n_alpha * 1000 // n_tokens >= $GopherMinAlphaPermille)
+            AND (stop_hits >= $GopherMinStopHits)
+            AND (n_symbols * 1000 // n_tokens <= $GopherMaxSymbolPermille)
+            AND (n_dup_bigrams * 1000 // n_bigrams <= $GopherMaxDupBigramPermille) AS keep
+          FROM g_m),
+        j AS (SELECT g.keep AS a, s.predicted_ref AS b
+              FROM gkeep g JOIN scored s USING (doc_id)),
+        c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+            CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+            CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+            CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+          FROM j),
+        p AS (SELECT n, n11, n10, n01, n00,
+            CAST(1000000 * (n11 + n00) // n AS BIGINT) AS po_micro,
+            CAST(((1000000 * (n11 + n10) // n) * (1000000 * (n11 + n01) // n)
+              + (1000000 * (n01 + n00) // n) * (1000000 * (n10 + n00) // n))
+              // 1000000 AS BIGINT) AS pe_micro
+          FROM c)
+        SELECT n, n11, n10, n01, n00, po_micro, pe_micro,
+          CAST(CASE WHEN po_micro >= pe_micro
+            THEN 1000000 * (po_micro - pe_micro) // nullif(1000000 - pe_micro, 0)
+            ELSE -(1000000 * (pe_micro - po_micro) // nullif(1000000 - pe_micro, 0)) END
+            AS BIGINT) AS kappa_micro
+        FROM p"""
+      }),
+
       // Gopher ruleset: every metric is exact integer permille; the regex
       // classes are ASCII so Java regex and RE2 count identically; the
       // bigram-uniqueness form matches l4_repetition's.

@@ -488,6 +488,64 @@ object Eval {
   def m7Confusion(spark: SparkSession, dir: String): DataFrame =
     classifierConfusion(TextOps.defaultNbScored(spark, dir))
 
+  /** M8: agreement between two binary quality gates — the joint decision
+    * counts plus Cohen's κ, the chance-corrected agreement a pipeline
+    * checks before treating two filters as interchangeable (or before
+    * believing they are independent evidence: κ ≈ 1 means the second
+    * gate adds nothing; κ ≈ 0 means marginal-rate agreement is
+    * coincidence). Inputs are any two (doc_id, <bool>) frames; the
+    * declared query compares the Gopher FORM gate with the learned NB
+    * resemblance gate over their common doc set (inner join — the NB
+    * side scores only docs with ≥1 token, and both engines share that
+    * exclusion).
+    *
+    * Integer contract: observed agreement and each gate's marginal
+    * rates are snapped to micro-units FIRST (10⁶·count DIV n — every
+    * operand non-negative), chance agreement pe is the product-sum of
+    * those SNAPPED rates DIV 10⁶, and κ = 10⁶·(po−pe) DIV (10⁶−pe)
+    * with the signed numerator SIGN-DECOMPOSED (truncation toward
+    * zero, identical on both engines) and a perfectly-one-sided pe
+    * (10⁶ — both gates constant) yielding NULL via nullif, the
+    * undefined-κ convention. Snapping before the product keeps every
+    * intermediate ≤ 10¹² at ANY corpus size below ~9·10¹² docs (the
+    * 10⁶·count bound) — no n² term ever forms, so the arithmetic
+    * never leaves BIGINT on either engine.
+    *
+    * Scale shape: one narrow join of two boolean frames, one 4-counter
+    * partial aggregate, then 1-row arithmetic.
+    */
+  def gateAgreement(a: DataFrame, aCol: String,
+                    b: DataFrame, bCol: String): DataFrame =
+    a.select(col("doc_id"), col(aCol).as("__a"))
+      .join(b.select(col("doc_id"), col(bCol).as("__b")), "doc_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("1000000 * (n11 + n00) DIV n").as("po_micro"),
+        expr("""((1000000 * (n11 + n10) DIV n) * (1000000 * (n11 + n01) DIV n)
+              + (1000000 * (n01 + n00) DIV n) * (1000000 * (n10 + n00) DIV n))
+              DIV 1000000""").as("pe_micro"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        col("po_micro"), col("pe_micro"),
+        expr("""CASE WHEN po_micro >= pe_micro
+                THEN 1000000 * (po_micro - pe_micro) DIV nullif(1000000 - pe_micro, 0)
+                ELSE -(1000000 * (pe_micro - po_micro) DIV nullif(1000000 - pe_micro, 0)) END""")
+          .as("kappa_micro"))
+
+  /** M8 declared query: κ between the Gopher rule gate and the NB
+    * classifier gate on the fixture corpus ([[TextOps.defaultNbScored]]
+    * — the session-shared scored frame, so only the Gopher projection
+    * is fresh work).
+    */
+  def m8Agreement(spark: SparkSession, dir: String): DataFrame =
+    gateAgreement(
+      TextOps.gopherRules(Tables(spark, dir).documents), "keep",
+      TextOps.defaultNbScored(spark, dir), "predicted_ref")
+
   /** Drift of ONE document set against a STATIC reference distribution —
     * the form a streaming monitor evaluates per micro-batch (the
     * reference is the training corpus; incoming data is scored against

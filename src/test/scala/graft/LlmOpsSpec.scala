@@ -592,6 +592,37 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("M8 gate agreement: hand-computed kappa at the four corners") {
+    import operators.Eval
+    def frame(cells: Seq[(Boolean, Boolean, Int)]) = {
+      val rows = cells.flatMap { case (a, b, k) => Seq.fill(k)((a, b)) }
+        .zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      val df = rows.toDF("doc_id", "ga", "gb")
+      Eval.gateAgreement(df.select(col("doc_id"), col("ga")), "ga",
+        df.select(col("doc_id"), col("gb")), "gb").head()
+    }
+    // perfect agreement, balanced marginals: po = 1, pe = 1/2 → κ = 1
+    val perfect = frame(Seq((true, true, 5), (false, false, 5)))
+    assert(perfect.getAs[Long]("kappa_micro") == 1000000L)
+    // total disagreement, balanced: po = 0, pe = 1/2 → κ = −1
+    val worst = frame(Seq((true, false, 5), (false, true, 5)))
+    assert(worst.getAs[Long]("kappa_micro") == -1000000L)
+    // exact independence: all four cells equal → po = pe = 1/2 → κ = 0
+    val indep = frame(Seq((true, true, 3), (true, false, 3),
+      (false, true, 3), (false, false, 3)))
+    assert(indep.getAs[Long]("kappa_micro") == 0L)
+    assert(indep.getAs[Long]("po_micro") == 500000L)
+    assert(indep.getAs[Long]("pe_micro") == 500000L)
+    // both gates constant: pe = 1 → κ undefined (NULL), not a crash
+    val const = frame(Seq((true, true, 7)))
+    assert(const.isNullAt(const.fieldIndex("kappa_micro")))
+    // counts partition the joined set
+    val mixed = frame(Seq((true, true, 2), (true, false, 3),
+      (false, true, 4), (false, false, 1)))
+    assert(Seq("n11", "n10", "n01", "n00").map(mixed.getAs[Long](_)).sum
+      == mixed.getAs[Long]("n"))
+  }
+
   test("L4 BPE pairs: hand-enumerated adjacent-pair counts, 1-char words excluded") {
     // vocab: "abc" x2, "bc" x1, "a" x1 (dropped: single char has no pair)
     val docs = Seq((1L, "abc bc a"), (2L, "abc")).toDF("doc_id", "text")
