@@ -826,6 +826,55 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** T19: STREAMING DECONTAMINATION GATE — arriving train docs checked
+    * per micro-batch against a STATIC benchmark corpus (an eval suite is
+    * fixed serving state, like T17's trained model weights), with BOTH
+    * batch predicates evaluated per wave: exact 5-gram overlap
+    * ([[graft.operators.Curation.contaminatedIds]] — verbatim leaks) and
+    * fuzzy token-set near-dup
+    * ([[graft.operators.Curation.fuzzyContaminatedIds]] — reformatted /
+    * reordered leaks the exact grams miss). Each wave's docs are emitted
+    * to `sink` with (contaminated_exact, contaminated_fuzzy) flags so
+    * the caller routes clean docs to training and quarantines the rest
+    * WITH the reason — the decontam counterpart of the S5c dead-letter
+    * split.
+    *
+    * The benchmark frame is materialized ONCE at gate construction
+    * (static state; MBs against 100 TB of arriving text) so each wave
+    * pays only its own gram/minhash pass plus broadcast joins against
+    * the pinned benchmark rows. No cross-batch state: contamination of
+    * a doc depends only on the static benchmark, so a replayed wave
+    * recomputes identical flags (at-least-once sink, the T12/T15/T17
+    * contract), and the accumulated gate decisions equal the batch
+    * predicates on the full corpus regardless of wave boundaries
+    * (StreamingSpec pins both per-wave and accumulated equality).
+    */
+  def runDecontamGate(docs: DataFrame, benchmark: DataFrame,
+                      checkpoint: String)
+                     (sink: (Long, DataFrame) => Unit): Unit = {
+    import graft.operators.Curation
+    import graft.Ckpt._
+    val bench = benchmark.select(col("doc_id"), col("text")).materialize()
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val exact = Curation.contaminatedIds(batch, bench)
+          .withColumn("__ce", lit(true))
+        val fuzzy = Curation.fuzzyContaminatedIds(batch, bench)
+          .withColumn("__cf", lit(true))
+        sink(id, batch
+          .join(exact, Seq("doc_id"), "left")
+          .join(fuzzy, Seq("doc_id"), "left")
+          .withColumn("contaminated_exact", coalesce(col("__ce"), lit(false)))
+          .withColumn("contaminated_fuzzy", coalesce(col("__cf"), lit(false)))
+          .drop("__ce", "__cf"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
   /** T14: streaming PQ INDEX INGESTION — the write side of the serving
     * split: vectors arrive on a stream and join the searchable index in
     * SEGMENTS (the Lucene shape), while the codebooks stay the static

@@ -887,6 +887,42 @@ class StreamingSpec extends SparkSuite {
     assert(got.count(_._2 > 0) == 1)
   }
 
+  test("T19 decontam gate: per-wave exact+fuzzy flags == batch predicates, accumulated == full-corpus run") {
+    import graft.operators.Curation
+    val docs = tables.documents.select(col("doc_id"), col("text"),
+      Curation.splitExpr(col("doc_id")).as("split"))
+    val bench = docs.filter(col("split") === "test").select(col("doc_id"), col("text"))
+    val train = docs.filter(col("split") === "train").select(col("doc_id"), col("text"))
+    // two arrival waves splitting the train stream mid-corpus
+    val w1 = train.filter(col("doc_id") < 250L)
+    val w2 = train.filter(col("doc_id") >= 250L)
+    val dir = Files.createTempDirectory("graft-decontam-waves")
+    w1.coalesce(1).write.parquet(s"$dir/w1")
+    w2.coalesce(1).write.parquet(s"$dir/w2")
+    val stream = spark.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+    val got = scala.collection.mutable.Map.empty[Long, (Boolean, Boolean)]
+    var waves = 0
+    Streams.runDecontamGate(stream, bench,
+      Files.createTempDirectory("graft-decontam-cp").toString) { (_, flagged) =>
+      waves += 1
+      flagged.collect().foreach { r =>
+        got(r.getAs[Long]("doc_id")) =
+          (r.getAs[Boolean]("contaminated_exact"), r.getAs[Boolean]("contaminated_fuzzy"))
+      }
+    }
+    assert(waves == 2, s"expected 2 micro-batches, got $waves")
+    // accumulated flags == the batch predicates over the FULL train split
+    // (stateless gate: wave boundaries cannot change a doc's flags)
+    val exact = Curation.contaminatedIds(train, bench).collect().map(_.getLong(0)).toSet
+    val fuzzy = Curation.fuzzyContaminatedIds(train, bench).collect().map(_.getLong(0)).toSet
+    assert(got.keySet == train.collect().map(_.getLong(0)).toSet)
+    assert(got.filter(_._2._1).keySet == exact)
+    assert(got.filter(_._2._2).keySet == fuzzy)
+    // the gate catches something on this fixture (both paths exercised)
+    assert(exact.nonEmpty && fuzzy.nonEmpty)
+  }
+
   test("T18 diversity monitor: per-wave cell occupancy + entropy == batch twin") {
     import graft.operators.{Eval, Similarity}
     val emb = tables.embeddings
