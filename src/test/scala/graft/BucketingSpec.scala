@@ -158,6 +158,12 @@ class BucketingSpec extends SparkSuite {
         exact.filter(col("query_id") === id).select("vec_id", "label", "cosine"),
         Similarity.bruteForceTopK(tables, id, 10))
     }
+    // the exact-rescore stage is a PUSHED-DOWN candidate-id point read,
+    // not a second full corpus pass: the batch plan's embeddings scans
+    // must include one whose PushedFilters carries the vec_id In list
+    val batchPlan = exact.queryExecution.executedPlan.toString
+    assert(batchPlan.contains("PushedFilters") && batchPlan.contains("In(vec_id"),
+      s"rescore scan lost its In(vec_id, ...) pushdown:\n$batchPlan")
     // filtered probe: predicate rides the codes scan BEFORE candidate
     // ranking — every hit satisfies it, k stays filled, and the scan
     // carries the filter as a parquet pushdown
