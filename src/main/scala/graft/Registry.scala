@@ -1739,6 +1739,47 @@ object Registry {
         FROM p"""
       }),
 
+      // M9 corpus-overlap estimate: the oracle replays the KMV sketches
+      // EXACTLY — same md5 hash order, same k smallest distinct values per
+      // corpus (ORDER BY h LIMIT k over the distinct gram hashes), same
+      // union re-sketch, same integer permille ratios — so the hash gate
+      // checks the estimator itself, the A3/S7 discipline. The split CTE
+      // and gram comprehension are the l9_decontam replays verbatim.
+      QueryDef("m9_containment", Eval.m9Containment, Some {
+        val n = Curation.DecontamN
+        val k = Eval.KmvK
+        s"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+          CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+               WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+               ELSE 'test' END AS split
+          FROM documents),
+        g AS (SELECT split,
+          unnest([array_to_string(t[i:i+${n - 1}], ' ') for i in range(1, len(t) - ${n - 2})]) AS gram
+          FROM d WHERE split IN ('train', 'test')),
+        a AS (SELECT DISTINCT md5(gram) AS h FROM g WHERE split = 'train' ORDER BY h LIMIT $k),
+        b AS (SELECT DISTINCT md5(gram) AS h FROM g WHERE split = 'test'  ORDER BY h LIMIT $k),
+        u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) ORDER BY h LIMIT $k),
+        c AS (SELECT
+          (SELECT COUNT(*) FROM a) AS n_sketch_a,
+          (SELECT COUNT(*) FROM b) AS n_sketch_b,
+          (SELECT COUNT(*) FROM u) AS n_union,
+          (SELECT COUNT(*) FROM u JOIN a USING (h) JOIN b USING (h)) AS n_both,
+          (SELECT COUNT(*) FROM u JOIN a USING (h)) AS n_a,
+          (SELECT COUNT(*) FROM u JOIN b USING (h)) AS n_b,
+          (SELECT md5(string_agg(h, ',' ORDER BY h)) FROM u) AS union_digest)
+        SELECT CAST($k AS BIGINT) AS k,
+          CAST(n_sketch_a AS BIGINT) AS n_sketch_a,
+          CAST(n_sketch_b AS BIGINT) AS n_sketch_b,
+          CAST(n_union AS BIGINT) AS n_union,
+          CAST(n_both AS BIGINT) AS n_both,
+          CAST(1000 * n_both // nullif(n_union, 0) AS BIGINT) AS jaccard_permille,
+          CAST(1000 * n_both // nullif(n_b, 0) AS BIGINT) AS b_in_a_permille,
+          CAST(1000 * n_both // nullif(n_a, 0) AS BIGINT) AS a_in_b_permille,
+          union_digest
+        FROM c"""
+      }),
+
       // Gopher ruleset: every metric is exact integer permille; the regex
       // classes are ASCII so Java regex and RE2 count identically; the
       // bigram-uniqueness form matches l4_repetition's.

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Ckpt._
 import graft.Tables
+import graft.functions.BottomKDistinct
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -598,4 +599,107 @@ object Eval {
                       tokenizer: Column => Column = TextOps.spaceTokenizer): DataFrame =
     docs.select(explode(tokenizer(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c_t"))
+
+  /** M9 sketch size: KMV additive error ~ 1/√k ≈ 6% at k=256 — plenty
+    * for the "is this corpus pair ~0%, ~5% or ~50% overlapped" question
+    * the metric answers, at 8 KB of state per corpus.
+    */
+  val KmvK = 256
+
+  /** M9: corpus-level overlap/containment ESTIMATE between two corpora
+    * via k-minimum-values sketches of their n-gram sets — "how much of
+    * corpus B's text mass already lives in corpus A" without computing
+    * either gram universe. l9's exact decontamination answers WHICH docs
+    * overlap and must touch every gram pair; this metric answers HOW MUCH,
+    * as two bounded sketches — the cheap first question of a merge/dedup
+    * decision between two 100 TB crawls.
+    *
+    * Estimator (Beyer et al., "On Synopses for Distinct-Value Estimation
+    * Under Multiset Operations", SIGMOD'07 — the KMV/bottom-k family):
+    * with U = bottomK(bottomK(A) ∪ bottomK(B)) — a uniform sample of
+    * A ∪ B under the hash order —
+    *   Jaccard(A, B)     ≈ |U ∩ Â ∩ B̂| / |U|
+    *   containment(B⊆A)  ≈ |U ∩ Â ∩ B̂| / |U ∩ B̂|
+    * where Â/B̂ are the per-corpus sketches. All counts are over ≤ k
+    * strings, so the estimates are integer ratios of small counters —
+    * permille with DIV, no float in the contract. The hash is md5 of the
+    * gram (lowercase hex; byte order identical in Spark and DuckDB), so
+    * the oracle replays the sketch EXACTLY: same k smallest hashes, same
+    * counts, same permilles — a hash-checkable estimator, like A3/S7.
+    *
+    * Scale shape: ONE narrow pass over both corpora (union, explode
+    * grams, hash), two [[graft.functions.BottomKDistinctAgg]] sketches
+    * in the same aggregate (distinct-ness lives INSIDE the k-bounded
+    * buffer — no corpus-wide DISTINCT exchange, the shuffle is
+    * 2·partitions·k short strings), then pure array math on one row.
+    * Sketches of separately-owned corpora can be built independently and
+    * combined later: merge(a, b) is associative (the spec pins it).
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, textCol: String = "text",
+                 n: Int = Curation.DecontamN, k: Int = KmvK,
+                 tokenizer: Column => Column = Dedup.tokens): DataFrame =
+    kmvOverlapTagged(
+      a.select(lit("a").as("side"), col(textCol).as("text"))
+        .unionByName(b.select(lit("b").as("side"), col(textCol).as("text"))),
+      n = n, k = k, tokenizer = tokenizer)
+
+  /** [[kmvOverlap]] over a pre-tagged frame (`side` ∈ 'a'/'b' + `text`) —
+    * the path for corpora carved out of ONE table: tag in the scan's
+    * projection instead of unioning two filtered branches of the same
+    * scan, so the corpus is read once (a union of two filters would scan
+    * it twice — OSS Catalyst has no scan-merge rule). m9's declared query
+    * and the plan-shape spec use this form.
+    */
+  def kmvOverlapTagged(tagged: DataFrame,
+                       n: Int = Curation.DecontamN, k: Int = KmvK,
+                       tokenizer: Column => Column = Dedup.tokens): DataFrame = {
+    require(n >= 1 && k >= 1, s"bad n=$n / k=$k")
+    val bk = BottomKDistinct.bottomKUdaf(k)
+    val grams = tagged
+      .select(col("side"),
+        explode(Dedup.shingles(tokenizer(col("text")), n)).as("gram"))
+      .select(col("side"), md5(col("gram")).as("h"))
+    // one aggregate, two sketches: the when() routes each side's hashes
+    // to its own buffer (NULL = skip, BottomKDistinctAgg.reduce)
+    val sk = grams.agg(
+      bk(when(col("side") === "a", col("h"))).as("ska"),
+      bk(when(col("side") === "b", col("h"))).as("skb"))
+    sk.select(
+        col("ska"), col("skb"),
+        slice(array_sort(array_union(col("ska"), col("skb"))), 1, k).as("u"))
+      .select(
+        lit(k.toLong).as("k"),
+        size(col("ska")).cast("long").as("n_sketch_a"),
+        size(col("skb")).cast("long").as("n_sketch_b"),
+        size(col("u")).cast("long").as("n_union"),
+        size(filter(col("u"), x =>
+          array_contains(col("ska"), x) && array_contains(col("skb"), x)))
+          .cast("long").as("n_both"),
+        size(filter(col("u"), x => array_contains(col("ska"), x)))
+          .cast("long").as("n_a"),
+        size(filter(col("u"), x => array_contains(col("skb"), x)))
+          .cast("long").as("n_b"),
+        // membership digest: the oracle hash pins WHICH hashes the union
+        // sample holds, not just how many
+        md5(array_join(col("u"), ",")).as("union_digest"))
+      .select(col("k"), col("n_sketch_a"), col("n_sketch_b"),
+        col("n_union"), col("n_both"),
+        expr("1000L * n_both DIV nullif(n_union, 0)").as("jaccard_permille"),
+        expr("1000L * n_both DIV nullif(n_b, 0)").as("b_in_a_permille"),
+        expr("1000L * n_both DIV nullif(n_a, 0)").as("a_in_b_permille"),
+        col("union_digest"))
+  }
+
+  /** M9 declared query: estimated overlap between the train split and the
+    * held-out test benchmark ([[Curation.splitExpr]], the same split l9's
+    * exact decontamination subtracts) — `b_in_a_permille` is the
+    * sketch-estimated contamination mass.
+    */
+  def m9Containment(spark: SparkSession, dir: String): DataFrame = {
+    val split = Curation.splitExpr(col("doc_id"))
+    kmvOverlapTagged(Tables(spark, dir).documents
+      .select(when(split === "train", "a").when(split === "test", "b").as("side"),
+        col("text"))
+      .filter(col("side").isNotNull))
+  }
 }

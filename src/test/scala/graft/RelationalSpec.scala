@@ -638,4 +638,80 @@ class RelationalSpec extends SparkSuite {
         s"bucket $b sum drifted: ${ts(b)} vs $v")
     }
   }
+
+  test("m9 KMV sketch: bottom-k distinct == exact; partition/merge-order independent") {
+    import TestSpark.spark.implicits._
+    import graft.functions.BottomKDistinct
+    val k = 8
+    // duplicates + interleaved values; exact answer = distinct, sorted, take k
+    val vals = (1 to 200).map(i => f"v${i % 37}%03d")
+    val exact = vals.distinct.sorted.take(k)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = vals.toDF("s").repartition(parts)
+        .agg(BottomKDistinct.bottomKUdaf(k)(col("s")).as("bk"))
+        .first().getSeq[String](0)
+      assert(got == exact, s"parts=$parts: $got != $exact")
+    }
+    // nulls are skipped, not inserted
+    val withNulls = (vals.map(Option(_)) ++ Seq.fill(50)(Option.empty[String]))
+      .toDF("s").repartition(5)
+      .agg(BottomKDistinct.bottomKUdaf(k)(col("s")).as("bk"))
+      .first().getSeq[String](0)
+    assert(withNulls == exact)
+  }
+
+  test("m9 overlap: identical corpora 1000‰, disjoint 0‰, one-sided null-guarded") {
+    import TestSpark.spark.implicits._
+    import graft.operators.Eval
+    val a = Seq.tabulate(6)(i => s"alpha beta gamma delta epsilon zeta$i eta theta")
+      .toDF("text")
+    // identical: every sketch slot agrees
+    val same = Eval.kmvOverlap(a, a, k = 16).first()
+    assert(same.getAs[Long]("jaccard_permille") == 1000L)
+    assert(same.getAs[Long]("b_in_a_permille") == 1000L)
+    assert(same.getAs[Long]("a_in_b_permille") == 1000L)
+    // disjoint vocabularies: no shared gram, sketches populated
+    val b = Seq.tabulate(6)(i => s"one two three four five six$i seven eight")
+      .toDF("text")
+    val disj = Eval.kmvOverlap(a, b, k = 16).first()
+    assert(disj.getAs[Long]("n_sketch_a") > 0 && disj.getAs[Long]("n_sketch_b") > 0)
+    assert(disj.getAs[Long]("jaccard_permille") == 0L)
+    assert(disj.getAs[Long]("b_in_a_permille") == 0L)
+    // one side all-short docs (< n tokens → zero grams): permilles NULL
+    // via the nullif guard, never a divide-by-zero or a crash
+    val empty = Seq("tiny doc").toDF("text")
+    val oneSided = Eval.kmvOverlap(a, empty, k = 16).first()
+    assert(oneSided.getAs[Long]("n_sketch_b") == 0L)
+    assert(oneSided.isNullAt(oneSided.fieldIndex("b_in_a_permille")))
+    assert(oneSided.getAs[Long]("jaccard_permille") == 0L)
+  }
+
+  test("m9 estimator: fixture estimate within KMV error of the exact gram Jaccard; one corpus scan") {
+    import graft.operators.{Curation, Dedup, Eval}
+    // exact gram-set Jaccard of the train/test splits (fixture-scale only:
+    // this computes the full distinct gram universes the sketch avoids)
+    val split = Curation.splitExpr(col("doc_id"))
+    val grams = tables.documents
+      .select(when(split === "train", "a").when(split === "test", "b").as("side"),
+        explode(Dedup.shingles(Dedup.tokens(col("text")), Curation.DecontamN)).as("gram"))
+      .filter(col("side").isNotNull)
+      .groupBy(col("gram"))
+      .agg(max(col("side") === "a").as("in_a"), max(col("side") === "b").as("in_b"))
+      .agg(sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("n_both"),
+        count(lit(1)).as("n_union"))
+      .first()
+    val exactPermille = 1000.0 * grams.getLong(0) / grams.getLong(1)
+    val df = Eval.m9Containment(TestSpark.spark, sf)
+    val est = df.first().getAs[Long]("jaccard_permille").toDouble
+    // 3σ binomial tolerance at k=256, plus the 1000/k discretization step
+    val j = exactPermille / 1000.0
+    val tol = 3 * math.sqrt(j * (1 - j) / Eval.KmvK) * 1000 + 1000.0 / Eval.KmvK + 1
+    assert(math.abs(est - exactPermille) <= tol,
+      s"estimate $est vs exact $exactPermille (tol $tol)")
+    // scale pin: the tagged path reads the corpus ONCE (a union of two
+    // filtered branches would scan documents twice)
+    val scans = "Scan parquet".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans")
+  }
 }
