@@ -664,6 +664,16 @@ object Eval {
     val sk = grams.agg(
       bk(when(col("side") === "a", col("h"))).as("ska"),
       bk(when(col("side") === "b", col("h"))).as("skb"))
+    overlapFromSketches(sk, k)
+  }
+
+  /** The M9 estimate arithmetic over a one-row (`ska`, `skb`) sketch
+    * frame — shared by [[kmvOverlapTagged]] and the streaming monitor
+    * ([[graft.streaming.Streams.runOverlapMonitor]] pairs each wave's
+    * sketch with a static benchmark sketch literal), so the wave metric
+    * is the batch metric by construction, not by reimplementation.
+    */
+  def overlapFromSketches(sk: DataFrame, k: Int): DataFrame =
     sk.select(
         col("ska"), col("skb"),
         slice(array_sort(array_union(col("ska"), col("skb"))), 1, k).as("u"))
@@ -688,7 +698,27 @@ object Eval {
         expr("1000L * n_both DIV nullif(n_b, 0)").as("b_in_a_permille"),
         expr("1000L * n_both DIV nullif(n_a, 0)").as("a_in_b_permille"),
         col("union_digest"))
-  }
+
+  /** One corpus's KMV sketch as a one-row frame (column `sk`:
+    * `array<string>`, the k smallest distinct gram hashes ascending) —
+    * the build half of the split-build/compare M9 the streaming monitor
+    * runs (benchmark sketch built once, each wave builds only its own).
+    */
+  def kmvSketchFrame(corpus: DataFrame, textCol: String = "text",
+                     n: Int = Curation.DecontamN, k: Int = KmvK,
+                     tokenizer: Column => Column = Dedup.tokens): DataFrame =
+    corpus
+      .select(explode(Dedup.shingles(tokenizer(col(textCol)), n)).as("gram"))
+      .agg(BottomKDistinct.bottomKUdaf(k)(md5(col("gram"))).as("sk"))
+
+  /** [[kmvSketchFrame]] collected — ≤ k short strings of BOUNDED index
+    * metadata (the centroid-frame discipline), for holding a benchmark's
+    * sketch across stream waves.
+    */
+  def kmvSketch(corpus: DataFrame, textCol: String = "text",
+                n: Int = Curation.DecontamN, k: Int = KmvK,
+                tokenizer: Column => Column = Dedup.tokens): Seq[String] =
+    kmvSketchFrame(corpus, textCol, n, k, tokenizer).first().getSeq[String](0)
 
   /** M9 declared query: estimated overlap between the train split and the
     * held-out test benchmark ([[Curation.splitExpr]], the same split l9's

@@ -875,6 +875,49 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** T20: STREAMING CORPUS-OVERLAP MONITOR — the M9 KMV estimate per
+    * micro-batch of arriving documents against a STATIC benchmark sketch
+    * (the T18 drift-monitor shape, measured in gram-set space): each
+    * wave's estimated Jaccard/containment vs the benchmark goes to
+    * `sink` with the batch id, so a contamination REGIME change (a
+    * scraper that started pulling the eval suite's source site) raises a
+    * wave-level alarm even before T19's per-doc gate quarantines the
+    * individual rows — T19 answers WHICH docs, this answers HOW MUCH,
+    * per wave, at sketch cost.
+    *
+    * The benchmark side is ≤ k short strings of bounded state
+    * ([[graft.operators.Eval.kmvSketch]] — built once by the caller, a
+    * literal in every wave's plan, the trained-centroids discipline);
+    * each wave pays ONE narrow gram pass over its own rows
+    * ([[graft.operators.Eval.kmvSketchFrame]]) and the estimate
+    * arithmetic is [[graft.operators.Eval.overlapFromSketches]] — the
+    * SAME code path as the batch metric, so a wave's row equals
+    * [[graft.operators.Eval.kmvOverlap]] of (wave docs, benchmark) by
+    * construction (StreamingSpec pins it anyway). foreachBatch because
+    * a wave's overlap is a full per-batch re-estimate against static
+    * state, not a mergeable stream-state update; no cross-batch state,
+    * so replayed waves re-emit identical rows (the T12/T15/T17
+    * at-least-once sink contract).
+    */
+  def runOverlapMonitor(docs: DataFrame, benchmarkSketch: Seq[String],
+                        checkpoint: String,
+                        n: Int = graft.operators.Curation.DecontamN,
+                        k: Int = graft.operators.Eval.KmvK)
+                       (sink: (Long, org.apache.spark.sql.Row) => Unit): Unit = {
+    require(benchmarkSketch.size <= k, s"benchmark sketch larger than k=$k")
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sk = graft.operators.Eval.kmvSketchFrame(batch, n = n, k = k)
+          .select(col("sk").as("ska"), typedlit(benchmarkSketch).as("skb"))
+        sink(id, graft.operators.Eval.overlapFromSketches(sk, k).head())
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
   /** T14: streaming PQ INDEX INGESTION — the write side of the serving
     * split: vectors arrive on a stream and join the searchable index in
     * SEGMENTS (the Lucene shape), while the codebooks stay the static

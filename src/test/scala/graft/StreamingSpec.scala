@@ -952,6 +952,42 @@ class StreamingSpec extends SparkSuite {
     assert(got.forall(nOf(_) >= 1))
   }
 
+  test("T20 overlap monitor: per-wave KMV estimate vs static benchmark == batch M9 twin") {
+    import graft.operators.{Curation, Eval}
+    val docs = tables.documents
+      .select(col("doc_id"), col("text"), Curation.splitExpr(col("doc_id")).as("split"))
+    val bench = docs.filter(col("split") === "test").select("text")
+    val benchSketch = Eval.kmvSketch(bench)
+    assert(benchSketch.nonEmpty && benchSketch == benchSketch.sorted)
+    // two arrival waves with genuinely different overlap profiles: the
+    // second wave IS benchmark text (a scraper pulling the eval site),
+    // so its containment estimate must saturate vs wave 1's baseline
+    val w1 = docs.filter(col("split") === "train").select("text")
+    val w2 = bench
+    val dir = Files.createTempDirectory("graft-overlap-waves")
+    w1.coalesce(1).write.parquet(s"$dir/w1")
+    w2.coalesce(1).write.parquet(s"$dir/w2")
+    val stream = spark.readStream.schema(w1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+    val got = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    Streams.runOverlapMonitor(stream, benchSketch,
+      Files.createTempDirectory("graft-overlap-cp").toString) { (_, row) =>
+      got += row
+    }
+    assert(got.size == 2, s"expected 2 micro-batches, got ${got.size}")
+    // == the batch M9 on each wave, whatever order the files triggered in
+    def expect(d: org.apache.spark.sql.DataFrame): String =
+      Eval.kmvOverlap(d, bench).first().toString
+    assert(got.map(_.toString).toSet == Set(expect(w1), expect(w2)))
+    // the benchmark-replay wave saturates; the train wave does not
+    val byDigest = got.map(r =>
+      r.getAs[String]("union_digest") -> r.getAs[Long]("b_in_a_permille")).toMap
+    assert(got.map(_.getAs[Long]("b_in_a_permille")).max == 1000L,
+      s"benchmark wave should estimate full containment: $byDigest")
+    assert(got.map(_.getAs[Long]("b_in_a_permille")).min < 1000L,
+      s"train wave should not saturate: $byDigest")
+  }
+
   test("T13 ANN serving: streamed query waves against the persisted PQ index == batch probe") {
     import graft.operators.Similarity
     val idxDir = Files.createTempDirectory("graft-pq-serve").toString
