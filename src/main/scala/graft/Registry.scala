@@ -1780,6 +1780,51 @@ object Registry {
         FROM c"""
       }),
 
+      // M9b pairwise source-overlap matrix: per-source bottom-k sketches
+      // (DISTINCT hashes, row_number <= k per source), all source pairs,
+      // then the SAME union re-sketch + permille arithmetic as m9 — the
+      // membership flags fold per (pair, hash) with max() so a hash in
+      // both sketches counts once in n_union and once in n_both.
+      QueryDef("m9_overlap_matrix", Eval.m9OverlapMatrix, Some {
+        val n = Curation.DecontamN
+        val k = Eval.KmvK
+        s"""
+        WITH d AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT source,
+          unnest([array_to_string(t[i:i+${n - 1}], ' ') for i in range(1, len(t) - ${n - 2})]) AS gram
+          FROM d),
+        h AS (SELECT DISTINCT source, md5(gram) AS h FROM g),
+        r AS (SELECT source, h,
+          row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+        sk AS (SELECT source, h FROM r WHERE rn <= $k),
+        skn AS (SELECT source, COUNT(*) AS n FROM sk GROUP BY source),
+        p AS (SELECT a.source AS sa, b.source AS sb
+          FROM skn a JOIN skn b ON a.source < b.source),
+        m AS (SELECT p.sa, p.sb, sk.h,
+            MAX(CASE WHEN sk.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+            MAX(CASE WHEN sk.source = p.sb THEN 1 ELSE 0 END) AS in_b
+          FROM p JOIN sk ON sk.source IN (p.sa, p.sb)
+          GROUP BY p.sa, p.sb, sk.h),
+        ur AS (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM m),
+        u AS (SELECT * FROM ur WHERE rn <= $k),
+        c AS (SELECT sa, sb, COUNT(*) AS n_union,
+            SUM(in_a * in_b) AS n_both, SUM(in_a) AS n_a, SUM(in_b) AS n_b,
+            md5(string_agg(h, ',' ORDER BY h)) AS union_digest
+          FROM u GROUP BY sa, sb)
+        SELECT c.sa AS source_a, c.sb AS source_b,
+          CAST($k AS BIGINT) AS k,
+          CAST(na.n AS BIGINT) AS n_sketch_a,
+          CAST(nb.n AS BIGINT) AS n_sketch_b,
+          CAST(c.n_union AS BIGINT) AS n_union,
+          CAST(c.n_both AS BIGINT) AS n_both,
+          CAST(1000 * c.n_both // nullif(c.n_union, 0) AS BIGINT) AS jaccard_permille,
+          CAST(1000 * c.n_both // nullif(c.n_b, 0) AS BIGINT) AS b_in_a_permille,
+          CAST(1000 * c.n_both // nullif(c.n_a, 0) AS BIGINT) AS a_in_b_permille,
+          c.union_digest
+        FROM c JOIN skn na ON na.source = c.sa JOIN skn nb ON nb.source = c.sb
+        ORDER BY source_a, source_b"""
+      }),
+
       // Gopher ruleset: every metric is exact integer permille; the regex
       // classes are ASCII so Java regex and RE2 count identically; the
       // bigram-uniqueness form matches l4_repetition's.

@@ -667,17 +667,21 @@ object Eval {
     overlapFromSketches(sk, k)
   }
 
-  /** The M9 estimate arithmetic over a one-row (`ska`, `skb`) sketch
-    * frame — shared by [[kmvOverlapTagged]] and the streaming monitor
+  /** The M9 estimate arithmetic over an (`ska`, `skb`) sketch frame
+    * (one row per corpus pair; `carry` columns pass through as pair
+    * keys) — shared by [[kmvOverlapTagged]], the pairwise
+    * [[sourceOverlapMatrix]], and the streaming monitor
     * ([[graft.streaming.Streams.runOverlapMonitor]] pairs each wave's
-    * sketch with a static benchmark sketch literal), so the wave metric
-    * is the batch metric by construction, not by reimplementation.
+    * sketch with a static benchmark sketch literal), so every surface's
+    * estimate is the same arithmetic by construction, not by
+    * reimplementation.
     */
-  def overlapFromSketches(sk: DataFrame, k: Int): DataFrame =
-    sk.select(
+  def overlapFromSketches(sk: DataFrame, k: Int,
+                          carry: Seq[String] = Nil): DataFrame =
+    sk.select(carry.map(col) ++ Seq(
         col("ska"), col("skb"),
-        slice(array_sort(array_union(col("ska"), col("skb"))), 1, k).as("u"))
-      .select(
+        slice(array_sort(array_union(col("ska"), col("skb"))), 1, k).as("u")): _*)
+      .select(carry.map(col) ++ Seq(
         lit(k.toLong).as("k"),
         size(col("ska")).cast("long").as("n_sketch_a"),
         size(col("skb")).cast("long").as("n_sketch_b"),
@@ -691,13 +695,49 @@ object Eval {
           .cast("long").as("n_b"),
         // membership digest: the oracle hash pins WHICH hashes the union
         // sample holds, not just how many
-        md5(array_join(col("u"), ",")).as("union_digest"))
-      .select(col("k"), col("n_sketch_a"), col("n_sketch_b"),
+        md5(array_join(col("u"), ",")).as("union_digest")): _*)
+      .select(carry.map(col) ++ Seq(
+        col("k"), col("n_sketch_a"), col("n_sketch_b"),
         col("n_union"), col("n_both"),
         expr("1000L * n_both DIV nullif(n_union, 0)").as("jaccard_permille"),
         expr("1000L * n_both DIV nullif(n_b, 0)").as("b_in_a_permille"),
         expr("1000L * n_both DIV nullif(n_a, 0)").as("a_in_b_permille"),
-        col("union_digest"))
+        col("union_digest")): _*)
+
+  /** M9b: the pairwise overlap MATRIX across a grouping column — which
+    * of a pipeline's sources/crawls duplicate each other, estimated for
+    * ALL pairs from ONE corpus pass. One narrow gram pass builds a
+    * per-group KMV sketch (grouped [[graft.functions.BottomKDistinctAgg]]
+    * — the per-group shuffle is k short strings per input partition), the
+    * `groups × groups / 2` pairing happens on the SKETCH frame (#groups
+    * rows — a broadcast self-join of bounded metadata, never of the
+    * corpus), and every pair's estimate is [[overlapFromSketches]].
+    * Groups whose docs yield zero grams have no sketch row (explode drops
+    * empty shingle arrays) and so appear in no pair — same rule in the
+    * oracle replay.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, groupCol: String = "source",
+                          textCol: String = "text",
+                          n: Int = Curation.DecontamN, k: Int = KmvK,
+                          tokenizer: Column => Column = Dedup.tokens): DataFrame = {
+    require(n >= 1 && k >= 1, s"bad n=$n / k=$k")
+    val bk = BottomKDistinct.bottomKUdaf(k)
+    val sks = docs
+      .select(col(groupCol).as("g"),
+        explode(Dedup.shingles(tokenizer(col(textCol)), n)).as("gram"))
+      .groupBy(col("g")).agg(bk(md5(col("gram"))).as("sk"))
+    val pairs = sks.as("x").join(broadcast(sks.as("y")), col("x.g") < col("y.g"))
+      .select(col("x.g").as("source_a"), col("y.g").as("source_b"),
+        col("x.sk").as("ska"), col("y.sk").as("skb"))
+    overlapFromSketches(pairs, k, carry = Seq("source_a", "source_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** M9b declared query: the per-source overlap matrix of the fixture
+    * corpus.
+    */
+  def m9OverlapMatrix(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapMatrix(Tables(spark, dir).documents)
 
   /** One corpus's KMV sketch as a one-row frame (column `sk`:
     * `array<string>`, the k smallest distinct gram hashes ascending) —

@@ -686,6 +686,35 @@ class RelationalSpec extends SparkSuite {
     assert(oneSided.getAs[Long]("jaccard_permille") == 0L)
   }
 
+  test("m9b overlap matrix: hand-built groups; each pair row == the two-corpus estimate") {
+    import TestSpark.spark.implicits._
+    import graft.operators.Eval
+    // three groups: g1 == g2 verbatim, g3 disjoint vocabulary
+    val t1 = Seq.tabulate(4)(i => s"alpha beta gamma delta epsilon zeta$i eta")
+    val t3 = Seq.tabulate(4)(i => s"one two three four five six$i seven")
+    val docs = (t1.map(("g1", _)) ++ t1.map(("g2", _)) ++ t3.map(("g3", _)))
+      .toDF("source", "text")
+    val m = Eval.sourceOverlapMatrix(docs, k = 16).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(m.keySet == Set(("g1", "g2"), ("g1", "g3"), ("g2", "g3")))
+    assert(m(("g1", "g2")).getAs[Long]("jaccard_permille") == 1000L)
+    assert(m(("g1", "g3")).getAs[Long]("jaccard_permille") == 0L)
+    // every pair row equals the pairwise two-corpus estimate (same
+    // arithmetic by construction; this pins the pairing/join plumbing)
+    def corpus(g: String) = docs.filter(col("source") === g).select("text")
+    val direct = Eval.kmvOverlap(corpus("g1"), corpus("g3"), k = 16).first()
+    val row = m(("g1", "g3"))
+    Seq("n_sketch_a", "n_sketch_b", "n_union", "n_both", "union_digest").foreach { c =>
+      assert(row.getAs[Any](c) == direct.getAs[Any](c), s"$c differs")
+    }
+    // fixture matrix: counters internally consistent on every pair
+    Eval.m9OverlapMatrix(TestSpark.spark, sf).collect().foreach { r =>
+      val (nu, nb, na, both) = (r.getAs[Long]("n_union"), r.getAs[Long]("n_sketch_b"),
+        r.getAs[Long]("n_sketch_a"), r.getAs[Long]("n_both"))
+      assert(nu <= graft.operators.Eval.KmvK && both <= math.min(na, nb))
+    }
+  }
+
   test("m9 estimator: fixture estimate within KMV error of the exact gram Jaccard; one corpus scan") {
     import graft.operators.{Curation, Dedup, Eval}
     // exact gram-set Jaccard of the train/test splits (fixture-scale only:
