@@ -383,6 +383,29 @@ object TailTwins {
 
       "l1_dupspans" -> (() => dupCoverageNaive(docs).orderBy("doc_id")),
 
+      // the KMV-sketch form an experienced user writes first: per-corpus
+      // global DISTINCT → global ORDER BY → LIMIT k — correct, but the
+      // distinct exchanges the corpus's whole gram-hash universe and the
+      // order-by funnels it through one task, where the engine's bounded
+      // aggregator ships k strings per partition (the O(k) one-row tail
+      // arithmetic is shared — the twinned cost is sketch CONSTRUCTION)
+      "m9_containment" -> (() => {
+        def grams(side: String) = docs
+          .select(splitCol.as("split"), split(col("text"), " ").as("t"))
+          .filter(col("split") === side)
+          .select(explode(when(size(col("t")) >= 5,
+            transform(sequence(lit(1), size(col("t")) - 4),
+              i => concat_ws(" ", (0 to 4).map(j =>
+                element_at(col("t"), i + lit(j))): _*)))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+          .select(md5(col("gram")).as("h"))
+        def sketch(side: String, as: String) =
+          grams(side).distinct().orderBy(col("h")).limit(256)
+            .agg(sort_array(collect_list(col("h"))).as(as))
+        graft.operators.Eval.overlapFromSketches(
+          sketch("train", "ska").crossJoin(sketch("test", "skb")), 256)
+      }),
+
       "l4_ccnet_buckets" -> (() => ccnetNaive(docs)),
 
       "a10_equi_depth" -> (() => {

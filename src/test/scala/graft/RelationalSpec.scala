@@ -715,6 +715,13 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("m9 vanilla twin computes the engine's answer (twin-honesty pin)") {
+    // distinct→sort→limit must land on the exact same k hashes as the
+    // bounded aggregator, or the TWINS.json ratio compares different work
+    assertSameRows(graft.TailTwins.twinFrame(spark, sf, "m9_containment"),
+      graft.operators.Eval.m9Containment(spark, sf))
+  }
+
   test("m9 estimator: fixture estimate within KMV error of the exact gram Jaccard; one corpus scan") {
     import graft.operators.{Curation, Dedup, Eval}
     // exact gram-set Jaccard of the train/test splits (fixture-scale only:
