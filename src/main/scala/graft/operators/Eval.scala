@@ -686,16 +686,20 @@ object Eval {
         size(col("ska")).cast("long").as("n_sketch_a"),
         size(col("skb")).cast("long").as("n_sketch_b"),
         size(col("u")).cast("long").as("n_union"),
-        size(filter(col("u"), x =>
-          array_contains(col("ska"), x) && array_contains(col("skb"), x)))
-          .cast("long").as("n_both"),
-        size(filter(col("u"), x => array_contains(col("ska"), x)))
+        // per-sketch membership counts via the codegen'd sorted-merge
+        // kernel (all three arrays are sorted+distinct by construction) —
+        // a filter(array_contains) pair here is an interpreted O(k²)
+        // lambda per pair, which dominated the 190-pair matrix
+        graft.functions.SortedIntersectSizeCol(col("u"), col("ska"))
           .cast("long").as("n_a"),
-        size(filter(col("u"), x => array_contains(col("skb"), x)))
+        graft.functions.SortedIntersectSizeCol(col("u"), col("skb"))
           .cast("long").as("n_b"),
         // membership digest: the oracle hash pins WHICH hashes the union
         // sample holds, not just how many
         md5(array_join(col("u"), ",")).as("union_digest")): _*)
+      // u ⊆ ska ∪ skb, so |u∩A∩B| = |u∩A| + |u∩B| − |u| exactly
+      // (inclusion–exclusion — no third intersection walk needed)
+      .withColumn("n_both", col("n_a") + col("n_b") - col("n_union"))
       .select(carry.map(col) ++ Seq(
         col("k"), col("n_sketch_a"), col("n_sketch_b"),
         col("n_union"), col("n_both"),
