@@ -708,11 +708,18 @@ class RelationalSpec extends SparkSuite {
       assert(row.getAs[Any](c) == direct.getAs[Any](c), s"$c differs")
     }
     // fixture matrix: counters internally consistent on every pair
-    Eval.m9OverlapMatrix(TestSpark.spark, sf).collect().foreach { r =>
+    val fx = Eval.m9OverlapMatrix(TestSpark.spark, sf)
+    fx.collect().foreach { r =>
       val (nu, nb, na, both) = (r.getAs[Long]("n_union"), r.getAs[Long]("n_sketch_b"),
         r.getAs[Long]("n_sketch_a"), r.getAs[Long]("n_both"))
       assert(nu <= graft.operators.Eval.KmvK && both <= math.min(na, nb))
     }
+    // scale pin: the sketch self-join must not re-run the corpus pass —
+    // AQE dedups the two identical shuffle exchanges (ReusedExchange),
+    // so the scan+gram+partial-agg pipeline executes once
+    val plan = fx.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"sketch exchange not reused — corpus pass would run twice:\n$plan")
   }
 
   test("m9 vanilla twin computes the engine's answer (twin-honesty pin)") {
