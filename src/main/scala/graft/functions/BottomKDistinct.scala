@@ -17,12 +17,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * shape as [[TopKAgg]], plus dedup on insert (KMV is a sketch of a SET;
   * a duplicate hash must not occupy two of the k slots).
   *
-  * Determinism: the buffer is totally ordered by the string's binary
-  * order (Spark UTF8String comparison = byte-lexicographic, matching
-  * DuckDB's VARCHAR order on the lowercase-hex md5 values the M9 caller
-  * feeds in), and dedup + bound are arrival- and merge-order
-  * independent, so the result is a pure function of the input SET.
-  * NULL inputs are skipped (an absent gram contributes nothing).
+  * Determinism: the buffer is totally ordered by `String.compareTo` —
+  * UTF-16 code-unit order, which coincides with UTF-8 byte order (what
+  * Spark's `array_sort`/comparisons and DuckDB's VARCHAR order use) for
+  * ASCII input but NOT for all of Unicode (supplementary characters sort
+  * below some BMP code points in byte order). Callers wanting
+  * cross-engine agreement must feed ASCII values — the M9 callers hash
+  * every gram to lowercase-hex md5 first, which also makes the k-th
+  * value a uniform order statistic (the KMV requirement). Dedup + bound
+  * are arrival- and merge-order independent, so the result is a pure
+  * function of the input SET. NULL inputs are skipped (an absent gram
+  * contributes nothing).
   */
 class BottomKDistinctAgg(k: Int) extends Aggregator[String, List[String], Seq[String]] {
   require(k >= 1, s"bad k: $k")
