@@ -574,4 +574,39 @@ class PropertiesSpec extends SparkSuite {
       assert(got == want)
     }
   }
+
+  test("bottom-k distinct sketch: any partitioning × any merge tree == distinct.sorted.take(k)") {
+    // unit-level algebra (no Spark plan): fold the input under arbitrary
+    // partition boundaries, merge the partials in arbitrary tree shapes —
+    // the buffer must be a pure function of the input SET and k, which is
+    // exactly what lets the planner map-side combine and AQE re-split it
+    import graft.functions.BottomKDistinctAgg
+    val elem = Gen.oneOf(Gen.hexStr.map(_.take(6)), word)
+    val input = Gen.listOf(Gen.oneOf(elem, Gen.const(null: String)))
+    val kGen = Gen.chooseNum(1, 12)
+    val inputs = samples(input, 40)
+    val ks = samples(kGen, 40)
+    for ((xs, seedBase) <- inputs.zipWithIndex) {
+      val k = ks(seedBase % ks.size) + seedBase % 3
+      val agg = new BottomKDistinctAgg(k)
+      val exact = xs.filter(_ != null).distinct.sorted.take(k)
+      // arbitrary partitioning: cut points from the seed
+      val nCuts = seedBase % 5 + 1
+      val parts = xs.grouped(math.max(1, xs.size / nCuts + 1)).toList
+      val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      // two merge trees: left fold and pairwise balanced
+      val leftFold = partials.foldLeft(agg.zero)(agg.merge)
+      def balanced(bs: List[List[String]]): List[String] = bs match {
+        case Nil => agg.zero
+        case one :: Nil => one
+        case more => balanced(more.grouped(2).map {
+          case a :: b :: Nil => agg.merge(a, b)
+          case a :: Nil => a
+          case _ => agg.zero
+        }.toList)
+      }
+      assert(agg.finish(leftFold) == exact, s"seed=$seedBase leftFold")
+      assert(agg.finish(balanced(partials)) == exact, s"seed=$seedBase balanced")
+    }
+  }
 }
