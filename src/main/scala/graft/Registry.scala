@@ -1248,7 +1248,7 @@ object Registry {
         ka AS (SELECT COUNT(*) AS k_approx FROM ann_k),
         c AS (SELECT COUNT(*) AS n_common FROM ann_k JOIN exact_k USING (vec_id))
         SELECT k_exact, k_approx, n_common,
-          CAST((1000 * n_common) // k_exact AS BIGINT) AS recall_permille
+          CAST((1000 * n_common) // nullif(k_exact, 0) AS BIGINT) AS recall_permille
         FROM k CROSS JOIN ka CROSS JOIN c""")),
 
       // M3: MRR / precision@k — the oracle replays the shared BM25 body,
@@ -1677,7 +1677,7 @@ object Registry {
           FROM scored)
         SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
-          CAST((tp + tn) * 1000 // (tp + fp + fn + tn) AS BIGINT) AS accuracy_permille,
+          CAST((tp + tn) * 1000 // nullif(tp + fp + fn + tn, 0) AS BIGINT) AS accuracy_permille,
           CAST(tp * 1000 // nullif(tp + fp, 0) AS BIGINT) AS precision_permille,
           CAST(tp * 1000 // nullif(tp + fn, 0) AS BIGINT) AS recall_permille,
           CAST(2 * tp * 1000 // nullif(2 * tp + fp + fn, 0) AS BIGINT) AS f1_permille
@@ -1726,9 +1726,9 @@ object Registry {
             CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
           FROM j),
         p AS (SELECT n, n11, n10, n01, n00,
-            CAST(1000000 * (n11 + n00) // n AS BIGINT) AS po_micro,
-            CAST(((1000000 * (n11 + n10) // n) * (1000000 * (n11 + n01) // n)
-              + (1000000 * (n01 + n00) // n) * (1000000 * (n10 + n00) // n))
+            CAST(1000000 * (n11 + n00) // nullif(n, 0) AS BIGINT) AS po_micro,
+            CAST(((1000000 * (n11 + n10) // nullif(n, 0)) * (1000000 * (n11 + n01) // nullif(n, 0))
+              + (1000000 * (n01 + n00) // nullif(n, 0)) * (1000000 * (n10 + n00) // nullif(n, 0)))
               // 1000000 AS BIGINT) AS pe_micro
           FROM c)
         SELECT n, n11, n10, n01, n00, po_micro, pe_micro,

@@ -582,6 +582,16 @@ object Curation {
     * boundaries for the same reason (prefix counts over a fixed total
     * order are boundary-associative; asserted against the naive
     * single-partition window in CurationSpec).
+    *
+    * PRECONDITION (same as the packBins bucket path): `docs` must be
+    * DETERMINISTIC across re-executions — a parquet scan, a checkpointed
+    * frame, anything whose row set cannot change between jobs. The
+    * offsets branch and the rank branch intentionally re-execute the
+    * input independently (that is what removed the corpus-wide
+    * checkpoint); a nondeterministic frame (an un-seeded sample, a
+    * retried non-checkpointed shuffle lineage) can disagree between the
+    * two branches and produce duplicated or skipped positions. Callers
+    * with such a frame must `.materialize()` it first.
     */
   def epochOrder(docs: DataFrame, key: Column, salt: String,
                  partitions: Int = 32): DataFrame = {
@@ -772,7 +782,7 @@ object Curation {
     // order, so the injected plan (and any cache key over it) is stable
     // run to run regardless of collect order
     val grouped = counts.groupBy(r => Vector.tabulate(k)(r.get))
-      .toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+      .toSeq.sortBy(_._1.map(String.valueOf).mkString("\u0000"))
     // one broadcast relation carries BOTH the bucket offset and the
     // stratum size (the driver computed both), so the main pass pays a
     // single broadcast hash join — the same stage count as the naive

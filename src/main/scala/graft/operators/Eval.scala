@@ -95,7 +95,7 @@ object Eval {
       .crossJoin(a.agg(count(lit(1)).as("k_approx")))
       .crossJoin(a.join(e, idCol).agg(count(lit(1)).as("n_common")))
       .select(col("k_exact"), col("k_approx"), col("n_common"),
-        expr("(1000 * n_common) DIV k_exact").as("recall_permille"))
+        expr("(1000 * n_common) DIV nullif(k_exact, 0)").as("recall_permille"))
   }
 
   /** M2 declared query: recall@k of the sign-bucket ANN (l3_ann_bucket)
@@ -136,7 +136,7 @@ object Eval {
         sum(when(col("r_all") <= k && col("in_bucket") && col("r_b") <= k, 1L)
           .otherwise(0L)).as("n_common"))
       .select(col("k_exact"), col("k_approx"), col("n_common"),
-        expr("(1000 * n_common) DIV k_exact").as("recall_permille"))
+        expr("(1000 * n_common) DIV nullif(k_exact, 0)").as("recall_permille"))
   }
 
   /** The declared retrieval-eval query set: conjunctive relevance (a doc
@@ -473,7 +473,7 @@ object Eval {
         sum(when(col("is_ref") && !col("predicted_ref"), 1L).otherwise(0L)).as("fn"),
         sum(when(!col("is_ref") && !col("predicted_ref"), 1L).otherwise(0L)).as("tn"))
       .select(col("tp"), col("fp"), col("fn"), col("tn"),
-        expr("(tp + tn) * 1000 DIV (tp + fp + fn + tn)").as("accuracy_permille"),
+        expr("(tp + tn) * 1000 DIV nullif(tp + fp + fn + tn, 0)").as("accuracy_permille"),
         expr("tp * 1000 DIV nullif(tp + fp, 0)").as("precision_permille"),
         expr("tp * 1000 DIV nullif(tp + fn, 0)").as("recall_permille"),
         expr("2 * tp * 1000 DIV nullif(2 * tp + fp + fn, 0)").as("f1_permille"))
@@ -526,9 +526,9 @@ object Eval {
         sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("n01"),
         sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("n00"))
       .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
-        expr("1000000 * (n11 + n00) DIV n").as("po_micro"),
-        expr("""((1000000 * (n11 + n10) DIV n) * (1000000 * (n11 + n01) DIV n)
-              + (1000000 * (n01 + n00) DIV n) * (1000000 * (n10 + n00) DIV n))
+        expr("1000000 * (n11 + n00) DIV nullif(n, 0)").as("po_micro"),
+        expr("""((1000000 * (n11 + n10) DIV nullif(n, 0)) * (1000000 * (n11 + n01) DIV nullif(n, 0))
+              + (1000000 * (n01 + n00) DIV nullif(n, 0)) * (1000000 * (n10 + n00) DIV nullif(n, 0)))
               DIV 1000000""").as("pe_micro"))
       .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
         col("po_micro"), col("pe_micro"),

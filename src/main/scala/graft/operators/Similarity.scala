@@ -1086,6 +1086,18 @@ object Similarity {
     * zeros included); the unnegated cosine rides through as the payload
     * so no double negation can perturb it.
     */
+  /** Largest candidate-id list inlined as a literal `vec_id IN (...)`
+    * pushdown before [[topKBatch]] falls back to the broadcast-join-only
+    * rescore. Catalyst converts In literal lists above
+    * `spark.sql.optimizer.inSetConversionThreshold` to InSet (O(1) probe),
+    * but the ANALYZER cost of building/transforming the expression tree
+    * and the parquet row-group pruning payoff both scale with list size
+    * in opposite directions — past tens of thousands of ids the filter
+    * touches most row groups anyway while the plan-time cost keeps
+    * growing, so a single broadcast-join probe pass is strictly better.
+    */
+  val IsinPushdownMaxIds = 32768
+
   def topKBatch(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val pad = math.max(4 * k, k + 30)
     // q_f: float cast of the widened doubles == the original float
@@ -1114,8 +1126,20 @@ object Similarity {
     val candIds = candPairs.map(_.getLong(1)).distinct.toIndexedSeq
     val candLocal = emb.sparkSession.createDataFrame(
       java.util.Arrays.asList(candPairs: _*), cand.schema)
-    val exact = emb.select(col("vec_id"), col("label"), col("embedding"))
-      .filter(col("vec_id").isin(candIds: _*))
+    // The IN-literal pushdown is only a win while the list stays small:
+    // above ~tens of thousands of ids the In expression's analyzer /
+    // optimizer cost grows superlinearly and the literal list itself is
+    // driver-memory pressure, while the pruning benefit saturates (a
+    // filter touching most row groups prunes nothing). Past the cap the
+    // broadcast hash join on candLocal alone restricts the rescore — one
+    // streaming corpus probe pass, no giant expression tree. At the 64k
+    // serving cap with pad≈40 that is ~2.6M pairs, far past the cap, so
+    // serving-scale batches take the join path by construction.
+    val base = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val pruned =
+      if (candIds.length <= IsinPushdownMaxIds) base.filter(col("vec_id").isin(candIds: _*))
+      else base
+    val exact = pruned
       .join(broadcast(candLocal), "vec_id")
       .join(broadcast(qn.select(col("query_id"), col("q_emb"))), "query_id")
       .select(col("query_id"), col("vec_id"), col("label"),

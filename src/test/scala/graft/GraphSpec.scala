@@ -46,8 +46,9 @@ class GraphSpec extends SparkSuite {
       .join(fix.select(col("a"), col("b").as("c")), Seq("a", "c"))
       .count()
     assert(got == naive && got > 0L)
-    // negative ids force the two-column closure path (packing would
-    // sign-extend and alias keys): triangle {-1, 0, 1} must still count
+    // negative ids exercise the signed long-array intersection kernel
+    // (sorted-adjacency order must hold for ids below zero too):
+    // triangle {-1, 0, 1} must still count
     val neg = Seq((-1L, 0L), (-1L, 1L), (0L, 1L)).toDF("a", "b")
     val nr = Graph.triangleStats(neg).first()
     assert((nr.getAs[Long]("n_edges"), nr.getAs[Long]("n_triangles")) == (3L, 1L))
