@@ -719,6 +719,40 @@ object Registry {
       ORDER BY score DESC, node LIMIT 20"""
     }),
 
+    // Dangling-aware PageRank: directed supplier→customer flows (every
+    // customer a pure sink), per-round dangling mass folded back as a
+    // floored uniform share — the oracle replays each round as a CTE
+    // with the same BIGINT arithmetic, scalar subqueries for the
+    // dangling mass and node count
+    QueryDef("g1_pagerank_dangling", Graph.g1PageRankDangling, Some {
+      val tp = (1000L - Graph.DefaultDampingPermille) * Graph.ScoreUnit
+      val dp = Graph.DefaultDampingPermille
+      val rounds = (1 to Graph.DefaultIters).map { i =>
+        s"""s$i AS (SELECT n.node, n.dangling,
+             (($tp + $dp * (COALESCE(m.mass, 0)
+               + (SELECT COALESCE(SUM(score), 0) FROM s${i - 1} WHERE dangling)
+                 // (SELECT COUNT(*) FROM nodes))) // 1000) AS score
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, SUM(s.score // d.d) AS mass
+             FROM edges e JOIN s${i - 1} s ON e.src = s.node
+               JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) m ON n.node = m.node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH edges AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+      nodes AS MATERIALIZED (
+        SELECT node, node NOT IN (SELECT src FROM edges) AS dangling FROM (
+          SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges)),
+      s0 AS (SELECT node, dangling, ${Graph.ScoreUnit} AS score FROM nodes),
+      $rounds
+      SELECT node, CAST(score AS BIGINT) AS score FROM s${Graph.DefaultIters}
+      ORDER BY score DESC, node LIMIT 20"""
+    }),
+
     // Triangle census: the oracle replays the SAME degree orientation —
     // wedge/closure algebra is exact integers, so one canonical answer
     QueryDef("g2_triangles", Graph.g2Triangles, Some("""

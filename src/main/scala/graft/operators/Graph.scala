@@ -89,6 +89,66 @@ object Graph {
     scores
   }
 
+  /** G1b: fixed-round PageRank with DANGLING-MASS redistribution — the
+    * standard completion for graphs where some nodes have in-edges but no
+    * out-edges (a real doc-link or shipping-flow graph is full of them).
+    * Each round, the total score mass sitting on dangling nodes is folded
+    * back uniformly: every node's update sees
+    * `coalesce(inbound, 0) + (danglingMass DIV N)` where N is the node
+    * count — the per-node share floors in micro-units, so the arithmetic
+    * stays pure BIGINT and the oracle replays every round bit-exactly
+    * (same integer contract as [[pageRank]]; the extra floor leak is
+    * ≤ N−1 µ per round, deterministic).
+    *
+    * Scale shape: identical to [[pageRank]] (edge⋈degree frame
+    * materialized + pre-partitioned ONCE, per-round shuffle is the
+    * node-sized score frame) plus, per round, ONE 1-row aggregate over
+    * the already-checkpointed score frame (the dangling mass) that rides
+    * back in as a broadcast cross join — bounded metadata, never a
+    * second corpus pass. Node frame is src ∪ dst (a sink-only node must
+    * hold score), with the dangling flag precomputed once.
+    */
+  def pageRankDangling(edges: DataFrame, iters: Int = DefaultIters,
+                       dampingPermille: Long = DefaultDampingPermille): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      "damping must be a permille in [0, 1000]")
+    val teleport = (1000L - dampingPermille) * ScoreUnit
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val linked = edges.join(deg, "src")
+      .repartition(col("src")).materialize()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+      .join(deg.select(col("src").as("node"), lit(true).as("__out")),
+        Seq("node"), "left_outer")
+      .select(col("node"), col("__out").isNull.as("dangling"))
+      .materialize()
+    // one driver scalar (the node count) — the DIV-N share denominator;
+    // bounded metadata, computed once off the checkpointed node frame
+    val n = nodes.count()
+    require(n > 0, "pageRankDangling: empty graph")
+    var scores = nodes.select(col("node"), col("dangling"),
+      lit(ScoreUnit).as("score"))
+    for (_ <- 1 to iters) {
+      // 1-row frame: this round's dangling mass (0 when no node dangles)
+      val dm = scores.filter(col("dangling"))
+        .agg(coalesce(sum(col("score")), lit(0L)).as("dm"))
+      val inbound = linked
+        .join(scores.select(col("node").as("src"), col("score")), "src")
+        .groupBy(col("dst")).agg(sum(expr("score DIV d")).as("mass"))
+        .withColumnRenamed("dst", "node")
+      scores = nodes
+        .join(inbound, Seq("node"), "left_outer")
+        .crossJoin(broadcast(dm))
+        .select(col("node"), col("dangling"),
+          expr(s"($teleport + $dampingPermille * (coalesce(mass, 0L) + dm DIV ${n}L)) DIV 1000")
+            .as("score"))
+        .materialize()
+    }
+    scores.select(col("node"), col("score"))
+  }
+
   /** G2: triangle count + global clustering coefficient, degree-oriented —
     * the standard distributed triangle algorithm: orient every undirected
     * edge from its lower-(degree, id) endpoint to the higher one, generate
@@ -195,6 +255,25 @@ object Graph {
     val edges = flows.select(col("s").as("src"), col("c").as("dst"))
       .unionByName(flows.select(col("c").as("src"), col("s").as("dst")))
     pageRank(edges)
+      .orderBy(col("score").desc, col("node"))
+      .limit(20)
+  }
+
+  /** G1b declared query: dangling-aware PageRank over the DIRECTED
+    * supplier→customer shipping-flow graph — the natural dangling case:
+    * every customer node is a pure sink (in-edges only), so without
+    * redistribution 100·(|customers|/|nodes|)% of the mass would vanish
+    * per round. Same arithmetic node-id scheme as [[g1PageRank]]
+    * (supplier s → 2s, customer c → 2c+1). Top-20 by score — the most
+    * flow-central parties when mass is conserved.
+    */
+  def g1PageRankDangling(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct()
+    pageRankDangling(edges)
       .orderBy(col("score").desc, col("node"))
       .limit(20)
   }

@@ -54,6 +54,58 @@ class GraphSpec extends SparkSuite {
     assert((nr.getAs[Long]("n_edges"), nr.getAs[Long]("n_triangles")) == (3L, 1L))
   }
 
+  test("G1b dangling pagerank: hand-computed star; == integer reference over 3 rounds") {
+    // directed star 0 → {1,2,3}: leaves are pure sinks (dangling), N = 4.
+    // round 1: dm = 3·1e6, share = dm DIV 4 = 750_000
+    //   node 0:    (150e6 + 850·750_000) DIV 1e3             = 787_500
+    //   each leaf: inbound = 1e6 DIV 3 = 333_333
+    //              (150e6 + 850·(333_333 + 750_000)) DIV 1e3 = 1_070_833
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r1 = Graph.pageRankDangling(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(0L -> 787500L, 1L -> 1070833L, 2L -> 1070833L, 3L -> 1070833L))
+    // multi-round: exact match against a driver-side integer reference
+    // replaying the same floored arithmetic
+    def ref(iters: Int): Map[Long, Long] = {
+      val nodes = Seq(0L, 1L, 2L, 3L)
+      var s = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val share = Seq(1L, 2L, 3L).map(s).sum / 4
+        val inb = s(0L) / 3
+        s = nodes.map(v => v ->
+          (150000000L + 850L * ((if (v == 0L) 0L else inb) + share)) / 1000).toMap
+      }
+      s
+    }
+    val r3 = Graph.pageRankDangling(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == ref(3))
+    // the STRICT form must reject the same graph loudly, not drop mass
+    val err = intercept[IllegalArgumentException] { Graph.pageRank(edges).collect() }
+    assert(err.getMessage.contains("sink-only"))
+  }
+
+  test("G1b dangling pagerank fixture: top-20 descending, mass conserved up to floor leak") {
+    val top = Graph.g1PageRankDangling(spark, sf).collect()
+    assert(top.length == 20)
+    val scores = top.map(_.getAs[Long]("score"))
+    assert(scores.sameElements(scores.sortBy(-_)), "descending by score")
+    assert(scores.forall(_ > 0L))
+    // redistribution conserves mass up to floor leak: total ≤ n·unit and
+    // well above what sink loss would leave (customers outnumber
+    // suppliers, so dropped dangling mass would collapse the total)
+    val t = Tables(spark, sf)
+    val edges = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct()
+    val full = Graph.pageRankDangling(edges)
+    val n = full.count()
+    val total = full.agg(sum("score")).first().getLong(0)
+    assert(total <= n * Graph.ScoreUnit)
+    assert(total >= (n * Graph.ScoreUnit * 9) / 10,
+      "dangling redistribution should hold total mass near n·unit")
+  }
+
   test("G1 pagerank fixture: top-20, positive scores, mass conserved up to floor leak") {
     val top = Graph.g1PageRank(spark, sf).collect()
     assert(top.length == 20)
