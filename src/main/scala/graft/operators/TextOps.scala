@@ -1094,29 +1094,56 @@ object TextOps {
     * filter scales with the scan; 100 TB costs exactly one read.
     *
     * Per-row cost discipline (the interpreted-HOF trap, SCALING.md):
-    * the token array and the bigram array are each materialized ONCE
-    * through their own projection boundary — `filter`/`zip_with` are
-    * CodegenFallback, and inlining the `split` into each rule
-    * re-tokenized the doc per rule (CollapseProject keeps the boundary:
-    * a non-trivial producer referenced more than once is not "cheap").
-    * `stop_hits` is `array_intersect` (hash-set build, O(|toks|+|stops|)
-    * per row) — the lambda-`filter`-of-`array_contains` form it replaced
-    * scanned the token array once PER stopword; and Σ token length is
-    * the codegen'd `length(concat_ws("", toks))` (split drops the
-    * separators, so joining with "" restores exactly the token mass),
-    * not an interpreted `aggregate` fold. Measured together: 1.24 →
-    * 0.62 s warm at sf0.1, vs 0.84 s for the explode-and-join twin.
+    * the default-tokenizer path computes every counter in the ONE-pass
+    * native kernel [[graft.functions.GopherStats]] — tokenize, letter
+    * scan, stopword probes, symbol scan, and exact bigram dedup in a
+    * single text walk, zero interpreted lambda dispatch (measured 1.24
+    * → 0.44 s warm at sf0.1, vs 0.84 s for the explode-and-join twin).
+    * The retained declarative path ([[gopherRulesDeclarative]], custom
+    * tokenizers + the spec's differential reference) documents the
+    * pre-kernel discipline: token/gram arrays materialized once per
+    * projection boundary, `array_intersect` over per-stopword scans,
+    * codegen'd `length(concat_ws("", toks))` over interpreted folds.
     */
   def gopherRules(docs: DataFrame,
                   tokenizer: Column => Column = spaceTokenizer): DataFrame = {
+    // Default (space) tokenization rides the one-pass native kernel —
+    // [[graft.functions.GopherStats]] folds tokenize + every counter into
+    // a single text walk (the declarative form pays three interpreted
+    // HOF lambdas per row; measured 1.24 → ~0.5 s warm at sf0.1). A
+    // custom tokenizer keeps the declarative path: the kernel's split is
+    // part of its contract. Equality of the two paths is pinned in
+    // LlmOpsSpec on fixture + constructed edge docs.
+    if (tokenizer eq spaceTokenizer) {
+      val counters = docs.select(col("doc_id"),
+        graft.functions.GopherStatsCol(col("text"), GopherRequiredStops).as("__g"))
+        .select(col("doc_id"),
+          col("__g.n_tokens").as("n_tokens"),
+          col("__g.sum_tok_len").as("sum_tok_len"),
+          col("__g.n_alpha").as("n_alpha"),
+          col("__g.stop_hits").as("stop_hits"),
+          col("__g.n_symbols").as("n_symbols"),
+          col("__g.n_dup_bigrams").as("n_dup_bigrams"),
+          col("__g.n_bigrams").as("n_bigrams"))
+      gopherRuleColumns(counters)
+    } else gopherRulesDeclarative(docs, tokenizer)
+  }
+
+  /** The declarative (pre-kernel) formulation — the non-default-tokenizer
+    * path and the differential reference the spec pins [[gopherRules]]
+    * against. Same narrow shuffle-free shape, but per-row cost includes
+    * the interpreted `filter`/`zip_with` lambdas and the materialized
+    * token + gram arrays.
+    */
+  private[graft] def gopherRulesDeclarative(
+      docs: DataFrame,
+      tokenizer: Column => Column = spaceTokenizer): DataFrame = {
     val toks = col("__toks")
     val grams = zip_with(
       slice(toks, lit(1), greatest(size(toks) - lit(1), lit(0))),
       slice(toks, lit(2), greatest(size(toks) - lit(1), lit(0))),
       (a, b) => concat_ws(" ", a, b))
-    def permille(num: Column): Column =
-      call_function("div", num * lit(1000L), col("n_tokens").cast("long"))
-    docs
+    val counters = docs
       .select(col("doc_id"), col("text"), tokenizer(col("text")).as("__toks"))
       .select(col("doc_id"), col("text"), toks, grams.as("__grams"))
       .select(col("doc_id"),
@@ -1128,6 +1155,18 @@ object TextOps {
         (size(col("__grams")) - size(array_distinct(col("__grams"))))
           .as("n_dup_bigrams"),
         greatest(size(col("__grams")), lit(1)).as("n_bigrams"))
+    gopherRuleColumns(counters)
+  }
+
+  /** Shared rule arithmetic: permille metrics + per-rule booleans + the
+    * `keep` conjunction over a (doc_id, counters) frame — both the native
+    * kernel and the declarative path feed it, so the cut points are
+    * defined exactly once.
+    */
+  private def gopherRuleColumns(counters: DataFrame): DataFrame = {
+    def permille(num: Column): Column =
+      call_function("div", num * lit(1000L), col("n_tokens").cast("long"))
+    counters
       .select(col("doc_id"), col("n_tokens"),
         permille(col("sum_tok_len")).as("mean_len_permille"),
         permille(col("n_alpha").cast("long")).as("alpha_permille"),

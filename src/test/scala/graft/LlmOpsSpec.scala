@@ -1015,6 +1015,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(fixture.filter(!col("keep")).count() > 0)
   }
 
+  test("L4 Gopher native kernel == declarative form on fixture + edge docs") {
+    // the GopherStats one-pass kernel must reproduce the declarative
+    // HOF formulation bit-for-bit — empty text (ONE empty token under
+    // split-keep-empty), consecutive/leading/trailing spaces (empty
+    // tokens), unicode (code-point lengths), symbol overlaps ("....."
+    // scans as one "..." then loose dots), repeated bigrams
+    val edge = Seq(
+      (1L, ""), (2L, " "), (3L, "a  b"), (4L, " the of "),
+      (5L, "héllo wörld é́ x"), (6L, "a#b ... .... ..... #"),
+      (7L, "x y x y x y"), (8L, "the"), (9L, "... the of and that"))
+      .toDF("doc_id", "text")
+    assertSameRows(TextOps.gopherRules(edge),
+      TextOps.gopherRulesDeclarative(edge))
+    assertSameRows(TextOps.gopherRules(tables.documents),
+      TextOps.gopherRulesDeclarative(tables.documents))
+  }
+
   test("L4 Gopher plan: shuffle-free narrow pass, scan pruned to the used columns") {
     val plan = TextOps.gopherRules(tables.documents).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
