@@ -743,6 +743,34 @@ object Eval {
   def m9OverlapMatrix(spark: SparkSession, dir: String): DataFrame =
     sourceOverlapMatrix(Tables(spark, dir).documents)
 
+  /** M9b split-build/compare half: per-GROUP KMV sketches of `docs`
+    * (the [[sourceOverlapMatrix]] grouped aggregate — one narrow gram
+    * pass, k short strings per group per partition of shuffle) each
+    * paired against ONE static benchmark sketch, estimates via
+    * [[overlapFromSketches]]. One row per group present in `docs`:
+    * which sources duplicate the benchmark, and how much. The batch
+    * twin of the streaming per-wave matrix monitor
+    * ([[graft.streaming.Streams.runSourceOverlapMonitor]]) — both run
+    * THIS code path, so a wave's rows equal the batch call on the
+    * wave's frame by construction.
+    */
+  def sourceVsBenchmarkOverlap(docs: DataFrame, benchmarkSketch: Seq[String],
+                               groupCol: String = "source",
+                               textCol: String = "text",
+                               n: Int = Curation.DecontamN, k: Int = KmvK,
+                               tokenizer: Column => Column = Dedup.tokens): DataFrame = {
+    require(n >= 1 && k >= 1, s"bad n=$n / k=$k")
+    require(benchmarkSketch.size <= k, s"benchmark sketch larger than k=$k")
+    val bk = BottomKDistinct.bottomKUdaf(k)
+    val sks = docs
+      .select(col(groupCol).as("source"),
+        explode(Dedup.shingles(tokenizer(col(textCol)), n)).as("gram"))
+      .groupBy(col("source")).agg(bk(md5(col("gram"))).as("ska"))
+      .withColumn("skb", typedlit(benchmarkSketch))
+    overlapFromSketches(sks, k, carry = Seq("source"))
+      .orderBy(col("source"))
+  }
+
   /** One corpus's KMV sketch as a one-row frame (column `sk`:
     * `array<string>`, the k smallest distinct gram hashes ascending) —
     * the build half of the split-build/compare M9 the streaming monitor

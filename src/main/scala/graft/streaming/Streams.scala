@@ -918,6 +918,44 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** T20b: streaming source-overlap MATRIX monitor — [[runOverlapMonitor]]
+    * generalized over a grouping column: each wave estimates, PER SOURCE,
+    * its overlap against the static benchmark sketch. The whole-wave
+    * monitor says HOW MUCH contamination arrived; this says WHICH FEED is
+    * responsible (the scraper that started pulling the eval site shows up
+    * as one source's containment saturating while the others hold their
+    * baseline).
+    *
+    * Wave cost is the batch M9b discipline unchanged: one narrow gram
+    * pass over the wave's rows into grouped k-bounded sketches
+    * ([[graft.operators.Eval.sourceVsBenchmarkOverlap]] — the SAME code
+    * path a batch caller runs, so a wave's rows equal the batch call on
+    * the wave's frame by construction; StreamingSpec pins it), the
+    * benchmark a ≤ k-string literal in the plan, and the sink receives
+    * #sources-in-wave rows — bounded metadata. foreachBatch for the same
+    * reason as the whole-wave monitor: a full per-batch re-estimate
+    * against static state, no cross-batch stream state, so replayed
+    * waves re-emit identical rows (the at-least-once sink contract).
+    */
+  def runSourceOverlapMonitor(docs: DataFrame, benchmarkSketch: Seq[String],
+                              checkpoint: String, groupCol: String = "source",
+                              n: Int = graft.operators.Curation.DecontamN,
+                              k: Int = graft.operators.Eval.KmvK)
+                             (sink: (Long, Seq[org.apache.spark.sql.Row]) => Unit): Unit = {
+    require(benchmarkSketch.size <= k, s"benchmark sketch larger than k=$k")
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(id, graft.operators.Eval.sourceVsBenchmarkOverlap(
+          batch, benchmarkSketch, groupCol = groupCol, n = n, k = k)
+          .collect().toSeq)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
   /** T14: streaming PQ INDEX INGESTION — the write side of the serving
     * split: vectors arrive on a stream and join the searchable index in
     * SEGMENTS (the Lucene shape), while the codebooks stay the static

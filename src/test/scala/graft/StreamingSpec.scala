@@ -952,6 +952,46 @@ class StreamingSpec extends SparkSuite {
     assert(got.forall(nOf(_) >= 1))
   }
 
+  test("T20b source-overlap matrix monitor: per-wave per-source rows == batch twin; culprit source saturates") {
+    import graft.operators.{Curation, Eval}
+    val docs = tables.documents
+      .select(col("doc_id"), col("source"), col("text"),
+        Curation.splitExpr(col("doc_id")).as("split"))
+    val bench = docs.filter(col("split") === "test").select("text")
+    val benchSketch = Eval.kmvSketch(bench)
+    // wave 1: ordinary train docs across their real sources; wave 2:
+    // train docs PLUS one poisoned feed ("evalscrape") that is verbatim
+    // benchmark text — the matrix must name it, not just raise the total
+    val w1 = docs.filter(col("split") === "train").select("source", "text")
+    val w2 = docs.filter(col("split") === "train" && col("doc_id") % 7 === 0)
+      .select("source", "text")
+      .unionByName(bench.select(lit("evalscrape").as("source"), col("text")))
+    val dir = Files.createTempDirectory("graft-srcoverlap-waves")
+    w1.coalesce(1).write.parquet(s"$dir/w1")
+    w2.coalesce(1).write.parquet(s"$dir/w2")
+    val stream = spark.readStream.schema(w1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[org.apache.spark.sql.Row]]
+    Streams.runSourceOverlapMonitor(stream, benchSketch,
+      Files.createTempDirectory("graft-srcoverlap-cp").toString) { (_, rows) =>
+      got += rows
+    }
+    assert(got.size == 2, s"expected 2 micro-batches, got ${got.size}")
+    // == the batch twin on each wave's LANDED frame (re-read, so the twin
+    // sees exactly the rows the stream saw), whatever order triggered
+    def expect(path: String): Set[String] =
+      Eval.sourceVsBenchmarkOverlap(spark.read.parquet(path), benchSketch)
+        .collect().map(_.toString).toSet
+    assert(got.map(_.map(_.toString).toSet).toSet ==
+      Set(expect(s"$dir/w1"), expect(s"$dir/w2")))
+    // the poisoned wave: evalscrape saturates containment, real sources hold
+    val wave2 = got.find(_.exists(_.getAs[String]("source") == "evalscrape")).get
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("b_in_a_permille")).toMap
+    assert(wave2("evalscrape") == 1000L, s"culprit should saturate: $wave2")
+    assert(wave2.filterNot(_._1 == "evalscrape").values.forall(_ < 1000L),
+      s"clean sources must not saturate: $wave2")
+  }
+
   test("T20 overlap monitor: per-wave KMV estimate vs static benchmark == batch M9 twin") {
     import graft.operators.{Curation, Eval}
     val docs = tables.documents
