@@ -757,4 +757,64 @@ class RelationalSpec extends SparkSuite {
       .findAllIn(df.queryExecution.executedPlan.toString).size
     assert(scans == 1, s"expected 1 documents scan, got $scans")
   }
+
+  test("bounded unpartitioned-window inventory: every global window rides a bounded frame") {
+    // Every unpartitioned WindowExec is a single-task serialization point,
+    // so each one in the engine must consume a provably BOUNDED frame.
+    // The offset-table windows execute EAGERLY inside materialize() and
+    // never reach the query's final plan, so the inventory captures every
+    // execution a query triggers (localCheckpoint actions included) via a
+    // QueryExecutionListener, then asserts the exact per-query count and
+    // — where the bound is an offset table — the structural fact that the
+    // window input is an aggregate's output. A refactor that grows one of
+    // these to corpus size, or introduces a new global window anywhere in
+    // a query's build, changes a count and fails here.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit = {
+        plans.add(qe.executedPlan); ()
+      }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    def windowsTriggeredBy(name: String)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+      import scala.jdk.CollectionConverters._
+      spark.listenerManager.register(listener)
+      try {
+        plans.clear()
+        SparkEntry.queries(name)(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+        org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      } finally spark.listenerManager.unregister(listener)
+      plans.asScala.toSeq.flatMap(planWindows)
+    }
+    //   (query, #unpartitioned windows, all-feed-from-aggregate, bound)
+    val inventory = Seq(
+      ("a10_equi_depth", 1, true, "bucketedRank offsets: per-bucket counts (≤ #buckets rows)"),
+      ("l4_ccnet_buckets", 1, true, "bucketedRank offsets: per-bucket counts (≤ #buckets rows)"),
+      ("m1_auc", 1, true, "rank offsets: per-bucket counts (≤ #buckets rows)"),
+      ("l8_pack", 1, true, "packBins offsets: per-bucket token sums (≤ #buckets rows)"),
+      ("l8_shuffle", 1, true, "epochOrder offsets: hash-prefix bucket counts (≤ 16^chars rows)"),
+      ("m2_ann_recall", 1, false, "global rank over the band-cut candidate frame (≤ ~2·pad rows)"),
+      ("m6_diversity", 1, false, "entropy total over the cell-occupancy frame (≤ #cells rows)"))
+    inventory.foreach { case (name, expected, mustFeedAgg, bound) =>
+      val ws = windowsTriggeredBy(name)
+      assert(ws.size == expected,
+        s"$name: expected $expected unpartitioned window(s) [$bound], got ${ws.size}:\n" +
+          ws.mkString("\n"))
+      if (mustFeedAgg) ws.foreach { w =>
+        assert(feedsFromAggregate(w),
+          s"$name: global window no longer consumes an aggregate-bounded frame [$bound]:\n$w")
+      }
+    }
+    // and the headline relational queries must trigger NONE, end to end
+    Seq("q1_pricing_summary", "q3_join_agg", "window_topk", "o1_sort_limit")
+      .foreach { name =>
+        assert(windowsTriggeredBy(name).isEmpty,
+          s"$name must not trigger any unpartitioned window")
+      }
+  }
 }

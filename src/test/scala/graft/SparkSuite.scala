@@ -16,6 +16,50 @@ trait SparkSuite extends AnyFunSuite {
   def sf: String = TestSpark.sf0001
   def tables: Tables = Tables(spark, sf)
 
+  /** All unpartitioned WindowExec nodes in a frame's physical plan —
+    * every one is a single-task serialization point, so each occurrence
+    * must be over a provably bounded frame (offset tables, band-cut
+    * candidate sets); the inventory test enumerates them by query.
+    */
+  def planWindows(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AQE wraps executed subtrees in childless QueryStageExec nodes —
+    // unwrap both the adaptive root and every stage to see the real tree
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => expand(q.plan)
+      case _ => p +: p.children.flatMap(expand)
+    }
+    expand(plan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+  }
+
+  def unpartitionedWindows(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+    planWindows(df.queryExecution.executedPlan)
+
+  /** True when the window's input chain reaches an aggregate before any
+    * join/scan — i.e. the window consumes an aggregate's output (an
+    * offset table bounded by its group count), not raw corpus rows.
+    */
+  def feedsFromAggregate(
+      w: org.apache.spark.sql.execution.window.WindowExec): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    @annotation.tailrec
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      if (p.getClass.getSimpleName.contains("Aggregate")) true
+      else p match {
+        case q: QueryStageExec => walk(q.plan)
+        case u if u.children.size == 1 => walk(u.children.head)
+        case _ => false
+      }
+    walk(w.child)
+  }
+
   /** Order-insensitive row-set equality with exact cell compare. */
   def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
     val (ra, rb) = (a.collect().toSeq, b.collect().toSeq)
