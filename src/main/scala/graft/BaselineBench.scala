@@ -406,6 +406,38 @@ object TailTwins {
           sketch("train", "ska").crossJoin(sketch("test", "skb")), 256)
       }),
 
+      // the stock per-source matrix: per-source DISTINCT gram hashes
+      // (corpus-wide exchange of the whole hash universe keyed by
+      // source), a per-source rank window + row_number ≤ k cut for the
+      // sketch, then the same pair join — vs the engine's grouped
+      // k-bounded aggregator that ships k strings per group per
+      // partition and never ranks the distinct universe
+      "m9_overlap_matrix" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val k = graft.operators.Eval.KmvK
+        val g = docs
+          .select(col("source"), split(col("text"), " ").as("t"))
+          .select(col("source"), explode(when(size(col("t")) >= 5,
+            transform(sequence(lit(1), size(col("t")) - 4),
+              i => concat_ws(" ", (0 to 4).map(j =>
+                element_at(col("t"), i + lit(j))): _*)))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+          .select(col("source"), md5(col("gram")).as("h"))
+          .distinct()
+        val sk = g
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("h"))))
+          .filter(col("r") <= k)
+          .groupBy(col("source"))
+          .agg(sort_array(collect_list(col("h"))).as("sk"))
+        val pairs = sk.as("x").join(sk.as("y"), col("x.source") < col("y.source"))
+          .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+            col("x.sk").as("ska"), col("y.sk").as("skb"))
+        graft.operators.Eval.overlapFromSketches(pairs, k,
+          carry = Seq("source_a", "source_b"))
+          .orderBy(col("source_a"), col("source_b"))
+      }),
+
       "l4_ccnet_buckets" -> (() => ccnetNaive(docs)),
 
       "a10_equi_depth" -> (() => {

@@ -729,6 +729,13 @@ class RelationalSpec extends SparkSuite {
       graft.operators.Eval.m9Containment(spark, sf))
   }
 
+  test("m9b vanilla twin computes the engine's answer (twin-honesty pin)") {
+    // the per-source rank-window sketch must land on the exact same k
+    // hashes per group as the bounded aggregator, pair for pair
+    assertSameRows(graft.TailTwins.twinFrame(spark, sf, "m9_overlap_matrix"),
+      graft.operators.Eval.m9OverlapMatrix(spark, sf))
+  }
+
   test("m9 estimator: fixture estimate within KMV error of the exact gram Jaccard; one corpus scan") {
     import graft.operators.{Curation, Dedup, Eval}
     // exact gram-set Jaccard of the train/test splits (fixture-scale only:
