@@ -349,6 +349,41 @@ object TailTwins {
         ranks.orderBy(col("rank").desc, col("node")).limit(20)
       }),
 
+      // the idiomatic dangling-aware loop a first draft writes: double
+      // arithmetic, per-round dangling-mass scalar via collect, persisted
+      // frames — same iterative shape as the engine's integer form, so
+      // parity is the expected ratio
+      "g1_pagerank_dangling" -> (() => {
+        val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+          .distinct().persist()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        val linked = edges.join(deg, "src").persist()
+        val nodes = edges.select(col("src").as("node"))
+          .unionByName(edges.select(col("dst").as("node"))).distinct()
+          .join(deg.select(col("src").as("node"), lit(true).as("out")),
+            Seq("node"), "left")
+          .select(col("node"), col("out").isNull.as("dangling")).persist()
+        val n = nodes.count()
+        var ranks = nodes.select(col("node"), col("dangling"), lit(1.0).as("rank"))
+          .persist()
+        for (_ <- 1 to 5) {
+          val dm = ranks.filter(col("dangling"))
+            .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
+          val contribs = linked.join(ranks.select(col("node").as("src"), col("rank")), "src")
+            .groupBy(col("dst")).agg(sum(col("rank") / col("d")).as("mass"))
+            .withColumnRenamed("dst", "node")
+          ranks = nodes
+            .join(contribs, Seq("node"), "left")
+            .select(col("node"), col("dangling"),
+              (lit(0.15) + lit(0.85) * (coalesce(col("mass"), lit(0.0)) + lit(dm / n)))
+                .as("rank"))
+            .persist()
+        }
+        ranks.orderBy(col("rank").desc, col("node")).limit(20)
+          .select(col("node"), col("rank"))
+      }),
+
       "g2_triangles" -> (() => {
         val und = li.alias("l1")
           .join(li.alias("l2"), col("l1.l_orderkey") === col("l2.l_orderkey"))

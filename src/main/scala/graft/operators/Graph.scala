@@ -114,11 +114,17 @@ object Graph {
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       "damping must be a permille in [0, 1000]")
     val teleport = (1000L - dampingPermille) * ScoreUnit
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val linked = edges.join(deg, "src")
+    // the edge list feeds FOUR consumers here (degrees, the linked join,
+    // and the node frame's union + dangling flag) — unlike the strict
+    // form, whose declared caller pre-materializes, this one pins the
+    // input itself or an expensive edge build (a fact-table join +
+    // distinct) re-executes once per consumer
+    val e = edges.materialize()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val linked = e.join(deg, "src")
       .repartition(col("src")).materialize()
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node")))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .join(deg.select(col("src").as("node"), lit(true).as("__out")),
         Seq("node"), "left_outer")
@@ -130,19 +136,24 @@ object Graph {
     require(n > 0, "pageRankDangling: empty graph")
     var scores = nodes.select(col("node"), col("dangling"),
       lit(ScoreUnit).as("score"))
+      .materialize() // round 0 pinned: every round's dm scalar and join
+                     // read blocks, never re-derive the node build
     for (_ <- 1 to iters) {
-      // 1-row frame: this round's dangling mass (0 when no node dangles)
+      // this round's dangling mass: a 1-ROW DRIVER SCALAR off the
+      // already-materialized node-sized score frame (bounded metadata,
+      // the node-count discipline) — inlined as a literal so the update
+      // plan carries no per-round broadcast exchange + join for one row
       val dm = scores.filter(col("dangling"))
-        .agg(coalesce(sum(col("score")), lit(0L)).as("dm"))
+        .agg(coalesce(sum(col("score")), lit(0L))).first().getLong(0)
+      val share = dm / n // floored per-node share, exact BIGINT
       val inbound = linked
         .join(scores.select(col("node").as("src"), col("score")), "src")
         .groupBy(col("dst")).agg(sum(expr("score DIV d")).as("mass"))
         .withColumnRenamed("dst", "node")
       scores = nodes
         .join(inbound, Seq("node"), "left_outer")
-        .crossJoin(broadcast(dm))
         .select(col("node"), col("dangling"),
-          expr(s"($teleport + $dampingPermille * (coalesce(mass, 0L) + dm DIV ${n}L)) DIV 1000")
+          expr(s"($teleport + $dampingPermille * (coalesce(mass, 0L) + ${share}L)) DIV 1000")
             .as("score"))
         .materialize()
     }

@@ -22,6 +22,7 @@ class CheckpointSpec extends SparkSuite {
     assert(spark.conf.getOption(Ckpt.DirKey).isEmpty)
     val ccLocal = Dedup.connectedComponents(ids, pairs).collect().toSet
     val prLocal = Graph.g1PageRank(spark, sf).collect().toSet
+    val pdLocal = Graph.g1PageRankDangling(spark, sf).collect().toSet
     val dir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt").toString
     spark.conf.set(Ckpt.DirKey, dir)
     try {
@@ -29,6 +30,8 @@ class CheckpointSpec extends SparkSuite {
       assert(ccReliable == ccLocal)
       val prReliable = Graph.g1PageRank(spark, sf).collect().toSet
       assert(prReliable == prLocal)
+      val pdReliable = Graph.g1PageRankDangling(spark, sf).collect().toSet
+      assert(pdReliable == pdLocal)
       // the reliable path genuinely wrote checkpoint files under the dir
       // (rdd-<id> directories), proving the switch took effect
       val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
