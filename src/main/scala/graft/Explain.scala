@@ -18,7 +18,8 @@ object Explain {
     "l11_semantic_dedup", "l3_batch_topk", "l6_embed_neardup",
     "l9_fuzzy_decontam", "m5_ndcg", "s10_sql_entry", "l4_quality_classifier",
     "m6_diversity", "m7_calibration", "m7_confusion", "m8_agreement",
-    "m9_containment", "m9_overlap_matrix")
+    "m9_containment", "m9_overlap_matrix", "g1_pagerank_dangling",
+    "g3_label_prop", "l1_substr_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -753,6 +753,33 @@ object Registry {
       ORDER BY score DESC, node LIMIT 20"""
     }),
 
+    // Label propagation: the oracle replays every synchronous round as a
+    // CTE — per-round winner = most-voted neighbor label with smallest-
+    // label tie-break (ROW_NUMBER over (cnt DESC, label) == the engine's
+    // min_by over struct(−cnt, label)), so each round is a deterministic
+    // function of the last and the replay is exact
+    QueryDef("g3_label_prop", Graph.g3LabelProp, Some {
+      val rounds = (1 to Graph.DefaultLpaIters).map { i =>
+        s"""l$i AS (SELECT node, label FROM (
+             SELECT e.dst AS node, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                 ORDER BY COUNT(*) DESC, l.label) AS rn
+             FROM edges e JOIN l${i - 1} l ON e.src = l.node
+             GROUP BY e.dst, l.label) WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH flows AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS MATERIALIZED (
+        SELECT s AS src, c AS dst FROM flows
+        UNION ALL SELECT c AS src, s AS dst FROM flows),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+      $rounds
+      SELECT node, CAST(label AS BIGINT) AS community
+      FROM l${Graph.DefaultLpaIters} ORDER BY node"""
+    }),
+
     // Triangle census: the oracle replays the SAME degree orientation —
     // wedge/closure algebra is exact integers, so one canonical answer
     QueryDef("g2_triangles", Graph.g2Triangles, Some("""
@@ -1101,6 +1128,37 @@ object Registry {
           CASE WHEN len(t) > 0 THEN coalesce(covered, 0) * 1000 // len(t) ELSE 0 END
             <= ${Dedup.DupSpanMaxCoveragePermille} AS keep
         FROM s LEFT JOIN cov USING (doc_id) ORDER BY s.doc_id""")),
+
+      // ExactSubstr removal (Lee et al. 2022): the oracle replays span
+      // construction over the TRUE strings (the engine keys on xxhash64 —
+      // a real collision would surface as a hash-gate mismatch, same
+      // contract as l1_dupspans), first-occurrence selection by
+      // (doc_id, p), the covered-position union, and the token-level
+      // rewrite via ordered string_agg.
+      QueryDef("l1_substr_dedup", Dedup.l1SubstrDedup, Some(s"""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sp AS (SELECT doc_id, i AS p,
+                 array_to_string(t[i : i + ${Dedup.DupSpanN - 1}], ' ') AS span
+               FROM s, UNNEST(generate_series(1, len(t) - ${Dedup.DupSpanN - 1})) AS u(i)),
+        c AS (SELECT span FROM sp GROUP BY span HAVING COUNT(*) > 1),
+        occ AS (SELECT sp.doc_id, sp.p,
+                  ROW_NUMBER() OVER (PARTITION BY span ORDER BY sp.doc_id, sp.p) AS rn
+                FROM sp JOIN c USING (span)),
+        pos AS (SELECT DISTINCT doc_id, p + u.k AS q
+                FROM occ, UNNEST(generate_series(0, ${Dedup.DupSpanN - 1})) AS u(k)
+                WHERE rn > 1),
+        tok AS (SELECT doc_id, i, t[i] AS tok
+                FROM s, UNNEST(generate_series(1, len(t))) AS u(i)),
+        kept AS (SELECT tok.doc_id, tok.i, tok.tok
+                 FROM tok LEFT JOIN pos ON tok.doc_id = pos.doc_id AND tok.i = pos.q
+                 WHERE pos.q IS NULL),
+        clean AS (SELECT doc_id, COUNT(*) AS n_kept,
+                    string_agg(tok, ' ' ORDER BY i) AS text_clean
+                  FROM kept GROUP BY doc_id)
+        SELECT s.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(len(t) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+          COALESCE(text_clean, '') AS text_clean
+        FROM s LEFT JOIN clean USING (doc_id) ORDER BY s.doc_id""")),
 
       QueryDef("l2_minhash", Dedup.l2Minhash, Some(s"""
         SELECT doc_id, $sigCols FROM documents ORDER BY doc_id""")),
@@ -1517,6 +1575,31 @@ object Registry {
         SELECT a_id, b_id,
           ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
         FROM d ORDER BY cosine DESC, a_id, b_id LIMIT 20""")),
+
+      // kNN graph: the oracle replays the sign-bucket pair generation and
+      // exact-DECIMAL cosine of l6_embed_neardup, symmetrizes, and ranks
+      // per node with the same (cosine DESC, nbr_id) tie-break the
+      // engine's bounded TopKAgg uses
+      QueryDef("l3_knn_graph", Similarity.l3KnnGraph, Some(s"""
+        WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e, CAST($bucketSql AS INT) AS bucket FROM embeddings),
+        p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, x.e AS ea, y.e AS eb
+              FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        u AS (SELECT a_id, b_id, unnest(ea) AS a, unnest(eb) AS bb FROM p),
+        d AS (SELECT a_id, b_id,
+                SUM(CAST(a*bb AS DECIMAL(30,15))) AS dot,
+                SUM(CAST(a*a AS DECIMAL(30,15))) AS na,
+                SUM(CAST(bb*bb AS DECIMAL(30,15))) AS nb
+              FROM u GROUP BY a_id, b_id),
+        e AS (SELECT a_id, b_id,
+                ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
+              FROM d),
+        sym AS (SELECT a_id AS vec_id, b_id AS nbr_id, cosine FROM e
+                UNION ALL SELECT b_id, a_id, cosine FROM e),
+        r AS (SELECT vec_id, nbr_id, cosine,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rnk
+              FROM sym WHERE cosine IS NOT NULL)
+        SELECT vec_id, CAST(rnk AS INT) AS rnk, nbr_id, cosine
+        FROM r WHERE rnk <= 5 ORDER BY vec_id, rnk""")),
 
       QueryDef("l4_text_analysis", TextOps.l4TextAnalysis, Some(s"""
         WITH s AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t FROM documents),

@@ -283,28 +283,7 @@ object Dedup {
                       maxCoveragePermille: Long = DupSpanMaxCoveragePermille,
                       tokenizer: Column => Column = TextOps.spaceTokenizer): DataFrame = {
     require(n >= 2, s"span length must be >= 2, got $n")
-    val ts = tokenizer(col("text"))
-    // span starts 1..(#tokens−n+1); sequence(1, 0) would descend, so docs
-    // shorter than one span get an explicit empty array. posexplode_OUTER
-    // keeps short docs as one null-position row, so this single pass also
-    // carries every doc's n_tokens (no second tokenize for the base).
-    //
-    // The token array is BOUND in its own projection below the Generate:
-    // Catalyst does not common-subexpression-eliminate a lambda body's
-    // free references, so inlining `tokenizer(text)` into the transform
-    // would re-run the tokenizer once per span START — O(tokens²) per
-    // doc (measured 2.4 s vs 0.4 s at sf0.1). The Generate boundary
-    // keeps the projection from collapsing back in.
-    val spanRows = docs
-      .select(col("doc_id"), size(ts).cast("long").as("n_tokens"), ts.as("toks"))
-      .select(col("doc_id"), col("n_tokens"),
-        posexplode_outer(when(col("n_tokens") >= n,
-          transform(sequence(lit(1), col("n_tokens").cast("int") - lit(n - 1)),
-            i => xxhash64(slice(col("toks"), i, lit(n)))))
-          .otherwise(array())))
-      .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("p"),
-        col("col").as("h"))
-      .materialize()
+    val spanRows = spanStarts(docs, n, tokenizer)
     val spans = spanRows.filter(col("p").isNotNull)
       .select(col("doc_id"), col("p"), col("h"))
     val dupSpans = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
@@ -330,6 +309,111 @@ object Dedup {
   /** L1 declared query: duplicated-span coverage + keep flag per doc. */
   def l1DupSpans(spark: SparkSession, dir: String): DataFrame =
     dupSpanCoverage(Tables(spark, dir).documents).orderBy(col("doc_id"))
+
+  /** Materialized span-start frame shared by [[dupSpanCoverage]] and
+    * [[substrDedup]]: one narrow `(doc_id, n_tokens, p, h)` row per
+    * [[DupSpanN]]-token span START, where `h = xxhash64(slice(toks, p, n))`
+    * hashes the n-token slice in place — the span TEXT never materializes
+    * and the 8-byte hash is the only key any downstream shuffle carries.
+    *
+    * Span starts run 1..(#tokens−n+1); sequence(1, 0) would descend, so
+    * docs shorter than one span get an explicit empty array.
+    * posexplode_OUTER keeps short docs as one null-position row, so this
+    * single pass also carries every doc's n_tokens (no second tokenize
+    * for the base).
+    *
+    * The token array is BOUND in its own projection below the Generate:
+    * Catalyst does not common-subexpression-eliminate a lambda body's
+    * free references, so inlining `tokenizer(text)` into the transform
+    * would re-run the tokenizer once per span START — O(tokens²) per
+    * doc (measured 2.4 s vs 0.4 s at sf0.1). The Generate boundary
+    * keeps the projection from collapsing back in.
+    *
+    * `materialize()`d because every caller feeds it to MULTIPLE consumers
+    * (occurrence count, join-back, per-doc base) — without the barrier the
+    * tokenize+explode lineage would re-execute under each.
+    */
+  private[graft] def spanStarts(docs: DataFrame, n: Int,
+                                tokenizer: Column => Column): DataFrame = {
+    val ts = tokenizer(col("text"))
+    docs
+      .select(col("doc_id"), size(ts).cast("long").as("n_tokens"), ts.as("toks"))
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode_outer(when(col("n_tokens") >= n,
+          transform(sequence(lit(1), col("n_tokens").cast("int") - lit(n - 1)),
+            i => xxhash64(slice(col("toks"), i, lit(n)))))
+          .otherwise(array())))
+      .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("p"),
+        col("col").as("h"))
+      .materialize()
+  }
+
+  /** ExactSubstr duplicate-text REMOVAL (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the rewrite stage):
+    * every occurrence of a duplicated [[DupSpanN]]-word span EXCEPT the
+    * globally-first one (minimal (doc_id, p)) has its covered token
+    * positions deleted, and each document's text is reassembled from the
+    * surviving tokens. Complements [[dupSpanCoverage]], which only
+    * MEASURES duplication for a drop decision: this operator keeps the
+    * document and surgically removes the boilerplate, the variant that
+    * preserves unique content in mostly-duplicated pages.
+    *
+    * One pass, not a fixpoint (as in the paper): removal can create new
+    * adjacencies that themselves form duplicated spans; re-running the
+    * operator converges but single-pass output is the declared contract.
+    *
+    * Shape, corpus-scale: the [[spanStarts]] frame is built once (8-byte
+    * hash keys, no span strings); duplicated-hash detection and
+    * first-occurrence selection are two hash aggregates on `h` (min over
+    * a (doc_id, p) struct — no per-group sort window, so a globally hot
+    * boilerplate span costs a partial-aggregated min, not a group sort);
+    * per-doc removal starts come back as ONE sorted array per doc
+    * (per-row state bounded by the doc's own span count, the same class
+    * as its token array); the rewrite is a second corpus scan — inherent,
+    * the output IS the corpus — with a per-row keep filter
+    * `∄ removal start covering this position` costing
+    * O(tokens × removal starts) per doc. Heavily-duplicated docs (where
+    * that product could degenerate) are exactly the ones a composed
+    * pipeline drops via [[dupSpanCoverage]]'s keep flag BEFORE rewriting.
+    *
+    * Output: (doc_id, n_tokens, n_removed, text_clean) for every doc;
+    * docs shorter than one span pass through unchanged.
+    */
+  def substrDedup(docs: DataFrame, n: Int = DupSpanN,
+                  tokenizer: Column => Column = TextOps.spaceTokenizer): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val spanRows = spanStarts(docs, n, tokenizer)
+    val spans = spanRows.filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p"), col("h"))
+    val dupSpans = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    // first occurrence per duplicated hash: min over the (doc_id, p)
+    // struct — partial-combinable, no per-group ordering state
+    val canon = spans.join(dupSpans.select(col("h")), "h")
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("first"))
+    val removals = spans.join(canon, "h")
+      .filter(!(col("doc_id") === col("first.doc_id") && col("p") === col("first.p")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p"))).as("rm"))
+    val ts = tokenizer(col("text"))
+    docs.join(removals, Seq("doc_id"), "left")
+      .select(col("doc_id"), ts.as("toks"),
+        coalesce(col("rm"), lit(Array.empty[Long])).as("rm"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("rm"), s =>
+            i.cast("long") + 1 >= s && i.cast("long") + 1 <= s + (n - 1)))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("text_clean"))
+  }
+
+  /** L1c declared query: ExactSubstr removal over the documents corpus. */
+  def l1SubstrDedup(spark: SparkSession, dir: String): DataFrame =
+    substrDedup(Tables(spark, dir).documents).orderBy(col("doc_id"))
 
   /** SimHash signature: bit i of the signature is the sign of
     * Σ_tokens (±1), where each token votes +1 on bit i iff hex digit i of

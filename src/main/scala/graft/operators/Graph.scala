@@ -288,4 +288,63 @@ object Graph {
       .orderBy(col("score").desc, col("node"))
       .limit(20)
   }
+
+  val DefaultLpaIters = 4
+
+  /** G3: synchronous label propagation (Raghavan et al. 2007) — community
+    * detection by iterated neighborhood majority vote. Every node starts
+    * labeled with its own id; each round, every node adopts the label
+    * most frequent among its NEIGHBORS (ties broken by smallest label, so
+    * every round is a deterministic function of the previous one — no RNG,
+    * no visit order). Fixed rounds (declared query: [[DefaultLpaIters]])
+    * keep the op oracle-replayable round-for-round and sidestep the
+    * oscillation non-termination of convergence-driven synchronous LPA on
+    * bipartite structures.
+    *
+    * Input: symmetric edge list (`src`, `dst`) — feed both directions for
+    * an undirected graph, as with [[pageRank]]; every node must appear as
+    * a dst (guaranteed by symmetry when it has any edge at all).
+    *
+    * Scale shape, per round: one keyed join (edges ⋈ labels on src), then
+    * TWO hash aggregates — (dst, label) vote counts (map-side partial
+    * combine absorbs locally hot labels) and per-dst argmax via
+    * `min_by(label, struct(−cnt, label))`, which is partial-combinable
+    * where a rank window would sort every vote group. No per-node
+    * neighbor lists ever materialize. Edge frame pinned + pre-partitioned
+    * once on the per-round join key, as in [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = DefaultLpaIters): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.repartition(col("src")).materialize()
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .materialize()
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      labels = votes.groupBy(col("dst"))
+        .agg(min_by(col("label"), struct((-col("cnt")).as("nc"), col("label")))
+          .as("label"))
+        .withColumnRenamed("dst", "node")
+        .materialize()
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
+  /** G3 declared query: communities of the undirected supplier–customer
+    * shipping graph (same node-id scheme and symmetrized flow edges as
+    * [[g1PageRank]]), one row per node after [[DefaultLpaIters]] rounds.
+    */
+  def g3LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val flows = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
+      .distinct()
+      .materialize()
+    val edges = flows.select(col("s").as("src"), col("c").as("dst"))
+      .unionByName(flows.select(col("c").as("src"), col("s").as("dst")))
+    labelPropagation(edges).orderBy(col("node"))
+  }
 }

@@ -588,6 +588,46 @@ object Similarity {
   def l6EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
     embedNearDupPairs(Tables(spark, dir), bits = 6, k = 20)
 
+  /** L3c: bucketed k-NN GRAPH — for every vector, its k most-cosine-similar
+    * bucket-mates (ties by neighbor id). The pairwise-similarity frame
+    * downstream clustering consumes: near-dup cluster collapse
+    * ([[graft.operators.Dedup.clusterCollapse]] over thresholded edges),
+    * graph-based community detection ([[graft.operators.Graph.labelPropagation]]),
+    * and kNN-classification evals all start from exactly this artifact.
+    *
+    * Scale shape: candidate pairs never leave their sign-LSH bucket
+    * (no all-pairs — the [[nearDupPairs]] generator, triangle-salted for
+    * hot buckets), the pair frame is materialized ONCE and read by both
+    * symmetrization branches, and the per-node top-k rides the bounded
+    * [[graft.functions.TopKAgg]] partial aggregate — O(k) state per
+    * (node × partition), map-side combine, never a per-node sort window
+    * over the pair frame. Nodes with no bucket-mate are absent (an
+    * isolated vector has no kNN edge at this bits setting — raise recall
+    * by lowering `bits`, the standard ANN trade).
+    */
+  def knnGraph(emb: DataFrame, k: Int, bits: Int, chunks: Int = 8): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    val pairs = nearDupPairs(emb, bits, chunks)
+      .filter(col("cosine").isNotNull) // zero-norm vectors never rank
+      .materialize()
+    val sym = pairs
+      .select(col("a_id").as("vec_id"), col("b_id").as("nbr"), col("cosine"))
+      .unionByName(pairs
+        .select(col("b_id").as("vec_id"), col("a_id").as("nbr"), col("cosine")))
+    sym.groupBy(col("vec_id"))
+      .agg(graft.functions.TopKNative.topK(k)(
+        negate(col("cosine")), col("nbr"), col("cosine"), lit(0L), lit(0L))
+        .as("__tk"))
+      .select(col("vec_id"), posexplode(col("__tk")).as(Seq("__i", "__r")))
+      .select(col("vec_id"), (col("__i") + 1).cast("int").as("rnk"),
+        col("__r.id").as("nbr_id"), col("__r.payload").as("cosine"))
+  }
+
+  /** L3c declared query: 5-NN graph of the embedding corpus, 64 buckets. */
+  def l3KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(Tables(spark, dir).embeddings, k = 5, bits = 6)
+      .orderBy(col("vec_id"), col("rnk"))
+
   /** L3 declared query: exact top-10 neighbours of vec_id 0. */
   def l3CosineTopK(spark: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables(spark, dir), queryId = 0L, k = 10)

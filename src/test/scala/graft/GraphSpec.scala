@@ -54,6 +54,31 @@ class GraphSpec extends SparkSuite {
     assert((nr.getAs[Long]("n_edges"), nr.getAs[Long]("n_triangles")) == (3L, 1L))
   }
 
+  test("G3 label propagation: two triangles + bridge converge to two communities") {
+    // triangles {1,2,3} and {4,5,6} bridged 3–4; synchronous rounds with
+    // smallest-label tie-break, hand-traced:
+    //   l1: 1→2 2→1 3→1 4→3 5→4 6→4
+    //   l2: 1→1 2→1 3→1 4→4 5→3 6→3
+    //   l3: 1→1 2→1 3→1 4→3 5→3 6→3   (stable from here)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r1 = Graph.labelPropagation(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+    val r4 = Graph.labelPropagation(edges, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r4 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // fixture run: every node labeled, labels are node ids, strictly fewer
+    // communities than nodes (the vote collapses SOMETHING), rerun-stable
+    val fix = Graph.g3LabelProp(spark, sf).collect()
+    val nodes = fix.map(_.getLong(0)).toSet
+    val comms = fix.map(_.getLong(1)).toSet
+    assert(fix.length == nodes.size && comms.subsetOf(nodes) && comms.size < nodes.size)
+    val rerun = Graph.g3LabelProp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fix.map(r => r.getLong(0) -> r.getLong(1)).toMap == rerun)
+  }
+
   test("G1b dangling pagerank: hand-computed star; == integer reference over 3 rounds") {
     // directed star 0 → {1,2,3}: leaves are pure sinks (dangling), N = 4.
     // round 1: dm = 3·1e6, share = dm DIV 4 = 750_000

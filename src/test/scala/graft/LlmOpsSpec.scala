@@ -126,6 +126,31 @@ class LlmOpsSpec extends SparkSuite {
     assert(ann.length <= 10 && ann.length >= 1 && bruteAll >= ann.length)
   }
 
+  test("L3c kNN graph: == naive window-rank reference, ranks contiguous, symmetric pair source") {
+    val got = Similarity.knnGraph(tables.embeddings, k = 5, bits = 6).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // naive reference: same bucketed exact-cosine pairs, symmetrized, per-
+    // node row_number — the shape the bounded TopKAgg path must reproduce
+    val pairs = Similarity.nearDupPairs(tables.embeddings, bits = 6)
+      .filter(col("cosine").isNotNull)
+    val sym = pairs.select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"), col("cosine"))
+      .unionByName(pairs.select(col("b_id").as("vec_id"), col("a_id").as("nbr_id"), col("cosine")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nbr_id"))
+    val ref = sym.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("vec_id"), col("rnk"), col("nbr_id"), col("cosine")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == ref.toSet)
+    // per node: ranks are 1..m with cosine non-increasing
+    got.groupBy(_._1).foreach { case (v, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length), s"node $v ranks")
+      val cs = sorted.map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"node $v order")
+    }
+  }
+
   test("L6d embedding dedup: drops scaled twin, keeps orthogonal, idempotent") {
     // v2 = 1.001·v1 (cosine ≈ 1, same sign bucket); v3 orthogonal-ish
     val v1 = Array.tabulate(8)(i => 0.1f * (i + 1))
@@ -1088,6 +1113,40 @@ class LlmOpsSpec extends SparkSuite {
     val sm = Dedup.dupSpanCoverage(self).collect().head
     assert(sm.getAs[Long]("covered_tokens") == 16L) // both copies covered
     assert(sm.getAs[Long]("dup_coverage_permille") == 1000L)
+  }
+
+  test("L1c ExactSubstr removal: first occurrence survives, later ones cut, union of overlaps") {
+    // n = 3 keeps the hand cases small; semantics are span-length-generic
+    val df = Seq(
+      (1L, "a b c x y"),   // canonical "a b c" @ (1,1) — untouched
+      (2L, "q a b c r"),   // non-canonical @ p2 → positions 2..4 removed
+      (3L, "z z z z"),     // within-doc repeat: canonical @ p1, p2 cut → "z" kept
+      (4L, "w w"),         // shorter than one span — exempt
+      (5L, "a b c"),       // whole doc duplicated → emptied
+      (6L, "a b c"))       // ditto
+      .toDF("doc_id", "text")
+    val m = Dedup.substrDedup(df, n = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+         r.getAs[String]("text_clean")))).toMap
+    assert(m == Map(
+      1L -> ((5L, 0L, "a b c x y")),
+      2L -> ((5L, 3L, "q r")),
+      3L -> ((4L, 3L, "z")),
+      4L -> ((2L, 0L, "w w")),
+      5L -> ((3L, 3L, "")),
+      6L -> ((3L, 3L, ""))))
+    // fixture invariant: removal positions are a subset of the coverage
+    // positions (coverage counts canonical occurrences too), so per doc
+    // n_removed ≤ covered_tokens — and the corpus genuinely shrinks
+    val rm = Dedup.substrDedup(tables.documents)
+      .select(col("doc_id"), col("n_removed"))
+    val cov = Dedup.dupSpanCoverage(tables.documents)
+      .select(col("doc_id"), col("covered_tokens"))
+    val joined = rm.join(cov, "doc_id").collect()
+    assert(joined.nonEmpty && joined.forall(r =>
+      r.getAs[Long]("n_removed") <= r.getAs[Long]("covered_tokens")))
+    assert(joined.map(_.getAs[Long]("n_removed")).sum > 0L)
   }
 
   test("l4_gopher vanilla twin computes the engine's answer (twin-honesty pin)") {
