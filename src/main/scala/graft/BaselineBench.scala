@@ -384,6 +384,95 @@ object TailTwins {
           .select(col("node"), col("rank"))
       }),
 
+      // the idiomatic synchronous-LPA loop: per-round vote counts with a
+      // per-node row_number window (the per-group rank a first draft
+      // reaches for), persisted label frames
+      "g3_label_prop" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val flows = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
+          .distinct().persist()
+        val edges = flows.select(col("s").as("src"), col("c").as("dst"))
+          .unionByName(flows.select(col("c").as("src"), col("s").as("dst")))
+          .persist()
+        var labels = edges.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label")).persist()
+        for (_ <- 1 to 4) {
+          val w = Window.partitionBy(col("dst"))
+            .orderBy(col("cnt").desc, col("label"))
+          labels = edges
+            .join(labels.select(col("node").as("src"), col("label")), "src")
+            .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("dst").as("node"), col("label")).persist()
+        }
+        labels.select(col("node"), col("label").as("community"))
+          .orderBy(col("node"))
+      }),
+
+      // the explode-everything ExactSubstr first draft: span STRINGS
+      // through every shuffle, window-ranked first occurrence, exploded
+      // removal positions, per-token anti-join, collect_list rebuild
+      "l1_substr_dedup" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val s = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+          .persist()
+        val sp = s.select(col("doc_id"), posexplode(expr(
+            "CASE WHEN size(t) >= 8 THEN transform(sequence(1, size(t) - 7), " +
+              "i -> array_join(slice(t, i, 8), ' ')) ELSE array() END")))
+          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("span"))
+        val dup = sp.groupBy("span").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1)
+        val w = Window.partitionBy(col("span")).orderBy(col("doc_id"), col("p"))
+        val rm = sp.join(dup.select("span"), "span")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") > 1)
+          .select(col("doc_id"), explode(sequence(col("p"), col("p") + 7)).as("q"))
+          .distinct()
+        val tok = s.select(col("doc_id"), posexplode(col("t")))
+          .select(col("doc_id"), (col("pos") + 1).as("q"), col("col").as("tok"))
+        val kept = tok.join(rm, Seq("doc_id", "q"), "left_anti")
+        val clean = kept.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("q"), col("tok")))),
+              x => x.getField("tok")), " ").as("text_clean"))
+        s.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+          .join(clean, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+            coalesce(col("text_clean"), lit("")).as("text_clean"))
+          .orderBy("doc_id")
+      }),
+
+      // the window-rank kNN-graph first draft: same sign buckets (the
+      // candidate universe is part of the answer), plain self-join,
+      // interpreted double HOF cosine, per-node row_number
+      "l3_knn_graph" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val eb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("e"),
+            graft.operators.Similarity.signBucket(col("embedding"), 6).as("bucket"))
+        def dot(a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+        val pairs = eb.alias("a").join(eb.alias("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            (dot(col("a.e"), col("b.e")) /
+              sqrt(dot(col("a.e"), col("a.e")) * dot(col("b.e"), col("b.e"))))
+              .as("cosine"))
+        val sym = pairs
+          .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"), col("cosine"))
+          .unionByName(pairs
+            .select(col("b_id").as("vec_id"), col("a_id").as("nbr_id"), col("cosine")))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("nbr_id"))
+        sym.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+          .select(col("vec_id"), col("rnk"), col("nbr_id"), col("cosine"))
+          .orderBy(col("vec_id"), col("rnk"))
+      }),
+
       "g2_triangles" -> (() => {
         val und = li.alias("l1")
           .join(li.alias("l2"), col("l1.l_orderkey") === col("l2.l_orderkey"))

@@ -100,3 +100,69 @@ object ExactCosineCol {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 }
+
+/** Native Catalyst expression: the DOT-PRODUCT term of [[ExactCosine]]
+  * alone — Σ CAST(a_i·b_i AS DECIMAL(30,15)) as a DECIMAL(30,15) value,
+  * null on dimension mismatch or null elements (the zip_with outcomes).
+  *
+  * Why it exists: [[ExactCosine]] spends two thirds of its BigDecimal
+  * work on the two SELF-norms Σa_i² and Σb_i², which depend on one
+  * vector each — a pairwise operator evaluating m pairs over n vectors
+  * (the kNN graph: m ≈ n·bucket-width) recomputes each vector's norm
+  * once per PAIR instead of once per VECTOR. Factoring the norms out
+  * (`ExactDotDec(e, e)` per vector, joined back to the pairs) leaves one
+  * decimal chain per pair instead of three — bit-identical by
+  * construction, because exact DECIMAL addition is order- AND
+  * grouping-independent, and [[graft.operators.Similarity.cosineFromParts]]
+  * reassembles the identical final arithmetic (double divide, 6-dp
+  * HALF_UP round, zero-norm → null). SimilaritySpec pins the
+  * factored == fused equality on fixture pairs.
+  */
+case class ExactDotDec(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_exact_dec expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DecimalType(30, 15)
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_exact_dec"
+
+  private def dec15(d: Double): JBigDecimal =
+    JBigDecimal.valueOf(d).setScale(15, RoundingMode.HALF_UP)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = JBigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot = dot.add(dec15(x.getDouble(i) * y.getDouble(i)))
+      i += 1
+    }
+    org.apache.spark.sql.types.Decimal(dot, 30, 15)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[ExactDotDec]] as a Column (direct construction). */
+object ExactDotDecCol {
+  def apply(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ExactDotDec(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+}

@@ -62,6 +62,22 @@ object Similarity {
       .otherwise(round(dot / (sqrt(na) * sqrt(nb)), scale))
   }
 
+  /** Reassemble [[cosine]] from a precomputed exact DECIMAL dot product
+    * and the two precomputed self-norm decimals (each
+    * [[graft.functions.ExactDotDec]] values): identical final arithmetic
+    * to [[graft.functions.ExactCosine]] — double divide, zero-denominator
+    * → null, 6-dp HALF_UP round — so `cosineFromParts(dot(a,b), dot(a,a),
+    * dot(b,b)) <=> cosine(a, b)` bit-for-bit (exact decimal sums are
+    * order- and grouping-independent; PropertiesSpec pins it). Lets a
+    * pairwise operator pay each vector's norm chain once per VECTOR
+    * instead of once per PAIR — the m-vs-n win behind [[knnGraph]].
+    */
+  def cosineFromParts(dot: Column, na: Column, nb: Column): Column = {
+    val denom = sqrt(na.cast("double")) * sqrt(nb.cast("double"))
+    when(denom === 0d, lit(null).cast("double"))
+      .otherwise(round(dot.cast("double") / denom, 6))
+  }
+
   /** The query vector (vec_id = `queryId`) as a 1-row broadcastable frame. */
   private def queryVec(t: Tables, queryId: Long): DataFrame =
     t.embeddings.filter(col("vec_id") === queryId)
@@ -596,25 +612,80 @@ object Similarity {
     * and kNN-classification evals all start from exactly this artifact.
     *
     * Scale shape: candidate pairs never leave their sign-LSH bucket
-    * (no all-pairs — the [[nearDupPairs]] generator, triangle-salted for
-    * hot buckets), the pair frame is materialized ONCE and read by both
-    * symmetrization branches, and the per-node top-k rides the bounded
-    * [[graft.functions.TopKAgg]] partial aggregate — O(k) state per
-    * (node × partition), map-side combine, never a per-node sort window
-    * over the pair frame. Nodes with no bucket-mate are absent (an
-    * isolated vector has no kNN edge at this bits setting — raise recall
-    * by lowering `bits`, the standard ANN trade).
+    * (no all-pairs — the [[bucketPairsF]] generator, triangle-salted for
+    * hot buckets), the screen frame is materialized ONCE and read by both
+    * symmetrization branches, and every per-node rank (screen band AND
+    * final) rides the bounded [[graft.functions.TopKAgg]] partial
+    * aggregate — O(k) state per (node × partition), map-side combine,
+    * never a per-node sort window over the pair frame. Exact-DECIMAL
+    * cosine (the hash contract) is paid only for the ~n·pad band
+    * survivors, deduplicated across endpoints. Nodes with no bucket-mate
+    * are absent (an isolated vector has no kNN edge at this bits
+    * setting — raise recall by lowering `bits`, the standard ANN trade).
     */
   def knnGraph(emb: DataFrame, k: Int, bits: Int, chunks: Int = 8): DataFrame = {
     require(k >= 1, s"bad k: $k")
-    val pairs = nearDupPairs(emb, bits, chunks)
-      .filter(col("cosine").isNotNull) // zero-norm vectors never rank
+    // screen/rescore, the embedNearDupPairs discipline applied PER NODE:
+    // exact-DECIMAL cosine on every bucket pair is the correctness
+    // contract but ~an order of magnitude over the codegen'd double
+    // kernel, so the fast kernel scores ALL pairs once and the exact
+    // kernel is paid only for each node's candidate band. The cut is a
+    // BAND, not a count: every pair whose screen score reaches a node's
+    // pad-th screen score − 2·SemPrefilterEps stays, which makes the
+    // node's candidate set a superset of its exact top-k outright (an
+    // excluded pair's exact score is below the pad-th exact score, and
+    // pad ≥ k pairs beat it). NaN screens (zero-norm vectors) drop here —
+    // they sort GREATEST and would otherwise squat every padded slot.
+    val pad = math.max(2 * k, k + 10)
+    val fast = bucketPairsF(emb, bits, chunks)
+      .select(col("a_id"), col("b_id"),
+        graft.functions.CosineFast(col("fa"), col("fb")).as("cf"))
+      .filter(!isnan(col("cf")))
+      .materialize() // narrow (id, id, double) — read by both directions
+    val sym = fast
+      .select(col("a_id").as("vec_id"), col("b_id").as("nbr"), col("cf"))
+      .unionByName(fast
+        .select(col("b_id").as("vec_id"), col("a_id").as("nbr"), col("cf")))
+    // per-node band threshold off the bounded top-pad buffer: the buffer
+    // is ascending by s = −cf, so its LAST element is the pad-th-best
+    // screen score; a node with < pad candidates thresholds at its own
+    // minimum − band and keeps everything — correct automatically
+    val thr = sym.groupBy(col("vec_id"))
+      .agg(graft.functions.TopKNative.topK(pad)(
+        negate(col("cf")), col("nbr"), lit(0.0), lit(0L), lit(0L)).as("__tk"))
+      .select(col("vec_id"),
+        (negate(element_at(col("__tk"), -1).getField("s"))
+          - lit(2 * SemPrefilterEps)).as("thr"))
+    // unique surviving pairs (a candidate can serve both endpoints —
+    // rescore it once); rescoring MORE pairs than a node's own band only
+    // grows its candidate superset, so the union across endpoints is safe
+    val candPairs = sym.join(thr, "vec_id")
+      .filter(col("cf") >= col("thr"))
+      .select(least(col("vec_id"), col("nbr")).as("a_id"),
+        greatest(col("vec_id"), col("nbr")).as("b_id"))
+      .distinct()
+    // exact rescore with the norm chains factored OUT of the pair loop:
+    // each vector's Σdec15(e_i²) is computed once per side (2n decimal
+    // chains) and joined in, so each pair pays ONE decimal chain (the
+    // dot) instead of three — bit-identical to the fused kernel
+    // (cosineFromParts contract)
+    val e = emb.select(col("vec_id"), dbl(col("embedding")).as("e"))
+      .withColumn("nsq", graft.functions.ExactDotDecCol(col("e"), col("e")))
+    val rescored = candPairs
+      .join(e.select(col("vec_id").as("a_id"), col("e").as("ea"),
+        col("nsq").as("na")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("e").as("eb"),
+        col("nsq").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosineFromParts(graft.functions.ExactDotDecCol(col("ea"), col("eb")),
+          col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine").isNotNull)
       .materialize()
-    val sym = pairs
+    val symx = rescored
       .select(col("a_id").as("vec_id"), col("b_id").as("nbr"), col("cosine"))
-      .unionByName(pairs
+      .unionByName(rescored
         .select(col("b_id").as("vec_id"), col("a_id").as("nbr"), col("cosine")))
-    sym.groupBy(col("vec_id"))
+    symx.groupBy(col("vec_id"))
       .agg(graft.functions.TopKNative.topK(k)(
         negate(col("cosine")), col("nbr"), col("cosine"), lit(0L), lit(0L))
         .as("__tk"))

@@ -408,6 +408,40 @@ class PropertiesSpec extends SparkSuite {
     assert(z.isNullAt(0))
   }
 
+  test("factored cosineFromParts(dot, na, nb) == fused cosine_exact, fixture + edges") {
+    // the norm-factored pairwise form (knnGraph's rescore) must be
+    // bit-identical to the fused kernel: exact decimal sums are order-
+    // and grouping-independent, and the final double arithmetic is the
+    // same expression — pinned over every fixture pair against vec 0
+    val t = tables
+    val q = t.embeddings.filter(col("vec_id") === 0L)
+      .select(transform(col("embedding"), _.cast("double")).as("q"))
+    val pairs = t.embeddings.crossJoin(q)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"), col("q"))
+    val cmp = pairs.select(col("vec_id"),
+      Similarity.cosine(col("e"), col("q")).as("fused"),
+      Similarity.cosineFromParts(
+        graft.functions.ExactDotDecCol(col("e"), col("q")),
+        graft.functions.ExactDotDecCol(col("e"), col("e")),
+        graft.functions.ExactDotDecCol(col("q"), col("q"))).as("parts"))
+    val bad = cmp.filter(!(col("fused") <=> col("parts")))
+    assert(bad.isEmpty, bad.collect().take(5).mkString(", "))
+    // edges: dim mismatch → null both; zero norm → null both
+    val edge = Seq(
+      (1L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(0.0, 0.0), Seq(1.0, 2.0)),
+      (3L, Seq(1e-8, -2e-7, 3.5), Seq(-1e3, 2.25, 0.125)))
+      .toDF("id", "a", "b")
+    val eBad = edge.select(
+        Similarity.cosine(col("a"), col("b")).as("fused"),
+        Similarity.cosineFromParts(
+          graft.functions.ExactDotDecCol(col("a"), col("b")),
+          graft.functions.ExactDotDecCol(col("a"), col("a")),
+          graft.functions.ExactDotDecCol(col("b"), col("b"))).as("parts"))
+      .filter(!(col("fused") <=> col("parts")))
+    assert(eBad.isEmpty, eBad.collect().mkString(", "))
+  }
+
   test("native sorted_intersect_size == size(array_intersect) on sorted distinct arrays") {
     // the verification kernel must agree with the declarative reference
     // the oracle replays — randomized differential incl. empty/disjoint
