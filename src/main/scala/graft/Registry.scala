@@ -402,7 +402,7 @@ object Registry {
     QueryDef("t3_session_batch", Relational.sessionWindowBatch, Some(s"""
       WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus, value FROM events),
       g AS (SELECT user_id, tus, value,
-              CASE WHEN LAG(tus) OVER w IS NULL OR tus - LAG(tus) OVER w >= 1800000000
+              CASE WHEN LAG(tus) OVER w IS NULL OR tus - LAG(tus) OVER w > 1800000000
                    THEN 1 ELSE 0 END AS new_s
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
       s AS (SELECT user_id, tus, value,
@@ -542,6 +542,31 @@ object Registry {
 
     // Last-touch attribution: carried-forward click time (IGNORE NULLS
     // window), purchases bucketed by attribution within the 24h window
+    // B5: per-user rollup of the SAME gaps-and-islands sessions the T3
+    // oracle replays (a gap STRICTLY over 30 min starts a session —
+    // Spark's session_window merges an event landing exactly on the
+    // padded end, BehaviorSpec pins the boundary; the padded end is
+    // subtracted back out of the active span)
+    QueryDef("b5_sessions", Behavior.b5Sessions, Some(s"""
+      WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus FROM events),
+      g AS (SELECT user_id, tus,
+              CASE WHEN LAG(tus) OVER w IS NULL OR tus - LAG(tus) OVER w > ${Behavior.SessionGapUs}
+                   THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      s AS (SELECT user_id, tus,
+              SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g),
+      per AS (SELECT user_id, sid, COUNT(*) AS n,
+                MAX(tus) - MIN(tus) AS span_us
+              FROM s GROUP BY user_id, sid)
+      SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+        CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(MAX(n) AS BIGINT) AS max_session_events,
+        CAST(SUM(span_us) AS BIGINT) AS active_span_us,
+        CAST(SUM(n) * 1000 // COUNT(*) AS BIGINT) AS events_per_session_permille
+      FROM per GROUP BY user_id ORDER BY user_id""")),
+
     QueryDef("b4_attribution", Behavior.b4Attribution, Some(s"""
       WITH e AS (SELECT user_id, event_type, value,
         epoch_us(ts::TIMESTAMP) AS us, event_id FROM events

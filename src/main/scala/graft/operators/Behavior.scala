@@ -149,4 +149,42 @@ object Behavior {
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("event_type"), col("value"),
         expr("unix_micros(ts)").as("us"), col("event_id")))
+
+  /** The session-window gap shared with the T3 session queries (30 min
+    * in epoch micros) — B5's sessions are BY CONSTRUCTION the same
+    * sessions T3 reports, so the two answers stay mutually consistent.
+    */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** B5: per-user sessionization stats — the engagement rollup every
+    * product-analytics suite ships next to funnels and retention: how
+    * many sessions a user has, how dense they are (events/session) and
+    * how long the user is actually active inside them (summed
+    * first-to-last-event span — the session_window end pads the gap, so
+    * it is subtracted back out).
+    *
+    * Built ON TOP of [[Relational.sessionWindowBatch]] (Spark's native
+    * `session_window`, one keyed aggregate) rather than re-deriving
+    * sessions: one sessionization definition serves T3's per-session
+    * view and B5's per-user view, and the rollup is an ordinary
+    * user-keyed two-phase aggregate over the (already session-sized)
+    * frame — no second pass over raw events, no per-user windows.
+    * events_per_session is an exact integer permille (floor DIV).
+    */
+  def b5Sessions(spark: SparkSession, dir: String): DataFrame =
+    sessionRollup(Relational.sessionWindowBatch(spark, dir))
+
+  /** The user-keyed rollup over a [[Relational.sessionWindows]] frame. */
+  def sessionRollup(perSession: DataFrame): DataFrame =
+    perSession
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_sessions"),
+        max(col("n")).as("max_session_events"),
+        sum(col("session_end_us") - lit(SessionGapUs) - col("session_start_us"))
+          .as("active_span_us"))
+      .withColumn("events_per_session_permille",
+        expr("n_events * 1000 DIV n_sessions"))
+      .orderBy(col("user_id"))
 }

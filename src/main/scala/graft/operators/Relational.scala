@@ -759,9 +759,15 @@ object Relational {
     * exactly prev+gap starts a NEW session — the DuckDB oracle replays
     * this as gaps-and-islands (new island when the µs delta ≥ gap).
     */
-  def sessionWindowBatch(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    t.events
+  def sessionWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    sessionWindows(Tables(spark, dir).events)
+
+  /** The per-session frame over any (ts, user_id, value) event frame —
+    * shared by the T3 declared query and [[Behavior.b5Sessions]]'
+    * per-user rollup, so both views report the SAME sessions.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value"), 4).as("total_value"))
       .select(
@@ -769,7 +775,6 @@ object Relational {
         unix_micros(col("w.end")).as("session_end_us"),
         col("user_id"), col("n"), col("total_value"))
       .orderBy(col("user_id"), col("session_start_us"))
-  }
 
   /** T2 batch analog: 1-hour sliding window every 30 minutes × type.
     * With size = 2·slide every event lands in exactly two epoch-aligned

@@ -29,6 +29,40 @@ class BehaviorSpec extends SparkSuite {
     assert(m(3L).isNullAt(m(3L).fieldIndex("t1")))
   }
 
+  test("B5 sessions: constructed histories incl. the exact-gap boundary") {
+    val m = 60L * 1000000 // one minute in micros
+    val ev = Seq(
+      // user 1: {0, 10m} and {50m, 55m} → 2 sessions, spans 10m + 5m
+      (1L, 0L), (1L, 10 * m), (1L, 50 * m), (1L, 55 * m),
+      // user 2: a single event → 1 session, zero span
+      (2L, 0L),
+      // user 3: gap EXACTLY 30m — session_window MERGES an event landing
+      // exactly on the padded session end (a new session needs a gap
+      // STRICTLY over 30m; the oracles replay `>`)
+      (3L, 0L), (3L, 30 * m),
+      // user 4: one microsecond past the gap → two sessions
+      (4L, 0L), (4L, 30 * m + 1))
+      .toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        lit(1.0).as("value"))
+    val got = Behavior.sessionRollup(graft.operators.Relational.sessionWindows(ev))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_sessions"),
+          r.getAs[Long]("max_session_events"), r.getAs[Long]("active_span_us"),
+          r.getAs[Long]("events_per_session_permille")))).toMap
+    assert(got(1L) == ((4L, 2L, 2L, 15 * m, 2000L)))
+    assert(got(2L) == ((1L, 1L, 1L, 0L, 1000L)))
+    assert(got(3L) == ((2L, 1L, 2L, 30 * m, 2000L)))
+    assert(got(4L) == ((2L, 2L, 1L, 0L, 1000L)))
+    // fixture consistency with the T3 per-session view: totals agree
+    val per = graft.operators.Relational.sessionWindowBatch(spark, sf)
+    val rolled = Behavior.b5Sessions(spark, sf)
+    assert(rolled.agg(sum(col("n_events"))).first().getLong(0) ==
+      per.agg(sum(col("n"))).first().getLong(0))
+    assert(rolled.agg(sum(col("n_sessions"))).first().getLong(0) == per.count())
+  }
+
   test("B1 funnel on the fixture: counts monotone non-increasing, step 1 exact") {
     val rows = Behavior.b1Funnel(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("step")).sameElements(Array(1, 2, 3)))
