@@ -77,6 +77,11 @@ class GraphSpec extends SparkSuite {
     val rerun = Graph.g3LabelProp(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fix.map(r => r.getLong(0) -> r.getLong(1)).toMap == rerun)
+    // twin-honesty pin: the idiomatic window-rank loop computes the
+    // ENGINE's answer (same integer labels, same (cnt desc, label)
+    // tie-break), so its TWINS.json ratio prices the same task
+    assertSameRows(graft.TailTwins.twinFrame(spark, sf, "g3_label_prop"),
+      Graph.g3LabelProp(spark, sf))
   }
 
   test("G1b dangling pagerank: hand-computed star; == integer reference over 3 rounds") {

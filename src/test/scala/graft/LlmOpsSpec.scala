@@ -1147,6 +1147,11 @@ class LlmOpsSpec extends SparkSuite {
     assert(joined.nonEmpty && joined.forall(r =>
       r.getAs[Long]("n_removed") <= r.getAs[Long]("covered_tokens")))
     assert(joined.map(_.getAs[Long]("n_removed")).sum > 0L)
+    // twin-honesty pin: the explode-everything draft works over the TRUE
+    // span strings where the engine keys on xxhash64 — equality also
+    // re-confirms the no-collision contract on the fixture
+    assertSameRows(graft.TailTwins.twinFrame(spark, sf, "l1_substr_dedup"),
+      Dedup.l1SubstrDedup(spark, sf))
   }
 
   test("l4_gopher vanilla twin computes the engine's answer (twin-honesty pin)") {
