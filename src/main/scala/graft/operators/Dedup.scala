@@ -382,20 +382,37 @@ object Dedup {
   def substrDedup(docs: DataFrame, n: Int = DupSpanN,
                   tokenizer: Column => Column = TextOps.spaceTokenizer): DataFrame = {
     require(n >= 2, s"span length must be >= 2, got $n")
-    val spanRows = spanStarts(docs, n, tokenizer)
-    val spans = spanRows.filter(col("p").isNotNull)
+    val spans = spanStarts(docs, n, tokenizer).filter(col("p").isNotNull)
       .select(col("doc_id"), col("p"), col("h"))
-    val dupSpans = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    rewriteWithRemovals(docs, removalStarts(spans, spans), n, tokenizer)
+  }
+
+  /** Per-doc sorted removal-start arrays for the `target` span occurrences
+    * judged against the `universe` occurrences (batch: both are the whole
+    * corpus; streaming [[graft.streaming.Streams.runSubstrDedupStream]]:
+    * target = the wave, universe = the accumulated store filtered to the
+    * wave's hashes). Occurrence counts and the first occurrence come from
+    * ONE hash aggregate (count + min over the (doc_id, p) struct — both
+    * partial-combinable, no per-hash ordering state).
+    */
+  private[graft] def removalStarts(target: DataFrame, universe: DataFrame): DataFrame = {
+    val stats = universe.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"), min(struct(col("doc_id"), col("p"))).as("first"))
       .filter(col("cnt") > 1)
-    // first occurrence per duplicated hash: min over the (doc_id, p)
-    // struct — partial-combinable, no per-group ordering state
-    val canon = spans.join(dupSpans.select(col("h")), "h")
-      .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("p"))).as("first"))
-    val removals = spans.join(canon, "h")
+    target.join(stats, "h")
       .filter(!(col("doc_id") === col("first.doc_id") && col("p") === col("first.p")))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("p"))).as("rm"))
+  }
+
+  /** The rewrite stage: reassemble each doc from the tokens not covered by
+    * any removal start (one corpus scan — the output IS the corpus; the
+    * keep filter costs O(tokens × removal starts) per doc, see
+    * [[substrDedup]]). Docs absent from `removals` pass through unchanged.
+    */
+  private[graft] def rewriteWithRemovals(docs: DataFrame, removals: DataFrame,
+                                         n: Int,
+                                         tokenizer: Column => Column): DataFrame = {
     val ts = tokenizer(col("text"))
     docs.join(removals, Seq("doc_id"), "left")
       .select(col("doc_id"), ts.as("toks"),

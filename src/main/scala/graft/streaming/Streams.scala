@@ -1232,6 +1232,60 @@ object Streams {
     * overwrites its own b<id> directory and recomputes identical labels
     * (at-least-once sink, the T12/T15 contract).
     */
+  /** T21: streaming ExactSubstr duplicate-text removal — the
+    * [[graft.operators.Dedup.substrDedup]] rewrite applied per arrival
+    * wave against the accumulated span-hash store (the T16/T19/T20
+    * versioned-store protocol): each wave's span-start frame is written
+    * idempotently to `b<batchId>` (replay overwrites the same content),
+    * then the wave's docs are rewritten with every occurrence of a
+    * duplicated span except the globally-first (over the accumulated
+    * corpus so far) removed.
+    *
+    * Equality contract (the T16 id-ordered-arrival discipline, the
+    * MQ-offset shape): when doc_ids are nondecreasing across waves, the
+    * per-wave rewrites equal the batch [[Dedup.substrDedup]] over the
+    * full accumulated corpus — the canonical (minimal (doc_id, p))
+    * occurrence of any span hash lives in the earliest wave containing
+    * it, so it is always in the store before any later occurrence
+    * arrives, and an earlier doc is never non-canonical w.r.t. a later
+    * one. StreamingSpec pins 3 waves == batch.
+    *
+    * Scale shape: the store holds one narrow (doc_id, p, h) row per span
+    * start (8-byte hashes, never span text); each wave re-reads the
+    * store FILTERED to the wave's own hash set (a semi-join — the
+    * touched-cells discipline), so the per-wave aggregate is
+    * wave-relevant occurrences only, not the full history.
+    */
+  def runSubstrDedupStream(docs: DataFrame, storeDir: String, checkpoint: String,
+                           n: Int = graft.operators.Dedup.DupSpanN,
+                           onAfterStore: Long => Unit = _ => ())
+                          (sink: (Long, DataFrame) => Unit): Unit = {
+    import graft.operators.{Dedup, TextOps}
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        new java.io.File(storeDir).mkdirs()
+        Dedup.spanStarts(batch, n, TextOps.spaceTokenizer)
+          .filter(col("p").isNotNull)
+          .select(col("doc_id"), col("p"), col("h"))
+          .write.mode("overwrite").parquet(s"$storeDir/b$id")
+        // crash-injection seam: a death here (wave store written, rewrite
+        // not sunk, checkpoint not holding the batch) replays as the same
+        // idempotent overwrite + the same rewrite
+        onAfterStore(id)
+        val wave = spark.read.parquet(s"$storeDir/b$id")
+        val acc = spark.read.parquet(s"$storeDir/b*")
+          .join(wave.select("h").distinct(), "h")
+        val rm = Dedup.removalStarts(wave, acc)
+        sink(id, Dedup.rewriteWithRemovals(batch, rm, n, TextOps.spaceTokenizer))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
   def runSemanticDedupStream(vectors: DataFrame, storeDir: String, checkpoint: String,
                              centroids: DataFrame,
                              tau: Double = graft.operators.Similarity.SemTau,

@@ -1442,6 +1442,68 @@ class StreamingSpec extends SparkSuite {
     assert(run().toSet == streamed.toSet, "rerun diverged")
   }
 
+  test("T21 streaming substr dedup: 3 id-ordered waves == batch rewrite, rerun-deterministic") {
+    import graft.operators.Dedup
+    val docs = tables.documents.select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val dir = Files.createTempDirectory("graft-substr-waves")
+    val cut1 = n / 3; val cut2 = 2 * n / 3
+    docs.filter(col("doc_id") < cut1).coalesce(1).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2)
+      .coalesce(1).write.parquet(s"$dir/w2")
+    docs.filter(col("doc_id") >= cut2).coalesce(1).write.parquet(s"$dir/w3")
+    def run(): Seq[(Long, Long, Long, String)] = {
+      val store = Files.createTempDirectory("graft-substr-store").toString
+      val cp = Files.createTempDirectory("graft-substr-cp").toString
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+      Streams.runSubstrDedupStream(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/"),
+        store, cp) { (_, rw) =>
+        got.synchronized { got ++= rw.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))) }; ()
+      }
+      got.toSeq
+    }
+    val streamed = run()
+    assert(streamed.length == n, "every doc rewritten exactly once")
+    val batch = Dedup.substrDedup(tables.documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed.toSet == batch, "streamed rewrites != batch over the full corpus")
+    // cross-wave removal actually exercised: some doc loses tokens
+    assert(streamed.exists(_._3 > 0L), "no removals — the dedup was not exercised")
+    assert(run().toSet == streamed.toSet, "rerun diverged")
+  }
+
+  test("T21 torn-write soak: crash after span-store write, before sink — replay idempotent") {
+    import graft.operators.Dedup
+    val docs = tables.documents.select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val dir = Files.createTempDirectory("graft-substr-soak")
+    docs.filter(col("doc_id") < n / 2).coalesce(1).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") >= n / 2).coalesce(1).write.parquet(s"$dir/w2")
+    val store = Files.createTempDirectory("graft-substr-soak-store").toString
+    val cp = Files.createTempDirectory("graft-substr-soak-cp").toString
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    def sink(rw: DataFrame): Unit =
+      got.synchronized { got ++= rw.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))) }
+    val boom = intercept[Exception] {
+      Streams.runSubstrDedupStream(stream(), store, cp,
+        onAfterStore = id => if (id == 1) throw new RuntimeException("injected crash")) {
+        (_, rw) => sink(rw) }
+    }
+    assert(boom.getMessage != null)
+    Streams.runSubstrDedupStream(stream(), store, cp) { (_, rw) => sink(rw) }
+    val rewrites = got.toSeq.distinct
+    assert(rewrites.length == n, s"every doc rewritten exactly once: ${rewrites.length} != $n")
+    val batch = Dedup.substrDedup(tables.documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(rewrites.toSet == batch, "post-replay rewrites != batch")
+  }
+
   test("T16 torn-write soak: crash after store write, before sink — replay idempotent") {
     import graft.operators.Similarity
     val emb = tables.embeddings
