@@ -82,6 +82,14 @@ class GraphSpec extends SparkSuite {
     // tie-break), so its TWINS.json ratio prices the same task
     assertSameRows(graft.TailTwins.twinFrame(spark, sf, "g3_label_prop"),
       Graph.g3LabelProp(spark, sf))
+    // partitioning invariance: the per-round argmax is a total order
+    // (min_by over struct(−cnt, label)), so a different physical layout
+    // cannot change any round's winner
+    val und7 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val edges7 = (und7 ++ und7.map(_.swap)).toDF("src", "dst").repartition(7)
+    val r7 = Graph.labelPropagation(edges7, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r7 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
   }
 
   test("G1b dangling pagerank: hand-computed star; == integer reference over 3 rounds") {

@@ -1152,6 +1152,10 @@ class LlmOpsSpec extends SparkSuite {
     // re-confirms the no-collision contract on the fixture
     assertSameRows(graft.TailTwins.twinFrame(spark, sf, "l1_substr_dedup"),
       Dedup.l1SubstrDedup(spark, sf))
+    // partitioning invariance: first-occurrence selection is a
+    // partial-combinable min over (doc_id, p) — layout cannot flip it
+    assertSameRows(Dedup.substrDedup(tables.documents.repartition(7)),
+      Dedup.substrDedup(tables.documents))
   }
 
   test("l4_gopher vanilla twin computes the engine's answer (twin-honesty pin)") {
