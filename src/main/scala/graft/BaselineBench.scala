@@ -456,12 +456,18 @@ object TailTwins {
         def dot(a: org.apache.spark.sql.Column,
                 b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
           aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+        // rounded to 6dp and NaN-dropped so the twin answers the SAME
+        // question (a zero-norm NaN would sort first and squat every
+        // rank; values can still differ from the engine's exact-DECIMAL
+        // sums in the last ulp, so no assertSameRows pin — documented
+        // in BASELINE.md)
         val pairs = eb.alias("a").join(eb.alias("b"),
             col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-            (dot(col("a.e"), col("b.e")) /
-              sqrt(dot(col("a.e"), col("a.e")) * dot(col("b.e"), col("b.e"))))
+            round(dot(col("a.e"), col("b.e")) /
+              sqrt(dot(col("a.e"), col("a.e")) * dot(col("b.e"), col("b.e"))), 6)
               .as("cosine"))
+          .filter(!isnan(col("cosine")) && col("cosine").isNotNull)
         val sym = pairs
           .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"), col("cosine"))
           .unionByName(pairs

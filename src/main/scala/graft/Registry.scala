@@ -402,7 +402,7 @@ object Registry {
     QueryDef("t3_session_batch", Relational.sessionWindowBatch, Some(s"""
       WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus, value FROM events),
       g AS (SELECT user_id, tus, value,
-              CASE WHEN LAG(tus) OVER w IS NULL OR tus - LAG(tus) OVER w > 1800000000
+              CASE WHEN LAG(tus) OVER w IS NULL OR tus - LAG(tus) OVER w > ${Relational.SessionGapUs}
                    THEN 1 ELSE 0 END AS new_s
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
       s AS (SELECT user_id, tus, value,
@@ -410,7 +410,7 @@ object Registry {
                 ROWS UNBOUNDED PRECEDING) AS sid
             FROM g)
       SELECT MIN(tus) AS session_start_us,
-        MAX(tus) + 1800000000 AS session_end_us,
+        MAX(tus) + ${Relational.SessionGapUs} AS session_end_us,
         user_id, COUNT(*) AS n,
         ${ds("value", 4)} AS total_value
       FROM s GROUP BY user_id, sid
@@ -540,8 +540,6 @@ object Registry {
       GROUP BY event_type, next_type
       ORDER BY event_type, next_type""")),
 
-    // Last-touch attribution: carried-forward click time (IGNORE NULLS
-    // window), purchases bucketed by attribution within the 24h window
     // B5: per-user rollup of the SAME gaps-and-islands sessions the T3
     // oracle replays (a gap STRICTLY over 30 min starts a session —
     // Spark's session_window merges an event landing exactly on the
@@ -567,6 +565,8 @@ object Registry {
         CAST(SUM(n) * 1000 // COUNT(*) AS BIGINT) AS events_per_session_permille
       FROM per GROUP BY user_id ORDER BY user_id""")),
 
+    // Last-touch attribution: carried-forward click time (IGNORE NULLS
+    // window), purchases bucketed by attribution within the 24h window
     QueryDef("b4_attribution", Behavior.b4Attribution, Some(s"""
       WITH e AS (SELECT user_id, event_type, value,
         epoch_us(ts::TIMESTAMP) AS us, event_id FROM events

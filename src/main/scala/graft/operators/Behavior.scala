@@ -150,11 +150,13 @@ object Behavior {
       .select(col("user_id"), col("event_type"), col("value"),
         expr("unix_micros(ts)").as("us"), col("event_id")))
 
-  /** The session-window gap shared with the T3 session queries (30 min
-    * in epoch micros) — B5's sessions are BY CONSTRUCTION the same
-    * sessions T3 reports, so the two answers stay mutually consistent.
+  /** The session-window gap shared with the T3 session queries — an
+    * ALIAS of [[Relational.SessionGapUs]] (the one definition the
+    * session_window duration and the oracles also derive from), so the
+    * pad subtracted in [[sessionRollup]] is by construction the pad
+    * `session_window` added.
     */
-  val SessionGapUs: Long = 30L * 60 * 1000000
+  val SessionGapUs: Long = Relational.SessionGapUs
 
   /** B5: per-user sessionization stats — the engagement rollup every
     * product-analytics suite ships next to funnels and retention: how

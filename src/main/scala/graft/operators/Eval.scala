@@ -761,6 +761,11 @@ object Eval {
                                tokenizer: Column => Column = Dedup.tokens): DataFrame = {
     require(n >= 1 && k >= 1, s"bad n=$n / k=$k")
     require(benchmarkSketch.size <= k, s"benchmark sketch larger than k=$k")
+    // the sorted-merge intersection kernel downstream silently requires
+    // sorted + distinct input — enforce it on the caller-supplied side
+    // ([[kmvSketch]] output satisfies it by construction)
+    require(benchmarkSketch == benchmarkSketch.sorted.distinct,
+      "benchmark sketch must be ascending and duplicate-free (kmvSketch output)")
     val bk = BottomKDistinct.bottomKUdaf(k)
     val sks = docs
       .select(col(groupCol).as("source"),

@@ -337,6 +337,13 @@ object Graph {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .persist()
+    // rounds persisted since the last checkpoint barrier: the barrier's
+    // materialize() is the first point anything is computed, so that is
+    // where superseded rounds can be released (the Pregel unpersist
+    // discipline) — a 100-round run pins at most LpaCkptEvery frames,
+    // while a short declared run keeps its frames cached for the
+    // cross-run warm hits
+    var pinned = List(labels)
     for (i <- 1 to iters) {
       val votes = edges
         .join(labels.select(col("node").as("src"), col("label")), "src")
@@ -346,7 +353,12 @@ object Graph {
           .as("label"))
         .withColumnRenamed("dst", "node")
         .persist()
-      if (i % LpaCkptEvery == 0 && i < iters) labels = labels.materialize()
+      pinned ::= labels
+      if (i % LpaCkptEvery == 0 && i < iters) {
+        labels = labels.materialize()
+        pinned.foreach(_.unpersist(false))
+        pinned = Nil
+      }
     }
     labels.select(col("node"), col("label").as("community"))
   }

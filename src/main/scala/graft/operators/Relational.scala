@@ -753,14 +753,23 @@ object Relational {
       .orderBy(col("window_start_us"), col("event_type"))
   }
 
-  /** T3 batch analog: gap-based session windows per user (30-minute
-    * inactivity gap), the batch twin of `Streams.sessionCounts`. Spark
-    * semantics: a session's window is [first, last+gap), so an event at
-    * exactly prev+gap starts a NEW session — the DuckDB oracle replays
-    * this as gaps-and-islands (new island when the µs delta ≥ gap).
+  /** T3 batch analog: gap-based session windows per user
+    * ([[SessionGapUs]] inactivity gap), the batch twin of
+    * `Streams.sessionCounts`. Spark semantics (BehaviorSpec pins the
+    * boundary): an event landing EXACTLY on the padded session end
+    * `prev + gap` MERGES into the session — a new session needs a gap
+    * STRICTLY over the threshold, so the DuckDB oracles replay
+    * gaps-and-islands with `µs delta > gap`, never `>=`.
     */
   def sessionWindowBatch(spark: SparkSession, dir: String): DataFrame =
     sessionWindows(Tables(spark, dir).events)
+
+  /** The single session-gap definition (30 min in epoch micros): the
+    * `session_window` duration, the oracle replays, and the pad
+    * [[Behavior.sessionRollup]] subtracts back out all derive from it —
+    * one constant so they cannot skew.
+    */
+  val SessionGapUs: Long = 30L * 60 * 1000000
 
   /** The per-session frame over any (ts, user_id, value) event frame —
     * shared by the T3 declared query and [[Behavior.b5Sessions]]'
@@ -768,7 +777,8 @@ object Relational {
     */
   def sessionWindows(events: DataFrame): DataFrame =
     events
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .groupBy(session_window(col("ts"), s"${SessionGapUs / 1000000} seconds").as("w"),
+        col("user_id"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value"), 4).as("total_value"))
       .select(
         unix_micros(col("w.start")).as("session_start_us"),

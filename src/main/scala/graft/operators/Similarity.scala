@@ -1173,6 +1173,18 @@ object Similarity {
         col("__r.id").as("vec_id"), col("__r.payload").as("payload"),
         col("__r.tag").as("tag"), col("__r.tag2").as("tag2"))
 
+  /** Largest candidate-id list inlined as a literal `vec_id IN (...)`
+    * pushdown before [[topKBatch]] falls back to the broadcast-join-only
+    * rescore. Catalyst converts In literal lists above
+    * `spark.sql.optimizer.inSetConversionThreshold` to InSet (O(1) probe),
+    * but the ANALYZER cost of building/transforming the expression tree
+    * and the parquet row-group pruning payoff both scale with list size
+    * in opposite directions — past tens of thousands of ids the filter
+    * touches most row groups anyway while the plan-time cost keeps
+    * growing, so a single broadcast-join probe pass is strictly better.
+    */
+  val IsinPushdownMaxIds = 32768
+
   /** L3g: BATCHED exact top-k — every query of a batch scored in ONE
     * corpus pass. The single-query [[bruteForceTopK]] rides
     * TakeOrderedAndProject, but a per-query loop re-scans the corpus per
@@ -1197,18 +1209,6 @@ object Similarity {
     * zeros included); the unnegated cosine rides through as the payload
     * so no double negation can perturb it.
     */
-  /** Largest candidate-id list inlined as a literal `vec_id IN (...)`
-    * pushdown before [[topKBatch]] falls back to the broadcast-join-only
-    * rescore. Catalyst converts In literal lists above
-    * `spark.sql.optimizer.inSetConversionThreshold` to InSet (O(1) probe),
-    * but the ANALYZER cost of building/transforming the expression tree
-    * and the parquet row-group pruning payoff both scale with list size
-    * in opposite directions — past tens of thousands of ids the filter
-    * touches most row groups anyway while the plan-time cost keeps
-    * growing, so a single broadcast-join probe pass is strictly better.
-    */
-  val IsinPushdownMaxIds = 32768
-
   def topKBatch(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val pad = math.max(4 * k, k + 30)
     // q_f: float cast of the widened doubles == the original float

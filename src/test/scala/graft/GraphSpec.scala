@@ -90,6 +90,12 @@ class GraphSpec extends SparkSuite {
     val r7 = Graph.labelPropagation(edges7, iters = 4).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r7 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // long-run path: iters = 9 crosses the LpaCkptEvery = 8 checkpoint
+    // barrier (lineage truncation + superseded-round unpersist); the
+    // labeling is stable from round 3, so the answer must not change
+    val r9 = Graph.labelPropagation(edges7, iters = Graph.LpaCkptEvery + 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r9 == r7)
   }
 
   test("G1b dangling pagerank: hand-computed star; == integer reference over 3 rounds") {
