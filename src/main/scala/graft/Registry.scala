@@ -1155,9 +1155,10 @@ object Registry {
         FROM s LEFT JOIN cov USING (doc_id) ORDER BY s.doc_id""")),
 
       // ExactSubstr removal (Lee et al. 2022): the oracle replays span
-      // construction over the TRUE strings (the engine keys on xxhash64 —
-      // a real collision would surface as a hash-gate mismatch, same
-      // contract as l1_dupspans), first-occurrence selection by
+      // construction over the TRUE strings (the engine keys on the
+      // 128-bit two-lane xxhash64 struct — a real collision would
+      // surface as a hash-gate mismatch, same contract as l1_dupspans),
+      // first-occurrence selection by
       // (doc_id, p), the covered-position union, and the token-level
       // rewrite via ordered string_agg.
       QueryDef("l1_substr_dedup", Dedup.l1SubstrDedup, Some(s"""

@@ -253,19 +253,20 @@ object Dedup {
     * Shape, corpus-scale: (1) ONE tokenize+explode pass materializes a
     * narrow `(doc_id, n_tokens, p, h)` span-start frame — corpus token
     * count × span length never materializes, only one row per span
-    * START, and the span TEXT never materializes AT ALL: `h =
-    * xxhash64(slice(toks, i, n))` hashes the n-token slice in place
-    * (tokens come from a split on the separator, so slice-equality ==
-    * joined-string equality), and that 8-byte hash is the only key any
-    * shuffle ever carries, not a ~50-byte span string — the per-doc
-    * span array is `array<long>`, not an array of allocated strings.
+    * START, and the span TEXT never materializes AT ALL: `h` is the
+    * [[spanStarts]] 128-bit two-lane xxhash64 struct over the n-token
+    * slice hashed in place (tokens come from a split on the separator,
+    * so slice-equality == joined-string equality), and that 16-byte
+    * struct is the only key any shuffle ever carries, not a ~50-byte
+    * span string — the per-doc span array holds two longs per span,
+    * not allocated strings.
     * The frame is `materialize()`d because
     * THREE consumers read it (the occurrence count, the join-back, and
     * the per-doc token base) — without the barrier the tokenize+explode
     * lineage would re-execute under each. (2) one hash aggregation
     * counts span-hash occurrences (map-side partial combine absorbs
     * locally-hot boilerplate); (3) duplicated spans join back on the
-    * 8-byte hash (AQE skew-split handles a globally hot span);
+    * 16-byte hash struct (AQE skew-split handles a globally hot span);
     * (4) covered-token count per doc is an INTERVAL MERGE via one
     * per-doc window — `min(N, p − lag(p))` summed over span starts —
     * never an exploded position set (which would multiply the shuffle by
@@ -273,11 +274,12 @@ object Dedup {
     * coverage 0.
     *
     * Hashing the span key is the standard sketch trade: two distinct
-    * spans colliding under xxhash64 would be conflated (P ≈ m²/2⁶⁵ —
-    * ~10⁻⁷ even at 5M distinct spans). The collision is deterministic
-    * per corpus, and the DuckDB oracle counts the true STRINGS, so a
-    * real collision at fixture scale would surface as a hash-gate
-    * mismatch rather than pass silently.
+    * spans colliding under BOTH independent xxhash64 lanes would be
+    * conflated (P ≈ m²/2¹²⁹ — ~10⁻¹⁹ even at 10¹⁰ distinct spans; see
+    * [[spanStarts]] for why the key is 128-bit). The collision is
+    * deterministic per corpus, and the DuckDB oracle counts the true
+    * STRINGS, so a real collision at fixture scale would surface as a
+    * hash-gate mismatch rather than pass silently.
     */
   def dupSpanCoverage(docs: DataFrame, n: Int = DupSpanN,
                       maxCoveragePermille: Long = DupSpanMaxCoveragePermille,
@@ -310,11 +312,33 @@ object Dedup {
   def l1DupSpans(spark: SparkSession, dir: String): DataFrame =
     dupSpanCoverage(Tables(spark, dir).documents).orderBy(col("doc_id"))
 
+  /** Second-lane seed for the 128-bit span key: PREPENDED to the hash
+    * input (`xxhash64(lit(seed), slice)`), never appended. Prepending
+    * perturbs the xxhash64 chain's INITIAL state, so lane 2 is a
+    * genuinely different hash function of the slice; appending would
+    * make lane 2 a function of lane 1's final state — any lane-1
+    * collision would then collide lane 2 too and the second lane would
+    * add nothing (PropertiesSpec pins the non-degeneration).
+    */
+  private[graft] val SpanHashSeed2 = 0x9e3779b97f4a7c15L
+
   /** Materialized span-start frame shared by [[dupSpanCoverage]] and
     * [[substrDedup]]: one narrow `(doc_id, n_tokens, p, h)` row per
-    * [[DupSpanN]]-token span START, where `h = xxhash64(slice(toks, p, n))`
-    * hashes the n-token slice in place — the span TEXT never materializes
-    * and the 8-byte hash is the only key any downstream shuffle carries.
+    * [[DupSpanN]]-token span START, where `h` is a 128-BIT key — a
+    * struct of two independent xxhash64 lanes over the n-token slice
+    * hashed in place (`struct(xxhash64(slice), xxhash64(seed2, slice))`)
+    * — the span TEXT never materializes and the 16-byte struct is the
+    * only key any downstream shuffle carries.
+    *
+    * Why 128 bits: [[substrDedup]] DELETES tokens on hash equality with
+    * no exact-verify stage (the span text never materializes, by
+    * design), so a collision silently removes real content. At the
+    * 64-bit width the birthday bound makes collisions CERTAIN at the
+    * 100 TB design point (~10¹⁰-10¹³ distinct spans → m²/2⁶⁵ ≈ 10³-10⁷
+    * expected colliding pairs); at 128 bits the same bound is
+    * m²/2¹²⁹ ≈ 10⁻¹⁹ at 10¹⁰ spans — comfortably below any corpus
+    * lifetime. [[dupSpanCoverage]] (a metric, where a collision is
+    * permille-level noise) shares the frame and gets the widening free.
     *
     * Span starts run 1..(#tokens−n+1); sequence(1, 0) would descend, so
     * docs shorter than one span get an explicit empty array.
@@ -341,8 +365,10 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"),
         posexplode_outer(when(col("n_tokens") >= n,
           transform(sequence(lit(1), col("n_tokens").cast("int") - lit(n - 1)),
-            i => xxhash64(slice(col("toks"), i, lit(n)))))
-          .otherwise(array())))
+            i => struct(
+              xxhash64(slice(col("toks"), i, lit(n))).as("h1"),
+              xxhash64(lit(SpanHashSeed2), slice(col("toks"), i, lit(n))).as("h2"))))
+          .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>"))))
       .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("p"),
         col("col").as("h"))
       .materialize()
@@ -362,8 +388,10 @@ object Dedup {
     * adjacencies that themselves form duplicated spans; re-running the
     * operator converges but single-pass output is the declared contract.
     *
-    * Shape, corpus-scale: the [[spanStarts]] frame is built once (8-byte
-    * hash keys, no span strings); duplicated-hash detection and
+    * Shape, corpus-scale: the [[spanStarts]] frame is built once
+    * (128-bit two-lane hash keys, no span strings — collision-priced at
+    * [[spanStarts]]: deletion on hash equality must not conflate at
+    * 10¹⁰⁺ spans); duplicated-hash detection and
     * first-occurrence selection are two hash aggregates on `h` (min over
     * a (doc_id, p) struct — no per-group sort window, so a globally hot
     * boilerplate span costs a partial-aggregated min, not a group sort);
@@ -431,6 +459,93 @@ object Dedup {
   /** L1c declared query: ExactSubstr removal over the documents corpus. */
   def l1SubstrDedup(spark: SparkSession, dir: String): DataFrame =
     substrDedup(Tables(spark, dir).documents).orderBy(col("doc_id"))
+
+  /** Round cap for [[substrDedupConverged]]: each round strictly shrinks
+    * the total token count (a round either removes something or is the
+    * last), so termination is guaranteed anyway — the cap bounds the
+    * cost of a pathological chain (a corpus where each removal keeps
+    * creating one new duplicated adjacency) to a known constant.
+    */
+  val SubstrDedupMaxRounds = 8
+
+  /** ExactSubstr removal iterated to a FIXPOINT — the full Lee et al.
+    * 2022 semantics. [[substrDedup]]'s single pass can leave work behind:
+    * deleting a span's tokens makes the text on either side ADJACENT,
+    * and that new adjacency can itself be a duplicated n-gram the pass
+    * never saw (LlmOpsSpec constructs the hand case). This variant
+    * re-runs the pass on its own output until a pass removes nothing
+    * (or [[SubstrDedupMaxRounds]] is hit), at which point the output is
+    * IDEMPOTENT under [[substrDedup]] — also spec-pinned.
+    *
+    * The single-pass form stays the declared query (`l1_substr_dedup`,
+    * oracle-replayed in SQL); a fixpoint oracle would need a recursive
+    * re-tokenizing CTE DuckDB can't express, so this variant is
+    * scalatest-verified (hand case + idempotence + fixture equality
+    * when the fixture converges in one pass), the streaming-op
+    * contract.
+    *
+    * Scale shape: each round IS [[substrDedup]] (same two hash
+    * aggregates + rewrite scan over 128-bit keys); the inter-round
+    * frame is `materialize()`d because the round-boundary driver scalar
+    * (total removed — ONE 1-row aggregate, bounded metadata) forces
+    * evaluation anyway, the [[Graph.pageRankDangling]] discipline.
+    * Rounds after the first scan only the SURVIVOR text (strictly
+    * shrinking), and real corpora converge in 2-3 rounds (Lee et al.
+    * §4) — the tail rounds also touch only docs that still had a
+    * removal, since an untouched doc can only newly collide with a
+    * rewritten one, which keeps re-scan cost bounded by the dup-heavy
+    * subset.
+    *
+    * STREAMING STORY (documented, not implemented): T21 composes with
+    * this by running its per-wave rewrite to a LOCAL fixpoint — the
+    * wave's rewritten text re-enters [[spanStarts]] against the
+    * accumulated store until quiescent — and appending only the FINAL
+    * wave spans to the store; the id-ordered-arrival argument is
+    * unchanged because canonical first occurrences still live in the
+    * earliest wave, and a wave-local fixpoint never edits an earlier
+    * wave's already-sunk text (matching the batch fixpoint exactly
+    * under the same nondecreasing-doc_id discipline).
+    *
+    * Output: (doc_id, n_tokens, n_removed, rounds, text_clean) — one
+    * row per input doc; `n_tokens` is the ORIGINAL token count,
+    * `n_removed` the total across rounds, `rounds` the number of passes
+    * that removed at least one token anywhere in the corpus (0 for an
+    * already-clean corpus).
+    */
+  def substrDedupConverged(docs: DataFrame, n: Int = DupSpanN,
+                           maxRounds: Int = SubstrDedupMaxRounds,
+                           tokenizer: Column => Column = TextOps.spaceTokenizer): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    // running state: (doc_id, n_tokens0, removed_total, text)
+    var cur = docs.select(col("doc_id"),
+      size(tokenizer(col("text"))).cast("long").as("n_tokens0"),
+      lit(0L).as("removed_total"), col("text"))
+    var effectiveRounds = 0
+    var converged = false
+    var round = 0
+    var prevTotalRemoved = 0L
+    while (!converged && round < maxRounds) {
+      round += 1
+      val out = substrDedup(cur.select(col("doc_id"), col("text")), n, tokenizer)
+      cur = cur.select(col("doc_id"), col("n_tokens0"), col("removed_total"))
+        .join(out.select(col("doc_id"), col("n_removed"),
+          col("text_clean").as("text")), "doc_id")
+        .select(col("doc_id"), col("n_tokens0"),
+          (col("removed_total") + col("n_removed")).as("removed_total"),
+          col("text"))
+        .materialize()
+      // round-boundary driver scalar: total tokens removed so far (ONE
+      // 1-row aggregate off the just-materialized frame; this pass's
+      // removals = delta against the running driver-side total)
+      val totalRemoved = cur.agg(coalesce(sum(col("removed_total")), lit(0L)))
+        .first().getLong(0)
+      if (totalRemoved == prevTotalRemoved) converged = true
+      else { effectiveRounds += 1; prevTotalRemoved = totalRemoved }
+    }
+    cur.select(col("doc_id"), col("n_tokens0").as("n_tokens"),
+      col("removed_total").as("n_removed"), lit(effectiveRounds).as("rounds"),
+      col("text").as("text_clean"))
+  }
 
   /** SimHash signature: bit i of the signature is the sign of
     * Σ_tokens (±1), where each token votes +1 on bit i iff hex digit i of

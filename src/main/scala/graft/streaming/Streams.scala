@@ -1248,13 +1248,22 @@ object Streams {
     * occurrence of any span hash lives in the earliest wave containing
     * it, so it is always in the store before any later occurrence
     * arrives, and an earlier doc is never non-canonical w.r.t. a later
-    * one. StreamingSpec pins 3 waves == batch.
+    * one. The discipline is ENFORCED, not assumed: each wave's min
+    * doc_id is checked against the max doc_id already in the store
+    * (prior waves only — a replayed wave's own b<id> directory is
+    * excluded, so crash-replay never false-positives) and a violation
+    * fails loudly instead of silently diverging from the batch
+    * operator. StreamingSpec pins 3 waves == batch and the
+    * out-of-order rejection.
     *
-    * Scale shape: the store holds one narrow (doc_id, p, h) row per span
-    * start (8-byte hashes, never span text); each wave re-reads the
-    * store FILTERED to the wave's own hash set (a semi-join — the
-    * touched-cells discipline), so the per-wave aggregate is
-    * wave-relevant occurrences only, not the full history.
+    * Scale shape: the store holds one narrow (doc_id, p, h) row per
+    * span start (the [[Dedup.spanStarts]] 128-bit two-lane hash struct,
+    * never span text); each wave re-reads the store FILTERED to the
+    * wave's own hash set (a semi-join — the touched-cells discipline),
+    * so the per-wave aggregate is wave-relevant occurrences only, not
+    * the full history. The order guard costs two 1-row aggregates per
+    * wave (min over the wave, max over prior-wave parquet footers) —
+    * bounded metadata, the node-count discipline.
     */
   def runSubstrDedupStream(docs: DataFrame, storeDir: String, checkpoint: String,
                            n: Int = graft.operators.Dedup.DupSpanN,
@@ -1265,6 +1274,26 @@ object Streams {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         new java.io.File(storeDir).mkdirs()
+        // enforce the nondecreasing-doc_id arrival contract BEFORE the
+        // store write: prior waves only (a replayed wave re-checks
+        // against the same priors it originally saw)
+        val priorDirs = Option(new java.io.File(storeDir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("b") &&
+            f.getName != s"b$id")
+          .map(_.getPath)
+        if (priorDirs.nonEmpty) {
+          val priorMax = spark.read.parquet(priorDirs.toIndexedSeq: _*)
+            .agg(max(col("doc_id"))).first().getLong(0)
+          val waveMin = Option(batch.agg(min(col("doc_id"))).first().get(0))
+            .map(_.asInstanceOf[Long])
+          waveMin.foreach { m =>
+            require(m >= priorMax,
+              s"runSubstrDedupStream: out-of-order arrival — wave b$id min " +
+                s"doc_id $m < accumulated max $priorMax; the batch-equality " +
+                "contract requires nondecreasing doc_ids across waves")
+          }
+        }
         Dedup.spanStarts(batch, n, TextOps.spaceTokenizer)
           .filter(col("p").isNotNull)
           .select(col("doc_id"), col("p"), col("h"))

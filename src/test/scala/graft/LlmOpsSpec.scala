@@ -1,5 +1,6 @@
 package graft
 
+import graft.Ckpt._
 import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
@@ -1156,6 +1157,44 @@ class LlmOpsSpec extends SparkSuite {
     // partial-combinable min over (doc_id, p) — layout cannot flip it
     assertSameRows(Dedup.substrDedup(tables.documents.repartition(7)),
       Dedup.substrDedup(tables.documents))
+  }
+
+  test("L1c fixpoint: pass 2 removes a pass-1-created adjacency; output idempotent") {
+    // removal of (p,q,r) from doc 2 makes "x y z" adjacent — a NEW
+    // duplicated 3-gram (vs doc 3) the single pass never saw
+    val df = Seq(
+      (1L, "p q r"),         // canonical (p,q,r)
+      (2L, "x p q r y z"),   // pass 1: drop (p,q,r)@2 → "x y z"
+      (3L, "x y z"))         // pass 2: now non-canonical vs rewritten doc 2
+      .toDF("doc_id", "text")
+    // single pass misses the created adjacency: doc 3 survives untouched
+    val single = Dedup.substrDedup(df, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_clean")).toMap
+    assert(single(2L) == "x y z" && single(3L) == "x y z")
+    val fix = Dedup.substrDedupConverged(df, n = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+         r.getAs[Int]("rounds"), r.getAs[String]("text_clean")))).toMap
+    assert(fix == Map(
+      1L -> ((3L, 0L, 2, "p q r")),
+      2L -> ((6L, 3L, 2, "x y z")),
+      3L -> ((3L, 3L, 2, ""))))
+    // idempotence at the fixed point: a further pass removes nothing
+    val again = Dedup.substrDedup(
+      fix.toSeq.map { case (id, (_, _, _, t)) => (id, t) }.toDF("doc_id", "text"),
+      n = 3).collect()
+    assert(again.forall(_.getAs[Long]("n_removed") == 0L))
+    // fixture: fixpoint dominates the single pass per doc and is itself
+    // idempotent (works whether or not the fixture converges in 1 pass)
+    val fx = Dedup.substrDedupConverged(tables.documents).materialize()
+    val sp = Dedup.substrDedup(tables.documents)
+      .select(col("doc_id"), col("n_removed").as("sp_removed"))
+    val j = fx.join(sp, "doc_id").collect()
+    assert(j.nonEmpty && j.forall(r =>
+      r.getAs[Long]("n_removed") >= r.getAs[Long]("sp_removed")))
+    val fxAgain = Dedup.substrDedup(
+      fx.select(col("doc_id"), col("text_clean").as("text"))).collect()
+    assert(fxAgain.forall(_.getAs[Long]("n_removed") == 0L))
   }
 
   test("l4_gopher vanilla twin computes the engine's answer (twin-honesty pin)") {

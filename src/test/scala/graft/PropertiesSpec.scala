@@ -609,6 +609,37 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("span-key lanes: appended seed degenerates to f(h1); prepended lane escapes it") {
+    // the 128-bit span key's second lane PREPENDS SpanHashSeed2
+    // (Dedup.spanStarts). This pins WHY: xxhash64 chains children with
+    // the running state as seed, so an APPENDED seed's lane is a pure
+    // function of lane 1's output — any lane-1 collision would collide
+    // lane 2 too and the widening would buy nothing. Three facts over
+    // random token slices:
+    //  (a) degeneration witness: xxhash64(slice, seed) ==
+    //      XxHash64(Seq(seed), seed = h1(slice)) — append IS f(h1)
+    //  (b) the engine's prepended lane differs from that f(h1) chain
+    //  (c) the two lanes differ from each other
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val s2 = Dedup.SpanHashSeed2
+    for (slices <- samples(Gen.listOfN(40, Gen.listOfN(3, word)), 4)) {
+      val rows = slices.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "toks")
+        .select(
+          xxhash64(col("toks")).as("h1"),
+          xxhash64(lit(s2), col("toks")).as("h2_pre"),
+          xxhash64(col("toks"), lit(s2)).as("h2_app"))
+        .collect()
+      rows.foreach { r =>
+        val (h1, pre, app) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val fOfH1 = XxHash64(Seq(Literal(s2)), h1).eval(null).asInstanceOf[Long]
+        assert(app == fOfH1, "append lane must equal the h1-seeded chain (witness)")
+        assert(pre != fOfH1, "prepended lane collapsed into the h1 chain")
+        assert(pre != h1, "lanes must differ")
+      }
+    }
+  }
+
   test("bottom-k distinct sketch: any partitioning × any merge tree == distinct.sorted.take(k)") {
     // unit-level algebra (no Spark plan): fold the input under arbitrary
     // partition boundaries, merge the partials in arbitrary tree shapes —

@@ -1504,6 +1504,30 @@ class StreamingSpec extends SparkSuite {
     assert(rewrites.toSet == batch, "post-replay rewrites != batch")
   }
 
+  test("T21 rejects out-of-order arrival instead of silently diverging from batch") {
+    import graft.operators.Dedup
+    val docs = tables.documents.select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val dir = Files.createTempDirectory("graft-substr-ooo")
+    // w1 carries the HIGH ids, w2 the low — the source delivers w1 first,
+    // so wave 2 violates the nondecreasing-doc_id contract
+    docs.filter(col("doc_id") >= n / 2).coalesce(1).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") < n / 2).coalesce(1).write.parquet(s"$dir/w2")
+    val store = Files.createTempDirectory("graft-substr-ooo-store").toString
+    val cp = Files.createTempDirectory("graft-substr-ooo-cp").toString
+    val boom = intercept[Exception] {
+      Streams.runSubstrDedupStream(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/"),
+        store, cp) { (_, rw) => rw.collect(); () }
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(boom).exists(c =>
+      c.getMessage != null && c.getMessage.contains("out-of-order")),
+      s"expected the out-of-order guard, got: $boom")
+  }
+
   test("T16 torn-write soak: crash after store write, before sink — replay idempotent") {
     import graft.operators.Similarity
     val emb = tables.embeddings
