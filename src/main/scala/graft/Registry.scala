@@ -2497,6 +2497,24 @@ object Registry {
         FROM documents JOIN embeddings ON doc_id = vec_id
         ORDER BY doc_id""")),
 
+      // L5b: real WAV PCM decode — the engine synthesizes RIFF bytes
+      // from the deterministic sample formula, then reads them back
+      // through the byte-walk decoder (Multimodal.decodePcmSamples);
+      // the oracle replays the FORMULA directly, so any header-walk or
+      // 16-bit-LE extraction defect in the decode path surfaces as a
+      // hash mismatch. All-integer stats; rms = floor(sqrt) is exact
+      // below 2^53 on both engines.
+      QueryDef("l5_audio_rms", Multimodal.l5AudioRms, Some("""
+        WITH n AS (SELECT doc_id, 64 + doc_id % 64 AS ns FROM documents),
+        s AS (SELECT n.doc_id, n.ns,
+                ((n.doc_id * 2654435761 + u.i * 40503 + 12345) % 65536) - 32768 AS smp
+              FROM n, UNNEST(generate_series(0, n.ns - 1)) AS u(i))
+        SELECT doc_id, CAST(ns AS BIGINT) AS n_samples,
+          CAST(SUM(smp * smp) // ns AS BIGINT) AS mean_square,
+          CAST(MAX(ABS(smp)) AS BIGINT) AS peak,
+          CAST(FLOOR(SQRT(SUM(smp * smp) // ns)) AS BIGINT) AS rms
+        FROM s GROUP BY doc_id, ns ORDER BY doc_id""")),
+
       // Within-doc repetition metrics: per-(doc, token) counts replayed
       // as the same two-stage aggregation; bigram comprehension is the
       // fingerprint oracle's at n=2. All permille metrics integer DIV.

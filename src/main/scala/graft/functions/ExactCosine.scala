@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * 15, the accumulation is exact decimal addition, the final divide runs
   * in IEEE double, and the 6-dp round is `BigDecimal.valueOf` HALF_UP —
   * the same algorithm as Spark's Round on DoubleType, with its NaN/∞
-  * passthrough. A differential test (SimilaritySpec) pins equality
+  * passthrough. A differential test (PropertiesSpec) pins equality
   * against the declarative form on the fixture plus constructed edges.
   *
   * Why native: the declarative form walks each 64-d pair SIX times
@@ -115,7 +115,7 @@ object ExactCosineCol {
   * construction, because exact DECIMAL addition is order- AND
   * grouping-independent, and [[graft.operators.Similarity.cosineFromParts]]
   * reassembles the identical final arithmetic (double divide, 6-dp
-  * HALF_UP round, zero-norm → null). SimilaritySpec pins the
+  * HALF_UP round, zero-norm → null). PropertiesSpec pins the
   * factored == fused equality on fixture pairs.
   */
 case class ExactDotDec(left: Expression, right: Expression)

@@ -40,7 +40,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * walks the text once with zero interpreter dispatch per token; the
   * measured l4_gopher wall time halves at sf0.1 (LlmOpsSpec pins
   * equality against the retained declarative form on fixture + edge
-  * docs). Null text → null struct, matching the declarative columns.
+  * docs). Null text → null struct; the declarative path's INTERMEDIATE
+  * counters differ there (its n_bigrams floor is greatest(null, 1) = 1,
+  * its sum_tok_len 0), but every FINAL rule column nulls out
+  * identically through the null n_tokens denominators — the
+  * final-output equality is what the LlmOpsSpec differential pins
+  * (null-text row included).
   */
 case class GopherStats(child: Expression, stops: Seq[String])
     extends UnaryExpression with CodegenFallback {

@@ -100,13 +100,24 @@ object Graph {
     * (same integer contract as [[pageRank]]; the extra floor leak is
     * ≤ N−1 µ per round, deterministic).
     *
-    * Scale shape: identical to [[pageRank]] (edge⋈degree frame
-    * materialized + pre-partitioned ONCE, per-round shuffle is the
-    * node-sized score frame) plus, per round, ONE 1-row aggregate over
-    * the already-checkpointed score frame (the dangling mass) that rides
-    * back in as a broadcast cross join — bounded metadata, never a
-    * second corpus pass. Node frame is src ∪ dst (a sink-only node must
-    * hold score), with the dangling flag precomputed once.
+    * Scale shape: identical to [[pageRank]] (edge⋈degree frame pinned +
+    * pre-partitioned ONCE, per-round shuffle is the node-sized score
+    * frame) plus, per round, ONE 1-row aggregate over the persisted
+    * score frame (the dangling mass) — bounded metadata, never a second
+    * corpus pass. Pinning is `persist()`, not `materialize()`: the dm
+    * scalar is a per-round ACTION, so each round is eagerly evaluated
+    * either way (what the reliable path needs), but persist keeps the
+    * lineage rooted at the source scan so a re-declared run
+    * cache-matches the canonicalized plans — the warm steady state the
+    * memoized l6/bm25 chains report. (Both in-plan alternatives were
+    * measured WORSE on the declared query: folding dm in as a broadcast
+    * 1-row cross join with lazy rounds ran 1.5×, and the same with
+    * localCheckpoint barriers 3.5× — the per-round constant the scalar
+    * costs is smaller than the plan-depth/broadcast overhead it
+    * avoids.) Plan depth for long runs is bounded by a
+    * lineage-truncating barrier every [[LpaCkptEvery]] rounds. Node
+    * frame is src ∪ dst (a sink-only node must hold score), with the
+    * dangling flag precomputed once.
     */
   def pageRankDangling(edges: DataFrame, iters: Int = DefaultIters,
                        dampingPermille: Long = DefaultDampingPermille): DataFrame = {
@@ -118,31 +129,42 @@ object Graph {
     // and the node frame's union + dangling flag) — unlike the strict
     // form, whose declared caller pre-materializes, this one pins the
     // input itself or an expensive edge build (a fact-table join +
-    // distinct) re-executes once per consumer
-    val e = edges.materialize()
+    // distinct) re-executes once per consumer. persist(), not
+    // materialize(): with the dm scalar folded in-plan this loop has no
+    // per-round driver action, so the whole chain follows the
+    // [[labelPropagation]] Pregel idiom — cached frames keep each
+    // round's two consumers from recomputing, the lineage stays rooted
+    // at the source scan (so a re-declared run cache-matches the
+    // canonicalized plans), and plan depth for long runs is bounded by
+    // the [[LpaCkptEvery]] materialize barrier below
+    val e = edges.persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val linked = e.join(deg, "src")
-      .repartition(col("src")).materialize()
+      .repartition(col("src")).persist()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .join(deg.select(col("src").as("node"), lit(true).as("__out")),
         Seq("node"), "left_outer")
       .select(col("node"), col("__out").isNull.as("dangling"))
-      .materialize()
+      .persist()
     // one driver scalar (the node count) — the DIV-N share denominator;
-    // bounded metadata, computed once off the checkpointed node frame
+    // bounded metadata, computed ONCE off the checkpointed node frame
+    // (unlike the per-round mass, N is loop-invariant)
     val n = nodes.count()
     require(n > 0, "pageRankDangling: empty graph")
     var scores = nodes.select(col("node"), col("dangling"),
       lit(ScoreUnit).as("score"))
-      .materialize() // round 0 pinned: every round's dm scalar and join
-                     // read blocks, never re-derive the node build
-    for (_ <- 1 to iters) {
+      .persist()
+    var pinned = List(scores)
+    for (i <- 1 to iters) {
       // this round's dangling mass: a 1-ROW DRIVER SCALAR off the
-      // already-materialized node-sized score frame (bounded metadata,
-      // the node-count discipline) — inlined as a literal so the update
-      // plan carries no per-round broadcast exchange + join for one row
+      // persisted node-sized score frame (bounded metadata, the
+      // node-count discipline) — inlined as a literal so the update
+      // plan carries no per-round broadcast exchange + join for one
+      // row. The scalar is DETERMINISTIC (integer arithmetic), so the
+      // inlined literal is identical on every run and re-declared
+      // plans still canonically match the cache.
       val dm = scores.filter(col("dangling"))
         .agg(coalesce(sum(col("score")), lit(0L))).first().getLong(0)
       val share = dm / n // floored per-node share, exact BIGINT
@@ -155,7 +177,13 @@ object Graph {
         .select(col("node"), col("dangling"),
           expr(s"($teleport + $dampingPermille * (coalesce(mass, 0L) + ${share}L)) DIV 1000")
             .as("score"))
-        .materialize()
+        .persist()
+      pinned ::= scores
+      if (i % LpaCkptEvery == 0 && i < iters) {
+        scores = scores.materialize()
+        pinned.foreach(_.unpersist(false))
+        pinned = Nil
+      }
     }
     scores.select(col("node"), col("score"))
   }
@@ -289,6 +317,92 @@ object Graph {
       .limit(20)
   }
 
+  /** Default delta threshold (micro-units) and round cap for
+    * [[pageRankConverged]]: stop when no node's score moved more than
+    * ε µ in a round. ε = 1000 µ = 10⁻³ of a unit score resolves
+    * rankings long before the floor-leak noise floor; the cap bounds a
+    * non-converging run (integer floor arithmetic can cycle without
+    * ever reaching an exact fixpoint).
+    */
+  val DefaultPrEpsMicro = 1000L
+  val DefaultConvergedMaxIters = 50
+
+  /** G1c: PageRank iterated to a DELTA-THRESHOLD stop — the
+    * convergence-criterion variant of [[pageRank]] for real long runs
+    * (the declared queries stay fixed-round so the DuckDB oracle can
+    * replay them as CTEs; a 100-round converging run can't be a CTE
+    * chain). Same strict-form precondition (every node has an
+    * out-edge), same integer micro-unit arithmetic, so any prefix of
+    * rounds is bit-identical to [[pageRank]] at that round count —
+    * GraphSpec pins converged == fixed-round on the fixture graph and
+    * the early stop on an exactly-converging hand graph.
+    *
+    * Per round this adds ONE 1-row aggregate (max |Δscore| over the
+    * node-sized join of consecutive score frames) — a driver scalar,
+    * so the loop uses the [[pageRankDangling]] persist discipline:
+    * the action forces eager evaluation either way, persist keeps the
+    * lineage rooted at the scan for re-declared-run cache matching,
+    * and the [[LpaCkptEvery]] barrier bounds plan depth on long runs
+    * (this variant is WHERE those barriers actually fire — the
+    * fixed-round declared queries never reach them).
+    *
+    * Output: (node, score, rounds) — rounds = update passes executed
+    * (the stop check compares round t to t−1, so rounds ≥ 1).
+    */
+  def pageRankConverged(edges: DataFrame, epsMicro: Long = DefaultPrEpsMicro,
+                        maxIters: Int = DefaultConvergedMaxIters,
+                        dampingPermille: Long = DefaultDampingPermille,
+                        validate: Boolean = true): DataFrame = {
+    require(maxIters >= 1, "maxIters must be >= 1")
+    require(epsMicro >= 0, "epsMicro must be >= 0")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      "damping must be a permille in [0, 1000]")
+    val teleport = (1000L - dampingPermille) * ScoreUnit
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val linked = edges.join(deg, "src")
+      .repartition(col("src")).persist()
+    val nodes = linked.select(col("src").as("node")).distinct().persist()
+    if (validate) {
+      val sinkOnly = linked.select(col("dst").as("node")).distinct()
+        .join(nodes, Seq("node"), "left_anti")
+      require(sinkOnly.isEmpty,
+        "pageRankConverged precondition violated: graph has sink-only nodes; " +
+          "feed both directions for an undirected graph or use pageRankDangling")
+    }
+    var scores = nodes.select(col("node"), lit(ScoreUnit).as("score")).persist()
+    var pinned = List(scores)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      rounds += 1
+      val inbound = linked
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst")).agg(sum(expr("score DIV d")).as("mass"))
+        .withColumnRenamed("dst", "node")
+      val next = nodes
+        .join(inbound, Seq("node"), "left_outer")
+        .select(col("node"),
+          expr(s"($teleport + $dampingPermille * coalesce(mass, 0L)) DIV 1000")
+            .as("score"))
+        .persist()
+      pinned ::= next
+      // the round-boundary driver scalar: max |Δ| over the node-sized
+      // join of consecutive rounds (1-row aggregate, bounded metadata)
+      val delta = next.join(scores.select(col("node"),
+          col("score").as("prev")), "node")
+        .agg(coalesce(max(abs(col("score") - col("prev"))), lit(0L)))
+        .first().getLong(0)
+      scores = next
+      if (delta <= epsMicro) converged = true
+      else if (rounds % LpaCkptEvery == 0) {
+        scores = scores.materialize()
+        pinned.foreach(_.unpersist(false))
+        pinned = Nil
+      }
+    }
+    scores.withColumn("rounds", lit(rounds))
+  }
+
   val DefaultLpaIters = 4
 
   /** G3: synchronous label propagation (Raghavan et al. 2007) — community
@@ -361,6 +475,63 @@ object Graph {
       }
     }
     labels.select(col("node"), col("label").as("community"))
+  }
+
+  /** G3b: label propagation iterated to QUIESCENCE — stop when a round
+    * changes no label (the natural LPA stopping rule; Raghavan et al.
+    * §3). The declared query stays fixed-round (oracle-replayable);
+    * this variant is the long-run form. Synchronous LPA can OSCILLATE
+    * on bipartite structure (a 2-cycle of label swaps that never
+    * quiesces — the supplier–customer flow graph is exactly such a
+    * graph), so `maxIters` is a hard cap, not a formality; a run that
+    * hits the cap returns the cap-round labels with `converged =
+    * false`.
+    *
+    * The no-change check is ONE 1-row aggregate per round over the
+    * node-sized join of consecutive label frames — a per-round driver
+    * scalar, so unlike the lazily-declared fixed-round [[labelPropagation]]
+    * this loop follows the [[pageRankDangling]] persist discipline, and
+    * the [[LpaCkptEvery]] barrier (which the fixed-round form never
+    * reaches at declared iters) actually fires on long runs.
+    *
+    * Output: (node, community, rounds, converged) — rounds = update
+    * passes executed (≥ 1).
+    */
+  def labelPropagationConverged(edges: DataFrame,
+                                maxIters: Int = DefaultConvergedMaxIters): DataFrame = {
+    require(maxIters >= 1, "maxIters must be >= 1")
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .persist()
+    var pinned = List(labels)
+    var rounds = 0
+    var quiet = false
+    while (!quiet && rounds < maxIters) {
+      rounds += 1
+      val votes = edges
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      val next = votes.groupBy(col("dst"))
+        .agg(min_by(col("label"), struct((-col("cnt")).as("nc"), col("label")))
+          .as("label"))
+        .withColumnRenamed("dst", "node")
+        .persist()
+      pinned ::= next
+      val changed = next.join(labels.select(col("node"),
+          col("label").as("prev")), "node")
+        .agg(coalesce(sum(when(col("label") =!= col("prev"), 1L)
+          .otherwise(0L)), lit(0L)))
+        .first().getLong(0)
+      labels = next
+      if (changed == 0L) quiet = true
+      else if (rounds % LpaCkptEvery == 0) {
+        labels = labels.materialize()
+        pinned.foreach(_.unpersist(false))
+        pinned = Nil
+      }
+    }
+    labels.select(col("node"), col("label").as("community"),
+      lit(rounds).as("rounds"), lit(quiet).as("converged"))
   }
 
   /** G3 declared query: communities of the undirected supplier–customer

@@ -211,13 +211,137 @@ object Multimodal {
       .toDF()
   }
 
+  /** REAL WAV PCM encoder — canonical 44-byte RIFF/WAVE header (fmt
+    * chunk first, then data) over 16-bit little-endian signed samples,
+    * interleaved when channels > 1. No codec libraries required:
+    * uncompressed PCM IS the byte layout. Inverse of
+    * [[decodePcmSamples]] (LlmOpsSpec pins the round-trip).
+    */
+  def buildWavPcm16(samples: Array[Short], channels: Int = 1,
+                    sampleRate: Int = 8000): Array[Byte] = {
+    require(channels > 0, s"channels must be positive, got $channels")
+    require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM format code
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL WAV PCM sample decoder — the first concrete codec behind the
+    * decode-stub interface (uncompressed 16-bit PCM needs no codec
+    * library: the sample stream IS the byte layout). Same chunk walk as
+    * [[parseAudioMeta]], plus the format gate a decoder needs and the
+    * metadata pass doesn't: PCM format code 1 and 16-bit depth only
+    * (compressed or other-depth streams → None — the row survives,
+    * filters decide), data chunk must be fully present (truncated →
+    * None). Returns ALL samples interleaved (channel de-interleaving is
+    * a caller concern; RMS/peak are channel-agnostic).
+    */
+  def decodePcmSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    def tag(i: Int): String = new String(bytes.slice(i, i + 4), "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmtOk = false
+    var data: Option[(Int, Int)] = None // offset, size
+    while (i + 8 <= bytes.length && (!fmtOk || data.isEmpty)) {
+      val id = tag(i)
+      val size = u32le(bytes, i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length)
+        fmtOk = u16le(bytes, i + 8) == 1 && u16le(bytes, i + 22) == 16
+      if (id == "data" && size <= Int.MaxValue.toLong &&
+          i + 8 + size <= bytes.length)
+        data = Some((i + 8, size.toInt))
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    for ((off, size) <- data if fmtOk) yield
+      Array.tabulate(size / 2) { j =>
+        ((bytes(off + 2 * j) & 0xff) | (bytes(off + 2 * j + 1) << 8)).toShort.toInt
+      }
+  }
+
+  /** Decoded-sample stats row of [[audioPcmStats]]: all-BIGINT integer
+    * stats (exact on any engine), null stats for undecodable payloads.
+    */
+  final case class AudioPcmStats(doc_id: Long, n_samples: Option[Long],
+                                 mean_square: Option[Long], peak: Option[Long],
+                                 rms: Option[Long])
+
+  /** Per-asset PCM sample statistics over decoded WAV payloads — the
+    * same typed-mapPartitions shape as [[audioMeta]] (per-partition
+    * codec init, encoder-serialized rows). Integer outputs only:
+    * mean_square = Σs² DIV n (Σs² ≤ n·2³⁰ — overflow-free in Long for
+    * any real corpus), peak = max |s|, rms = ⌊√mean_square⌋ (exact in
+    * double below 2⁵³, so floor is engine-independent). Undecodable
+    * payloads keep their row with null stats — filters decide.
+    */
+  def audioPcmStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodePcmSamples(bytes) match {
+          case Some(s) if s.nonEmpty =>
+            val sumSq = s.foldLeft(0L)((a, v) => a + v.toLong * v)
+            val ms = sumSq / s.length
+            AudioPcmStats(id, Some(s.length.toLong), Some(ms),
+              Some(s.foldLeft(0L)((a, v) => math.max(a, math.abs(v.toLong)))),
+              Some(math.sqrt(ms.toDouble).toLong))
+          case _ => AudioPcmStats(id, None, None, None, None)
+        }
+      })
+      .toDF()
+  }
+
+  /** Deterministic per-doc WAV synthesis for the declared decode query:
+    * doc d carries 64 + (d mod 64) mono 16-bit samples with
+    * s(d, i) = ((d·2654435761 + i·40503 + 12345) mod 2¹⁶) − 2¹⁵ —
+    * pure integer arithmetic the DuckDB oracle replays EXACTLY, so the
+    * oracle checks the real decode path end to end: the engine ENCODES
+    * these samples to RIFF bytes and then reads them back through
+    * [[decodePcmSamples]]; any header-walk or sample-extraction defect
+    * surfaces as a hash mismatch against the oracle's formula replay.
+    */
+  def synthWavAssets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val n = (64 + d % 64).toInt
+        val samples = Array.tabulate(n) { i =>
+          ((d * 2654435761L + i * 40503L + 12345L) % 65536L - 32768L).toShort
+        }
+        (d, buildWavPcm16(samples))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5b declared query: RMS/peak stats of the synthesized WAV corpus,
+    * decoded from the actual RIFF bytes (see [[synthWavAssets]]).
+    */
+  def l5AudioRms(spark: SparkSession, dir: String): DataFrame =
+    audioPcmStats(synthWavAssets(Tables(spark, dir)))
+      .select(col("doc_id"), col("n_samples"), col("mean_square"),
+        col("peak"), col("rms"))
+      .orderBy(col("doc_id"))
+
   /** Batch "decode / feature-extract" over the binary payload column.
     *
-    * STUB CODEC: a real deployment would decode image/audio bytes here
-    * (libs absent in this container); the stand-in emits a deterministic
-    * 4-d feature from the payload bytes so the distributed plumbing —
-    * per-partition batching, binary traversal, schema of the result — is
-    * real and testable.
+    * STUB CODEC for image/video payloads: a real deployment would
+    * decode media bytes here (image/video libs absent in this
+    * container — AUDIO decode is real, see [[decodePcmSamples]]); the
+    * stand-in emits a deterministic 4-d feature from the payload bytes
+    * so the distributed plumbing — per-partition batching, binary
+    * traversal, schema of the result — is real and testable.
     */
   def decodeFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession

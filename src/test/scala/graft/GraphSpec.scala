@@ -98,6 +98,56 @@ class GraphSpec extends SparkSuite {
     assert(r9 == r7)
   }
 
+  test("G1c/G3b convergence stops: exact fixpoint, == fixed-round, quiescence, oscillation cap") {
+    // 4-cycle (regular, degree 2): the uniform start is EXACTLY
+    // invariant — mass(v) = 2·(1e6 DIV 2) = 1e6 → score = 1e6 — so the
+    // delta stop fires after one round even at ε = 0
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val cycEdges = (cyc ++ cyc.map(_.swap)).toDF("src", "dst")
+    val conv = Graph.pageRankConverged(cycEdges, epsMicro = 0L).collect()
+    assert(conv.forall(r => r.getAs[Int]("rounds") == 1))
+    assert(conv.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    // star graph, ε = 0 under a 3-round cap: any prefix of converged
+    // rounds is bit-identical to the fixed-round form (and if the stop
+    // fired early, the fixed point persists — F(s) = s — so equality
+    // holds either way)
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val star = (und ++ und.map(_.swap)).toDF("src", "dst")
+    assertSameRows(
+      Graph.pageRankConverged(star, epsMicro = 0L, maxIters = 3)
+        .select(col("node"), col("score")),
+      Graph.pageRank(star, iters = 3))
+    // LPA quiescence: two triangles + bridge is stable from round 3, so
+    // round 4 changes nothing → rounds = 4, converged, labels == the
+    // fixed-round answer
+    val und2 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val edges2 = (und2 ++ und2.map(_.swap)).toDF("src", "dst")
+    val lc = Graph.labelPropagationConverged(edges2).collect()
+    assert(lc.forall(r => r.getAs[Int]("rounds") == 4 && r.getAs[Boolean]("converged")))
+    assert(lc.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // synchronous-LPA oscillation (the reason the declared query is
+    // fixed-round): a single undirected edge swaps labels forever —
+    // the cap must fire with converged = false, never an infinite loop
+    val osc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val lo = Graph.labelPropagationConverged(osc, maxIters = 6).collect()
+    assert(lo.forall(r => r.getAs[Int]("rounds") == 6 && !r.getAs[Boolean]("converged")))
+    // fixture graph: converged-capped == fixed-round at the same cap
+    // (same bit-exact-prefix argument, on real data)
+    val t = Tables(spark, sf)
+    val flows = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
+      .distinct()
+    val fixEdges = flows.select(col("s").as("src"), col("c").as("dst"))
+      .unionByName(flows.select(col("c").as("src"), col("s").as("dst")))
+    assertSameRows(
+      Graph.pageRankConverged(fixEdges, epsMicro = 0L, maxIters = 3)
+        .select(col("node"), col("score")),
+      Graph.pageRank(fixEdges, iters = 3))
+  }
+
   test("G1b dangling pagerank: hand-computed star; == integer reference over 3 rounds") {
     // directed star 0 → {1,2,3}: leaves are pure sinks (dangling), N = 4.
     // round 1: dm = 3·1e6, share = dm DIV 4 = 750_000

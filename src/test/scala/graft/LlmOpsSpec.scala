@@ -865,6 +865,52 @@ class LlmOpsSpec extends SparkSuite {
     assert(out(2L).isNullAt(1) && out(2L).isNullAt(4))
   }
 
+  test("L5b WAV PCM decode: encode/decode round-trip, hand bytes, format gates, stats") {
+    // round-trip through the real encoder: decode(encode(s)) == s,
+    // mono and interleaved stereo
+    val mono = Array[Short](0, 100, -100, 32767, -32768, 7)
+    assert(Multimodal.decodePcmSamples(Multimodal.buildWavPcm16(mono))
+      .map(_.toSeq).contains(mono.map(_.toInt).toSeq))
+    val stereo = Array[Short](1, -1, 2, -2)
+    assert(Multimodal.decodePcmSamples(
+        Multimodal.buildWavPcm16(stereo, channels = 2, sampleRate = 44100))
+      .map(_.toSeq).contains(stereo.map(_.toInt).toSeq))
+    // hand-constructed bytes (independent of the encoder): two samples
+    // 0x0102 = 258 and 0xFF80 = -128, little-endian
+    def le32(v: Long) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    def wavWith(fmtCode: Int, bits: Int, dataBytes: Array[Byte], declared: Int) =
+      "RIFF".getBytes("US-ASCII") ++ le32(36L + dataBytes.length) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        le16(fmtCode) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+        le16(2) ++ le16(bits) ++
+        "data".getBytes("US-ASCII") ++ le32(declared.toLong) ++ dataBytes
+    val hand = wavWith(1, 16, Array(0x02, 0x01, 0x80, 0xff).map(_.toByte), 4)
+    assert(Multimodal.decodePcmSamples(hand).map(_.toSeq).contains(Seq(258, -128)))
+    // gates: non-PCM format code, non-16-bit depth, truncated data, garbage
+    assert(Multimodal.decodePcmSamples(
+      wavWith(3, 16, Array(0x02, 0x01, 0x80, 0xff).map(_.toByte), 4)).isEmpty)
+    assert(Multimodal.decodePcmSamples(
+      wavWith(1, 8, Array(0x02, 0x01, 0x80, 0xff).map(_.toByte), 4)).isEmpty)
+    assert(Multimodal.decodePcmSamples(
+      wavWith(1, 16, Array(0x02, 0x01).map(_.toByte), 4)).isEmpty) // declares 4, ships 2
+    assert(Multimodal.decodePcmSamples("garbage".getBytes("US-ASCII")).isEmpty)
+    // distributed stats path: exact integer stats + null row survival
+    val df = Seq(
+      (1L, Multimodal.buildWavPcm16(Array[Short](3, -4))), // ms = (9+16)/2 = 12, peak 4, rms 3
+      (2L, "nope".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.audioPcmStats(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2L && out(1L).getLong(2) == 12L &&
+      out(1L).getLong(3) == 4L && out(1L).getLong(4) == 3L)
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(4))
+    // the declared query's synthesis matches the oracle formula on a
+    // spot row: doc_id 5 → 69 samples, s(5,0) = (5·2654435761+12345) mod 2^16 − 2^15
+    val q = Multimodal.l5AudioRms(spark, sf).filter(col("doc_id") === 5L).first()
+    assert(q.getLong(1) == 64L + 5L % 64L)
+  }
+
   test("L5 multimodal decode stub: schema, alignment, determinism") {
     val assets = Multimodal.assets(tables)
     val feats = Multimodal.decodeFeatures(assets)
@@ -1047,10 +1093,15 @@ class LlmOpsSpec extends SparkSuite {
     // split-keep-empty), consecutive/leading/trailing spaces (empty
     // tokens), unicode (code-point lengths), symbol overlaps ("....."
     // scans as one "..." then loose dots), repeated bigrams
+    // (10, null): the kernel emits a null STRUCT where the declarative
+    // path's intermediate counters differ (n_bigrams greatest(null,1)=1,
+    // sum_tok_len 0) — but every FINAL rule column nulls out identically
+    // (null n_tokens denominators), which is the contract this row pins
     val edge = Seq(
       (1L, ""), (2L, " "), (3L, "a  b"), (4L, " the of "),
       (5L, "héllo wörld é́ x"), (6L, "a#b ... .... ..... #"),
-      (7L, "x y x y x y"), (8L, "the"), (9L, "... the of and that"))
+      (7L, "x y x y x y"), (8L, "the"), (9L, "... the of and that"),
+      (10L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     assertSameRows(TextOps.gopherRules(edge),
       TextOps.gopherRulesDeclarative(edge))
