@@ -532,10 +532,11 @@ object Curation {
       .filter(least(col("train_n"), col("bench_n")).cast("double")
         >= greatest(col("train_n"), col("bench_n")) * threshold - 1e-9)
       .select(col("train_id"), col("bench_id")).distinct()
-      // materialized once: the candidate-id broadcast AND the verify join
-      // both consume it — inlined, the corpus-side minhash pass would run
-      // twice (the l0Pipeline/driftAgainst contract)
-      .materialize()
+      // pinned once: the candidate-id broadcast AND the verify join both
+      // consume it — inlined, the corpus-side minhash pass would run
+      // twice (the l0Pipeline/driftAgainst contract). persist keeps the
+      // chain rooted at the scan (re-declared runs cache-match)
+      .persist()
     val candToks = named(corpus)
       .join(broadcast(cand.select(col("train_id").as("doc_id")).distinct()), "doc_id")
       .select(col("doc_id").as("train_id"),
@@ -956,13 +957,16 @@ object Curation {
     val keepG = TextOps.gopherRules(docs).filter(col("keep")).select("doc_id")
     val keepD = Dedup.dupSpanCoverage(docs).filter(col("keep")).select("doc_id")
     val survivors = docs.join(keepG, "doc_id").join(keepD, "doc_id")
-    // materialized ONCE: both the pack branch and the bucket join-back
-    // consume it — without this, the join-back would re-execute the whole
-    // filter + LM chain (same contract as packBins/stratumRank;
-    // a cluster run would use reliable `checkpoint`)
+    // pinned ONCE: both the pack branch and the bucket join-back
+    // consume it — without this, the join-back would re-execute the
+    // whole filter + LM chain (same contract as packBins/stratumRank).
+    // persist, not a checkpoint barrier: the declared chain stays
+    // rooted at the scan (re-declared runs cache-match); the streaming
+    // recuration twin feeds differing accumulated corpora whose
+    // entries never re-hit and LRU-evict
     val bucketed = TextOps.ccnetBuckets(survivors)
       .filter(col("bucket") =!= lit("tail"))
-      .materialize()
+      .persist()
     packBins(bucketed, col("n_tokens"), PackBudget, bucket = Some(packBucket))
       .join(bucketed.select(col("doc_id"), col("bucket")), "doc_id")
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("bin"))

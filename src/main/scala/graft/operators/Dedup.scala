@@ -260,9 +260,9 @@ object Dedup {
     * struct is the only key any shuffle ever carries, not a ~50-byte
     * span string — the per-doc span array holds two longs per span,
     * not allocated strings.
-    * The frame is `materialize()`d because
+    * The frame is `persist()`ed because
     * THREE consumers read it (the occurrence count, the join-back, and
-    * the per-doc token base) — without the barrier the tokenize+explode
+    * the per-doc token base) — without the pin the tokenize+explode
     * lineage would re-execute under each. (2) one hash aggregation
     * counts span-hash occurrences (map-side partial combine absorbs
     * locally-hot boilerplate); (3) duplicated spans join back on the
@@ -353,9 +353,13 @@ object Dedup {
     * doc (measured 2.4 s vs 0.4 s at sf0.1). The Generate boundary
     * keeps the projection from collapsing back in.
     *
-    * `materialize()`d because every caller feeds it to MULTIPLE consumers
-    * (occurrence count, join-back, per-doc base) — without the barrier the
-    * tokenize+explode lineage would re-execute under each.
+    * `persist()`ed because every caller feeds it to MULTIPLE consumers
+    * (occurrence count, join-back, per-doc base) — without the pin the
+    * tokenize+explode lineage would re-execute under each; persist
+    * rather than a checkpoint barrier keeps the chain rooted at the
+    * scan so a re-declared run cache-matches (the round-13 pinning
+    * discipline — streaming-wave/fixpoint-round callers feed differing
+    * inputs whose entries simply never re-hit and LRU-evict).
     */
   private[graft] def spanStarts(docs: DataFrame, n: Int,
                                 tokenizer: Column => Column): DataFrame = {
@@ -371,7 +375,7 @@ object Dedup {
           .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>"))))
       .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("p"),
         col("col").as("h"))
-      .materialize()
+      .persist()
   }
 
   /** ExactSubstr duplicate-text REMOVAL (Lee et al. 2022, "Deduplicating

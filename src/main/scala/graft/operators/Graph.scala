@@ -20,15 +20,16 @@ import org.apache.spark.sql.functions._
   * harmless for ranking.
   *
   * Scale shape (same discipline as [[Dedup.clusterCollapse]]): the edge
-  * list with out-degree attached is materialized ONCE (`localCheckpoint`;
-  * reliable `checkpoint` on a cluster) and re-read every round; each
-  * round is one keyed join (edges ⋈ scores on src), one partial-aggregated
-  * sum per dst, and a label-frame-sized left join for teleport-only nodes
-  * — all rows narrow (three int64s). Rounds are fixed (declared query) so
-  * the DuckDB oracle can replay them as CTEs; a convergence-driven run
-  * would reuse the [[Dedup.connectedComponents]] sum-fixed-point pattern.
-  * On a real cluster the edge frame would be pre-partitioned by src and
-  * cached so every round's join reuses one shuffle.
+  * list with out-degree attached is pinned ONCE (`persist`, the Pregel
+  * idiom — a lineage-truncating `materialize` barrier fires every
+  * [[LpaCkptEvery]] rounds on long runs, reliable-checkpoint switchable)
+  * and re-read every round; each round is one keyed join (edges ⋈
+  * scores on src), one partial-aggregated sum per dst, and a
+  * label-frame-sized left join for teleport-only nodes — all rows
+  * narrow (three int64s). Rounds are fixed (declared query) so the
+  * DuckDB oracle can replay them as CTEs; [[pageRankConverged]] is the
+  * convergence-driven variant. On a real cluster the edge frame is
+  * pre-partitioned by src so every round's join reuses one shuffle.
   */
 object Graph {
 
@@ -52,13 +53,20 @@ object Graph {
       "damping must be a permille in [0, 1000]")
     val teleport = (1000L - dampingPermille) * ScoreUnit
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // one materialization serves every round: (src, dst, src outdegree),
+    // one pinned frame serves every round: (src, dst, src outdegree),
     // PRE-HASH-PARTITIONED on the per-round join key so only the (node-
     // sized) score frame shuffles each iteration — the edge shuffle is
-    // paid once, not once per round
+    // paid once, not once per round. persist(), not materialize(): the
+    // strict form has NO per-round driver action, so the whole
+    // fixed-round run follows the [[labelPropagation]] lazy Pregel
+    // idiom — persisted frames keep each consumer from recomputing,
+    // lineage stays rooted at the source scan (re-declared runs
+    // cache-match), and the [[LpaCkptEvery]] barrier bounds plan depth
+    // on long runs (see the round-13 measurement note at
+    // [[pageRankDangling]])
     val linked = edges.join(deg, "src")
-      .repartition(col("src")).materialize()
-    val nodes = linked.select(col("src").as("node")).distinct().materialize()
+      .repartition(col("src")).persist()
+    val nodes = linked.select(col("src").as("node")).distinct().persist()
     // Enforce the documented precondition, don't just state it: a node
     // with in-edges but no out-edges would be silently absent from the
     // node frame (derived from src only) — its rows vanish and its
@@ -73,8 +81,9 @@ object Graph {
           "but no out-edges); feed both directions for an undirected graph " +
           "or add self-loops / dangling-mass handling upstream")
     }
-    var scores = nodes.select(col("node"), lit(ScoreUnit).as("score"))
-    for (_ <- 1 to iters) {
+    var scores = nodes.select(col("node"), lit(ScoreUnit).as("score")).persist()
+    var pinned = List(scores)
+    for (i <- 1 to iters) {
       val inbound = linked
         .join(scores.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst")).agg(sum(expr("score DIV d")).as("mass"))
@@ -84,7 +93,13 @@ object Graph {
         .select(col("node"),
           expr(s"($teleport + $dampingPermille * coalesce(mass, 0L)) DIV 1000")
             .as("score"))
-        .materialize()
+        .persist()
+      pinned ::= scores
+      if (i % LpaCkptEvery == 0 && i < iters) {
+        scores = scores.materialize()
+        pinned.foreach(_.unpersist(false))
+        pinned = Nil
+      }
     }
     scores
   }
@@ -205,12 +220,16 @@ object Graph {
     */
   def triangleStats(undRaw: DataFrame): DataFrame = {
     // the edge set feeds FOUR consumers (degrees, orientation, closure,
-    // totals) — materialize once or the upstream edge build (often a
-    // fact-table self-join) re-executes per consumer
-    val und = undRaw.materialize()
+    // totals) — pin once or the upstream edge build (often a fact-table
+    // self-join) re-executes per consumer. persist() throughout this
+    // operator (not materialize): one-shot multi-consumer frames with
+    // bounded lineage recompute fine on executor loss, skip the
+    // barrier-job cost, and keep the chain rooted at the scan so
+    // re-declared runs cache-match (the round-13 pinning discipline)
+    val und = undRaw.persist()
     val deg = und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      .materialize() // vertex-sized; feeds two orientation joins + totals
+      .persist() // vertex-sized; feeds two orientation joins + totals
     val withDeg = und
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -221,7 +240,7 @@ object Graph {
         .otherwise(col("b")).as("src"),
       when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
         .otherwise(col("a")).as("dst"))
-      .materialize() // feeds the adjacency build AND the per-edge probe
+      .persist() // feeds the adjacency build AND the per-edge probe
     // Adjacency-INTERSECTION closure: under a total-order orientation
     // each triangle has exactly one vertex with out-edges to the other
     // two, so T = Σ over oriented edges (u,v) of |N⁺(u) ∩ N⁺(v)| counts
@@ -240,7 +259,7 @@ object Graph {
     // packed-key cut needed.
     val adj = oriented.groupBy(col("src"))
       .agg(array_sort(collect_list(col("dst"))).as("nb"))
-      .materialize() // vertex-sized (Σ|nb| = m); probed on BOTH edge ends
+      .persist() // vertex-sized (Σ|nb| = m); probed on BOTH edge ends
     val tri = oriented
       .join(adj.select(col("src").as("u"), col("nb").as("nu")),
         col("src") === col("u"))
@@ -282,15 +301,17 @@ object Graph {
     */
   def g1PageRank(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // checkpoint the flow list BEFORE the flip-union: the two union
-    // branches are separate lineages, so the lineitem⋈orders + distinct
-    // build would execute once per branch (and again under pageRank's
-    // degree aggregate) — materialized once, the flips read RAM blocks
+    // pin the flow list BEFORE the flip-union: the two union branches
+    // are separate lineages, so the lineitem⋈orders + distinct build
+    // would execute once per branch (and again under pageRank's degree
+    // aggregate). persist(), not materialize(), so the whole declared
+    // chain stays rooted at the parquet scan and re-declared runs
+    // cache-match (the pageRank-internals discipline)
     val flows = t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
       .distinct()
-      .materialize()
+      .persist()
     val edges = flows.select(col("s").as("src"), col("c").as("dst"))
       .unionByName(flows.select(col("c").as("src"), col("s").as("dst")))
     pageRank(edges)

@@ -582,15 +582,19 @@ object Relational {
                    totalCol: Option[String] = None,
                    materializeInput: Boolean = false): DataFrame = {
     val withB0 = df.withColumn("__b", bucket)
-    val withB = if (materializeInput) withB0.materialize() else withB0
+    // persist, not a checkpoint barrier (round-13 pinning discipline):
+    // the offsets and rank branches still share ONE upstream execution
+    // via the cache, and the chain stays rooted at the scan so a
+    // re-declared run cache-matches the canonicalized plans
+    val withB = if (materializeInput) withB0.persist() else withB0
     val offsets = withB.groupBy(col("__b"))
       .agg(count(lit(1)).as("__bn"))
       .withColumn("__boff",
         coalesce(sum(col("__bn")).over(
           Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .materialize() // bucket-sized: pins ONE upstream execution for the
-                     // broadcast side (and the optional total)
+      .persist() // bucket-sized: pins ONE upstream execution for the
+                 // broadcast side (and the optional total)
     val ranked = withB
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("__b")).orderBy(sort: _*)))

@@ -203,9 +203,10 @@ object Similarity {
   def annVsExactTopK(t: Tables, queryId: Long, k: Int,
                      bits: Int): (DataFrame, DataFrame) = {
     val (rescored0, qBucket) = annVsExactScored(t, queryId, k, bits)
-    // ≤ ~2·pad-row frame consumed by four subtrees downstream — barrier
-    // it so the rescore join never re-runs per branch
-    val rescored = rescored0.materialize()
+    // ≤ ~2·pad-row frame consumed by four subtrees downstream — pin it
+    // so the rescore join never re-runs per branch (persist: chain stays
+    // rooted at the scan, re-declared runs cache-match — round 13)
+    val rescored = rescored0.persist()
     val exact = rescored.select(col("vec_id"), col("label"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id")).limit(k)
     val ann = rescored.filter(col("bucket") === lit(qBucket))
@@ -235,7 +236,7 @@ object Similarity {
         signBucket(col("embedding"), bits).as("bucket"),
         graft.functions.CosineFast(col("embedding"), qfLit).as("cf"))
       .filter(!isnan(col("cf")))
-      .materialize()
+      .persist()
     // 1-row band thresholds, in-plan (broadcast), one per candidate set;
     // an empty bucket yields a NULL thr_b whose disjunct three-values to
     // false — only the global band survives, which is correct
@@ -522,7 +523,7 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         graft.functions.CosineFast(col("fa"), col("fb")).as("cf"))
       .filter(!isnan(col("cf")))
-      .materialize() // narrow (id, id, double) — scored once, read twice
+      .persist() // narrow (id, id, double) — scored once, read twice
     // 1-row threshold frame: the pad-th screen score minus the band.
     // Stays in-plan (broadcast), no driver collect; an empty corpus gives
     // a NULL threshold and the >= predicate filters everything — correct.
@@ -641,7 +642,7 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         graft.functions.CosineFast(col("fa"), col("fb")).as("cf"))
       .filter(!isnan(col("cf")))
-      .materialize() // narrow (id, id, double) — read by both directions
+      .persist() // narrow (id, id, double) — read by both directions
     val sym = fast
       .select(col("a_id").as("vec_id"), col("b_id").as("nbr"), col("cf"))
       .unionByName(fast
@@ -680,7 +681,7 @@ object Similarity {
         cosineFromParts(graft.functions.ExactDotDecCol(col("ea"), col("eb")),
           col("na"), col("nb")).as("cosine"))
       .filter(col("cosine").isNotNull)
-      .materialize()
+      .persist()
     val symx = rescored
       .select(col("a_id").as("vec_id"), col("b_id").as("nbr"), col("cosine"))
       .unionByName(rescored
@@ -874,7 +875,7 @@ object Similarity {
     val ef = emb.select(col("vec_id"), col("embedding"))
     val cells = assignCells(emb, cents)
       .select(col("vec_id"), col("cell"))
-      .materialize() // two consumers: pair generation and the summary
+      .persist() // two consumers: pair generation and the summary
     val pairs = Dedup.saltedSelfJoin(cells, Seq("cell"), "vec_id", chunks)
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
     val dropped = pairs

@@ -35,6 +35,10 @@ object TimeSeries {
     val buckets = hours.groupBy(col("user_id"), col("hour_id"))
       .agg(count(lit(1)).as("n_events"),
         Det.dsum(col("value"), 2).as("hour_value"))
+      // pinned: the spine's min/max pass AND the fill join both consume
+      // the bucket aggregate — unpinned, the events scan + hour rollup
+      // executed once per branch (measured ~2× the query at sf0.1)
+      .persist()
     val spine = buckets.groupBy(col("user_id"))
       .agg(min(col("hour_id")).as("lo"), max(col("hour_id")).as("hi"))
       .select(col("user_id"),

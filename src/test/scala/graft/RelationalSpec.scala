@@ -768,14 +768,17 @@ class RelationalSpec extends SparkSuite {
   test("bounded unpartitioned-window inventory: every global window rides a bounded frame") {
     // Every unpartitioned WindowExec is a single-task serialization point,
     // so each one in the engine must consume a provably BOUNDED frame.
-    // The offset-table windows execute EAGERLY inside materialize() and
-    // never reach the query's final plan, so the inventory captures every
-    // execution a query triggers (localCheckpoint actions included) via a
+    // The offset-table windows execute inside pinned (persisted) frames
+    // and may never reach the query's final plan, so the inventory
+    // captures every execution a query triggers via a
     // QueryExecutionListener, then asserts the exact per-query count and
     // — where the bound is an offset table — the structural fact that the
     // window input is an aggregate's output. A refactor that grows one of
     // these to corpus size, or introduces a new global window anywhere in
-    // a query's build, changes a count and fails here.
+    // a query's build, changes a count and fails here. The cache is
+    // CLEARED before each capture: a persisted offsets frame warmed by
+    // an earlier test would otherwise collapse to an InMemoryTableScan
+    // and hide its window from the listener entirely.
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[
@@ -792,11 +795,17 @@ class RelationalSpec extends SparkSuite {
       spark.listenerManager.register(listener)
       try {
         plans.clear()
+        spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf)
           .write.format("noop").mode("overwrite").save()
         org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
       } finally spark.listenerManager.unregister(listener)
-      plans.asScala.toSeq.flatMap(planWindows)
+      // identity-dedup ACROSS captured executions too: a cached plan's
+      // window object can surface under more than one action's plan
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[
+          org.apache.spark.sql.execution.window.WindowExec, java.lang.Boolean]())
+      plans.asScala.toSeq.flatMap(planWindows).filter(seen.add)
     }
     //   (query, #unpartitioned windows, all-feed-from-aggregate, bound)
     val inventory = Seq(

@@ -25,16 +25,27 @@ trait SparkSuite extends AnyFunSuite {
       : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.window.WindowExec
     // AQE wraps executed subtrees in childless QueryStageExec nodes —
-    // unwrap both the adaptive root and every stage to see the real tree
+    // unwrap both the adaptive root and every stage to see the real
+    // tree. persist()ed pins surface as childless InMemoryTableScans
+    // whose WORK (including any window) lives in the relation's cached
+    // plan — descend into it, or a persisted offsets frame would hide
+    // its global window from the inventory entirely.
     def expand(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
       case q: QueryStageExec => expand(q.plan)
+      case m: InMemoryTableScanExec => p +: expand(m.relation.cachedPlan)
       case _ => p +: p.children.flatMap(expand)
     }
+    // dedup by reference: a persisted frame consumed twice in one plan
+    // yields two InMemoryTableScans over the SAME cached plan object —
+    // one window execution, not two
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[WindowExec, java.lang.Boolean]())
     expand(plan).collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => w
+      case w: WindowExec if w.partitionSpec.isEmpty && seen.add(w) => w
     }
   }
 
