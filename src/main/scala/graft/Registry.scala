@@ -2515,6 +2515,27 @@ object Registry {
           CAST(FLOOR(SQRT(SUM(smp * smp) // ns)) AS BIGINT) AS rms
         FROM s GROUP BY doc_id, ns ORDER BY doc_id""")),
 
+      // L5c: real BMP pixel decode — the image-side twin of
+      // l5_audio_rms: the engine round-trips formula pixels through
+      // actual BMP bytes (BGR order, bottom-up rows, 4-byte row
+      // padding — the decoder must undo all three) and the oracle
+      // replays the channel formula; a layout defect in the decoder
+      // surfaces as a hash mismatch. All-integer channel means.
+      QueryDef("l5_image_stats", Multimodal.l5ImageStats, Some("""
+        WITH d AS (SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h
+                   FROM documents),
+        p AS (SELECT d.doc_id, d.w, d.h,
+                (d.doc_id * 7 + u.i * 13 + 101) % 256 AS r,
+                (d.doc_id * 11 + u.i * 17 + 53) % 256 AS g,
+                (d.doc_id * 13 + u.i * 19 + 29) % 256 AS b
+              FROM d, UNNEST(generate_series(0, d.w * d.h - 1)) AS u(i))
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(r) // (w * h) AS BIGINT) AS mean_r,
+          CAST(SUM(g) // (w * h) AS BIGINT) AS mean_g,
+          CAST(SUM(b) // (w * h) AS BIGINT) AS mean_b
+        FROM p GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
       // Within-doc repetition metrics: per-(doc, token) counts replayed
       // as the same two-stage aggregation; bigram comprehension is the
       // fingerprint oracle's at n=2. All permille metrics integer DIV.

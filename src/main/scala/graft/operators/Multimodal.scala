@@ -269,6 +269,143 @@ object Multimodal {
       }
   }
 
+  /** REAL BMP encoder — BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER,
+    * 24-bit uncompressed pixels in the format's actual layout: BGR byte
+    * order, rows bottom-up, each row padded to a 4-byte boundary.
+    * `pixels` is row-major TOP-DOWN 0xRRGGBB. Inverse of
+    * [[decodeBmp24]] (LlmOpsSpec pins the round-trip, padding
+    * included).
+    */
+  def buildBmp24(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(pixels.length == width * height,
+      s"expected ${width * height} pixels, got ${pixels.length}")
+    val stride = (width * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+    val dataSize = stride * height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel-array offset
+      .putInt(40).putInt(width).putInt(height) // positive = bottom-up
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (row <- height - 1 to 0 by -1) { // bottom-up
+      for (x <- 0 until width) {
+        val p = pixels(row * width + x)
+        bb.put((p & 0xff).toByte)          // B
+          .put(((p >> 8) & 0xff).toByte)   // G
+          .put(((p >> 16) & 0xff).toByte)  // R
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+    }
+    bb.array()
+  }
+
+  /** REAL BMP pixel decoder — the image-side counterpart of
+    * [[decodePcmSamples]] (uncompressed 24-bit BMP needs no codec
+    * library either: the pixel array IS the byte layout, modulo the
+    * format's three genuine quirks — BGR order, 4-byte row padding,
+    * and bottom-up rows when biHeight > 0 / top-down when negative,
+    * both handled). Gates: "BM" magic, 24 bpp, BI_RGB (uncompressed),
+    * pixel array fully present. Returns (width, height, row-major
+    * TOP-DOWN 0xRRGGBB) or None — the row survives, filters decide.
+    */
+  def decodeBmp24(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
+      return None
+    val off = u32le(bytes, 10).toInt
+    val width = u32le(bytes, 18).toInt
+    val rawH = u32le(bytes, 22).toInt // signed: negative = top-down
+    val bpp = u16le(bytes, 28)
+    val compression = u32le(bytes, 30)
+    val topDown = rawH < 0
+    val height = math.abs(rawH)
+    if (width <= 0 || height == 0 || bpp != 24 || compression != 0L) return None
+    val stride = (width * 3 + 3) & ~3
+    if (off < 54 || off.toLong + stride.toLong * height > bytes.length) return None
+    val out = new Array[Int](width * height)
+    for (row <- 0 until height) {
+      val srcRow = if (topDown) row else height - 1 - row
+      val base = off + srcRow * stride
+      for (x <- 0 until width) {
+        val i = base + x * 3
+        out(row * width + x) =
+          ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 1) & 0xff) << 8) |
+            (bytes(i) & 0xff)
+      }
+    }
+    Some((width, height, out))
+  }
+
+  /** Decoded-pixel stats row of [[imagePixelStats]]: all-BIGINT channel
+    * means (exact floor DIV), null stats for undecodable payloads.
+    */
+  final case class ImagePixelStats(doc_id: Long, width: Option[Int],
+                                   height: Option[Int], n_pixels: Option[Long],
+                                   mean_r: Option[Long], mean_g: Option[Long],
+                                   mean_b: Option[Long])
+
+  /** Per-asset channel statistics over decoded BMP payloads — the image
+    * twin of [[audioPcmStats]] (typed mapPartitions, integer stats,
+    * undecodable rows survive with nulls).
+    */
+  def imagePixelStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeBmp24(bytes) match {
+          case Some((w, h, px)) if px.nonEmpty =>
+            var r = 0L; var g = 0L; var b = 0L
+            px.foreach { p =>
+              r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            }
+            val n = px.length.toLong
+            ImagePixelStats(id, Some(w), Some(h), Some(n),
+              Some(r / n), Some(g / n), Some(b / n))
+          case _ => ImagePixelStats(id, None, None, None, None, None, None)
+        }
+      })
+      .toDF()
+  }
+
+  /** Deterministic per-doc BMP synthesis for the declared image-decode
+    * query — the [[synthWavAssets]] trick on the image side: doc d is a
+    * (8 + d mod 8) × (4 + d mod 4) bitmap whose row-major pixel i has
+    * channels r = (d·7 + i·13 + 101) mod 256, g = (d·11 + i·17 + 53)
+    * mod 256, b = (d·13 + i·19 + 29) mod 256 — pure integer arithmetic
+    * the oracle replays, while the engine round-trips it through REAL
+    * BMP bytes (BGR, bottom-up, padded rows); any layout defect in the
+    * decoder surfaces as a hash mismatch.
+    */
+  def synthBmpAssets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val w = (8 + d % 8).toInt
+        val h = (4 + d % 4).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val r = ((d * 7 + i * 13 + 101) % 256).toInt
+          val g = ((d * 11 + i * 17 + 53) % 256).toInt
+          val b = ((d * 13 + i * 19 + 29) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        (d, buildBmp24(px, w, h))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5c declared query: channel-mean stats of the synthesized BMP
+    * corpus, decoded from the actual BMP bytes (see [[synthBmpAssets]]).
+    */
+  def l5ImageStats(spark: SparkSession, dir: String): DataFrame =
+    imagePixelStats(synthBmpAssets(Tables(spark, dir)))
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("doc_id"))
+
   /** Decoded-sample stats row of [[audioPcmStats]]: all-BIGINT integer
     * stats (exact on any engine), null stats for undecodable payloads.
     */

@@ -911,6 +911,54 @@ class LlmOpsSpec extends SparkSuite {
     assert(q.getLong(1) == 64L + 5L % 64L)
   }
 
+  test("L5c BMP pixel decode: round-trip with padding, top-down variant, gates, stats") {
+    // w = 3 forces 3 pad bytes per row (stride 12) — the round-trip
+    // proves the decoder skips padding and un-reverses the bottom-up
+    // row order and BGR byte order
+    val px = Array(0xFF0000, 0x00FF00, 0x0000FF,
+                   0x102030, 0x405060, 0x708090)
+    val bmp = Multimodal.buildBmp24(px, width = 3, height = 2)
+    assert(bmp.length == 54 + 12 * 2) // stride 12 (9 data + 3 pad)
+    assert(Multimodal.decodeBmp24(bmp).map { case (w, h, p) => (w, h, p.toSeq) }
+      .contains((3, 2, px.toSeq)))
+    // hand-constructed TOP-DOWN variant (negative biHeight): same pixel
+    // array bytes in top-down row order must decode to the same image
+    val td = bmp.clone()
+    // biHeight at offset 22, little-endian: write -2
+    val hBytes = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-2).array()
+    System.arraycopy(hBytes, 0, td, 22, 4)
+    // rows were written bottom-up (row 1 first); top-down expects row 0
+    // first — swap the two 12-byte rows so the image is unchanged
+    val r0 = td.slice(54, 66); val r1 = td.slice(66, 78)
+    System.arraycopy(r1, 0, td, 54, 12); System.arraycopy(r0, 0, td, 66, 12)
+    assert(Multimodal.decodeBmp24(td).map { case (w, h, p) => (w, h, p.toSeq) }
+      .contains((3, 2, px.toSeq)))
+    // gates: wrong magic, 8bpp, compressed (BI_RLE8 = 1), truncated array
+    val badMagic = bmp.clone(); badMagic(0) = 'X'.toByte
+    assert(Multimodal.decodeBmp24(badMagic).isEmpty)
+    val bpp8 = bmp.clone(); bpp8(28) = 8.toByte
+    assert(Multimodal.decodeBmp24(bpp8).isEmpty)
+    val rle = bmp.clone(); rle(30) = 1.toByte
+    assert(Multimodal.decodeBmp24(rle).isEmpty)
+    assert(Multimodal.decodeBmp24(bmp.take(60)).isEmpty)
+    assert(Multimodal.decodeBmp24("garbage".getBytes("US-ASCII")).isEmpty)
+    // distributed stats path: exact channel means + null-row survival
+    val df = Seq((1L, bmp), (2L, "nope".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.imagePixelStats(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val (er, eg, eb) = (px.map(p => (p >> 16) & 0xff).sum / 6L,
+      px.map(p => (p >> 8) & 0xff).sum / 6L, px.map(_ & 0xff).sum / 6L)
+    assert(out(1L).getInt(1) == 3 && out(1L).getInt(2) == 2 &&
+      out(1L).getLong(3) == 6L && out(1L).getLong(4) == er &&
+      out(1L).getLong(5) == eg && out(1L).getLong(6) == eb)
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(6))
+    // declared-query spot row
+    val q = Multimodal.l5ImageStats(spark, sf).filter(col("doc_id") === 3L).first()
+    assert(q.getInt(1) == 8 + 3 % 8 && q.getInt(2) == 4 + 3 % 4)
+  }
+
   test("L5 multimodal decode stub: schema, alignment, determinism") {
     val assets = Multimodal.assets(tables)
     val feats = Multimodal.decodeFeatures(assets)
