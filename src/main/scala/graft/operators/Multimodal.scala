@@ -238,35 +238,44 @@ object Multimodal {
   }
 
   /** REAL WAV PCM sample decoder — the first concrete codec behind the
-    * decode-stub interface (uncompressed 16-bit PCM needs no codec
-    * library: the sample stream IS the byte layout). Same chunk walk as
-    * [[parseAudioMeta]], plus the format gate a decoder needs and the
-    * metadata pass doesn't: PCM format code 1 and 16-bit depth only
-    * (compressed or other-depth streams → None — the row survives,
-    * filters decide), data chunk must be fully present (truncated →
-    * None). Returns ALL samples interleaved (channel de-interleaving is
-    * a caller concern; RMS/peak are channel-agnostic).
+    * decode-stub interface (uncompressed PCM needs no codec library:
+    * the sample stream IS the byte layout). Same chunk walk as
+    * [[parseAudioMeta]], plus the format gates a decoder needs and the
+    * metadata pass doesn't: PCM format code 1 at 16-bit (signed LE) or
+    * 8-bit depth — 8-bit WAV is UNSIGNED centered at 128 (the format's
+    * own quirk), returned re-centered to −128..127 so downstream stats
+    * treat both depths uniformly. Compressed or other-depth streams →
+    * None (the row survives, filters decide); the data chunk must be
+    * fully present (truncated → None). Returns ALL samples interleaved
+    * (channel de-interleaving is a caller concern; RMS/peak are
+    * channel-agnostic).
     */
   def decodePcmSamples(bytes: Array[Byte]): Option[Array[Int]] = {
     def tag(i: Int): String = new String(bytes.slice(i, i + 4), "US-ASCII")
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var i = 12
-    var fmtOk = false
+    var bits = 0
     var data: Option[(Int, Int)] = None // offset, size
-    while (i + 8 <= bytes.length && (!fmtOk || data.isEmpty)) {
+    while (i + 8 <= bytes.length && (bits == 0 || data.isEmpty)) {
       val id = tag(i)
       val size = u32le(bytes, i + 4)
-      if (id == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length)
-        fmtOk = u16le(bytes, i + 8) == 1 && u16le(bytes, i + 22) == 16
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length &&
+          u16le(bytes, i + 8) == 1) {
+        val b = u16le(bytes, i + 22)
+        if (b == 16 || b == 8) bits = b
+      }
       if (id == "data" && size <= Int.MaxValue.toLong &&
           i + 8 + size <= bytes.length)
         data = Some((i + 8, size.toInt))
       i += 8 + size.toInt + (size.toInt & 1)
     }
-    for ((off, size) <- data if fmtOk) yield
-      Array.tabulate(size / 2) { j =>
-        ((bytes(off + 2 * j) & 0xff) | (bytes(off + 2 * j + 1) << 8)).toShort.toInt
-      }
+    for ((off, size) <- data if bits != 0) yield
+      if (bits == 16)
+        Array.tabulate(size / 2) { j =>
+          ((bytes(off + 2 * j) & 0xff) | (bytes(off + 2 * j + 1) << 8)).toShort.toInt
+        }
+      else
+        Array.tabulate(size) { j => (bytes(off + j) & 0xff) - 128 }
   }
 
   /** REAL BMP encoder — BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER,

@@ -888,11 +888,16 @@ class LlmOpsSpec extends SparkSuite {
         "data".getBytes("US-ASCII") ++ le32(declared.toLong) ++ dataBytes
     val hand = wavWith(1, 16, Array(0x02, 0x01, 0x80, 0xff).map(_.toByte), 4)
     assert(Multimodal.decodePcmSamples(hand).map(_.toSeq).contains(Seq(258, -128)))
-    // gates: non-PCM format code, non-16-bit depth, truncated data, garbage
+    // gates: non-PCM format code, unsupported depth, truncated data, garbage
     assert(Multimodal.decodePcmSamples(
       wavWith(3, 16, Array(0x02, 0x01, 0x80, 0xff).map(_.toByte), 4)).isEmpty)
     assert(Multimodal.decodePcmSamples(
-      wavWith(1, 8, Array(0x02, 0x01, 0x80, 0xff).map(_.toByte), 4)).isEmpty)
+      wavWith(1, 24, Array(0x02, 0x01, 0x80, 0xff, 0x00, 0x00).map(_.toByte), 6)).isEmpty)
+    // 8-bit PCM is UNSIGNED centered at 128 (the format's quirk):
+    // bytes 0x00/0x80/0xFF/0x81 decode re-centered to -128/0/127/1
+    assert(Multimodal.decodePcmSamples(
+      wavWith(1, 8, Array(0x00, 0x80, 0xff, 0x81).map(_.toByte), 4))
+      .map(_.toSeq).contains(Seq(-128, 0, 127, 1)))
     assert(Multimodal.decodePcmSamples(
       wavWith(1, 16, Array(0x02, 0x01).map(_.toByte), 4)).isEmpty) // declares 4, ships 2
     assert(Multimodal.decodePcmSamples("garbage".getBytes("US-ASCII")).isEmpty)
