@@ -14,11 +14,15 @@ import org.apache.spark.sql.types.StructType
   * batch decode). Container-format METADATA parsing is real —
   * [[parseImageMeta]] reads PNG IHDR and JPEG SOF dimensions,
   * [[parseAudioMeta]] walks WAV/RIFF chunks for channels/rate/duration,
-  * both from raw bytes with no libraries, which is the part a curation
-  * pipeline filters on — while pixel/sample DECODE is stubbed behind a
-  * deterministic fake (the container ships no image/audio codecs, so
-  * the stub stands in for e.g. a JNI/ONNX decode, and the tests pin the
-  * plumbing: schema, batch shape, row alignment).
+  * both from raw bytes with no libraries — and so is sample/pixel
+  * DECODE wherever the format needs no codec library: WAV PCM
+  * ([[decodePcmSamples]], 16-bit signed LE + 8-bit unsigned) and
+  * 24-bit uncompressed BMP ([[decodeBmp24]]), both hash-checked end to
+  * end by their declared queries. Compressed-format pixel decode
+  * (PNG/JPEG) stays stubbed behind a deterministic fake (the container
+  * ships no image codecs; the stub stands in for e.g. a JNI/ONNX
+  * decode, and the tests pin the plumbing: schema, batch shape, row
+  * alignment).
   *
   * Scale posture: documents⋈embeddings is a key-to-key shuffle join on
   * the id (both sides bucketable by that id at 100 TB); decode runs via
@@ -168,7 +172,10 @@ object Multimodal {
         fmt = Some((u16le(bytes, i + 10), u16le(bytes, i + 12).toInt,
           u16le(bytes, i + 22), u32le(bytes, i + 16)))
       if (id == "data") dataSize = Some(size)
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even length
+      // advance in LONG: a corrupt u32 size near 2^32 would wrap an Int
+      // step negative and spin this walk forever (padded to even length)
+      val adv = 8L + size + (size & 1L)
+      i = if (adv > bytes.length - i) bytes.length else i + adv.toInt
     }
     for {
       (ch, rate, bits, byteRate) <- fmt
@@ -267,7 +274,9 @@ object Multimodal {
       if (id == "data" && size <= Int.MaxValue.toLong &&
           i + 8 + size <= bytes.length)
         data = Some((i + 8, size.toInt))
-      i += 8 + size.toInt + (size.toInt & 1)
+      // LONG advance — same corrupt-size spin guard as parseAudioMeta
+      val adv = 8L + size + (size & 1L)
+      i = if (adv > bytes.length - i) bytes.length else i + adv.toInt
     }
     for ((off, size) <- data if bits != 0) yield
       if (bits == 16)
@@ -329,8 +338,13 @@ object Multimodal {
     val bpp = u16le(bytes, 28)
     val compression = u32le(bytes, 30)
     val topDown = rawH < 0
-    val height = math.abs(rawH)
+    val height = if (rawH == Int.MinValue) return None else math.abs(rawH)
     if (width <= 0 || height == 0 || bpp != 24 || compression != 0L) return None
+    // dimension sanity BEFORE any Int arithmetic can overflow: the file
+    // itself bounds the pixel array, so dims past bytes.length are
+    // malformed by construction (never throw, never wrap)
+    if (width.toLong * 3 + 3 > Int.MaxValue ||
+        width.toLong * height > Int.MaxValue) return None
     val stride = (width * 3 + 3) & ~3
     if (off < 54 || off.toLong + stride.toLong * height > bytes.length) return None
     val out = new Array[Int](width * height)

@@ -1283,14 +1283,19 @@ object Streams {
             f.getName != s"b$id")
           .map(_.getPath)
         if (priorDirs.nonEmpty) {
-          val priorMax = spark.read.parquet(priorDirs.toIndexedSeq: _*)
-            .agg(max(col("doc_id"))).first().getLong(0)
+          // store rows exist only for span-CARRYING docs, which is
+          // exactly right: only they can hold canonical occurrences, so
+          // the contract constrains precisely their ids. A prior store
+          // with zero rows (all-short waves) yields a null max — no
+          // constraint yet, not an error.
+          val priorMax = Option(spark.read.parquet(priorDirs.toIndexedSeq: _*)
+            .agg(max(col("doc_id"))).first().get(0)).map(_.asInstanceOf[Long])
           val waveMin = Option(batch.agg(min(col("doc_id"))).first().get(0))
             .map(_.asInstanceOf[Long])
-          waveMin.foreach { m =>
-            require(m >= priorMax,
+          for (p <- priorMax; m <- waveMin) {
+            require(m >= p,
               s"runSubstrDedupStream: out-of-order arrival — wave b$id min " +
-                s"doc_id $m < accumulated max $priorMax; the batch-equality " +
+                s"doc_id $m < accumulated max $p; the batch-equality " +
                 "contract requires nondecreasing doc_ids across waves")
           }
         }

@@ -609,6 +609,33 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("media codecs: decode(encode(x)) == x for random samples/pixels, any dims") {
+    // unit-level (no Spark plan): the WAV and BMP codecs must be exact
+    // inverses for every sample value and for every width (BMP row
+    // padding varies with width mod 4 — the property sweeps all four
+    // residues), channels, and rate
+    import graft.operators.Multimodal
+    val shorts = Gen.listOf(Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt))
+    for ((xs, i) <- samples(shorts, 24).zipWithIndex) {
+      val arr = xs.map(_.toShort).toArray
+      val ch = 1 + i % 3
+      val rate = 8000 + 997 * (i % 5)
+      val got = Multimodal.decodePcmSamples(
+        Multimodal.buildWavPcm16(arr, channels = ch, sampleRate = rate))
+      assert(got.map(_.toSeq).contains(arr.map(_.toInt).toSeq),
+        s"wav roundtrip failed: n=${arr.length} ch=$ch rate=$rate")
+    }
+    val px = Gen.chooseNum(0, 0xffffff)
+    for (i <- 0 until 16) {
+      val w = 1 + i % 8 // covers every padding residue w mod 4
+      val h = 1 + (i * 3) % 5
+      val pixels = samples(Gen.listOfN(w * h, px), 1).head.toArray
+      val got = Multimodal.decodeBmp24(Multimodal.buildBmp24(pixels, w, h))
+      assert(got.map { case (gw, gh, p) => (gw, gh, p.toSeq) }
+        .contains((w, h, pixels.toSeq)), s"bmp roundtrip failed: ${w}x$h")
+    }
+  }
+
   test("span-key lanes: appended seed degenerates to f(h1); prepended lane escapes it") {
     // the 128-bit span key's second lane PREPENDS SpanHashSeed2
     // (Dedup.spanStarts). This pins WHY: xxhash64 chains children with

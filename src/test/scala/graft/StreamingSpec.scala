@@ -1528,6 +1528,33 @@ class StreamingSpec extends SparkSuite {
       s"expected the out-of-order guard, got: $boom")
   }
 
+  test("T21 order guard: a span-free first wave imposes no constraint (null prior max)") {
+    import TestSpark.spark.implicits._
+    import graft.operators.Dedup
+    // wave 1: only docs SHORTER than one span — zero store rows, so the
+    // guard's prior-max aggregate is null; wave 2 must proceed (no NPE,
+    // no spurious rejection) and the accumulated rewrites == batch
+    val w1 = Seq((1L, "tiny doc"), (2L, "also small")).toDF("doc_id", "text")
+    val all = w1.unionByName(tables.documents
+      .select(col("doc_id") + 100L as "doc_id", col("text")).limit(20))
+    val dir = Files.createTempDirectory("graft-substr-shortwave")
+    w1.coalesce(1).write.parquet(s"$dir/w1")
+    all.filter(col("doc_id") >= 100L).coalesce(1).write.parquet(s"$dir/w2")
+    val store = Files.createTempDirectory("graft-substr-shortwave-store").toString
+    val cp = Files.createTempDirectory("graft-substr-shortwave-cp").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    Streams.runSubstrDedupStream(
+      spark.readStream.schema(w1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/"),
+      store, cp) { (_, rw) =>
+      got.synchronized { got ++= rw.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))) }; ()
+    }
+    val batch = Dedup.substrDedup(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got.toSet == batch, "short-first-wave stream != batch rewrite")
+  }
+
   test("T16 torn-write soak: crash after store write, before sink — replay idempotent") {
     import graft.operators.Similarity
     val emb = tables.embeddings
