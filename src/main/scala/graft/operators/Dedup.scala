@@ -500,15 +500,16 @@ object Dedup {
     * rewritten one, which keeps re-scan cost bounded by the dup-heavy
     * subset.
     *
-    * STREAMING STORY (documented, not implemented): T21 composes with
-    * this by running its per-wave rewrite to a LOCAL fixpoint — the
-    * wave's rewritten text re-enters [[spanStarts]] against the
-    * accumulated store until quiescent — and appending only the FINAL
-    * wave spans to the store; the id-ordered-arrival argument is
-    * unchanged because canonical first occurrences still live in the
-    * earliest wave, and a wave-local fixpoint never edits an earlier
-    * wave's already-sunk text (matching the batch fixpoint exactly
-    * under the same nondecreasing-doc_id discipline).
+    * STREAMING TWIN (T21b,
+    * [[graft.streaming.Streams.runSubstrDedupConvergedStream]]): each
+    * wave runs its rewrite to a LOCAL fixpoint — the wave's rewritten
+    * text re-enters [[spanStarts]] against the accumulated store until
+    * quiescent — and appends only the FINAL wave spans to the store;
+    * the id-ordered-arrival argument is unchanged because canonical
+    * first occurrences still live in the earliest wave, and a
+    * wave-local fixpoint never edits an earlier wave's already-sunk
+    * text (spec-pinned equal to this batch fixpoint under the same
+    * nondecreasing-doc_id discipline).
     *
     * Output: (doc_id, n_tokens, n_removed, rounds, text_clean) — one
     * row per input doc; `n_tokens` is the ORIGINAL token count,

@@ -1277,28 +1277,8 @@ object Streams {
         // enforce the nondecreasing-doc_id arrival contract BEFORE the
         // store write: prior waves only (a replayed wave re-checks
         // against the same priors it originally saw)
-        val priorDirs = Option(new java.io.File(storeDir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("b") &&
-            f.getName != s"b$id")
-          .map(_.getPath)
-        if (priorDirs.nonEmpty) {
-          // store rows exist only for span-CARRYING docs, which is
-          // exactly right: only they can hold canonical occurrences, so
-          // the contract constrains precisely their ids. A prior store
-          // with zero rows (all-short waves) yields a null max — no
-          // constraint yet, not an error.
-          val priorMax = Option(spark.read.parquet(priorDirs.toIndexedSeq: _*)
-            .agg(max(col("doc_id"))).first().get(0)).map(_.asInstanceOf[Long])
-          val waveMin = Option(batch.agg(min(col("doc_id"))).first().get(0))
-            .map(_.asInstanceOf[Long])
-          for (p <- priorMax; m <- waveMin) {
-            require(m >= p,
-              s"runSubstrDedupStream: out-of-order arrival — wave b$id min " +
-                s"doc_id $m < accumulated max $p; the batch-equality " +
-                "contract requires nondecreasing doc_ids across waves")
-          }
-        }
+        val priorDirs = substrPriorDirs(storeDir, id)
+        enforceSubstrIdOrder(spark, priorDirs, batch, id, "runSubstrDedupStream")
         Dedup.spanStarts(batch, n, TextOps.spaceTokenizer)
           .filter(col("p").isNotNull)
           .select(col("doc_id"), col("p"), col("h"))
@@ -1312,6 +1292,180 @@ object Streams {
           .join(wave.select("h").distinct(), "h")
         val rm = Dedup.removalStarts(wave, acc)
         sink(id, Dedup.rewriteWithRemovals(batch, rm, n, TextOps.spaceTokenizer))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Prior-wave store directories of a T21-family span store,
+    * excluding the current wave's own `b<id>` (so crash-replay
+    * re-checks against exactly the priors it originally saw).
+    */
+  private def substrPriorDirs(storeDir: String, id: Long): Seq[String] =
+    Option(new java.io.File(storeDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
+        f.getName != s"b$id")
+      .map(_.getPath).toIndexedSeq
+
+  /** The T21-family nondecreasing-doc_id arrival guard. Store rows
+    * exist only for span-CARRYING docs, which is exactly right: only
+    * they can hold canonical occurrences, so the contract constrains
+    * precisely their ids. A prior store with zero rows (all-short
+    * waves) yields a null max — no constraint yet, not an error.
+    */
+  private def enforceSubstrIdOrder(spark: org.apache.spark.sql.SparkSession,
+                                   priorDirs: Seq[String], batch: DataFrame,
+                                   id: Long, opName: String): Unit =
+    if (priorDirs.nonEmpty) {
+      val priorMax = Option(spark.read.parquet(priorDirs: _*)
+        .agg(max(col("doc_id"))).first().get(0)).map(_.asInstanceOf[Long])
+      val waveMin = Option(batch.agg(min(col("doc_id"))).first().get(0))
+        .map(_.asInstanceOf[Long])
+      for (p <- priorMax; m <- waveMin) {
+        require(m >= p,
+          s"$opName: out-of-order arrival — wave b$id min " +
+            s"doc_id $m < accumulated max $p; the batch-equality " +
+            "contract requires nondecreasing doc_ids across waves")
+      }
+    }
+
+  /** T21b: streaming ExactSubstr removal to the FIXPOINT — the
+    * [[graft.operators.Dedup.substrDedupConverged]] semantics as an
+    * arrival stream, EXACTLY (StreamingSpec pins the accumulated
+    * per-doc output equal to the batch fixpoint over the full corpus,
+    * fixture included; the global `rounds` column is corpus-wide in
+    * batch and wave-local here, so the comparison drops it).
+    *
+    * The store holds PER-PASS SPAN SNAPSHOTS, not just final spans:
+    * `b<id>/p<r>` = the wave's span frame over its pass-r text
+    * (`p0` = as-arrived; a new snapshot is written only when pass r
+    * actually removed something — text, and therefore spans, are
+    * otherwise unchanged and the floor lookup below reuses the prior
+    * snapshot). Why per-pass: the batch fixpoint's pass-r universe is
+    * every doc's pass-(r−1) spans — an overlapping removal can DESTROY
+    * a canonical copy mid-run, and prefix removals CREATE new
+    * adjacency spans — so a later wave replaying batch pass r must see
+    * the prefix exactly as batch pass r saw it, not the prefix's final
+    * state. Final-spans-only (the first cut) diverged on the fixture
+    * for precisely this reason.
+    *
+    * Wave k, pass r: universe = own pass-(r−1) spans ∪ for each prior
+    * wave the snapshot with the LARGEST index ≤ r−1 (its text at that
+    * pass), filtered to the wave's own hash set. Correctness of
+    * ignoring LATER waves: canonicality is min (doc_id, p), so a
+    * later-wave occurrence is never canonical against wave k — it can
+    * neither cause nor prevent a wave-k removal. The loop stops when a
+    * pass removes nothing AND the prefix snapshots are exhausted
+    * (r−1 ≥ every prior wave's last index — before that, an advancing
+    * prefix snapshot can legitimately re-open removals after a quiet
+    * pass); the hard cap is `maxRounds` own effective passes beyond
+    * the prefix's snapshot horizon.
+    *
+    * Replay idempotence: snapshots and sink rows are deterministic
+    * functions of (arrivals, prior snapshots); a replayed wave
+    * overwrites its own b<id>/p* with identical content (torn-write
+    * soak in StreamingSpec).
+    *
+    * Scale shape: per pass, exactly the batch operator's two hash
+    * aggregates + rewrite scan over 128-bit keys, with every store
+    * read FILTERED to the wave's own hash set (the touched-cells
+    * discipline); the round-boundary driver scalar is one 1-row
+    * aggregate and the snapshot-index listing is directory metadata —
+    * both bounded. Store size is bounded by Σ per-wave effective
+    * passes (2-3 on real corpora, Lee et al. §4) × span frames, and a
+    * compaction could fold fully-superseded snapshots once every
+    * later wave has passed their index — the T14 segment-merge story.
+    * Output per wave: (doc_id, n_tokens, n_removed, rounds,
+    * text_clean) with `rounds` = this wave's effective passes.
+    */
+  def runSubstrDedupConvergedStream(docs: DataFrame, storeDir: String,
+                                    checkpoint: String,
+                                    n: Int = graft.operators.Dedup.DupSpanN,
+                                    maxRounds: Int = graft.operators.Dedup.SubstrDedupMaxRounds,
+                                    onAfterStore: Long => Unit = _ => ())
+                                   (sink: (Long, DataFrame) => Unit): Unit = {
+    import graft.Ckpt._
+    import graft.operators.{Dedup, TextOps}
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        new java.io.File(storeDir).mkdirs()
+        val priorDirs = substrPriorDirs(storeDir, id)
+        // per prior wave: its snapshot indices, ascending (p0 always
+        // exists — bounded directory metadata)
+        val priorSnaps: Seq[(String, Seq[Int])] = priorDirs.map { d =>
+          val idxs = Option(new java.io.File(d).listFiles())
+            .getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith("p"))
+            .map(_.getName.drop(1).toInt).sorted.toIndexedSeq
+          (d, idxs)
+        }
+        val p0Dirs = priorSnaps.map { case (d, _) => s"$d/p0" }
+        if (p0Dirs.nonEmpty)
+          enforceSubstrIdOrder(spark,
+            p0Dirs, batch, id, "runSubstrDedupConvergedStream")
+        val prefixHorizon = (0 +: priorSnaps.flatMap(_._2.lastOption)).max
+        def priorUniverse(rMinus1: Int): Seq[String] = priorSnaps.map {
+          case (d, idxs) =>
+            s"$d/p${idxs.filter(_ <= rMinus1).lastOption.getOrElse(0)}"
+        }
+        val tok = TextOps.spaceTokenizer
+        def spansOf(df: DataFrame) =
+          Dedup.spanStarts(df.select(col("doc_id"), col("text")), n, tok)
+            .filter(col("p").isNotNull)
+            .select(col("doc_id"), col("p"), col("h"))
+        var cur = batch.select(col("doc_id"),
+          size(tok(col("text"))).cast("long").as("n_tokens0"),
+          lit(0L).as("removed_total"), col("text"))
+        // p0: the wave's as-arrived spans (idempotent overwrite)
+        spansOf(cur).write.mode("overwrite").parquet(s"$storeDir/b$id/p0")
+        var prevTotal = 0L
+        var effectiveRounds = 0
+        var converged = false
+        var round = 0
+        while (!converged && round < maxRounds + prefixHorizon) {
+          round += 1
+          val waveSpans = spansOf(cur)
+          val priorPaths = priorUniverse(round - 1)
+          val prior =
+            if (priorPaths.nonEmpty)
+              spark.read.parquet(priorPaths: _*)
+                .join(waveSpans.select("h").distinct(), "h")
+            else waveSpans.limit(0)
+          val rm = Dedup.removalStarts(waveSpans, prior.unionByName(waveSpans))
+          val out = Dedup.rewriteWithRemovals(
+            cur.select(col("doc_id"), col("text")), rm, n, tok)
+          cur = cur.select(col("doc_id"), col("n_tokens0"), col("removed_total"))
+            .join(out.select(col("doc_id"), col("n_removed"),
+              col("text_clean").as("text")), "doc_id")
+            .select(col("doc_id"), col("n_tokens0"),
+              (col("removed_total") + col("n_removed")).as("removed_total"),
+              col("text"))
+            .materialize()
+          val total = cur.agg(coalesce(sum(col("removed_total")), lit(0L)))
+            .first().getLong(0)
+          if (total == prevTotal) {
+            // quiet pass: genuine convergence only once the prefix
+            // snapshots can no longer advance the universe
+            if (round - 1 >= prefixHorizon) converged = true
+          } else {
+            effectiveRounds += 1
+            prevTotal = total
+            // text changed at pass `round` — snapshot it for later waves
+            spansOf(cur).write.mode("overwrite")
+              .parquet(s"$storeDir/b$id/p$round")
+          }
+        }
+        onAfterStore(id)
+        sink(id, cur.select(col("doc_id"),
+          col("n_tokens0").as("n_tokens"),
+          col("removed_total").as("n_removed"),
+          lit(effectiveRounds).as("rounds"),
+          col("text").as("text_clean")))
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -1555,6 +1555,89 @@ class StreamingSpec extends SparkSuite {
     assert(got.toSet == batch, "short-first-wave stream != batch rewrite")
   }
 
+  test("T21b fixpoint stream: wave-local convergence == batch fixpoint; cross-wave round-2 canonical") {
+    import TestSpark.spark.implicits._
+    import graft.operators.Dedup
+    // Hand case (n = 3): wave 1 needs TWO passes internally (doc 2's
+    // pass-1 removal of (p,q,r) creates "x y z"), and wave 2's doc 3
+    // then loses to a span that exists only in wave 1's CONVERGED
+    // round-2 text — the cross-wave canonical lives in the store's
+    // final spans, not the raw arrivals
+    val w1 = Seq((1L, "p q r"), (2L, "x p q r y z")).toDF("doc_id", "text")
+    val w2 = Seq((3L, "x y z"), (4L, "f g h")).toDF("doc_id", "text")
+    def run(nGram: Int, dirs: (String, String)) = {
+      val (dir, tag) = dirs
+      val store = Files.createTempDirectory(s"graft-substrconv-$tag-store").toString
+      val cp = Files.createTempDirectory(s"graft-substrconv-$tag-cp").toString
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      Streams.runSubstrDedupConvergedStream(
+        spark.readStream.schema(w1.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/"),
+        store, cp, n = nGram) { (id, rw) =>
+        got.synchronized {
+          val rs = rw.collect()
+          got ++= rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+          rs.headOption.foreach(r => rounds += ((id, r.getInt(3))))
+        }; ()
+      }
+      (got.toSeq, rounds.toSeq)
+    }
+    val dir = Files.createTempDirectory("graft-substrconv-hand")
+    w1.coalesce(1).write.parquet(s"$dir/w1")
+    w2.coalesce(1).write.parquet(s"$dir/w2")
+    val (got, rounds) = run(3, (dir.toString, "hand"))
+    val want = Map(
+      1L -> ((3L, 0L, "p q r")),
+      2L -> ((6L, 3L, "x y z")), // wave-1 pass 1; pass 2 confirms quiescence
+      3L -> ((3L, 3L, "")),      // canonical (x,y,z) is doc 2's ROUND-2 text
+      4L -> ((3L, 0L, "f g h")))
+    assert(got.map(r => r._1 -> ((r._2, r._3, r._4))).toMap == want)
+    assert(rounds.toMap == Map(0L -> 1, 1L -> 1), s"wave rounds: $rounds")
+    // fixture, 2 waves: accumulated == batch substrDedupConverged over
+    // the full corpus (rounds dropped — corpus-global in batch,
+    // wave-local here)
+    val docs = tables.documents.select(col("doc_id"), col("text"))
+    val cnt = docs.count()
+    val fdir = Files.createTempDirectory("graft-substrconv-fix")
+    docs.filter(col("doc_id") < cnt / 2).coalesce(1).write.parquet(s"$fdir/w1")
+    docs.filter(col("doc_id") >= cnt / 2).coalesce(1).write.parquet(s"$fdir/w2")
+    val (fgot, _) = run(Dedup.DupSpanN, (fdir.toString, "fix"))
+    val batch = Dedup.substrDedupConverged(tables.documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4))).toSet
+    assert(fgot.toSet == batch, "streamed fixpoint != batch fixpoint")
+  }
+
+  test("T21b torn-write soak: crash after final-span store write — replay idempotent") {
+    import TestSpark.spark.implicits._
+    import graft.operators.Dedup
+    val docs = tables.documents.select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val dir = Files.createTempDirectory("graft-substrconv-soak")
+    docs.filter(col("doc_id") < n / 2).coalesce(1).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") >= n / 2).coalesce(1).write.parquet(s"$dir/w2")
+    val store = Files.createTempDirectory("graft-substrconv-soak-store").toString
+    val cp = Files.createTempDirectory("graft-substrconv-soak-cp").toString
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    def sink(rw: DataFrame): Unit =
+      got.synchronized { got ++= rw.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4))) }
+    val boom = intercept[Exception] {
+      Streams.runSubstrDedupConvergedStream(stream(), store, cp,
+        onAfterStore = id => if (id == 1) throw new RuntimeException("injected crash")) {
+        (_, rw) => sink(rw) }
+    }
+    assert(boom.getMessage != null)
+    Streams.runSubstrDedupConvergedStream(stream(), store, cp) { (_, rw) => sink(rw) }
+    val rewrites = got.toSeq.distinct
+    assert(rewrites.length == n, s"every doc rewritten exactly once: ${rewrites.length} != $n")
+    val batch = Dedup.substrDedupConverged(tables.documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4))).toSet
+    assert(rewrites.toSet == batch, "post-replay fixpoint rewrites != batch")
+  }
+
   test("T16 torn-write soak: crash after store write, before sink — replay idempotent") {
     import graft.operators.Similarity
     val emb = tables.embeddings
