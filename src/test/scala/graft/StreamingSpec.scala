@@ -1558,11 +1558,12 @@ class StreamingSpec extends SparkSuite {
   test("T21b fixpoint stream: wave-local convergence == batch fixpoint; cross-wave round-2 canonical") {
     import TestSpark.spark.implicits._
     import graft.operators.Dedup
-    // Hand case (n = 3): wave 1 needs TWO passes internally (doc 2's
-    // pass-1 removal of (p,q,r) creates "x y z"), and wave 2's doc 3
-    // then loses to a span that exists only in wave 1's CONVERGED
-    // round-2 text — the cross-wave canonical lives in the store's
-    // final spans, not the raw arrivals
+    // Hand case (n = 3): doc 2's pass-1 removal of (p,q,r) creates
+    // "x y z", and wave 2's doc 3 then loses to a span that exists
+    // ONLY in wave 1's pass-1 snapshot (b0/p1), not its as-arrived
+    // spans (b0/p0) — wave 2's own pass 1 is quiet (the p0 universe
+    // has no (x,y,z)) and the removal happens at its pass 2, exactly
+    // like the batch fixpoint's pass sequencing
     val w1 = Seq((1L, "p q r"), (2L, "x p q r y z")).toDF("doc_id", "text")
     val w2 = Seq((3L, "x y z"), (4L, "f g h")).toDF("doc_id", "text")
     def run(nGram: Int, dirs: (String, String)) = {
@@ -1590,7 +1591,7 @@ class StreamingSpec extends SparkSuite {
     val want = Map(
       1L -> ((3L, 0L, "p q r")),
       2L -> ((6L, 3L, "x y z")), // wave-1 pass 1; pass 2 confirms quiescence
-      3L -> ((3L, 3L, "")),      // canonical (x,y,z) is doc 2's ROUND-2 text
+      3L -> ((3L, 3L, "")),      // canonical (x,y,z) is doc 2's pass-1 text
       4L -> ((3L, 0L, "f g h")))
     assert(got.map(r => r._1 -> ((r._2, r._3, r._4))).toMap == want)
     assert(rounds.toMap == Map(0L -> 1, 1L -> 1), s"wave rounds: $rounds")
