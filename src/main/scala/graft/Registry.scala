@@ -778,6 +778,54 @@ object Registry {
       ORDER BY score DESC, node LIMIT 20"""
     }),
 
+    // Convergence-stop PageRank: the oracle replays DeclaredPrMaxIters
+    // rounds as MATERIALIZED CTEs (each round frame is consumed three
+    // times: next round, its delta, the tagged union), computes every
+    // round's max |Δscore| against its predecessor, and selects the
+    // stop round with the engine's own rule — first round whose delta
+    // is ≤ ε, cap if none. Integer micro-unit arithmetic makes each
+    // round bit-exact on both engines, so the dynamically-selected
+    // stop round (and the rounds column) match exactly.
+    QueryDef("g1_pagerank_conv", Graph.g1PageRankConverged, Some {
+      val tp = (1000L - Graph.DefaultDampingPermille) * Graph.ScoreUnit
+      val dp = Graph.DefaultDampingPermille
+      val cap = Graph.DeclaredPrMaxIters
+      val eps = Graph.DeclaredPrEpsMicro
+      val rounds = (1 to cap).map { i =>
+        s"""s$i AS MATERIALIZED (SELECT n.node,
+             (($tp + $dp * COALESCE(m.mass, 0)) // 1000) AS score
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, SUM(s.score // d.d) AS mass
+             FROM edges e JOIN s${i - 1} s ON e.src = s.node
+               JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) m ON n.node = m.node)"""
+      }.mkString(",\n      ")
+      val deltas = (1 to cap).map { i =>
+        s"""SELECT $i AS r, (SELECT MAX(ABS(a.score - b.score))
+             FROM s$i a JOIN s${i - 1} b ON a.node = b.node) AS delta"""
+      }.mkString("\n        UNION ALL ")
+      val tagged = (1 to cap)
+        .map(i => s"SELECT $i AS r, node, score FROM s$i")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH flows AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS MATERIALIZED (
+        SELECT s AS src, c AS dst FROM flows
+        UNION ALL SELECT c AS src, s AS dst FROM flows),
+      deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+      nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+      s0 AS MATERIALIZED (SELECT node, ${Graph.ScoreUnit} AS score FROM nodes),
+      $rounds,
+      deltas AS ($deltas),
+      stop AS (SELECT COALESCE(MIN(r), $cap) AS r FROM deltas WHERE delta <= $eps)
+      SELECT node, CAST(score AS BIGINT) AS score,
+        CAST((SELECT r FROM stop) AS INT) AS rounds
+      FROM ($tagged) WHERE r = (SELECT r FROM stop)
+      ORDER BY score DESC, node LIMIT 20"""
+    }),
+
     // Label propagation: the oracle replays every synchronous round as a
     // CTE — per-round winner = most-voted neighbor label with smallest-
     // label tie-break (ROW_NUMBER over (cnt DESC, label) == the engine's
@@ -1185,6 +1233,69 @@ object Registry {
           CAST(len(t) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
           COALESCE(text_clean, '') AS text_clean
         FROM s LEFT JOIN clean USING (doc_id) ORDER BY s.doc_id""")),
+
+      // ExactSubstr FIXPOINT (Lee et al. 2022 full semantics): the
+      // oracle replays ALL SubstrDedupMaxRounds re-tokenizing passes as
+      // a CTE chain — no recursion needed, a quiet pass is a fixpoint
+      // (rewriting unchanged text stays unchanged), so unconditionally
+      // replaying the cap's worth of passes lands on exactly the text
+      // the engine's early stop returns, at ANY scale. Per-doc removals
+      // are accumulated pass by pass (a final re-tokenize diff would
+      // undercount fully-removed docs: '' re-splits to one empty
+      // token); the rounds column counts passes that removed anything
+      // anywhere — the engine's effectiveRounds.
+      QueryDef("l1_substr_dedup_fix", Dedup.l1SubstrDedupFix, Some {
+        val n = Dedup.DupSpanN
+        val cap = Dedup.SubstrDedupMaxRounds
+        val passes = (1 to cap).map { r =>
+          s"""s$r AS MATERIALIZED (
+             SELECT doc_id, string_split(text, ' ') AS t FROM txt${r - 1}),
+          sp$r AS (SELECT doc_id, i AS p,
+                   array_to_string(t[i : i + ${n - 1}], ' ') AS span
+                 FROM s$r, UNNEST(generate_series(1, len(t) - ${n - 1})) AS u(i)),
+          c$r AS (SELECT span FROM sp$r GROUP BY span HAVING COUNT(*) > 1),
+          occ$r AS (SELECT sp$r.doc_id, sp$r.p,
+                    ROW_NUMBER() OVER (PARTITION BY span
+                      ORDER BY sp$r.doc_id, sp$r.p) AS rn
+                  FROM sp$r JOIN c$r USING (span)),
+          pos$r AS (SELECT DISTINCT doc_id, p + u.k AS q
+                  FROM occ$r, UNNEST(generate_series(0, ${n - 1})) AS u(k)
+                  WHERE rn > 1),
+          tok$r AS (SELECT doc_id, i, t[i] AS tok
+                  FROM s$r, UNNEST(generate_series(1, len(t))) AS u(i)),
+          kept$r AS (SELECT tok$r.doc_id, tok$r.i, tok$r.tok
+                   FROM tok$r LEFT JOIN pos$r
+                     ON tok$r.doc_id = pos$r.doc_id AND tok$r.i = pos$r.q
+                   WHERE pos$r.q IS NULL),
+          clean$r AS (SELECT doc_id, COUNT(*) AS n_kept,
+                      string_agg(tok, ' ' ORDER BY i) AS text_clean
+                    FROM kept$r GROUP BY doc_id),
+          txt$r AS MATERIALIZED (
+             SELECT s$r.doc_id, COALESCE(text_clean, '') AS text,
+               len(t) - COALESCE(n_kept, 0) AS removed
+             FROM s$r LEFT JOIN clean$r USING (doc_id))"""
+        }.mkString(",\n          ")
+        val eff = (1 to cap).map { r =>
+          s"CASE WHEN (SELECT SUM(removed) FROM txt$r) > 0 THEN 1 ELSE 0 END"
+        }.mkString(" + ")
+        val joins = (1 to cap)
+          .map(r => s"JOIN txt$r p$r ON o.doc_id = p$r.doc_id")
+          .mkString("\n          ")
+        val removedSum = (1 to cap).map(r => s"p$r.removed").mkString(" + ")
+        s"""
+        WITH txt0 AS MATERIALIZED (SELECT doc_id, text FROM documents),
+        orig AS (SELECT doc_id, len(string_split(text, ' ')) AS n0
+                 FROM documents),
+        $passes,
+        eff AS (SELECT $eff AS rounds)
+        SELECT o.doc_id, CAST(o.n0 AS BIGINT) AS n_tokens,
+          CAST($removedSum AS BIGINT) AS n_removed,
+          CAST((SELECT rounds FROM eff) AS INT) AS rounds,
+          p$cap.text AS text_clean
+        FROM orig o
+          $joins
+        ORDER BY o.doc_id"""
+      }),
 
       QueryDef("l2_minhash", Dedup.l2Minhash, Some(s"""
         SELECT doc_id, $sigCols FROM documents ORDER BY doc_id""")),

@@ -481,12 +481,14 @@ object Dedup {
     * (or [[SubstrDedupMaxRounds]] is hit), at which point the output is
     * IDEMPOTENT under [[substrDedup]] — also spec-pinned.
     *
-    * The single-pass form stays the declared query (`l1_substr_dedup`,
-    * oracle-replayed in SQL); a fixpoint oracle would need a recursive
-    * re-tokenizing CTE DuckDB can't express, so this variant is
-    * scalatest-verified (hand case + idempotence + fixture equality
-    * when the fixture converges in one pass), the streaming-op
-    * contract.
+    * Declared as `l1_substr_dedup_fix` (see [[l1SubstrDedupFix]]): the
+    * oracle replays every pass up to [[SubstrDedupMaxRounds]] as a
+    * re-tokenizing CTE chain — no recursion needed, because the cap is
+    * a compile-time constant and a quiet pass is a fixpoint, so
+    * replaying exactly the cap's worth of passes reproduces the
+    * engine's early-stopped text. The single-pass `l1_substr_dedup`
+    * stays declared alongside. Scalatest adds the hand case,
+    * idempotence, and the streaming-twin contract.
     *
     * Scale shape: each round IS [[substrDedup]] (same two hash
     * aggregates + rewrite scan over 128-bit keys); the inter-round
@@ -551,6 +553,20 @@ object Dedup {
       col("removed_total").as("n_removed"), lit(effectiveRounds).as("rounds"),
       col("text").as("text_clean"))
   }
+
+  /** L1d declared query: the ExactSubstr FIXPOINT over the documents
+    * corpus — [[substrDedupConverged]] under the driver's hash gate.
+    * The oracle replays every pass up to [[SubstrDedupMaxRounds]] as a
+    * CTE chain (a quiet pass is a fixpoint — rewriting unchanged text
+    * stays unchanged — so unconditionally replaying the cap's worth of
+    * passes lands on the same final text the engine's early stop
+    * returns), accumulates per-pass removals per doc (NOT a final
+    * re-tokenize diff: a fully-removed doc's empty text re-tokenizes to
+    * one empty token, which would undercount by 1), and counts
+    * effective passes as the passes that removed anything anywhere.
+    */
+  def l1SubstrDedupFix(spark: SparkSession, dir: String): DataFrame =
+    substrDedupConverged(Tables(spark, dir).documents).orderBy(col("doc_id"))
 
   /** SimHash signature: bit i of the signature is the sign of
     * Σ_tokens (±1), where each token votes +1 on bit i iff hex digit i of

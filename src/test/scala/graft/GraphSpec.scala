@@ -148,6 +148,42 @@ class GraphSpec extends SparkSuite {
       Graph.pageRank(fixEdges, iters = 3))
   }
 
+  test("G1c declared query exercises the convergence exit, not the cap") {
+    // the declared eps/cap pair must leave margin at fixture scale —
+    // if this starts failing, re-derive DeclaredPrEpsMicro from the
+    // measured delta trajectory (Scaladoc at the constant)
+    val rows = Graph.g1PageRankConverged(spark, sf).collect()
+    assert(rows.length == 20)
+    val rounds = rows.head.getAs[Int]("rounds")
+    assert(rows.forall(_.getAs[Int]("rounds") == rounds))
+    assert(rounds > 1 && rounds <= Graph.DeclaredPrMaxIters - 4,
+      s"declared convergence landed at $rounds of cap ${Graph.DeclaredPrMaxIters}")
+  }
+
+  test("LPA symmetric-input guard: source-only nodes fail loudly; retainCache=false is value-identical") {
+    // directed misuse: node 9 has out-edges only — before the guard it
+    // silently vanished from the label frame (ADVICE r13); now both LPA
+    // forms must refuse it
+    val directed = Seq((9L, 1L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val e1 = intercept[IllegalArgumentException] {
+      Graph.labelPropagation(directed)
+    }
+    assert(e1.getMessage.contains("source-only"))
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.labelPropagationConverged(directed)
+    }
+    assert(e2.getMessage.contains("source-only"))
+    // the unpersist hook must not change any value, only cache lifetime
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    assertSameRows(
+      Graph.labelPropagationConverged(edges, retainCache = false),
+      Graph.labelPropagationConverged(edges))
+    assertSameRows(
+      Graph.pageRankConverged(edges, retainCache = false),
+      Graph.pageRankConverged(edges))
+  }
+
   test("G1b dangling pagerank: hand-computed star; == integer reference over 3 rounds") {
     // directed star 0 → {1,2,3}: leaves are pure sinks (dangling), N = 4.
     // round 1: dm = 3·1e6, share = dm DIV 4 = 750_000
