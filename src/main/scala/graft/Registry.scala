@@ -2647,6 +2647,28 @@ object Registry {
           CAST(SUM(b) // (w * h) AS BIGINT) AS mean_b
         FROM p GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+      // L5d: real PNG pixel decode — same synthesize/replay trick as
+      // l5_image_stats, but through a COMPRESSED container: the engine
+      // deflates formula pixels into genuine PNG bytes (per-row filter
+      // type cycling through None/Sub/Up/Average/Paeth) and decodes
+      // them back via Inflater + filter reversal; the oracle replays
+      // only the pixel formula, so any inflate or filter-arithmetic
+      // defect surfaces as a hash mismatch. All-integer channel means.
+      QueryDef("l5_png_stats", Multimodal.l5PngStats, Some("""
+        WITH d AS (SELECT doc_id, 5 + doc_id % 7 AS w, 3 + doc_id % 5 AS h
+                   FROM documents),
+        p AS (SELECT d.doc_id, d.w, d.h,
+                (d.doc_id * 5 + u.i * 11 + 7) % 256 AS r,
+                (d.doc_id * 17 + u.i * 3 + 83) % 256 AS g,
+                (d.doc_id * 23 + u.i * 29 + 131) % 256 AS b
+              FROM d, UNNEST(generate_series(0, d.w * d.h - 1)) AS u(i))
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(r) // (w * h) AS BIGINT) AS mean_r,
+          CAST(SUM(g) // (w * h) AS BIGINT) AS mean_g,
+          CAST(SUM(b) // (w * h) AS BIGINT) AS mean_b
+        FROM p GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
       // Within-doc repetition metrics: per-(doc, token) counts replayed
       // as the same two-stage aggregation; bigram comprehension is the
       // fingerprint oracle's at n=2. All permille metrics integer DIV.

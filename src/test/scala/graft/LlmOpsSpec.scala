@@ -964,6 +964,63 @@ class LlmOpsSpec extends SparkSuite {
     assert(q.getInt(1) == 8 + 3 % 8 && q.getInt(2) == 4 + 3 % 4)
   }
 
+  test("L5d PNG pixel decode: round-trip per filter type, gates (CRC, interlace, depth), stats") {
+    import java.util.zip.CRC32
+    // round-trip under each FIXED filter type, including w = 1 (no left
+    // neighbor — Sub/Average/Paeth degenerate) and h = 1 (no up row)
+    val px6 = Array(0xFF0000, 0x00FF00, 0x0000FF, 0x102030, 0x405060, 0x708090)
+    for (f <- 0 to 4) {
+      assert(Multimodal.decodePng(Multimodal.buildPng(px6, 3, 2, _ => f))
+        .map { case (w, h, p) => (w, h, p.toSeq) }.contains((3, 2, px6.toSeq)),
+        s"png roundtrip failed at fixed filter $f")
+      assert(Multimodal.decodePng(Multimodal.buildPng(px6.take(2), 1, 2, _ => f))
+        .map { case (w, h, p) => (w, h, p.toSeq) }.contains((1, 2, px6.take(2).toSeq)),
+        s"png w=1 roundtrip failed at filter $f")
+      assert(Multimodal.decodePng(Multimodal.buildPng(px6.take(3), 3, 1, _ => f))
+        .map { case (w, h, p) => (w, h, p.toSeq) }.contains((3, 1, px6.take(3).toSeq)),
+        s"png h=1 roundtrip failed at filter $f")
+    }
+    val png = Multimodal.buildPng(px6, 3, 2)
+    // re-CRC helper: patch one IHDR data byte and RESTORE chunk validity,
+    // so the decoder's semantic gate (not the CRC gate) is what fires
+    def patchIhdr(base: Array[Byte], dataOff: Int, v: Byte): Array[Byte] = {
+      val out = base.clone()
+      out(16 + dataOff) = v // IHDR data starts at 8 (sig) + 4 (len) + 4 (type)
+      val crc = new CRC32
+      crc.update(out, 12, 4 + 13) // chunk type + data
+      val c = crc.getValue.toInt
+      out(16 + 13) = (c >>> 24).toByte; out(16 + 14) = (c >>> 16).toByte
+      out(16 + 15) = (c >>> 8).toByte; out(16 + 16) = c.toByte
+      out
+    }
+    assert(Multimodal.decodePng(patchIhdr(png, 12, 1)).isEmpty) // Adam7 interlace
+    assert(Multimodal.decodePng(patchIhdr(png, 8, 16)).isEmpty) // 16-bit depth
+    assert(Multimodal.decodePng(patchIhdr(png, 9, 6)).isEmpty)  // RGBA color type
+    // corrupt CRC (flip an IDAT data byte without re-CRCing) → None, not garbage
+    val badCrc = png.clone(); badCrc(16 + 13 + 12 + 3) = (badCrc(16 + 13 + 12 + 3) ^ 0x40).toByte
+    assert(Multimodal.decodePng(badCrc).isEmpty)
+    // truncation at every structural boundary → None, never a throw
+    assert(Multimodal.decodePng(png.take(20)).isEmpty)
+    assert(Multimodal.decodePng(png.dropRight(13)).isEmpty) // IEND gone
+    assert(Multimodal.decodePng("garbage".getBytes("US-ASCII")).isEmpty)
+    val wrongSig = png.clone(); wrongSig(0) = 'B'.toByte
+    assert(Multimodal.decodePng(wrongSig).isEmpty)
+    // distributed stats path through the codec parameter + null survival
+    val df = Seq((1L, png), (2L, "nope".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.imagePixelStats(df, Multimodal.decodePng).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val (er, eg, eb) = (px6.map(p => (p >> 16) & 0xff).sum / 6L,
+      px6.map(p => (p >> 8) & 0xff).sum / 6L, px6.map(_ & 0xff).sum / 6L)
+    assert(out(1L).getInt(1) == 3 && out(1L).getInt(2) == 2 &&
+      out(1L).getLong(3) == 6L && out(1L).getLong(4) == er &&
+      out(1L).getLong(5) == eg && out(1L).getLong(6) == eb)
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(6))
+    // declared-query spot row: dims follow the synthesis formula
+    val q = Multimodal.l5PngStats(spark, sf).filter(col("doc_id") === 4L).first()
+    assert(q.getInt(1) == 5 + 4 % 7 && q.getInt(2) == 3 + 4 % 5)
+  }
+
   test("L5 multimodal decode stub: schema, alignment, determinism") {
     val assets = Multimodal.assets(tables)
     val feats = Multimodal.decodeFeatures(assets)

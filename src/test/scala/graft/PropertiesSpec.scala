@@ -633,6 +633,13 @@ class PropertiesSpec extends SparkSuite {
       val got = Multimodal.decodeBmp24(Multimodal.buildBmp24(pixels, w, h))
       assert(got.map { case (gw, gh, p) => (gw, gh, p.toSeq) }
         .contains((w, h, pixels.toSeq)), s"bmp roundtrip failed: ${w}x$h")
+      // PNG through the SAME random pixels: deflate + per-row filters
+      // (offset i cycles which filter each row gets, so the sweep hits
+      // every (filter, row-position) combination incl. first-row Paeth)
+      val gotPng = Multimodal.decodePng(
+        Multimodal.buildPng(pixels, w, h, row => (row + i) % 5))
+      assert(gotPng.map { case (gw, gh, p) => (gw, gh, p.toSeq) }
+        .contains((w, h, pixels.toSeq)), s"png roundtrip failed: ${w}x$h off=$i")
     }
   }
 
