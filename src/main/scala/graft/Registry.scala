@@ -2735,6 +2735,57 @@ object Registry {
             '$ipP', '$ipR', 'g') AS scrubbed
         FROM p ORDER BY doc_id"""
       }),
+
+      // PII v2 (staged counts + Luhn cards + E.164 phones): the oracle
+      // replays the check-digit derivation with the same integer fold
+      // (odd 1-based positions double with cast-out-nines), the staged
+      // regex chain in the same order, and redacts exactly the card it
+      // DERIVED as valid — if the engine's Luhn fold wrongly accepts
+      // the +1-check-digit sibling (or rejects the valid one), the
+      // scrubbed text hash-mismatches. n_cc is the constructed 1:
+      // the fixture corpus carries no 16-digit runs (verified across
+      // sf0.001/0.01/0.1) and a wrong engine count breaks the compare.
+      QueryDef("l10_pii_v2", TextOps.l10PiiV2, Some {
+        val Seq((urlP, urlR), (emP, emR), (ipP, ipR)) = TextOps.PiiPatterns
+        val phoneP = TextOps.PhonePattern
+        s"""
+        WITH b AS (SELECT doc_id, text,
+            '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0') AS b15
+          FROM documents),
+        lu AS (SELECT doc_id, SUM(CASE WHEN i % 2 = 1
+                  THEN CASE WHEN 2*d > 9 THEN 2*d - 9 ELSE 2*d END
+                  ELSE d END) AS s
+               FROM (SELECT doc_id, u.i AS i,
+                       ascii(substr(b15, CAST(u.i AS INT), 1)) - 48 AS d
+                     FROM b, UNNEST(generate_series(1, 15)) AS u(i))
+               GROUP BY doc_id),
+        cards AS (SELECT lu.doc_id,
+            (10 - s % 10) % 10 AS chk FROM lu),
+        p AS (SELECT b.doc_id,
+            b.text || ' reach user' || CAST(b.doc_id AS VARCHAR) ||
+              '@mail.example or +1' ||
+              lpad(CAST(b.doc_id % 1000000000 AS VARCHAR), 9, '0') ||
+              ' card ' || b.b15 || CAST(c.chk AS VARCHAR) ||
+              ' not ' || b.b15 || CAST((c.chk + 1) % 10 AS VARCHAR) AS text,
+            b.b15 || CAST(c.chk AS VARCHAR) AS valid_cc
+          FROM b JOIN cards c USING (doc_id)),
+        q1 AS (SELECT doc_id, valid_cc,
+            CAST(len(regexp_extract_all(text, '$urlP')) AS BIGINT) AS n_url,
+            regexp_replace(text, '$urlP', '$urlR', 'g') AS t FROM p),
+        q2 AS (SELECT doc_id, valid_cc, n_url,
+            CAST(len(regexp_extract_all(t, '$emP')) AS BIGINT) AS n_email,
+            regexp_replace(t, '$emP', '$emR', 'g') AS t FROM q1),
+        q3 AS (SELECT doc_id, valid_cc, n_url, n_email,
+            CAST(len(regexp_extract_all(t, '$ipP')) AS BIGINT) AS n_ip,
+            regexp_replace(t, '$ipP', '$ipR', 'g') AS t FROM q2),
+        q4 AS (SELECT doc_id, valid_cc, n_url, n_email, n_ip,
+            CAST(len(regexp_extract_all(t, '$phoneP')) AS BIGINT) AS n_phone,
+            regexp_replace(t, '$phoneP', '<PHONE>', 'g') AS t FROM q3)
+        SELECT doc_id, n_url, n_email, n_ip, n_phone,
+          CAST(1 AS BIGINT) AS n_cc,
+          replace(t, valid_cc, '<CC>') AS scrubbed
+        FROM q4 ORDER BY doc_id"""
+      }),
     )
   }
 

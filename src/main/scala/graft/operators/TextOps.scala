@@ -1218,6 +1218,103 @@ object TextOps {
     PiiPatterns.map { case (pat, _) => regexp_count(text, lit(pat)) }
       .reduce(_ + _)
 
+  /** v2 candidate patterns: a 16-digit payment-card-shaped run (the
+    * dominant real-world card length; redaction additionally requires
+    * [[luhnOk16]] — a 16-digit number that fails the check digit is NOT
+    * a card and must survive) and an E.164 phone (+, then 8–15 digits
+    * total, no leading zero — ITU-T E.164's own shape). ASCII classes
+    * and `\b` for the same Java-regex/RE2 agreement as [[PiiPatterns]].
+    */
+  val CcCandidatePattern = "\\b[0-9]{16}\\b"
+  val PhonePattern = "\\+[1-9][0-9]{7,14}"
+
+  /** Luhn checksum validity of a 16-digit candidate, as a pure
+    * codegen'd digit fold (`aggregate` over position 1–16; odd 1-based
+    * positions double-with-casting-out-nines, the check digit at 16
+    * stays plain) — no UDF, so card validation rides whole-stage
+    * codegen with the rest of the scrub chain and the DuckDB oracle
+    * replays the identical integer arithmetic.
+    */
+  def luhnOk16(card: Column): Column = {
+    val total = aggregate(sequence(lit(1), lit(16)), lit(0), (acc, i) => {
+      val d = ascii(card.substr(i, lit(1))) - lit(48)
+      val dd = d * lit(2)
+      acc + when(pmod(i, lit(2)) === 1,
+        when(dd > 9, dd - 9).otherwise(dd)).otherwise(d)
+    })
+    pmod(total, lit(10)) === 0
+  }
+
+  /** L10b: staged PII scrub with per-type counts — the v2 hardening of
+    * [[scrub]]. Stages run in a fixed documented order, each counting
+    * on the PREVIOUS stage's output (so a count is exactly "spans this
+    * stage redacted"): URL → email → IPv4 → E.164 phone → Luhn-valid
+    * 16-digit card. Phones run BEFORE cards so `+` followed by 16
+    * digits reads as E.164 (15-digit max) rather than a card with a
+    * stray sign — the inherent ambiguity is resolved by order, and
+    * pinned by the spec. Cards are the one non-regex stage: candidates
+    * from `regexp_extract_all`, validated by the [[luhnOk16]] fold,
+    * then each VALID candidate replaced via an `aggregate` fold of
+    * `replace` — all codegen'd expressions, no UDF, one projection
+    * over the scan (shuffle-free, scales with the corpus).
+    *
+    * Output: (doc_id, n_url, n_email, n_ip, n_phone, n_cc, scrubbed).
+    */
+  def piiScrubV2(docs: DataFrame): DataFrame = {
+    val Seq((urlP, urlR), (emP, emR), (ipP, ipR)) = PiiPatterns
+    docs
+      .withColumn("n_url", regexp_count(col("text"), lit(urlP)).cast("long"))
+      .withColumn("t1", regexp_replace(col("text"), urlP, urlR))
+      .withColumn("n_email", regexp_count(col("t1"), lit(emP)).cast("long"))
+      .withColumn("t2", regexp_replace(col("t1"), emP, emR))
+      .withColumn("n_ip", regexp_count(col("t2"), lit(ipP)).cast("long"))
+      .withColumn("t3", regexp_replace(col("t2"), ipP, ipR))
+      .withColumn("n_phone",
+        regexp_count(col("t3"), lit(PhonePattern)).cast("long"))
+      .withColumn("t4", regexp_replace(col("t3"), PhonePattern, "<PHONE>"))
+      .withColumn("cards",
+        filter(regexp_extract_all(col("t4"), lit(CcCandidatePattern), lit(0)),
+          luhnOk16 _))
+      .select(col("doc_id"), col("n_url"), col("n_email"), col("n_ip"),
+        col("n_phone"), size(col("cards")).cast("long").as("n_cc"),
+        aggregate(col("cards"), col("t4"),
+          (acc, c) => replace(acc, c, lit("<CC>"))).as("scrubbed"))
+  }
+
+  /** L10b declared query: [[piiScrubV2]] over a corpus with synthesized
+    * card/phone/email PII. Per doc the appended line carries an email,
+    * an E.164 phone, a LUHN-VALID 16-digit card (check digit computed
+    * in-plan by the same fold the validator runs — the oracle replays
+    * the derivation), and the SAME card with the check digit
+    * incremented — which must survive unredacted: redacting it would
+    * be a false positive the hash compare catches.
+    */
+  def l10PiiV2(spark: SparkSession, dir: String): DataFrame = {
+    // base15 = '4' + zero-padded doc-derived 14 digits; check digit
+    // from the Luhn sum over positions 1–15 (all doubled positions are
+    // odd, the eventual check digit at 16 is even/plain)
+    val base15 = concat(lit("4"),
+      lpad(pmod(col("doc_id"), lit(100000000L)).cast("string"), 14, "0"))
+    val lsum = aggregate(sequence(lit(1), lit(15)), lit(0), (acc, i) => {
+      val d = ascii(col("b15").substr(i, lit(1))) - lit(48)
+      val dd = d * lit(2)
+      acc + when(pmod(i, lit(2)) === 1,
+        when(dd > 9, dd - 9).otherwise(dd)).otherwise(d)
+    })
+    val withPii = Tables(spark, dir).documents
+      .withColumn("b15", base15)
+      .withColumn("chk", pmod(lit(10) - pmod(lsum, lit(10)), lit(10)))
+      .withColumn("valid_cc", concat(col("b15"), col("chk").cast("string")))
+      .withColumn("bad_cc",
+        concat(col("b15"), pmod(col("chk") + 1, lit(10)).cast("string")))
+      .select(col("doc_id"), concat(
+        col("text"),
+        lit(" reach user"), col("doc_id"), lit("@mail.example or +1"),
+        lpad(pmod(col("doc_id"), lit(1000000000L)).cast("string"), 9, "0"),
+        lit(" card "), col("valid_cc"), lit(" not "), col("bad_cc")).as("text"))
+    piiScrubV2(withPii).orderBy(col("doc_id"))
+  }
+
   /** L10 declared query: scrub a corpus that genuinely contains PII. The
     * fixture word soup has none, so the query first appends a
     * deterministic doc-derived contact line (same derivation replayed in

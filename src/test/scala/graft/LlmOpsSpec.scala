@@ -1169,6 +1169,48 @@ class LlmOpsSpec extends SparkSuite {
     assert(twice.count() == 0)
   }
 
+  test("L10b PII v2: Luhn gate (true/false positives), E.164 phones, stage order, counts") {
+    val df = Seq(
+      // 4532015112830366 is Luhn-VALID; ...67 (last digit +1) is NOT and
+      // a redaction of it would be a false positive
+      (1L, "pay 4532015112830366 or 4532015112830367 end"),
+      (2L, "call +14155552671 or +442071838750 now"),
+      // a 17-digit run has no \b-delimited 16-digit candidate inside
+      (3L, "id 45320151128303667 stays"),
+      // + followed by 16 digits reads as E.164 (max 15 digits), the
+      // documented order resolution: phone eats 15, one digit survives
+      (4L, "odd +4111111111111111 case"),
+      // short +7-digit run is below the E.164 minimum, must survive
+      (5L, "tiny +1234567 stays"),
+      (6L, "mixed a@b.example http://x.example/y 10.0.0.7 +12025550123 4111111111111111"))
+      .toDF("doc_id", "text")
+    val out = TextOps.piiScrubV2(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("scrubbed") == "pay <CC> or 4532015112830367 end")
+    assert(out(1L).getAs[Long]("n_cc") == 1L)
+    assert(out(2L).getAs[String]("scrubbed") == "call <PHONE> or <PHONE> now")
+    assert(out(2L).getAs[Long]("n_phone") == 2L)
+    assert(out(3L).getAs[String]("scrubbed") == "id 45320151128303667 stays")
+    assert(out(3L).getAs[Long]("n_cc") == 0L)
+    assert(out(4L).getAs[String]("scrubbed") == "odd <PHONE>1 case")
+    assert(out(4L).getAs[Long]("n_phone") == 1L && out(4L).getAs[Long]("n_cc") == 0L)
+    assert(out(5L).getAs[String]("scrubbed") == "tiny +1234567 stays")
+    assert(out(5L).getAs[Long]("n_phone") == 0L)
+    assert(out(6L).getAs[String]("scrubbed") ==
+      "mixed <EMAIL> <URL> <IP> <PHONE> <CC>")
+    assert(out(6L).getAs[Long]("n_url") == 1L && out(6L).getAs[Long]("n_email") == 1L &&
+      out(6L).getAs[Long]("n_ip") == 1L && out(6L).getAs[Long]("n_phone") == 1L &&
+      out(6L).getAs[Long]("n_cc") == 1L)
+    // the declared query's synthesized card is Luhn-valid and redacted,
+    // its +1-check-digit sibling survives: spot-check doc 7 whose card
+    // derivation the oracle replays (4000000000000077)
+    val q = TextOps.l10PiiV2(spark, sf).filter(col("doc_id") === 7L).first()
+    val s = q.getAs[String]("scrubbed")
+    assert(s.contains("card <CC> not 4000000000000078"))
+    assert(q.getAs[Long]("n_cc") == 1L && q.getAs[Long]("n_phone") == 1L &&
+      q.getAs[Long]("n_email") == 1L)
+  }
+
   test("L4 Gopher rules: each rule fails on its constructed violator, fixture keep is non-degenerate") {
     val pass = "the a " + (1 to 60).map(i => f"word$i%02d").mkString(" ")
     val df = Seq(
