@@ -2713,6 +2713,29 @@ object Registry {
         FROM k ORDER BY doc_id, chunk_id"""
       }),
 
+      // HTML boilerplate strip: the engine builds deterministic HTML
+      // around the fixture token halves and strips it with the real
+      // walker (script skip incl. a stray '<', comment, entity decode,
+      // CDATA, block paragraphs, min-token filter dropping the 'T' and
+      // 'x' one-token paragraphs); the oracle replays the expected
+      // TRANSFORMATION — the clean text reconstructed from the same
+      // halves and the synthesis constants (7 non-empty paragraphs, 5
+      // kept). Any walker defect shifts the clean text or the counts
+      // and hash-mismatches. Fixture precondition (verified tri-scale):
+      // docs have ≥ 10 tokens (halves always pass the 2-token filter)
+      // and no '&<>"' characters.
+      QueryDef("l4_html_strip", TextOps.l4HtmlStrip, Some("""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        h AS (SELECT doc_id,
+                array_to_string(t[1 : (len(t)+1)//2], ' ') AS fh,
+                array_to_string(t[(len(t)+1)//2 + 1 : len(t)], ' ') AS sh
+              FROM s)
+        SELECT doc_id, CAST(7 AS INT) AS n_paras, CAST(5 AS INT) AS n_kept,
+          'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || fh || chr(10) ||
+          sh || ' & <b> AB ok' || chr(10) || 'tail words' || chr(10) ||
+          'raw ' || CAST(doc_id AS VARCHAR) AS text_clean
+        FROM h ORDER BY doc_id""")),
+
       // PII scrub: patterns interpolated from the SAME PiiPatterns list
       // the operator applies (ASCII classes — Java regex and RE2 agree);
       // the appended doc-derived contact line makes the redaction real

@@ -1218,6 +1218,59 @@ object TextOps {
     PiiPatterns.map { case (pat, _) => regexp_count(text, lit(pat)) }
       .reduce(_ + _)
 
+  /** L4h: HTML boilerplate strip — the REAL stage 0 of a crawl
+    * pipeline, run before any tokenizer sees the text. The whole
+    * kernel is [[graft.functions.HtmlStrip]] (library-free one-pass
+    * walker: script/style removal with content, comment removal, CDATA
+    * kept verbatim, quote-aware tag drop, named + numeric entity
+    * decode, block-tag paragraph boundaries, token-count +
+    * text-density paragraph filter); this operator is the frame
+    * surface: one codegen'd projection over the scan, shuffle-free,
+    * scales with the corpus like every other per-doc L4 stage.
+    *
+    * Input (doc_id, html); output (doc_id, n_paras, n_kept,
+    * text_clean) — text_clean is kept paragraphs whitespace-normalized
+    * and '\n'-joined, ready for [[spaceTokenizer]]-family consumers
+    * (modulo the '\n' separators, which `split(' ')` callers should
+    * treat via a whitespace split or a per-paragraph explode).
+    */
+  def htmlStrip(docs: DataFrame, minTokens: Int = 2,
+                minDensityPermille: Int = 0): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.HtmlStrip.colOf(col("html"), minTokens,
+        minDensityPermille).as("s"))
+      .select(col("doc_id"), col("s.n_paras").as("n_paras"),
+        col("s.n_kept").as("n_kept"), col("s.text_clean").as("text_clean"))
+
+  /** L4h declared query: strip deterministic synthesized HTML built
+    * around the fixture text (tags, attributes, a script element with a
+    * stray `<`, a comment, named + numeric entities, CDATA, one-token
+    * boilerplate paragraphs the min-token filter must drop). The oracle
+    * replays the expected TRANSFORMATION — what the clean text must be,
+    * built from the same token halves — so any walker defect (entity
+    * arithmetic, paragraph boundaries, script skipping, filter
+    * decisions) surfaces as a hash mismatch.
+    */
+  def l4HtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("half", expr("(size(t) + 1) DIV 2"))
+      .withColumn("fh", array_join(expr("slice(t, 1, half)"), " "))
+      .withColumn("sh", array_join(expr("slice(t, half + 1, size(t) - half)"), " "))
+      .select(col("doc_id"), concat(
+        lit("<html><head><title>T</title><script>var x = 1 < 2;</script>" +
+          "<style>p { color: red }</style></head><body><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><p class=\"main\">"), col("fh"),
+        lit("</p><!-- hidden "), col("doc_id"),
+        lit(" --><div>"), col("sh"),
+        lit(" &amp; &lt;b&gt; &#65;&#x42; ok</div>" +
+          "<ul><li>x</li><li>tail words</li></ul><![CDATA[raw "),
+        col("doc_id"),
+        lit("]]></body></html>")).as("html"))
+    htmlStrip(docs, minTokens = 2).orderBy(col("doc_id"))
+  }
+
   /** v2 candidate patterns: a 16-digit payment-card-shaped run (the
     * dominant real-world card length; redaction additionally requires
     * [[luhnOk16]] — a 16-digit number that fails the check digit is NOT

@@ -1169,6 +1169,48 @@ class LlmOpsSpec extends SparkSuite {
     assert(twice.count() == 0)
   }
 
+  test("L4h HTML strip: entities, script/CDATA, nasty structure, density filter, declared row") {
+    import graft.functions.HtmlStrip
+    def s1(html: String, minTok: Int = 1, minDen: Int = 0): String =
+      HtmlStrip.strip(html, minTok, minDen)._1
+    // entities: named, decimal, hex, nbsp-to-space; literal & survives
+    assert(s1("a &amp; b &#65;&#x42; c&nbsp;d & e") == "a & b AB c d & e")
+    assert(s1("bad &unknown; &#xZZ; &#x110000; &#0; tail") ==
+      "bad &unknown; &#xZZ; &#x110000; &#0; tail") // all invalid: verbatim
+    // script/style removed WITH content, case-insensitive close, stray <
+    assert(s1("pre<script>if (1 < 2) { x('</div>'.length) }</SCRIPT>post") == "pre post")
+    assert(s1("a<style>p > div { color: red }</style>b") == "a b")
+    assert(s1("a<script>never closed") == "a") // unclosed: dropped to end
+    // comments emit NOTHING (not even a separator); unclosed drops the rest
+    assert(s1("x<!-- <p>hidden</p> -->y") == "xy")
+    assert(s1("x<!-- never closed y") == "x")
+    // CDATA content verbatim (entities NOT decoded inside), unclosed kept
+    assert(s1("a<![CDATA[ 1 < 2 &amp; ]]>b") == "a 1 < 2 &amp; b")
+    assert(s1("a <![CDATA[rest verbatim") == "a rest verbatim")
+    // nasty structure: nested + unclosed tags, quoted '>' in attributes,
+    // literal '<' in text, DOCTYPE
+    assert(s1("<!DOCTYPE html><div><p>a b<div>c") == "a b\nc")
+    assert(s1("""x<a title="1 > 0" href='q>r'>link</a>y""") == "x link y")
+    assert(s1("odd 1 < 2 stays") == "odd 1 < 2 stays")
+    assert(s1("drop <em attr='never closed") == "drop") // unclosed tag: rest gone
+    // block tags break paragraphs; inline tags are spaces
+    assert(s1("<h1>Title</h1><p>one two</p>mid<br>tail") == "Title\none two\nmid\ntail")
+    assert(s1("a<b>bold</b>c") == "a bold c")
+    // min-token filter
+    assert(HtmlStrip.strip("<p>x</p><p>real content</p>", 2, 0) ==
+      ("real content", 2, 1))
+    // density: '<div>abcdefgh</div>' attributes the closing tag (6 chars)
+    // to the paragraph -> density = 8*1000/14 = 571 permille
+    assert(HtmlStrip.strip("<div>abcdefgh</div>", 1, 500)._3 == 1)
+    assert(HtmlStrip.strip("<div>abcdefgh</div>", 1, 600)._3 == 0)
+    // operator surface + declared-query spot row (oracle constants)
+    val q = graft.operators.TextOps.l4HtmlStrip(spark, sf)
+      .filter(col("doc_id") === 3L).first()
+    assert(q.getAs[Int]("n_paras") == 7 && q.getAs[Int]("n_kept") == 5)
+    assert(q.getAs[String]("text_clean").startsWith("Doc 3\n"))
+    assert(q.getAs[String]("text_clean").endsWith("\ntail words\nraw 3"))
+  }
+
   test("L10b PII v2: Luhn gate (true/false positives), E.164 phones, stage order, counts") {
     val df = Seq(
       // 4532015112830366 is Luhn-VALID; ...67 (last digit +1) is NOT and
