@@ -95,6 +95,87 @@ object MqBroker {
   }
 }
 
+/** S2d: admission-control allocation + BACKPRESSURE OBSERVABILITY.
+  *
+  * The allocation itself ([[allocate]]) is the pure largest-remainder
+  * proportional split [[MqMicroBatchStream.latestOffset]] applies under
+  * `maxOffsetsPerTrigger`; factoring it out makes the policy spec-able
+  * in isolation and lets operators reason about it.
+  *
+  * Observability: every capped batch records its per-partition
+  * (backlog, admitted) vector, and [[metricsFrame]] surfaces the
+  * history as a DataFrame — (batch_seq, partition, backlog, admitted,
+  * deferred) — the admitted-vs-backlog signal an operator watches to
+  * size `maxOffsetsPerTrigger` or scale consumers. Driver-side bounded
+  * metadata by construction: per topic at most [[MaxEvents]] most
+  * recent batch vectors are retained (a long-lived stream drops the
+  * oldest), each one partition-count rows — never message payloads.
+  */
+object MqAdmission {
+  /** Retained capped-batch vectors per topic (oldest dropped beyond). */
+  val MaxEvents: Int = 1024
+
+  final case class BatchAdmission(seq: Long, backlog: Array[Long],
+                                  admitted: Array[Long])
+
+  private val events =
+    new ConcurrentHashMap[String, java.util.ArrayDeque[BatchAdmission]]()
+  private val seqs = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Largest-remainder proportional split of `budget` rows across
+    * partition backlogs (callers guarantee Σavail > budget ≥ 1): floors
+    * of the exact proportional share, topped up by descending remainder
+    * (partition index tie-break) so the FULL budget is admitted — a
+    * bare floor would round every share to zero whenever the budget is
+    * below the backlogged-partition count and collapse throughput.
+    * BigInt for the proportional product: backlog × budget can exceed
+    * Long at wide-backlog/large-budget extremes.
+    */
+  def allocate(avail: IndexedSeq[Long], budget: Long): Array[Long] = {
+    val total = avail.sum
+    val take = avail.map(a => (BigInt(a) * budget / total).toLong).toArray
+    var rem = budget - take.sum
+    val byRemainder = avail.indices
+      .sortBy(p => (-(BigInt(avail(p)) * budget % total), BigInt(p)))
+    byRemainder.foreach { p =>
+      if (rem > 0 && take(p) < avail(p)) { take(p) += 1; rem -= 1 }
+    }
+    take
+  }
+
+  /** Record one capped batch's allocation (bounded ring per topic). */
+  def record(topic: String, backlog: Array[Long], admitted: Array[Long]): Unit = {
+    val seq = seqs.computeIfAbsent(topic,
+      _ => new java.util.concurrent.atomic.AtomicLong(0L)).getAndIncrement()
+    val q = events.computeIfAbsent(topic,
+      _ => new java.util.ArrayDeque[BatchAdmission]())
+    q.synchronized {
+      q.addLast(BatchAdmission(seq, backlog, admitted))
+      while (q.size > MaxEvents) q.removeFirst()
+    }
+  }
+
+  /** The recorded admission history of a topic as a metrics frame:
+    * (batch_seq, partition, backlog, admitted, deferred). Empty frame
+    * when the topic never ran capped.
+    */
+  def metricsFrame(spark: org.apache.spark.sql.SparkSession,
+                   topic: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val snap = Option(events.get(topic)) match {
+      case Some(q) => q.synchronized(q.toArray(Array.empty[BatchAdmission]).toSeq)
+      case None    => Seq.empty
+    }
+    snap.flatMap { e =>
+      e.backlog.indices.map(p =>
+        (e.seq, p, e.backlog(p), e.admitted(p), e.backlog(p) - e.admitted(p)))
+    }.toDF("batch_seq", "partition", "backlog", "admitted", "deferred")
+  }
+
+  /** Drop a topic's recorded history (test isolation / topic teardown). */
+  def clear(topic: String): Unit = { events.remove(topic); seqs.remove(topic) }
+}
+
 object MqSource {
   /** The MQ record shape every Kafka-class connector exposes. */
   val schema: StructType = StructType(Seq(
@@ -279,13 +360,11 @@ class MqMicroBatchStream(topic: String, maxPerTrigger: Option[Long] = None,
     * allocated across partitions proportionally to their backlog — the
     * same posture as the Kafka source's maxOffsetsPerTrigger. Under
     * Trigger.AvailableNow the cap still applies per batch; the engine
-    * keeps issuing batches until the prepared end is reached. Floors are
-    * topped up by largest-remainder (partition index tie-break) so the
-    * FULL budget is admitted every batch — with a bare floor, a budget
-    * below the backlogged-partition count would round every share to
-    * zero and throughput would collapse to whatever fallback admits.
-    * BigInt for the proportional product: backlog × budget can exceed
-    * Long at wide-backlog/large-budget extremes.
+    * keeps issuing batches until the prepared end is reached. The split
+    * itself is [[MqAdmission.allocate]] (largest-remainder top-up so the
+    * full budget is always admitted); every capped-mode batch also
+    * records its (backlog, admitted) vector into [[MqAdmission]] so
+    * operators can read the backpressure signal as a metrics frame.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val hard = availableNowEnd.getOrElse(MqOffset(MqBroker.endOffsets(topic))).ends
@@ -304,15 +383,14 @@ class MqMicroBatchStream(topic: String, maxPerTrigger: Option[Long] = None,
         val s = start.asInstanceOf[MqOffset].ends
         val avail = hard.indices.map(p => hard(p) - s(p))
         val total = avail.sum
-        if (total <= budget) MqOffset(hard)
-        else {
-          val take = avail.map(a => (BigInt(a) * budget / total).toLong).toArray
-          var rem = budget - take.sum
-          val byRemainder = avail.indices
-            .sortBy(p => (-(BigInt(avail(p)) * budget % total), BigInt(p)))
-          byRemainder.foreach { p =>
-            if (rem > 0 && take(p) < avail(p)) { take(p) += 1; rem -= 1 }
-          }
+        if (total <= budget) {
+          // uncapped drain: still observable (admitted == backlog)
+          if (total > 0)
+            MqAdmission.record(topic, avail.toArray, avail.toArray)
+          MqOffset(hard)
+        } else {
+          val take = MqAdmission.allocate(avail, budget)
+          MqAdmission.record(topic, avail.toArray, take.clone())
           MqOffset(s.indices.map(p => s(p) + take(p)).toArray)
         }
       case None => MqOffset(hard)

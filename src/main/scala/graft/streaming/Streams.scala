@@ -1262,8 +1262,11 @@ object Streams {
     * wave's own hash set (a semi-join — the touched-cells discipline),
     * so the per-wave aggregate is wave-relevant occurrences only, not
     * the full history. The order guard costs two 1-row aggregates per
-    * wave (min over the wave, max over prior-wave parquet footers) —
-    * bounded metadata, the node-count discipline.
+    * wave: min over the wave, max over the prior-wave store — the max
+    * is a narrow single-column scan of the store rows (parquet footer
+    * min/max SHORT-CIRCUITING would need
+    * spark.sql.parquet.aggregatePushdown, deliberately not relied on),
+    * still bounded by the span store's own size, never the corpus.
     */
   def runSubstrDedupStream(docs: DataFrame, storeDir: String, checkpoint: String,
                            n: Int = graft.operators.Dedup.DupSpanN,
@@ -1452,6 +1455,21 @@ object Streams {
             // quiet pass: genuine convergence only once the prefix
             // snapshots can no longer advance the universe
             if (round - 1 >= prefixHorizon) converged = true
+            else {
+              // guaranteed-quiet skip (ADVICE r13): the wave text is
+              // unchanged, so a later pass can only remove something if
+              // the prior-wave SNAPSHOT SELECTION advances — re-running
+              // rounds whose priorUniverse equals this one would repeat
+              // the identical pass (two hash aggregates + rewrite +
+              // count) for a guaranteed-quiet answer. Jump to the first
+              // round whose selection differs; none left → converged.
+              val curSel = priorUniverse(round - 1)
+              var r = round + 1
+              while (r - 1 <= prefixHorizon && priorUniverse(r - 1) == curSel)
+                r += 1
+              if (r - 1 > prefixHorizon) converged = true
+              else round = r - 1 // loop head increments into round r
+            }
           } else {
             effectiveRounds += 1
             prevTotal = total

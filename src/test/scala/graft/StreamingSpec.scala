@@ -104,6 +104,54 @@ class StreamingSpec extends SparkSuite {
     assert(sizes.count(_ > 0) >= 10, s"expected >= 10 capped batches: $sizes")
   }
 
+  test("S2d backpressure metrics: proportional allocation under skewed backlogs, observable frame") {
+    import graft.sources.{MqAdmission, MqBroker}
+    // pure-policy pin first: avail (90, 9, 1), budget 10 → floors (9, 0, 0),
+    // remainders 0/90/10 of 100 → the single top-up goes to partition 1
+    assert(MqAdmission.allocate(IndexedSeq(90L, 9L, 1L), 10L).toSeq == Seq(9L, 1L, 0L))
+    // budget below the backlogged-partition count must still admit fully
+    assert(MqAdmission.allocate(IndexedSeq(50L, 50L, 50L, 50L), 2L).sum == 2L)
+    // end-to-end: a keyed topic with a 90/9/1 skew, capped at 10/batch
+    val topic = "t_backpressure"
+    MqBroker.deleteTopic(topic); MqAdmission.clear(topic)
+    MqBroker.createTopic(topic, 3)
+    // keys chosen by floorMod(key.hashCode, 3) to land on fixed partitions
+    val keyFor = (0 to 2).map(p =>
+      p -> (1 to 100).map(i => s"k$i").find(k => math.floorMod(k.hashCode, 3) == p).get).toMap
+    for (_ <- 1 to 90) MqBroker.publish(topic, keyFor(0), "v", 0L)
+    for (_ <- 1 to 9) MqBroker.publish(topic, keyFor(1), "v", 0L)
+    MqBroker.publish(topic, keyFor(2), "v", 0L)
+    val df = spark.readStream.format(graft.sources.MqSource.format)
+      .option("topic", topic).option("maxOffsetsPerTrigger", "10").load()
+    val q = df.writeStream
+      .foreachBatch { (_: DataFrame, _: Long) => () }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cp-backpressure").toString)
+      .start()
+    q.awaitTermination()
+    val m = MqAdmission.metricsFrame(spark, topic)
+      .orderBy(col("batch_seq"), col("partition")).collect()
+    assert(m.nonEmpty)
+    // first capped batch: the exact proportional split of the skew
+    val first = m.filter(_.getLong(0) == m.head.getLong(0))
+    assert(first.map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap ==
+      Map(0 -> (90L, 9L), 1 -> (9L, 1L), 2 -> (1L, 0L)))
+    // every batch: admitted ≤ backlog, deferred is the difference, and
+    // capped batches admit the FULL budget
+    m.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(4) == r.getLong(2) - r.getLong(3))
+    }
+    val perBatch = m.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sum)
+    val total = perBatch.values.sum
+    assert(total == 100L, s"all rows admitted across batches: $perBatch")
+    assert(perBatch.values.forall(_ <= 10L))
+    // drained topic: final backlog over the recorded history reaches zero
+    val lastSeq = m.map(_.getLong(0)).max
+    assert(m.filter(_.getLong(0) == lastSeq).map(r => r.getLong(2) - r.getLong(3)).sum == 0L)
+    MqBroker.deleteTopic(topic); MqAdmission.clear(topic)
+  }
+
   test("S2 MqOffset equality is by content (engine's no-new-data detection)") {
     import graft.sources.MqOffset
     assert(MqOffset(Array(1L, 2L)) == MqOffset(Array(1L, 2L)))
