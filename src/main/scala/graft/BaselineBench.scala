@@ -179,6 +179,39 @@ object TailTwins {
     // multiplies the shuffle by the span length (the engine's lag-window
     // interval merge keeps one row per span start). Shared by the
     // l1_dupspans twin and the composed l0_pipeline twin.
+    // one explode-everything ExactSubstr pass over an arbitrary
+    // (doc_id, text) frame — shared by the single-pass twin and the
+    // fixpoint twin's loop
+    def substrDedupNaive(ds: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val s = ds.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .persist()
+      val sp = s.select(col("doc_id"), posexplode(expr(
+          "CASE WHEN size(t) >= 8 THEN transform(sequence(1, size(t) - 7), " +
+            "i -> array_join(slice(t, i, 8), ' ')) ELSE array() END")))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("span"))
+      val dup = sp.groupBy("span").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+      val w = Window.partitionBy(col("span")).orderBy(col("doc_id"), col("p"))
+      val rm = sp.join(dup.select("span"), "span")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") > 1)
+        .select(col("doc_id"), explode(sequence(col("p"), col("p") + 7)).as("q"))
+        .distinct()
+      val tok = s.select(col("doc_id"), posexplode(col("t")))
+        .select(col("doc_id"), (col("pos") + 1).as("q"), col("col").as("tok"))
+      val kept = tok.join(rm, Seq("doc_id", "q"), "left_anti")
+      val clean = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("q"), col("tok")))),
+            x => x.getField("tok")), " ").as("text_clean"))
+      s.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+        .join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("text_clean"), lit("")).as("text_clean"))
+    }
+
     def dupCoverageNaive(ds: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val d = ds.withColumn("t", split(col("text"), " "))
@@ -413,35 +446,70 @@ object TailTwins {
       // the explode-everything ExactSubstr first draft: span STRINGS
       // through every shuffle, window-ranked first occurrence, exploded
       // removal positions, per-token anti-join, collect_list rebuild
-      "l1_substr_dedup" -> (() => {
-        import org.apache.spark.sql.expressions.Window
-        val s = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-          .persist()
-        val sp = s.select(col("doc_id"), posexplode(expr(
-            "CASE WHEN size(t) >= 8 THEN transform(sequence(1, size(t) - 7), " +
-              "i -> array_join(slice(t, i, 8), ' ')) ELSE array() END")))
-          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("span"))
-        val dup = sp.groupBy("span").agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") > 1)
-        val w = Window.partitionBy(col("span")).orderBy(col("doc_id"), col("p"))
-        val rm = sp.join(dup.select("span"), "span")
-          .withColumn("rn", row_number().over(w)).filter(col("rn") > 1)
-          .select(col("doc_id"), explode(sequence(col("p"), col("p") + 7)).as("q"))
-          .distinct()
-        val tok = s.select(col("doc_id"), posexplode(col("t")))
-          .select(col("doc_id"), (col("pos") + 1).as("q"), col("col").as("tok"))
-        val kept = tok.join(rm, Seq("doc_id", "q"), "left_anti")
-        val clean = kept.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_kept"),
-            array_join(transform(
-              array_sort(collect_list(struct(col("q"), col("tok")))),
-              x => x.getField("tok")), " ").as("text_clean"))
-        s.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
-          .join(clean, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-            coalesce(col("text_clean"), lit("")).as("text_clean"))
+      "l1_substr_dedup" -> (() => substrDedupNaive(docs).orderBy("doc_id")),
+
+      // the vanilla FIXPOINT loop: re-run the explode-everything pass on
+      // its own output until a driver-side removed-count scalar goes
+      // quiet (same stop rule as the engine, double-free integer counts)
+      "l1_substr_dedup_fix" -> (() => {
+        var cur = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens0"),
+          lit(0L).as("removed_total"), col("text"))
+        var prev = -1L
+        var rounds = 0
+        var quiet = false
+        while (!quiet && rounds < 8) {
+          rounds += 1
+          val out = substrDedupNaive(cur.select(col("doc_id"), col("text")))
+          cur = cur.select(col("doc_id"), col("n_tokens0"), col("removed_total"))
+            .join(out.select(col("doc_id"), col("n_removed"),
+              col("text_clean").as("text")), "doc_id")
+            .select(col("doc_id"), col("n_tokens0"),
+              (col("removed_total") + col("n_removed")).as("removed_total"),
+              col("text"))
+            .persist()
+          val total = cur.agg(coalesce(sum(col("removed_total")), lit(0L)))
+            .first().getLong(0)
+          if (total == prev) quiet = true else prev = total
+        }
+        cur.select(col("doc_id"), col("n_tokens0").as("n_tokens"),
+          col("removed_total").as("n_removed"), col("text").as("text_clean"))
           .orderBy("doc_id")
+      }),
+
+      // the vanilla convergence-stop PageRank: double scores, per-round
+      // max-|delta| driver scalar, same eps/cap semantics as the
+      // engine's declared integer form (0.6 of a unit score, cap 28)
+      "g1_pagerank_conv" -> (() => {
+        val flows = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
+          .distinct()
+        val edges = flows.select(col("s").as("src"), col("c").as("dst"))
+          .unionByName(flows.select(col("c").as("src"), col("s").as("dst"))).persist()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        val linked = edges.join(deg, "src").persist()
+        val nodes = edges.select(col("src").as("node")).distinct().persist()
+        var ranks = nodes.withColumn("rank", lit(1.0)).persist()
+        var rounds = 0
+        var converged = false
+        while (!converged && rounds < 28) {
+          rounds += 1
+          val contribs = linked.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst")).agg(sum(col("rank") / col("d")).as("mass"))
+            .withColumnRenamed("dst", "node")
+          val next = nodes
+            .join(contribs, Seq("node"), "left")
+            .select(col("node"),
+              (lit(0.15) + lit(0.85) * coalesce(col("mass"), lit(0.0))).as("rank"))
+            .persist()
+          val delta = next.join(ranks.select(col("node"), col("rank").as("prev")), "node")
+            .agg(coalesce(max(abs(col("rank") - col("prev"))), lit(0.0)))
+            .first().getDouble(0)
+          ranks = next
+          if (delta <= 0.6) converged = true
+        }
+        ranks.withColumn("rounds", lit(rounds))
+          .orderBy(col("rank").desc, col("node")).limit(20)
       }),
 
       // the window-rank kNN-graph first draft: same sign buckets (the
