@@ -477,9 +477,65 @@ object TailTwins {
           .orderBy("doc_id")
       }),
 
+      // the vanilla staged PII v2: identical regex chain, but card
+      // validation as the Scala UDF a first draft writes (the engine's
+      // codegen'd Luhn fold is the thing being priced)
+      "l10_pii_v2" -> (() => {
+        val luhnFilterUdf = udf { cands: Seq[String] =>
+          cands.filter { card =>
+            var total = 0
+            var i = 0
+            while (i < 16) {
+              var d = card.charAt(i) - '0'
+              if (i % 2 == 0) { d *= 2; if (d > 9) d -= 9 }
+              total += d
+              i += 1
+            }
+            total % 10 == 0
+          }
+        }
+        val Seq((urlP, urlR), (emP, emR), (ipP, ipR)) =
+          graft.operators.TextOps.PiiPatterns
+        val phoneP = graft.operators.TextOps.PhonePattern
+        val ccP = graft.operators.TextOps.CcCandidatePattern
+        val base15 = concat(lit("4"),
+          lpad(pmod(col("doc_id"), lit(100000000L)).cast("string"), 14, "0"))
+        val lsum = aggregate(sequence(lit(1), lit(15)), lit(0), (acc, i) => {
+          val d = ascii(col("b15").substr(i, lit(1))) - lit(48)
+          val dd = d * lit(2)
+          acc + when(pmod(i, lit(2)) === 1,
+            when(dd > 9, dd - 9).otherwise(dd)).otherwise(d)
+        })
+        docs
+          .withColumn("b15", base15)
+          .withColumn("chk", pmod(lit(10) - pmod(lsum, lit(10)), lit(10)))
+          .select(col("doc_id"), concat(
+            col("text"),
+            lit(" reach user"), col("doc_id"), lit("@mail.example or +1"),
+            lpad(pmod(col("doc_id"), lit(1000000000L)).cast("string"), 9, "0"),
+            lit(" card "), concat(col("b15"), col("chk").cast("string")),
+            lit(" not "),
+            concat(col("b15"), pmod(col("chk") + 1, lit(10)).cast("string"))).as("text"))
+          .withColumn("n_url", regexp_count(col("text"), lit(urlP)).cast("long"))
+          .withColumn("t1", regexp_replace(col("text"), urlP, urlR))
+          .withColumn("n_email", regexp_count(col("t1"), lit(emP)).cast("long"))
+          .withColumn("t2", regexp_replace(col("t1"), emP, emR))
+          .withColumn("n_ip", regexp_count(col("t2"), lit(ipP)).cast("long"))
+          .withColumn("t3", regexp_replace(col("t2"), ipP, ipR))
+          .withColumn("n_phone", regexp_count(col("t3"), lit(phoneP)).cast("long"))
+          .withColumn("t4", regexp_replace(col("t3"), phoneP, "<PHONE>"))
+          .withColumn("cards",
+            luhnFilterUdf(regexp_extract_all(col("t4"), lit(ccP), lit(0))))
+          .select(col("doc_id"), col("n_url"), col("n_email"), col("n_ip"),
+            col("n_phone"), size(col("cards")).cast("long").as("n_cc"),
+            aggregate(col("cards"), col("t4"),
+              (acc, c) => replace(acc, c, lit("<CC>"))).as("scrubbed"))
+          .orderBy("doc_id")
+      }),
+
       // the vanilla convergence-stop PageRank: double scores, per-round
       // max-|delta| driver scalar, same eps/cap semantics as the
-      // engine's declared integer form (0.6 of a unit score, cap 28)
+      // engine's declared integer form (4.5 unit scores, cap 12)
       "g1_pagerank_conv" -> (() => {
         val flows = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
@@ -492,7 +548,7 @@ object TailTwins {
         var ranks = nodes.withColumn("rank", lit(1.0)).persist()
         var rounds = 0
         var converged = false
-        while (!converged && rounds < 28) {
+        while (!converged && rounds < 12) {
           rounds += 1
           val contribs = linked.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(col("dst")).agg(sum(col("rank") / col("d")).as("mass"))
@@ -506,7 +562,7 @@ object TailTwins {
             .agg(coalesce(max(abs(col("rank") - col("prev"))), lit(0.0)))
             .first().getDouble(0)
           ranks = next
-          if (delta <= 0.6) converged = true
+          if (delta <= 4.5) converged = true
         }
         ranks.withColumn("rounds", lit(rounds))
           .orderBy(col("rank").desc, col("node")).limit(20)

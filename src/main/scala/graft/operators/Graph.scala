@@ -359,25 +359,31 @@ object Graph {
     * the early stop on an exactly-converging hand graph.
     *
     * Per round this adds ONE 1-row aggregate (max |Δscore| over the
-    * node-sized join of consecutive score frames) — a driver scalar,
-    * so the loop uses the [[pageRankDangling]] persist discipline:
-    * the action forces eager evaluation either way, persist keeps the
-    * lineage rooted at the scan for re-declared-run cache matching,
-    * and the [[LpaCkptEvery]] barrier bounds plan depth on long runs
-    * (this variant is WHERE those barriers actually fire — the
-    * fixed-round declared queries never reach them).
+    * node-sized join of consecutive score frames) — and that join is
+    * why this loop MUST truncate lineage EVERY round
+    * (`materialize()`), unlike the persist-chained fixed-round forms:
+    * the delta plan references the previous round's subtree TWICE
+    * (once under the new round's update, once as the join's other
+    * side), and Catalyst's tree-walking analysis treats the shared
+    * subtree as two copies — so analysis cost DOUBLES per round,
+    * measured ×1.8/round on the sf0.1 flow graph (round 1: 2.2 s,
+    * round 8: 19 s, 56 s for an 8-round run under the persist
+    * discipline; per-round truncation makes every round's plan
+    * constant-depth and the same run costs ~0.5 s/round). The
+    * fixed-round forms have no per-round two-sided join, so their
+    * persist chains stay linear and keep the cross-run cache-matching
+    * benefit; here correctness of the BUILD frames' caching is
+    * preserved (linked/nodes persist as before) while round frames
+    * are localCheckpoint leaves (reliable-checkpoint switchable).
     *
     * Output: (node, score, rounds) — rounds = update passes executed
     * (the stop check compares round t to t−1, so rounds ≥ 1).
     *
-    * `retainCache = true` (default) keeps every round frame persisted
-    * after return — the warm-rerun discipline declared queries want
-    * (a re-executed query cache-matches each round's canonicalized
-    * plan). Long-lived sessions iterating over MANY distinct graphs
-    * should pass `false`: superseded round frames are then unpersisted
-    * as soon as the round-boundary action has consumed them, so the
-    * loop pins at most two round frames at a time instead of
-    * accumulating one per round until LRU eviction.
+    * `retainCache = true` (default) keeps round frames' blocks pinned
+    * after return; long-lived sessions iterating over MANY distinct
+    * graphs should pass `false` — superseded round frames are then
+    * unpersisted as soon as the round-boundary action has consumed
+    * them, so the loop pins at most two round frames at a time.
     */
   def pageRankConverged(edges: DataFrame, epsMicro: Long = DefaultPrEpsMicro,
                         maxIters: Int = DefaultConvergedMaxIters,
@@ -400,8 +406,10 @@ object Graph {
         "pageRankConverged precondition violated: graph has sink-only nodes; " +
           "feed both directions for an undirected graph or use pageRankDangling")
     }
-    var scores = nodes.select(col("node"), lit(ScoreUnit).as("score")).persist()
-    var pinned = List(scores)
+    // round frames are per-round TRUNCATED leaves (see the Scaladoc's
+    // measured exponential-analysis rationale), so the delta join below
+    // always joins two constant-depth plans
+    var scores = nodes.select(col("node"), lit(ScoreUnit).as("score")).materialize()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIters) {
@@ -415,25 +423,18 @@ object Graph {
         .select(col("node"),
           expr(s"($teleport + $dampingPermille * coalesce(mass, 0L)) DIV 1000")
             .as("score"))
-        .persist()
-      pinned ::= next
+        .materialize()
       // the round-boundary driver scalar: max |Δ| over the node-sized
       // join of consecutive rounds (1-row aggregate, bounded metadata)
       val delta = next.join(scores.select(col("node"),
           col("score").as("prev")), "node")
         .agg(coalesce(max(abs(col("score") - col("prev"))), lit(0L)))
         .first().getLong(0)
-      // the delta action fully computed `next`, so the PREVIOUS round
-      // frame has no further consumer — release it when the caller
-      // opted out of warm-rerun caching (see the Scaladoc)
-      if (!retainCache) { scores.unpersist(false); pinned = List(next) }
+      // the delta action consumed the previous frame — release its
+      // blocks when the caller opted out of retention (see Scaladoc)
+      if (!retainCache) scores.unpersist(false)
       scores = next
       if (delta <= epsMicro) converged = true
-      else if (rounds % LpaCkptEvery == 0) {
-        scores = scores.materialize()
-        pinned.foreach(_.unpersist(false))
-        pinned = Nil
-      }
     }
     scores.withColumn("rounds", lit(rounds))
   }
@@ -448,15 +449,24 @@ object Graph {
     * [[DefaultPrEpsMicro]]. The cap bounds the generated oracle SQL —
     * GraphSpec pins that the fixture graph actually STOPS below it at
     * every test scale, so the declared query always exercises the
-    * convergence exit, not the cap. Parameters are measurement-derived:
-    * on the shipping-flow graph max |Δ| decays at exactly the damping
-    * rate (0.85×/round) from a scale-stable ~8.5 score units (replayed
-    * round-for-round in DuckDB at sf0.001/0.01/0.1), so ε = 0.6 units
-    * stops at round 20–21 at every scale and the cap leaves ≥ 7 rounds
-    * of margin.
+    * convergence exit, not the cap. Parameters are measurement-derived
+    * twice over: on the shipping-flow graph max |Δ| decays at exactly
+    * the damping rate (0.85×/round) from a scale-stable ~8.5 score
+    * units (replayed round-for-round in DuckDB at sf0.001/0.01/0.1),
+    * so ε = 4.5 units stops at round 8 at every scale with ≥ 4 rounds
+    * of cap margin; AND the round count itself is the declared-query
+    * cost driver — a 21-round run (ε = 0.6) measured 56 s cold at
+    * sf0.1 because every round-boundary action re-plans the
+    * ever-deeper persisted lineage (~3 s/action by round 20; per-round
+    * localCheckpoint truncation only improved it to ~16 s by trading
+    * plan depth for barrier copies), while 8 rounds stay in the
+    * dangling query's measured cost class AND under the
+    * [[LpaCkptEvery]] barrier, so warm re-runs cache-match the whole
+    * chain. Long runs at tighter ε remain [[pageRankConverged]]'s
+    * contract; this pair prices the DECLARED demonstration.
     */
-  val DeclaredPrEpsMicro = 600000L
-  val DeclaredPrMaxIters = 28
+  val DeclaredPrEpsMicro = 4500000L
+  val DeclaredPrMaxIters = 12
 
   /** G1c declared query: delta-threshold PageRank over the same
     * undirected supplier–customer shipping graph as [[g1PageRank]].
@@ -583,11 +593,12 @@ object Graph {
     * false`.
     *
     * The no-change check is ONE 1-row aggregate per round over the
-    * node-sized join of consecutive label frames — a per-round driver
-    * scalar, so unlike the lazily-declared fixed-round [[labelPropagation]]
-    * this loop follows the [[pageRankDangling]] persist discipline, and
-    * the [[LpaCkptEvery]] barrier (which the fixed-round form never
-    * reaches at declared iters) actually fires on long runs.
+    * node-sized join of consecutive label frames — the same
+    * two-sided consecutive-round join as [[pageRankConverged]]'s
+    * delta, so the same measured exponential-analysis hazard applies
+    * (the shared previous-round subtree is tree-walked twice per
+    * round): round frames are per-round `materialize()` leaves,
+    * keeping every round's plan constant-depth.
     *
     * Output: (node, community, rounds, converged) — rounds = update
     * passes executed (≥ 1). Symmetric input is ENFORCED (same guard
@@ -603,8 +614,7 @@ object Graph {
     if (validate) requireSymmetricLpaInput(edges, "labelPropagationConverged")
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .persist()
-    var pinned = List(labels)
+      .materialize()
     var rounds = 0
     var quiet = false
     while (!quiet && rounds < maxIters) {
@@ -616,24 +626,17 @@ object Graph {
         .agg(min_by(col("label"), struct((-col("cnt")).as("nc"), col("label")))
           .as("label"))
         .withColumnRenamed("dst", "node")
-        .persist()
-      pinned ::= next
+        .materialize()
       val changed = next.join(labels.select(col("node"),
           col("label").as("prev")), "node")
         .agg(coalesce(sum(when(col("label") =!= col("prev"), 1L)
           .otherwise(0L)), lit(0L)))
         .first().getLong(0)
       // the changed-count action consumed the previous frame — release
-      // it when the caller opted out of warm-rerun caching (the
-      // pageRankConverged contract)
-      if (!retainCache) { labels.unpersist(false); pinned = List(next) }
+      // its blocks when the caller opted out of retention
+      if (!retainCache) labels.unpersist(false)
       labels = next
       if (changed == 0L) quiet = true
-      else if (rounds % LpaCkptEvery == 0) {
-        labels = labels.materialize()
-        pinned.foreach(_.unpersist(false))
-        pinned = Nil
-      }
     }
     labels.select(col("node"), col("label").as("community"),
       lit(rounds).as("rounds"), lit(quiet).as("converged"))

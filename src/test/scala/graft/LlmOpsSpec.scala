@@ -1398,6 +1398,15 @@ class LlmOpsSpec extends SparkSuite {
     // re-confirms the no-collision contract on the fixture
     assertSameRows(graft.TailTwins.twinFrame(spark, sf, "l1_substr_dedup"),
       Dedup.l1SubstrDedup(spark, sf))
+    // fixpoint twin-honesty pin: the iterated explode-everything loop
+    // lands on the same fixpoint (engine `rounds` column dropped — the
+    // twin doesn't report it)
+    assertSameRows(graft.TailTwins.twinFrame(spark, sf, "l1_substr_dedup_fix"),
+      Dedup.l1SubstrDedupFix(spark, sf).drop("rounds"))
+    // PII v2 twin-honesty pin: the UDF-validated vanilla chain answers
+    // identically (same patterns, same staged order, same Luhn rule)
+    assertSameRows(graft.TailTwins.twinFrame(spark, sf, "l10_pii_v2"),
+      graft.operators.TextOps.l10PiiV2(spark, sf))
     // partitioning invariance: first-occurrence selection is a
     // partial-combinable min over (doc_id, p) — layout cannot flip it
     assertSameRows(Dedup.substrDedup(tables.documents.repartition(7)),
