@@ -491,10 +491,16 @@ object Dedup {
     * idempotence, and the streaming-twin contract.
     *
     * Scale shape: each round IS [[substrDedup]] (same two hash
-    * aggregates + rewrite scan over 128-bit keys); the inter-round
-    * frame is `materialize()`d because the round-boundary driver scalar
-    * (total removed — ONE 1-row aggregate, bounded metadata) forces
-    * evaluation anyway, the [[Graph.pageRankDangling]] discipline.
+    * aggregates + rewrite scan over 128-bit keys). Round pinning is
+    * HYBRID: rounds `persist()` (each pass references the previous
+    * round's frame twice — the running-total join plus the rewrite —
+    * so analysis cost doubles per un-truncated round, the
+    * [[Graph.pageRankConverged]] measured hazard; but real corpora
+    * converge in 2–3 passes, Lee et al. §4, where the doubling is
+    * noise and persist keeps re-declared runs cache-matched), with a
+    * lineage-truncating `materialize()` barrier every
+    * [[SubstrFixCkptEvery]] passes so a pathological long run stays
+    * constant-cost per window instead of exponential.
     * Rounds after the first scan only the SURVIVOR text (strictly
     * shrinking), and real corpora converge in 2-3 rounds (Lee et al.
     * §4) — the tail rounds also touch only docs that still had a
@@ -519,6 +525,13 @@ object Dedup {
     * that removed at least one token anywhere in the corpus (0 for an
     * already-clean corpus).
     */
+  /** Barrier cadence for [[substrDedupConverged]]'s hybrid pinning:
+    * within a window rounds persist (warm-rerun cache matching), at
+    * the window boundary a `materialize()` truncates the lineage —
+    * caps the per-round analysis doubling at 2⁴ per window.
+    */
+  val SubstrFixCkptEvery = 4
+
   def substrDedupConverged(docs: DataFrame, n: Int = DupSpanN,
                            maxRounds: Int = SubstrDedupMaxRounds,
                            tokenizer: Column => Column = TextOps.spaceTokenizer): DataFrame = {
@@ -534,15 +547,18 @@ object Dedup {
     while (!converged && round < maxRounds) {
       round += 1
       val out = substrDedup(cur.select(col("doc_id"), col("text")), n, tokenizer)
-      cur = cur.select(col("doc_id"), col("n_tokens0"), col("removed_total"))
+      val next = cur.select(col("doc_id"), col("n_tokens0"), col("removed_total"))
         .join(out.select(col("doc_id"), col("n_removed"),
           col("text_clean").as("text")), "doc_id")
         .select(col("doc_id"), col("n_tokens0"),
           (col("removed_total") + col("n_removed")).as("removed_total"),
           col("text"))
-        .materialize()
+      // hybrid pinning (see the Scaladoc): persist within the window,
+      // truncate at the window boundary
+      cur = if (round % SubstrFixCkptEvery == 0) next.materialize()
+            else next.persist()
       // round-boundary driver scalar: total tokens removed so far (ONE
-      // 1-row aggregate off the just-materialized frame; this pass's
+      // 1-row aggregate off the just-pinned frame; this pass's
       // removals = delta against the running driver-side total)
       val totalRemoved = cur.agg(coalesce(sum(col("removed_total")), lit(0L)))
         .first().getLong(0)
