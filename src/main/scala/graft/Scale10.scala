@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,19 +11,26 @@ import org.apache.spark.sql.functions._
   * queries at 1× and 10×, and gates on two falsifiable properties:
   *
   *  1. **Near-linear growth** on the COLD (build-path) time:
-  *     cold(10×)/cold(1×) ≤ [[SuperlinearRatio]] per query (fixed
+  *     cold(F×)/cold(1×) ≤ [[superlinearRatio]] per query (fixed
   *     constants — codebook training, plan time, session overhead —
-  *     push real ratios BELOW 10; a ratio well above 10 means
+  *     push real ratios BELOW F; a ratio well above F means
   *     something grows super-linearly with data). Warm best-of-2 is
   *     reported alongside for the serving steady state, but the gate
   *     is cold: warm runs read the persisted stage frames the cold run
   *     built and would mask a super-linear build.
-  *  2. **No 1-task stage**: during every 10× run a listener records
-  *     completed stages; any stage with numTasks == 1 that consumed
-  *     more than [[OneTaskRecordLimit]] records (input + shuffle-read)
-  *     is a serialization point that would strangle a 1000-executor
-  *     cluster, and FAILS the run (exit 1). Bounded 1-row/metadata
-  *     aggregates pass the record gate by construction.
+  *  2. **No REQUIRED single-partition stage**: during every F× run a
+  *     QueryExecutionListener walks each executed plan for a
+  *     `ShuffleExchangeExec` with `SinglePartition` output feeding
+  *     anything but a global aggregate or collect-limit — the
+  *     plan-level serialization point that would strangle a
+  *     1000-executor cluster regardless of data size. Any hit FAILS
+  *     the run (exit 1). The gate is deliberately PLAN-level, not a
+  *     runtime numTasks check: a first cut flagged `numTasks == 1 &&
+  *     records > 100k` and false-positived on AQE coalescing a
+  *     few-MB 215k-row shuffle to one partition — which is AQE doing
+  *     its job at test scale (more bytes → more partitions), not a
+  *     structural bottleneck. Driver-scalar 1-row aggregates pass by
+  *     the global-aggregate allowance, bounded by construction.
   *
   * Expansion semantics — same distribution, 10× volume, as disjoint
   * key-remapped copies (k = 0..9, id' = id·10 + k):
@@ -59,54 +66,121 @@ import org.apache.spark.sql.functions._
   */
 object Scale10 {
 
-  /** Queries measured — the expensive tail of BENCH_FULL.all_queries. */
-  val Measured: Seq[String] = Seq(
-    "l6_ngram_simjoin", "o7_gap_fill", "g1_pagerank_dangling", "l3_pq_topk",
-    "m9_overlap_matrix", "l9_fuzzy_decontam", "l1_substr_dedup", "l6_simjoin",
-    "l0_pipeline", "l4_bpe_encode")
-
-  val Factor = 10
-  /** Growth-gate ceiling for t(10×)/t(1×): linear is ~10 minus fixed
-    * constants; 12 allows measurement noise without letting a
-    * quadratic term (which would land ≫ 20 at factor 10) pass.
+  /** Queries measured — the expensive tail of BENCH_FULL.all_queries.
+    * SPARK_GRAFT_SCALE_QUERIES subsets (comma-separated) — the 100×
+    * stretch run measures the documents-family subset there.
     */
-  val SuperlinearRatio = 12.0
-  /** A 1-task stage reading more than this many records is a
-    * serialization point (bounded-metadata collects stay far below).
-    */
-  val OneTaskRecordLimit = 100000L
+  val Measured: Seq[String] = {
+    val all = Seq(
+      "l6_ngram_simjoin", "o7_gap_fill", "g1_pagerank_dangling", "l3_pq_topk",
+      "m9_overlap_matrix", "l9_fuzzy_decontam", "l1_substr_dedup", "l6_simjoin",
+      "l0_pipeline", "l4_bpe_encode")
+    sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(all)
+  }
 
+  /** Default expansion factor; arg 3 overrides (the 100× stretch run
+    * writes SCALE100.json via SPARK_GRAFT_SCALE10_OUT).
+    */
+  val DefaultFactor = 10
+  /** Growth-gate ceiling for t(F×)/t(1×): linear is ~F minus fixed
+    * constants; F·1.2 allows measurement noise without letting a
+    * quadratic term (which lands near F² at factor F) pass.
+    */
+  def superlinearRatio(factor: Int): Double = factor * 1.2
   private def loadAvg1m(): Double =
     try new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** One-task-stage audit listener: collects (stageId, records) for
-    * completed single-task stages above the record limit.
+  /** Required-single-partition exchanges in an executed plan that feed
+    * anything but a global aggregate or collect-limit (see the class
+    * Scaladoc). Returns one "consumer <- Exchange SinglePartition"
+    * string per hit. Walks THROUGH wrapper nodes (AQE roots, query
+    * stages, codegen, AQE shuffle reads) and INTO persisted frames'
+    * cached plans, so a pin can't hide its exchange.
     */
-  final class OneTaskAudit extends SparkListener {
-    val violations = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
-    @volatile var enabled = false
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-      if (enabled && sc.stageInfo.numTasks == 1) {
-        val tm = sc.stageInfo.taskMetrics
-        val records =
-          (if (tm != null) tm.inputMetrics.recordsRead else 0L) +
-            (if (tm != null) tm.shuffleReadMetrics.recordsRead else 0L)
-        if (records > OneTaskRecordLimit)
-          violations.add((sc.stageInfo.stageId, records))
+  private[graft] def singlePartitionViolations(
+      root: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
+      case other => other.children
+    }
+    def transparent(p: SparkPlan): Boolean = p match {
+      case _: AdaptiveSparkPlanExec | _: QueryStageExec |
+           _: WholeStageCodegenExec | _: InputAdapter |
+           _: AQEShuffleReadExec => true
+      case _ => false
+    }
+    def realChildren(p: SparkPlan): Seq[SparkPlan] =
+      kids(p).flatMap(c => if (transparent(c)) realChildren(c) else Seq(c))
+    // Bounded-metadata allowance (the RelationalSpec bounded-window
+    // inventory rule): a single-partition stage whose input chain
+    // reaches an AGGREGATE before any join or source scan carries rows
+    // bounded by a group count (per-partition offset tables, cut-point
+    // frames), not corpus rows — legitimate at any scale.
+    def boundedByAggregate(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+      case m: InMemoryTableScanExec => boundedByAggregate(m.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => boundedByAggregate(a.executedPlan)
+      case q: QueryStageExec => boundedByAggregate(q.plan)
+      case l if l.children.isEmpty => false // source scan / leaf
+      case other => other.children.forall(boundedByAggregate)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def visit(n: SparkPlan): Unit = if (seen.add(n)) {
+      val allowed = n.isInstanceOf[BaseAggregateExec] ||
+        n.isInstanceOf[CollectLimitExec]
+      realChildren(n).foreach {
+        case ex: ShuffleExchangeExec if ex.outputPartitioning == SinglePartition =>
+          if (!allowed && !boundedByAggregate(ex.child))
+            out += s"${n.nodeName} <- Exchange SinglePartition"
+          visit(ex)
+        case c => visit(c)
       }
+    }
+    val start = if (transparent(root)) realChildren(root) else Seq(root)
+    start.foreach(visit)
+    out.toSeq
   }
 
-  private def expandFacts(spark: SparkSession, base: String, out: String): Unit = {
-    val ks = (0 until Factor).map(lit(_))
+  /** Plan-audit listener: applies [[singlePartitionViolations]] to every
+    * action's executed plan while enabled.
+    */
+  final class PlanAudit extends org.apache.spark.sql.util.QueryExecutionListener {
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var enabled = false
+    override def onSuccess(funcName: String,
+                           qe: org.apache.spark.sql.execution.QueryExecution,
+                           durationNs: Long): Unit =
+      if (enabled)
+        singlePartitionViolations(qe.executedPlan).foreach(violations.add)
+    override def onFailure(funcName: String,
+                           qe: org.apache.spark.sql.execution.QueryExecution,
+                           exception: Exception): Unit = ()
+  }
+
+  private def expandFacts(spark: SparkSession, base: String, out: String,
+                          factor: Int): Unit = {
     def copies(df: DataFrame, f: Int => DataFrame): DataFrame =
-      (0 until Factor).map(f).reduce(_ unionByName _)
+      (0 until factor).map(f).reduce(_ unionByName _)
 
     val stops = typedLit(graft.operators.TextOps.GopherRequiredStops)
     val docs = spark.read.parquet(s"$base/documents.parquet")
     copies(docs, k => docs.select(
-      (col("doc_id") * Factor + k).as("doc_id"),
+      (col("doc_id") * factor + k).as("doc_id"),
       array_join(transform(split(col("text"), " "),
         t => when(array_contains(stops, t), t)
           .otherwise(concat(t, lit(k.toString)))), " ").as("text"),
@@ -116,26 +190,26 @@ object Scale10 {
 
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     copies(emb, k => emb.select(
-      (col("vec_id") * Factor + k).as("vec_id"), col("embedding"), col("label")))
+      (col("vec_id") * factor + k).as("vec_id"), col("embedding"), col("label")))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val ev = spark.read.parquet(s"$base/events.parquet")
     copies(ev, k => ev.select(
-      (col("event_id") * Factor + k).as("event_id"), col("ts"),
-      (col("user_id") * Factor + k).as("user_id"),
+      (col("event_id") * factor + k).as("event_id"), col("ts"),
+      (col("user_id") * factor + k).as("user_id"),
       col("event_type"), col("value"), col("props")))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     val li = spark.read.parquet(s"$base/lineitem.parquet")
     val liKeys = Set("l_orderkey", "l_partkey", "l_suppkey")
     copies(li, k => li.select(li.columns.map(c =>
-      if (liKeys(c)) (col(c) * Factor + k).as(c) else col(c)).toIndexedSeq: _*))
+      if (liKeys(c)) (col(c) * factor + k).as(c) else col(c)).toIndexedSeq: _*))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     val ord = spark.read.parquet(s"$base/orders.parquet")
     val ordKeys = Set("o_orderkey", "o_custkey")
     copies(ord, k => ord.select(ord.columns.map(c =>
-      if (ordKeys(c)) (col(c) * Factor + k).as(c) else col(c)).toIndexedSeq: _*))
+      if (ordKeys(c)) (col(c) * factor + k).as(c) else col(c)).toIndexedSeq: _*))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     // dimensions: verbatim copies (see the Scaladoc limitation note)
@@ -148,29 +222,30 @@ object Scale10 {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.drop(1).headOption.getOrElse("/tmp/graft_scale10")
+    val factor = args.drop(2).headOption.map(_.toInt).getOrElse(DefaultFactor)
+    require(factor >= 2, s"factor must be >= 2, got $factor")
     val outJson = sys.env.getOrElse("SPARK_GRAFT_SCALE10_OUT",
       "/root/repo/SCALE10.json")
     require(!work.startsWith("/root/testdata"), "workDir must not touch the fixtures")
-    val tenx = s"$work/sf10x"
-    val marker = java.nio.file.Paths.get(s"$work/.synth_from")
+    val tenx = s"$work/sf${factor}x"
+    val marker = java.nio.file.Paths.get(s"$work/.synth_from_$factor")
     val spark = Engine.session("graft-scale10")
     val loadStart = loadAvg1m()
 
     val synthT0 = System.nanoTime()
     // marker carries a synth VERSION: changing the expansion semantics
     // must invalidate a previously synthesized dir
-    val markerVal = s"$base#v2"
+    val markerVal = s"$base#v2#f$factor"
     val reuse = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker)).trim == markerVal
     if (!reuse) {
-      expandFacts(spark, base, tenx)
+      expandFacts(spark, base, tenx, factor)
       java.nio.file.Files.createDirectories(marker.getParent)
       java.nio.file.Files.writeString(marker, markerVal)
     }
     val synthSec = (System.nanoTime() - synthT0) / 1e9
 
-    val audit = new OneTaskAudit
-    spark.sparkContext.addSparkListener(audit)
+    val audit = new PlanAudit
     val qs = SparkEntry.queries
 
     /** (cold, warm) for one (query, scale), measured in a FRESH
@@ -192,6 +267,9 @@ object Scale10 {
     def time(name: String, dir: String, auditOn: Boolean): (Double, Double) = {
       val s = spark.newSession()
       spark.catalog.clearCache() // CacheManager is SharedState-global
+      // ExecutionListenerManager is per-session — register on the fresh
+      // session so every action's executed plan reaches the audit
+      s.listenerManager.register(audit)
       audit.enabled = auditOn
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -222,23 +300,24 @@ object Scale10 {
       val (c10, w10) = time(name, tenx, auditOn = true)
       Thread.sleep(300) // let async listener events drain
       val viol = audit.violations.toArray.drop(before)
-        .map(_.asInstanceOf[(Int, Long)]).toSeq
+        .map(_.asInstanceOf[String]).toSeq.distinct
       (name, c1, w1, c10, w10, viol)
     }
 
     val loadEnd = loadAvg1m()
+    val gate = superlinearRatio(factor)
     val anyViol = rows.exists(_._6.nonEmpty)
-    val anySuper = rows.exists { case (_, c1, _, c10, _, _) => c10 / c1 > SuperlinearRatio }
+    val anySuper = rows.exists { case (_, c1, _, c10, _, _) => c10 / c1 > gate }
     val qJson = rows.map { case (name, c1, w1, c10, w10, viol) =>
-      val vs = viol.map { case (sid, rec) => s"""{"stage":$sid,"records":$rec}""" }
+      val vs = viol.map(v => "\"" + v.replace("\"", "'") + "\"")
         .mkString("[", ",", "]")
-      f""""$name":{"cold1x_sec":$c1%.3f,"cold10x_sec":$c10%.3f,"cold_ratio":${c10 / c1}%.2f,""" +
-        f""""warm1x_sec":$w1%.3f,"warm10x_sec":$w10%.3f,"one_task_violations":$vs}"""
+      f""""$name":{"cold1x_sec":$c1%.3f,"coldNx_sec":$c10%.3f,"cold_ratio":${c10 / c1}%.2f,""" +
+        f""""warm1x_sec":$w1%.3f,"warmNx_sec":$w10%.3f,"single_partition_violations":$vs}"""
     }.mkString(",")
     val json =
-      s"""{"generator":"graft.Scale10","base":"$base","factor":$Factor,""" +
+      s"""{"generator":"graft.Scale10","base":"$base","factor":$factor,""" +
         s""""action":"warm best-of-2 noop write","synth_sec":${"%.1f".format(synthSec)},""" +
-        s""""superlinear_gate":$SuperlinearRatio,"one_task_record_limit":$OneTaskRecordLimit,""" +
+        s""""superlinear_gate":$gate,"gate_kind":"required-single-partition-exchange",""" +
         s""""start_1m":$loadStart,"end_1m":$loadEnd,"contended":${loadStart > 4.0 || loadEnd > 4.0},""" +
         s""""pass":${!anyViol && !anySuper},"queries":{$qJson}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)

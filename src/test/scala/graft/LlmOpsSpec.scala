@@ -1211,6 +1211,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(q.getAs[String]("text_clean").endsWith("\ntail words\nraw 3"))
   }
 
+  test("L4h/L10b/L5d scale shape: one corpus pass, no join/agg, single output-sort exchange") {
+    // the "narrow, shuffle-free, scales with the scan" claims these
+    // per-doc stages make are plan facts, not prose: the only exchange
+    // allowed is the final ORDER BY's range partitioning
+    def shape(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val ex = "Exchange".r.findAllIn(plan).size
+      assert(ex <= 1, s"$name: expected at most the output-sort exchange, got $ex:\n$plan")
+      assert(!plan.contains("Join"), s"$name: unexpected join:\n$plan")
+      assert(!plan.contains("HashAggregate"), s"$name: unexpected aggregate:\n$plan")
+    }
+    shape(TextOps.l4HtmlStrip(spark, sf), "l4_html_strip")
+    shape(TextOps.l10PiiV2(spark, sf), "l10_pii_v2")
+    shape(Multimodal.l5PngStats(spark, sf), "l5_png_stats")
+  }
+
   test("L10b PII v2: Luhn gate (true/false positives), E.164 phones, stage order, counts") {
     val df = Seq(
       // 4532015112830366 is Luhn-VALID; ...67 (last digit +1) is NOT and
