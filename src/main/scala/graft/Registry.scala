@@ -2669,6 +2669,48 @@ object Registry {
           CAST(SUM(b) // (w * h) AS BIGINT) AS mean_b
         FROM p GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+      // L5e: real baseline JPEG pixel decode — the synthesize/replay
+      // trick through an ENTROPY-CODED container: the engine Huffman-
+      // encodes block-constant formula images into genuine baseline
+      // JPEG bytes (Annex K tables, byte stuffing, restart markers on
+      // every 5th doc) across all three decoder arms — grayscale,
+      // 4:4:4, 4:2:0 with replication upsampling — and decodes them
+      // back through Huffman + dequant + IDCT + fixed-point YCbCr→RGB.
+      // Block-constant images round-trip EXACTLY under SynthQ (DC
+      // quantum 8 — Jpeg.scala's exactness contract), and the color
+      // step is a pure integer formula, so the oracle replays expected
+      // channel means exactly; any defect in entropy decode, IDCT
+      // rounding, upsampling, or color conversion is a hash mismatch.
+      // The biased fixed-point form keeps every // operand non-negative
+      // (floor == truncate, no negative-division caveats).
+      QueryDef("l5_jpeg_stats", Multimodal.l5JpegStats, Some("""
+        WITH d AS (SELECT doc_id, doc_id % 3 AS mode,
+            CASE WHEN doc_id % 3 = 2 THEN 16 * (1 + doc_id % 2)
+                 ELSE 8 * (1 + (doc_id // 3) % 3) END AS w,
+            CASE WHEN doc_id % 3 = 2 THEN 16
+                 ELSE 8 * (1 + (doc_id // 3) % 2) END AS h,
+            CASE WHEN doc_id % 3 = 2 THEN 256 ELSE 64 END AS p
+          FROM documents),
+        u AS (SELECT d.doc_id, d.mode, d.w, d.h,
+            (d.doc_id * 7 + k.k * 29 + 31) % 256 AS y,
+            (d.doc_id * 11 + k.k * 17 + 57) % 256 AS cb,
+            (d.doc_id * 13 + k.k * 23 + 94) % 256 AS cr
+          FROM d, UNNEST(generate_series(0, d.w * d.h // d.p - 1)) AS k(k)),
+        c AS (SELECT doc_id, w, h,
+            CASE WHEN mode = 0 THEN y ELSE
+              LEAST(255, GREATEST(0, (y * 65536 + 91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) END AS r,
+            CASE WHEN mode = 0 THEN y ELSE
+              LEAST(255, GREATEST(0, (y * 65536 - 22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) END AS g,
+            CASE WHEN mode = 0 THEN y ELSE
+              LEAST(255, GREATEST(0, (y * 65536 + 116130 * (cb - 128) + 32768 + 16777216) // 65536 - 256)) END AS b
+          FROM u)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(r) // COUNT(*) AS BIGINT) AS mean_r,
+          CAST(SUM(g) // COUNT(*) AS BIGINT) AS mean_g,
+          CAST(SUM(b) // COUNT(*) AS BIGINT) AS mean_b
+        FROM c GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
       // Within-doc repetition metrics: per-(doc, token) counts replayed
       // as the same two-stage aggregation; bigram comprehension is the
       // fingerprint oracle's at n=2. All permille metrics integer DIV.

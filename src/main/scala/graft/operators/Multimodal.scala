@@ -20,11 +20,13 @@ import org.apache.spark.sql.types.StructType
   * uncompressed BMP ([[decodeBmp24]]), and non-interlaced 8-bit
   * truecolor PNG ([[decodePng]] — IDAT is zlib DEFLATE, which the JDK
   * itself ships as `java.util.zip.Inflater`, and the five per-row
-  * filters are byte arithmetic), each hash-checked end to end by its
-  * declared query. Only JPEG pixel decode stays stubbed behind a
-  * deterministic fake (entropy-coded DCT genuinely needs a codec
-  * library; the stub stands in for e.g. a JNI/ONNX decode, and the
-  * tests pin the plumbing: schema, batch shape, row alignment).
+  * filters are byte arithmetic), and baseline JPEG ([[Jpeg.decodeJpeg]]
+  * — canonical Huffman, dequant, separable IDCT and fixed-point color
+  * are all plain arithmetic), each hash-checked end to end by its
+  * declared query. Only formats that genuinely need an external codec
+  * (video, modern image codecs) remain behind the deterministic
+  * [[decodeFeatures]] stand-in, whose tests pin the plumbing: schema,
+  * batch shape, row alignment.
   *
   * Scale posture: documents⋈embeddings is a key-to-key shuffle join on
   * the id (both sides bucketable by that id at 100 TB); decode runs via
@@ -115,10 +117,11 @@ object Multimodal {
     *    (FFC0–FFCF excluding C4/C8/CC, ITU T.81 §B.2.2), which carries
     *    height then width after the precision byte.
     *
-    * Pixel DECODE stays stubbed (no codec libs in this container), but
-    * format sniffing + resolution extraction — what a curation pipeline
-    * actually filters on — is real. Returns None on anything
-    * unrecognized or truncated rather than throwing.
+    * This walk is the cheap first pass (format sniffing + resolution —
+    * what a curation pipeline filters on — without touching the pixel
+    * stream); full pixel decode lives in [[decodePng]] and
+    * [[Jpeg.decodeJpeg]]. Returns None on anything unrecognized or
+    * truncated rather than throwing.
     */
   def parseImageMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
     val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -671,6 +674,76 @@ object Multimodal {
         col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic per-doc JPEG synthesis for the declared JPEG-decode
+    * query — the [[synthPngAssets]] trick through an ENTROPY-CODED
+    * container (see [[Jpeg]]): doc d cycles through the three decoder
+    * arms by d mod 3 —
+    *
+    *  - d≡0: GRAYSCALE, 8·(1 + (d/3) mod 3) × 8·(1 + (d/3) mod 2),
+    *    each 8×8 block k constant Y(d,k);
+    *  - d≡1: 4:4:4 COLOR, same dimensions, block k constant
+    *    (Y, Cb, Cr)(d,k);
+    *  - d≡2: 4:2:0 COLOR, 16·(1 + d mod 2) × 16, each 16×16 MCU k
+    *    constant (Y, Cb, Cr)(d,k) — chroma constant per 2×2, so
+    *    replication upsampling is lossless;
+    *
+    * with Y = (d·7 + k·29 + 31) mod 256, Cb = (d·11 + k·17 + 57) mod
+    * 256, Cr = (d·13 + k·23 + 94) mod 256. Block-constant images
+    * round-trip EXACTLY through the full Huffman+DCT pipeline under
+    * [[Jpeg.SynthQ]] (DC quantum 8 — see the [[Jpeg]] exactness
+    * contract), and the fixed-point YCbCr→RGB step is a pure integer
+    * formula, so the DuckDB oracle replays the expected channel means
+    * exactly; any defect in the entropy decode, dequantization, IDCT
+    * rounding, upsampling, or color conversion surfaces as a hash
+    * mismatch. Restart intervals are exercised too: docs with
+    * d mod 5 == 0 encode with DRI = 1 (an RSTn between every MCU).
+    */
+  def synthJpegAssets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val ri = if (d % 5 == 0) 1 else 0
+        def yOf(k: Int) = ((d * 7 + k * 29 + 31) % 256).toInt
+        def cbOf(k: Int) = ((d * 11 + k * 17 + 57) % 256).toInt
+        def crOf(k: Int) = ((d * 13 + k * 23 + 94) % 256).toInt
+        val bytes = (d % 3) match {
+          case 2 =>
+            val w = (16 * (1 + d % 2)).toInt; val h = 16
+            val bx = w / 16
+            val y = Array.tabulate(w * h)(i => yOf((i % w) / 16 + (i / w) / 16 * bx))
+            val cb = Array.tabulate(w / 2 * (h / 2))(i => cbOf((i % (w / 2)) / 8 + (i / (w / 2)) / 8 * bx))
+            val cr = Array.tabulate(w / 2 * (h / 2))(i => crOf((i % (w / 2)) / 8 + (i / (w / 2)) / 8 * bx))
+            Jpeg.buildJpeg420(y, cb, cr, w, h, restartInterval = ri)
+          case 1 =>
+            val w = (8 * (1 + (d / 3) % 3)).toInt; val h = (8 * (1 + (d / 3) % 2)).toInt
+            val bx = w / 8
+            def blk(i: Int) = (i % w) / 8 + (i / w) / 8 * bx
+            val y = Array.tabulate(w * h)(i => yOf(blk(i)))
+            val cb = Array.tabulate(w * h)(i => cbOf(blk(i)))
+            val cr = Array.tabulate(w * h)(i => crOf(blk(i)))
+            Jpeg.buildJpeg444(y, cb, cr, w, h, restartInterval = ri)
+          case _ =>
+            val w = (8 * (1 + (d / 3) % 3)).toInt; val h = (8 * (1 + (d / 3) % 2)).toInt
+            val bx = w / 8
+            val y = Array.tabulate(w * h)(i => yOf((i % w) / 8 + (i / w) / 8 * bx))
+            Jpeg.buildJpegGray(y, w, h, restartInterval = ri)
+        }
+        (d, bytes)
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5e declared query: channel-mean stats of the synthesized JPEG
+    * corpus, decoded from the actual entropy-coded bytes (Huffman +
+    * dequant + IDCT + fixed-point color — see [[Jpeg.decodeJpeg]]).
+    */
+  def l5JpegStats(spark: SparkSession, dir: String): DataFrame =
+    imagePixelStats(synthJpegAssets(Tables(spark, dir)), Jpeg.decodeJpeg)
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("doc_id"))
+
   /** Decoded-sample stats row of [[audioPcmStats]]: all-BIGINT integer
     * stats (exact on any engine), null stats for undecodable payloads.
     */
@@ -739,12 +812,12 @@ object Multimodal {
   /** Batch "decode / feature-extract" over the binary payload column.
     *
     * STUB CODEC for formats that genuinely need a codec library
-    * (JPEG's entropy-coded DCT, video) — WAV PCM, BMP24 and truecolor
-    * PNG decode are REAL, see [[decodePcmSamples]]/[[decodeBmp24]]/
-    * [[decodePng]]; the stand-in emits a deterministic 4-d feature from
-    * the payload bytes so the distributed plumbing — per-partition
-    * batching, binary traversal, schema of the result — is real and
-    * testable.
+    * (video, learned feature extractors) — WAV PCM, BMP24, truecolor
+    * PNG and baseline JPEG decode are REAL, see [[decodePcmSamples]]/
+    * [[decodeBmp24]]/[[decodePng]]/[[Jpeg.decodeJpeg]]; the stand-in
+    * emits a deterministic 4-d feature from the payload bytes so the
+    * distributed plumbing — per-partition batching, binary traversal,
+    * schema of the result — is real and testable.
     */
   def decodeFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession

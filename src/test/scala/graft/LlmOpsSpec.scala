@@ -1,7 +1,7 @@
 package graft
 
 import graft.Ckpt._
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Jpeg, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** L1–L6 semantics that the DuckDB oracles can't see: duplicate removal
@@ -1019,6 +1019,129 @@ class LlmOpsSpec extends SparkSuite {
     // declared-query spot row: dims follow the synthesis formula
     val q = Multimodal.l5PngStats(spark, sf).filter(col("doc_id") === 4L).first()
     assert(q.getInt(1) == 5 + 4 % 7 && q.getInt(2) == 3 + 4 % 5)
+  }
+
+  test("L5e JPEG codec: exact block-constant round-trips (gray, 4:4:4, 4:2:0, restarts)") {
+    // --- grayscale: 16x8, two 8x8 blocks of distinct constants.
+    // Exactness contract (Jpeg.scala doc): constant blocks under SynthQ
+    // (DC quantum 8) survive the FULL pipeline bit-for-bit.
+    val gy = Array.tabulate(16 * 8)(i => if ((i % 16) < 8) 40 else 201)
+    val gBytes = Jpeg.buildJpegGray(gy, 16, 8)
+    val gExp = gy.map(v => (v << 16) | (v << 8) | v)
+    assert(Jpeg.decodeJpeg(gBytes).map { case (w, h, p) => (w, h, p.toSeq) }
+      .contains((16, 8, gExp.toSeq)))
+    // --- 4:4:4 color: 8x16, two vertical blocks with distinct YCbCr;
+    // expected RGB comes from the SAME fixed-point formula the decoder
+    // uses (yccToRgb is the shared public step the oracle replays too)
+    val yccA = (77, 90, 200); val yccB = (180, 140, 60)
+    def pick(i: Int) = if (i / 8 / 8 == 0) yccA else yccB // row-major 8 wide
+    val cy = Array.tabulate(8 * 16)(pick(_)._1)
+    val ccb = Array.tabulate(8 * 16)(pick(_)._2)
+    val ccr = Array.tabulate(8 * 16)(pick(_)._3)
+    val cBytes = Jpeg.buildJpeg444(cy, ccb, ccr, 8, 16)
+    val cExp = Array.tabulate(8 * 16)(i => (Jpeg.yccToRgb _).tupled(pick(i)))
+    assert(Jpeg.decodeJpeg(cBytes).map { case (w, h, p) => (w, h, p.toSeq) }
+      .contains((8, 16, cExp.toSeq)))
+    // --- 4:2:0: 32x16 = two 16x16 MCUs, constant per MCU; chroma is
+    // constant per 2x2 so replication upsampling is lossless
+    def mcuOf(i: Int) = (i % 32) / 16
+    val sy = Array.tabulate(32 * 16)(i => if (mcuOf(i) == 0) 77 else 180)
+    val scb = Array.tabulate(16 * 8)(i => if ((i % 16) / 8 == 0) 90 else 140)
+    val scr = Array.tabulate(16 * 8)(i => if ((i % 16) / 8 == 0) 200 else 60)
+    val sBytes = Jpeg.buildJpeg420(sy, scb, scr, 32, 16)
+    val sExp = Array.tabulate(32 * 16)(i =>
+      if (mcuOf(i) == 0) Jpeg.yccToRgb(77, 90, 200) else Jpeg.yccToRgb(180, 140, 60))
+    assert(Jpeg.decodeJpeg(sBytes).map { case (w, h, p) => (w, h, p.toSeq) }
+      .contains((32, 16, sExp.toSeq)))
+    // --- restart markers: DRI=1 inserts an RSTn between every MCU and
+    // resets DC prediction; the image must be unchanged
+    val rBytes = Jpeg.buildJpeg420(sy, scb, scr, 32, 16, restartInterval = 1)
+    assert(!(rBytes sameElements sBytes)) // the RST is really in there
+    assert(Jpeg.decodeJpeg(rBytes).map { case (w, h, p) => (w, h, p.toSeq) }
+      .contains((32, 16, sExp.toSeq)))
+    // non-multiple-of-8 dims: encoder edge-replicates, decoder crops —
+    // a constant image stays exact at any size
+    val oddW = 13; val oddH = 5
+    val odd = Array.fill(oddW * oddH)(123)
+    assert(Jpeg.decodeJpeg(Jpeg.buildJpegGray(odd, oddW, oddH))
+      .map { case (w, h, p) => (w, h, p.toSeq) }
+      .contains((oddW, oddH, odd.map(v => (v << 16) | (v << 8) | v).toSeq)))
+  }
+
+  test("L5e JPEG codec: near-identity under flat quantization, ZRL path, gates, stats") {
+    // deterministic pseudo-random RGB image through the full lossy
+    // pipeline with all-ones quantization: per-coefficient rounding
+    // loses < 0.5, the color conversions < 1 each — every AC Huffman
+    // size category and the run-length coder get exercised, and the
+    // result must stay within a tight band of the input
+    val w = 24; val h = 16
+    var seed = 12345L
+    def next(): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33) % 256).toInt }
+    val px = Array.fill(w * h)((next() << 16) | (next() << 8) | next())
+    val bytes = Jpeg.buildJpegRgb(px, w, h, Jpeg.FlatQ, Jpeg.FlatQ)
+    val Some((dw, dh, out)) = Jpeg.decodeJpeg(bytes): @unchecked
+    assert(dw == w && dh == h)
+    val errs = px.zip(out).flatMap { case (a, b) =>
+      Seq(math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff)),
+        math.abs(((a >> 8) & 0xff) - ((b >> 8) & 0xff)),
+        math.abs((a & 0xff) - (b & 0xff)))
+    }
+    assert(errs.max <= 8, s"max channel error ${errs.max} after flat-Q round trip")
+    assert(errs.sum.toDouble / errs.length <= 2.0, "mean channel error too high")
+    // pixel-level checkerboard concentrates energy in the highest
+    // frequency -> long zero runs -> the ZRL (16-zero-run) code path;
+    // grayscale keeps color conversion out of the error budget
+    val cb = Array.tabulate(16 * 16)(i => if (((i % 16) + i / 16) % 2 == 0) 0 else 255)
+    val cbBytes = Jpeg.buildJpegGray(cb, 16, 16, Jpeg.FlatQ)
+    val Some((_, _, cbOut)) = Jpeg.decodeJpeg(cbBytes): @unchecked
+    val cbErr = cb.zip(cbOut).map { case (a, b) => math.abs(a - (b & 0xff)) }
+    assert(cbErr.max <= 4, s"checkerboard max error ${cbErr.max}")
+    // --- gates: None, never a throw ---
+    def patchMarker(base: Array[Byte], from: Int, to: Int): Array[Byte] = {
+      val out = base.clone()
+      val i = out.indices.dropRight(1)
+        .find(j => (out(j) & 0xff) == 0xff && (out(j + 1) & 0xff) == from).get
+      out(i + 1) = to.toByte
+      out
+    }
+    assert(Jpeg.decodeJpeg(patchMarker(bytes, 0xc0, 0xc2)).isEmpty) // progressive SOF2
+    assert(Jpeg.decodeJpeg(patchMarker(bytes, 0xc0, 0xc9)).isEmpty) // arithmetic coding
+    val bit12 = bytes.clone()
+    val sofAt = bit12.indices.dropRight(1)
+      .find(j => (bit12(j) & 0xff) == 0xff && (bit12(j + 1) & 0xff) == 0xc0).get
+    bit12(sofAt + 4) = 12.toByte // precision byte after the 2-byte length
+    assert(Jpeg.decodeJpeg(bit12).isEmpty)
+    // out-of-order restart marker: RST0 rewritten to RST4
+    val ri = Jpeg.buildJpeg420(Array.fill(32 * 16)(99), Array.fill(16 * 8)(120),
+      Array.fill(16 * 8)(130), 32, 16, restartInterval = 1)
+    assert(Jpeg.decodeJpeg(ri).nonEmpty)
+    assert(Jpeg.decodeJpeg(patchMarker(ri, 0xd0, 0xd4)).isEmpty)
+    assert(Jpeg.decodeJpeg(bytes.take(40)).isEmpty)       // truncated in headers
+    assert(Jpeg.decodeJpeg(bytes.dropRight(30)).isEmpty)  // truncated entropy data
+    assert(Jpeg.decodeJpeg("garbage".getBytes("US-ASCII")).isEmpty)
+    assert(Jpeg.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty) // bare SOI
+    // --- distributed stats path + null survival + declared spot rows ---
+    val df = Seq((1L, cbBytes), (2L, "nope".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val outRows = Multimodal.imagePixelStats(df, Jpeg.decodeJpeg).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(outRows(1L).getInt(1) == 16 && outRows(1L).getInt(2) == 16)
+    assert(outRows(2L).isNullAt(1) && outRows(2L).isNullAt(6))
+    // synthesis wiring: dims follow the per-arm formula (doc 3 gray,
+    // doc 4 4:4:4, doc 5 4:2:0 with DRI=1 — two MCUs through restarts)
+    val q = Multimodal.l5JpegStats(spark, sf)
+      .filter(col("doc_id").isin(3L, 4L, 5L)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(3L).getInt(1) == 16 && q(3L).getInt(2) == 16)
+    assert(q(4L).getInt(1) == 16 && q(4L).getInt(2) == 16)
+    assert(q(5L).getInt(1) == 32 && q(5L).getInt(2) == 16)
+    // doc 5 mean replay: two MCUs, k = 0 and 1, the oracle's formula
+    def ycc(d: Long, k: Long) =
+      (((d * 7 + k * 29 + 31) % 256).toInt, ((d * 11 + k * 17 + 57) % 256).toInt,
+        ((d * 13 + k * 23 + 94) % 256).toInt)
+    val rgb5 = Seq(0L, 1L).map(k => (Jpeg.yccToRgb _).tupled(ycc(5L, k)))
+    assert(q(5L).getLong(4) == rgb5.map(p => (p >> 16) & 0xff).sum / 2)
+    assert(q(5L).getLong(6) == rgb5.map(p => p & 0xff).sum / 2)
   }
 
   test("L5 multimodal decode stub: schema, alignment, determinism") {
