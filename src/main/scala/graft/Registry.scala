@@ -2711,6 +2711,43 @@ object Registry {
           CAST(SUM(b) // COUNT(*) AS BIGINT) AS mean_b
         FROM c GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+      // L5f: real PROGRESSIVE JPEG pixel decode — the l5_jpeg_stats
+      // trick through SOF2's multi-scan pipeline: interleaved DC first
+      // scan at Al=1, DC refinement (the successive-approximation OR
+      // of the dropped bit — exact in two's complement), per-component
+      // AC first + refinement scans whose EOB runs span every block of
+      // the component for this block-constant corpus, restart markers
+      // (with EOB-run flushes) on every 7th doc. Same fixed-point color
+      // formula; dims/constants differ from the sequential corpus so
+      // the two queries can't mask each other.
+      QueryDef("l5_jpeg_progressive", Multimodal.l5JpegProgressive, Some("""
+        WITH d AS (SELECT doc_id, doc_id % 3 AS mode,
+            CASE WHEN doc_id % 3 = 2 THEN 16
+                 ELSE 8 * (1 + (doc_id // 3) % 2) END AS w,
+            CASE WHEN doc_id % 3 = 2 THEN 16 * (1 + doc_id % 2)
+                 ELSE 8 * (1 + (doc_id // 3) % 3) END AS h,
+            CASE WHEN doc_id % 3 = 2 THEN 256 ELSE 64 END AS p
+          FROM documents),
+        u AS (SELECT d.doc_id, d.mode, d.w, d.h,
+            (d.doc_id * 19 + k.k * 37 + 23) % 256 AS y,
+            (d.doc_id * 29 + k.k * 41 + 11) % 256 AS cb,
+            (d.doc_id * 31 + k.k * 43 + 201) % 256 AS cr
+          FROM d, UNNEST(generate_series(0, d.w * d.h // d.p - 1)) AS k(k)),
+        c AS (SELECT doc_id, w, h,
+            CASE WHEN mode = 0 THEN y ELSE
+              LEAST(255, GREATEST(0, (y * 65536 + 91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) END AS r,
+            CASE WHEN mode = 0 THEN y ELSE
+              LEAST(255, GREATEST(0, (y * 65536 - 22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) END AS g,
+            CASE WHEN mode = 0 THEN y ELSE
+              LEAST(255, GREATEST(0, (y * 65536 + 116130 * (cb - 128) + 32768 + 16777216) // 65536 - 256)) END AS b
+          FROM u)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(r) // COUNT(*) AS BIGINT) AS mean_r,
+          CAST(SUM(g) // COUNT(*) AS BIGINT) AS mean_g,
+          CAST(SUM(b) // COUNT(*) AS BIGINT) AS mean_b
+        FROM c GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
       // Within-doc repetition metrics: per-(doc, token) counts replayed
       // as the same two-stage aggregation; bigram comprehension is the
       // fingerprint oracle's at n=2. All permille metrics integer DIV.

@@ -2,25 +2,38 @@ package graft.operators
 
 import scala.util.control.NonFatal
 
-/** L5e (SURVEY.md §2.9): REAL baseline JPEG codec — the format the L5
-  * row previously stubbed ("entropy-coded DCT genuinely needs a codec
-  * library"). It does not: every stage of baseline sequential JPEG
+/** L5e (SURVEY.md §2.9): REAL baseline + progressive JPEG codec — the
+  * format the L5 row previously stubbed ("entropy-coded DCT genuinely
+  * needs a codec library"). It does not: every stage of JPEG
   * (ITU T.81) is plain arithmetic — canonical Huffman coding over the
   * Annex K table spec, zigzag run-length coding, dequantization, and a
   * separable 8×8 DCT — so, like the WAV/BMP/PNG codecs in
   * [[Multimodal]], it is implemented library-free and hash-checked end
-  * to end by a declared query.
+  * to end by declared queries.
   *
   * Decoder scope (everything else returns None, never throws):
-  * baseline/extended-sequential Huffman scans (SOF0/SOF1), 8-bit
-  * precision, 1-component grayscale or 3-component YCbCr with any
-  * sampling factors in 1..4 (4:4:4, 4:2:0, 4:2:2, … — chroma is
-  * upsampled by sample replication), single interleaved scan, restart
-  * intervals (DRI/RSTn), 0xFF00 byte stuffing. Progressive (SOF2),
-  * arithmetic coding (SOF9+), 12-bit, hierarchical, and multi-scan
-  * streams are gated to None — honest scope, loudly documented.
+  *  - baseline/extended-sequential Huffman scans (SOF0/SOF1), and
+  *  - PROGRESSIVE Huffman scans (SOF2): spectral selection AND
+  *    successive approximation — DC first/refine scans (interleaved or
+  *    single-component), AC first/refine scans (single-component,
+  *    non-interleaved block raster over the ceil grid) with EOB-run
+  *    accumulation across blocks and the G.1.2.3 correction-bit walk;
+  * both with 8-bit precision, 1-component grayscale or 3-component
+  * YCbCr with any sampling factors in 1..4 (4:4:4, 4:2:0, 4:2:2, … —
+  * chroma is upsampled by sample replication), restart intervals
+  * (DRI/RSTn), 0xFF00 byte stuffing. Arithmetic coding (SOF9+),
+  * 12-bit, lossless and hierarchical streams are gated to None —
+  * honest scope, loudly documented.
   *
-  * Color convention (shared with the declared query's oracle): the
+  * Architecture: scans accumulate QUANTIZED zigzag-order coefficients
+  * per component (progressive refinement operates in the quantized
+  * domain, T.81 §G); dequantization + IDCT + upsampling + color run
+  * once at EOI. The sequential path uses the same storage, so
+  * progressive-vs-sequential equality is exact by construction when
+  * the coefficients agree — LlmOpsSpec pins decode(progressive bytes)
+  * == decode(sequential bytes) bit-for-bit on random images.
+  *
+  * Color convention (shared with the declared queries' oracles): the
   * YCbCr→RGB step is FIXED-POINT — 16-bit scaled BT.601 coefficients,
   * floor shift over a biased non-negative intermediate — so the decoded
   * RGB is a pure integer formula of (Y, Cb, Cr) that a SQL oracle
@@ -30,18 +43,19 @@ import scala.util.control.NonFatal
   *   B = clamp((Y·65536 + 116130·(Cb−128) + 32768 + 2²⁴ >> 16) − 256)
   * (the +2²⁴ bias keeps the shifted value non-negative, so an
   * arithmetic shift, a floor division, and a truncating division all
-  * agree — the oracle's `//` needs no negative-division caveats).
+  * agree — the oracle's `//` needs no negative-division caveats.)
   *
-  * Exactness contract the declared query rides on: a block whose
+  * Exactness contract the declared queries ride on: a block whose
   * samples are constant c has DC = 8·(c−128) and all-zero AC after the
   * forward DCT; with DC quantum 8 the quantized DC is exactly c−128,
   * and the inverse path reproduces c bit-for-bit (the separable DCT's
   * rounding error is ~1e-13, far below the 0.5 rounding threshold).
-  * So block-constant images round-trip EXACTLY through the full
-  * encoder/decoder — Huffman, stuffing, restarts included — while the
-  * oracle replays the per-block formula (LlmOpsSpec pins the exact
-  * round-trip for gray, 4:4:4 and 4:2:0, and a near-identity bound for
-  * arbitrary images under all-ones quantization).
+  * This survives successive approximation too: the DC first scan codes
+  * dc >> Al (arithmetic shift) and refinement ORs the dropped bit back
+  * — exact for either sign in two's complement. So block-constant
+  * images round-trip EXACTLY through both the sequential and the
+  * progressive pipeline — Huffman, stuffing, restarts, EOB runs
+  * included — while the oracle replays the per-block formula.
   */
 object Jpeg {
 
@@ -52,7 +66,7 @@ object Jpeg {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
-  /** Quant table (zigzag order) for the declared synth corpus: DC
+  /** Quant table (zigzag order) for the declared synth corpora: DC
     * quantum 8 (so constant blocks round-trip exactly, see object doc),
     * AC quantum 16 (all-zero for constant blocks anyway).
     */
@@ -99,11 +113,31 @@ object Jpeg {
     0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
     0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
 
+  // The Annex K AC tables are SEQUENTIAL-mode tables: their alphabet is
+  // {EOB, ZRL} ∪ (run 0..15 × size 1..10) — the progressive EOBn
+  // symbols ((n<<4)|0 for n = 1..14, coding EOB runs of 2..32767
+  // blocks, T.81 §G.1.2.2) have NO code in them, and their code space
+  // is full (the last length-16 code is 0xFFFE), so they can't be
+  // extended. Real encoders ship custom tables for progressive scans;
+  // this one is hand-shaped for the common case (EOB runs and small
+  // sizes short, the 146 rare symbols at length 12) with Kraft sum
+  // 0.9888 ≤ 1 — verified canonical by the HuffEnc overflow guard.
+  private val ProgAcCounts = Array(0, 1, 2, 3, 4, 5, 4, 5, 6, 0, 0, 146, 0, 0, 0, 0)
+  private val ProgAcValues: Array[Int] = {
+    val head = Array(0x00, 0x01, 0x10, 0x02, 0x11, 0x20, 0x03, 0x21, 0x30, 0x12,
+      0x40, 0x31, 0x04, 0x13, 0x22, 0x50, 0x41, 0x05, 0xf0, 0x60, 0x51, 0x14, 0x23, 0x06,
+      0x70, 0x61, 0x32, 0x15, 0x07, 0x24)
+    val all = ((0 to 14).map(_ << 4) ++ Seq(0xf0) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).toArray
+    head ++ all.filterNot(head.contains).sorted
+  }
+
   /** Canonical-code encoder table: symbol → (code, length). */
   private final class HuffEnc(counts: Array[Int], symbols: Array[Int]) {
     val codeOf = new Array[Int](256)
     val lenOf = new Array[Int](256)
     locally {
+      require(counts.sum == symbols.length, "huffman spec count/value mismatch")
       var code = 0; var k = 0
       var l = 1
       while (l <= 16) {
@@ -112,8 +146,17 @@ object Jpeg {
           val s = symbols(k); codeOf(s) = code; lenOf(s) = l
           code += 1; k += 1; i += 1
         }
+        require(code <= (1 << l), s"huffman code space overflow at length $l")
         code <<= 1; l += 1
       }
+    }
+    /** Emit the symbol's code — a symbol absent from the table is an
+      * encoder bug that would silently corrupt the stream (the round-14
+      * EOBn-vs-Annex-K lesson), so it fails loudly instead.
+      */
+    def putSym(bw: BitWriter, s: Int): Unit = {
+      require(lenOf(s) > 0, f"symbol 0x$s%02x has no code in this huffman table")
+      bw.put(codeOf(s), lenOf(s))
     }
   }
 
@@ -121,6 +164,7 @@ object Jpeg {
   private val EncDcChroma = new HuffEnc(DcChromaCounts, DcValues)
   private val EncAcLuma = new HuffEnc(AcLumaCounts, AcLumaValues)
   private val EncAcChroma = new HuffEnc(AcChromaCounts, AcChromaValues)
+  private val EncAcProg = new HuffEnc(ProgAcCounts, ProgAcValues)
 
   /** Canonical decode table (T.81 F.2.2.3 mincode/maxcode/valptr). */
   private final class HuffDec(counts: Array[Int], val symbols: Array[Int]) {
@@ -241,7 +285,7 @@ object Jpeg {
       var i = len - 1
       while (i >= 0) { putBit((code >> i) & 1); i -= 1 }
     }
-    private def putBit(b: Int): Unit = {
+    def putBit(b: Int): Unit = {
       buf = (buf << 1) | b; cnt += 1
       if (cnt == 8) {
         out.write(buf)
@@ -254,6 +298,12 @@ object Jpeg {
   }
 
   private def bitCategory(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Emit the s-bit two's-complement-style value code (T.81 F.1.2.1):
+    * negative values code as v + 2^s − 1.
+    */
+  private def putVal(bw: BitWriter, v: Int, s: Int): Unit =
+    if (s > 0) bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
 
   /** One encoder component: a sample plane already padded to the MCU
     * grid, with its sampling factors and table selectors.
@@ -277,9 +327,11 @@ object Jpeg {
     out
   }
 
-  private def encodeBlock(bw: BitWriter, plane: Array[Int], planeW: Int,
-                          x0: Int, y0: Int, qt: Array[Int],
-                          dcT: HuffEnc, acT: HuffEnc, pred: Int): Int = {
+  /** FDCT + quantize one 8×8 block into `out(off..off+63)` in ZIGZAG
+    * order (both scan emitters consume zigzag positions directly).
+    */
+  private def quantizeBlockInto(plane: Array[Int], planeW: Int, x0: Int, y0: Int,
+                                qt: Array[Int], out: Array[Int], off: Int): Unit = {
     val block = new Array[Double](64)
     var y = 0
     while (y < 8) {
@@ -291,40 +343,82 @@ object Jpeg {
       y += 1
     }
     val s = fdct(block)
-    val q = new Array[Int](64) // zigzag order
     var k = 0
-    while (k < 64) { q(k) = Math.round(s(Zigzag(k)) / qt(k)).toInt; k += 1 }
-    // DC
-    val diff = q(0) - pred
+    while (k < 64) { out(off + k) = Math.round(s(Zigzag(k)) / qt(k)).toInt; k += 1 }
+  }
+
+  /** Sequential-mode emission of one quantized block (zigzag order at
+    * `off`): DC diff + AC run-length. Returns the new DC predictor.
+    */
+  private def emitSeqBlock(bw: BitWriter, q: Array[Int], off: Int,
+                           dcT: HuffEnc, acT: HuffEnc, pred: Int): Int = {
+    val diff = q(off) - pred
     val ds = bitCategory(diff)
-    bw.put(dcT.codeOf(ds), dcT.lenOf(ds))
-    if (ds > 0) bw.put(if (diff < 0) diff + (1 << ds) - 1 else diff, ds)
-    // AC run-length
+    dcT.putSym(bw, ds)
+    putVal(bw, diff, ds)
     var run = 0
-    k = 1
+    var k = 1
     while (k < 64) {
-      if (q(k) == 0) run += 1
+      if (q(off + k) == 0) run += 1
       else {
-        while (run > 15) { bw.put(acT.codeOf(0xf0), acT.lenOf(0xf0)); run -= 16 }
-        val as = bitCategory(q(k))
-        val rs = (run << 4) | as
-        bw.put(acT.codeOf(rs), acT.lenOf(rs))
-        bw.put(if (q(k) < 0) q(k) + (1 << as) - 1 else q(k), as)
+        while (run > 15) { acT.putSym(bw, 0xf0); run -= 16 }
+        val as = bitCategory(q(off + k))
+        acT.putSym(bw, (run << 4) | as)
+        putVal(bw, q(off + k), as)
         run = 0
       }
       k += 1
     }
-    if (run > 0) bw.put(acT.codeOf(0x00), acT.lenOf(0x00)) // EOB
-    q(0)
+    if (run > 0) acT.putSym(bw, 0x00) // EOB
+    q(off)
   }
 
-  /** Shared encoder core: interleaved baseline scan over the given
-    * components (already MCU-padded), Annex K Huffman tables, optional
-    * restart interval. Emits a structurally standard JFIF-less stream:
-    * SOI, DQT(s), SOF0, DHT(s), [DRI], SOS, entropy data, EOI.
+  /** EOB-run + buffered-correction-bit state for progressive AC scans
+    * (T.81 §G.1.2.2-3). `bump` marks the current block (or its tail)
+    * as covered by the pending EOB run, keeping its already-buffered
+    * correction bits attached; `flushEob` emits the EOBn code, its
+    * extension bits, then the attached correction bits — exactly the
+    * order the decoder consumes them in.
+    */
+  private final class EobState(bw: BitWriter, acT: HuffEnc) {
+    private var run = 0
+    // TWO buffers, not one (the round-14 bug that cost an afternoon):
+    // `be` holds correction bits attached to the PENDING EOB run —
+    // the decoder reads those right after the EOBn code, one per
+    // already-nonzero coefficient of each covered block; `br` holds
+    // the CURRENT segment's correction bits — the decoder reads those
+    // AFTER the next emitted code (ZRL or run/1+sign) while it walks
+    // the run span. Conflating them puts a correction bit where the
+    // decoder expects a Huffman code.
+    private val be = new scala.collection.mutable.ArrayBuffer[Int]
+    private val br = new scala.collection.mutable.ArrayBuffer[Int]
+    def appendBit(b: Int): Unit = br += b
+    def flushBits(): Unit = { br.foreach(bw.putBit); br.clear() }
+    def hasPendingBits: Boolean = br.nonEmpty
+    def bump(): Unit = {
+      run += 1; be ++= br; br.clear()
+      if (run == 0x7fff) flushEob()
+    }
+    def flushEob(): Unit = {
+      if (run > 0) {
+        val n = 31 - Integer.numberOfLeadingZeros(run)
+        acT.putSym(bw, n << 4)
+        if (n > 0) bw.put(run - (1 << n), n)
+        run = 0
+      }
+      be.foreach(bw.putBit); be.clear()
+    }
+  }
+
+  /** Shared encoder core. Emits a structurally standard stream: SOI,
+    * DQT(s), SOF0/SOF2, DHT(s), [DRI], then one interleaved scan
+    * (sequential) or the progressive scan script — interleaved DC
+    * first (Al=1) + DC refinement, then per component AC first
+    * (Ss=1..63, Al=1) + AC refinement — and EOI.
     */
   private def encodeInternal(w: Int, h: Int, comps: Array[CompIn],
-                             qts: Array[Array[Int]], restartInterval: Int): Array[Byte] = {
+                             qts: Array[Array[Int]], restartInterval: Int,
+                             progressive: Boolean): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 65535 && h <= 65535, s"bad dimensions ${w}x$h")
     require(restartInterval >= 0 && restartInterval <= 65535, s"bad DRI $restartInterval")
     qts.foreach(q => require(q.length == 64 && q.forall(v => v >= 1 && v <= 255),
@@ -339,74 +433,239 @@ object Jpeg {
     qts.zipWithIndex.foreach { case (q, i) => seg(0xdb, Array(i) ++ q) }
     val sof = Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, comps.length) ++
       comps.zipWithIndex.flatMap { case (c, i) => Array(i + 1, (c.hi << 4) | c.vi, c.qSel) }
-    seg(0xc0, sof)
+    seg(if (progressive) 0xc2 else 0xc0, sof)
     val useChroma = comps.exists(!_.luma)
     def dhtBody(cls: Int, id: Int, counts: Array[Int], vals: Array[Int]) =
       Array((cls << 4) | id) ++ counts ++ vals
-    seg(0xc4, dhtBody(0, 0, DcLumaCounts, DcValues) ++ dhtBody(1, 0, AcLumaCounts, AcLumaValues) ++
-      (if (useChroma) dhtBody(0, 1, DcChromaCounts, DcValues) ++ dhtBody(1, 1, AcChromaCounts, AcChromaValues)
+    // progressive files carry the EOBn-capable AC table as id 0 (every
+    // AC scan selects it); sequential files carry the Annex K pair
+    seg(0xc4, dhtBody(0, 0, DcLumaCounts, DcValues) ++
+      (if (progressive) dhtBody(1, 0, ProgAcCounts, ProgAcValues)
+       else dhtBody(1, 0, AcLumaCounts, AcLumaValues)) ++
+      (if (useChroma) dhtBody(0, 1, DcChromaCounts, DcValues) ++
+        (if (progressive) Array.empty[Int]
+         else dhtBody(1, 1, AcChromaCounts, AcChromaValues))
        else Array.empty[Int]))
     if (restartInterval > 0) seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
-    seg(0xda, Array(comps.length) ++
-      comps.zipWithIndex.flatMap { case (c, i) =>
-        val t = if (c.luma) 0 else 1; Array(i + 1, (t << 4) | t)
-      } ++ Array(0, 63, 0)) // Ss, Se, AhAl
+
     val maxH = comps.map(_.hi).max
     val maxV = comps.map(_.vi).max
     val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
     val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
-    val bw = new BitWriter(out)
-    val preds = new Array[Int](comps.length)
-    var rst = 0
-    var sinceRestart = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && sinceRestart == restartInterval) {
-          bw.flush(); marker(0xd0 + rst); rst = (rst + 1) & 7
-          java.util.Arrays.fill(preds, 0); sinceRestart = 0
+    // phase 1: quantized zigzag coefficients per component, full grid
+    val blocksW = comps.map(c => mcusX * c.hi)
+    val blocksH = comps.map(c => mcusY * c.vi)
+    val coefs: Array[Array[Int]] = comps.indices.toArray.map { c =>
+      val bwc = blocksW(c); val bhc = blocksH(c)
+      val arr = new Array[Int](bwc * bhc * 64)
+      var by = 0
+      while (by < bhc) {
+        var bx = 0
+        while (bx < bwc) {
+          quantizeBlockInto(comps(c).plane, comps(c).planeW, bx * 8, by * 8,
+            qts(comps(c).qSel), arr, (by * bwc + bx) * 64)
+          bx += 1
         }
-        var c = 0
-        while (c < comps.length) {
-          val ci = comps(c)
-          val (dcT, acT) = if (ci.luma) (EncDcLuma, EncAcLuma) else (EncDcChroma, EncAcChroma)
+        by += 1
+      }
+      arr
+    }
+    // coded (ceil) grid for non-interleaved scans — can be SMALLER than
+    // the interleaved grid for subsampled frames (T.81 §A.2.2)
+    val codedW = comps.map(c => ((w * c.hi + maxH - 1) / maxH + 7) / 8)
+    val codedH = comps.map(c => ((h * c.vi + maxV - 1) / maxV + 7) / 8)
+
+    def sos(compIdxs: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit =
+      seg(0xda, Array(compIdxs.length) ++
+        compIdxs.flatMap { i =>
+          val t = if (comps(i).luma) 0 else 1
+          // progressive AC scans all select the shared EOBn table (id 0)
+          Array(i + 1, (t << 4) | (if (progressive) 0 else t))
+        } ++ Array(ss, se, (ah << 4) | al))
+
+    var rst = 0
+    def emitRst(bw: BitWriter): Unit = {
+      bw.flush(); marker(0xd0 + rst); rst = (rst + 1) & 7
+    }
+
+    /** Interleaved MCU walk shared by the sequential scan and the
+      * progressive DC scans: `block(bw, compIdx, coefOffset)` does the
+      * per-block emission; `resetPred` fires at scan start + restarts.
+      */
+    def mcuScan(block: (BitWriter, Int, Int) => Unit, resetPred: () => Unit): Unit = {
+      val bw = new BitWriter(out)
+      rst = 0
+      resetPred()
+      var sinceRestart = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && sinceRestart == restartInterval) {
+            emitRst(bw); resetPred(); sinceRestart = 0
+          }
+          var c = 0
+          while (c < comps.length) {
+            var by = 0
+            while (by < comps(c).vi) {
+              var bx = 0
+              while (bx < comps(c).hi) {
+                block(bw, c, (((my * comps(c).vi + by) * blocksW(c)) + mx * comps(c).hi + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+            c += 1
+          }
+          sinceRestart += 1
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+    }
+
+    if (!progressive) {
+      sos(comps.indices, 0, 63, 0, 0)
+      val preds = new Array[Int](comps.length)
+      mcuScan(
+        (bw, c, off) => {
+          val (dcT, acT) = if (comps(c).luma) (EncDcLuma, EncAcLuma) else (EncDcChroma, EncAcChroma)
+          preds(c) = emitSeqBlock(bw, coefs(c), off, dcT, acT, preds(c))
+        },
+        () => java.util.Arrays.fill(preds, 0))
+    } else {
+      val AlDc = 1; val AlAc = 1
+      // --- DC first scan (interleaved, point transform Al=1) ---
+      sos(comps.indices, 0, 0, 0, AlDc)
+      val preds = new Array[Int](comps.length)
+      mcuScan(
+        (bw, c, off) => {
+          val dcT = if (comps(c).luma) EncDcLuma else EncDcChroma
+          val v = coefs(c)(off) >> AlDc // arithmetic shift = the DC point transform
+          val diff = v - preds(c); preds(c) = v
+          val ds = bitCategory(diff)
+          dcT.putSym(bw, ds)
+          putVal(bw, diff, ds)
+        },
+        () => java.util.Arrays.fill(preds, 0))
+      // --- DC refinement scan (one raw bit per block) ---
+      sos(comps.indices, 0, 0, AlDc, 0)
+      mcuScan((bw, c, off) => bw.putBit((coefs(c)(off) >> 0) & 1), () => ())
+      // --- per component: AC first + AC refinement (non-interleaved) ---
+      comps.indices.foreach { c =>
+        val acT = EncAcProg // shared EOBn-capable table, id 0
+        // block raster over the CODED grid, restart every ri blocks
+        def acScan(perBlock: (BitWriter, EobState, Int) => Unit): Unit = {
+          val bw = new BitWriter(out)
+          rst = 0
+          val eob = new EobState(bw, acT)
+          var sinceRestart = 0
           var by = 0
-          while (by < ci.vi) {
+          while (by < codedH(c)) {
             var bx = 0
-            while (bx < ci.hi) {
-              preds(c) = encodeBlock(bw, ci.plane, ci.planeW,
-                (mx * ci.hi + bx) * 8, (my * ci.vi + by) * 8,
-                qts(ci.qSel), dcT, acT, preds(c))
+            while (bx < codedW(c)) {
+              if (restartInterval > 0 && sinceRestart == restartInterval) {
+                eob.flushEob(); emitRst(bw); sinceRestart = 0
+              }
+              perBlock(bw, eob, (by * blocksW(c) + bx) * 64)
+              sinceRestart += 1
               bx += 1
             }
             by += 1
           }
-          c += 1
+          eob.flushEob()
+          bw.flush()
         }
-        sinceRestart += 1
-        mx += 1
+        // AC first: band 1..63 at precision Al=1
+        sos(Seq(c), 1, 63, 0, AlAc)
+        acScan { (bw, eob, off) =>
+          val q = coefs(c)
+          var last = 0
+          var k = 1
+          while (k <= 63) {
+            if (math.abs(q(off + k)) >> AlAc != 0) last = k
+            k += 1
+          }
+          if (last == 0) eob.bump()
+          else {
+            eob.flushEob()
+            var r = 0
+            k = 1
+            while (k <= last) {
+              val t = q(off + k)
+              val a = math.abs(t) >> AlAc
+              if (a == 0) r += 1
+              else {
+                while (r > 15) { acT.putSym(bw, 0xf0); r -= 16 }
+                val s = bitCategory(a)
+                acT.putSym(bw, (r << 4) | s)
+                putVal(bw, if (t < 0) -a else a, s)
+                r = 0
+              }
+              k += 1
+            }
+            if (last < 63) eob.bump()
+          }
+        }
+        // AC refinement: Al 1 → 0, the G.1.2.3 correction-bit pass
+        sos(Seq(c), 1, 63, AlAc, 0)
+        acScan { (bw, eob, off) =>
+          val q = coefs(c)
+          // last NEW nonzero (|v| at this precision == 1): zeros beyond
+          // it fold into the EOB run instead of ZRLs
+          var lastNew = 0
+          var k = 1
+          while (k <= 63) { if (math.abs(q(off + k)) == 1) lastNew = k; k += 1 }
+          var r = 0
+          var emitted = false
+          k = 1
+          while (k <= 63) {
+            val t = q(off + k)
+            val a = math.abs(t)
+            if (a == 0) r += 1
+            else {
+              while (r > 15 && k <= lastNew) {
+                eob.flushEob()
+                acT.putSym(bw, 0xf0)
+                r -= 16
+                eob.flushBits()
+                emitted = true
+              }
+              if (a > 1) eob.appendBit(a & 1) // old nonzero: correction bit
+              else {
+                eob.flushEob()
+                acT.putSym(bw, (r << 4) | 1)
+                bw.putBit(if (t > 0) 1 else 0)
+                r = 0
+                eob.flushBits()
+                emitted = true
+              }
+            }
+            k += 1
+          }
+          if (r > 0 || eob.hasPendingBits || !emitted) eob.bump()
+        }
       }
-      my += 1
     }
-    bw.flush()
     marker(0xd9) // EOI
     out.toByteArray
   }
 
-  /** Grayscale baseline JPEG from a w×h luma plane (values 0..255). */
+  /** Grayscale JPEG from a w×h luma plane (values 0..255). */
   def buildJpegGray(yPlane: Array[Int], w: Int, h: Int,
-                    qLuma: Array[Int] = SynthQ, restartInterval: Int = 0): Array[Byte] = {
+                    qLuma: Array[Int] = SynthQ, restartInterval: Int = 0,
+                    progressive: Boolean = false): Array[Byte] = {
     require(yPlane.length == w * h, s"expected ${w * h} samples, got ${yPlane.length}")
     val pw = (w + 7) / 8 * 8; val ph = (h + 7) / 8 * 8
     encodeInternal(w, h, Array(CompIn(padPlane(yPlane, w, h, pw, ph), pw, 1, 1, 0, luma = true)),
-      Array(qLuma), restartInterval)
+      Array(qLuma), restartInterval, progressive)
   }
 
-  /** 4:4:4 color baseline JPEG from full-resolution Y/Cb/Cr planes. */
+  /** 4:4:4 color JPEG from full-resolution Y/Cb/Cr planes. */
   def buildJpeg444(y: Array[Int], cb: Array[Int], cr: Array[Int], w: Int, h: Int,
                    qLuma: Array[Int] = SynthQ, qChroma: Array[Int] = SynthQ,
-                   restartInterval: Int = 0): Array[Byte] = {
+                   restartInterval: Int = 0, progressive: Boolean = false): Array[Byte] = {
     require(y.length == w * h && cb.length == w * h && cr.length == w * h,
       s"expected ${w * h} samples per plane")
     val pw = (w + 7) / 8 * 8; val ph = (h + 7) / 8 * 8
@@ -414,17 +673,17 @@ object Jpeg {
       CompIn(padPlane(y, w, h, pw, ph), pw, 1, 1, 0, luma = true),
       CompIn(padPlane(cb, w, h, pw, ph), pw, 1, 1, 1, luma = false),
       CompIn(padPlane(cr, w, h, pw, ph), pw, 1, 1, 1, luma = false)),
-      Array(qLuma, qChroma), restartInterval)
+      Array(qLuma, qChroma), restartInterval, progressive)
   }
 
-  /** 4:2:0 color baseline JPEG: full-resolution luma + half-resolution
+  /** 4:2:0 color JPEG: full-resolution luma + half-resolution
     * (⌈w/2⌉×⌈h/2⌉) chroma planes — the subsampling every camera JPEG
     * uses. The decoder reconstructs chroma by replication, so images
     * whose chroma is constant per 2×2 round-trip exactly.
     */
   def buildJpeg420(y: Array[Int], cbHalf: Array[Int], crHalf: Array[Int], w: Int, h: Int,
                    qLuma: Array[Int] = SynthQ, qChroma: Array[Int] = SynthQ,
-                   restartInterval: Int = 0): Array[Byte] = {
+                   restartInterval: Int = 0, progressive: Boolean = false): Array[Byte] = {
     val hw = (w + 1) / 2; val hh = (h + 1) / 2
     require(y.length == w * h, s"expected ${w * h} luma samples, got ${y.length}")
     require(cbHalf.length == hw * hh && crHalf.length == hw * hh,
@@ -434,7 +693,7 @@ object Jpeg {
       CompIn(padPlane(y, w, h, pw, ph), pw, 2, 2, 0, luma = true),
       CompIn(padPlane(cbHalf, hw, hh, pw / 2, ph / 2), pw / 2, 1, 1, 1, luma = false),
       CompIn(padPlane(crHalf, hw, hh, pw / 2, ph / 2), pw / 2, 1, 1, 1, luma = false)),
-      Array(qLuma, qChroma), restartInterval)
+      Array(qLuma, qChroma), restartInterval, progressive)
   }
 
   /** Convenience: 4:4:4 JPEG from packed 0xRRGGBB pixels (fixed-point
@@ -442,7 +701,7 @@ object Jpeg {
     */
   def buildJpegRgb(pixels: Array[Int], w: Int, h: Int,
                    qLuma: Array[Int] = SynthQ, qChroma: Array[Int] = SynthQ,
-                   restartInterval: Int = 0): Array[Byte] = {
+                   restartInterval: Int = 0, progressive: Boolean = false): Array[Byte] = {
     require(pixels.length == w * h, s"expected ${w * h} pixels, got ${pixels.length}")
     val y = new Array[Int](w * h); val cb = new Array[Int](w * h); val cr = new Array[Int](w * h)
     var i = 0
@@ -450,7 +709,7 @@ object Jpeg {
       val (yy, cbb, crr) = rgbToYcc(pixels(i))
       y(i) = yy; cb(i) = cbb; cr(i) = crr; i += 1
     }
-    buildJpeg444(y, cb, cr, w, h, qLuma, qChroma, restartInterval)
+    buildJpeg444(y, cb, cr, w, h, qLuma, qChroma, restartInterval, progressive)
   }
 
   // ------------------------------------------------------------------
@@ -500,20 +759,26 @@ object Jpeg {
     t.symbols(idx)
   }
 
-  private final case class CompOut(hi: Int, vi: Int, qSel: Int,
-                                   var dcSel: Int = -1, var acSel: Int = -1,
-                                   var plane: Array[Int] = null, var planeW: Int = 0)
-
-  /** Decode one entropy-coded block into `coef` (natural order,
-    * dequantized); returns the new DC predictor.
+  /** One frame component: sampling spec + accumulated QUANTIZED
+    * zigzag-order coefficients over the full interleaved block grid
+    * (`blocksW`×`blocksH`); `codedW/H` is the smaller ceil grid that
+    * non-interleaved scans walk (T.81 §A.2.2).
     */
-  private def decodeBlock(br: BitReader, dcT: HuffDec, acT: HuffDec,
-                          qt: Array[Int], pred: Int, coef: Array[Int]): Int = {
-    java.util.Arrays.fill(coef, 0)
+  private final class FrameComp(val id: Int, val hi: Int, val vi: Int, val qSel: Int) {
+    var blocksW = 0; var blocksH = 0
+    var codedW = 0; var codedH = 0
+    var coefs: Array[Int] = null
+  }
+
+  /** Sequential block decode into zigzag storage (no dequant here —
+    * dequantization happens once at EOI, shared with progressive).
+    */
+  private def seqBlock(br: BitReader, dcT: HuffDec, acT: HuffDec,
+                       coefs: Array[Int], off: Int, pred: Int): Int = {
     val ds = huffDecode(br, dcT)
     if (ds > 11) fail()
     val dc = pred + extend(br.receive(ds), ds)
-    coef(0) = dc * qt(0)
+    coefs(off) = dc
     var k = 1
     while (k < 64) {
       val rs = huffDecode(br, acT)
@@ -524,16 +789,97 @@ object Jpeg {
       } else {
         k += r
         if (k > 63 || s > 10) fail()
-        coef(Zigzag(k)) = extend(br.receive(s), s) * qt(k)
+        coefs(off + k) = extend(br.receive(s), s)
         k += 1
       }
     }
     dc
   }
 
-  /** REAL baseline JPEG pixel decoder — see the object doc for scope
-    * and the None-not-throw gates. Output contract matches
-    * [[Multimodal.decodeBmp24]]/[[Multimodal.decodePng]]:
+  /** Progressive AC first scan, one block (T.81 §G.1.2.2). */
+  private def acFirst(br: BitReader, acT: HuffDec, coefs: Array[Int], off: Int,
+                      ss: Int, se: Int, al: Int, st: ScanState): Unit = {
+    if (st.eobrun > 0) { st.eobrun -= 1; return }
+    var k = ss
+    while (k <= se) {
+      val rs = huffDecode(br, acT)
+      val r = rs >> 4; val s = rs & 15
+      if (s == 0) {
+        if (r == 15) k += 16 // ZRL
+        else { st.eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0) - 1; return }
+      } else {
+        k += r
+        if (k > se || s > 10) fail()
+        coefs(off + k) = extend(br.receive(s), s) << al
+        k += 1
+      }
+    }
+  }
+
+  /** Progressive AC refinement scan, one block — the correction-bit
+    * walk of T.81 §G.1.2.3: runs count still-zero coefficients, each
+    * already-nonzero coefficient passed consumes one correction bit,
+    * EOB-covered blocks still carry correction bits for their nonzeros.
+    */
+  private def acRefine(br: BitReader, acT: HuffDec, coefs: Array[Int], off: Int,
+                       ss: Int, se: Int, al: Int, st: ScanState): Unit = {
+    val p1 = 1 << al; val m1 = -1 << al
+    var k = ss
+    def refineAt(idx: Int): Unit = {
+      val cur = coefs(idx)
+      if (br.nextBit() == 1 && (cur & p1) == 0)
+        coefs(idx) = if (cur >= 0) cur + p1 else cur + m1
+    }
+    if (st.eobrun == 0) {
+      var inEob = false
+      while (!inEob && k <= se) {
+        val rs = huffDecode(br, acT)
+        var r = rs >> 4; val s = rs & 15
+        var newval = 0
+        if (s == 0) {
+          if (r != 15) {
+            st.eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+            inEob = true // tail below refines the rest and consumes one
+          }
+          // r == 15: ZRL — skip 16 still-zero coefficients, no new value
+        } else {
+          if (s != 1) fail()
+          newval = if (br.nextBit() == 1) p1 else m1
+        }
+        if (!inEob) {
+          var placed = false
+          while (!placed && k <= se) {
+            if (coefs(off + k) != 0) { refineAt(off + k); k += 1 }
+            else if (r == 0) {
+              if (newval != 0) coefs(off + k) = newval
+              k += 1
+              placed = true
+            } else { r -= 1; k += 1 }
+          }
+        }
+      }
+    }
+    if (st.eobrun > 0) {
+      while (k <= se) {
+        if (coefs(off + k) != 0) refineAt(off + k)
+        k += 1
+      }
+      st.eobrun -= 1
+    }
+  }
+
+  /** Per-scan mutable state: DC predictors + the AC EOB run counter
+    * (both reset at restart markers).
+    */
+  private final class ScanState(n: Int) {
+    val preds = new Array[Int](n)
+    var eobrun = 0
+    def reset(): Unit = { java.util.Arrays.fill(preds, 0); eobrun = 0 }
+  }
+
+  /** REAL JPEG pixel decoder — baseline AND progressive; see the object
+    * doc for scope and the None-not-throw gates. Output contract
+    * matches [[Multimodal.decodeBmp24]]/[[Multimodal.decodePng]]:
     * (width, height, row-major top-down 0xRRGGBB).
     */
   def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
@@ -543,20 +889,21 @@ object Jpeg {
       val qts = new Array[Array[Int]](4)
       val dcTabs = new Array[HuffDec](4)
       val acTabs = new Array[HuffDec](4)
-      var comps: Array[CompOut] = null
+      var comps: Array[FrameComp] = null
       var w = 0; var h = 0
+      var maxH = 1; var maxV = 1
+      var mcusX = 0; var mcusY = 0
+      var progressive = false
       var restartInterval = 0
-      var scanned = false
-      var result: Array[Int] = null
+      var scanCount = 0
+      var done = false
 
       def u16(i: Int): Int = {
         if (i + 1 >= bytes.length) fail()
         ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
       }
 
-      var done = false
       while (!done) {
-        // marker scan: skip fill bytes (T.81 allows repeated 0xFF)
         if (pos >= bytes.length) fail()
         if ((bytes(pos) & 0xff) != 0xff) fail()
         while (pos < bytes.length && (bytes(pos) & 0xff) == 0xff) pos += 1
@@ -603,8 +950,9 @@ object Jpeg {
               val t = new HuffDec(counts, syms)
               if (cls == 0) dcTabs(id) = t else acTabs(id) = t
             }
-          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0 baseline / SOF1 ext seq / SOF2 progressive
             if (comps != null) fail()
+            progressive = m == 0xc2
             val len = u16(pos)
             if (pos + len > bytes.length) fail()
             val p = pos + 2
@@ -620,119 +968,142 @@ object Jpeg {
               val hi = hv >> 4; val vi = hv & 15
               val tq = bytes(b + 2) & 0xff
               if (hi < 1 || hi > 4 || vi < 1 || vi > 4 || tq > 3) fail()
-              CompOut(hi, vi, tq)
+              new FrameComp(bytes(b) & 0xff, hi, vi, tq)
+            }
+            maxH = comps.map(_.hi).max
+            maxV = comps.map(_.vi).max
+            mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+            mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+            comps.foreach { c =>
+              c.blocksW = mcusX * c.hi; c.blocksH = mcusY * c.vi
+              c.codedW = ((w * c.hi + maxH - 1) / maxH + 7) / 8
+              c.codedH = ((h * c.vi + maxV - 1) / maxV + 7) / 8
+              if (c.blocksW.toLong * c.blocksH * 64 > Int.MaxValue / 2) return None
+              c.coefs = new Array[Int](c.blocksW * c.blocksH * 64)
             }
             pos += len
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // progressive / lossless / arithmetic / hierarchical
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // lossless / arithmetic / differential / hierarchical
           case 0xdd => // DRI
             if (u16(pos) != 4) fail()
             restartInterval = u16(pos + 2)
             pos += 4
           case 0xda => // SOS
-            if (comps == null || scanned) fail()
+            if (comps == null) fail()
+            if (!progressive && scanCount > 0) fail() // baseline: single scan
             val len = u16(pos)
             if (pos + len > bytes.length) fail()
             val p = pos + 2
             val ns = bytes(p) & 0xff
-            // single interleaved scan over every frame component only
-            if (ns != comps.length || len != 6 + 2 * ns) fail()
+            if (ns < 1 || ns > comps.length || len != 6 + 2 * ns) fail()
+            if (!progressive && ns != comps.length) fail()
+            val scanComps = new Array[FrameComp](ns)
+            val dcSel = new Array[Int](ns)
+            val acSel = new Array[Int](ns)
             var i = 0
             while (i < ns) {
-              val sel = bytes(p + 1 + 2 * i + 1) & 0xff
-              comps(i).dcSel = sel >> 4
-              comps(i).acSel = sel & 15
-              if (comps(i).dcSel > 3 || comps(i).acSel > 3) fail()
+              val cid = bytes(p + 1 + 2 * i) & 0xff
+              val sel = bytes(p + 2 + 2 * i) & 0xff
+              val fc = comps.find(_.id == cid).getOrElse(fail())
+              if (scanComps.take(i).contains(fc)) fail()
+              scanComps(i) = fc
+              dcSel(i) = sel >> 4; acSel(i) = sel & 15
+              if (dcSel(i) > 3 || acSel(i) > 3) fail()
               i += 1
             }
-            // baseline spectral selection / successive approximation
-            if ((bytes(p + 1 + 2 * ns) & 0xff) != 0 ||
-                (bytes(p + 2 + 2 * ns) & 0xff) != 63 ||
-                (bytes(p + 3 + 2 * ns) & 0xff) != 0) return None
-            pos += len
-            // --- entropy-coded scan ---
-            val maxH = comps.map(_.hi).max
-            val maxV = comps.map(_.vi).max
-            val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
-            val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
-            comps.foreach { c =>
-              c.planeW = mcusX * c.hi * 8
-              c.plane = new Array[Int](c.planeW * mcusY * c.vi * 8)
-              if (qts(c.qSel) == null || dcTabs(c.dcSel) == null || acTabs(c.acSel) == null) fail()
+            val ss = bytes(p + 1 + 2 * ns) & 0xff
+            val se = bytes(p + 2 + 2 * ns) & 0xff
+            val ahAl = bytes(p + 3 + 2 * ns) & 0xff
+            val ah = ahAl >> 4; val al = ahAl & 15
+            val dcScan = ss == 0 && se == 0
+            if (!progressive) {
+              if (ss != 0 || se != 63 || ah != 0 || al != 0) return None
+            } else {
+              // DC scans: band (0,0); AC scans: single component, band
+              // inside 1..63. Successive approximation steps by 1 bit.
+              if (!dcScan && (ns != 1 || ss < 1 || se < ss || se > 63)) fail()
+              if (al > 13 || (ah != 0 && ah != al + 1)) fail()
             }
+            pos += len
+            val st = new ScanState(ns)
             val br = new BitReader(bytes, pos)
-            val preds = new Array[Int](comps.length)
-            val coef = new Array[Int](64)
             var rstExpect = 0
             var sinceRestart = 0
-            var my = 0
-            while (my < mcusY) {
-              var mx = 0
-              while (mx < mcusX) {
-                if (restartInterval > 0 && sinceRestart == restartInterval) {
-                  br.align()
-                  if (br.pos + 1 >= bytes.length || (bytes(br.pos) & 0xff) != 0xff ||
-                      (bytes(br.pos + 1) & 0xff) != 0xd0 + rstExpect) fail()
-                  br.pos += 2
-                  rstExpect = (rstExpect + 1) & 7
-                  java.util.Arrays.fill(preds, 0)
-                  sinceRestart = 0
+            def atRestart(): Unit = {
+              br.align()
+              if (br.pos + 1 >= bytes.length || (bytes(br.pos) & 0xff) != 0xff ||
+                  (bytes(br.pos + 1) & 0xff) != 0xd0 + rstExpect) fail()
+              br.pos += 2
+              rstExpect = (rstExpect + 1) & 7
+              st.reset()
+              sinceRestart = 0
+            }
+            def decodeUnit(ci: Int, off: Int): Unit = {
+              val c = scanComps(ci)
+              if (!progressive) {
+                if (dcTabs(dcSel(ci)) == null || acTabs(acSel(ci)) == null) fail()
+                st.preds(ci) = seqBlock(br, dcTabs(dcSel(ci)), acTabs(acSel(ci)),
+                  c.coefs, off, st.preds(ci))
+              } else if (dcScan) {
+                if (ah == 0) {
+                  if (dcTabs(dcSel(ci)) == null) fail()
+                  val ds = huffDecode(br, dcTabs(dcSel(ci)))
+                  if (ds > 11) fail()
+                  st.preds(ci) += extend(br.receive(ds), ds)
+                  c.coefs(off) = st.preds(ci) << al
+                } else {
+                  if (br.nextBit() == 1) c.coefs(off) |= (1 << al)
                 }
-                var c = 0
-                while (c < comps.length) {
-                  val ci = comps(c)
-                  var by = 0
-                  while (by < ci.vi) {
-                    var bx = 0
-                    while (bx < ci.hi) {
-                      preds(c) = decodeBlock(br, dcTabs(ci.dcSel), acTabs(ci.acSel),
-                        qts(ci.qSel), preds(c), coef)
-                      val px = idct(coef)
-                      val x0 = (mx * ci.hi + bx) * 8
-                      val y0 = (my * ci.vi + by) * 8
-                      var yy = 0
-                      while (yy < 8) {
-                        var xx = 0
-                        while (xx < 8) {
-                          ci.plane((y0 + yy) * ci.planeW + x0 + xx) = px(yy * 8 + xx)
-                          xx += 1
-                        }
-                        yy += 1
+              } else {
+                if (acTabs(acSel(ci)) == null) fail()
+                if (ah == 0) acFirst(br, acTabs(acSel(ci)), c.coefs, off, ss, se, al, st)
+                else acRefine(br, acTabs(acSel(ci)), c.coefs, off, ss, se, al, st)
+              }
+            }
+            if (ns > 1) {
+              // interleaved MCU order over the full grid
+              var my = 0
+              while (my < mcusY) {
+                var mx = 0
+                while (mx < mcusX) {
+                  if (restartInterval > 0 && sinceRestart == restartInterval) atRestart()
+                  var ci = 0
+                  while (ci < ns) {
+                    val c = scanComps(ci)
+                    var by = 0
+                    while (by < c.vi) {
+                      var bx = 0
+                      while (bx < c.hi) {
+                        decodeUnit(ci,
+                          (((my * c.vi + by) * c.blocksW) + mx * c.hi + bx) * 64)
+                        bx += 1
                       }
-                      bx += 1
+                      by += 1
                     }
-                    by += 1
+                    ci += 1
                   }
-                  c += 1
+                  sinceRestart += 1
+                  mx += 1
                 }
-                sinceRestart += 1
-                mx += 1
+                my += 1
               }
-              my += 1
-            }
-            // assemble RGB with replication upsampling
-            result = new Array[Int](w * h)
-            val gray = comps.length == 1
-            var y2 = 0
-            while (y2 < h) {
-              var x2 = 0
-              while (x2 < w) {
-                val pix =
-                  if (gray) {
-                    val c0 = comps(0)
-                    val v = c0.plane((y2 * c0.vi / maxV) * c0.planeW + x2 * c0.hi / maxH)
-                    (v << 16) | (v << 8) | v
-                  } else {
-                    def samp(c: CompOut) =
-                      c.plane((y2 * c.vi / maxV) * c.planeW + x2 * c.hi / maxH)
-                    yccToRgb(samp(comps(0)), samp(comps(1)), samp(comps(2)))
-                  }
-                result(y2 * w + x2) = pix
-                x2 += 1
+            } else {
+              // non-interleaved: block raster over the ceil grid; the
+              // restart interval counts data units (= blocks)
+              val c = scanComps(0)
+              var by = 0
+              while (by < c.codedH) {
+                var bx = 0
+                while (bx < c.codedW) {
+                  if (restartInterval > 0 && sinceRestart == restartInterval) atRestart()
+                  decodeUnit(0, (by * c.blocksW + bx) * 64)
+                  sinceRestart += 1
+                  bx += 1
+                }
+                by += 1
               }
-              y2 += 1
             }
-            scanned = true
+            scanCount += 1
             pos = br.pos
           case x if x >= 0xd0 && x <= 0xd7 => fail() // RST outside a scan
           case 0x01 => () // TEM — standalone, no segment
@@ -742,7 +1113,54 @@ object Jpeg {
             pos += len
         }
       }
-      if (!scanned || result == null) None else Some((w, h, result))
+      if (comps == null || scanCount == 0) return None
+      // --- assembly at EOI: dequantize + IDCT + upsample + color ---
+      val planes = comps.map { c =>
+        val qt = qts(c.qSel)
+        if (qt == null) fail()
+        val planeW = c.blocksW * 8
+        val plane = new Array[Int](planeW * c.blocksH * 8)
+        val nat = new Array[Int](64)
+        var by = 0
+        while (by < c.blocksH) {
+          var bx = 0
+          while (bx < c.blocksW) {
+            val off = (by * c.blocksW + bx) * 64
+            var k = 0
+            while (k < 64) { nat(Zigzag(k)) = c.coefs(off + k) * qt(k); k += 1 }
+            val px = idct(nat)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                plane((by * 8 + yy) * planeW + bx * 8 + xx) = px(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        plane
+      }
+      val result = new Array[Int](w * h)
+      val gray = comps.length == 1
+      var y2 = 0
+      while (y2 < h) {
+        var x2 = 0
+        while (x2 < w) {
+          def samp(i: Int) =
+            planes(i)((y2 * comps(i).vi / maxV) * (comps(i).blocksW * 8) + x2 * comps(i).hi / maxH)
+          val pix =
+            if (gray) { val v = samp(0); (v << 16) | (v << 8) | v }
+            else yccToRgb(samp(0), samp(1), samp(2))
+          result(y2 * w + x2) = pix
+          x2 += 1
+        }
+        y2 += 1
+      }
+      Some((w, h, result))
     } catch { case NonFatal(_) => None }
   }
 }

@@ -20,8 +20,9 @@ import org.apache.spark.sql.types.StructType
   * uncompressed BMP ([[decodeBmp24]]), and non-interlaced 8-bit
   * truecolor PNG ([[decodePng]] — IDAT is zlib DEFLATE, which the JDK
   * itself ships as `java.util.zip.Inflater`, and the five per-row
-  * filters are byte arithmetic), and baseline JPEG ([[Jpeg.decodeJpeg]]
-  * — canonical Huffman, dequant, separable IDCT and fixed-point color
+  * filters are byte arithmetic), and JPEG — baseline AND progressive
+  * ([[Jpeg.decodeJpeg]] — canonical Huffman, dequant, separable IDCT,
+  * fixed-point color, and SOF2's multi-scan successive approximation
   * are all plain arithmetic), each hash-checked end to end by its
   * declared query. Only formats that genuinely need an external codec
   * (video, modern image codecs) remain behind the deterministic
@@ -740,6 +741,75 @@ object Multimodal {
     */
   def l5JpegStats(spark: SparkSession, dir: String): DataFrame =
     imagePixelStats(synthJpegAssets(Tables(spark, dir)), Jpeg.decodeJpeg)
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic per-doc PROGRESSIVE-JPEG synthesis — the
+    * [[synthJpegAssets]] trick through SOF2's multi-scan pipeline: the
+    * same three sampling arms (by d mod 3), but encoded with the
+    * progressive scan script (interleaved DC first at Al=1, DC
+    * refinement, per-component AC first + AC refinement with
+    * cross-block EOB runs — for block-constant images the AC scans are
+    * pure EOB-run accumulation over every block of the component, so
+    * the EOBn extension coding is exercised corpus-wide). Dimensions
+    * and constants differ from the sequential corpus so the two
+    * declared queries can't mask each other:
+    *
+    *  - d≡0: GRAYSCALE, 8·(1 + (d/3) mod 2) × 8·(1 + (d/3) mod 3);
+    *  - d≡1: 4:4:4 COLOR, same dimensions;
+    *  - d≡2: 4:2:0 COLOR, 16 × 16·(1 + d mod 2) — a single MCU COLUMN,
+    *    so multi-MCU docs exercise the vertical MCU order;
+    *
+    * with block/MCU k: Y = (d·19 + k·37 + 23) mod 256, Cb = (d·29 +
+    * k·41 + 11) mod 256, Cr = (d·31 + k·43 + 201) mod 256. Docs with
+    * d mod 7 == 0 encode with DRI = 1, putting RSTn markers (with
+    * EOB-run flushes) inside every scan of the chain. Block-constant
+    * exactness survives successive approximation (see [[Jpeg]]), so
+    * the DuckDB oracle replays the per-block formula exactly.
+    */
+  def synthJpegProgressiveAssets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val ri = if (d % 7 == 0) 1 else 0
+        def yOf(k: Int) = ((d * 19 + k * 37 + 23) % 256).toInt
+        def cbOf(k: Int) = ((d * 29 + k * 41 + 11) % 256).toInt
+        def crOf(k: Int) = ((d * 31 + k * 43 + 201) % 256).toInt
+        val bytes = (d % 3) match {
+          case 2 =>
+            val w = 16; val h = (16 * (1 + d % 2)).toInt
+            val y = Array.tabulate(w * h)(i => yOf(i / w / 16))
+            val cb = Array.tabulate(w / 2 * (h / 2))(i => cbOf(i / (w / 2) / 8))
+            val cr = Array.tabulate(w / 2 * (h / 2))(i => crOf(i / (w / 2) / 8))
+            Jpeg.buildJpeg420(y, cb, cr, w, h, restartInterval = ri, progressive = true)
+          case 1 =>
+            val w = (8 * (1 + (d / 3) % 2)).toInt; val h = (8 * (1 + (d / 3) % 3)).toInt
+            val bx = w / 8
+            def blk(i: Int) = (i % w) / 8 + (i / w) / 8 * bx
+            val y = Array.tabulate(w * h)(i => yOf(blk(i)))
+            val cb = Array.tabulate(w * h)(i => cbOf(blk(i)))
+            val cr = Array.tabulate(w * h)(i => crOf(blk(i)))
+            Jpeg.buildJpeg444(y, cb, cr, w, h, restartInterval = ri, progressive = true)
+          case _ =>
+            val w = (8 * (1 + (d / 3) % 2)).toInt; val h = (8 * (1 + (d / 3) % 3)).toInt
+            val bx = w / 8
+            val y = Array.tabulate(w * h)(i => yOf((i % w) / 8 + (i / w) / 8 * bx))
+            Jpeg.buildJpegGray(y, w, h, restartInterval = ri, progressive = true)
+        }
+        (d, bytes)
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5f declared query: channel-mean stats of the synthesized
+    * PROGRESSIVE JPEG corpus, decoded from the actual multi-scan SOF2
+    * bytes (DC/AC first + refinement scans, EOB runs — see
+    * [[Jpeg.decodeJpeg]]).
+    */
+  def l5JpegProgressive(spark: SparkSession, dir: String): DataFrame =
+    imagePixelStats(synthJpegProgressiveAssets(Tables(spark, dir)), Jpeg.decodeJpeg)
       .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
         col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy(col("doc_id"))

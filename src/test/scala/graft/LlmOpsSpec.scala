@@ -1144,6 +1144,62 @@ class LlmOpsSpec extends SparkSuite {
     assert(q(5L).getLong(6) == rgb5.map(p => p & 0xff).sum / 2)
   }
 
+  test("L5f progressive JPEG: decode == sequential decode exactly; exact constants; gates") {
+    // the progressive scan script re-encodes the SAME quantized
+    // coefficients (DC first Al=1 + refine, per-component AC first
+    // Al=1 + the G.1.2.3 correction-bit refinement with cross-block
+    // EOB runs), so decoding it must reproduce the sequential decode
+    // BIT-FOR-BIT — on arbitrary images, any quant table, any
+    // sampling mode, with and without restart markers
+    var seed = 987654321L
+    def next(): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33) % 256).toInt }
+    def plane(n: Int) = Array.fill(n)(next())
+    for (q <- Seq(Jpeg.FlatQ, Jpeg.SynthQ); ri <- Seq(0, 2)) {
+      val label = s"q0=${q(0)} ri=$ri"
+      // grayscale 21x13 (odd dims -> edge replication + partial blocks)
+      val gy = plane(21 * 13)
+      val gSeq = Jpeg.decodeJpeg(Jpeg.buildJpegGray(gy, 21, 13, q, ri))
+      val gPro = Jpeg.decodeJpeg(Jpeg.buildJpegGray(gy, 21, 13, q, ri, progressive = true))
+      assert(gSeq.nonEmpty && gPro.nonEmpty, s"gray decode failed ($label)")
+      assert(gSeq.get._3.toSeq == gPro.get._3.toSeq, s"gray prog != seq ($label)")
+      // 4:4:4 color 24x16
+      val px = Array.fill(24 * 16)((next() << 16) | (next() << 8) | next())
+      val cSeq = Jpeg.decodeJpeg(Jpeg.buildJpegRgb(px, 24, 16, q, q, ri))
+      val cPro = Jpeg.decodeJpeg(Jpeg.buildJpegRgb(px, 24, 16, q, q, ri, progressive = true))
+      assert(cSeq.nonEmpty && cPro.nonEmpty, s"444 decode failed ($label)")
+      assert(cSeq.get._3.toSeq == cPro.get._3.toSeq, s"444 prog != seq ($label)")
+      // 4:2:0 33x18 (non-multiple-of-16 -> luma coded grid smaller than
+      // the interleaved grid; AC scans must walk the ceil grid)
+      val sy = plane(33 * 18); val scb = plane(17 * 9); val scr = plane(17 * 9)
+      val sSeq = Jpeg.decodeJpeg(Jpeg.buildJpeg420(sy, scb, scr, 33, 18, q, q, ri))
+      val sPro = Jpeg.decodeJpeg(Jpeg.buildJpeg420(sy, scb, scr, 33, 18, q, q, ri, progressive = true))
+      assert(sSeq.nonEmpty && sPro.nonEmpty, s"420 decode failed ($label)")
+      assert(sSeq.get._3.toSeq == sPro.get._3.toSeq, s"420 prog != seq ($label)")
+    }
+    // block-constant exactness carries over to progressive unchanged:
+    // the DC successive approximation (code dc>>1, OR the dropped bit
+    // back) is exact in two's complement for either sign
+    def mcuOf(i: Int) = (i % 32) / 16
+    val sy = Array.tabulate(32 * 16)(i => if (mcuOf(i) == 0) 77 else 180)
+    val scb = Array.tabulate(16 * 8)(i => if ((i % 16) / 8 == 0) 90 else 140)
+    val scr = Array.tabulate(16 * 8)(i => if ((i % 16) / 8 == 0) 200 else 60)
+    val sExp = Array.tabulate(32 * 16)(i =>
+      if (mcuOf(i) == 0) Jpeg.yccToRgb(77, 90, 200) else Jpeg.yccToRgb(180, 140, 60))
+    assert(Jpeg.decodeJpeg(Jpeg.buildJpeg420(sy, scb, scr, 32, 16, progressive = true))
+      .map { case (w, h, p) => (w, h, p.toSeq) }.contains((32, 16, sExp.toSeq)))
+    // gates: truncation inside the progressive scan chain -> None
+    val pro = Jpeg.buildJpegRgb(Array.fill(16 * 16)(0x804020), 16, 16, progressive = true)
+    assert(Jpeg.decodeJpeg(pro).nonEmpty)
+    assert(Jpeg.decodeJpeg(pro.dropRight(20)).isEmpty)   // EOI + tail scans gone
+    assert(Jpeg.decodeJpeg(pro.take(pro.length / 2)).isEmpty)
+    // declared-query spot rows: arms are gray / 4:4:4 / 4:2:0 by d mod 3
+    val q3 = Multimodal.l5JpegProgressive(spark, sf)
+      .filter(col("doc_id").isin(3L, 5L)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q3(3L).getInt(1) == 8 * (1 + (3 / 3) % 2) && q3(3L).getInt(2) == 8 * (1 + (3 / 3) % 3))
+    assert(q3(5L).getInt(1) == 16 && q3(5L).getInt(2) == 16 * (1 + 5 % 2))
+  }
+
   test("L5 multimodal decode stub: schema, alignment, determinism") {
     val assets = Multimodal.assets(tables)
     val feats = Multimodal.decodeFeatures(assets)
