@@ -1390,7 +1390,7 @@ class LlmOpsSpec extends SparkSuite {
     assert(q.getAs[String]("text_clean").endsWith("\ntail words\nraw 3"))
   }
 
-  test("L4h/L10b/L5d scale shape: one corpus pass, no join/agg, single output-sort exchange") {
+  test("L4h/L10b/L5d/L5ef scale shape: one corpus pass, no join/agg, single output-sort exchange") {
     // the "narrow, shuffle-free, scales with the scan" claims these
     // per-doc stages make are plan facts, not prose: the only exchange
     // allowed is the final ORDER BY's range partitioning
@@ -1405,6 +1405,8 @@ class LlmOpsSpec extends SparkSuite {
     shape(TextOps.l4HtmlStrip(spark, sf), "l4_html_strip")
     shape(TextOps.l10PiiV2(spark, sf), "l10_pii_v2")
     shape(Multimodal.l5PngStats(spark, sf), "l5_png_stats")
+    shape(Multimodal.l5JpegStats(spark, sf), "l5_jpeg_stats")
+    shape(Multimodal.l5JpegProgressive(spark, sf), "l5_jpeg_progressive")
   }
 
   test("L10b PII v2: Luhn gate (true/false positives), E.164 phones, stage order, counts") {
