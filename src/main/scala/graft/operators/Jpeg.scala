@@ -12,7 +12,10 @@ import scala.util.control.NonFatal
   * to end by declared queries.
   *
   * Decoder scope (everything else returns None, never throws):
-  *  - baseline/extended-sequential Huffman scans (SOF0/SOF1), and
+  *  - baseline/extended-sequential Huffman scans (SOF0/SOF1) — a
+  *    single interleaved scan OR multiple non-/partially-interleaved
+  *    scans (one component subset each; every component coded exactly
+  *    once, T.81 §A.2), and
   *  - PROGRESSIVE Huffman scans (SOF2): spectral selection AND
   *    successive approximation — DC first/refine scans (interleaved or
   *    single-component), AC first/refine scans (single-component,
@@ -23,7 +26,11 @@ import scala.util.control.NonFatal
   * chroma is upsampled by sample replication), restart intervals
   * (DRI/RSTn), 0xFF00 byte stuffing. Arithmetic coding (SOF9+),
   * 12-bit, lossless and hierarchical streams are gated to None —
-  * honest scope, loudly documented.
+  * honest scope, loudly documented. Hostile-header safety: dimensions
+  * and total coefficient storage are capped BEFORE any allocation
+  * ([[MaxDecodePixels]]/[[MaxDecodeCoefInts]]) so a tiny crafted
+  * header cannot drive multi-GB allocations whose OutOfMemoryError
+  * would escape the NonFatal catch.
   *
   * Architecture: scans accumulate QUANTIZED zigzag-order coefficients
   * per component (progressive refinement operates in the quantized
@@ -412,13 +419,16 @@ object Jpeg {
 
   /** Shared encoder core. Emits a structurally standard stream: SOI,
     * DQT(s), SOF0/SOF2, DHT(s), [DRI], then one interleaved scan
-    * (sequential) or the progressive scan script — interleaved DC
+    * (sequential; or one full-band scan PER COMPONENT when
+    * `interleaved = false` — the legal multi-scan baseline layout) or
+    * the progressive scan script — interleaved DC
     * first (Al=1) + DC refinement, then per component AC first
     * (Ss=1..63, Al=1) + AC refinement — and EOI.
     */
   private def encodeInternal(w: Int, h: Int, comps: Array[CompIn],
                              qts: Array[Array[Int]], restartInterval: Int,
-                             progressive: Boolean): Array[Byte] = {
+                             progressive: Boolean,
+                             interleaved: Boolean = true): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 65535 && h <= 65535, s"bad dimensions ${w}x$h")
     require(restartInterval >= 0 && restartInterval <= 65535, s"bad DRI $restartInterval")
     qts.foreach(q => require(q.length == 64 && q.forall(v => v >= 1 && v <= 255),
@@ -525,7 +535,7 @@ object Jpeg {
       bw.flush()
     }
 
-    if (!progressive) {
+    if (!progressive && interleaved) {
       sos(comps.indices, 0, 63, 0, 0)
       val preds = new Array[Int](comps.length)
       mcuScan(
@@ -534,6 +544,34 @@ object Jpeg {
           preds(c) = emitSeqBlock(bw, coefs(c), off, dcT, acT, preds(c))
         },
         () => java.util.Arrays.fill(preds, 0))
+    } else if (!progressive) {
+      // NON-interleaved sequential: one full-band scan per component,
+      // block raster over the CODED (ceil) grid, per-scan DC predictor,
+      // restart interval counting data units (= blocks) — the legal
+      // multi-scan baseline layout the decoder's ADVICE-r14 item covers.
+      comps.indices.foreach { c =>
+        sos(Seq(c), 0, 63, 0, 0)
+        val bw = new BitWriter(out)
+        rst = 0
+        val (dcT, acT) =
+          if (comps(c).luma) (EncDcLuma, EncAcLuma) else (EncDcChroma, EncAcChroma)
+        var pred = 0
+        var sinceRestart = 0
+        var by = 0
+        while (by < codedH(c)) {
+          var bx = 0
+          while (bx < codedW(c)) {
+            if (restartInterval > 0 && sinceRestart == restartInterval) {
+              emitRst(bw); pred = 0; sinceRestart = 0
+            }
+            pred = emitSeqBlock(bw, coefs(c), (by * blocksW(c) + bx) * 64, dcT, acT, pred)
+            sinceRestart += 1
+            bx += 1
+          }
+          by += 1
+        }
+        bw.flush()
+      }
     } else {
       val AlDc = 1; val AlAc = 1
       // --- DC first scan (interleaved, point transform Al=1) ---
@@ -665,7 +703,8 @@ object Jpeg {
   /** 4:4:4 color JPEG from full-resolution Y/Cb/Cr planes. */
   def buildJpeg444(y: Array[Int], cb: Array[Int], cr: Array[Int], w: Int, h: Int,
                    qLuma: Array[Int] = SynthQ, qChroma: Array[Int] = SynthQ,
-                   restartInterval: Int = 0, progressive: Boolean = false): Array[Byte] = {
+                   restartInterval: Int = 0, progressive: Boolean = false,
+                   interleaved: Boolean = true): Array[Byte] = {
     require(y.length == w * h && cb.length == w * h && cr.length == w * h,
       s"expected ${w * h} samples per plane")
     val pw = (w + 7) / 8 * 8; val ph = (h + 7) / 8 * 8
@@ -673,7 +712,7 @@ object Jpeg {
       CompIn(padPlane(y, w, h, pw, ph), pw, 1, 1, 0, luma = true),
       CompIn(padPlane(cb, w, h, pw, ph), pw, 1, 1, 1, luma = false),
       CompIn(padPlane(cr, w, h, pw, ph), pw, 1, 1, 1, luma = false)),
-      Array(qLuma, qChroma), restartInterval, progressive)
+      Array(qLuma, qChroma), restartInterval, progressive, interleaved)
   }
 
   /** 4:2:0 color JPEG: full-resolution luma + half-resolution
@@ -683,7 +722,8 @@ object Jpeg {
     */
   def buildJpeg420(y: Array[Int], cbHalf: Array[Int], crHalf: Array[Int], w: Int, h: Int,
                    qLuma: Array[Int] = SynthQ, qChroma: Array[Int] = SynthQ,
-                   restartInterval: Int = 0, progressive: Boolean = false): Array[Byte] = {
+                   restartInterval: Int = 0, progressive: Boolean = false,
+                   interleaved: Boolean = true): Array[Byte] = {
     val hw = (w + 1) / 2; val hh = (h + 1) / 2
     require(y.length == w * h, s"expected ${w * h} luma samples, got ${y.length}")
     require(cbHalf.length == hw * hh && crHalf.length == hw * hh,
@@ -693,7 +733,7 @@ object Jpeg {
       CompIn(padPlane(y, w, h, pw, ph), pw, 2, 2, 0, luma = true),
       CompIn(padPlane(cbHalf, hw, hh, pw / 2, ph / 2), pw / 2, 1, 1, 1, luma = false),
       CompIn(padPlane(crHalf, hw, hh, pw / 2, ph / 2), pw / 2, 1, 1, 1, luma = false)),
-      Array(qLuma, qChroma), restartInterval, progressive)
+      Array(qLuma, qChroma), restartInterval, progressive, interleaved)
   }
 
   /** Convenience: 4:4:4 JPEG from packed 0xRRGGBB pixels (fixed-point
@@ -768,7 +808,28 @@ object Jpeg {
     var blocksW = 0; var blocksH = 0
     var codedW = 0; var codedH = 0
     var coefs: Array[Int] = null
+    /** Sequential mode: this component's (single) scan has been decoded.
+      * T.81 sequential streams code each component in exactly one scan —
+      * interleaved (all in one) or per-component; a second scan touching
+      * an already-coded component is malformed.
+      */
+    var coded = false
   }
+
+  /** Decode allocation caps — a ~50-byte crafted header is enough to
+    * declare huge dimensions (progressive EOB runs make giant-dim
+    * tiny-byte files LEGAL, so no byte-length heuristic applies), and
+    * OutOfMemoryError from the resulting multi-GB coefficient arrays is
+    * an Error that escapes the NonFatal catch and breaks the
+    * None-never-throw contract. Cap before allocating: ≤64M pixels
+    * (covers any real camera frame; 8192×8192) and ≤128M ints (512 MB)
+    * of total coefficient storage across components — above either,
+    * decode returns None. Planes and the packed-RGB result are bounded
+    * by the same two numbers, so the whole decode working set is capped
+    * by construction.
+    */
+  private val MaxDecodePixels: Long = 1L << 26
+  private val MaxDecodeCoefInts: Long = 128L << 20
 
   /** Sequential block decode into zigzag storage (no dequant here —
     * dequantization happens once at EOI, shared with progressive).
@@ -960,7 +1021,7 @@ object Jpeg {
             h = u16(p + 1); w = u16(p + 3)
             val nc = bytes(p + 5) & 0xff
             if (w == 0 || h == 0 || (nc != 1 && nc != 3)) return None
-            if (w.toLong * h > Int.MaxValue / 4) return None
+            if (w.toLong * h > MaxDecodePixels) return None
             if (len != 8 + 3 * nc) fail()
             comps = Array.tabulate(nc) { i =>
               val b = p + 6 + 3 * i
@@ -978,9 +1039,10 @@ object Jpeg {
               c.blocksW = mcusX * c.hi; c.blocksH = mcusY * c.vi
               c.codedW = ((w * c.hi + maxH - 1) / maxH + 7) / 8
               c.codedH = ((h * c.vi + maxV - 1) / maxV + 7) / 8
-              if (c.blocksW.toLong * c.blocksH * 64 > Int.MaxValue / 2) return None
-              c.coefs = new Array[Int](c.blocksW * c.blocksH * 64)
             }
+            if (comps.map(c => c.blocksW.toLong * c.blocksH * 64).sum >
+                MaxDecodeCoefInts) return None
+            comps.foreach(c => c.coefs = new Array[Int](c.blocksW * c.blocksH * 64))
             pos += len
           case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return None // lossless / arithmetic / differential / hierarchical
@@ -990,13 +1052,11 @@ object Jpeg {
             pos += 4
           case 0xda => // SOS
             if (comps == null) fail()
-            if (!progressive && scanCount > 0) fail() // baseline: single scan
             val len = u16(pos)
             if (pos + len > bytes.length) fail()
             val p = pos + 2
             val ns = bytes(p) & 0xff
             if (ns < 1 || ns > comps.length || len != 6 + 2 * ns) fail()
-            if (!progressive && ns != comps.length) fail()
             val scanComps = new Array[FrameComp](ns)
             val dcSel = new Array[Int](ns)
             val acSel = new Array[Int](ns)
@@ -1006,6 +1066,15 @@ object Jpeg {
               val sel = bytes(p + 2 + 2 * i) & 0xff
               val fc = comps.find(_.id == cid).getOrElse(fail())
               if (scanComps.take(i).contains(fc)) fail()
+              // sequential: each component is coded by exactly ONE scan
+              // (interleaved or per-component, T.81 §A.2) — a repeat is
+              // malformed; the per-component form is what legal
+              // NON-interleaved sequential files (one SOS per component)
+              // use, previously rejected here against the documented scope
+              if (!progressive) {
+                if (fc.coded) fail()
+                fc.coded = true
+              }
               scanComps(i) = fc
               dcSel(i) = sel >> 4; acSel(i) = sel & 15
               if (dcSel(i) > 3 || acSel(i) > 3) fail()
@@ -1114,6 +1183,9 @@ object Jpeg {
         }
       }
       if (comps == null || scanCount == 0) return None
+      // sequential: every component must have been coded by some scan —
+      // a missing plane would silently assemble as black
+      if (!progressive && comps.exists(!_.coded)) return None
       // --- assembly at EOI: dequantize + IDCT + upsample + color ---
       val planes = comps.map { c =>
         val qt = qts(c.qSel)

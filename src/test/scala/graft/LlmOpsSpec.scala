@@ -1200,6 +1200,62 @@ class LlmOpsSpec extends SparkSuite {
     assert(q3(5L).getInt(1) == 16 && q3(5L).getInt(2) == 16 * (1 + 5 % 2))
   }
 
+  test("L5g sequential multi-scan decode == interleaved; coverage gates; allocation caps") {
+    // ADVICE-r14: legal NON-interleaved baseline files (one full-band
+    // SOS per component, T.81 §A.2) must decode — and must decode to
+    // exactly what the interleaved layout of the same coefficients
+    // decodes to, since the scan layout never changes the coefficients
+    var seed = 24680L
+    def next(): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33) % 256).toInt }
+    def plane(n: Int) = Array.fill(n)(next())
+    for (q <- Seq(Jpeg.FlatQ, Jpeg.SynthQ); ri <- Seq(0, 2)) {
+      val label = s"q0=${q(0)} ri=$ri"
+      val cy = plane(24 * 16); val ccb = plane(24 * 16); val ccr = plane(24 * 16)
+      val il = Jpeg.decodeJpeg(Jpeg.buildJpeg444(cy, ccb, ccr, 24, 16, q, q, ri))
+      val ni = Jpeg.decodeJpeg(
+        Jpeg.buildJpeg444(cy, ccb, ccr, 24, 16, q, q, ri, interleaved = false))
+      assert(il.nonEmpty && ni.nonEmpty, s"444 multi-scan decode failed ($label)")
+      assert(il.get._3.toSeq == ni.get._3.toSeq, s"444 multi-scan != interleaved ($label)")
+      // 4:2:0 odd dims: per-component scans walk the CODED (ceil) grid,
+      // smaller than the interleaved grid for the luma component
+      val sy = plane(33 * 18); val scb = plane(17 * 9); val scr = plane(17 * 9)
+      val sIl = Jpeg.decodeJpeg(Jpeg.buildJpeg420(sy, scb, scr, 33, 18, q, q, ri))
+      val sNi = Jpeg.decodeJpeg(
+        Jpeg.buildJpeg420(sy, scb, scr, 33, 18, q, q, ri, interleaved = false))
+      assert(sIl.nonEmpty && sNi.nonEmpty, s"420 multi-scan decode failed ($label)")
+      assert(sIl.get._3.toSeq == sNi.get._3.toSeq, s"420 multi-scan != interleaved ($label)")
+    }
+    // coverage gates: each component coded exactly once, all coded
+    val base = Jpeg.buildJpeg444(plane(16 * 16), plane(16 * 16), plane(16 * 16),
+      16, 16, interleaved = false)
+    def sosOffsets(b: Array[Byte]): Seq[Int] = b.indices.dropRight(1)
+      .filter(j => (b(j) & 0xff) == 0xff && (b(j + 1) & 0xff) == 0xda)
+    assert(sosOffsets(base).length == 3)
+    assert(Jpeg.decodeJpeg(base).nonEmpty)
+    // second scan re-targets component 1 -> duplicate coding -> None
+    val dup = base.clone()
+    dup(sosOffsets(base)(1) + 5) = 1.toByte // SOS: marker(2)+len(2)+ns(1)+cid
+    assert(Jpeg.decodeJpeg(dup).isEmpty)
+    // drop the third scan entirely -> component 3 never coded -> None
+    val missing = base.take(sosOffsets(base)(2)) ++ Array(0xff.toByte, 0xd9.toByte)
+    assert(Jpeg.decodeJpeg(missing).isEmpty)
+    // --- allocation caps (ADVICE-r14): hostile ~30-byte headers that
+    // declare huge frames must return None BEFORE allocating ---
+    def sof(wDim: Int, hDim: Int, sampling: Int): Array[Byte] =
+      (Array(0xff, 0xd8, 0xff, 0xc0, 0, 8 + 3 * 3 + 2, 8,
+        hDim >> 8, hDim & 0xff, wDim >> 8, wDim & 0xff, 3) ++
+        (1 to 3).flatMap(i => Array(i, sampling, 0)) ++
+        Array(0xff, 0xd9)).map(_.toByte)
+    // 65535x65535 = 4.3G pixels > MaxDecodePixels
+    assert(Jpeg.decodeJpeg(sof(65535, 65535, 0x11)).isEmpty)
+    // 8192x8192 = exactly 2^26 pixels (pixel cap passes) but 3 full
+    // 4x4-sampled component grids = ~201M coef ints > MaxDecodeCoefInts
+    assert(Jpeg.decodeJpeg(sof(8192, 8192, 0x44)).isEmpty)
+    // a frame under both caps must proceed past SOF and only fail
+    // later for having no scan data (None, not a cap rejection)
+    assert(Jpeg.decodeJpeg(sof(2048, 2048, 0x11)).isEmpty) // no SOS -> None
+  }
+
   test("L5 multimodal decode stub: schema, alignment, determinism") {
     val assets = Multimodal.assets(tables)
     val feats = Multimodal.decodeFeatures(assets)
