@@ -330,6 +330,19 @@ object Registry {
       GROUP BY l_returnflag
       ORDER BY l_returnflag""")),
 
+    // the SCALE path for percentiles under the hash gate — exact
+    // percentiles hash-compare, the percentile_approx sketch enters as
+    // ±1% acceptance predicates replayed by the oracle as literal TRUE
+    // (the a3_approx_distinct / s7_profile_approx structural contract)
+    QueryDef("a6_stats_approx", Relational.a6StatsApproxChecked, Some("""
+      SELECT l_returnflag,
+        ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        TRUE AS median_est_ok, TRUE AS p95_est_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
+
     QueryDef("w1_rank", Relational.w1Rank, Some("""
       SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal,
         CAST(rn AS INT) AS rn, CAST(rk AS INT) AS rk, CAST(drk AS INT) AS drk

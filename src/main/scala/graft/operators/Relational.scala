@@ -478,6 +478,53 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Acceptance band for [[a6StatsApproxChecked]], in permille of the
+    * exact percentile value. percentile_approx(accuracy = 10000)
+    * guarantees RANK error ≤ n/10000; on the fixture price distribution
+    * (quasi-uniform over ≈[900, 105000]) a 0.01% rank slip moves the
+    * VALUE by ≪1%, so ±1% relative is ≥10× headroom at every declared
+    * scale while still rejecting any structurally broken sketch (e.g.
+    * one returning the group mean, min/max, or a constant — all ≫1% off
+    * at both probed quantiles).
+    */
+  val PctBandPermille = 10L
+
+  /** |est − exact| ≤ exact · band/1000 — the relative-tolerance twin of
+    * [[graft.operators.Profile.ndEstOk]] for positive continuous
+    * measures (prices here; callers must ensure exact > 0).
+    */
+  def pctEstOk(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column,
+               bandPermille: Long = PctBandPermille): org.apache.spark.sql.Column =
+    abs(est - exact) <= exact * lit(bandPermille) / lit(1000L)
+
+  /** A6b declared form (`a6_stats_approx`) — puts the SCALE-VIABLE
+    * percentile path under the oracle hash gate, the a3/s7 structural
+    * contract: exact percentiles (hash-compared against DuckDB's
+    * quantile_cont) plus [[pctEstOk]] acceptance predicates consuming
+    * the percentile_approx sketch, which the oracle replays as literal
+    * TRUE. The exact side exists only to make the contract executable;
+    * [[a6ApproxPercentile]] stays the production operator at 100 TB —
+    * a bounded-size KLL-style sketch that merges associatively in a
+    * single partial-aggregated shuffle, vs the exact `percentile`'s
+    * per-group value buffering. A sketch off by >±1% at p50 or p95
+    * flips its predicate and fails the driver's hash gate; estimate
+    * VALUES stay tolerance-asserted in RelationalSpec.
+    */
+  def a6StatsApproxChecked(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val exact = t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+    a6ApproxPercentile(spark, dir)
+      .join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("median_price"), col("p95_price"),
+        pctEstOk(col("approx_median"), col("median_price")).as("median_est_ok"),
+        pctEstOk(col("approx_p95"), col("p95_price")).as("p95_est_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** A9 histogram geometry: [0, 110000) in 22 equi-width buckets of
     * 5000.00 — covers the fixture price range (≈[900, 105000]) at every
     * scale factor with fixed, data-independent bounds.

@@ -131,6 +131,40 @@ class RelationalSpec extends SparkSuite {
       assert(math.abs(a - exact(k)) <= 0.02 * exact(k), s"$k: $a vs ${exact(k)}")
   }
 
+  test("a6_stats_approx contract: predicates true on the fixture, band rejects a broken sketch") {
+    // declared form: every acceptance predicate must hold (the oracle
+    // replays them as literal TRUE — a false here IS a driver hash fail)
+    val rows = Relational.a6StatsApproxChecked(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"median_est_ok false for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"p95_est_ok false for ${r.getString(0)}")
+    }
+    // the band REJECTS structurally broken sketches: a sketch returning
+    // the group min, the max, or a fixed constant is ≫1% off the true
+    // p50/p95 of the fixture prices, so pctEstOk flips to false. (The
+    // group MEAN is deliberately not used as the broken stand-in: the
+    // fixture's price distribution is near-symmetric, so mean ≈ median
+    // — inside any band a real sketch could meet.)
+    val broken = tables.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        min(col("l_extendedprice")).as("min_est"),
+        max(col("l_extendedprice")).as("max_est"))
+      .select(
+        Relational.pctEstOk(col("min_est"), col("exact_p50")).as("min_ok"),
+        Relational.pctEstOk(col("max_est"), col("exact_p50")).as("max_ok"),
+        Relational.pctEstOk(lit(1000.0), col("exact_p50")).as("const_ok"),
+        // sanity: the exact value itself always passes its own band
+        Relational.pctEstOk(col("exact_p50"), col("exact_p50")).as("self_ok"))
+      .collect()
+    broken.foreach { r =>
+      assert(!r.getBoolean(0) && !r.getBoolean(1) && !r.getBoolean(2),
+        s"band failed to reject a broken sketch: $r")
+      assert(r.getBoolean(3))
+    }
+  }
+
   test("w4 top-k: partial WindowGroupLimit bounds the shuffle; == explicit salted reference") {
     val order = Seq(col("value").desc, col("event_id"))
     val topk = Relational.topKPerGroupSkewSafe(tables.events, Seq("user_id"), order, 3)
