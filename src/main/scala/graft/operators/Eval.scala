@@ -388,9 +388,9 @@ object Eval {
     * — is snapped to micro-nats once per DISTINCT (n_total, n_vecs) pair
     * (≤ #cells values; the m4/tf-idf posture), after which the entropy
     * Σ n_c·surprisalµ DIV n is pure integer arithmetic. The grand
-    * entropy rides every row via an unpartitioned window SUM — bounded
-    * by construction: the frame is one row per CELL ([[Similarity
-    * .IvfCells]] rows), never corpus-sized.
+    * entropy is a global aggregate broadcast back over the cell rows
+    * (1-row nested-loop join, like the total count) — gate-clean under
+    * the whole-surface single-partition plan audit.
     *
     * Scale shape: one broadcast-centroid assignment pass (partial-agg
     * argmin — the IVF pass), one cell-keyed count aggregate, then
@@ -411,13 +411,23 @@ object Eval {
       .select(col("vec_id"), col("cell"))
     val occ = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
     val tot = occ.agg(sum(col("n_vecs")).as("n_total"))
-    occ.crossJoin(broadcast(tot))
+    val surp = occ.crossJoin(broadcast(tot))
       .withColumn("share_permille", expr("n_vecs * 1000 DIV n_total"))
       .withColumn("surprisal_micro",
         round(log(col("n_total").cast("double") / col("n_vecs")) * lit(1e6))
           .cast("long"))
-      .withColumn("entropy_micro",
-        expr("SUM(n_vecs * surprisal_micro) OVER () DIV n_total"))
+    // Grand entropy as a global AGGREGATE broadcast back over the cell
+    // rows — NOT a `SUM(...) OVER ()` window: the unpartitioned window
+    // compiled to a required-SinglePartition exchange, which the r15
+    // whole-surface plan gate (PlanGateSpec) rejects. The frame was
+    // bounded (one row per cell) so it was never a real bottleneck, but
+    // the aggregate form is gate-clean for free: `occ`'s shuffle is
+    // byte-identical in both consumers, so ReuseExchange runs the
+    // corpus-side assignment pass ONCE, and the 1-row entropy total
+    // rides a broadcast nested-loop join exactly like `tot` already did.
+    val ent = surp.agg(sum(expr("n_vecs * surprisal_micro")).as("w_surprisal"))
+    surp.crossJoin(broadcast(ent))
+      .withColumn("entropy_micro", expr("w_surprisal DIV n_total"))
       .select(col("cell"), col("n_vecs"), col("share_permille"),
         col("surprisal_micro"), col("entropy_micro"))
       .orderBy(col("cell"))
