@@ -991,6 +991,15 @@ object Streams {
     * float corpus's scan cost; segment compaction is [[BatchIO]]'s
     * compactor applied to codes parquet, unchanged.
     */
+  /** Tombstone classification for the T14 manifest: DELETE segments
+    * (vec_id rows to remove from the searchable set) live under
+    * `tomb_seg/` and are distinguished from code segments by path — the
+    * Lucene `.liv`-file shape, which keeps the manifest schema
+    * unchanged for every reader of the (segment, batches) protocol.
+    */
+  private[graft] def isTombSegment(path: String): Boolean =
+    path.contains("/tomb_seg/")
+
   def runPqIngest(vectors: DataFrame, indexDir: String, checkpoint: String,
                   onBeforeCommit: Long => Unit = _ => (),
                   onAfterCommit: Long => Unit = _ => ()): Unit = {
@@ -1007,9 +1016,11 @@ object Streams {
         }
         // replay of a batch some committed segment already covers (crash
         // after pointer flip, possibly compacted since): commit the
-        // manifest unchanged — re-adding the segment would duplicate rows
+        // manifest unchanged — re-adding the segment would duplicate rows.
+        // Coverage is per STREAM: ingest ids live on CODE rows only (the
+        // delete stream numbers its own batches on tombstone rows).
         val rows =
-          if (prior.exists(_._2.contains(id))) prior
+          if (prior.exists(r => !isTombSegment(r._1) && r._2.contains(id))) prior
           else {
             val books = spark.read.parquet(s"$indexDir/codebooks")
             val segDir = s"$indexDir/codes_seg/b$id"
@@ -1037,19 +1048,85 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** T14b: streaming PQ INDEX DELETION — the index-maintenance half the
+    * curation loop needs: the pipeline's own semantic dedup DROPS
+    * vectors, and a serving index that only grows would keep answering
+    * with them. Deletions land as TOMBSTONE segments (the Lucene
+    * live-docs shape): each micro-batch of drop ids writes an immutable
+    * `tomb_seg/d<id>` parquet of vec_ids and commits
+    * prior-manifest ∪ tombstone-row through the SAME
+    * immutable-version + pointer-flip protocol as [[runPqIngest]] —
+    * readers anti-join the tombstoned ids ([[probePqIngested]]),
+    * compaction purges them physically ([[compactPqSegments]]).
+    *
+    * Version ids for delete batches live in their own reserved range
+    * ([[DeleteIdBase]]+id): the ingest stream and the delete stream
+    * both number micro-batches from 0, and the pointer protocol
+    * requires version-directory uniqueness. Covered-batch idempotency
+    * mirrors ingest but consults TOMBSTONE rows only — and unlike
+    * ingest (where re-adding rows duplicates ADC sums), coverage here
+    * is not just an optimization: after a compaction has purged a
+    * tombstone AND the id has been legitimately re-ingested, an
+    * uncovered replay of the old delete batch would wrongly re-delete
+    * the new vector. Compaction therefore carries the purged delete
+    * ids forward on an empty coverage row (see [[compactPqSegments]]).
+    *
+    * Writer concurrency: single manifest writer at a time (ingest,
+    * delete, or maintenance) — the same deployment contract
+    * [[mergePqSegments]] documents.
+    */
+  val DeleteIdBase = 2000000000L
+  def runPqDelete(dropIds: DataFrame, indexDir: String, checkpoint: String,
+                  onBeforeCommit: Long => Unit = _ => (),
+                  onAfterCommit: Long => Unit = _ => ()): Unit = {
+    val manifestDir = s"$indexDir/manifest"
+    val q = dropIds.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val v = latestVersion(manifestDir).getOrElse(throw new IllegalStateException(
+          s"no committed manifest in $manifestDir — deletes require an ingested index"))
+        val prior = spark.read.parquet(s"$manifestDir/v$v")
+          .as[(String, Seq[Long])].collect().toSeq
+        val rows =
+          if (prior.exists(r => isTombSegment(r._1) && r._2.contains(id))) prior
+          else {
+            val tombDir = s"$indexDir/tomb_seg/d$id"
+            batch.select(col("vec_id")).distinct()
+              .write.mode("overwrite").parquet(tombDir)
+            prior :+ (tombDir -> Seq(id))
+          }
+        rows.toDF("segment", "batches")
+          .coalesce(1).write.mode("overwrite").parquet(s"$manifestDir/v${DeleteIdBase + id}")
+        onBeforeCommit(id) // crash seam: torn version, pointer not flipped
+        commitVersion(manifestDir, DeleteIdBase + id)
+        onAfterCommit(id) // crash seam: pointer flipped, checkpoint behind
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
   /** Segment GC for a [[runPqIngest]] index: rewrite the committed
-    * segment set as ONE compacted segment and commit a manifest version
-    * pointing at it — the maintenance pass every segment-based index
-    * needs once the ingest tail grows. Codes are 4-byte columns, so the
-    * rewrite is a fraction of a float-corpus copy. Version ids for
-    * compactions live in a reserved high range ([[CompactionIdBase]]+n):
-    * the pointer protocol only requires version UNIQUENESS (readers
-    * follow the pointer, not the max id), and the reserved range keeps a
-    * future ingest batch id from ever overwriting a version directory a
-    * reader may still be pinned to. Old segments are left on disk —
-    * removal is a retention decision for once no reader can pin them.
-    * After compaction the next ingest batch unions the compacted segment
-    * with its own, exactly as before.
+    * segment set as ONE compacted segment — with every tombstoned
+    * vec_id PURGED physically ([[runPqDelete]]) — and commit a manifest
+    * version pointing at it: the maintenance pass every segment-based
+    * index needs once the ingest tail grows. Codes are 4-byte columns,
+    * so the rewrite is a fraction of a float-corpus copy. Version ids
+    * for compactions live in a reserved high range
+    * ([[CompactionIdBase]]+n): the pointer protocol only requires
+    * version UNIQUENESS (readers follow the pointer, not the max id),
+    * and the reserved range keeps a future ingest batch id from ever
+    * overwriting a version directory a reader may still be pinned to.
+    * Old segments are left on disk — removal is a retention decision
+    * for once no reader can pin them. After compaction the next ingest
+    * batch unions the compacted segment with its own, exactly as
+    * before. Purged tombstones leave their covered delete-batch ids
+    * behind on an EMPTY tombstone row, so a late replay of an absorbed
+    * delete batch still commits as a no-op (the re-ingestion hazard in
+    * [[runPqDelete]]'s doc).
     */
   val CompactionIdBase = 1000000000L
   def compactPqSegments(spark: SparkSession, indexDir: String): Long = {
@@ -1059,14 +1136,34 @@ object Streams {
       throw new IllegalStateException(s"no committed manifest in $manifestDir"))
     val rows = spark.read.parquet(s"$manifestDir/v$v")
       .as[(String, Seq[Long])].collect().toSeq
-    val segs = rows.map(_._1).distinct
+    val (tombRows, codeRows) = rows.partition(r => isTombSegment(r._1))
+    val segs = codeRows.map(_._1).distinct
     // the compacted segment inherits every batch id its inputs covered,
     // so a late replay of any absorbed batch still commits as a no-op
-    val covered = rows.flatMap(_._2).distinct.sorted
+    val covered = codeRows.flatMap(_._2).distinct.sorted
     val newId = CompactionIdBase + v + 1
     val target = s"$indexDir/codes_seg/c$newId"
-    spark.read.parquet(segs: _*).write.mode("overwrite").parquet(target)
-    Seq(target -> covered).toDF("segment", "batches")
+    val codes = spark.read.parquet(segs: _*)
+    val purged =
+      if (tombRows.isEmpty) codes
+      else codes.join(
+        spark.read.parquet(tombRows.map(_._1).distinct: _*).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+    purged.write.mode("overwrite").parquet(target)
+    // tombstones are now baked into the codes — drop the tombstone
+    // SEGMENTS but keep their covered delete-batch ids on one empty
+    // tombstone row, so an absorbed delete batch replays as a no-op
+    // (see runPqDelete: re-deleting a re-ingested id is the hazard)
+    val tombCovered = tombRows.flatMap(_._2).distinct.sorted
+    val manifest =
+      if (tombCovered.isEmpty) Seq(target -> covered)
+      else {
+        val purgedTomb = s"$indexDir/tomb_seg/purged_v$newId"
+        Seq.empty[Long].toDF("vec_id")
+          .coalesce(1).write.mode("overwrite").parquet(purgedTomb)
+        Seq(target -> covered, purgedTomb -> tombCovered)
+      }
+    manifest.toDF("segment", "batches")
       .coalesce(1).write.mode("overwrite").parquet(s"$manifestDir/v$newId")
     commitVersion(manifestDir, newId)
     newId
@@ -1105,8 +1202,13 @@ object Streams {
     import spark.implicits._
     val v0 = latestVersion(manifestDir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $manifestDir"))
+    // tier selection over CODE segments only: tombstone rows stay in the
+    // manifest untouched (the remap below preserves every non-input row);
+    // merges union immutable inputs verbatim, tombstones purge at full
+    // compaction — re-anti-joining already-absent ids stays correct
     val rows = spark.read.parquet(s"$manifestDir/v$v0")
       .as[(String, Seq[Long])].collect().toSeq
+      .filterNot(r => isTombSegment(r._1))
     if (rows.size < minMerge) return None
     // segment weight = on-disk bytes (one recursive FS summary per
     // segment, through the Hadoop FS API so it works on HDFS/S3A too;
@@ -1155,9 +1257,17 @@ object Streams {
           .select("segment").as[String].collect().toSeq.distinct
       case None => throw new IllegalStateException(s"no committed manifest in $manifestDir")
     }
+    val (tombSegs, codeSegs) = segs.partition(isTombSegment)
+    val codes = spark.read.parquet(codeSegs: _*)
+    // live set = codes minus tombstoned ids ([[runPqDelete]]) — an
+    // anti-join on the 8-byte key before any ADC work; a compaction
+    // bakes the purge in and empties this branch
+    val live =
+      if (tombSegs.isEmpty) codes
+      else codes.join(spark.read.parquet(tombSegs: _*).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
     graft.operators.Similarity.probePqCodes(
-      spark.read.parquet(s"$indexDir/codebooks"),
-      spark.read.parquet(segs: _*), queries, k, rescoreFrom)
+      spark.read.parquet(s"$indexDir/codebooks"), live, queries, k, rescoreFrom)
   }
 
   /** Hard cap on query rows per [[runAnnServe]] micro-batch. The serving

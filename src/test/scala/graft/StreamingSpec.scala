@@ -1407,6 +1407,158 @@ class StreamingSpec extends SparkSuite {
       "cross-tier segments must not merge")
   }
 
+  test("T14b PQ delete: tombstoned ids vanish from probes; compaction purges; == flat rebuild") {
+    import TestSpark.spark.implicits._
+    import graft.operators.Similarity
+    val emb = tables.embeddings
+    val idxDir = Files.createTempDirectory("graft-pq-del").toString
+    Similarity.buildPqIndex(emb, idxDir)
+    val dir = Files.createTempDirectory("graft-pq-del-vecs")
+    val cp = Files.createTempDirectory("graft-pq-del-cp").toString
+    val delDir = Files.createTempDirectory("graft-pq-del-ids")
+    val cpDel = Files.createTempDirectory("graft-pq-del-idcp").toString
+    val queries = Similarity.batchQueryVecs(tables, Similarity.BatchQueryIds)
+    val books = spark.read.parquet(s"$idxDir/codebooks")
+    def manifestRows() = {
+      import TestSpark.spark.implicits._
+      val v = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$idxDir/manifest/LATEST"))).trim
+      spark.read.parquet(s"$idxDir/manifest/v$v")
+        .as[(String, Seq[Long])].collect().toSeq
+    }
+    // reference: flat index over the SAME codebooks minus the dropped
+    // vectors — what a from-scratch rebuild without them would serve
+    def flatWithout(dropped: org.apache.spark.sql.Column) = {
+      val remaining = emb.filter(!dropped)
+      Similarity.probePqCodes(books, Similarity.encodePq(remaining, books),
+        queries, 10, remaining)
+    }
+
+    // ingest two waves, then a drop wave tombstones every vec_id % 7 == 3
+    // (ids from BOTH segments, plus one id that was never ingested)
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/w1")
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/w2")
+    Streams.runPqIngest(
+      spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*/"), idxDir, cp)
+    val isDropped = col("vec_id") % 7 === 3
+    emb.filter(isDropped).select(col("vec_id"))
+      .unionByName(Seq(987654321L).toDF("vec_id")) // never-ingested id: no-op
+      .coalesce(1).write.parquet(s"$delDir/d1")
+    val idSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType)))
+    def delStream() = spark.readStream.schema(idSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$delDir/*/")
+    Streams.runPqDelete(delStream(), idxDir, cpDel)
+
+    // dropped ids never appear in any probe answer, and the segmented
+    // probe == the flat rebuild without them
+    val dropSet = emb.filter(isDropped).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = Streams.probePqIngested(spark, idxDir, queries, 10, emb.filter(!isDropped))
+    assert(got.collect().forall(r => !dropSet(r.getAs[Long]("vec_id"))),
+      "probe returned a tombstoned vec_id")
+    assertSameRows(got, flatWithout(isDropped))
+
+    // compaction purges physically: the compacted segment contains no
+    // dropped id, the manifest keeps ONE empty tombstone row carrying
+    // the covered delete-batch ids, and probes answer identically
+    val cid = Streams.compactPqSegments(spark, idxDir)
+    val rows = manifestRows()
+    val (tombs, codeSegs) = rows.partition(_._1.contains("/tomb_seg/"))
+    assert(codeSegs.size == 1 && tombs.size == 1, s"unexpected manifest: $rows")
+    assert(tombs.head._1.contains("purged_v") && tombs.head._2 == Seq(0L),
+      s"purged coverage row must carry the delete batch id: $tombs")
+    val compacted = spark.read.parquet(codeSegs.head._1)
+    assert(compacted.filter(col("vec_id").isInCollection(dropSet)).count() == 0,
+      "compaction left tombstoned rows in the codes segment")
+    assert(spark.read.parquet(tombs.head._1).count() == 0)
+    assertSameRows(
+      Streams.probePqIngested(spark, idxDir, queries, 10, emb.filter(!isDropped)),
+      flatWithout(isDropped))
+
+    // the loop continues: a second delete wave lands against the
+    // compacted index and its ids vanish too
+    val alsoDropped = isDropped || col("vec_id") % 7 === 5
+    emb.filter(col("vec_id") % 7 === 5).select(col("vec_id"))
+      .coalesce(1).write.parquet(s"$delDir/d2")
+    Streams.runPqDelete(delStream(), idxDir, cpDel)
+    assertSameRows(
+      Streams.probePqIngested(spark, idxDir, queries, 10, emb.filter(!alsoDropped)),
+      flatWithout(alsoDropped))
+    assert(cid >= Streams.CompactionIdBase)
+  }
+
+  test("T14b delete torn-commit soak: crash seams converge; absorbed delete replays as a no-op past a re-ingested id") {
+    import graft.operators.Similarity
+    val emb = tables.embeddings
+    val idxDir = Files.createTempDirectory("graft-pq-dtorn").toString
+    Similarity.buildPqIndex(emb, idxDir)
+    val dir = Files.createTempDirectory("graft-pq-dtorn-vecs")
+    val cp = Files.createTempDirectory("graft-pq-dtorn-cp").toString
+    val delDir = Files.createTempDirectory("graft-pq-dtorn-ids")
+    val cpDel = Files.createTempDirectory("graft-pq-dtorn-idcp").toString
+    val queries = Similarity.batchQueryVecs(tables, Similarity.BatchQueryIds)
+    def pointer(): String = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$idxDir/manifest/LATEST")).trim
+    val idSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType)))
+    def delStream() = spark.readStream.schema(idSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$delDir/*/")
+
+    emb.coalesce(1).write.parquet(s"$dir/w1")
+    Streams.runPqIngest(
+      spark.readStream.schema(emb.schema).parquet(s"$dir/*/"), idxDir, cp)
+
+    // crash BEFORE the pointer flip: readers stay on the pre-delete
+    // manifest — the doomed ids still answer — and the replay converges
+    val isDropped = col("vec_id") % 5 === 2
+    emb.filter(isDropped).select(col("vec_id")).coalesce(1).write.parquet(s"$delDir/d1")
+    val vBefore = pointer()
+    val preDelete = Streams.probePqIngested(spark, idxDir, queries, 10, emb)
+      .collect().map(_.toString).sorted.toSeq
+    val crash1 = intercept[Exception] {
+      Streams.runPqDelete(delStream(), idxDir, cpDel,
+        onBeforeCommit = _ => throw new RuntimeException("injected crash before pointer flip"))
+    }
+    assert(Option(crash1.getMessage).getOrElse("").contains("injected crash")
+      || crash1.getCause != null, crash1.toString)
+    assert(pointer() == vBefore, "pointer moved across a delete crash")
+    assert(Streams.probePqIngested(spark, idxDir, queries, 10, emb)
+      .collect().map(_.toString).sorted.toSeq == preDelete,
+      "reader observed a torn delete manifest")
+    // restart: crash AFTER the pointer flip this time (checkpoint behind)
+    val crash2 = intercept[Exception] {
+      Streams.runPqDelete(delStream(), idxDir, cpDel,
+        onAfterCommit = _ => throw new RuntimeException("injected crash after pointer flip"))
+    }
+    assert(Option(crash2.getMessage).getOrElse("").contains("injected crash")
+      || crash2.getCause != null, crash2.toString)
+    assert(pointer().toLong >= Streams.DeleteIdBase, "delete version not committed")
+
+    // compaction absorbs the tombstone; then one dropped id is
+    // legitimately RE-INGESTED before the delete stream restarts
+    Streams.compactPqSegments(spark, idxDir)
+    val reborn = emb.filter(isDropped).orderBy(col("vec_id")).limit(1)
+    val rebornId = reborn.head().getLong(0)
+    reborn.coalesce(1).write.parquet(s"$dir/w2")
+    Streams.runPqIngest(
+      spark.readStream.schema(emb.schema).parquet(s"$dir/*/"), idxDir, cp)
+
+    // the delete batch replays over its checkpoint: it is COVERED by the
+    // purged row, so it must NOT re-tombstone the re-ingested id
+    Streams.runPqDelete(delStream(), idxDir, cpDel)
+    val stillDropped = isDropped && col("vec_id") =!= rebornId
+    val remaining = emb.filter(!stillDropped)
+    val books = spark.read.parquet(s"$idxDir/codebooks")
+    assertSameRows(
+      Streams.probePqIngested(spark, idxDir, queries, 10, remaining),
+      Similarity.probePqCodes(books, Similarity.encodePq(remaining, books),
+        queries, 10, remaining))
+  }
+
   test("S3 socket source ingests lines from a live TCP server") {
     val server = new java.net.ServerSocket(0)
     val writer = new Thread(() => {
