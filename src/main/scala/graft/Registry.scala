@@ -2761,6 +2761,36 @@ object Registry {
           CAST(SUM(b) // COUNT(*) AS BIGINT) AS mean_b
         FROM c GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+      // L5h: real GIF pixel decode — the synthesize/replay trick
+      // through an LZW-compressed PALETTE container: the engine packs
+      // formula palette indices through genuine GIF bytes
+      // (variable-width LZW over min code sizes 2..4, 255-byte
+      // sub-block chunking, GIF89a + Graphic Control Extension on even
+      // docs vs bare GIF87a on odd, 4-pass interlaced row order every
+      // third doc) and decodes them back; the oracle replays only the
+      // palette formula at index (d + i·5) mod P, so any defect in the
+      // LZW table walk, code-width growth, sub-block reassembly,
+      // palette lookup, or interlace reordering is a hash mismatch.
+      // Real-world interop (vs the JDK's independent ImageIO GIF codec)
+      // is pinned both directions in LlmOpsSpec.
+      QueryDef("l5_gif_stats", Multimodal.l5GifStats, Some("""
+        WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 6 AS h,
+                          3 + doc_id % 14 AS p
+                   FROM documents),
+        px AS (SELECT d.doc_id, d.w, d.h, (d.doc_id + u.i * 5) % d.p AS j
+               FROM d, UNNEST(generate_series(0, d.w * d.h - 1)) AS u(i)),
+        c AS (SELECT doc_id, w, h,
+                (doc_id * 3 + j * 7 + 11) % 256 AS r,
+                (doc_id * 5 + j * 13 + 101) % 256 AS g,
+                (doc_id * 7 + j * 19 + 59) % 256 AS b
+              FROM px)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(r) // (w * h) AS BIGINT) AS mean_r,
+          CAST(SUM(g) // (w * h) AS BIGINT) AS mean_g,
+          CAST(SUM(b) // (w * h) AS BIGINT) AS mean_b
+        FROM c GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
       // Within-doc repetition metrics: per-(doc, token) counts replayed
       // as the same two-stage aggregation; bigram comprehension is the
       // fingerprint oracle's at n=2. All permille metrics integer DIV.

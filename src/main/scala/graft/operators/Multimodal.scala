@@ -144,6 +144,84 @@ object Multimodal {
     } else None
   }
 
+  /** EXIF orientation of a JPEG payload — the APP1/TIFF walk
+    * [[parseImageMeta]]'s segment scan stopped short of, needed because
+    * real-world camera files store the SENSOR's pixel grid and record
+    * the rotation here: orientations 5–8 mean the display dimensions
+    * are the SOF dimensions TRANSPOSED. Byte-walking only, no library:
+    * APP1 (FFE1) with the `Exif\0\0` header, then a TIFF structure —
+    * `II`/`MM` byte-order mark (both endiannesses handled), magic 42,
+    * IFD0 offset, 12-byte IFD entries scanned for tag 0x0112
+    * (Orientation, SHORT, value 1..8, stored left-justified in the
+    * entry's value field in the declared byte order). Every offset is
+    * bounds-checked against the APP1 segment; anything malformed — or
+    * simply absent, the common case for web images — returns None,
+    * never throws. Pixel decode ([[Jpeg.decodeJpeg]]) deliberately
+    * ignores orientation (it skips APPn segments); metadata surfaces it
+    * so a pipeline can transpose or route.
+    */
+  def parseExifOrientation(bytes: Array[Byte]): Option[Int] = {
+    if (bytes.length < 4 ||
+        (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    val exifSig = Array[Byte]('E', 'x', 'i', 'f', 0, 0)
+    var i = 2
+    while (i + 4 <= bytes.length && (bytes(i) & 0xff) == 0xff) {
+      val marker = bytes(i + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // entropy data: no APP1
+      val len = u16be(bytes, i + 2)
+      if (len < 2 || i + 2L + len > bytes.length) return None
+      if (marker == 0xe1 && len >= 2 + 6 + 8 &&
+          bytes.slice(i + 4, i + 10).sameElements(exifSig)) {
+        val t = i + 10 // TIFF base
+        val end = i + 2 + len
+        val le = bytes(t) == 'I' && bytes(t + 1) == 'I'
+        val be = bytes(t) == 'M' && bytes(t + 1) == 'M'
+        if (!le && !be) return None
+        def u16(o: Int): Int =
+          if (o + 1 >= end) -1
+          else if (le) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+          else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+        def u32(o: Int): Long =
+          if (o + 3 >= end) -1L
+          else if (le) (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+            ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+          else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+            ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+        if (u16(t + 2) != 42) return None
+        val ifdOff = u32(t + 4)
+        if (ifdOff < 8 || t + ifdOff + 2 > end) return None
+        val ifd = t + ifdOff.toInt
+        val n = u16(ifd)
+        var e = 0
+        while (e >= 0 && e < n) {
+          val off = ifd + 2 + e * 12
+          if (off + 12 > end) return None
+          if (u16(off) == 0x0112) {
+            if (u16(off + 2) != 3 || u32(off + 4) != 1L) return None
+            val v = u16(off + 8)
+            return if (v >= 1 && v <= 8) Some(v) else None
+          }
+          e += 1
+        }
+        return None
+      }
+      i += 2 + len
+    }
+    None
+  }
+
+  /** [[parseImageMeta]] with orientation applied: (format, DISPLAY
+    * width, DISPLAY height, orientation). For JPEGs carrying EXIF
+    * orientation 5–8 (the 90°-rotation family) the SOF dimensions are
+    * transposed to what a viewer shows; PNGs and EXIF-less JPEGs report
+    * orientation 1 with dimensions unchanged.
+    */
+  def parseImageMetaOriented(bytes: Array[Byte]): Option[(String, Int, Int, Int)] =
+    parseImageMeta(bytes).map { case (fmt, w, h) =>
+      val o = if (fmt == "jpeg") parseExifOrientation(bytes).getOrElse(1) else 1
+      if (o >= 5) (fmt, h, w, o) else (fmt, w, h, o)
+    }
+
   /** Parsed container metadata of one audio payload (see
     * [[parseAudioMeta]]). */
   final case class AudioMeta(doc_id: Long, format: Option[String],
@@ -810,6 +888,53 @@ object Multimodal {
     */
   def l5JpegProgressive(spark: SparkSession, dir: String): DataFrame =
     imagePixelStats(synthJpegProgressiveAssets(Tables(spark, dir)), Jpeg.decodeJpeg)
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic per-doc GIF synthesis for the declared GIF-decode
+    * query — the [[synthPngAssets]] trick through an LZW-compressed
+    * PALETTE container (see [[Gif]]): doc d is a
+    * (4 + d mod 9) × (3 + d mod 6) frame over a P = 3 + d mod 14 color
+    * palette whose entry j has channels r = (d·3 + j·7 + 11) mod 256,
+    * g = (d·5 + j·13 + 101) mod 256, b = (d·7 + j·19 + 59) mod 256, and
+    * pixel i carries index (d + i·5) mod P — so each pixel's RGB is a
+    * pure integer formula of (d, i) the oracle replays, while the
+    * engine round-trips it through REAL GIF bytes: variable-width LZW
+    * (palette sizes 3..16 span min code sizes 2..4), GIF89a with a
+    * Graphic Control Extension on even docs vs bare GIF87a on odd, and
+    * 4-pass INTERLACED row order when d mod 3 == 0; any defect in the
+    * LZW table walk, code-width growth, sub-block reassembly, palette
+    * lookup, or interlace reordering surfaces as a hash mismatch.
+    */
+  def synthGifAssets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val w = (4 + d % 9).toInt
+        val h = (3 + d % 6).toInt
+        val p = (3 + d % 14).toInt
+        val palette = Array.tabulate(p) { j =>
+          val r = ((d * 3 + j * 7 + 11) % 256).toInt
+          val g = ((d * 5 + j * 13 + 101) % 256).toInt
+          val b = ((d * 7 + j * 19 + 59) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        val idx = Array.tabulate(w * h)(i => ((d + i * 5) % p).toInt)
+        (d, Gif.buildGif(idx, w, h, palette,
+          interlaced = d % 3 == 0, version89 = d % 2 == 0))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5h declared query: channel-mean stats of the synthesized GIF
+    * corpus, decoded from the actual LZW-compressed bytes (sub-block
+    * reassembly + variable-width LZW + palette + interlace — see
+    * [[Gif.decodeGif]]).
+    */
+  def l5GifStats(spark: SparkSession, dir: String): DataFrame =
+    imagePixelStats(synthGifAssets(Tables(spark, dir)), Gif.decodeGif)
       .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
         col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy(col("doc_id"))

@@ -1256,6 +1256,176 @@ class LlmOpsSpec extends SparkSuite {
     assert(Jpeg.decodeJpeg(sof(2048, 2048, 0x11)).isEmpty) // no SOS -> None
   }
 
+  test("L5 EXIF orientation: APP1/TIFF walk both endiannesses, display-dim transposition, gates") {
+    // hand-built APP1 segment: Exif header + TIFF (II or MM) + IFD0 with
+    // an optional leading Make entry (proves the scan WALKS entries, not
+    // just reads slot 0) and the 0x0112 Orientation SHORT
+    def app1(le: Boolean, orientation: Int, leadingEntry: Boolean): Array[Byte] = {
+      val n = if (leadingEntry) 2 else 1
+      val tiff = new Array[Byte](8 + 2 + n * 12 + 4)
+      def p16(o: Int, v: Int): Unit =
+        if (le) { tiff(o) = (v & 0xff).toByte; tiff(o + 1) = ((v >> 8) & 0xff).toByte }
+        else { tiff(o) = ((v >> 8) & 0xff).toByte; tiff(o + 1) = (v & 0xff).toByte }
+      def p32(o: Int, v: Int): Unit =
+        if (le) { p16(o, v & 0xffff); p16(o + 2, v >>> 16) }
+        else { p16(o, v >>> 16); p16(o + 2, v & 0xffff) }
+      tiff(0) = if (le) 'I' else 'M'; tiff(1) = tiff(0)
+      p16(2, 42); p32(4, 8); p16(8, n)
+      var off = 10
+      if (leadingEntry) { // Make, ASCII, inline "ab\0"
+        p16(off, 0x010f); p16(off + 2, 2); p32(off + 4, 3)
+        tiff(off + 8) = 'a'; tiff(off + 9) = 'b'; off += 12
+      }
+      p16(off, 0x0112); p16(off + 2, 3); p32(off + 4, 1); p16(off + 8, orientation)
+      val payload = Array[Byte]('E', 'x', 'i', 'f', 0, 0) ++ tiff
+      val len = payload.length + 2
+      Array(0xff.toByte, 0xe1.toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    }
+    val base = Jpeg.buildJpegGray(Array.fill(16 * 8)(99), 16, 8)
+    def withApp1(a: Array[Byte]) = base.take(2) ++ a ++ base.drop(2)
+    // both endiannesses, with and without a leading IFD entry
+    assert(Multimodal.parseExifOrientation(withApp1(app1(le = true, 6, leadingEntry = false))).contains(6))
+    assert(Multimodal.parseExifOrientation(withApp1(app1(le = false, 8, leadingEntry = true))).contains(8))
+    assert(Multimodal.parseExifOrientation(withApp1(app1(le = true, 3, leadingEntry = true))).contains(3))
+    assert(Multimodal.parseExifOrientation(base).isEmpty) // no APP1 at all
+    // orientation 5-8 transposes the DISPLAY dims; 1-4 and absent don't
+    assert(Multimodal.parseImageMetaOriented(withApp1(app1(le = false, 6, leadingEntry = false)))
+      .contains(("jpeg", 8, 16, 6)))
+    assert(Multimodal.parseImageMetaOriented(withApp1(app1(le = true, 3, leadingEntry = false)))
+      .contains(("jpeg", 16, 8, 3)))
+    assert(Multimodal.parseImageMetaOriented(base).contains(("jpeg", 16, 8, 1)))
+    // pixel decode keeps ignoring APPn — the APP1-carrying file decodes
+    val expected = Jpeg.decodeJpeg(base).get._3.toSeq
+    assert(Jpeg.decodeJpeg(withApp1(app1(le = true, 6, leadingEntry = true)))
+      .map(_._3.toSeq).contains(expected))
+    // gates: bad byte order, bad magic, out-of-range value, truncation
+    val badBom = withApp1(app1(le = true, 6, leadingEntry = false))
+    val exifAt = badBom.indices.find(j => badBom(j) == 'I' && j > 4 && badBom(j + 1) == 'I').get
+    val b1 = badBom.clone(); b1(exifAt) = 'X'
+    assert(Multimodal.parseExifOrientation(b1).isEmpty)
+    val b2 = badBom.clone(); b2(exifAt + 2) = 43.toByte // magic != 42 (LE low byte)
+    assert(Multimodal.parseExifOrientation(b2).isEmpty)
+    assert(Multimodal.parseExifOrientation(withApp1(app1(le = true, 0, leadingEntry = false))).isEmpty)
+    assert(Multimodal.parseExifOrientation(withApp1(app1(le = false, 9, leadingEntry = false))).isEmpty)
+    assert(Multimodal.parseExifOrientation(
+      withApp1(app1(le = true, 6, leadingEntry = false)).take(2 + 8)).isEmpty)
+  }
+
+  test("L5h GIF codec: exact round-trips, LZW growth + reset, interlace, gates") {
+    import graft.operators.Gif
+    var seed = 1122334455L
+    def next(): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33) & 0x7fffffff).toInt }
+    def randPalette(n: Int) = Array.fill(n)(next() & 0xffffff)
+    def rt(w: Int, h: Int, p: Int, interlaced: Boolean, v89: Boolean): Unit = {
+      val pal = randPalette(p)
+      val idx = Array.fill(w * h)(next() % p)
+      val px = idx.map(pal)
+      val got = Gif.decodeGif(Gif.buildGif(idx, w, h, pal, interlaced, v89))
+      assert(got.nonEmpty, s"decode failed (${w}x$h p=$p il=$interlaced v89=$v89)")
+      val (dw, dh, out) = got.get
+      assert(dw == w && dh == h)
+      assert(out.toSeq == px.toSeq, s"pixels differ (${w}x$h p=$p il=$interlaced v89=$v89)")
+    }
+    // GIF is lossless over its palette: exact for every palette size
+    // class (min code sizes 2..8), both versions, both row orders
+    for (p <- Seq(2, 3, 4, 16, 17, 128, 256); il <- Seq(false, true))
+      rt(13, 9, p, il, v89 = p % 2 == 0)
+    // LZW stress: enough random pixels to walk the code width to 12
+    // bits, fill the 4096-entry table, and force a mid-stream CLEAR +
+    // width reset — the table-lag/width-growth alignment either holds
+    // for the whole stream or the tail scrambles
+    rt(211, 127, 256, interlaced = false, v89 = true)
+    rt(211, 127, 251, interlaced = true, v89 = false)
+    // single-color degenerate (pure KwKwK chains)
+    rt(31, 17, 2, interlaced = false, v89 = false)
+    // --- gates: None, never a throw ---
+    val ok = Gif.buildGif(Array.fill(6 * 4)(1), 6, 4, randPalette(4))
+    assert(Gif.decodeGif(ok).nonEmpty)
+    assert(Gif.decodeGif("GIF90a".getBytes("US-ASCII") ++ ok.drop(6)).isEmpty)
+    assert(Gif.decodeGif(ok.take(20)).isEmpty)            // truncated in tables
+    assert(Gif.decodeGif(ok.dropRight(10)).isEmpty)       // truncated LZW data
+    assert(Gif.decodeGif("garbage".getBytes("US-ASCII")).isEmpty)
+    // trailer before any image frame
+    val hdrOnly = ok.take(13 + 3 * 4) ++ Array(0x3b.toByte)
+    assert(Gif.decodeGif(hdrOnly).isEmpty)
+    // hostile header: 65535x65535 = 4.3G pixels > the decode cap —
+    // None before any allocation
+    val huge = "GIF89a".getBytes("US-ASCII") ++
+      Array(0xff, 0xff, 0xff, 0xff, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(Gif.decodeGif(huge).isEmpty)
+    // partial-frame scope: a frame not covering the screen gates to
+    // None (descriptor left byte lives right after the 0x2C marker)
+    val shifted = ok.clone()
+    val desc = shifted.indices.find(i => (shifted(i) & 0xff) == 0x2c).get
+    shifted(desc + 1) = 1.toByte
+    assert(Gif.decodeGif(shifted).isEmpty)
+  }
+
+  test("L5h GIF interop: bytes decode in ImageIO and ImageIO bytes decode here") {
+    import graft.operators.Gif
+    // the LZW variable-width/clear-code rules are calibrated against an
+    // INDEPENDENT codec (the JDK's ImageIO GIF reader/writer), not just
+    // round-tripped against this one — both directions, both row orders
+    var seed = 987123L
+    def next(): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33) & 0x7fffffff).toInt }
+    for (il <- Seq(false, true); p <- Seq(4, 64, 256)) {
+      val w = 47; val h = 31
+      val pal = Array.fill(p)(next() & 0xffffff)
+      val idx = Array.fill(w * h)(next() % p)
+      val mine = Gif.buildGif(idx, w, h, pal, interlaced = il)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(mine))
+      assert(img != null, s"ImageIO could not parse our GIF (il=$il p=$p)")
+      assert(img.getWidth == w && img.getHeight == h)
+      val expected = idx.map(pal)
+      val viaImageIo = Array.tabulate(w * h)(i => img.getRGB(i % w, i / w) & 0xffffff)
+      assert(viaImageIo.toSeq == expected.toSeq, s"ImageIO decoded differently (il=$il p=$p)")
+    }
+    // reverse: an ImageIO-written GIF (indexed color model) decodes here
+    val p = 16
+    val pal = Array.tabulate(p)(j => ((j * 37 + 11) & 0xff) << 16 | ((j * 53 + 7) & 0xff) << 8 | ((j * 71 + 3) & 0xff))
+    val icm = new java.awt.image.IndexColorModel(4, p,
+      pal.map(c => ((c >> 16) & 0xff).toByte),
+      pal.map(c => ((c >> 8) & 0xff).toByte),
+      pal.map(c => (c & 0xff).toByte))
+    val w = 29; val h = 23
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val idx = Array.tabulate(w * h)(i => (i * 7 + i / w) % p)
+    for (i <- 0 until w * h) img.setRGB(i % w, i / w, pal(idx(i)))
+    val bos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(img, "gif", bos), "JDK GIF writer unavailable")
+    val got = Gif.decodeGif(bos.toByteArray)
+    assert(got.nonEmpty, "could not decode an ImageIO-written GIF")
+    assert(got.get._1 == w && got.get._2 == h)
+    assert(got.get._3.toSeq == idx.map(pal).toSeq,
+      "ImageIO-written GIF decoded to different pixels")
+  }
+
+  test("L5h gif stats query: synthesis wiring, null survival, spot rows") {
+    import graft.operators.{Gif, Multimodal}
+    // distributed stats path + null survival
+    val good = Gif.buildGif(Array.fill(4 * 3)(0), 4, 3, Array(0x112233, 0x445566))
+    val df = Seq((1L, good), (2L, "nope".getBytes("US-ASCII"))).toDF("doc_id", "payload")
+    val outRows = Multimodal.imagePixelStats(df, Gif.decodeGif).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(outRows(1L).getInt(1) == 4 && outRows(1L).getInt(2) == 3)
+    assert(outRows(1L).getLong(4) == 0x11)
+    assert(outRows(2L).isNullAt(1) && outRows(2L).isNullAt(6))
+    // declared-query spot rows replay the palette formula: doc 6 is
+    // interlaced 89a (6%3==0, 6%2==0), doc 7 is plain 87a
+    val q = Multimodal.l5GifStats(spark, sf)
+      .filter(col("doc_id").isin(6L, 7L)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (d <- Seq(6L, 7L)) {
+      val w = (4 + d % 9).toInt; val h = (3 + d % 6).toInt; val p = (3 + d % 14).toInt
+      def ch(i: Int, m: Long, mm: Long, a: Long) = (d * m + ((d + i * 5) % p) * mm + a) % 256
+      assert(q(d).getInt(1) == w && q(d).getInt(2) == h)
+      assert(q(d).getLong(4) == (0 until w * h).map(ch(_, 3, 7, 11)).sum / (w * h))
+      assert(q(d).getLong(6) == (0 until w * h).map(ch(_, 7, 19, 59)).sum / (w * h))
+    }
+  }
+
   test("L5 multimodal decode stub: schema, alignment, determinism") {
     val assets = Multimodal.assets(tables)
     val feats = Multimodal.decodeFeatures(assets)
@@ -1463,6 +1633,7 @@ class LlmOpsSpec extends SparkSuite {
     shape(Multimodal.l5PngStats(spark, sf), "l5_png_stats")
     shape(Multimodal.l5JpegStats(spark, sf), "l5_jpeg_stats")
     shape(Multimodal.l5JpegProgressive(spark, sf), "l5_jpeg_progressive")
+    shape(Multimodal.l5GifStats(spark, sf), "l5_gif_stats")
   }
 
   test("L10b PII v2: Luhn gate (true/false positives), E.164 phones, stage order, counts") {
