@@ -67,8 +67,10 @@ import org.apache.spark.sql.functions._
 object Scale10 {
 
   /** Queries measured — the expensive tail of BENCH_FULL.all_queries.
-    * SPARK_GRAFT_SCALE_QUERIES subsets (comma-separated) — the 100×
-    * stretch run measures the documents-family subset there.
+    * SPARK_GRAFT_SCALE_QUERIES subsets (comma-separated). Each (query,
+    * scale) row also records its OUTPUT row count (no-silent-caps:
+    * output-bound growth must be tellable from algorithmic blowup in
+    * the artifact itself).
     */
   val Measured: Seq[String] = {
     val all = Seq(
@@ -264,7 +266,7 @@ object Scale10 {
       *  - warm = best of the next 2 — the re-declared-run serving
       *    steady state the TWINS protocol measures, for context.
       */
-    def time(name: String, dir: String, auditOn: Boolean): (Double, Double) = {
+    def time(name: String, dir: String, auditOn: Boolean): (Double, Double, Long) = {
       val s = spark.newSession()
       spark.catalog.clearCache() // CacheManager is SharedState-global
       // ExecutionListenerManager is per-session — register on the fresh
@@ -278,8 +280,13 @@ object Scale10 {
       }
       val cold = once()
       val warm = (1 to 2).map(_ => once()).min
+      // no-silent-caps: record the OUTPUT row count at this scale, so an
+      // output-bound ratio (e.g. l6_simjoin, whose verified-pair count
+      // grows ∝ factor by construction) is distinguishable from an
+      // algorithmic blowup in the artifact itself (untimed; memos warm)
+      val rows = qs(name)(s, dir).count()
       audit.enabled = false
-      (cold, warm)
+      (cold, warm, rows)
     }
 
     // Session prepass: run every measured query once at 1× BEFORE any
@@ -295,24 +302,25 @@ object Scale10 {
     }
 
     val rows = Measured.map { name =>
-      val (c1, w1) = time(name, base, auditOn = false)
+      val (c1, w1, n1) = time(name, base, auditOn = false)
       val before = audit.violations.size
-      val (c10, w10) = time(name, tenx, auditOn = true)
+      val (c10, w10, n10) = time(name, tenx, auditOn = true)
       Thread.sleep(300) // let async listener events drain
       val viol = audit.violations.toArray.drop(before)
         .map(_.asInstanceOf[String]).toSeq.distinct
-      (name, c1, w1, c10, w10, viol)
+      (name, c1, w1, c10, w10, viol, n1, n10)
     }
 
     val loadEnd = loadAvg1m()
     val gate = superlinearRatio(factor)
     val anyViol = rows.exists(_._6.nonEmpty)
-    val anySuper = rows.exists { case (_, c1, _, c10, _, _) => c10 / c1 > gate }
-    val qJson = rows.map { case (name, c1, w1, c10, w10, viol) =>
+    val anySuper = rows.exists { case (_, c1, _, c10, _, _, _, _) => c10 / c1 > gate }
+    val qJson = rows.map { case (name, c1, w1, c10, w10, viol, n1, n10) =>
       val vs = viol.map(v => "\"" + v.replace("\"", "'") + "\"")
         .mkString("[", ",", "]")
       f""""$name":{"cold1x_sec":$c1%.3f,"coldNx_sec":$c10%.3f,"cold_ratio":${c10 / c1}%.2f,""" +
-        f""""warm1x_sec":$w1%.3f,"warmNx_sec":$w10%.3f,"single_partition_violations":$vs}"""
+        f""""warm1x_sec":$w1%.3f,"warmNx_sec":$w10%.3f,""" +
+        f""""rows1x":$n1,"rowsNx":$n10,"single_partition_violations":$vs}"""
     }.mkString(",")
     val json =
       s"""{"generator":"graft.Scale10","base":"$base","factor":$factor,""" +
