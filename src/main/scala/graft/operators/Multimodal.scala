@@ -23,9 +23,11 @@ import org.apache.spark.sql.types.StructType
   * filters are byte arithmetic), and JPEG — baseline AND progressive
   * ([[Jpeg.decodeJpeg]] — canonical Huffman, dequant, separable IDCT,
   * fixed-point color, and SOF2's multi-scan successive approximation
-  * are all plain arithmetic), each hash-checked end to end by its
-  * declared query. Only formats that genuinely need an external codec
-  * (video, modern image codecs) remain behind the deterministic
+  * are all plain arithmetic), and GIF87a/89a ([[Gif.decodeGif]] —
+  * variable-width LZW is plain bit arithmetic, palettes and interlace
+  * are byte walking), each hash-checked end to end by its declared
+  * query. Only formats that genuinely need an external codec (video,
+  * learned feature extractors) remain behind the deterministic
   * [[decodeFeatures]] stand-in, whose tests pin the plumbing: schema,
   * batch shape, row alignment.
   *
