@@ -119,6 +119,8 @@ object Multimodal {
     *    16-bit length) — walk them to the first SOF frame header
     *    (FFC0–FFCF excluding C4/C8/CC, ITU T.81 §B.2.2), which carries
     *    height then width after the precision byte.
+    *  - GIF: the GIF87a/GIF89a signature is followed immediately by the
+    *    logical-screen width/height (little-endian u16, spec §18).
     *
     * This walk is the cheap first pass (format sniffing + resolution —
     * what a curation pipeline filters on — without touching the pixel
@@ -131,6 +133,13 @@ object Multimodal {
     if (bytes.length >= 24 && bytes.take(8).sameElements(pngSig) &&
         new String(bytes.slice(12, 16), "US-ASCII") == "IHDR") {
       Some(("png", u32be(bytes, 16), u32be(bytes, 20)))
+    } else if (bytes.length >= 13 && {
+        val sig = new String(bytes, 0, 6, "US-ASCII")
+        sig == "GIF87a" || sig == "GIF89a"
+      }) {
+      // GIF: logical-screen dims are little-endian u16 right after the
+      // signature (spec §18); pixel decode lives in [[Gif.decodeGif]]
+      Some(("gif", u16le(bytes, 6), u16le(bytes, 8)))
     } else if (bytes.length >= 4 &&
         (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
       var i = 2

@@ -823,6 +823,11 @@ class LlmOpsSpec extends SparkSuite {
       be16(33) ++ be16(47) ++ Array.fill[Byte](10)(0)
     assert(Multimodal.parseImageMeta(png).contains(("png", 640, 480)))
     assert(Multimodal.parseImageMeta(jpeg).contains(("jpeg", 47, 33)))
+    // a real GIF prefix: signature + logical screen (LE dims 321 x 74)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x41, 0x01, 0x4a, 0x00, 0, 0, 0)
+    assert(Multimodal.parseImageMeta(gif).contains(("gif", 321, 74)))
+    assert(Multimodal.parseImageMeta("GIF90a1234567".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.parseImageMeta("garbage".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.parseImageMeta(Array.empty[Byte]).isEmpty)
     assert(Multimodal.parseImageMeta(png.take(20)).isEmpty) // truncated IHDR
