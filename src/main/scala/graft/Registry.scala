@@ -2791,6 +2791,75 @@ object Registry {
           CAST(SUM(b) // (w * h) AS BIGINT) AS mean_b
         FROM c GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+      // L5i: real VIDEO frame-sample — the synthesize/replay trick
+      // lifted to a container OF containers: the engine muxes
+      // block-constant JPEG frames into genuine MJPEG-AVI bytes (RIFF
+      // chunk tree, word-alignment padding on odd-length frames, idx1
+      // index), demuxes them back by walking the movi list, keeps every
+      // 2nd frame (the decimation step of a video curation pipeline),
+      // and entropy-decodes each kept frame through the engine's own
+      // JPEG codec. The oracle replays the per-(frame, block) integer
+      // formula on the SAMPLED frame indices only, so a defect in the
+      // RIFF walk, the sampling arithmetic, or the frame decode — or a
+      // reader that loses frame order — is a hash mismatch. Grayscale
+      // on even docs, 4:4:4 color (fixed-point formula) on odd.
+      QueryDef("l5_video_frames", Multimodal.l5VideoFrames, Some("""
+        WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf, doc_id % 2 AS mode,
+                          8 * (1 + doc_id % 2) AS w,
+                          8 * (1 + (doc_id // 2) % 2) AS h
+                   FROM documents),
+        f AS (SELECT d.doc_id, d.mode, d.w, d.h, u.f
+              FROM d, UNNEST(generate_series(0, d.nf - 1)) AS u(f)
+              WHERE u.f % 2 = 0),
+        u AS (SELECT f.doc_id, f.f, f.mode, f.w, f.h,
+                (f.doc_id * 7 + f.f * 31 + k.k * 29 + 19) % 256 AS y,
+                (f.doc_id * 11 + f.f * 37 + k.k * 17 + 57) % 256 AS cb,
+                (f.doc_id * 13 + f.f * 41 + k.k * 23 + 94) % 256 AS cr
+              FROM f, UNNEST(generate_series(0, f.w * f.h // 64 - 1)) AS k(k)),
+        c AS (SELECT doc_id, f, w, h,
+            CASE WHEN mode = 0 THEN y ELSE
+              LEAST(255, GREATEST(0, (y * 65536 + 91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) END AS r,
+            CASE WHEN mode = 0 THEN y ELSE
+              LEAST(255, GREATEST(0, (y * 65536 - 22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) END AS g,
+            CASE WHEN mode = 0 THEN y ELSE
+              LEAST(255, GREATEST(0, (y * 65536 + 116130 * (cb - 128) + 32768 + 16777216) // 65536 - 256)) END AS b
+          FROM u)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+          CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(r) // COUNT(*) AS BIGINT) AS mean_r,
+          CAST(SUM(g) // COUNT(*) AS BIGINT) AS mean_g,
+          CAST(SUM(b) // COUNT(*) AS BIGINT) AS mean_b
+        FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""")),
+
+      // L5j: real image RESIZE — decode, nearest-neighbor resample to
+      // 5x3 (output pixel (x2,y2) reads source (x2*w//5, y2*h//3)),
+      // BMP re-encode, re-decode, channel means. The oracle replays the
+      // index mapping + channel formula, so defects in the resample
+      // arithmetic, either BMP codec direction, or the format sniff all
+      // surface as hash mismatches. Fresh channel constants vs
+      // l5_image_stats so the two queries can't mask each other.
+      QueryDef("l5_resize_stats", Multimodal.l5ResizeStats, Some("""
+        WITH d AS (SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h
+                   FROM documents),
+        grid AS (SELECT d.doc_id, d.w, d.h, u.i AS i2
+                 FROM d, UNNEST(generate_series(0, 14)) AS u(i)),
+        mp AS (SELECT doc_id, w, h,
+                 ((i2 // 5) * h // 3) * w + (i2 % 5) * w // 5 AS i
+               FROM grid),
+        c AS (SELECT doc_id, w, h,
+                (doc_id * 29 + i * 31 + 47) % 256 AS r,
+                (doc_id * 37 + i * 41 + 89) % 256 AS g,
+                (doc_id * 43 + i * 53 + 3) % 256 AS b
+              FROM mp)
+        SELECT doc_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+          CAST(5 AS INT) AS width, CAST(3 AS INT) AS height,
+          CAST(15 AS BIGINT) AS n_pixels,
+          CAST(SUM(r) // 15 AS BIGINT) AS mean_r,
+          CAST(SUM(g) // 15 AS BIGINT) AS mean_g,
+          CAST(SUM(b) // 15 AS BIGINT) AS mean_b
+        FROM c GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
       // Within-doc repetition metrics: per-(doc, token) counts replayed
       // as the same two-stage aggregation; bigram comprehension is the
       // fingerprint oracle's at n=2. All permille metrics integer DIV.

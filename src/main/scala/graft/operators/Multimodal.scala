@@ -25,11 +25,13 @@ import org.apache.spark.sql.types.StructType
   * fixed-point color, and SOF2's multi-scan successive approximation
   * are all plain arithmetic), and GIF87a/89a ([[Gif.decodeGif]] —
   * variable-width LZW is plain bit arithmetic, palettes and interlace
-  * are byte walking), each hash-checked end to end by its declared
-  * query. Only formats that genuinely need an external codec (video,
-  * learned feature extractors) remain behind the deterministic
-  * [[decodeFeatures]] stand-in, whose tests pin the plumbing: schema,
-  * batch shape, row alignment.
+  * are byte walking), and MJPEG video in AVI ([[Avi]] — RIFF chunk
+  * walking over per-frame JPEGs, demuxed and frame-sampled by
+  * [[videoFrameStats]]), each hash-checked end to end by its declared
+  * query. Only formats that genuinely need an external codec
+  * (inter-frame-predicted video, learned feature extractors) remain
+  * behind the deterministic [[decodeFeatures]] stand-in, whose tests
+  * pin the plumbing: schema, batch shape, row alignment.
   *
   * Scale posture: documents⋈embeddings is a key-to-key shuffle join on
   * the id (both sides bucketable by that id at 100 TB); decode runs via
@@ -69,10 +71,143 @@ object Multimodal {
   val featureSchema: StructType =
     org.apache.spark.sql.Encoders.product[MediaFeature].schema
 
-  /** STUB CODEC: "resize" an opaque media payload — a real implementation
-    * would decode, scale, and re-encode; the stand-in crops to
-    * `targetBytes`. Replaces `payload` in place so codec stages compose
-    * (resize → frame-sample operates on the resized bytes).
+  /** Sniff-and-decode over every format the engine decodes for real:
+    * magic-byte dispatch to BMP24 / truecolor PNG / JPEG (baseline +
+    * progressive) / GIF87a+89a. `None` for unrecognized or malformed
+    * bytes — the shared total-function contract of all the codecs.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length < 4) return None
+    val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff; val b2 = bytes(2) & 0xff
+    if (b0 == 'B' && b1 == 'M') decodeBmp24(bytes)
+    else if (b0 == 0x89 && b1 == 'P' && b2 == 'N') decodePng(bytes)
+    else if (b0 == 0xff && b1 == 0xd8) Jpeg.decodeJpeg(bytes)
+    else if (b0 == 'G' && b1 == 'I' && b2 == 'F') Gif.decodeGif(bytes)
+    else None
+  }
+
+  /** REAL nearest-neighbor resample of a packed-RGB pixel array: output
+    * pixel (x₂, y₂) reads source pixel (⌊x₂·w/w₂⌋, ⌊y₂·h/h₂⌋) — the
+    * standard index mapping, exact in integers (so an oracle can replay
+    * it), correct for up- AND down-scale, and the kernel every
+    * training-data pipeline reaches for when bilinear fidelity doesn't
+    * matter (thumbnailing before a learned filter).
+    */
+  def resizeNearest(px: Array[Int], w: Int, h: Int, w2: Int, h2: Int): Array[Int] = {
+    require(w > 0 && h > 0 && px.length == w * h,
+      s"bad source: ${w}x$h with ${if (px == null) -1 else px.length} pixels")
+    require(w2 > 0 && h2 > 0, s"bad target ${w2}x$h2")
+    val out = new Array[Int](w2 * h2)
+    var y2 = 0
+    while (y2 < h2) {
+      val rowBase = (y2.toLong * h / h2).toInt * w
+      var x2 = 0
+      while (x2 < w2) {
+        out(y2 * w2 + x2) = px(rowBase + (x2.toLong * w / w2).toInt)
+        x2 += 1
+      }
+      y2 += 1
+    }
+    out
+  }
+
+  /** One row of [[resizeImages]]: source dims surface for lineage;
+    * `payload` is the re-encoded resized image, null when the input
+    * didn't decode (the row survives — curation filters decide).
+    */
+  final case class ResizedImage(doc_id: Long, src_w: Option[Int],
+                                src_h: Option[Int], payload: Array[Byte])
+
+  /** REAL resize stage — the operator the [[resizePayload]] byte-stub
+    * stood in for, for every format the engine decodes: sniff + decode
+    * ([[decodeImage]]), nearest-neighbor resample to `w2`×`h2`
+    * ([[resizeNearest]]), re-encode as BMP24 (the engine's canonical
+    * uncompressed interchange encoding — downstream stages re-decode it
+    * with [[decodeBmp24]], so codec stages compose). Undecodable
+    * payloads degrade to a null-payload row instead of throwing.
+    *
+    * Scale posture: identical to [[imagePixelStats]] — typed
+    * `mapPartitions`, no shuffle, decode state per task not per row.
+    */
+  def resizeImages(assets: DataFrame, w2: Int, h2: Int): DataFrame = {
+    require(w2 > 0 && h2 > 0, s"bad target ${w2}x$h2")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeImage(bytes) match {
+          case Some((w, h, px)) =>
+            ResizedImage(id, Some(w), Some(h),
+              buildBmp24(resizeNearest(px, w, h, w2, h2), w2, h2))
+          case None => ResizedImage(id, None, None, null)
+        }
+      })
+      .toDF()
+  }
+
+  /** Per-doc output row of the resize-stats declared query. */
+  final case class ResizeStats(doc_id: Long, src_w: Option[Int], src_h: Option[Int],
+                               width: Option[Int], height: Option[Int],
+                               n_pixels: Option[Long], mean_r: Option[Long],
+                               mean_g: Option[Long], mean_b: Option[Long])
+
+  /** Deterministic per-doc BMP synthesis for the declared resize query —
+    * fresh channel constants so it can't mask `l5_image_stats`: doc d is
+    * (8 + d mod 8) × (4 + d mod 4) with row-major pixel i carrying
+    * r = (d·29 + i·31 + 47) mod 256, g = (d·37 + i·41 + 89) mod 256,
+    * b = (d·43 + i·53 + 3) mod 256.
+    */
+  def synthResizeAssets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val w = (8 + d % 8).toInt
+        val h = (4 + d % 4).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val r = ((d * 29 + i * 31 + 47) % 256).toInt
+          val g = ((d * 37 + i * 41 + 89) % 256).toInt
+          val b = ((d * 43 + i * 53 + 3) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        (d, buildBmp24(px, w, h))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5j declared query: decode → nearest-neighbor resize to 5×3 →
+    * BMP re-encode → re-decode → channel means. The oracle replays the
+    * index mapping ⌊x₂·w/5⌋, ⌊y₂·h/3⌋ plus the channel formula, so a
+    * defect in the resample arithmetic, either BMP codec direction, or
+    * the format sniff surfaces as a hash mismatch.
+    */
+  def l5ResizeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    resizeImages(synthResizeAssets(Tables(spark, dir)), 5, 3)
+      .select(col("doc_id"), col("src_w"), col("src_h"), col("payload"))
+      .as[(Long, Option[Int], Option[Int], Array[Byte])]
+      .mapPartitions(_.map { case (id, sw, sh, bytes) =>
+        decodeBmp24(bytes) match {
+          case Some((w, h, px)) if px.nonEmpty =>
+            var r = 0L; var g = 0L; var b = 0L
+            px.foreach { p =>
+              r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            }
+            val n = px.length.toLong
+            ResizeStats(id, sw, sh, Some(w), Some(h), Some(n),
+              Some(r / n), Some(g / n), Some(b / n))
+          case _ => ResizeStats(id, sw, sh, None, None, None, None, None, None)
+        }
+      })
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** BYTE STUB: "resize" an OPAQUE media payload — for formats the
+    * engine decodes, [[resizeImages]] is the real decode → resample →
+    * re-encode stage; this stand-in (crop to `targetBytes`) remains for
+    * opaque payloads only. Replaces `payload` in place so codec stages
+    * compose (resize → frame-sample operates on the resized bytes).
     */
   def resizePayload(assets: DataFrame, targetBytes: Int): DataFrame =
     assets.withColumn("payload", substring(col("payload"), 1, targetBytes))
@@ -1015,15 +1150,124 @@ object Multimodal {
         col("peak"), col("rms"))
       .orderBy(col("doc_id"))
 
+  /** Per-sampled-frame pixel stats of one video payload. Option fields
+    * are None (one row, frame_idx None) for unrecognized/corrupt
+    * containers — the row survives, curation filters decide.
+    */
+  final case class VideoFrameStats(doc_id: Long, frame_idx: Option[Int],
+                                   width: Option[Int], height: Option[Int],
+                                   n_pixels: Option[Long],
+                                   mean_r: Option[Long], mean_g: Option[Long],
+                                   mean_b: Option[Long])
+
+  /** REAL frame-sample over MJPEG AVI payloads — the operator the
+    * [[frameSample]] byte-stub stood in for: demux the RIFF container
+    * ([[Avi.decodeAvi]]), keep every `stride`-th frame (indices 0,
+    * stride, 2·stride, …, the decimation every video curation pipeline
+    * applies before feature extraction), decode each kept frame through
+    * the engine's own JPEG codec, and emit per-frame channel means.
+    * A payload that isn't a well-formed MJPEG AVI — or whose sampled
+    * frame isn't a decodable JPEG — degrades to a None row instead of
+    * throwing, the decoder discipline every codec here follows.
+    *
+    * Scale posture: identical to [[imagePixelStats]] — typed
+    * `mapPartitions` so demux state initializes once per task, one
+    * input row fanning out to ≤ ⌈frames/stride⌉ output rows; no
+    * shuffle is introduced (the fan-out is map-side).
+    */
+  def videoFrameStats(assets: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"videoFrameStats stride must be positive, got $stride")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Avi.decodeAvi(bytes) match {
+          case Some((_, frames)) if frames.nonEmpty =>
+            (0 until frames.length by stride).map { fi =>
+              Jpeg.decodeJpeg(frames(fi)) match {
+                case Some((w, h, px)) if px.nonEmpty =>
+                  var r = 0L; var g = 0L; var b = 0L
+                  px.foreach { p =>
+                    r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                  }
+                  val n = px.length.toLong
+                  VideoFrameStats(id, Some(fi), Some(w), Some(h), Some(n),
+                    Some(r / n), Some(g / n), Some(b / n))
+                case _ =>
+                  VideoFrameStats(id, Some(fi), None, None, None, None, None, None)
+              }
+            }
+          case _ =>
+            Seq(VideoFrameStats(id, None, None, None, None, None, None, None))
+        }
+      })
+      .toDF()
+  }
+
+  /** Deterministic per-doc MJPEG-AVI synthesis for the declared
+    * video-decode query — the [[synthJpegAssets]] trick lifted to a
+    * CONTAINER OF CONTAINERS: doc d is an AVI with 2 + d mod 4 frames,
+    * each frame a block-constant JPEG (grayscale on even docs, 4:4:4
+    * color on odd) of (8·(1 + d mod 2)) × (8·(1 + ⌊d/2⌋ mod 2)) pixels,
+    * where frame f's block k carries Y = (d·7 + f·31 + k·29 + 19) mod
+    * 256, Cb = (d·11 + f·37 + k·17 + 57) mod 256, Cr = (d·13 + f·41 +
+    * k·23 + 94) mod 256. Block-constant frames round-trip EXACTLY under
+    * SynthQ (the [[Jpeg]] exactness contract), the RIFF walk is pure
+    * byte arithmetic, and odd-length frames (Huffman output parity is
+    * data-dependent) exercise the word-alignment pad — so the oracle
+    * replays the per-block integer formula while the engine demuxes a
+    * genuine container and entropy-decodes genuine JPEG bytes; any
+    * defect in either layer is a hash mismatch.
+    */
+  def synthAviAssets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val nf = (2 + d % 4).toInt
+        val w = (8 * (1 + d % 2)).toInt
+        val h = (8 * (1 + (d / 2) % 2)).toInt
+        val bx = w / 8
+        def blk(i: Int) = (i % w) / 8 + (i / w) / 8 * bx
+        val frames = (0 until nf).map { f =>
+          def yOf(k: Int) = ((d * 7 + f * 31 + k * 29 + 19) % 256).toInt
+          if (d % 2 == 0) {
+            Jpeg.buildJpegGray(Array.tabulate(w * h)(i => yOf(blk(i))), w, h)
+          } else {
+            def cbOf(k: Int) = ((d * 11 + f * 37 + k * 17 + 57) % 256).toInt
+            def crOf(k: Int) = ((d * 13 + f * 41 + k * 23 + 94) % 256).toInt
+            Jpeg.buildJpeg444(
+              Array.tabulate(w * h)(i => yOf(blk(i))),
+              Array.tabulate(w * h)(i => cbOf(blk(i))),
+              Array.tabulate(w * h)(i => crOf(blk(i))), w, h)
+          }
+        }
+        (d, Avi.buildAviMjpeg(w, h, rate = 30, scale = 1, frames.toIndexedSeq))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5i declared query: every-2nd-frame sample of the synthesized
+    * MJPEG-AVI corpus, each sampled frame entropy-decoded back to
+    * channel means (see [[synthAviAssets]]/[[videoFrameStats]]).
+    */
+  def l5VideoFrames(spark: SparkSession, dir: String): DataFrame =
+    videoFrameStats(synthAviAssets(Tables(spark, dir)), stride = 2)
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** Batch "decode / feature-extract" over the binary payload column.
     *
     * STUB CODEC for formats that genuinely need a codec library
-    * (video, learned feature extractors) — WAV PCM, BMP24, truecolor
-    * PNG and baseline JPEG decode are REAL, see [[decodePcmSamples]]/
-    * [[decodeBmp24]]/[[decodePng]]/[[Jpeg.decodeJpeg]]; the stand-in
-    * emits a deterministic 4-d feature from the payload bytes so the
-    * distributed plumbing — per-partition batching, binary traversal,
-    * schema of the result — is real and testable.
+    * (inter-frame-predicted video — H.26x/VP9/AV1 — and learned feature
+    * extractors) — WAV PCM, BMP24, truecolor PNG, baseline+progressive
+    * JPEG, GIF and MJPEG-AVI video decode are REAL, see
+    * [[decodePcmSamples]]/[[decodeBmp24]]/[[decodePng]]/
+    * [[Jpeg.decodeJpeg]]/[[Gif.decodeGif]]/[[videoFrameStats]]; the
+    * stand-in emits a deterministic 4-d feature from the payload bytes
+    * so the distributed plumbing — per-partition batching, binary
+    * traversal, schema of the result — is real and testable.
     */
   def decodeFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession

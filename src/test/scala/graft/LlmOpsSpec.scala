@@ -1431,6 +1431,174 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("L5i AVI container: exact demux round-trip, padding, rec lists, placeholders, gates") {
+    import graft.operators.Avi
+    var seed = 424243L
+    def next(): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33) & 0x7fffffff).toInt }
+    // frame payloads for the CONTAINER round-trip are arbitrary bytes —
+    // the demux layer must return them verbatim whatever they hold; odd
+    // lengths force the RIFF word-alignment pad byte
+    val frames = IndexedSeq(17, 256, 33, 1, 1024).map(n => Array.fill(n)(next().toByte))
+    val avi = Avi.buildAviMjpeg(64, 48, rate = 30000, scale = 1001, frames)
+    val (meta, got) = Avi.decodeAvi(avi).get
+    assert(meta == Avi.AviMeta(64, 48, 30000, 1001, 5))
+    assert(got.length == 5 && got.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // dropped-frame placeholder: a size-0 chunk counts toward the total
+    // but yields no frame
+    val withDrop = Avi.buildAviMjpeg(8, 8, 30, 1,
+      IndexedSeq(frames(0), Array.empty[Byte], frames(1)))
+    val (m2, g2) = Avi.decodeAvi(withDrop).get
+    assert(m2.totalFrames == 3 && g2.length == 2)
+    assert(g2(0).sameElements(frames(0)) && g2(1).sameElements(frames(1)))
+    // 'rec ' grouping list: wrap the movi children in a rec sublist by
+    // byte surgery (interleaved AVIs group one frame-set per rec)
+    def u32le(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def u32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    val moviAt = avi.indices.find(i => i + 4 <= avi.length &&
+      new String(avi, i, 4, "US-ASCII") == "movi").get
+    val listAt = moviAt - 8 // LIST <size> movi
+    val oldBody = u32(avi, listAt + 4).toInt - 4
+    val children = java.util.Arrays.copyOfRange(avi, moviAt + 4, moviAt + 4 + oldBody)
+    val rec = "LIST".getBytes("US-ASCII") ++ u32le(children.length + 4L) ++
+      "rec ".getBytes("US-ASCII") ++ children
+    val surgically = avi.take(listAt) ++
+      ("LIST".getBytes("US-ASCII") ++ u32le(rec.length + 4L) ++ "movi".getBytes("US-ASCII") ++ rec) ++
+      avi.drop(moviAt + 4 + oldBody)
+    System.arraycopy(u32le(u32(surgically, 4) + 12), 0, surgically, 4, 4) // RIFF size += rec header
+    val viaRec = Avi.decodeAvi(surgically)
+    assert(viaRec.nonEmpty, "rec-wrapped movi did not demux")
+    assert(viaRec.get._2.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // --- gates: None, never a throw ---
+    assert(Avi.decodeAvi(null).isEmpty)
+    assert(Avi.decodeAvi("garbage".getBytes("US-ASCII")).isEmpty)
+    assert(Avi.decodeAvi(avi.take(40)).isEmpty)             // truncated in hdrl
+    assert(Avi.decodeAvi(avi.dropRight(30)).isEmpty)        // truncated movi/idx1
+    val badMagic = avi.clone(); badMagic(9) = 'X'.toByte    // 'AVI ' -> 'AXI '
+    assert(Avi.decodeAvi(badMagic).isEmpty)
+    // hostile chunk size: first movi child claims 2^31-ish bytes — the
+    // overrun gate fires before any proportional allocation
+    val hostile = avi.clone()
+    System.arraycopy(u32le(0x7fffff00L), 0, hostile, moviAt + 8, 4)
+    assert(Avi.decodeAvi(hostile).isEmpty)
+    // declared-total lie: avih says one more frame than the stream holds
+    val avihAt = avi.indices.find(i => i + 4 <= avi.length &&
+      new String(avi, i, 4, "US-ASCII") == "avih").get
+    val liar = avi.clone()
+    System.arraycopy(u32le(u32(avi, avihAt + 8 + 16) + 1), 0, liar, avihAt + 8 + 16, 4)
+    assert(Avi.decodeAvi(liar).isEmpty)
+  }
+
+  test("L5i video frame-sample: stride semantics, exact JPEG frames, null survival, spot rows") {
+    import graft.operators.{Avi, Jpeg, Multimodal}
+    // 5 block-constant 8x8 grayscale frames with per-frame luma 40+10f:
+    // stride 2 keeps frames 0/2/4 whose means are exactly the luma
+    val gray = (0 until 5).map(f => Jpeg.buildJpegGray(Array.fill(64)(40 + 10 * f), 8, 8))
+    val vid = Avi.buildAviMjpeg(8, 8, 30, 1, gray.toIndexedSeq)
+    val corrupt = Avi.buildAviMjpeg(8, 8, 30, 1, IndexedSeq("not a jpeg".getBytes("US-ASCII")))
+    val df = Seq(
+      (1L, vid), (2L, "nope".getBytes("US-ASCII")), (3L, corrupt)).toDF("doc_id", "payload")
+    val out = Multimodal.videoFrameStats(df, stride = 2).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1)) -> r).toMap
+    assert(out.keySet == Set((1L, 0), (1L, 2), (1L, 4), (2L, -1), (3L, 0)))
+    for (f <- Seq(0, 2, 4)) {
+      val r = out((1L, f))
+      assert(r.getInt(2) == 8 && r.getInt(3) == 8 && r.getLong(4) == 64L)
+      assert(r.getLong(5) == 40 + 10 * f && r.getLong(7) == 40 + 10 * f)
+    }
+    assert(out((2L, -1)).isNullAt(2) && out((2L, -1)).isNullAt(5)) // bad container
+    assert(out((3L, 0)).isNullAt(2) && out((3L, 0)).isNullAt(5))   // bad frame bytes
+    // declared-query spot rows replay the per-(frame, block) formula:
+    // doc 2 (gray, nf=4, 8x16 -> blocks 0,1 stacked) samples frames 0,2;
+    // doc 3 (4:4:4 color, nf=5, 16x16 -> 4 blocks) samples frames 0,2,4
+    val q = Multimodal.l5VideoFrames(spark, sf)
+      .filter(col("doc_id").isin(2L, 3L)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    assert(q.keySet == Set((2L, 0), (2L, 2), (3L, 0), (3L, 2), (3L, 4)))
+    def expMeans(d: Long, f: Int, nBlocks: Int): (Long, Long, Long) = {
+      var r = 0L; var g = 0L; var b = 0L
+      for (k <- 0 until nBlocks) {
+        val y = ((d * 7 + f * 31 + k * 29 + 19) % 256).toInt
+        val (rr, gg, bb) =
+          if (d % 2 == 0) (y, y, y)
+          else {
+            val cb = ((d * 11 + f * 37 + k * 17 + 57) % 256).toInt
+            val cr = ((d * 13 + f * 41 + k * 23 + 94) % 256).toInt
+            val p = Jpeg.yccToRgb(y, cb, cr)
+            ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+          }
+        r += rr; g += gg; b += bb
+      }
+      (r / nBlocks, g / nBlocks, b / nBlocks)
+    }
+    for (((d, f), row) <- q) {
+      val w = (8 * (1 + d % 2)).toInt; val h = (8 * (1 + (d / 2) % 2)).toInt
+      val nb = w / 8 * (h / 8)
+      val (er, eg, eb) = expMeans(d, f, nb)
+      assert(row.getInt(2) == w && row.getInt(3) == h && row.getLong(4) == w.toLong * h)
+      assert(row.getLong(5) == er && row.getLong(6) == eg && row.getLong(7) == eb,
+        s"doc $d frame $f: got (${row.getLong(5)},${row.getLong(6)},${row.getLong(7)}) want ($er,$eg,$eb)")
+    }
+  }
+
+  test("L5j resize: nearest kernel exactness, format sniff, null survival, spot rows") {
+    import graft.operators.{Gif, Jpeg, Multimodal}
+    var seed = 5150L
+    def next(): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33) & 0x7fffffff).toInt }
+    // identity resize is the identity
+    val px = Array.fill(7 * 5)(next() & 0xffffff)
+    assert(Multimodal.resizeNearest(px, 7, 5, 7, 5).toSeq == px.toSeq)
+    // integer 2x upscale is pixel replication
+    val up = Multimodal.resizeNearest(px, 7, 5, 14, 10)
+    for (y <- 0 until 10; x <- 0 until 14)
+      assert(up(y * 14 + x) == px(y / 2 * 7 + x / 2))
+    // 4x4 -> 2x2 keeps the top-left of each 2x2 box (floor mapping)
+    val p16 = Array.tabulate(16)(identity)
+    assert(Multimodal.resizeNearest(p16, 4, 4, 2, 2).toSeq == Seq(0, 2, 8, 10))
+    // format sniff: the same pixels through all four real codecs resize
+    // to the same BMP bytes (GIF needs a palette image; use 4 colors)
+    val pal = Array(0x102030, 0x405060, 0x708090, 0xa0b0c0)
+    val idx = Array.tabulate(6 * 4)(i => i % 4)
+    val palPx = idx.map(pal)
+    val viaBmp = Multimodal.buildBmp24(palPx, 6, 4)
+    val viaPng = Multimodal.buildPng(palPx, 6, 4, _ % 5)
+    val viaGif = Gif.buildGif(idx, 6, 4, pal)
+    val inputs = Seq((1L, viaBmp), (2L, viaPng), (3L, viaGif),
+      (4L, "not an image".getBytes("US-ASCII")))
+    val out = Multimodal.resizeImages(inputs.toDF("doc_id", "payload"), 3, 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val want = Multimodal.buildBmp24(
+      Multimodal.resizeNearest(palPx, 6, 4, 3, 2), 3, 2).toSeq
+    for (d <- Seq(1L, 2L, 3L)) {
+      assert(out(d).getInt(1) == 6 && out(d).getInt(2) == 4)
+      assert(out(d).getAs[Array[Byte]](3).toSeq == want, s"doc $d resize differs")
+    }
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(3))
+    // JPEG arm: block-constant 16x8 gray halves to 8x4 with exact luma
+    val jp = Jpeg.buildJpegGray(Array.tabulate(16 * 8)(i => if (i % 16 < 8) 50 else 200), 16, 8)
+    val jOut = Multimodal.resizeImages(Seq((9L, jp)).toDF("doc_id", "payload"), 8, 4)
+      .collect()(0).getAs[Array[Byte]](3)
+    val (jw, jh, jpx) = Multimodal.decodeBmp24(jOut).get
+    assert(jw == 8 && jh == 4)
+    assert(jpx.forall(p => p == 0x323232 || p == 0xc8c8c8))
+    assert(jpx.count(_ == 0x323232) == 16)
+    // declared-query spot rows replay the index mapping + formula
+    val q = Multimodal.l5ResizeStats(spark, sf)
+      .filter(col("doc_id").isin(4L, 5L)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (d <- Seq(4L, 5L)) {
+      val w = (8 + d % 8).toInt; val h = (4 + d % 4).toInt
+      def srcIdx(i2: Int) = (i2 / 5) * h / 3 * w + (i2 % 5) * w / 5
+      def ch(m: Long, mm: Long, a: Long) =
+        (0 until 15).map(i2 => (d * m + srcIdx(i2) * mm + a) % 256).sum / 15
+      assert(q(d).getInt(1) == w && q(d).getInt(2) == h)
+      assert(q(d).getInt(3) == 5 && q(d).getInt(4) == 3 && q(d).getLong(5) == 15L)
+      assert(q(d).getLong(6) == ch(29, 31, 47))
+      assert(q(d).getLong(7) == ch(37, 41, 89))
+      assert(q(d).getLong(8) == ch(43, 53, 3))
+    }
+  }
+
   test("L5 multimodal decode stub: schema, alignment, determinism") {
     val assets = Multimodal.assets(tables)
     val feats = Multimodal.decodeFeatures(assets)
