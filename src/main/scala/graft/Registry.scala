@@ -2860,6 +2860,38 @@ object Registry {
           CAST(SUM(b) // 15 AS BIGINT) AS mean_b
         FROM c GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+      // L5k: real G.711 telephony decode — µ-law (even docs) and A-law
+      // (odd docs) companded bytes through genuine WAV containers
+      // (format tags 7/6 at 8 bits), expanded to linear by the ITU
+      // formula: complement (µ) / XOR 0x55 (A), mantissa + segment
+      // shift, law-specific sign convention. The oracle replays the
+      // same bit arithmetic in SQL (255-c is the 8-bit complement; the
+      // A-law sign bit SET means positive), so a defect in either
+      // expansion, the format-tag dispatch, or the chunk walk is a hash
+      // mismatch. Codes sweep the full 0..255 alphabet of both laws.
+      QueryDef("l5_g711_rms", Multimodal.l5G711Rms, Some("""
+        WITH n AS (SELECT doc_id, 48 + doc_id % 32 AS ns FROM documents),
+        s AS (SELECT n.doc_id, n.ns, (n.doc_id * 31 + u.i * 7 + 3) % 256 AS c
+              FROM n, UNNEST(generate_series(0, n.ns - 1)) AS u(i)),
+        v AS (SELECT doc_id, ns,
+          CASE WHEN doc_id % 2 = 0 THEN
+            CASE WHEN ((255 - c) & 128) != 0
+              THEN 132 - ((((255 - c) & 15) * 8 + 132) * (1 << (((255 - c) & 112) // 16)))
+              ELSE ((((255 - c) & 15) * 8 + 132) * (1 << (((255 - c) & 112) // 16))) - 132 END
+          ELSE
+            (CASE WHEN (xor(c, 85) & 112) // 16 = 0 THEN (xor(c, 85) & 15) * 16 + 8
+                  WHEN (xor(c, 85) & 112) // 16 = 1 THEN (xor(c, 85) & 15) * 16 + 264
+                  ELSE ((xor(c, 85) & 15) * 16 + 264) * (1 << ((xor(c, 85) & 112) // 16 - 1)) END)
+            * (CASE WHEN (xor(c, 85) & 128) != 0 THEN 1 ELSE -1 END)
+          END AS smp FROM s)
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+          CAST(ns AS BIGINT) AS n_samples,
+          CAST(SUM(smp * smp) // ns AS BIGINT) AS mean_square,
+          CAST(MAX(ABS(smp)) AS BIGINT) AS peak,
+          CAST(FLOOR(SQRT(SUM(smp * smp) // ns)) AS BIGINT) AS rms
+        FROM v GROUP BY doc_id, ns ORDER BY doc_id""")),
+
       // Within-doc repetition metrics: per-(doc, token) counts replayed
       // as the same two-stage aggregation; bigram comprehension is the
       // fingerprint oracle's at n=2. All permille metrics integer DIV.

@@ -474,14 +474,70 @@ object Multimodal {
     bb.array()
   }
 
-  /** REAL WAV PCM sample decoder — the first concrete codec behind the
+  /** REAL G.711 µ-law expansion (ITU-T G.711, the CCITT reference
+    * shape): complement, then mantissa·8 + bias 0x84 shifted by the
+    * segment, sign from the top bit. Pure integer bit arithmetic — an
+    * oracle can replay it — and pinned in spec against the standard's
+    * own reference points (0xFF → 0, 0x80 → 32124).
+    */
+  def ulawToLinear(code: Int): Int = {
+    val u = ~code & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** REAL G.711 A-law expansion (ITU-T G.711): XOR 0x55, then the
+    * three-arm segment decode; A-law's sign convention is the top bit
+    * SET for positive. Reference points pinned in spec: 0x55 → −8,
+    * 0xAA → 32256.
+    */
+  def alawToLinear(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a & 0x70) >> 4
+    val t0 = (a & 0x0f) << 4
+    val t = seg match {
+      case 0 => t0 + 8
+      case 1 => t0 + 0x108
+      case s => (t0 + 0x108) << (s - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** WAV writer for G.711 streams: same RIFF layout as
+    * [[buildWavPcm16]] but format tag 6 (A-law) or 7 (µ-law) at 8 bits
+    * per sample — the telephony container every call-center corpus
+    * arrives in.
+    */
+  def buildWavG711(codes: Array[Byte], aLaw: Boolean, channels: Int = 1,
+                   sampleRate: Int = 8000): Array[Byte] = {
+    require(channels > 0, s"channels must be positive, got $channels")
+    require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
+    val bb = java.nio.ByteBuffer.allocate(44 + codes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + codes.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(if (aLaw) 6 else 7)      // G.711 format codes
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels)     // byte rate (1 byte/sample)
+      .putShort(channels.toShort)        // block align
+      .putShort(8)                       // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(codes.length)
+    bb.put(codes)
+    bb.array()
+  }
+
+  /** REAL WAV sample decoder — the first concrete codec behind the
     * decode-stub interface (uncompressed PCM needs no codec library:
-    * the sample stream IS the byte layout). Same chunk walk as
+    * the sample stream IS the byte layout, and G.711's companded bytes
+    * expand with pure bit arithmetic). Same chunk walk as
     * [[parseAudioMeta]], plus the format gates a decoder needs and the
     * metadata pass doesn't: PCM format code 1 at 16-bit (signed LE) or
     * 8-bit depth — 8-bit WAV is UNSIGNED centered at 128 (the format's
     * own quirk), returned re-centered to −128..127 so downstream stats
-    * treat both depths uniformly. Compressed or other-depth streams →
+    * treat both depths uniformly — and G.711 codes 6 (A-law) / 7
+    * (µ-law) at 8-bit, expanded to 13/14-bit linear via
+    * [[alawToLinear]]/[[ulawToLinear]]. Other codecs or depths →
     * None (the row survives, filters decide); the data chunk must be
     * fully present (truncated → None). Returns ALL samples interleaved
     * (channel de-interleaving is a caller concern; RMS/peak are
@@ -491,15 +547,17 @@ object Multimodal {
     def tag(i: Int): String = new String(bytes.slice(i, i + 4), "US-ASCII")
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var i = 12
-    var bits = 0
+    var fmtTag = 0; var bits = 0
     var data: Option[(Int, Int)] = None // offset, size
     while (i + 8 <= bytes.length && (bits == 0 || data.isEmpty)) {
       val id = tag(i)
       val size = u32le(bytes, i + 4)
-      if (id == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length &&
-          u16le(bytes, i + 8) == 1) {
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length) {
+        val f = u16le(bytes, i + 8)
         val b = u16le(bytes, i + 22)
-        if (b == 16 || b == 8) bits = b
+        if ((f == 1 && (b == 16 || b == 8)) || ((f == 6 || f == 7) && b == 8)) {
+          fmtTag = f; bits = b
+        }
       }
       if (id == "data" && size <= Int.MaxValue.toLong &&
           i + 8 + size <= bytes.length)
@@ -508,13 +566,15 @@ object Multimodal {
       val adv = 8L + size + (size & 1L)
       i = if (adv > bytes.length - i) bytes.length else i + adv.toInt
     }
-    for ((off, size) <- data if bits != 0) yield
-      if (bits == 16)
+    for ((off, size) <- data if bits != 0) yield fmtTag match {
+      case 1 if bits == 16 =>
         Array.tabulate(size / 2) { j =>
           ((bytes(off + 2 * j) & 0xff) | (bytes(off + 2 * j + 1) << 8)).toShort.toInt
         }
-      else
-        Array.tabulate(size) { j => (bytes(off + j) & 0xff) - 128 }
+      case 1 => Array.tabulate(size) { j => (bytes(off + j) & 0xff) - 128 }
+      case 6 => Array.tabulate(size) { j => alawToLinear(bytes(off + j) & 0xff) }
+      case _ => Array.tabulate(size) { j => ulawToLinear(bytes(off + j) & 0xff) }
+    }
   }
 
   /** REAL BMP encoder — BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER,
@@ -1148,6 +1208,40 @@ object Multimodal {
     audioPcmStats(synthWavAssets(Tables(spark, dir)))
       .select(col("doc_id"), col("n_samples"), col("mean_square"),
         col("peak"), col("rms"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic per-doc G.711 WAV synthesis for the declared
+    * telephony-decode query: doc d carries 48 + (d mod 32) companded
+    * bytes c(d, i) = (d·31 + i·7 + 3) mod 256 — covering the full code
+    * alphabet of both laws — wrapped as µ-law (format tag 7) on even
+    * docs and A-law (tag 6) on odd. The engine walks the RIFF header,
+    * dispatches on the format tag, and expands every byte through the
+    * real G.711 arithmetic; the oracle replays the complement/XOR +
+    * segment-shift formula in SQL, so a defect in either expansion
+    * (or in the tag dispatch) is a hash mismatch.
+    */
+  def synthG711Assets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val n = (48 + d % 32).toInt
+        val codes = Array.tabulate(n)(i => ((d * 31 + i * 7 + 3) % 256).toByte)
+        (d, buildWavG711(codes, aLaw = d % 2 != 0))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5k declared query: RMS/peak stats of the synthesized G.711 corpus,
+    * expanded from actual companded telephony bytes (see
+    * [[synthG711Assets]]).
+    */
+  def l5G711Rms(spark: SparkSession, dir: String): DataFrame =
+    audioPcmStats(synthG711Assets(Tables(spark, dir)))
+      .withColumn("codec",
+        when(col("doc_id") % 2 === 0, lit("ulaw")).otherwise(lit("alaw")))
+      .select(col("doc_id"), col("codec"), col("n_samples"),
+        col("mean_square"), col("peak"), col("rms"))
       .orderBy(col("doc_id"))
 
   /** Per-sampled-frame pixel stats of one video payload. Option fields

@@ -1599,6 +1599,61 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("L5k G.711: ITU reference points, container round-trips, gates, spot rows") {
+    import graft.operators.Multimodal
+    // ITU-T G.711 reference points (public tables): both zeros, both
+    // full-scale codes, both laws' smallest magnitudes
+    assert(Multimodal.ulawToLinear(0xff) == 0)
+    assert(Multimodal.ulawToLinear(0x7f) == 0)       // negative zero
+    assert(Multimodal.ulawToLinear(0x80) == 32124)   // + full scale
+    assert(Multimodal.ulawToLinear(0x00) == -32124)  // - full scale
+    assert(Multimodal.alawToLinear(0xd5) == 8)       // + smallest
+    assert(Multimodal.alawToLinear(0x55) == -8)      // - smallest
+    assert(Multimodal.alawToLinear(0xaa) == 32256)   // + full scale
+    assert(Multimodal.alawToLinear(0x2a) == -32256)  // - full scale
+    // expansions are odd-symmetric about the sign bit across the
+    // whole alphabet (the compander's defining property)
+    for (c <- 0 until 128) {
+      assert(Multimodal.ulawToLinear(c) == -Multimodal.ulawToLinear(c | 0x80))
+      assert(Multimodal.alawToLinear(c) == -Multimodal.alawToLinear(c | 0x80))
+    }
+    // container round-trip: every code byte survives the WAV walk and
+    // expands through the right law (tag dispatch)
+    val codes = Array.tabulate(256)(_.toByte)
+    val viaU = Multimodal.decodePcmSamples(Multimodal.buildWavG711(codes, aLaw = false))
+    val viaA = Multimodal.decodePcmSamples(Multimodal.buildWavG711(codes, aLaw = true))
+    assert(viaU.get.toSeq == (0 until 256).map(Multimodal.ulawToLinear))
+    assert(viaA.get.toSeq == (0 until 256).map(Multimodal.alawToLinear))
+    // gates: a G.711 tag at 16 bits is malformed; unknown tags stay None
+    val bad16 = Multimodal.buildWavG711(codes, aLaw = true)
+    bad16(34) = 16.toByte
+    assert(Multimodal.decodePcmSamples(bad16).isEmpty)
+    val tag3 = Multimodal.buildWavG711(codes, aLaw = false)
+    tag3(20) = 3.toByte
+    assert(Multimodal.decodePcmSamples(tag3).isEmpty)
+    // PCM-16 path unchanged by the dispatch rework
+    val pcm = Array.tabulate(64)(i => (i * 1021 - 32000).toShort)
+    assert(Multimodal.decodePcmSamples(Multimodal.buildWavPcm16(pcm)).get.toSeq ==
+      pcm.map(_.toInt).toSeq)
+    // declared-query spot rows replay the formula: doc 2 ulaw, doc 3 alaw
+    val q = Multimodal.l5G711Rms(spark, sf)
+      .filter(col("doc_id").isin(2L, 3L)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (d <- Seq(2L, 3L)) {
+      val n = (48 + d % 32).toInt
+      val vals = (0 until n).map { i =>
+        val c = ((d * 31 + i * 7 + 3) % 256).toInt
+        if (d % 2 == 0) Multimodal.ulawToLinear(c) else Multimodal.alawToLinear(c)
+      }
+      val ms = vals.map(v => v.toLong * v).sum / n
+      assert(q(d).getString(1) == (if (d % 2 == 0) "ulaw" else "alaw"))
+      assert(q(d).getLong(2) == n.toLong)
+      assert(q(d).getLong(3) == ms)
+      assert(q(d).getLong(4) == vals.map(v => math.abs(v.toLong)).max)
+      assert(q(d).getLong(5) == math.sqrt(ms.toDouble).toLong)
+    }
+  }
+
   test("L5 multimodal decode stub: schema, alignment, determinism") {
     val assets = Multimodal.assets(tables)
     val feats = Multimodal.decodeFeatures(assets)
