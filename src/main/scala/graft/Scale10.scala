@@ -306,6 +306,19 @@ object Scale10 {
       val before = audit.violations.size
       val (c10, w10, n10) = time(name, tenx, auditOn = true)
       Thread.sleep(300) // let async listener events drain
+      // Free the previous query's shuffle files NOW: Spark's
+      // ContextCleaner only unregisters a shuffle once its
+      // ShuffleDependency is JVM-GC'd, and with a mostly-idle heap the
+      // collector can sit for many minutes (spark.cleaner.periodicGC
+      // defaults to 30 min) while dead shuffle data accumulates on
+      // disk — at factor 100 earlier queries' retained shuffles share
+      // the box's ~78 GB scratch with the live query's spill. An
+      // explicit GC per measured query bounds scratch usage to the
+      // live query's own working set. (Not sufficient for l6_simjoin
+      // at factor 100: ITS OWN verify-join spill exceeds the box — the
+      // pair stream carries shingle sets — measured and documented in
+      // SCALING.md rather than capped silently.)
+      System.gc()
       val viol = audit.violations.toArray.drop(before)
         .map(_.asInstanceOf[String]).toSeq.distinct
       (name, c1, w1, c10, w10, viol, n1, n10)
