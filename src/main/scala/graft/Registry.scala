@@ -2860,6 +2860,43 @@ object Registry {
           CAST(SUM(b) // 15 AS BIGINT) AS mean_b
         FROM c GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+      // L5l: real ANIMATED-GIF frame-sample — last-writer-wins
+      // composition with a closed form: frame g is a full-height rect
+      // of width W-g, so composited frame f shows frame
+      // g* = min(f, W-x-1) at column x (pure integer arithmetic the
+      // oracle replays), with the engine walking genuine GIF89a bytes —
+      // NETSCAPE loop block, per-frame GCEs, shrinking descriptors,
+      // 4-pass interlace inside rects on every 3rd doc, LZW per frame —
+      // and compositing onto the logical-screen canvas. A defect in the
+      // canvas composition, rect placement, interlace-in-rect order,
+      // GCE walk, or frame sampling is a hash mismatch.
+      QueryDef("l5_gif_frames", Multimodal.l5GifFrames, Some("""
+        WITH d AS (SELECT doc_id, 4 + doc_id % 12 AS p, 6 + doc_id % 6 AS w,
+                          4 + doc_id % 4 AS h, 2 + doc_id % 3 AS nf
+                   FROM documents),
+        f AS (SELECT d.doc_id, d.p, d.w, d.h, u.f
+              FROM d, UNNEST(generate_series(0, d.nf - 1)) AS u(f)
+              WHERE u.f % 2 = 0),
+        px AS (SELECT f.doc_id, f.f, f.w, f.h, f.p,
+                 u.i % f.w AS x, u.i // f.w AS y
+               FROM f, UNNEST(generate_series(0, f.w * f.h - 1)) AS u(i)),
+        jj AS (SELECT doc_id, f, w, h,
+                 (doc_id + LEAST(f, w - x - 1) * 7 +
+                  (y * (w - LEAST(f, w - x - 1)) + x) * 5) % p AS j
+               FROM px),
+        c AS (SELECT doc_id, f, w, h,
+                (doc_id * 11 + j * 3 + 17) % 256 AS r,
+                (doc_id * 13 + j * 23 + 41) % 256 AS g,
+                (doc_id * 17 + j * 29 + 103) % 256 AS b
+              FROM jj)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+          CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(r) // (w * h) AS BIGINT) AS mean_r,
+          CAST(SUM(g) // (w * h) AS BIGINT) AS mean_g,
+          CAST(SUM(b) // (w * h) AS BIGINT) AS mean_b
+        FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""")),
+
       // L5k: real G.711 telephony decode — µ-law (even docs) and A-law
       // (odd docs) companded bytes through genuine WAV containers
       // (format tags 7/6 at 8 bits), expanded to linear by the ITU

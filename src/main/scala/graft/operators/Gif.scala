@@ -21,11 +21,15 @@ import scala.util.control.NonFatal
   *  - global and local color tables (local overrides global);
   *  - interlaced and non-interlaced frames;
   *  - extension blocks (GCE/comment/application/plain-text) parsed and
-  *    skipped — transparency and animation composition are out of
-  *    scope: the FIRST image frame is decoded, and it must cover the
-  *    full logical screen (left = top = 0, frame dims == screen dims),
-  *    the thumbnailer contract — multi-frame composition over
-  *    disposal methods is not attempted;
+  *    skipped — for THIS entry point transparency and animation
+  *    composition are out of scope: the FIRST image frame is decoded,
+  *    and it must cover the full logical screen (left = top = 0, frame
+  *    dims == screen dims), the thumbnailer contract. ANIMATED GIFs
+  *    decode through [[decodeGifFrames]], which composites every frame
+  *    onto the logical-screen canvas with full GCE semantics —
+  *    transparency, per-frame rects, disposal 0–3 (leave /
+  *    restore-to-background / restore-to-previous), local palettes —
+  *    and is what [[Multimodal.gifFrameStats]] frame-samples;
   *  - dimension cap before allocation ([[MaxDecodePixels]], the
   *    [[Jpeg]] hostile-header posture — a 13-byte header can declare a
   *    4G-pixel screen).
@@ -352,6 +356,232 @@ object Gif {
               }
             }
             return Some((fw, fh, out))
+          case _ => fail()
+        }
+      }
+      None // unreachable
+    } catch { case NonFatal(_) => None }
+  }
+
+  // ------------------------------------------------------------------
+  // Animation: multi-frame encode + composited decode
+  // ------------------------------------------------------------------
+
+  /** One frame of an animated GIF as the encoder takes it: palette
+    * `indices` for a `w`×`h` rect at (`left`, `top`) on the logical
+    * screen, GCE fields (disposal 0–3, delay in centiseconds,
+    * `transparentIndex` ≥ 0 marks that palette index as transparent),
+    * optional local palette overriding the global one.
+    */
+  final case class GifFrame(indices: Array[Int], left: Int, top: Int,
+                            w: Int, h: Int, delayCs: Int = 0, disposal: Int = 0,
+                            localPalette: Option[Array[Int]] = None,
+                            transparentIndex: Int = -1, interlaced: Boolean = false)
+
+  /** Build an ANIMATED GIF89a: global palette, NETSCAPE2.0 loop
+    * extension (the de-facto-standard application block animation
+    * needs), then per frame a Graphic Control Extension (disposal /
+    * delay / transparency) + image descriptor (+ optional local color
+    * table) + LZW data. Single-frame output degenerates to a plain
+    * 89a file [[decodeGif]] reads.
+    */
+  def buildAnimatedGif(sw: Int, sh: Int, palette: Array[Int],
+                       frames: Seq[GifFrame], loop: Boolean = true): Array[Byte] = {
+    require(sw > 0 && sh > 0 && sw <= 65535 && sh <= 65535, s"bad screen ${sw}x$sh")
+    require(frames.nonEmpty, "animated GIF needs at least one frame")
+    require(palette.length >= 2 && palette.length <= 256,
+      s"palette must have 2..256 entries, got ${palette.length}")
+    var bits = 1
+    while ((1 << bits) < palette.length) bits += 1
+    val out = new java.io.ByteArrayOutputStream
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def colorTable(p: Array[Int], b: Int): Unit =
+      for (j <- 0 until (1 << b)) {
+        val c = if (j < p.length) p(j) else 0
+        out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+      }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(sw); u16(sh)
+    out.write(0x80 | ((bits - 1) & 7))
+    out.write(0); out.write(0) // background index, aspect
+    colorTable(palette, bits)
+    if (loop) { // NETSCAPE2.0 application extension: loop forever
+      out.write(0x21); out.write(0xff); out.write(11)
+      out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+      out.write(3); out.write(1); u16(0); out.write(0)
+    }
+    frames.foreach { f =>
+      require(f.w > 0 && f.h > 0 && f.left >= 0 && f.top >= 0 &&
+        f.left + f.w <= sw && f.top + f.h <= sh,
+        s"frame rect ${f.w}x${f.h}@(${f.left},${f.top}) outside ${sw}x$sh")
+      require(f.indices.length == f.w * f.h,
+        s"expected ${f.w * f.h} indices, got ${f.indices.length}")
+      require(f.disposal >= 0 && f.disposal <= 3, s"bad disposal ${f.disposal}")
+      val pal = f.localPalette.getOrElse(palette)
+      require(f.transparentIndex < pal.length,
+        s"transparent index ${f.transparentIndex} outside palette of ${pal.length}")
+      require(f.indices.forall(i => i >= 0 && i < pal.length), "index out of palette")
+      out.write(0x21); out.write(0xf9); out.write(4) // GCE
+      out.write((f.disposal << 2) | (if (f.transparentIndex >= 0) 1 else 0))
+      u16(f.delayCs)
+      out.write(if (f.transparentIndex >= 0) f.transparentIndex else 0)
+      out.write(0)
+      out.write(0x2c)
+      u16(f.left); u16(f.top); u16(f.w); u16(f.h)
+      val lctBits = f.localPalette.map { lp =>
+        require(lp.length >= 2 && lp.length <= 256, "bad local palette")
+        var b = 1; while ((1 << b) < lp.length) b += 1; b
+      }
+      out.write((if (f.interlaced) 0x40 else 0) |
+        lctBits.map(b => 0x80 | ((b - 1) & 7)).getOrElse(0))
+      lctBits.foreach(b => colorTable(f.localPalette.get, b))
+      val rows = if (f.interlaced) interlaceRows(f.h) else Array.range(0, f.h)
+      val ordered = new Array[Int](f.w * f.h)
+      var k = 0
+      for (r <- rows) { System.arraycopy(f.indices, r * f.w, ordered, k, f.w); k += f.w }
+      val mcs = math.max(2, lctBits.getOrElse(bits))
+      out.write(mcs)
+      val lzw = lzwCompress(ordered, mcs)
+      var off = 0
+      while (off < lzw.length) {
+        val len = math.min(255, lzw.length - off)
+        out.write(len); out.write(lzw, off, len)
+        off += len
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  private val MaxDecodeFrames = 4096
+
+  /** REAL animated-GIF decoder — COMPOSITED frames, the semantics a
+    * viewer shows (and a frame-sampling curation stage wants), not the
+    * raw per-frame rects: a logical-screen canvas starts as the
+    * background color (GCT[bg] — or black without a GCT), each frame
+    * draws its rect (transparent pixels leave the canvas through), the
+    * canvas is snapshotted as that frame's output, and the frame's
+    * DISPOSAL then runs — 0/1 leave, 2 restores the rect to background,
+    * 3 restores the canvas the frame drew over. Returns (screen w,
+    * screen h, one full-canvas 0xRRGGBB image per frame, per-frame
+    * delay cs). Scope gates (None, never a throw): frames must fit the
+    * screen, ≤ [[MaxDecodeFrames]] frames, dimension cap before
+    * allocation, the [[decodeGif]] malformed-stream gates. The
+    * single-frame [[decodeGif]] keeps its stricter thumbnailer
+    * contract untouched.
+    */
+  def decodeGifFrames(bytes: Array[Byte]): Option[(Int, Int, IndexedSeq[Array[Int]], IndexedSeq[Int])] = {
+    try {
+      if (bytes.length < 13) return None
+      val sig = new String(bytes, 0, 6, "US-ASCII")
+      if (sig != "GIF87a" && sig != "GIF89a") return None
+      def u16(i: Int): Int = {
+        if (i + 1 >= bytes.length) fail()
+        (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+      }
+      val sw = u16(6); val sh = u16(8)
+      if (sw == 0 || sh == 0) return None
+      if (sw.toLong * sh > MaxDecodePixels) return None
+      val packed = bytes(10) & 0xff
+      val bgIndex = bytes(11) & 0xff
+      var pos = 13
+      def readColorTable(n: Int): Array[Int] = {
+        if (pos + 3 * n > bytes.length) fail()
+        val t = Array.tabulate(n) { j =>
+          val b = pos + 3 * j
+          ((bytes(b) & 0xff) << 16) | ((bytes(b + 1) & 0xff) << 8) | (bytes(b + 2) & 0xff)
+        }
+        pos += 3 * n
+        t
+      }
+      val gct = if ((packed & 0x80) != 0) readColorTable(1 << ((packed & 7) + 1)) else null
+      val bg = if (gct != null && bgIndex < gct.length) gct(bgIndex) else 0
+      val canvas = Array.fill(sw * sh)(bg)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      val delays = scala.collection.mutable.ArrayBuffer.empty[Int]
+      // pending GCE state, consumed by the next image descriptor
+      var disposal = 0; var delayCs = 0; var transparent = -1
+      while (true) {
+        if (pos >= bytes.length) fail()
+        val b = bytes(pos) & 0xff; pos += 1
+        b match {
+          case 0x3b =>
+            return if (frames.isEmpty) None
+            else Some((sw, sh, frames.toIndexedSeq, delays.toIndexedSeq))
+          case 0x21 =>
+            if (pos >= bytes.length) fail()
+            val label = bytes(pos) & 0xff; pos += 1
+            if (label == 0xf9) { // Graphic Control Extension
+              if (pos + 6 > bytes.length) fail()
+              if ((bytes(pos) & 0xff) != 4) fail()
+              val flags = bytes(pos + 1) & 0xff
+              disposal = (flags >> 2) & 7
+              if (disposal > 3) fail() // 4..7 are reserved
+              delayCs = (bytes(pos + 2) & 0xff) | ((bytes(pos + 3) & 0xff) << 8)
+              transparent = if ((flags & 1) != 0) bytes(pos + 4) & 0xff else -1
+              pos += 5
+              if ((bytes(pos) & 0xff) != 0) fail()
+              pos += 1
+            } else { // other extensions: skip sub-blocks
+              var len = if (pos < bytes.length) bytes(pos) & 0xff else fail()
+              pos += 1
+              while (len != 0) {
+                pos += len
+                if (pos >= bytes.length) fail()
+                len = bytes(pos) & 0xff
+                pos += 1
+              }
+            }
+          case 0x2c =>
+            if (frames.length >= MaxDecodeFrames) fail()
+            val left = u16(pos); val top = u16(pos + 2)
+            val fw = u16(pos + 4); val fh = u16(pos + 6)
+            val ip = bytes(pos + 8) & 0xff
+            pos += 9
+            if (fw == 0 || fh == 0 || left + fw > sw || top + fh > sh) fail()
+            val lct = if ((ip & 0x80) != 0) readColorTable(1 << ((ip & 7) + 1)) else null
+            val table = if (lct != null) lct else gct
+            if (table == null) fail()
+            val interlaced = (ip & 0x40) != 0
+            if (pos >= bytes.length) fail()
+            val mcs = bytes(pos) & 0xff; pos += 1
+            val lzw = new java.io.ByteArrayOutputStream
+            var len = if (pos < bytes.length) bytes(pos) & 0xff else fail()
+            pos += 1
+            while (len != 0) {
+              if (pos + len > bytes.length) fail()
+              lzw.write(bytes, pos, len)
+              pos += len
+              if (pos >= bytes.length) fail()
+              len = bytes(pos) & 0xff
+              pos += 1
+            }
+            val idx = lzwDecompress(lzw.toByteArray, mcs, fw * fh)
+            val saved = if (disposal == 3) canvas.clone() else null
+            val rows = if (interlaced) interlaceRows(fh) else Array.range(0, fh)
+            var k = 0
+            for (r <- rows) {
+              var x = 0
+              while (x < fw) {
+                val i = idx(k); k += 1
+                if (i != transparent) {
+                  if (i >= table.length) fail()
+                  canvas((top + r) * sw + (left + x)) = table(i)
+                }
+                x += 1
+              }
+            }
+            frames += canvas.clone()
+            delays += delayCs
+            disposal match {
+              case 2 =>
+                for (r <- 0 until fh; x <- 0 until fw)
+                  canvas((top + r) * sw + (left + x)) = bg
+              case 3 => System.arraycopy(saved, 0, canvas, 0, canvas.length)
+              case _ => ()
+            }
+            disposal = 0; delayCs = 0; transparent = -1
           case _ => fail()
         }
       }

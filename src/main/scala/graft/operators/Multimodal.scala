@@ -1351,6 +1351,91 @@ object Multimodal {
         col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** REAL frame-sample over ANIMATED GIF payloads — the
+    * [[videoFrameStats]] twin for the web's other ubiquitous motion
+    * container: composite every frame onto the logical-screen canvas
+    * with full GCE semantics ([[Gif.decodeGifFrames]] — per-frame
+    * rects, transparency, disposal 0–3, local palettes), keep every
+    * `stride`-th composited frame, and emit per-frame channel means.
+    * Same degradation contract: a payload that isn't a well-formed GIF
+    * yields one None row.
+    */
+  def gifFrameStats(assets: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"gifFrameStats stride must be positive, got $stride")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Gif.decodeGifFrames(bytes) match {
+          case Some((w, h, frames, _)) if frames.nonEmpty =>
+            (0 until frames.length by stride).map { fi =>
+              val px = frames(fi)
+              var r = 0L; var g = 0L; var b = 0L
+              px.foreach { p =>
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+              }
+              val n = px.length.toLong
+              VideoFrameStats(id, Some(fi), Some(w), Some(h), Some(n),
+                Some(r / n), Some(g / n), Some(b / n))
+            }
+          case _ =>
+            Seq(VideoFrameStats(id, None, None, None, None, None, None, None))
+        }
+      })
+      .toDF()
+  }
+
+  /** Deterministic per-doc ANIMATED-GIF synthesis for the declared
+    * animation query — built so last-writer-wins composition has a
+    * CLOSED FORM the oracle can replay: doc d is a (6 + d mod 6) ×
+    * (4 + d mod 4) screen with 2 + d mod 3 frames; frame g is a
+    * full-height rect of width W−g at (0,0) whose local pixel i carries
+    * palette index (d + g·7 + i·5) mod P, P = 4 + d mod 12, palette
+    * entry j = ((d·11 + j·3 + 17) mod 256, (d·13 + j·23 + 41) mod 256,
+    * (d·17 + j·29 + 103) mod 256). Because frame widths shrink by one
+    * per frame, composited frame f shows frame g* = min(f, W−x−1) at
+    * column x — a pure integer expression — with local index
+    * y·(W−g*) + x. Every 3rd doc interlaces its frames (4-pass row
+    * order inside each RECT), and all docs carry the NETSCAPE loop
+    * block and per-frame GCEs the decoder must walk.
+    */
+  def synthAnimGifAssets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val p = (4 + d % 12).toInt
+        val w = (6 + d % 6).toInt
+        val h = (4 + d % 4).toInt
+        val nf = (2 + d % 3).toInt
+        val pal = Array.tabulate(p) { j =>
+          val r = ((d * 11 + j * 3 + 17) % 256).toInt
+          val g = ((d * 13 + j * 23 + 41) % 256).toInt
+          val b = ((d * 17 + j * 29 + 103) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        val frames = (0 until nf).map { g =>
+          val fw = w - g
+          Gif.GifFrame(
+            Array.tabulate(fw * h)(i => ((d + g * 7 + i * 5) % p).toInt),
+            left = 0, top = 0, w = fw, h = h,
+            interlaced = d % 3 == 0)
+        }
+        (d, Gif.buildAnimatedGif(w, h, pal, frames))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5l declared query: every-2nd-frame sample of the synthesized
+    * animated-GIF corpus, each composited frame reduced to channel
+    * means (see [[synthAnimGifAssets]]/[[gifFrameStats]]).
+    */
+  def l5GifFrames(spark: SparkSession, dir: String): DataFrame =
+    gifFrameStats(synthAnimGifAssets(Tables(spark, dir)), stride = 2)
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** Batch "decode / feature-extract" over the binary payload column.
     *
     * STUB CODEC for formats that genuinely need a codec library

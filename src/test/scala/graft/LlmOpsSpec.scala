@@ -1599,6 +1599,121 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("L5l animated GIF: composition, disposal, transparency, LCT, gates") {
+    import graft.operators.Gif
+    import graft.operators.Gif.GifFrame
+    val palA = Array(0x111111, 0x222222, 0x333333, 0x444444)
+    // full-screen frames, disposal 0: composited frame f == raw frame f
+    val fullFrames = (0 until 3).map(g =>
+      GifFrame(Array.tabulate(12)(i => (i + g) % 4), 0, 0, 4, 3, delayCs = g * 10))
+    val (w1, h1, comp1, delays1) =
+      Gif.decodeGifFrames(Gif.buildAnimatedGif(4, 3, palA, fullFrames)).get
+    assert(w1 == 4 && h1 == 3 && comp1.length == 3)
+    assert(delays1 == IndexedSeq(0, 10, 20))
+    for (g <- 0 until 3)
+      assert(comp1(g).toSeq == fullFrames(g).indices.map(palA).toSeq, s"frame $g")
+    // partial rect: last-writer-wins at the overwritten pixel only
+    val partial = Seq(
+      GifFrame(Array.fill(12)(0), 0, 0, 4, 3),
+      GifFrame(Array(3), 2, 1, 1, 1))
+    val comp2 = Gif.decodeGifFrames(Gif.buildAnimatedGif(4, 3, palA, partial)).get._3
+    assert(comp2(1).zipWithIndex.forall { case (c, i) =>
+      if (i == 1 * 4 + 2) c == palA(3) else c == palA(0) })
+    // transparency: transparent pixels leave the underlying canvas through
+    val trans = Seq(
+      GifFrame(Array.tabulate(12)(_ % 4), 0, 0, 4, 3),
+      GifFrame(Array(1, 0, 1, 0, 1, 0), 1, 1, 3, 2, transparentIndex = 0))
+    val comp3 = Gif.decodeGifFrames(Gif.buildAnimatedGif(4, 3, palA, trans)).get._3
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val under = palA((y * 4 + x) % 4)
+      val want =
+        if (y >= 1 && x >= 1 && ((y - 1) * 3 + (x - 1)) % 2 == 0) palA(1) else under
+      assert(comp3(1)(y * 4 + x) == want, s"($x,$y)")
+    }
+    // disposal 2: after the frame shows, its rect restores to background
+    // (background index 0 — the builder's fixed choice)
+    val disp2 = Seq(
+      GifFrame(Array.fill(12)(2), 0, 0, 4, 3),
+      GifFrame(Array(3, 3), 1, 1, 2, 1, disposal = 2),
+      GifFrame(Array(1), 0, 0, 1, 1))
+    val comp4 = Gif.decodeGifFrames(Gif.buildAnimatedGif(4, 3, palA, disp2)).get._3
+    assert(comp4(1)(1 * 4 + 1) == palA(3) && comp4(1)(1 * 4 + 2) == palA(3))
+    assert(comp4(2)(1 * 4 + 1) == palA(0) && comp4(2)(1 * 4 + 2) == palA(0)) // restored to bg
+    assert(comp4(2)(0) == palA(1) && comp4(2)(3) == palA(2))
+    // disposal 3: restore to previous — frame 2 sees the pre-frame-1 canvas
+    val disp3 = Seq(
+      GifFrame(Array.fill(12)(2), 0, 0, 4, 3),
+      GifFrame(Array(3, 3), 1, 1, 2, 1, disposal = 3),
+      GifFrame(Array(1), 0, 0, 1, 1))
+    val comp5 = Gif.decodeGifFrames(Gif.buildAnimatedGif(4, 3, palA, disp3)).get._3
+    assert(comp5(1)(1 * 4 + 1) == palA(3))
+    assert(comp5(2)(1 * 4 + 1) == palA(2) && comp5(2)(0) == palA(1)) // previous restored
+    // local palette overrides global; interlaced rect decodes in order
+    val lct = Array(0xaa0000, 0x00bb00)
+    val withLct = Seq(
+      GifFrame(Array.fill(12)(0), 0, 0, 4, 3),
+      GifFrame(Array.tabulate(8)(_ % 2), 0, 0, 2, 4, localPalette = Some(lct),
+        interlaced = true))
+    val comp6 = Gif.decodeGifFrames(Gif.buildAnimatedGif(4, 4,
+      palA, Seq(GifFrame(Array.fill(16)(0), 0, 0, 4, 4)) ++ withLct.tail)).get._3
+    for (y <- 0 until 4; x <- 0 until 2)
+      assert(comp6(1)(y * 4 + x) == lct((y * 2 + x) % 2), s"lct ($x,$y)")
+    // single-frame animated bytes still satisfy the thumbnailer decoder
+    val one = Gif.buildAnimatedGif(4, 3, palA, fullFrames.take(1))
+    assert(Gif.decodeGif(one).map(_._3.toSeq).contains(comp1(0).toSeq))
+    // --- gates ---
+    val ok = Gif.buildAnimatedGif(4, 3, palA, fullFrames)
+    assert(Gif.decodeGifFrames(ok.dropRight(8)).isEmpty)   // truncated
+    val badDisp = ok.clone() // first GCE flags at NETSCAPE(19+12=31)+GCE hdr: find 0xf9
+    val gceAt = badDisp.indices.find(i => (badDisp(i) & 0xff) == 0x21 &&
+      i + 1 < badDisp.length && (badDisp(i + 1) & 0xff) == 0xf9).get
+    badDisp(gceAt + 3) = (4 << 2).toByte // reserved disposal 4
+    assert(Gif.decodeGifFrames(badDisp).isEmpty)
+    val oob = ok.clone() // push first descriptor's left beyond the screen
+    val descAt = oob.indices.find(i => (oob(i) & 0xff) == 0x2c).get
+    oob(descAt + 1) = 9.toByte
+    assert(Gif.decodeGifFrames(oob).isEmpty)
+    // interop: the JDK's independent GIF reader sees the same frame count
+    // and the same FIRST frame pixels in our animated bytes
+    val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(ok)))
+    assert(rdr.getNumImages(true) == 3)
+    val img0 = rdr.read(0)
+    assert(img0.getWidth == 4 && img0.getHeight == 3)
+    assert((0 until 12).forall(i =>
+      (img0.getRGB(i % 4, i / 4) & 0xffffff) == comp1(0)(i)))
+  }
+
+  test("L5l gif frame-sample: stride, closed-form composition spot rows, null survival") {
+    import graft.operators.Multimodal
+    // null survival + stride over the declared corpus's own synthesis
+    val bad = Seq((99L, "gif?no".getBytes("US-ASCII"))).toDF("doc_id", "payload")
+    val badRow = Multimodal.gifFrameStats(bad, 2).collect()(0)
+    assert(badRow.getLong(0) == 99L && badRow.isNullAt(1) && badRow.isNullAt(5))
+    // declared-query spot rows replay the g* = min(f, W-x-1) closed form:
+    // doc 0 (interlaced, nf=2 -> sampled {0}), doc 7 (nf=3 -> {0, 2})
+    val q = Multimodal.l5GifFrames(spark, sf)
+      .filter(col("doc_id").isin(0L, 7L)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    assert(q.keySet == Set((0L, 0), (7L, 0), (7L, 2)))
+    for (((d, f), row) <- q) {
+      val p = (4 + d % 12).toInt; val w = (6 + d % 6).toInt; val h = (4 + d % 4).toInt
+      var r = 0L; var g = 0L; var b = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val gs = math.min(f, w - x - 1)
+        val j = (d + gs * 7 + (y * (w - gs) + x) * 5) % p
+        r += (d * 11 + j * 3 + 17) % 256
+        g += (d * 13 + j * 23 + 41) % 256
+        b += (d * 17 + j * 29 + 103) % 256
+      }
+      val n = (w * h).toLong
+      assert(row.getInt(2) == w && row.getInt(3) == h && row.getLong(4) == n)
+      assert(row.getLong(5) == r / n && row.getLong(6) == g / n && row.getLong(7) == b / n,
+        s"doc $d frame $f")
+    }
+  }
+
   test("L5k G.711: ITU reference points, container round-trips, gates, spot rows") {
     import graft.operators.Multimodal
     // ITU-T G.711 reference points (public tables): both zeros, both
