@@ -720,6 +720,34 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** T22: streaming MEDIA DECODE — frame-sample arriving media payloads
+    * (MJPEG-AVI via [[graft.operators.Multimodal.videoFrameStats]],
+    * animated GIF via [[graft.operators.Multimodal.gifFrameStats]],
+    * still images via [[graft.operators.Multimodal.imagePixelStats]])
+    * as they land. The L13/L5 codecs are STATELESS per-payload Dataset
+    * transforms, so the batch operator applies to the micro-batch
+    * stream UNCHANGED — the same function object builds the streaming
+    * plan; no foreachBatch re-aggregation, no state store, decode
+    * parallelism stays map-side and the watermark story is the
+    * sink's, not the decoder's. The per-batch sink hand-off exists for
+    * the parity spec (each wave's decoded rows == the batch twin on
+    * that wave's frame); production code would `writeStream` the
+    * transformed frame straight to its sink.
+    */
+  def runMediaDecode(payloads: DataFrame, checkpoint: String,
+                     transform: DataFrame => DataFrame)
+                    (sink: (Long, Array[org.apache.spark.sql.Row]) => Unit): Unit = {
+    val q = transform(payloads).writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(id, batch.collect())
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
   /** T18: streaming embedding-DIVERSITY monitor — the M6 metric per
     * micro-batch of arriving vectors against the STATIC offline-trained
     * coarse quantizer (the T12 drift-monitor shape in embedding space):

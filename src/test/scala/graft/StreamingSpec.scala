@@ -935,6 +935,50 @@ class StreamingSpec extends SparkSuite {
     assert(got.count(_._2 > 0) == 1)
   }
 
+  test("T22 media decode: streaming frame-sample == batch twin per wave, AVI and animated GIF") {
+    import graft.operators.Multimodal
+    // the synthesized media corpora ARE the payload source; two arrival
+    // waves split each corpus mid-stream
+    def waves(assets: org.apache.spark.sql.DataFrame, name: String) = {
+      val small = assets.filter(col("doc_id") < 80L)
+      val w1 = small.filter(col("doc_id") < 40L)
+      val w2 = small.filter(col("doc_id") >= 40L)
+      val dir = Files.createTempDirectory(s"graft-$name-waves")
+      w1.coalesce(1).write.parquet(s"$dir/w1")
+      w2.coalesce(1).write.parquet(s"$dir/w2")
+      val stream = spark.readStream.schema(small.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+      (stream, w1, w2)
+    }
+    def rowKey(r: org.apache.spark.sql.Row) =
+      (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i)).mkString("|")
+    def twin(df: org.apache.spark.sql.DataFrame) = df.collect().map(rowKey).toSet
+    // AVI / MJPEG arm
+    val (aviStream, av1, av2) = waves(Multimodal.synthAviAssets(tables), "avi")
+    val aviGot = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+    Streams.runMediaDecode(aviStream,
+      Files.createTempDirectory("graft-avi-cp").toString,
+      df => Multimodal.videoFrameStats(df, stride = 2)) { (_, rows) =>
+      aviGot += rows.map(rowKey).toSet
+    }
+    assert(aviGot.size == 2, s"expected 2 AVI waves, got ${aviGot.size}")
+    assert(aviGot.toSet ==
+      Set(twin(Multimodal.videoFrameStats(av1, 2)), twin(Multimodal.videoFrameStats(av2, 2))))
+    assert(aviGot.reduce(_ ++ _) ==
+      twin(Multimodal.videoFrameStats(av1.unionByName(av2), 2)))
+    // animated-GIF arm: same runner, different codec transform
+    val (gifStream, gf1, gf2) = waves(Multimodal.synthAnimGifAssets(tables), "gifanim")
+    val gifGot = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+    Streams.runMediaDecode(gifStream,
+      Files.createTempDirectory("graft-gifanim-cp").toString,
+      df => Multimodal.gifFrameStats(df, stride = 2)) { (_, rows) =>
+      gifGot += rows.map(rowKey).toSet
+    }
+    assert(gifGot.size == 2)
+    assert(gifGot.toSet ==
+      Set(twin(Multimodal.gifFrameStats(gf1, 2)), twin(Multimodal.gifFrameStats(gf2, 2))))
+  }
+
   test("T19 decontam gate: per-wave exact+fuzzy flags == batch predicates, accumulated == full-corpus run") {
     import graft.operators.Curation
     val docs = tables.documents.select(col("doc_id"), col("text"),
