@@ -635,6 +635,60 @@ object TailTwins {
           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
         .orderBy(col("l_returnflag"))),
 
+      // same honesty pin as a6_stats: exact percentile + the
+      // percentile_approx sketch + acceptance predicates are all
+      // built-ins, so this twin is the engine plan minus session
+      // configs; the row exists for the ≥1s-coverage rule
+      "a6_stats_approx" -> (() => {
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+        li.groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
+            percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95"))
+          .join(exact, "l_returnflag")
+          .select(col("l_returnflag"), col("median_price"), col("p95_price"),
+            (abs(col("approx_median") - col("median_price")) <=
+              col("median_price") * lit(10L) / lit(1000L)).as("median_est_ok"),
+            (abs(col("approx_p95") - col("p95_price")) <=
+              col("p95_price") * lit(10L) / lit(1000L)).as("p95_est_ok"))
+          .orderBy(col("l_returnflag"))
+      }),
+
+      // the vanilla media frame-sample a first draft writes: row-at-a-time
+      // UDF returning the per-frame stat structs + explode (Catalyst-opaque,
+      // one decode call per ROW with struct boxing) vs the engine's typed
+      // mapPartitions flatMap. The codecs themselves are shared kernels —
+      // the twinned cost is the dataframe plumbing, the l10_pii_v2
+      // UDF-chain convention
+      "l5_video_frames" -> (() => {
+        val decode = udf { payload: Array[Byte] =>
+          graft.operators.Avi.decodeAvi(payload) match {
+            case Some((_, frames)) if frames.nonEmpty =>
+              (0 until frames.length by 2).map { fi =>
+                graft.operators.Jpeg.decodeJpeg(frames(fi)) match {
+                  case Some((w, h, px)) if px.nonEmpty =>
+                    var r = 0L; var g = 0L; var b = 0L
+                    px.foreach { p =>
+                      r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                    }
+                    val n = px.length.toLong
+                    (fi, w, h, n, r / n, g / n, b / n)
+                  case _ => (fi, -1, -1, -1L, -1L, -1L, -1L)
+                }
+              }
+            case _ => Seq.empty[(Int, Int, Int, Long, Long, Long, Long)]
+          }
+        }
+        graft.operators.Multimodal.synthAviAssets(Tables(spark, dir))
+          .select(col("doc_id"), explode(decode(col("payload"))).as("f"))
+          .select(col("doc_id"), col("f._1").as("frame_idx"),
+            col("f._2").as("width"), col("f._3").as("height"),
+            col("f._4").as("n_pixels"), col("f._5").as("mean_r"),
+            col("f._6").as("mean_g"), col("f._7").as("mean_b"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      }),
+
       "l1_dupspans" -> (() => dupCoverageNaive(docs).orderBy("doc_id")),
 
       // the KMV-sketch form an experienced user writes first: per-corpus

@@ -2175,6 +2175,14 @@ class LlmOpsSpec extends SparkSuite {
     // identically (same patterns, same staged order, same Luhn rule)
     assertSameRows(graft.TailTwins.twinFrame(spark, sf, "l10_pii_v2"),
       graft.operators.TextOps.l10PiiV2(spark, sf))
+    // video twin-honesty pin: the UDF+explode vanilla chain decodes the
+    // same corpus to the same rows (shared codec kernels; the twin
+    // prices only the row-at-a-time plumbing)
+    assertSameRows(graft.TailTwins.twinFrame(spark, sf, "l5_video_frames"),
+      graft.operators.Multimodal.l5VideoFrames(spark, sf))
+    // approx-percentile twin-honesty pin: built-ins both sides
+    assertSameRows(graft.TailTwins.twinFrame(spark, sf, "a6_stats_approx"),
+      graft.operators.Relational.a6StatsApproxChecked(spark, sf))
     // partitioning invariance: first-occurrence selection is a
     // partial-combinable min over (doc_id, p) — layout cannot flip it
     assertSameRows(Dedup.substrDedup(tables.documents.repartition(7)),
