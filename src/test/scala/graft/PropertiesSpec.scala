@@ -22,6 +22,69 @@ class PropertiesSpec extends SparkSuite {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("codec fuzz: random and single-byte-mutated containers never throw; valid prefixes gate to None") {
+    import graft.operators.{Avi, Gif, Jpeg, Multimodal}
+    // the None-never-throw contract, adversarially: every decoder must
+    // survive (a) arbitrary bytes, (b) VALID containers with one byte
+    // flipped anywhere (the header stays plausible, so the walk goes
+    // deep before the corruption bites), (c) every truncation length
+    // of a small valid container. A throw — including OOM from an
+    // unchecked allocation — fails the suite.
+    var seed = 20260816L
+    def next(): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33) & 0x7fffffff).toInt }
+    val decoders: Seq[(String, Array[Byte] => Any)] = Seq(
+      "avi" -> (b => Avi.decodeAvi(b)),
+      "gif1" -> (b => Gif.decodeGif(b)),
+      "gifN" -> (b => Gif.decodeGifFrames(b)),
+      "jpeg" -> (b => Jpeg.decodeJpeg(b)),
+      "png" -> (b => Multimodal.decodePng(b)),
+      "bmp" -> (b => Multimodal.decodeBmp24(b)),
+      "wav" -> (b => Multimodal.decodePcmSamples(b)),
+      "sniff" -> (b => Multimodal.decodeImage(b)))
+    // (a) arbitrary random bytes at several sizes
+    for ((name, dec) <- decoders; n <- Seq(0, 3, 13, 64, 257, 4096)) {
+      val junk = Array.fill(n)(next().toByte)
+      try dec(junk) catch { case e: Throwable =>
+        fail(s"$name threw on $n random bytes: $e") }
+    }
+    // (b) one-byte mutations of VALID containers — every position
+    val jf = Jpeg.buildJpegGray(Array.tabulate(64)(i => (i * 3) % 256), 8, 8)
+    val valid: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
+      ("avi", Avi.buildAviMjpeg(8, 8, 30, 1, IndexedSeq(jf, jf)), b => Avi.decodeAvi(b)),
+      ("gifN", Gif.buildAnimatedGif(5, 4, Array(0x102030, 0x405060, 0x708090, 0xa0b0c0),
+        Seq(Gif.GifFrame(Array.tabulate(20)(_ % 4), 0, 0, 5, 4),
+          Gif.GifFrame(Array(1, 2), 1, 1, 2, 1, disposal = 2, transparentIndex = 1))),
+        b => Gif.decodeGifFrames(b)),
+      ("jpeg", jf, b => Jpeg.decodeJpeg(b)),
+      ("png", Multimodal.buildPng(Array.tabulate(15)(i => i * 0x010203), 5, 3, _ % 5),
+        b => Multimodal.decodePng(b)),
+      ("wav-g711", Multimodal.buildWavG711(Array.tabulate(64)(_.toByte), aLaw = true),
+        b => Multimodal.decodePcmSamples(b)))
+    for ((name, bytes, dec) <- valid) {
+      var pos = 0
+      while (pos < bytes.length) {
+        val mut = bytes.clone()
+        mut(pos) = (mut(pos) ^ (1 + next() % 255)).toByte
+        try dec(mut) catch { case e: Throwable =>
+          fail(s"$name threw with byte $pos flipped: $e") }
+        pos += 1
+      }
+      // (c) every truncation length
+      var len = 0
+      while (len < bytes.length) {
+        try dec(bytes.take(len)) catch { case e: Throwable =>
+          fail(s"$name threw truncated to $len: $e") }
+        len += 1
+      }
+    }
+    // resize stage composes the sniff + codecs: random payloads through
+    // the distributed path yield null rows, never task failures
+    val junkDf = (1L to 8L).map(i => (i, Array.fill(32 + i.toInt)(next().toByte)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resizeImages(junkDf, 3, 2).collect()
+    assert(out.length == 8 && out.forall(_.isNullAt(3)))
+  }
+
   test("dedup is idempotent and never increases distinct content") {
     for (texts <- samples(Gen.listOfN(12, text), 10)) {
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
