@@ -48,6 +48,12 @@ object Avi {
                            totalFrames: Int)
 
   private val MaxFrames = 1 << 20 // hostile-header cap, checked vs remaining bytes too
+  // LIST nesting cap: the walk recurses once per LIST level and a
+  // 12-byte header buys a level, so a ~KB file of nested 'rec ' lists
+  // would otherwise drive a StackOverflowError (an Error — it escapes
+  // the catch and breaks the None-never-throw contract). Real AVIs
+  // nest 3 deep (RIFF > hdrl/movi > strl/rec).
+  private val MaxListDepth = 64
 
   // ---------------------------------------------------------------- writer
 
@@ -202,7 +208,8 @@ object Avi {
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
 
       // Walk one chunk sequence [pos, end); inMovi activates frame capture.
-      def walk(pos0: Int, end: Int, inMovi: Boolean): Unit = {
+      def walk(pos0: Int, end: Int, inMovi: Boolean, depth: Int): Unit = {
+        if (depth > MaxListDepth) fail()
         var pos = pos0
         while (pos + 8 <= end) {
           val id = cc(pos)
@@ -214,7 +221,7 @@ object Avi {
             if (sz < 4) fail()
             val kind = cc(body)
             val isMovi = kind == "movi" || kind == "rec "
-            walk(body + 4, bodyEnd, inMovi || isMovi)
+            walk(body + 4, bodyEnd, inMovi || isMovi, depth + 1)
           } else if (id == "avih") {
             if (sz < 40) fail()
             total = u32(body + 16).toInt
@@ -244,7 +251,7 @@ object Avi {
         if (pos != end) fail() // trailing garbage inside a list
       }
 
-      walk(12, riffEnd, inMovi = false)
+      walk(12, riffEnd, inMovi = false, depth = 0)
 
       if (!sawVids || width <= 0 || height <= 0 || rate <= 0 || scale <= 0) return None
       if (total != seen) return None

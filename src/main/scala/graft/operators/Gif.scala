@@ -456,6 +456,17 @@ object Gif {
 
   private val MaxDecodeFrames = 4096
 
+  /** Total-retention cap for [[decodeGifFrames]]: the per-frame
+    * dimension cap bounds ONE canvas, but composited decode retains a
+    * canvas clone per frame, so a few-KB file declaring a large screen
+    * with many one-pixel frames would otherwise retain
+    * frames × screen × 4 bytes — an OutOfMemoryError is an Error that
+    * escapes the NonFatal catch and breaks the None-never-throw
+    * contract. Checked BEFORE each frame's snapshot ([[Jpeg]]'s
+    * cap-before-allocation posture); ~256 MB of int canvases.
+    */
+  val MaxDecodeTotalPixels: Long = 1L << 26
+
   /** REAL animated-GIF decoder — COMPOSITED frames, the semantics a
     * viewer shows (and a frame-sampling curation stage wants), not the
     * raw per-frame rects: a logical-screen canvas starts as the
@@ -471,7 +482,13 @@ object Gif {
     * single-frame [[decodeGif]] keeps its stricter thumbnailer
     * contract untouched.
     */
-  def decodeGifFrames(bytes: Array[Byte]): Option[(Int, Int, IndexedSeq[Array[Int]], IndexedSeq[Int])] = {
+  def decodeGifFrames(bytes: Array[Byte]): Option[(Int, Int, IndexedSeq[Array[Int]], IndexedSeq[Int])] =
+    decodeGifFrames(bytes, MaxDecodeTotalPixels)
+
+  /** Cap-parameterized form so the retention gate is testable without
+    * allocating hundreds of MB; production callers use the default.
+    */
+  private[graft] def decodeGifFrames(bytes: Array[Byte], maxTotalPixels: Long): Option[(Int, Int, IndexedSeq[Array[Int]], IndexedSeq[Int])] = {
     try {
       if (bytes.length < 13) return None
       val sig = new String(bytes, 0, 6, "US-ASCII")
@@ -535,6 +552,10 @@ object Gif {
             }
           case 0x2c =>
             if (frames.length >= MaxDecodeFrames) fail()
+            // retention gate BEFORE this frame's canvas snapshot (+1 for
+            // the live canvas, +1 more for a disposal-3 save being the
+            // worst case — both bounded by the same budget)
+            if ((frames.length + 2L) * sw * sh > maxTotalPixels) fail()
             val left = u16(pos); val top = u16(pos + 2)
             val fw = u16(pos + 4); val fh = u16(pos + 6)
             val ip = bytes(pos + 8) & 0xff

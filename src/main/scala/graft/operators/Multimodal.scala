@@ -189,13 +189,9 @@ object Multimodal {
       .mapPartitions(_.map { case (id, sw, sh, bytes) =>
         decodeBmp24(bytes) match {
           case Some((w, h, px)) if px.nonEmpty =>
-            var r = 0L; var g = 0L; var b = 0L
-            px.foreach { p =>
-              r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-            }
-            val n = px.length.toLong
-            ResizeStats(id, sw, sh, Some(w), Some(h), Some(n),
-              Some(r / n), Some(g / n), Some(b / n))
+            val (r, g, b) = channelMeans(px)
+            ResizeStats(id, sw, sh, Some(w), Some(h), Some(px.length.toLong),
+              Some(r), Some(g), Some(b))
           case _ => ResizeStats(id, sw, sh, None, None, None, None, None, None)
         }
       })
@@ -863,6 +859,20 @@ object Multimodal {
     * codec: [[decodeBmp24]] (default) or [[decodePng]] — both emit the
     * same (w, h, top-down 0xRRGGBB) contract.
     */
+  /** Floor channel means of a packed-RGB pixel array — ONE definition
+    * of the mean convention shared by every pixel-stats surface
+    * (image, resize, video, animated GIF), so the oracle-replayed
+    * arithmetic can't silently diverge between them.
+    */
+  private[graft] def channelMeans(px: Array[Int]): (Long, Long, Long) = {
+    var r = 0L; var g = 0L; var b = 0L
+    px.foreach { p =>
+      r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+    }
+    val n = px.length.toLong
+    (r / n, g / n, b / n)
+  }
+
   def imagePixelStats(assets: DataFrame,
                       decode: Array[Byte] => Option[(Int, Int, Array[Int])] = decodeBmp24): DataFrame = {
     val spark = assets.sparkSession
@@ -871,13 +881,9 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) =>
         decode(bytes) match {
           case Some((w, h, px)) if px.nonEmpty =>
-            var r = 0L; var g = 0L; var b = 0L
-            px.foreach { p =>
-              r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-            }
-            val n = px.length.toLong
-            ImagePixelStats(id, Some(w), Some(h), Some(n),
-              Some(r / n), Some(g / n), Some(b / n))
+            val (r, g, b) = channelMeans(px)
+            ImagePixelStats(id, Some(w), Some(h), Some(px.length.toLong),
+              Some(r), Some(g), Some(b))
           case _ => ImagePixelStats(id, None, None, None, None, None, None)
         }
       })
@@ -1280,13 +1286,9 @@ object Multimodal {
             (0 until frames.length by stride).map { fi =>
               Jpeg.decodeJpeg(frames(fi)) match {
                 case Some((w, h, px)) if px.nonEmpty =>
-                  var r = 0L; var g = 0L; var b = 0L
-                  px.foreach { p =>
-                    r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-                  }
-                  val n = px.length.toLong
-                  VideoFrameStats(id, Some(fi), Some(w), Some(h), Some(n),
-                    Some(r / n), Some(g / n), Some(b / n))
+                  val (r, g, b) = channelMeans(px)
+                  VideoFrameStats(id, Some(fi), Some(w), Some(h),
+                    Some(px.length.toLong), Some(r), Some(g), Some(b))
                 case _ =>
                   VideoFrameStats(id, Some(fi), None, None, None, None, None, None)
               }
@@ -1370,13 +1372,9 @@ object Multimodal {
           case Some((w, h, frames, _)) if frames.nonEmpty =>
             (0 until frames.length by stride).map { fi =>
               val px = frames(fi)
-              var r = 0L; var g = 0L; var b = 0L
-              px.foreach { p =>
-                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-              }
-              val n = px.length.toLong
-              VideoFrameStats(id, Some(fi), Some(w), Some(h), Some(n),
-                Some(r / n), Some(g / n), Some(b / n))
+              val (r, g, b) = channelMeans(px)
+              VideoFrameStats(id, Some(fi), Some(w), Some(h),
+                Some(px.length.toLong), Some(r), Some(g), Some(b))
             }
           case _ =>
             Seq(VideoFrameStats(id, None, None, None, None, None, None, None))

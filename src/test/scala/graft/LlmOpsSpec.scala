@@ -1487,6 +1487,22 @@ class LlmOpsSpec extends SparkSuite {
     val liar = avi.clone()
     System.arraycopy(u32le(u32(avi, avihAt + 8 + 16) + 1), 0, liar, avihAt + 8 + 16, 4)
     assert(Avi.decodeAvi(liar).isEmpty)
+    // nesting bomb: a ~KB file of deeply nested 'rec ' lists must gate
+    // on the depth cap (None), not recurse to a StackOverflowError
+    var nested: Array[Byte] = "00dc".getBytes("US-ASCII") ++ u32le(2) ++ Array[Byte](1, 2)
+    for (_ <- 0 until 100)
+      nested = "LIST".getBytes("US-ASCII") ++ u32le(nested.length + 4L) ++
+        "rec ".getBytes("US-ASCII") ++ nested
+    val bombMovi = "LIST".getBytes("US-ASCII") ++ u32le(nested.length + 4L) ++
+      "movi".getBytes("US-ASCII") ++ nested
+    val baseOne = Avi.buildAviMjpeg(8, 8, 30, 1, IndexedSeq(frames(0)))
+    val bMoviAt = baseOne.indices.find(i => i + 4 <= baseOne.length &&
+      new String(baseOne, i, 4, "US-ASCII") == "movi").get
+    val bListAt = bMoviAt - 8
+    val bOldLen = u32(baseOne, bListAt + 4).toInt + 8
+    val bomb = baseOne.take(bListAt) ++ bombMovi ++ baseOne.drop(bListAt + bOldLen)
+    System.arraycopy(u32le(u32(baseOne, 4) - bOldLen + bombMovi.length), 0, bomb, 4, 4)
+    assert(Avi.decodeAvi(bomb).isEmpty)
   }
 
   test("L5i video frame-sample: stride semantics, exact JPEG frames, null survival, spot rows") {
@@ -1673,6 +1689,13 @@ class LlmOpsSpec extends SparkSuite {
     val descAt = oob.indices.find(i => (oob(i) & 0xff) == 0x2c).get
     oob(descAt + 1) = 9.toByte
     assert(Gif.decodeGifFrames(oob).isEmpty)
+    // retention gate: the canvas-per-frame budget gates to None BEFORE
+    // snapshotting past it (tested via the cap-parameterized form; the
+    // production default is MaxDecodeTotalPixels) — and a cap with
+    // headroom decodes identically to the default
+    val threeFrames = Gif.buildAnimatedGif(4, 3, palA, fullFrames) // 12 px screen
+    assert(Gif.decodeGifFrames(threeFrames, maxTotalPixels = 40L).isEmpty) // 3rd frame: (2+2)*12 > 40
+    assert(Gif.decodeGifFrames(threeFrames, maxTotalPixels = 48L).nonEmpty) // exactly the budget
     // interop: the JDK's independent GIF reader sees the same frame count
     // and the same FIRST frame pixels in our animated bytes
     val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
