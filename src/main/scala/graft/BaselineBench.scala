@@ -635,10 +635,10 @@ object TailTwins {
           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
         .orderBy(col("l_returnflag"))),
 
-      // same honesty pin as a6_stats: exact percentile + the
-      // percentile_approx sketch + acceptance predicates are all
-      // built-ins, so this twin is the engine plan minus session
-      // configs; the row exists for the ≥1s-coverage rule
+      // the first-draft form: exact chain and sketch as two separate
+      // aggregations joined back together (two scans, two exchanges, a
+      // join) — the engine fuses all four aggregates into ONE groupBy;
+      // the twinned cost is exactly that fusion
       "a6_stats_approx" -> (() => {
         val exact = li.groupBy(col("l_returnflag"))
           .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
@@ -662,6 +662,9 @@ object TailTwins {
       // the twinned cost is the dataframe plumbing, the l10_pii_v2
       // UDF-chain convention
       "l5_video_frames" -> (() => {
+        // same row contract as the engine's videoFrameStats on ALL
+        // inputs, not just the current synthesis: per-frame decode
+        // failure → null stat fields, demux failure → one all-null row
         val decode = udf { payload: Array[Byte] =>
           graft.operators.Avi.decodeAvi(payload) match {
             case Some((_, frames)) if frames.nonEmpty =>
@@ -673,11 +676,18 @@ object TailTwins {
                       r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
                     }
                     val n = px.length.toLong
-                    (fi, w, h, n, r / n, g / n, b / n)
-                  case _ => (fi, -1, -1, -1L, -1L, -1L, -1L)
+                    (Option(fi), Option(w), Option(h), Option(n),
+                      Option(r / n), Option(g / n), Option(b / n))
+                  case _ =>
+                    (Option(fi), Option.empty[Int], Option.empty[Int],
+                      Option.empty[Long], Option.empty[Long],
+                      Option.empty[Long], Option.empty[Long])
                 }
               }
-            case _ => Seq.empty[(Int, Int, Int, Long, Long, Long, Long)]
+            case _ =>
+              Seq((Option.empty[Int], Option.empty[Int], Option.empty[Int],
+                Option.empty[Long], Option.empty[Long], Option.empty[Long],
+                Option.empty[Long]))
           }
         }
         graft.operators.Multimodal.synthAviAssets(Tables(spark, dir))

@@ -44,7 +44,20 @@ object Ckpt {
           if (!sc.getCheckpointDir.exists(_.contains(dir.stripSuffix("/"))))
             sc.setCheckpointDir(dir)
           df.checkpoint()
-        case None => df.localCheckpoint()
+        case None =>
+          // DISK_ONLY, not the default deserialized MEMORY_AND_DISK: a
+          // materialization barrier exists for lineage truncation, not
+          // for cache locality, and unrolling a LARGE intermediate (the
+          // 100× simJoin rep-pair frame) into the memory store competes
+          // for heap with the very stage computing it — measured as
+          // spurious executor OOMs on an 8 GiB local heap while the
+          // disk footprint was ~1 GB. Disk blocks stream straight out,
+          // re-reads ride the OS page cache at fixture scale, and the
+          // level is eviction-proof (a dropped local-checkpoint block
+          // is unrecoverable by design, so eviction must be impossible,
+          // not merely unlikely).
+          df.localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.DISK_ONLY)
       }
     }
   }

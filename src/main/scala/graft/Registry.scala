@@ -698,6 +698,72 @@ object Registry {
             (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey))
       ORDER BY rule""")),
 
+    // S2e: backpressure observability — the REAL DSv2 source drains a
+    // fixture-derived backlog under maxOffsetsPerTrigger and the query
+    // emits MqAdmission's recorded (backlog, admitted) history. The
+    // oracle replays the whole drain — largest-remainder floors,
+    // remainder-rank top-ups, the uncapped final batch — as a recursive
+    // CTE: each iteration ranks positive-backlog partitions by
+    // (remainder DESC, partition) and tops up the first budget−Σfloor
+    // (in the capped regime every positive floor is strictly below its
+    // backlog, so no top-up is ever skipped — the engine's saturation
+    // guard binds only on zero-backlog partitions, which the rank
+    // already orders last).
+    QueryDef("s2_admission", graft.streaming.Streams.s2Admission, Some {
+      val p = graft.streaming.Streams.S2AdmissionPartitions
+      val b = graft.streaming.Streams.S2AdmissionBudget
+      val base = graft.streaming.Streams.S2AdmissionBase
+      val m = graft.streaming.Streams.S2AdmissionMod
+      val parts = (0 until p).map(i => s"($i)").mkString(", ")
+      s"""
+      WITH RECURSIVE backlog0 AS (
+        SELECT pp.partition, $base + (COALESCE(c.cnt, 0) % $m) AS backlog
+        FROM (VALUES $parts) pp(partition)
+        LEFT JOIN (SELECT CAST(event_id % $p AS INTEGER) AS partition,
+                          count(*) AS cnt
+                   FROM events GROUP BY 1) c USING (partition)
+      ),
+      drain(batch_seq, partition, avail) AS (
+        SELECT CAST(0 AS BIGINT), partition, CAST(backlog AS BIGINT)
+        FROM backlog0
+        UNION ALL
+        SELECT batch_seq + 1, partition, avail - admitted FROM (
+          SELECT batch_seq, partition, avail, total,
+            CASE WHEN total <= $b THEN avail
+                 ELSE fl + CASE WHEN avail > 0 AND rnk <= $b - flsum
+                           THEN 1 ELSE 0 END END AS admitted
+          FROM (
+            SELECT *, sum(fl) OVER (PARTITION BY batch_seq) AS flsum,
+              row_number() OVER (PARTITION BY batch_seq
+                ORDER BY CASE WHEN avail > 0 THEN 0 ELSE 1 END,
+                         rem DESC, partition) AS rnk
+            FROM (
+              SELECT *, avail * $b // total AS fl,
+                        avail * $b % total AS rem
+              FROM (SELECT *, sum(avail) OVER (PARTITION BY batch_seq)
+                      AS total FROM drain)))
+        ) WHERE total > 0
+      )
+      SELECT batch_seq, partition, backlog, admitted,
+        backlog - admitted AS deferred FROM (
+        SELECT batch_seq, partition, avail AS backlog, total,
+          CASE WHEN total <= $b THEN avail
+               ELSE fl + CASE WHEN avail > 0 AND rnk <= $b - flsum
+                         THEN 1 ELSE 0 END END AS admitted
+        FROM (
+          SELECT *, sum(fl) OVER (PARTITION BY batch_seq) AS flsum,
+            row_number() OVER (PARTITION BY batch_seq
+              ORDER BY CASE WHEN avail > 0 THEN 0 ELSE 1 END,
+                       rem DESC, partition) AS rnk
+          FROM (
+            SELECT *, avail * $b // total AS fl,
+                      avail * $b % total AS rem
+            FROM (SELECT *, sum(avail) OVER (PARTITION BY batch_seq)
+                    AS total FROM drain)))
+      ) WHERE total > 0
+      ORDER BY batch_seq, partition"""
+    }),
+
     // Rank-sum AUC: exact Mann-Whitney over the tie-broken score order,
     // integer micro-unit ratio — the oracle replays scoring, ranking,
     // and the (2S - P(P+1))*1e6 // 2PN arithmetic in HUGEINT

@@ -5,10 +5,10 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: the full MinHash signature vector of a
@@ -132,5 +132,82 @@ object MinhashSigsCol {
   def apply(toks: Column, numHashes: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(MinhashSigs(ColumnBridge.expression(toks), numHashes))
+  }
+}
+
+/** Native one-pass twin of the PRODUCTION xxhash64 signature family
+  * ([[graft.operators.Dedup.minhashSigFastFromToks]]): signature lane i
+  * is the min over tokens of `xxhash64(i, token)` — BIT-IDENTICAL to the
+  * declarative `array_min(transform(toks, t => xxhash64(lit(i), t)))`
+  * form, which PropertiesSpec pins elementwise. Why native: the HOF form
+  * is CodegenFallback and walks the token array once PER LANE with
+  * per-element lambda interpretation — w interpreted walks per row; this
+  * walks it once total, with the int-literal fold precomputed per lane
+  * (xxhash64 folds children left-to-right, so `xxhash64(lit(i), t)` ==
+  * `hashUTF8String(t, hashInt(i, 42))`) and no allocation beyond the
+  * output vector. Null contract matches the built-in exactly: a null
+  * token contributes the lane seed itself (XxHash64 ignores null
+  * children, leaving the fold at the seed), an empty token array yields
+  * all-null lanes (array_min of an empty array), a null array yields
+  * null. Mins are SIGNED compares — array_min's LongType ordering.
+  */
+case class MinhashSigsFast(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes >= 1, "numHashes must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs_fast expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sigs_fast"
+
+  // the xxhash64(lit(i), tok) fold starts at seed 42 and folds the int
+  // literal first — a constant per lane, precomputed once per instance
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val out = new Array[Any](numHashes)
+    if (n == 0) return new GenericArrayData(out) // all-null lanes
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      if (toks.isNullAt(t)) {
+        var i = 0
+        while (i < numHashes) {
+          if (seeds(i) < mins(i)) mins(i) = seeds(i)
+          i += 1
+        }
+      } else {
+        val s = toks.getUTF8String(t)
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashUTF8String(s, seeds(i))
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var i = 0
+    while (i < numHashes) { out(i) = mins(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[MinhashSigsFast]] as a Column (direct construction, no registry). */
+object MinhashSigsFastCol {
+  def apply(toks: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(MinhashSigsFast(ColumnBridge.expression(toks), numHashes))
   }
 }

@@ -93,7 +93,11 @@ object Avi {
                     frames: IndexedSeq[Array[Byte]]): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     require(rate > 0 && scale > 0, s"bad rate $rate/$scale")
-    val usPerFrame = (scale.toLong * 1000000L / rate).toInt
+    // avih dwMicroSecPerFrame is a u32 field; clamp rather than let the
+    // Long→Int cast wrap for extreme rate/scale (metadata-only — the
+    // reader derives fps from strh rate/scale — but other readers don't)
+    val usPerFrame =
+      math.min(scale.toLong * 1000000L / rate, 0xffffffffL)
 
     val avih = {
       val b = new ByteArrayOutputStream(56)

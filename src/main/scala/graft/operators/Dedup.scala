@@ -30,6 +30,17 @@ object Dedup {
   val DefaultThreshold   = 0.8
   val DefaultChunks      = 8
 
+  /** Caps for broadcasting the collapsed rep→sorted-tokens frame through
+    * the [[simJoinParts]] verify attaches: max distinct-token-set rows
+    * and max TOTAL token count. 1M reps / 16M tokens bound the broadcast
+    * payload to ≲0.5 GB worst-case — comfortably inside any executor;
+    * a corpus past either cap (reps ~ docs on a low-duplication crawl)
+    * takes the sort-merge fallback, whose per-executor spill is bounded
+    * by cluster parallelism.
+    */
+  val BroadcastRepsCap   = 1L << 20
+  val BroadcastTokensCap = 16L * (1L << 20)
+
   /** Space-separated tokens of a text column (fixture docs are
     * single-space word soup; callers needing unicode-aware tokenization
     * pass their own tokenizer column).
@@ -131,6 +142,13 @@ object Dedup {
   def minhashSigsNative(toks: Column, numHashes: Int): Column =
     graft.functions.MinhashSigsCol(toks, numHashes)
 
+  /** One-pass native form of the xxhash64 fast family — index i is
+    * fsig_i of [[minhashSigFastFromToks]], bit-identical (PropertiesSpec
+    * pins elementwise equality against the declarative form).
+    */
+  def minhashSigsFastNative(toks: Column, numHashes: Int): Column =
+    graft.functions.MinhashSigsFastCol(toks, numHashes)
+
   /** sig_i from its backing md5 array: even halves ride the identity
     * min(prefix₁₆(h)) = prefix₁₆(min(h)) (prefixing fixed-length hex is
     * monotone), so no per-token substring is allocated; odd halves
@@ -189,9 +207,17 @@ object Dedup {
     */
   def l2MinhashFast(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    val w = DefaultBands * DefaultRowsPerBand
+    // native one-pass signature vector (the l2Minhash plumbing with the
+    // xxhash64 family): the declarative HOF form this replaces walked
+    // the token array once per lane, interpreted — measured 1.5× SLOWER
+    // than the md5 query it was meant to beat (r15 demerit); the values
+    // are bit-identical (PropertiesSpec pins both elementwise equality
+    // and the set-function algebra)
     t.documents
+      .select(col("doc_id"), minhashSigsFastNative(tokens(col("text")), w).as("__sigs"))
       .select(col("doc_id") +:
-        minhashSigFastFromToks(tokens(col("text")), DefaultBands * DefaultRowsPerBand): _*)
+        (0 until w).map(i => col("__sigs").getItem(i).as(f"fsig_$i%02d")): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -651,9 +677,16 @@ object Dedup {
     *  4. **Size-ratio prune**: Jaccard ≥ τ forces |A|/|B| ∈ [τ, 1/τ]; a
     *     two-int comparison discards most false candidates before the
     *     distinct and long before any array intersection runs.
-    *  5. Exact Jaccard verifies survivors; group members then expand
-    *     cross-pairs, and intra-group pairs (Jaccard 1.0) come straight
-    *     from the groups.
+    *  5. Exact Jaccard verifies survivors. The rep→sorted-tokens frame
+    *     BROADCASTS through both verify attaches when the collapsed rep
+    *     universe is under [[BroadcastRepsCap]]/[[BroadcastTokensCap]]
+    *     (set-collapse means reps ≪ docs on boilerplate-heavy corpora),
+    *     so the multiplicative pair stream stays narrow — two int64s —
+    *     across every exchange and the verify stage shuffles no arrays
+    *     at all; past the caps it falls back to the sort-merge attach
+    *     (cap-and-fallback, the L3 metadata discipline). Group members
+    *     then expand cross-pairs, and intra-group pairs (Jaccard 1.0)
+    *     come straight from the groups.
     */
   /** Internal decomposition of [[simJoin]]: the verified REP-level pair
     * graph plus the set_sig group structure, before member expansion.
@@ -677,7 +710,9 @@ object Dedup {
                    rowsPerBand: Int = DefaultRowsPerBand,
                    threshold: Double = DefaultThreshold,
                    chunks: Int = DefaultChunks,
-                   tokenizer: Column => Column = tokens): SimJoinParts = {
+                   tokenizer: Column => Column = tokens,
+                   broadcastRepsCap: Long = BroadcastRepsCap,
+                   broadcastTokensCap: Long = BroadcastTokensCap): SimJoinParts = {
     // 1. distinct-token-set groups, one integer representative per set.
     // Tokens are md5'd BEFORE the "|" join so a token containing the
     // delimiter can't collide two different sets into one group.
@@ -694,6 +729,10 @@ object Dedup {
     val groups = tokset.groupBy(col("set_sig"))
       .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"),
         min_by(col("toks"), col("doc_id")).as("toks"))
+      // set_sig is grouping bookkeeping only — drop the 32-hex column
+      // before the frame is pinned (every downstream consumer keys on
+      // rep_id)
+      .select(col("rep_id"), col("members"), col("toks"))
       .materialize()
     // 2. signatures + band-hash array per representative: ONE native
     // single-pass signature vector per rep (see MinhashSigs), band
@@ -730,9 +769,28 @@ object Dedup {
     // per-pair hash-set construction (size(array_intersect(...)),
     // interpreted) was the single largest cost in the pipeline.
     val repToks = bandArr.select(col("rep_id"), array_sort(col("toks")).as("toks"))
+    // Attach discipline for the two token-array joins: when the COLLAPSED
+    // rep universe is small (set-collapse means reps ≪ docs on any
+    // boilerplate-heavy corpus), broadcast the rep→sorted-tokens frame
+    // through BOTH attaches — the multiplicative candidate stream then
+    // stays NARROW (two int64s) across every exchange it crosses, and the
+    // verify stage shuffles/spills nothing even at hundreds of millions
+    // of pairs (the 100× corpus: the sort-merge form's per-pair array
+    // carry was the one stage whose spill outgrew a single box's scratch,
+    // SCALING.md). Caps bound the broadcast payload (≈150 MB at the 100×
+    // corpus, well under executor memory); a corpus whose reps exceed
+    // them — reps ~ docs on a low-duplication crawl — takes the sort-merge
+    // fallback, where per-executor spill is bounded by the cluster's
+    // parallelism. Same rows either way; LlmOpsSpec pins forced-fallback
+    // equality. The stats job is one cheap pass over the materialized
+    // groups frame.
+    val statsRow = groups.agg(count(lit(1)), sum(size(col("toks")))).head()
+    val smallReps = statsRow.getLong(0) <= broadcastRepsCap &&
+      (statsRow.isNullAt(1) || statsRow.getLong(1) <= broadcastTokensCap)
+    def attach(d: DataFrame): DataFrame = if (smallReps) broadcast(d) else d
     val repPairs = candidates
-      .join(repToks.withColumnRenamed("rep_id", "rep_a").withColumnRenamed("toks", "a_toks"), "rep_a")
-      .join(repToks.withColumnRenamed("rep_id", "rep_b").withColumnRenamed("toks", "b_toks"), "rep_b")
+      .join(attach(repToks.withColumnRenamed("rep_id", "rep_a").withColumnRenamed("toks", "a_toks")), "rep_a")
+      .join(attach(repToks.withColumnRenamed("rep_id", "rep_b").withColumnRenamed("toks", "b_toks")), "rep_b")
       .withColumn("i", graft.functions.SortedIntersectSizeCol(col("a_toks"), col("b_toks")))
       .withColumn("u", size(col("a_toks")) + size(col("b_toks")) - col("i"))
       .filter(col("i").cast("double") / col("u") >= threshold)

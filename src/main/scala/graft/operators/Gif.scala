@@ -552,10 +552,14 @@ object Gif {
             }
           case 0x2c =>
             if (frames.length >= MaxDecodeFrames) fail()
-            // retention gate BEFORE this frame's canvas snapshot (+1 for
-            // the live canvas, +1 more for a disposal-3 save being the
-            // worst case — both bounded by the same budget)
-            if ((frames.length + 2L) * sw * sh > maxTotalPixels) fail()
+            // retention gate BEFORE this frame's canvas snapshot: the
+            // frames already kept, +1 for this frame's clone, and +1
+            // more only when disposal-3 actually snapshots the canvas.
+            // A single-frame GIF therefore gets the same per-screen
+            // budget as the still path (MaxDecodePixels == this cap).
+            val willRetain =
+              frames.length + 1L + (if (disposal == 3) 1L else 0L)
+            if (willRetain * sw * sh > maxTotalPixels) fail()
             val left = u16(pos); val top = u16(pos + 2)
             val fw = u16(pos + 4); val fh = u16(pos + 6)
             val ip = bytes(pos + 8) & 0xff

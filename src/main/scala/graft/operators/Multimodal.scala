@@ -97,6 +97,10 @@ object Multimodal {
     require(w > 0 && h > 0 && px.length == w * h,
       s"bad source: ${w}x$h with ${if (px == null) -1 else px.length} pixels")
     require(w2 > 0 && h2 > 0, s"bad target ${w2}x$h2")
+    // mirror the decoders' pre-allocation posture: cap the target
+    // surface before new Array (w2*h2 as Int could overflow negative)
+    require(w2.toLong * h2 <= Gif.MaxDecodeTotalPixels,
+      s"target ${w2}x$h2 exceeds pixel budget")
     val out = new Array[Int](w2 * h2)
     var y2 = 0
     while (y2 < h2) {

@@ -512,13 +512,18 @@ object Relational {
     */
   def a6StatsApproxChecked(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val exact = t.lineitem
+    // exact chain and sketch fused into ONE aggregation: one lineitem
+    // scan, one partial-aggregated exchange, no join — the r15 form ran
+    // the exact-percentile chain and the sketch as two scans + two
+    // exchanges + a join, making this the most expensive non-iterative
+    // query for no semantic gain (r15 demerit #3)
+    t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
-    a6ApproxPercentile(spark, dir)
-      .join(exact, "l_returnflag")
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95"))
       .select(col("l_returnflag"), col("median_price"), col("p95_price"),
         pctEstOk(col("approx_median"), col("median_price")).as("median_est_ok"),
         pctEstOk(col("approx_p95"), col("p95_price")).as("p95_est_ok"))

@@ -39,6 +39,70 @@ object Streams {
   def mqStream(spark: SparkSession, topic: String): DataFrame =
     spark.readStream.format(MqSource.format).option("topic", topic).load()
 
+  /** [[s2Admission]] geometry, shared with the Registry oracle builder
+    * (no-drift rule): partition count, per-batch row budget, and the
+    * base + modulo that bound the fixture-derived backlog so the
+    * embedded-broker publish stays trivial at every scale factor.
+    */
+  val S2AdmissionPartitions = 4
+  val S2AdmissionBudget = 32L
+  val S2AdmissionBase = 40L
+  val S2AdmissionMod = 100L
+
+  /** S2e declared query: the admission-control / BACKPRESSURE
+    * observability surface under the oracle hash gate. A deterministic
+    * fixture-derived backlog — `S2AdmissionBase + (events-per-residue
+    * count mod S2AdmissionMod)` rows on each of [[S2AdmissionPartitions]]
+    * partitions, residue = event_id mod partitions — drains through the
+    * REAL DSv2 source under Trigger.AvailableNow with
+    * maxOffsetsPerTrigger = [[S2AdmissionBudget]]; every batch's
+    * (backlog, admitted) vector lands in [[MqAdmission]]'s bounded ring
+    * and the query emits the metrics frame. Deterministic end-to-end:
+    * the largest-remainder split is a pure function of the running
+    * backlog vector, so the DuckDB oracle replays the WHOLE drain —
+    * floors, remainder ranks, top-ups, the uncapped final batch — as a
+    * recursive CTE over the same derived initial backlog. Driver-side
+    * work is bounded by construction: one 4-row collect for the backlog,
+    * ≤ ~600 published messages, a partition-count × batch-count metrics
+    * frame.
+    */
+  def s2Admission(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.MqAdmission
+    val P = S2AdmissionPartitions
+    val t = graft.Tables(spark, dir)
+    import spark.implicits._
+    val cnts = t.events
+      .groupBy(pmod(col("event_id"), lit(P.toLong)).cast("int").as("partition"))
+      .agg(count(lit(1)).as("cnt"))
+    val backlog = (0 until P).toDF("partition")
+      .join(cnts, Seq("partition"), "left")
+      .select(col("partition"),
+        (lit(S2AdmissionBase) + pmod(coalesce(col("cnt"), lit(0L)),
+          lit(S2AdmissionMod))).as("backlog"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val topic = "s2_admission_q"
+    MqBroker.deleteTopic(topic); MqAdmission.clear(topic)
+    MqBroker.createTopic(topic, P)
+    // sticky keys chosen per target partition (keyed-producer placement)
+    val keyFor = (0 until P).map(p =>
+      p -> (1 to 1000).map(i => s"k$i")
+        .find(k => math.floorMod(k.hashCode, P) == p).get).toMap
+    for (p <- 0 until P; _ <- 1L to backlog(p))
+      MqBroker.publish(topic, keyFor(p), "v", 0L)
+    val df = spark.readStream.format(MqSource.format)
+      .option("topic", topic)
+      .option("maxOffsetsPerTrigger", S2AdmissionBudget.toString).load()
+    val q = df.writeStream
+      .foreachBatch((_: DataFrame, _: Long) => ())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cp-s2adm").toString)
+      .start()
+    q.awaitTermination()
+    MqAdmission.metricsFrame(spark, topic)
+      .orderBy(col("batch_seq"), col("partition"))
+  }
+
   /** S4: decode the MQ `value` JSON payload into typed event columns —
     * the canonical MQ-consumer first step (`from_json` with a declared,
     * not inferred, schema).

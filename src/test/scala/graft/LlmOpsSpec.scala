@@ -68,6 +68,20 @@ class LlmOpsSpec extends SparkSuite {
     assert(fix.forall(r => r.getLong(0) < r.getLong(1) && r.getDouble(2) >= 0.8))
   }
 
+  test("L6 verify attach: broadcast path below caps, sort-merge past them, identical rows") {
+    // fixture reps are far under the caps → the declared plan broadcasts
+    // the rep→tokens frame through both verify attaches (the pair stream
+    // stays narrow through every exchange)
+    val bc = Dedup.simJoinFromParts(Dedup.simJoinParts(tables.documents))
+    assert(bc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // caps forced to 0 → the sort-merge fallback; rows must be identical
+    val fb = Dedup.simJoinFromParts(Dedup.simJoinParts(tables.documents,
+      broadcastRepsCap = 0L, broadcastTokensCap = 0L))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(bc.collect().map(key).sorted.toSeq == fb.collect().map(key).sorted.toSeq)
+  }
+
   test("L6c n-gram shingles: order-sensitive, short-doc guarded, matches manual enumeration") {
     val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
     val got = df.select(col("doc_id"),
@@ -1694,8 +1708,13 @@ class LlmOpsSpec extends SparkSuite {
     // production default is MaxDecodeTotalPixels) — and a cap with
     // headroom decodes identically to the default
     val threeFrames = Gif.buildAnimatedGif(4, 3, palA, fullFrames) // 12 px screen
-    assert(Gif.decodeGifFrames(threeFrames, maxTotalPixels = 40L).isEmpty) // 3rd frame: (2+2)*12 > 40
-    assert(Gif.decodeGifFrames(threeFrames, maxTotalPixels = 48L).nonEmpty) // exactly the budget
+    assert(Gif.decodeGifFrames(threeFrames, maxTotalPixels = 35L).isEmpty) // 3rd frame: (2+1)*12 > 35
+    assert(Gif.decodeGifFrames(threeFrames, maxTotalPixels = 36L).nonEmpty) // exactly the budget
+    // a single-frame GIF gets the full per-screen budget (same cap as
+    // the still path): gate is 1*sw*sh, not 2*sw*sh
+    val oneFrame = Gif.buildAnimatedGif(4, 3, palA, fullFrames.take(1))
+    assert(Gif.decodeGifFrames(oneFrame, maxTotalPixels = 12L).nonEmpty)
+    assert(Gif.decodeGifFrames(oneFrame, maxTotalPixels = 11L).isEmpty)
     // interop: the JDK's independent GIF reader sees the same frame count
     // and the same FIRST frame pixels in our animated bytes
     val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()

@@ -415,6 +415,25 @@ class PropertiesSpec extends SparkSuite {
     assert(viaSql.filter(size(col("s")) === 4).count() == docs.count())
   }
 
+  test("native minhash_sigs_fast == declarative xxhash64 HOF, every lane, incl. empty docs") {
+    // the one-pass xxhash64 expression behind l2_minhash_fast must be
+    // bit-identical to the built-in form array_min(transform(toks,
+    // t => xxhash64(lit(i), t))) — differential over the fixture corpus
+    // plus the empty/one-token/duplicate-token edges
+    val fixture = tables.documents.select(col("doc_id"), col("text"))
+    val edges = Seq((900001L, ""), (900002L, "solo"), (900003L, "a b a b"))
+      .toDF("doc_id", "text")
+    val docs = fixture.unionByName(edges)
+    val w = 16
+    val ref = docs.select(col("doc_id") +:
+      Dedup.minhashSigFastFromToks(Dedup.tokens(col("text")), w): _*)
+    val nat = docs.select(col("doc_id"),
+        Dedup.minhashSigsFastNative(Dedup.tokens(col("text")), w).as("__sigs"))
+      .select(col("doc_id") +:
+        (0 until w).map(i => col("__sigs").getItem(i).as(f"fsig_$i%02d")): _*)
+    assert(ref.exceptAll(nat).isEmpty && nat.exceptAll(ref).isEmpty)
+  }
+
   test("native simhash_sig == declarative HOF fold on the fixture corpus + edges") {
     val fixture = tables.documents.select(col("doc_id"), col("text"))
     val edges = Seq((900001L, ""), (900002L, "solo")).toDF("doc_id", "text")

@@ -11,10 +11,34 @@ object TestSpark {
   val sf0001 = "/root/testdata/sf0.001"
 }
 
+/** Collector behind the STREAMING.json conformance artifact: every
+  * [[SparkSuite.assertSameRows]] call records the (wave, batch) row-set
+  * digests it compared, tagged with the running suite/test — so the
+  * driver-readable report carries the actual equivalence evidence, not
+  * just scalatest pass booleans. Digest = md5 of the order-insensitive
+  * sorted row strings, the same normalization the assertion compares.
+  */
+object StreamingDigests {
+  final case class Entry(suite: String, test: String,
+                         left: String, right: String, equal: Boolean)
+  val entries = new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
+  val currentTest = new scala.util.DynamicVariable[Option[(String, String)]](None)
+  def record(left: String, right: String, equal: Boolean): Unit =
+    currentTest.value.foreach { case (s, t) =>
+      entries.add(Entry(s, t, left, right, equal))
+    }
+}
+
 trait SparkSuite extends AnyFunSuite {
   def spark: SparkSession = TestSpark.spark
   def sf: String = TestSpark.sf0001
   def tables: Tables = Tables(spark, sf)
+
+  override def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    StreamingDigests.currentTest.withValue(
+      Some((getClass.getSimpleName, test.name))) {
+      super.withFixture(test)
+    }
 
   /** All unpartitioned WindowExec nodes in a frame's physical plan —
     * every one is a single-task serialization point, so each occurrence
@@ -80,6 +104,13 @@ trait SparkSuite extends AnyFunSuite {
     val orderB = a.columns.sorted.map(c => b.columns.indexOf(c))
     val ka = ra.map(r => order.map(i => String.valueOf(r.get(i))).toSeq).sortBy(_.mkString("|"))
     val kb = rb.map(r => orderB.map(i => String.valueOf(r.get(i))).toSeq).sortBy(_.mkString("|"))
+    def digest(rows: Seq[Seq[String]]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach(r => md.update((r.mkString("") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      md.digest().map("%02x".format(_)).mkString
+    }
+    StreamingDigests.record(digest(ka), digest(kb), ka == kb)
     assert(ka == kb, s"row sets differ (${ra.size} vs ${rb.size} rows)")
   }
 }

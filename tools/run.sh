@@ -12,6 +12,11 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# GCLockerRetryAllocationCount: under 32 allocation-heavy task threads
+# G1's GCLocker can starve a tiny allocation into a spurious OOM
+# ("Retried waiting for GCLocker too often") while the heap is fine;
+# more retries cost nothing when the pathology is absent
 exec java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"
