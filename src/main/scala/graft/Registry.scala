@@ -2898,6 +2898,46 @@ object Registry {
           CAST(SUM(b) // COUNT(*) AS BIGINT) AS mean_b
         FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""")),
 
+      // L5m: real MPEG-1 INTRA video — the engine entropy-decodes a
+      // genuine 11172-2 elementary stream (sequence/GOP/picture/slice/
+      // macroblock layers, DC-prediction chains, VLC sizes, dequant
+      // with mismatch control, the shared IDCT, 4:2:0 chroma) that its
+      // own conforming I-frame encoder wrote, samples every 2nd
+      // picture, and emits channel means; the oracle replays the
+      // per-(picture, 8×8-block) integer formula — each block is one
+      // flat 64-pixel patch whose chroma comes from its macroblock —
+      // so a defect in any bitstream layer, the DC chain, the IDCT
+      // scale, or the sampling arithmetic is a hash mismatch.
+      QueryDef("l5_mpeg1_frames", Multimodal.l5Mpeg1Frames, Some("""
+        WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf,
+                          16 * (1 + doc_id % 2) AS w,
+                          16 * (1 + (doc_id // 2) % 2) AS h
+                   FROM documents),
+        f AS (SELECT d.doc_id, d.w, d.h, u.f
+              FROM d, UNNEST(generate_series(0, d.nf - 1)) AS u(f)
+              WHERE u.f % 2 = 0),
+        blk AS (SELECT f.doc_id, f.w, f.h, f.f, k.k,
+                  ((k.k // (f.w // 8)) // 2) * (f.w // 16)
+                    + (k.k % (f.w // 8)) // 2 AS m
+                FROM f, UNNEST(generate_series(0, (f.w // 8) * (f.h // 8) - 1)) AS k(k)),
+        u AS (SELECT doc_id, w, h, f,
+                (doc_id * 7 + f * 29 + k * 31 + 23) % 256 AS y,
+                (doc_id * 11 + f * 37 + m * 17 + 61) % 256 AS cb,
+                (doc_id * 13 + f * 41 + m * 19 + 96) % 256 AS cr
+              FROM blk),
+        c AS (SELECT doc_id, w, h, f,
+            LEAST(255, GREATEST(0, (y * 65536 + 91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS r,
+            LEAST(255, GREATEST(0, (y * 65536 - 22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS g,
+            LEAST(255, GREATEST(0, (y * 65536 + 116130 * (cb - 128) + 32768 + 16777216) // 65536 - 256)) AS b
+          FROM u)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+          CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(r) * 64 // (w * h) AS BIGINT) AS mean_r,
+          CAST(SUM(g) * 64 // (w * h) AS BIGINT) AS mean_g,
+          CAST(SUM(b) * 64 // (w * h) AS BIGINT) AS mean_b
+        FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""")),
+
       // L5j: real image RESIZE — decode, nearest-neighbor resample to
       // 5x3 (output pixel (x2,y2) reads source (x2*w//5, y2*h//3)),
       // BMP re-encode, re-decode, channel means. The oracle replays the

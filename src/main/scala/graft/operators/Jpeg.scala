@@ -67,7 +67,7 @@ import scala.util.control.NonFatal
 object Jpeg {
 
   /** Zigzag scan: zigzag position → natural (row-major v·8+u) index. */
-  private val Zigzag: Array[Int] = Array(
+  private[operators] val Zigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
@@ -228,7 +228,7 @@ object Jpeg {
   /** Inverse DCT of natural-order coefficients to samples (+128,
     * rounded, clamped to 0..255).
     */
-  private def idct(coef: Array[Int]): Array[Int] = {
+  private[operators] def idct(coef: Array[Int]): Array[Int] = {
     val t = new Array[Double](64) // t(v·8+x) = Σ_u M(u,x)·S(v,u)
     var v = 0
     while (v < 8) {

@@ -1357,6 +1357,81 @@ object Multimodal {
         col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** REAL frame-sample over MPEG-1 VIDEO payloads — [[videoFrameStats]]
+    * for an actual inter-picture-capable broadcast codec, decoded
+    * intra-only ([[Mpeg1.decodeMpeg1Frames]]: sequence/GOP/picture/
+    * slice/macroblock layers, DC+AC VLC entropy decode, dequant with
+    * mismatch control, the shared 8×8 IDCT, 4:2:0 chroma). Streams
+    * containing any inter-coded picture degrade to one None row — the
+    * I-frame-only scope contract. Same scale shape as every decode
+    * here: stateless typed `mapPartitions`, map-side fan-out, no
+    * shuffle introduced.
+    */
+  def mpeg1FrameStats(assets: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"mpeg1FrameStats stride must be positive, got $stride")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Mpeg1.decodeMpeg1Frames(bytes) match {
+          case Some((w, h, frames)) if frames.nonEmpty =>
+            (0 until frames.length by stride).map { fi =>
+              val px = frames(fi)
+              val (r, g, b) = channelMeans(px)
+              VideoFrameStats(id, Some(fi), Some(w), Some(h),
+                Some(px.length.toLong), Some(r), Some(g), Some(b))
+            }
+          case _ =>
+            Seq(VideoFrameStats(id, None, None, None, None, None, None, None))
+        }
+      })
+      .toDF()
+  }
+
+  /** Deterministic per-doc MPEG-1 synthesis for the declared
+    * I-frame-video query — the [[synthAviAssets]] trick on a real
+    * broadcast bitstream: doc d is an intra-only elementary stream of
+    * 2 + d mod 3 pictures at (16·(1 + d mod 2)) × (16·(1 + ⌊d/2⌋ mod
+    * 2)), where picture f's 8×8 luma block k carries Y = (d·7 + f·29 +
+    * k·31 + 23) mod 256 and macroblock m carries Cb = (d·11 + f·37 +
+    * m·17 + 61) mod 256, Cr = (d·13 + f·41 + m·19 + 96) mod 256.
+    * DC-only blocks reconstruct EXACTLY (flat block ⇒ no AC; DC quant
+    * is the fixed 8), 4:2:0 replication is exact on MB-constant chroma,
+    * and the RGB step is the shared fixed-point formula — so the oracle
+    * replays the per-(frame, block) integer arithmetic while the engine
+    * entropy-decodes genuine MPEG-1 bits: slice structure, DC
+    * prediction chains, VLC sizes, the IDCT.
+    */
+  def synthMpeg1Assets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val nf = (2 + d % 3).toInt
+        val w = (16 * (1 + d % 2)).toInt
+        val h = (16 * (1 + (d / 2) % 2)).toInt
+        val bw = w / 8; val mbW = w / 16
+        val frames = (0 until nf).map { f =>
+          Mpeg1.Mpeg1Frame(
+            Array.tabulate(bw * (h / 8))(k => ((d * 7 + f * 29 + k * 31 + 23) % 256).toInt),
+            Array.tabulate(mbW * (h / 16))(m => ((d * 11 + f * 37 + m * 17 + 61) % 256).toInt),
+            Array.tabulate(mbW * (h / 16))(m => ((d * 13 + f * 41 + m * 19 + 96) % 256).toInt))
+        }
+        (d, Mpeg1.buildMpeg1I(w, h, frames.toIndexedSeq))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5m declared query: every-2nd-picture sample of the synthesized
+    * intra-only MPEG-1 corpus (see [[synthMpeg1Assets]]/
+    * [[mpeg1FrameStats]]).
+    */
+  def l5Mpeg1Frames(spark: SparkSession, dir: String): DataFrame =
+    mpeg1FrameStats(synthMpeg1Assets(Tables(spark, dir)), stride = 2)
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** REAL frame-sample over ANIMATED GIF payloads — the
     * [[videoFrameStats]] twin for the web's other ubiquitous motion
     * container: composite every frame onto the logical-screen canvas

@@ -1756,6 +1756,118 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("L5m MPEG-1 intra: round-trip exactness, DC chains, AC path, gates") {
+    import graft.operators.{Jpeg, Mpeg1}
+    // 32x16 = 2 macroblocks: exercises the DC prediction chain across
+    // the 4-luma-block MB order AND across macroblocks within a slice
+    val w = 32; val h = 16
+    val yDc = Array.tabulate((w / 8) * (h / 8))(k => (k * 37 + 11) % 256)
+    val cb = Array.tabulate(2)(m => (m * 91 + 40) % 256)
+    val cr = Array.tabulate(2)(m => (m * 53 + 200) % 256)
+    val es = Mpeg1.buildMpeg1I(w, h, IndexedSeq(Mpeg1.Mpeg1Frame(yDc, cb, cr)))
+    val (dw, dh, frames) = Mpeg1.decodeMpeg1Frames(es).get
+    assert(dw == w && dh == h && frames.length == 1)
+    val px = frames(0)
+    for (y <- 0 until h; x <- 0 until w) {
+      val k = (y / 8) * (w / 8) + x / 8
+      val m = (y / 16) * (w / 16) + x / 16
+      assert(px(y * w + x) == Jpeg.yccToRgb(yDc(k), cb(m), cr(m)), s"($x,$y)")
+    }
+    // multi-picture stream: order preserved, distinct content survives
+    val f2 = Mpeg1.Mpeg1Frame(yDc.map(v => 255 - v), cb, cr)
+    val es2 = Mpeg1.buildMpeg1I(w, h,
+      IndexedSeq(Mpeg1.Mpeg1Frame(yDc, cb, cr), f2, Mpeg1.Mpeg1Frame(yDc, cb, cr)))
+    val fs2 = Mpeg1.decodeMpeg1Frames(es2).get._3
+    assert(fs2.length == 3 && fs2(0).toSeq == fs2(2).toSeq
+      && fs2(0).toSeq != fs2(1).toSeq)
+    // AC path: hand-assembled 16x16 stream — one VLC-coded (0,+1) and
+    // one ESCAPE-coded (1,-5) coefficient on the first luma block; the
+    // expected samples come from an independent in-test double IDCT
+    val bits = new StringBuilder
+    def put(v: Int, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits.append((v >> i) & 1))
+    def start(code: Int): Unit = {
+      while (bits.length % 8 != 0) bits.append(0)
+      put(0, 8); put(0, 8); put(1, 8); put(code, 8)
+    }
+    start(0xb3); put(16, 12); put(16, 12); put(1, 4); put(5, 4)
+    put(0x3ffff, 18); put(1, 1); put(0, 10); put(0, 1); put(0, 1); put(0, 1)
+    start(0x00); put(0, 10); put(1, 3); put(0xffff, 16); put(0, 1)
+    start(0x01); put(8, 5); put(0, 1)       // slice row 1, qs 8
+    put(1, 1); put(1, 1)                    // addr inc 1, type intra
+    put(14, 4); put(3, 5)                   // Y0 DC: size 5 ('1110'), -28
+    put(3, 2); put(0, 1)                    // AC (0,+1): '11' + sign 0
+    put(1, 6); put(1, 6); put(251, 8)       // ESCAPE, run 1, level -5
+    put(2, 2)                               // EOB
+    for (_ <- 0 until 3) { put(4, 3); put(2, 2) }  // Y1..Y3: DC diff 0, EOB
+    for (_ <- 0 until 2) { put(0, 2); put(2, 2) }  // Cb, Cr: DC diff 0, EOB
+    start(0xb7)
+    while (bits.length % 8 != 0) bits.append(0)
+    val hand = bits.toString.grouped(8)
+      .map(s => Integer.parseInt(s, 2).toByte).toArray
+    val hpx = Mpeg1.decodeMpeg1Frames(hand).get._3.head
+    // coefficients after dequant (qs 8, default intra W): DC 100·8=800;
+    // zz1 → raster 1: 2·1·8·16/16 = 16 → oddified 15; zz3 → raster 16:
+    // 2·(−5)·8·19/16 = −95 (already odd)
+    val coef = new Array[Int](64)
+    coef(0) = 800; coef(1) = 15; coef(16) = -95
+    def refIdct(cf: Array[Int]): Array[Int] = Array.tabulate(64) { i =>
+      val x = i % 8; val y = i / 8
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+        s += cu * cv / 4.0 * cf(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      }
+      math.max(0, math.min(255, math.round(s).toInt))
+    }
+    val refY = refIdct(coef)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(hpx(y * 16 + x) == Jpeg.yccToRgb(refY(y * 8 + x), 128, 128), s"AC ($x,$y)")
+    // gates: truncation; an inter-coded (P) picture gates the stream;
+    // the retention budget binds per picture
+    assert(Mpeg1.decodeMpeg1Frames(es.dropRight(12)).isEmpty)
+    val pIdx = es.indices.find(i => i + 5 < es.length && es(i) == 0 &&
+      es(i + 1) == 0 && es(i + 2) == 1 && es(i + 3) == 0).get
+    val pf = es.clone()
+    pf(pIdx + 5) = 0x17.toByte // temporal_ref 0, type 010 (P), vbv 111…
+    assert(Mpeg1.decodeMpeg1Frames(pf).isEmpty)
+    assert(Mpeg1.decodeMpeg1Frames(es2, maxTotalPixels = 2L * w * h).isEmpty)
+    assert(Mpeg1.decodeMpeg1Frames(es2, maxTotalPixels = 3L * w * h).nonEmpty)
+  }
+
+  test("L5m mpeg1 frame-sample: stride, null survival, declared spot rows") {
+    import graft.operators.Multimodal
+    val bad = Seq((99L, "mpg?not".getBytes("US-ASCII"))).toDF("doc_id", "payload")
+    val badRow = Multimodal.mpeg1FrameStats(bad, 2).collect()(0)
+    assert(badRow.getLong(0) == 99L && badRow.isNullAt(1) && badRow.isNullAt(5))
+    // declared-query spot rows against the synthesis formula:
+    // doc 1 (nf=3 → sampled {0,2}, 32x16), doc 2 (nf=4%3=... nf=2+2%3=4? no: 2+2=4? d%3 of 2 is 2 → nf=4) — use docs 1 and 3
+    val q = Multimodal.l5Mpeg1Frames(spark, sf)
+      .filter(col("doc_id").isin(1L, 3L)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    for (((d, f), row) <- q) {
+      val w = (16 * (1 + d % 2)).toInt; val h = (16 * (1 + (d / 2) % 2)).toInt
+      var r = 0L; var g = 0L; var b = 0L
+      for (k <- 0 until (w / 8) * (h / 8)) {
+        val m = ((k / (w / 8)) / 2) * (w / 16) + (k % (w / 8)) / 2
+        val y = ((d * 7 + f * 29 + k * 31 + 23) % 256).toInt
+        val cbv = ((d * 11 + f * 37 + m * 17 + 61) % 256).toInt
+        val crv = ((d * 13 + f * 41 + m * 19 + 96) % 256).toInt
+        val rgb = graft.operators.Jpeg.yccToRgb(y, cbv, crv)
+        r += ((rgb >> 16) & 0xff) * 64; g += ((rgb >> 8) & 0xff) * 64
+        b += (rgb & 0xff) * 64
+      }
+      val n = (w.toLong * h)
+      assert(row.getInt(2) == w && row.getInt(3) == h && row.getLong(4) == n)
+      assert(row.getLong(5) == r / n && row.getLong(6) == g / n
+        && row.getLong(7) == b / n, s"doc $d frame $f")
+    }
+    assert(q.keySet == Set((1L, 0), (1L, 2), (3L, 0)))
+  }
+
   test("L5k G.711: ITU reference points, container round-trips, gates, spot rows") {
     import graft.operators.Multimodal
     // ITU-T G.711 reference points (public tables): both zeros, both

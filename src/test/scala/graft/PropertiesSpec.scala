@@ -23,7 +23,7 @@ class PropertiesSpec extends SparkSuite {
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
   test("codec fuzz: random and single-byte-mutated containers never throw; valid prefixes gate to None") {
-    import graft.operators.{Avi, Gif, Jpeg, Multimodal}
+    import graft.operators.{Avi, Gif, Jpeg, Mpeg1, Multimodal}
     // the None-never-throw contract, adversarially: every decoder must
     // survive (a) arbitrary bytes, (b) VALID containers with one byte
     // flipped anywhere (the header stays plausible, so the walk goes
@@ -37,6 +37,7 @@ class PropertiesSpec extends SparkSuite {
       "gif1" -> (b => Gif.decodeGif(b)),
       "gifN" -> (b => Gif.decodeGifFrames(b)),
       "jpeg" -> (b => Jpeg.decodeJpeg(b)),
+      "mpeg1" -> (b => Mpeg1.decodeMpeg1Frames(b)),
       "png" -> (b => Multimodal.decodePng(b)),
       "bmp" -> (b => Multimodal.decodeBmp24(b)),
       "wav" -> (b => Multimodal.decodePcmSamples(b)),
@@ -56,6 +57,9 @@ class PropertiesSpec extends SparkSuite {
           Gif.GifFrame(Array(1, 2), 1, 1, 2, 1, disposal = 2, transparentIndex = 1))),
         b => Gif.decodeGifFrames(b)),
       ("jpeg", jf, b => Jpeg.decodeJpeg(b)),
+      ("mpeg1", Mpeg1.buildMpeg1I(16, 16, IndexedSeq(Mpeg1.Mpeg1Frame(
+        Array.tabulate(4)(k => k * 60 % 256), Array(100), Array(200)))),
+        b => Mpeg1.decodeMpeg1Frames(b)),
       ("png", Multimodal.buildPng(Array.tabulate(15)(i => i * 0x010203), 5, 3, _ % 5),
         b => Multimodal.decodePng(b)),
       ("wav-g711", Multimodal.buildWavG711(Array.tabulate(64)(_.toByte), aLaw = true),
