@@ -2938,6 +2938,50 @@ object Registry {
           CAST(SUM(b) * 64 // (w * h) AS BIGINT) AS mean_b
         FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""")),
 
+      // L5n: real MPEG-1 PREDICTED video — each doc is one intra
+      // picture plus 1–3 zero-motion P pictures whose per-block odd
+      // luma deltas ride the REAL P path (macroblock-type VLC, coded
+      // block pattern, dct_coeff_first escapes, non-intra dequant with
+      // oddification, residual IDCT, prediction add, reference-frame
+      // chaining); the delta family is constructed so reconstruction
+      // is exact, and the oracle replays Y_f = Y0 + cumulative-delta
+      // as a window sum — a defect anywhere in the P machinery (or a
+      // decoder that drops/reorders reference frames) is a hash
+      // mismatch on the chained frames.
+      QueryDef("l5_mpeg1p_frames", Multimodal.l5Mpeg1PFrames, Some("""
+        WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS np,
+                          16 * (1 + doc_id % 2) AS w,
+                          16 * (1 + (doc_id // 2) % 2) AS h
+                   FROM documents),
+        fk AS (SELECT d.doc_id, d.w, d.h, u.f, k.k,
+                 ((k.k // (d.w // 8)) // 2) * (d.w // 16)
+                   + (k.k % (d.w // 8)) // 2 AS m
+               FROM d,
+                    UNNEST(generate_series(0, d.np)) AS u(f),
+                    UNNEST(generate_series(0, (d.w // 8) * (d.h // 8) - 1)) AS k(k)),
+        delta AS (SELECT *, CASE WHEN f = 0 THEN 0 ELSE
+                    (CASE WHEN (doc_id + f + k) % 2 = 0 THEN 1 ELSE -1 END)
+                    * (3 + 2 * ((doc_id + f * 5 + k * 3) % 4)) END AS dlt
+                  FROM fk),
+        u AS (SELECT doc_id, w, h, f,
+                40 + (doc_id * 7 + k * 31 + 23) % 176
+                  + SUM(dlt) OVER (PARTITION BY doc_id, k ORDER BY f) AS y,
+                (doc_id * 11 + m * 17 + 61) % 256 AS cb,
+                (doc_id * 13 + m * 19 + 96) % 256 AS cr
+              FROM delta),
+        c AS (SELECT doc_id, w, h, f,
+            LEAST(255, GREATEST(0, (y * 65536 + 91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS r,
+            LEAST(255, GREATEST(0, (y * 65536 - 22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS g,
+            LEAST(255, GREATEST(0, (y * 65536 + 116130 * (cb - 128) + 32768 + 16777216) // 65536 - 256)) AS b
+          FROM u)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+          CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(r) * 64 // (w * h) AS BIGINT) AS mean_r,
+          CAST(SUM(g) * 64 // (w * h) AS BIGINT) AS mean_g,
+          CAST(SUM(b) * 64 // (w * h) AS BIGINT) AS mean_b
+        FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""")),
+
       // L5j: real image RESIZE — decode, nearest-neighbor resample to
       // 5x3 (output pixel (x2,y2) reads source (x2*w//5, y2*h//3)),
       // BMP re-encode, re-decode, channel means. The oracle replays the

@@ -3,28 +3,33 @@ package graft.operators
 import scala.collection.mutable.ArrayBuffer
 import scala.util.control.NonFatal
 
-/** REAL MPEG-1 video (ISO/IEC 11172-2) — INTRA-ONLY decode + a conforming
-  * I-frame encoder, the second genuine video codec arm next to the
+/** REAL MPEG-1 video (ISO/IEC 11172-2) — I- and P-picture decode + a
+  * conforming encoder, the second genuine video codec arm next to the
   * MJPEG-AVI path (see [[Avi]]): sequence/GOP/picture/slice/macroblock
-  * layers, the standard DC-size and AC run-level VLC families, default
-  * and stream-loaded intra quantizer matrices, dequantization with the
-  * oddification (mismatch-control) rule, and the shared 8×8 IDCT from
-  * [[Jpeg]] — MPEG-1's DCT is the same transform with an un-level-shifted
-  * DC, so `Jpeg.idct(coefs with DC−1024)` reconstructs MPEG samples
-  * bit-exactly (the DC basis contributes DC/8 uniformly; subtracting
-  * 1024 = 128·8 converts to JPEG's +128 convention).
+  * layers, the standard DC-size, AC run-level, macroblock-type, CBP and
+  * motion-vector VLC families, default and stream-loaded quantizer
+  * matrices, dequantization with the oddification (mismatch-control)
+  * rule, FORWARD MOTION COMPENSATION (full- and half-pel with the
+  * standard's round-half-away averaging, f_code modular vector
+  * reconstruction, skipped-macroblock copy, intra refresh inside P
+  * pictures), non-intra residual blocks (dct_coeff_first, flat-16
+  * default matrix) added onto the prediction, and the shared 8×8 IDCT
+  * from [[Jpeg]] for intra blocks — MPEG-1's DCT is the same transform
+  * with an un-level-shifted DC, so `Jpeg.idct(coefs with DC−1024)`
+  * reconstructs intra samples bit-exactly (the DC basis contributes
+  * DC/8 uniformly; subtracting 1024 = 128·8 converts to JPEG's +128
+  * convention); residuals go through their own unshifted rounding IDCT.
   *
-  * Scope contract (the codec-family narrowing discipline): streams whose
-  * pictures are ALL intra-coded (type I) decode fully; the first P/B
-  * picture gates the WHOLE stream to None — inter-frame prediction is
-  * the one video feature this engine still stands in for, now at
-  * PICTURE granularity instead of format granularity. Two more
-  * documented bounds: (a) the AC coefficient VLC table is implemented
-  * through its 13-bit codes plus the fixed-format ESCAPE form — any
-  * conforming encoder can escape-code the rare longer entries, and this
-  * encoder always does; an unmatched longer prefix gates to None;
-  * (b) macroblock address increments ≠ 1 (legal syntax, but skipped
-  * macroblocks are forbidden in I pictures) gate to None.
+  * Scope contract (the codec-family narrowing discipline): streams of
+  * I and P pictures decode fully; the first B (bidirectional) or D
+  * picture gates the WHOLE stream to None — B-frame reorder buffers
+  * are the one remaining video feature this engine stands in for,
+  * narrowed this round from "all inter prediction" to bidirectional
+  * prediction only. One more documented bound: the AC coefficient VLC
+  * table is implemented through its 13-bit codes plus the fixed-format
+  * ESCAPE form — any conforming encoder can escape-code the rare
+  * longer entries, and this encoder always does; an unmatched longer
+  * prefix gates to None.
   *
   * Hostile-input posture matches the other codecs: dimension and
   * retention caps checked BEFORE any allocation, every parse error is
@@ -54,6 +59,9 @@ object Mpeg1 {
     26, 27, 29, 32, 35, 40, 48, 58,
     26, 27, 29, 34, 38, 46, 56, 69,
     27, 29, 35, 38, 46, 56, 69, 83)
+
+  /** Default non-intra quantizer matrix: flat 16 (11172-2 2.4.3.3). */
+  private[operators] val DefaultNonIntraQ: Array[Int] = Array.fill(64)(16)
 
   // ------------------------------------------------------------------
   // VLC tables (code-string → value), decoded by longest-prefix walk
@@ -104,6 +112,43 @@ object Mpeg1 {
   private val DcSizeChromaVlc = new Vlc(Seq(
     "00" -> 0, "01" -> 1, "10" -> 2, "110" -> 3, "1110" -> 4,
     "11110" -> 5, "111110" -> 6, "1111110" -> 7, "11111110" -> 8))
+
+  /** P-picture macroblock_type (table B.2b), as a flag mask:
+    * 8 = quantizer present, 4 = forward MC, 2 = coded pattern, 1 = intra.
+    */
+  private val PTypeVlc = new Vlc(Seq(
+    "1" -> 6, "01" -> 2, "001" -> 4, "00011" -> 1,
+    "00010" -> 10, "000010" -> 14, "000001" -> 9))
+
+  /** coded_block_pattern (table B.3) — cbp 0 has no code. */
+  private val CbpVlc = new Vlc(Seq(
+    "111" -> 60,
+    "1101" -> 4, "1100" -> 8, "1011" -> 16, "1010" -> 32,
+    "10011" -> 12, "10010" -> 48, "10001" -> 20, "10000" -> 40,
+    "01111" -> 28, "01110" -> 44, "01101" -> 52, "01100" -> 56,
+    "01011" -> 1, "01010" -> 61, "01001" -> 2, "01000" -> 62,
+    "001111" -> 24, "001110" -> 36, "001101" -> 3, "001100" -> 63,
+    "0010111" -> 5, "0010110" -> 9, "0010101" -> 17, "0010100" -> 33,
+    "0010011" -> 6, "0010010" -> 10, "0010001" -> 18, "0010000" -> 34,
+    "00011111" -> 7, "00011110" -> 11, "00011101" -> 19, "00011100" -> 35,
+    "00011011" -> 13, "00011010" -> 49, "00011001" -> 21, "00011000" -> 41,
+    "00010111" -> 14, "00010110" -> 50, "00010101" -> 22, "00010100" -> 42,
+    "00010011" -> 15, "00010010" -> 51, "00010001" -> 23, "00010000" -> 43,
+    "00001111" -> 25, "00001110" -> 37, "00001101" -> 26, "00001100" -> 38,
+    "00001011" -> 29, "00001010" -> 45, "00001001" -> 53, "00001000" -> 57,
+    "00000111" -> 30, "00000110" -> 46, "00000101" -> 54, "00000100" -> 58,
+    "000000111" -> 31, "000000110" -> 47, "000000101" -> 55,
+    "000000100" -> 59, "000000011" -> 27, "000000010" -> 39))
+
+  /** motion_code magnitude VLC (table B.4); the sign bit follows any
+    * nonzero code, and fCode−1 residual bits follow when forward_f > 1.
+    */
+  private val MvVlc = new Vlc(Seq(
+    "1" -> 0, "01" -> 1, "001" -> 2, "0001" -> 3, "000011" -> 4,
+    "0000101" -> 5, "0000100" -> 6, "0000011" -> 7,
+    "000001011" -> 8, "000001010" -> 9, "000001001" -> 10,
+    "0000010001" -> 11, "0000010000" -> 12, "0000001111" -> 13,
+    "0000001110" -> 14, "0000001101" -> 15, "0000001100" -> 16))
 
   /** dct_coeff_next run/level VLC (table B.5c), implemented through its
     * 13-bit codes; value = run·256 + level (level sign read separately).
@@ -236,21 +281,22 @@ object Mpeg1 {
       br.bits(18)
       if (br.bit() != 1) fail() // marker bit
       br.bits(10); br.bit()
-      val intraQ =
-        if (br.bit() == 1) {
-          val a = new Array[Int](64)
-          var i = 0
-          while (i < 64) {
-            val v = br.bits(8); if (v == 0) fail()
-            a(Jpeg.Zigzag(i)) = v; i += 1
-          }
-          a
-        } else DefaultIntraQ
-      if (br.bit() == 1) { var i = 0; while (i < 64) { br.bits(8); i += 1 } }
+      def loadMatrix(): Array[Int] = {
+        val a = new Array[Int](64)
+        var i = 0
+        while (i < 64) {
+          val v = br.bits(8); if (v == 0) fail()
+          a(Jpeg.Zigzag(i)) = v; i += 1
+        }
+        a
+      }
+      val intraQ = if (br.bit() == 1) loadMatrix() else DefaultIntraQ
+      val nonIntraQ = if (br.bit() == 1) loadMatrix() else DefaultNonIntraQ
 
       val mbW = (w + 15) / 16; val mbH = (h + 15) / 16
       if (mbH > 175) fail() // slice vertical_position is 8 bits, 1..175
       val frames = ArrayBuffer.empty[Array[Int]]
+      var prev: Planes = null // last reconstructed picture (P reference)
       var done = false
       while (!done) {
         br.nextStartCode() match {
@@ -263,10 +309,22 @@ object Mpeg1 {
             if (frames.length >= MaxDecodeFrames) fail()
             if ((frames.length + 1L) * w * h > maxTotalPixels) fail()
             br.bits(10)
-            if (br.bits(3) != 1) return None // inter-coded picture: gate
+            val ptype = br.bits(3)
+            // B (bidirectional) and D pictures gate the stream — the
+            // remaining inter-prediction stand-in, see the object doc
+            if (ptype != 1 && ptype != 2) return None
+            if (ptype == 2 && prev == null) fail() // P needs a reference
             br.bits(16)
+            var fullPel = false; var fCode = 1
+            if (ptype == 2) {
+              fullPel = br.bit() == 1
+              fCode = br.bits(3); if (fCode == 0) fail()
+            }
             while (br.bit() == 1) br.bits(8) // extra_information_picture
-            frames += decodePicture(br, w, h, mbW, mbH, intraQ)
+            val rec = decodePicture(br, mbW, mbH, intraQ, nonIntraQ,
+              intra = ptype == 1, fullPel, fCode, prev)
+            prev = rec
+            frames += toRgb(rec, w, h, mbW)
           case _ => fail()
         }
       }
@@ -274,14 +332,67 @@ object Mpeg1 {
     } catch { case NonFatal(_) => None }
   }
 
-  /** All slices of one intra picture → packed-RGB display pixels. */
-  private def decodePicture(br: BitReader, w: Int, h: Int,
-      mbW: Int, mbH: Int, intraQ: Array[Int]): Array[Int] = {
-    val yPlane = new Array[Int](mbW * 16 * mbH * 16)
-    val cbPlane = new Array[Int](mbW * 8 * mbH * 8)
-    val crPlane = new Array[Int](mbW * 8 * mbH * 8)
+  /** Reconstructed picture planes at full macroblock-grid size. */
+  private final case class Planes(y: Array[Int], cb: Array[Int], cr: Array[Int])
+
+  /** Crop to display size + 4:2:0 replication + the shared RGB step. */
+  private def toRgb(p: Planes, w: Int, h: Int, mbW: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = Jpeg.yccToRgb(p.y(y * mbW * 16 + x),
+          p.cb((y / 2) * mbW * 8 + x / 2), p.cr((y / 2) * mbW * 8 + x / 2))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** All slices of one picture (I or P) → reconstructed planes at
+    * full macroblock-grid size. Coverage is strict: every macroblock
+    * decoded (or legally skipped, P only) exactly once.
+    */
+  private def decodePicture(br: BitReader, mbW: Int, mbH: Int,
+      intraQ: Array[Int], nonIntraQ: Array[Int], intra: Boolean,
+      fullPel: Boolean, fCode: Int, prev: Planes): Planes = {
+    val lw = mbW * 16; val cw = mbW * 8
+    val cur = Planes(new Array[Int](lw * mbH * 16),
+      new Array[Int](cw * mbH * 8), new Array[Int](cw * mbH * 8))
     val covered = new Array[Boolean](mbW * mbH)
     var nCovered = 0
+
+    def place(samples: Array[Int], plane: Array[Int], planeW: Int,
+              x0: Int, y0: Int): Unit = {
+      var yy = 0
+      while (yy < 8) {
+        System.arraycopy(samples, yy * 8, plane, (y0 + yy) * planeW + x0, 8)
+        yy += 1
+      }
+    }
+
+    /** 16×16 luma + 8×8 chroma copy from the reference at zero MV —
+      * the skipped-macroblock reconstruction.
+      */
+    def copyFromPrev(addr: Int): Unit = {
+      val mx = addr % mbW; val my = addr / mbW
+      var yy = 0
+      while (yy < 16) {
+        val off = (my * 16 + yy) * lw + mx * 16
+        System.arraycopy(prev.y, off, cur.y, off, 16)
+        yy += 1
+      }
+      yy = 0
+      while (yy < 8) {
+        val off = (my * 8 + yy) * cw + mx * 8
+        System.arraycopy(prev.cb, off, cur.cb, off, 8)
+        System.arraycopy(prev.cr, off, cur.cr, off, 8)
+        yy += 1
+      }
+    }
+
     var sliceLoop = true
     while (sliceLoop) {
       val m = br.mark()
@@ -291,8 +402,12 @@ object Mpeg1 {
         if (mbRow >= mbH) fail()
         var q = br.bits(5); if (q == 0) fail()
         while (br.bit() == 1) br.bits(8) // extra_information_slice
-        // DC predictors reset at slice start (128·8 = 1024)
+        // DC predictors (reset at slice start and after any non-intra
+        // or skipped macroblock) and MV predictors (reset at slice
+        // start, after intra, after skip, and after No-MC macroblocks)
         val pred = Array(1024, 1024, 1024)
+        var dcValid = false
+        var mvH = 0; var mvV = 0
         var mbAddr = mbRow * mbW - 1
         var first = true
         var mbLoop = true
@@ -306,43 +421,101 @@ object Mpeg1 {
               case v            => inc += v; more = false
             }
           }
-          // skipped macroblocks are forbidden in I pictures; a slice
-          // must also start at its row's first column for full coverage
-          if (inc != 1 || (first && mbAddr + inc != mbRow * mbW)) fail()
+          // a slice must start at its row's first column (coverage)
+          if (first && mbAddr + inc != mbRow * mbW) fail()
+          if (inc > 1) {
+            // skipped macroblocks: forbidden in I pictures and as the
+            // first macroblock of a slice; in P they copy the reference
+            if (intra || first) fail()
+            var a = mbAddr + 1
+            while (a < mbAddr + inc) {
+              if (a >= mbW * mbH || covered(a)) fail()
+              covered(a) = true; nCovered += 1
+              copyFromPrev(a)
+              a += 1
+            }
+            dcValid = false; mvH = 0; mvV = 0
+          }
           first = false
           mbAddr += inc
           if (mbAddr >= mbW * mbH) fail()
           if (covered(mbAddr)) fail()
           covered(mbAddr) = true; nCovered += 1
-          // macroblock_type, I pictures: '1' intra, '01' intra + quant
-          if (br.bit() != 1) {
-            if (br.bit() != 1) fail()
-            q = br.bits(5); if (q == 0) fail()
-          }
-          val mbX = mbAddr % mbW; val mbY = mbAddr / mbW
-          var b = 0
-          while (b < 6) {
-            val comp = if (b < 4) 0 else b - 3 // 0=Y, 1=Cb, 2=Cr
-            val samples = decodeIntraBlock(br, comp, q, intraQ, pred)
-            if (b < 4) {
-              val x0 = mbX * 16 + (b % 2) * 8; val y0 = mbY * 16 + (b / 2) * 8
-              var yy = 0
-              while (yy < 8) {
-                System.arraycopy(samples, yy * 8, yPlane,
-                  (y0 + yy) * mbW * 16 + x0, 8)
-                yy += 1
-              }
-            } else {
-              val plane = if (b == 4) cbPlane else crPlane
-              val x0 = mbX * 8; val y0 = mbY * 8
-              var yy = 0
-              while (yy < 8) {
-                System.arraycopy(samples, yy * 8, plane,
-                  (y0 + yy) * mbW * 8 + x0, 8)
-                yy += 1
-              }
+
+          // macroblock_type
+          var quantF = false; var mcF = false; var codedF = false
+          var intraF = false
+          if (intra) {
+            // I pictures: '1' intra, '01' intra + quant
+            intraF = true
+            if (br.bit() != 1) {
+              if (br.bit() != 1) fail()
+              quantF = true
             }
-            b += 1
+          } else {
+            val t = PTypeVlc.decode(br)
+            quantF = (t & 8) != 0; mcF = (t & 4) != 0
+            codedF = (t & 2) != 0; intraF = (t & 1) != 0
+          }
+          if (quantF) { q = br.bits(5); if (q == 0) fail() }
+
+          val mbX = mbAddr % mbW; val mbY = mbAddr / mbW
+          if (intraF) {
+            if (!dcValid) { pred(0) = 1024; pred(1) = 1024; pred(2) = 1024 }
+            dcValid = true
+            mvH = 0; mvV = 0
+            var b = 0
+            while (b < 6) {
+              val comp = if (b < 4) 0 else b - 3
+              val samples = decodeIntraBlock(br, comp, q, intraQ, pred)
+              if (b < 4)
+                place(samples, cur.y, lw, mbX * 16 + (b % 2) * 8,
+                  mbY * 16 + (b / 2) * 8)
+              else
+                place(samples, if (b == 4) cur.cb else cur.cr, cw,
+                  mbX * 8, mbY * 8)
+              b += 1
+            }
+          } else {
+            dcValid = false
+            if (mcF) {
+              mvH = decodeMv(br, fCode, mvH)
+              mvV = decodeMv(br, fCode, mvV)
+            } else { mvH = 0; mvV = 0 }
+            // half-pel displacements (full_pel vectors are doubled)
+            val dxH = if (fullPel) mvH * 2 else mvH
+            val dyH = if (fullPel) mvV * 2 else mvV
+            val py = predictBlock(prev.y, lw, mbH * 16, mbX * 16, mbY * 16,
+              16, dxH, dyH)
+            val pcb = predictBlock(prev.cb, cw, mbH * 8, mbX * 8, mbY * 8,
+              8, dxH / 2, dyH / 2)
+            val pcr = predictBlock(prev.cr, cw, mbH * 8, mbX * 8, mbY * 8,
+              8, dxH / 2, dyH / 2)
+            val cbp = if (codedF) CbpVlc.decode(br) else 0
+            var b = 0
+            while (b < 6) {
+              val res: Array[Int] =
+                if ((cbp & (32 >> b)) != 0)
+                  idctResidual(decodeNonIntraBlock(br, q, nonIntraQ))
+                else null
+              val out = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                val base =
+                  if (b < 4) py(((b / 2) * 8 + i / 8) * 16 + (b % 2) * 8 + i % 8)
+                  else if (b == 4) pcb(i)
+                  else pcr(i)
+                val v = base + (if (res == null) 0 else res(i))
+                out(i) = if (v < 0) 0 else if (v > 255) 255 else v
+                i += 1
+              }
+              if (b < 4)
+                place(out, cur.y, lw, mbX * 16 + (b % 2) * 8,
+                  mbY * 16 + (b / 2) * 8)
+              else
+                place(out, if (b == 4) cur.cb else cur.cr, cw, mbX * 8, mbY * 8)
+              b += 1
+            }
           }
           if (br.at23Zeros()) mbLoop = false
         }
@@ -352,14 +525,172 @@ object Mpeg1 {
       }
     }
     if (nCovered != mbW * mbH) fail() // every macroblock exactly once
-    // crop + 4:2:0 chroma replication + shared fixed-point RGB step
-    val out = new Array[Int](w * h)
+    cur
+  }
+
+  /** One forward motion-vector component: magnitude VLC + sign +
+    * residual bits, reconstructed with the 11172-2 2.4.4.2 modular
+    * wrap into [−16f, 16f−1]. Returned in the coded unit (half-pel, or
+    * full-pel under the picture's full_pel flag — the caller scales).
+    */
+  private def decodeMv(br: BitReader, fCode: Int, pred: Int): Int = {
+    val mag = MvVlc.decode(br)
+    val code = if (mag == 0) 0 else if (br.bit() == 1) -mag else mag
+    val f = 1 << (fCode - 1)
+    val delta =
+      if (code == 0) 0
+      else {
+        val r = if (f > 1) br.bits(fCode - 1) else 0
+        val v = 1 + (mag - 1) * f + r
+        if (code < 0) -v else v
+      }
+    var nv = pred + delta
+    val range = 16 * f
+    if (nv > range - 1) nv -= 2 * range
+    if (nv < -range) nv += 2 * range
+    nv
+  }
+
+  /** size×size forward prediction from the reference plane at a
+    * half-pel displacement; half-sample positions average with the
+    * standard's round-half-away (pels are non-negative, so +1 >> 1 /
+    * +2 >> 2). Vectors pointing outside the reference gate to None.
+    */
+  private def predictBlock(plane: Array[Int], planeW: Int, planeH: Int,
+      x0: Int, y0: Int, size: Int, dHalfX: Int, dHalfY: Int): Array[Int] = {
+    val ix = x0 + (dHalfX >> 1); val iy = y0 + (dHalfY >> 1)
+    val hx = dHalfX & 1; val hy = dHalfY & 1
+    if (ix < 0 || iy < 0 || ix + size + hx > planeW || iy + size + hy > planeH)
+      fail()
+    val out = new Array[Int](size * size)
     var y = 0
-    while (y < h) {
+    while (y < size) {
       var x = 0
-      while (x < w) {
-        out(y * w + x) = Jpeg.yccToRgb(yPlane(y * mbW * 16 + x),
-          cbPlane((y / 2) * mbW * 8 + x / 2), crPlane((y / 2) * mbW * 8 + x / 2))
+      while (x < size) {
+        val a = plane((iy + y) * planeW + ix + x)
+        out(y * size + x) =
+          if (hx == 0 && hy == 0) a
+          else if (hx == 1 && hy == 0)
+            (a + plane((iy + y) * planeW + ix + x + 1) + 1) >> 1
+          else if (hx == 0 && hy == 1)
+            (a + plane((iy + y + 1) * planeW + ix + x) + 1) >> 1
+          else
+            (a + plane((iy + y) * planeW + ix + x + 1) +
+              plane((iy + y + 1) * planeW + ix + x) +
+              plane((iy + y + 1) * planeW + ix + x + 1) + 2) >> 2
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** One non-intra block: dct_coeff_first (where '1'+sign is (0, ±1)
+    * and EOB cannot occur) then dct_coeff_next to EOB; non-intra
+    * dequant (2·L + sign, flat-16 default matrix) with oddification.
+    * Returns RAW coefficients (raster order) for [[idctResidual]].
+    */
+  private def decodeNonIntraBlock(br: BitReader, q: Int,
+      w: Array[Int]): Array[Int] = {
+    val coefs = new Array[Int](64)
+    var zz = -1
+    val m = br.mark()
+    if (br.bit() == 1) {
+      val level = if (br.bit() == 1) -1 else 1
+      zz = 0
+      coefs(Jpeg.Zigzag(0)) = dequantNonIntra(level, q, w, 0)
+    } else {
+      br.reset(m)
+      CoefVlc.decode(br) match {
+        case CoefEob => fail() // EOB cannot be the first coefficient
+        case CoefEscape =>
+          val run = br.bits(6)
+          val level = escapeLevel(br)
+          zz = run
+          if (zz > 63) fail()
+          coefs(Jpeg.Zigzag(zz)) = dequantNonIntra(level, q, w, zz)
+        case rl =>
+          val run = rl >> 8; val mag = rl & 0xff
+          val level = if (br.bit() == 1) -mag else mag
+          zz = run
+          if (zz > 63) fail()
+          coefs(Jpeg.Zigzag(zz)) = dequantNonIntra(level, q, w, zz)
+      }
+    }
+    var eob = false
+    while (!eob) {
+      CoefVlc.decode(br) match {
+        case CoefEob => eob = true
+        case CoefEscape =>
+          val run = br.bits(6)
+          val level = escapeLevel(br)
+          zz += run + 1
+          if (zz > 63) fail()
+          coefs(Jpeg.Zigzag(zz)) = dequantNonIntra(level, q, w, zz)
+        case rl =>
+          val run = rl >> 8; val mag = rl & 0xff
+          val level = if (br.bit() == 1) -mag else mag
+          zz += run + 1
+          if (zz > 63) fail()
+          coefs(Jpeg.Zigzag(zz)) = dequantNonIntra(level, q, w, zz)
+      }
+    }
+    coefs
+  }
+
+  /** ESCAPE-coded level: 8-bit signed, with the 16-bit double-byte
+    * forms for |level| ≥ 128.
+    */
+  private def escapeLevel(br: BitReader): Int = {
+    val l8 = br.bits(8)
+    val level =
+      if (l8 == 0) { val b = br.bits(8); if (b < 128) fail(); b }
+      else if (l8 == 128) { val b = br.bits(8); b - 256 }
+      else if (l8 < 128) l8
+      else l8 - 256
+    if (level == 0) fail()
+    level
+  }
+
+  /** Non-intra dequant: ((2·L + Sign(L))·q·W)/16 truncated toward
+    * zero, forced odd, saturated.
+    */
+  private def dequantNonIntra(level: Int, q: Int, w: Array[Int], zz: Int): Int = {
+    var v = (2 * level + Integer.signum(level)) * q * w(Jpeg.Zigzag(zz)) / 16
+    if ((v & 1) == 0) v -= Integer.signum(v)
+    if (v > 2047) 2047 else if (v < -2048) -2048 else v
+  }
+
+  // IDCT basis for residual blocks (no +128, no clamp — residuals are
+  // signed corrections added to the motion-compensated prediction)
+  private val Basis: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Inverse DCT of a RESIDUAL block: rounded, unshifted, unclamped
+    * (the pixel clamp happens after adding the prediction).
+    */
+  private def idctResidual(coef: Array[Int]): Array[Int] = {
+    val t = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += Basis(u)(x) * coef(v * 8 + u); u += 1 }
+        t(v * 8 + x) = s; x += 1
+      }
+      v += 1
+    }
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var vv = 0
+        while (vv < 8) { s += Basis(vv)(y) * t(vv * 8 + x); vv += 1 }
+        out(y * 8 + x) = Math.round(s).toInt
         x += 1
       }
       y += 1
@@ -434,21 +765,48 @@ object Mpeg1 {
     */
   final case class Mpeg1Frame(yDc: Array[Int], cbDc: Array[Int], crDc: Array[Int])
 
+  /** One picture for [[buildMpeg1]]: intra, or zero-MV predicted. */
+  sealed trait Mp1Picture
+  /** Intra picture carrying the [[Mpeg1Frame]] grids. */
+  final case class IPicture(f: Mpeg1Frame) extends Mp1Picture
+  /** Predicted picture, zero motion: per-8×8-block ODD luma deltas in
+    * ±{3, 5, 7, …} (chroma unchanged). Every macroblock is a No-MC
+    * Coded macroblock (type '01'), CBP 60 (the four luma blocks),
+    * residual DC escape-coded with level (|D|−1)/2·sign(D) — which
+    * dequantizes (q 8, flat-16 matrix, oddification) to 16·L±7, whose
+    * DC-only residual IDCT rounds to exactly D per pixel. The delta
+    * algebra is therefore closed-form replayable by an oracle.
+    */
+  final case class PPicture(yDelta: Array[Int]) extends Mp1Picture
+
   /** Serialize intra frames into a conforming MPEG-1 video elementary
-    * stream: sequence header (default matrices), GOP, one picture per
-    * frame, one slice per macroblock row, every macroblock intra.
+    * stream — the I-only form of [[buildMpeg1]].
     */
   def buildMpeg1I(width: Int, height: Int,
-      frames: IndexedSeq[Mpeg1Frame]): Array[Byte] = {
+      frames: IndexedSeq[Mpeg1Frame]): Array[Byte] =
+    buildMpeg1(width, height, frames.map(IPicture))
+
+  /** Serialize an I/P picture sequence into a conforming MPEG-1 video
+    * elementary stream: sequence header (default matrices), GOP, one
+    * slice per macroblock row. The first picture must be intra.
+    */
+  def buildMpeg1(width: Int, height: Int,
+      pics: IndexedSeq[Mp1Picture]): Array[Byte] = {
     require(width > 0 && height > 0 && width % 16 == 0 && height % 16 == 0,
       s"builder requires macroblock-aligned dims, got ${width}x$height")
-    require(frames.nonEmpty, "at least one frame")
+    require(pics.nonEmpty, "at least one picture")
+    require(pics.head.isInstanceOf[IPicture], "first picture must be intra")
     val mbW = width / 16; val mbH = height / 16
     require(mbH <= 175, s"height $height exceeds slice vertical-position range")
-    frames.foreach { f =>
-      require(f.yDc.length == mbW * 2 * mbH * 2 &&
-        f.cbDc.length == mbW * mbH && f.crDc.length == mbW * mbH,
-        "frame grids must match dimensions")
+    pics.foreach {
+      case IPicture(f) =>
+        require(f.yDc.length == mbW * 2 * mbH * 2 &&
+          f.cbDc.length == mbW * mbH && f.crDc.length == mbW * mbH,
+          "frame grids must match dimensions")
+      case PPicture(d) =>
+        require(d.length == mbW * 2 * mbH * 2, "delta grid must match dims")
+        require(d.forall(v => (v % 2 != 0) && math.abs(v) >= 3 &&
+          math.abs(v) <= 255), "P deltas must be odd with 3 <= |D| <= 255")
     }
     val bw = new BitWriter
     bw.startCode(0xb3)
@@ -477,11 +835,17 @@ object Mpeg1 {
         bw.putBits(if (diff > 0) diff else diff + (1 << size) - 1, size)
     }
 
-    frames.zipWithIndex.foreach { case (f, idx) =>
+    pics.zipWithIndex.foreach { case (pic, idx) =>
       bw.startCode(0x00)
       bw.putBits(idx % 1024, 10)
-      bw.putBits(1, 3)        // I picture
+      bw.putBits(if (pic.isInstanceOf[IPicture]) 1 else 2, 3)
       bw.putBits(0xffff, 16)  // vbv_delay
+      pic match {
+        case _: PPicture =>
+          bw.putBit(0)        // full_pel_forward_vector: half-pel units
+          bw.putBits(1, 3)    // forward_f_code 1
+        case _ => ()
+      }
       bw.putBit(0)            // extra_bit_picture
       var row = 0
       while (row < mbH) {
@@ -492,20 +856,36 @@ object Mpeg1 {
         var mbX = 0
         while (mbX < mbW) {
           bw.putBit(1)        // address increment 1
-          bw.putBit(1)        // type: intra
-          var b = 0
-          while (b < 4) {
-            val v = f.yDc((row * 2 + b / 2) * mbW * 2 + mbX * 2 + b % 2)
-            putDcDiff(v - predY, chroma = false); predY = v
-            bw.putBits(2, 2)  // EOB
-            b += 1
+          pic match {
+            case IPicture(f) =>
+              bw.putBit(1)    // type: intra
+              var b = 0
+              while (b < 4) {
+                val v = f.yDc((row * 2 + b / 2) * mbW * 2 + mbX * 2 + b % 2)
+                putDcDiff(v - predY, chroma = false); predY = v
+                bw.putBits(2, 2) // EOB
+                b += 1
+              }
+              val cb = f.cbDc(row * mbW + mbX)
+              putDcDiff(cb - predCb, chroma = true); predCb = cb
+              bw.putBits(2, 2)
+              val cr = f.crDc(row * mbW + mbX)
+              putDcDiff(cr - predCr, chroma = true); predCr = cr
+              bw.putBits(2, 2)
+            case PPicture(deltas) =>
+              bw.putBits(1, 2)  // type '01': No MC, coded
+              bw.putBits(7, 3)  // CBP 60 = '111' (four luma blocks)
+              var b = 0
+              while (b < 4) {
+                val d = deltas((row * 2 + b / 2) * mbW * 2 + mbX * 2 + b % 2)
+                val level = if (d > 0) (d - 1) / 2 else (d + 1) / 2
+                bw.putBits(1, 6)  // dct_coeff ESCAPE
+                bw.putBits(0, 6)  // run 0
+                bw.putBits(level & 0xff, 8)
+                bw.putBits(2, 2)  // EOB
+                b += 1
+              }
           }
-          val cb = f.cbDc(row * mbW + mbX)
-          putDcDiff(cb - predCb, chroma = true); predCb = cb
-          bw.putBits(2, 2)
-          val cr = f.crDc(row * mbW + mbX)
-          putDcDiff(cr - predCr, chroma = true); predCr = cr
-          bw.putBits(2, 2)
           mbX += 1
         }
         row += 1

@@ -1432,6 +1432,53 @@ object Multimodal {
         col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Deterministic per-doc I+P MPEG-1 synthesis for the declared
+    * PREDICTED-video query: doc d opens with one intra picture (luma
+    * block k: Y₀ = 40 + (d·7 + k·31 + 23) mod 176 — clamp-free headroom
+    * for the delta drift; chroma per MB m as in [[synthMpeg1Assets]],
+    * constant across pictures) followed by 1 + d mod 3 zero-motion P
+    * pictures whose block-k luma delta at picture j is
+    * D = s·(3 + 2·((d + j·5 + k·3) mod 4)), s = +1 iff (d+j+k) even —
+    * odd deltas in ±{3,5,7,9}, the exactly-reconstructable residual
+    * family of [[Mpeg1.PPicture]]. The decoder must run the REAL P
+    * path — macroblock-type, CBP, dct_coeff_first escapes, non-intra
+    * dequant, residual IDCT, prediction add — and the oracle replays
+    * Y_f(k) = Y₀(k) + Σ_{j≤f} D(d,j,k) as a window cumsum.
+    */
+  def synthMpeg1PAssets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val np = (1 + d % 3).toInt
+        val w = (16 * (1 + d % 2)).toInt
+        val h = (16 * (1 + (d / 2) % 2)).toInt
+        val bw = w / 8; val mbW = w / 16
+        val i0 = Mpeg1.IPicture(Mpeg1.Mpeg1Frame(
+          Array.tabulate(bw * (h / 8))(k => (40 + (d * 7 + k * 31 + 23) % 176).toInt),
+          Array.tabulate(mbW * (h / 16))(m => ((d * 11 + m * 17 + 61) % 256).toInt),
+          Array.tabulate(mbW * (h / 16))(m => ((d * 13 + m * 19 + 96) % 256).toInt)))
+        val ps = (1 to np).map { j =>
+          Mpeg1.PPicture(Array.tabulate(bw * (h / 8)) { k =>
+            val mag = (3 + 2 * ((d + j * 5 + k * 3) % 4)).toInt
+            if ((d + j + k) % 2 == 0) mag else -mag
+          })
+        }
+        (d, Mpeg1.buildMpeg1(w, h, i0 +: ps))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5n declared query: EVERY picture of the synthesized I+P MPEG-1
+    * corpus (stride 1 — the P chaining is the point), channel means per
+    * reconstructed frame.
+    */
+  def l5Mpeg1PFrames(spark: SparkSession, dir: String): DataFrame =
+    mpeg1FrameStats(synthMpeg1PAssets(Tables(spark, dir)), stride = 1)
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** REAL frame-sample over ANIMATED GIF payloads — the
     * [[videoFrameStats]] twin for the web's other ubiquitous motion
     * container: composite every frame onto the logical-screen canvas

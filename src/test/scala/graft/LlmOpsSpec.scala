@@ -1832,10 +1832,117 @@ class LlmOpsSpec extends SparkSuite {
     val pIdx = es.indices.find(i => i + 5 < es.length && es(i) == 0 &&
       es(i + 1) == 0 && es(i + 2) == 1 && es(i + 3) == 0).get
     val pf = es.clone()
-    pf(pIdx + 5) = 0x17.toByte // temporal_ref 0, type 010 (P), vbv 111…
+    pf(pIdx + 5) = 0x17.toByte // type 010 (P) as the FIRST picture: no ref
     assert(Mpeg1.decodeMpeg1Frames(pf).isEmpty)
+    val bf = es.clone()
+    bf(pIdx + 5) = 0x1f.toByte // type 011 (B): bidirectional gate
+    assert(Mpeg1.decodeMpeg1Frames(bf).isEmpty)
     assert(Mpeg1.decodeMpeg1Frames(es2, maxTotalPixels = 2L * w * h).isEmpty)
     assert(Mpeg1.decodeMpeg1Frames(es2, maxTotalPixels = 3L * w * h).nonEmpty)
+  }
+
+  test("L5n MPEG-1 P-pictures: residual chain round-trip, MC full/half-pel, skip, intra refresh") {
+    import graft.operators.{Jpeg, Mpeg1}
+    // (1) builder round-trip: I + 2 P with the exactly-reconstructable
+    // odd-delta family; chroma constant — expected = closed form
+    val w = 32; val h = 16
+    val y0 = Array.tabulate(8)(k => 40 + (k * 37 + 11) % 176)
+    val cb = Array(90, 170); val cr = Array(200, 30)
+    val d1 = Array.tabulate(8)(k => if (k % 2 == 0) 3 + 2 * (k % 4) else -(3 + 2 * (k % 4)))
+    val d2 = Array.tabulate(8)(k => if (k % 3 == 0) -5 else 7)
+    val es = Mpeg1.buildMpeg1(w, h, IndexedSeq(
+      Mpeg1.IPicture(Mpeg1.Mpeg1Frame(y0, cb, cr)),
+      Mpeg1.PPicture(d1), Mpeg1.PPicture(d2)))
+    val (dw, dh, fr) = Mpeg1.decodeMpeg1Frames(es).get
+    assert(dw == w && dh == h && fr.length == 3)
+    for (y <- 0 until h; x <- 0 until w; f <- 0 until 3) {
+      val k = (y / 8) * 4 + x / 8
+      val m = x / 16
+      val expY = y0(k) + (if (f >= 1) d1(k) else 0) + (if (f >= 2) d2(k) else 0)
+      assert(fr(f)(y * w + x) == Jpeg.yccToRgb(expY, cb(m), cr(m)), s"f$f ($x,$y)")
+    }
+    // (2) hand-assembled P pictures over a 48x16 I reference: MB0 gets
+    // a coded +3 residual, MB1 is SKIPPED (copy), MB2 is an INTRA
+    // refresh; a further P picture does MC — full-pel (+1 px) on MB0,
+    // half-pel averaging on MB1, zero-MV copy on MB2
+    val w3 = 48
+    val y3 = Array.tabulate(12)(k => 48 + k * 16) // 12 luma blocks, distinct
+    val cb3 = Array(128, 128, 128); val cr3 = Array(128, 128, 128)
+    val base = Mpeg1.buildMpeg1I(w3, h, IndexedSeq(Mpeg1.Mpeg1Frame(y3, cb3, cr3)))
+    val bits = new StringBuilder
+    def put(v: Int, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits.append((v >> i) & 1))
+    def start(code: Int): Unit = {
+      while (bits.length % 8 != 0) bits.append(0)
+      put(0, 8); put(0, 8); put(1, 8); put(code, 8)
+    }
+    def pPicHeader(tr: Int): Unit = {
+      start(0x00); put(tr, 10); put(2, 3); put(0xffff, 16)
+      put(0, 1); put(1, 3) // half-pel units, f_code 1
+      put(0, 1)
+    }
+    // P picture 1: MB0 coded residual +3 on all four luma blocks
+    pPicHeader(1)
+    start(0x01); put(8, 5); put(0, 1)
+    put(1, 1)            // inc 1 -> MB0
+    put(1, 2)            // type '01' No-MC coded
+    put(7, 3)            // CBP 60
+    for (_ <- 0 until 4) {
+      put(1, 6); put(0, 6); put(1, 8) // escape, run 0, level +1 => D=+3
+      put(2, 2)                        // EOB
+    }
+    put(3, 3)            // inc 2 ('011') -> skips MB1, lands MB2
+    put(3, 5)            // type '00011': intra refresh
+    for (b <- 0 until 4) {
+      // DC diff vs reset predictor 128: target 200 -> diff 72 (size 7)
+      val target = 200; val prevv = if (b == 0) 128 else 200
+      val diff = target - prevv
+      if (diff == 0) put(4, 3)
+      else { put(62, 6); put(diff, 7) } // luma size 7
+      put(2, 2)
+    }
+    put(0, 2); put(2, 2) // Cb: diff 0, EOB
+    put(0, 2); put(2, 2) // Cr
+    // P picture 2: MB0 MC +1 full pel (dxHalf=2), MB1 MC half-pel
+    // (dxHalf=1 via predictor delta -1), MB2 zero-MV copy
+    pPicHeader(2)
+    start(0x01); put(8, 5); put(0, 1)
+    put(1, 1); put(1, 3) // MB0: type '001' MC-not-coded
+    put(1, 3); put(0, 1) // horiz code 2 ('001') sign + => dxHalf 2
+    put(1, 1)            // vert code 0
+    put(1, 1); put(1, 3) // MB1: MC-not-coded
+    put(1, 2); put(1, 1) // horiz code -1 ('01' sign 1): pred 2-1=1
+    put(1, 1)            // vert 0
+    put(1, 1); put(1, 3) // MB2: MC-not-coded
+    put(1, 2); put(1, 1) // horiz code -1: pred 1-1=0
+    put(1, 1)            // vert 0
+    start(0xb7)
+    while (bits.length % 8 != 0) bits.append(0)
+    val tail = bits.toString.grouped(8)
+      .map(g => Integer.parseInt(g, 2).toByte).toArray
+    val stream = base.dropRight(4) ++ tail // replace base's sequence_end
+    val fr3 = Mpeg1.decodeMpeg1Frames(stream).get._3
+    assert(fr3.length == 3)
+    def lum(px: Array[Int], x: Int, y: Int): Int = (px(y * w3 + x) >> 16) & 0xff
+    // frame1: MB0 luma +3 (gray: r==g==b under cb=cr=128 after +3 shift?
+    // compare via expected yccToRgb), MB1 == frame0, MB2 flat 200
+    for (y <- 0 until h; x <- 0 until w3) {
+      val k = (y / 8) * 6 + x / 8
+      val exp1 =
+        if (x < 16) Jpeg.yccToRgb(y3(k) + 3, 128, 128)
+        else if (x < 32) fr3(0)(y * w3 + x)
+        else Jpeg.yccToRgb(200, 128, 128)
+      assert(fr3(1)(y * w3 + x) == exp1, s"P1 ($x,$y)")
+    }
+    // frame2: MB0 = frame1 shifted left 1 px; MB1 = horizontal half-pel
+    // average of frame1; MB2 = frame1 copy
+    for (y <- 0 until h; x <- 0 until w3) {
+      val expY =
+        if (x < 16) lum(fr3(1), x + 1, y)
+        else if (x < 32) (lum(fr3(1), x, y) + lum(fr3(1), x + 1, y) + 1) >> 1
+        else lum(fr3(1), x, y)
+      assert(fr3(2)(y * w3 + x) == Jpeg.yccToRgb(expY, 128, 128), s"P2 ($x,$y)")
+    }
   }
 
   test("L5m mpeg1 frame-sample: stride, null survival, declared spot rows") {

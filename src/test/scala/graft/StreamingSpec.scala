@@ -977,6 +977,19 @@ class StreamingSpec extends SparkSuite {
     assert(gifGot.size == 2)
     assert(gifGot.toSet ==
       Set(twin(Multimodal.gifFrameStats(gf1, 2)), twin(Multimodal.gifFrameStats(gf2, 2))))
+    // MPEG-1 intra arm: same runner, the broadcast-codec transform
+    val (mpgStream, mp1, mp2) = waves(Multimodal.synthMpeg1Assets(tables), "mpeg1")
+    val mpgGot = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+    Streams.runMediaDecode(mpgStream,
+      Files.createTempDirectory("graft-mpeg1-cp").toString,
+      df => Multimodal.mpeg1FrameStats(df, stride = 2)) { (_, rows) =>
+      mpgGot += rows.map(rowKey).toSet
+    }
+    assert(mpgGot.size == 2)
+    assert(mpgGot.toSet ==
+      Set(twin(Multimodal.mpeg1FrameStats(mp1, 2)), twin(Multimodal.mpeg1FrameStats(mp2, 2))))
+    assert(mpgGot.reduce(_ ++ _) ==
+      twin(Multimodal.mpeg1FrameStats(mp1.unionByName(mp2), 2)))
   }
 
   test("T19 decontam gate: per-wave exact+fuzzy flags == batch predicates, accumulated == full-corpus run") {
