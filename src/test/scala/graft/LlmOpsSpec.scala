@@ -2444,6 +2444,12 @@ class LlmOpsSpec extends SparkSuite {
     // approx-percentile twin-honesty pin: built-ins both sides
     assertSameRows(graft.TailTwins.twinFrame(spark, sf, "a6_stats_approx"),
       graft.operators.Relational.a6StatsApproxChecked(spark, sf))
+    // MPEG-1 twin-honesty pins: the UDF+explode chains decode the same
+    // corpora to the same rows (shared codec kernel, null-row parity)
+    assertSameRows(graft.TailTwins.twinFrame(spark, sf, "l5_mpeg1_frames"),
+      graft.operators.Multimodal.l5Mpeg1Frames(spark, sf))
+    assertSameRows(graft.TailTwins.twinFrame(spark, sf, "l5_mpeg1p_frames"),
+      graft.operators.Multimodal.l5Mpeg1PFrames(spark, sf))
     // partitioning invariance: first-occurrence selection is a
     // partial-combinable min over (doc_id, p) — layout cannot flip it
     assertSameRows(Dedup.substrDedup(tables.documents.repartition(7)),

@@ -935,7 +935,7 @@ class StreamingSpec extends SparkSuite {
     assert(got.count(_._2 > 0) == 1)
   }
 
-  test("T22 media decode: streaming frame-sample == batch twin per wave, AVI and animated GIF") {
+  test("T22 media decode: streaming frame-sample == batch twin per wave, AVI, animated GIF, MPEG-1") {
     import graft.operators.Multimodal
     // the synthesized media corpora ARE the payload source; two arrival
     // waves split each corpus mid-stream
