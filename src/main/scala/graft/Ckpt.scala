@@ -45,19 +45,26 @@ object Ckpt {
             sc.setCheckpointDir(dir)
           df.checkpoint()
         case None =>
-          // DISK_ONLY, not the default deserialized MEMORY_AND_DISK: a
-          // materialization barrier exists for lineage truncation, not
-          // for cache locality, and unrolling a LARGE intermediate (the
-          // 100× simJoin rep-pair frame) into the memory store competes
-          // for heap with the very stage computing it — measured as
-          // spurious executor OOMs on an 8 GiB local heap while the
-          // disk footprint was ~1 GB. Disk blocks stream straight out,
-          // re-reads ride the OS page cache at fixture scale, and the
-          // level is eviction-proof (a dropped local-checkpoint block
-          // is unrecoverable by design, so eviction must be impossible,
-          // not merely unlikely).
+          // MEMORY_AND_DISK_SER, not the default deserialized
+          // MEMORY_AND_DISK and not DISK_ONLY. The deserialized default
+          // unrolls a LARGE intermediate (the 100× simJoin rep-pair
+          // frame) as Java objects competing for heap with the very
+          // stage computing it — measured as spurious executor OOMs on
+          // an 8 GiB local heap while the serialized footprint was
+          // ~1 GB. Pure DISK_ONLY fixes that but taxes EVERY barrier
+          // with a serialize→write→read round trip even when the
+          // intermediate is a few MB — measured 2–4× on the
+          // barrier-heavy fixture queries (l9_fuzzy_decontam 1.2→4.9 s,
+          // b2/b3/b5 ~2×). Serialized-in-memory stores the compact
+          // bytes under unified-memory unroll accounting and SPILLS TO
+          // DISK under pressure, which is also why the level stays
+          // lineage-truncation-safe: a disk-backed storage level
+          // migrates evicted blocks to disk rather than dropping them
+          // (only executor loss loses blocks — same exposure as
+          // DISK_ONLY's local files; the reliable-checkpoint branch
+          // above is the posture for that).
           df.localCheckpoint(true,
-            org.apache.spark.storage.StorageLevel.DISK_ONLY)
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       }
     }
   }

@@ -2982,6 +2982,63 @@ object Registry {
           CAST(SUM(b) * 64 // (w * h) AS BIGINT) AS mean_b
         FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""")),
 
+      // L5o: real MPEG-1 BIDIRECTIONAL video — each doc is the
+      // decode-order stream [I, P, B…] whose DISPLAY order is
+      // I, B…, P; the engine must run the genuine B machinery (the
+      // B macroblock-type VLC, backward f_code, zero-vector fwd/bwd/
+      // interpolated prediction with the round-half-away average,
+      // odd-delta residuals on top, and the past/future anchor
+      // REORDER that emits held anchors at the right display slots);
+      // the oracle replays the display-order closed-form arithmetic,
+      // so a defect in any B layer — type table, prediction direction,
+      // interpolation rounding, or frame ordering — is a hash mismatch.
+      QueryDef("l5_mpeg1b_frames", Multimodal.l5Mpeg1BFrames, Some("""
+        WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS nb,
+                          16 * (1 + doc_id % 2) AS w,
+                          16 * (1 + (doc_id // 2) % 2) AS h
+                   FROM documents),
+        fk AS (SELECT d.doc_id, d.nb, d.w, d.h, u.f, k.k,
+                 ((k.k // (d.w // 8)) // 2) * (d.w // 16)
+                   + (k.k % (d.w // 8)) // 2 AS m
+               FROM d,
+                    UNNEST(generate_series(0, d.nb + 1)) AS u(f),
+                    UNNEST(generate_series(0, (d.w // 8) * (d.h // 8) - 1)) AS k(k)),
+        base AS (SELECT *,
+            40 + (doc_id * 7 + k * 31 + 23) % 140 AS y0,
+            40 + (doc_id * 7 + k * 31 + 23) % 140
+              + (CASE WHEN (doc_id + k) % 2 = 0 THEN 1 ELSE -1 END)
+                * (3 + 2 * ((doc_id + k * 3) % 4)) AS yp
+          FROM fk),
+        u AS (SELECT doc_id, w, h, f,
+            CASE
+              WHEN f = 0 THEN y0
+              WHEN f = nb + 1 THEN yp
+              ELSE
+                (CASE (doc_id + f) % 3
+                   WHEN 0 THEN y0
+                   WHEN 1 THEN yp
+                   ELSE (y0 + yp + 1) // 2 END)
+                + (CASE WHEN (doc_id + f) % 2 = 0 THEN
+                     (CASE WHEN (doc_id + f + k) % 2 = 0 THEN 1 ELSE -1 END)
+                     * (3 + 2 * ((doc_id + f * 5 + k * 3) % 4))
+                   ELSE 0 END)
+            END AS y,
+            (doc_id * 11 + m * 17 + 61) % 256 AS cb,
+            (doc_id * 13 + m * 19 + 96) % 256 AS cr
+          FROM base),
+        c AS (SELECT doc_id, w, h, f,
+            LEAST(255, GREATEST(0, (y * 65536 + 91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS r,
+            LEAST(255, GREATEST(0, (y * 65536 - 22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS g,
+            LEAST(255, GREATEST(0, (y * 65536 + 116130 * (cb - 128) + 32768 + 16777216) // 65536 - 256)) AS b
+          FROM u)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+          CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(r) * 64 // (w * h) AS BIGINT) AS mean_r,
+          CAST(SUM(g) * 64 // (w * h) AS BIGINT) AS mean_g,
+          CAST(SUM(b) * 64 // (w * h) AS BIGINT) AS mean_b
+        FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""")),
+
       // L5j: real image RESIZE — decode, nearest-neighbor resample to
       // 5x3 (output pixel (x2,y2) reads source (x2*w//5, y2*h//3)),
       // BMP re-encode, re-decode, channel means. The oracle replays the

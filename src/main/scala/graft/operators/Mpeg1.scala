@@ -3,33 +3,41 @@ package graft.operators
 import scala.collection.mutable.ArrayBuffer
 import scala.util.control.NonFatal
 
-/** REAL MPEG-1 video (ISO/IEC 11172-2) — I- and P-picture decode + a
-  * conforming encoder, the second genuine video codec arm next to the
-  * MJPEG-AVI path (see [[Avi]]): sequence/GOP/picture/slice/macroblock
-  * layers, the standard DC-size, AC run-level, macroblock-type, CBP and
-  * motion-vector VLC families, default and stream-loaded quantizer
-  * matrices, dequantization with the oddification (mismatch-control)
-  * rule, FORWARD MOTION COMPENSATION (full- and half-pel with the
-  * standard's round-half-away averaging, f_code modular vector
-  * reconstruction, skipped-macroblock copy, intra refresh inside P
-  * pictures), non-intra residual blocks (dct_coeff_first, flat-16
-  * default matrix) added onto the prediction, and the shared 8×8 IDCT
-  * from [[Jpeg]] for intra blocks — MPEG-1's DCT is the same transform
-  * with an un-level-shifted DC, so `Jpeg.idct(coefs with DC−1024)`
+/** REAL MPEG-1 video (ISO/IEC 11172-2) — I-, P- AND B-picture decode
+  * + a conforming encoder, the second genuine video codec arm next to
+  * the MJPEG-AVI path (see [[Avi]]): sequence/GOP/picture/slice/
+  * macroblock layers, the standard DC-size, AC run-level,
+  * macroblock-type (I, P and B tables), CBP and motion-vector VLC
+  * families, default and stream-loaded quantizer matrices,
+  * dequantization with the oddification (mismatch-control) rule,
+  * FORWARD AND BACKWARD MOTION COMPENSATION (full- and half-pel with
+  * the standard's round-half-away averaging, f_code modular vector
+  * reconstruction, per-direction predictor state, skipped-macroblock
+  * semantics — zero-MV reference copy in P, previous-macroblock
+  * mode/vector reuse in B — and intra refresh inside predicted
+  * pictures), BIDIRECTIONAL INTERPOLATION (the per-sample
+  * round-half-away average of the two predictions), anchor-frame
+  * reordering (decode order I P B B … emits display order I B B P …:
+  * past/future reference slots, held anchors flushed on the next
+  * anchor and at sequence end), non-intra residual blocks
+  * (dct_coeff_first, flat-16 default matrix) added onto the
+  * prediction, and the shared 8×8 IDCT from [[Jpeg]] for intra
+  * blocks — MPEG-1's DCT is the same transform with an
+  * un-level-shifted DC, so `Jpeg.idct(coefs with DC−1024)`
   * reconstructs intra samples bit-exactly (the DC basis contributes
   * DC/8 uniformly; subtracting 1024 = 128·8 converts to JPEG's +128
   * convention); residuals go through their own unshifted rounding IDCT.
   *
   * Scope contract (the codec-family narrowing discipline): streams of
-  * I and P pictures decode fully; the first B (bidirectional) or D
-  * picture gates the WHOLE stream to None — B-frame reorder buffers
-  * are the one remaining video feature this engine stands in for,
-  * narrowed this round from "all inter prediction" to bidirectional
-  * prediction only. One more documented bound: the AC coefficient VLC
-  * table is implemented through its 13-bit codes plus the fixed-format
-  * ESCAPE form — any conforming encoder can escape-code the rare
-  * longer entries, and this encoder always does; an unmatched longer
-  * prefix gates to None.
+  * I, P and B pictures decode fully; the first D picture (the
+  * DC-only trick-mode type that real encoders never emit) gates the
+  * WHOLE stream to None, as does a B picture arriving before two
+  * decoded anchors (a broken-link open GOP after a splice — the one
+  * B-picture configuration this engine stands in for). One more
+  * documented bound: the AC coefficient VLC table is implemented
+  * through its 13-bit codes plus the fixed-format ESCAPE form — any
+  * conforming encoder can escape-code the rare longer entries, and
+  * this encoder always does; an unmatched longer prefix gates to None.
   *
   * Hostile-input posture matches the other codecs: dimension and
   * retention caps checked BEFORE any allocation, every parse error is
@@ -119,6 +127,16 @@ object Mpeg1 {
   private val PTypeVlc = new Vlc(Seq(
     "1" -> 6, "01" -> 2, "001" -> 4, "00011" -> 1,
     "00010" -> 10, "000010" -> 14, "000001" -> 9))
+
+  /** B-picture macroblock_type (table B.2c), as a flag mask:
+    * 16 = quantizer present, 8 = forward MC, 4 = backward MC,
+    * 2 = coded pattern, 1 = intra. Every non-intra entry carries at
+    * least one MC direction — B pictures have no No-MC type.
+    */
+  private val BTypeVlc = new Vlc(Seq(
+    "10" -> 12, "11" -> 14, "010" -> 4, "011" -> 6,
+    "0010" -> 8, "0011" -> 10, "00011" -> 1,
+    "00010" -> 22, "000011" -> 26, "000010" -> 30, "000001" -> 17))
 
   /** coded_block_pattern (table B.3) — cbp 0 has no code. */
   private val CbpVlc = new Vlc(Seq(
@@ -262,9 +280,9 @@ object Mpeg1 {
   // Decoder
   // ------------------------------------------------------------------
 
-  /** Decode an MPEG-1 video elementary stream of INTRA pictures into
-    * packed-RGB frames (display-cropped). None on anything else — see
-    * the object doc's scope contract.
+  /** Decode an MPEG-1 video elementary stream (I, P and B pictures)
+    * into packed-RGB frames in DISPLAY order (display-cropped). None
+    * on anything else — see the object doc's scope contract.
     */
   def decodeMpeg1Frames(bytes: Array[Byte],
       maxTotalPixels: Long = MaxDecodeTotalPixels)
@@ -295,8 +313,16 @@ object Mpeg1 {
 
       val mbW = (w + 15) / 16; val mbH = (h + 15) / 16
       if (mbH > 175) fail() // slice vertical_position is 8 bits, 1..175
+      // Display-order output with the standard two-slot anchor reorder:
+      // `future` is the most recent anchor (the P reference and the B
+      // backward reference), `past` the one before it (the B forward
+      // reference). An anchor is EMITTED when the next anchor arrives
+      // (the B pictures between them display first) and the last one
+      // at sequence end; B pictures emit immediately.
       val frames = ArrayBuffer.empty[Array[Int]]
-      var prev: Planes = null // last reconstructed picture (P reference)
+      var past: Planes = null
+      var future: Planes = null
+      var nPics = 0 // decoded pictures — every one reaches the output
       var done = false
       while (!done) {
         br.nextStartCode() match {
@@ -306,28 +332,40 @@ object Mpeg1 {
           case 0xb3 =>                  // repeated sequence header: dims must hold
             if (br.bits(12) != w || br.bits(12) != h) fail()
           case 0x00 =>                  // picture
-            if (frames.length >= MaxDecodeFrames) fail()
-            if ((frames.length + 1L) * w * h > maxTotalPixels) fail()
-            br.bits(10)
+            if (nPics >= MaxDecodeFrames) fail()
+            if ((nPics + 1L) * w * h > maxTotalPixels) fail()
+            br.bits(10) // temporal_reference (reorder is rule-driven)
             val ptype = br.bits(3)
-            // B (bidirectional) and D pictures gate the stream — the
-            // remaining inter-prediction stand-in, see the object doc
-            if (ptype != 1 && ptype != 2) return None
-            if (ptype == 2 && prev == null) fail() // P needs a reference
+            // D pictures gate the stream — see the object doc
+            if (ptype != 1 && ptype != 2 && ptype != 3) return None
+            if (ptype == 2 && future == null) fail() // P needs a reference
+            if (ptype == 3 && (past == null || future == null)) return None
             br.bits(16)
-            var fullPel = false; var fCode = 1
-            if (ptype == 2) {
-              fullPel = br.bit() == 1
-              fCode = br.bits(3); if (fCode == 0) fail()
+            var fullPelF = false; var fCodeF = 1
+            var fullPelB = false; var fCodeB = 1
+            if (ptype == 2 || ptype == 3) {
+              fullPelF = br.bit() == 1
+              fCodeF = br.bits(3); if (fCodeF == 0) fail()
+            }
+            if (ptype == 3) {
+              fullPelB = br.bit() == 1
+              fCodeB = br.bits(3); if (fCodeB == 0) fail()
             }
             while (br.bit() == 1) br.bits(8) // extra_information_picture
             val rec = decodePicture(br, mbW, mbH, intraQ, nonIntraQ,
-              intra = ptype == 1, fullPel, fCode, prev)
-            prev = rec
-            frames += toRgb(rec, w, h, mbW)
+              ptype, fullPelF, fCodeF, fullPelB, fCodeB,
+              fwdRef = if (ptype == 3) past else future,
+              bwdRef = if (ptype == 3) future else null)
+            nPics += 1
+            if (ptype == 3) frames += toRgb(rec, w, h, mbW)
+            else {
+              if (future != null) frames += toRgb(future, w, h, mbW)
+              past = future; future = rec
+            }
           case _ => fail()
         }
       }
+      if (future != null) frames += toRgb(future, w, h, mbW)
       if (frames.isEmpty) None else Some((w, h, frames.toIndexedSeq))
     } catch { case NonFatal(_) => None }
   }
@@ -351,13 +389,19 @@ object Mpeg1 {
     out
   }
 
-  /** All slices of one picture (I or P) → reconstructed planes at
+  /** All slices of one picture (I, P or B) → reconstructed planes at
     * full macroblock-grid size. Coverage is strict: every macroblock
-    * decoded (or legally skipped, P only) exactly once.
+    * decoded (or legally skipped, P/B only) exactly once. `fwdRef` is
+    * the forward reference (the previous anchor for P, the PAST anchor
+    * for B), `bwdRef` the backward reference (B only, the FUTURE
+    * anchor).
     */
   private def decodePicture(br: BitReader, mbW: Int, mbH: Int,
-      intraQ: Array[Int], nonIntraQ: Array[Int], intra: Boolean,
-      fullPel: Boolean, fCode: Int, prev: Planes): Planes = {
+      intraQ: Array[Int], nonIntraQ: Array[Int], ptype: Int,
+      fullPelF: Boolean, fCodeF: Int, fullPelB: Boolean, fCodeB: Int,
+      fwdRef: Planes, bwdRef: Planes): Planes = {
+    val intra = ptype == 1
+    val isB = ptype == 3
     val lw = mbW * 16; val cw = mbW * 8
     val cur = Planes(new Array[Int](lw * mbH * 16),
       new Array[Int](cw * mbH * 8), new Array[Int](cw * mbH * 8))
@@ -373,24 +417,58 @@ object Mpeg1 {
       }
     }
 
-    /** 16×16 luma + 8×8 chroma copy from the reference at zero MV —
-      * the skipped-macroblock reconstruction.
+    /** 16×16 luma + 8×8 chroma copy from the forward reference at zero
+      * MV — the P skipped-macroblock reconstruction.
       */
     def copyFromPrev(addr: Int): Unit = {
       val mx = addr % mbW; val my = addr / mbW
       var yy = 0
       while (yy < 16) {
         val off = (my * 16 + yy) * lw + mx * 16
-        System.arraycopy(prev.y, off, cur.y, off, 16)
+        System.arraycopy(fwdRef.y, off, cur.y, off, 16)
         yy += 1
       }
       yy = 0
       while (yy < 8) {
         val off = (my * 8 + yy) * cw + mx * 8
-        System.arraycopy(prev.cb, off, cur.cb, off, 8)
-        System.arraycopy(prev.cr, off, cur.cr, off, 8)
+        System.arraycopy(fwdRef.cb, off, cur.cb, off, 8)
+        System.arraycopy(fwdRef.cr, off, cur.cr, off, 8)
         yy += 1
       }
+    }
+
+    /** Full macroblock prediction (16×16 luma + two 8×8 chroma) from
+      * the active directions in CODED half-pel units; both on means
+      * bidirectional interpolation — the per-sample round-half-away
+      * average (11172-2 2.4.4.3; pels are non-negative, so +1 >> 1).
+      * Chroma vectors are the luma ones halved with truncation toward
+      * zero, per the standard's integer division.
+      */
+    def predictMb(mbX: Int, mbY: Int, useF: Boolean, fh: Int, fv: Int,
+        useB: Boolean, bh: Int, bv: Int)
+        : (Array[Int], Array[Int], Array[Int]) = {
+      def one(ref: Planes, dxH: Int, dyH: Int) = (
+        predictBlock(ref.y, lw, mbH * 16, mbX * 16, mbY * 16, 16, dxH, dyH),
+        predictBlock(ref.cb, cw, mbH * 8, mbX * 8, mbY * 8, 8, dxH / 2, dyH / 2),
+        predictBlock(ref.cr, cw, mbH * 8, mbX * 8, mbY * 8, 8, dxH / 2, dyH / 2))
+      def avg(a: Array[Int], b: Array[Int]): Array[Int] = {
+        val out = new Array[Int](a.length)
+        var i = 0
+        while (i < a.length) { out(i) = (a(i) + b(i) + 1) >> 1; i += 1 }
+        out
+      }
+      val f =
+        if (useF) one(fwdRef, if (fullPelF) fh * 2 else fh,
+          if (fullPelF) fv * 2 else fv)
+        else null
+      val b =
+        if (useB) one(bwdRef, if (fullPelB) bh * 2 else bh,
+          if (fullPelB) bv * 2 else bv)
+        else null
+      if (f != null && b != null) (avg(f._1, b._1), avg(f._2, b._2), avg(f._3, b._3))
+      else if (f != null) f
+      else if (b != null) b
+      else fail()
     }
 
     var sliceLoop = true
@@ -404,10 +482,14 @@ object Mpeg1 {
         while (br.bit() == 1) br.bits(8) // extra_information_slice
         // DC predictors (reset at slice start and after any non-intra
         // or skipped macroblock) and MV predictors (reset at slice
-        // start, after intra, after skip, and after No-MC macroblocks)
+        // start, after intra, and — P only — after skip and No-MC
+        // macroblocks; B skip REUSES the previous macroblock's
+        // direction flags and vectors, 11172-2 2.4.4.4)
         val pred = Array(1024, 1024, 1024)
         var dcValid = false
-        var mvH = 0; var mvV = 0
+        var mvFH = 0; var mvFV = 0 // forward predictor pair
+        var mvBH = 0; var mvBV = 0 // backward predictor pair (B only)
+        var prevFwd = false; var prevBwd = false // last MB's directions
         var mbAddr = mbRow * mbW - 1
         var first = true
         var mbLoop = true
@@ -425,16 +507,32 @@ object Mpeg1 {
           if (first && mbAddr + inc != mbRow * mbW) fail()
           if (inc > 1) {
             // skipped macroblocks: forbidden in I pictures and as the
-            // first macroblock of a slice; in P they copy the reference
+            // first macroblock of a slice; in P they copy the forward
+            // reference at zero MV, in B they repeat the previous
+            // macroblock's prediction (same directions, same vectors,
+            // no residual — so the MB before a skip cannot be intra)
             if (intra || first) fail()
+            if (isB && !prevFwd && !prevBwd) fail()
             var a = mbAddr + 1
             while (a < mbAddr + inc) {
               if (a >= mbW * mbH || covered(a)) fail()
               covered(a) = true; nCovered += 1
-              copyFromPrev(a)
+              if (isB) {
+                val (py, pcb, pcr) = predictMb(a % mbW, a / mbW,
+                  prevFwd, mvFH, mvFV, prevBwd, mvBH, mvBV)
+                var yy = 0
+                while (yy < 16) {
+                  System.arraycopy(py, yy * 16, cur.y,
+                    ((a / mbW) * 16 + yy) * lw + (a % mbW) * 16, 16)
+                  yy += 1
+                }
+                place(pcb, cur.cb, cw, (a % mbW) * 8, (a / mbW) * 8)
+                place(pcr, cur.cr, cw, (a % mbW) * 8, (a / mbW) * 8)
+              } else copyFromPrev(a)
               a += 1
             }
-            dcValid = false; mvH = 0; mvV = 0
+            dcValid = false
+            if (!isB) { mvFH = 0; mvFV = 0 }
           }
           first = false
           mbAddr += inc
@@ -443,8 +541,8 @@ object Mpeg1 {
           covered(mbAddr) = true; nCovered += 1
 
           // macroblock_type
-          var quantF = false; var mcF = false; var codedF = false
-          var intraF = false
+          var quantF = false; var fwdF = false; var bwdF = false
+          var codedF = false; var intraF = false
           if (intra) {
             // I pictures: '1' intra, '01' intra + quant
             intraF = true
@@ -452,9 +550,14 @@ object Mpeg1 {
               if (br.bit() != 1) fail()
               quantF = true
             }
+          } else if (isB) {
+            val t = BTypeVlc.decode(br)
+            quantF = (t & 16) != 0; fwdF = (t & 8) != 0
+            bwdF = (t & 4) != 0; codedF = (t & 2) != 0
+            intraF = (t & 1) != 0
           } else {
             val t = PTypeVlc.decode(br)
-            quantF = (t & 8) != 0; mcF = (t & 4) != 0
+            quantF = (t & 8) != 0; fwdF = (t & 4) != 0
             codedF = (t & 2) != 0; intraF = (t & 1) != 0
           }
           if (quantF) { q = br.bits(5); if (q == 0) fail() }
@@ -463,7 +566,8 @@ object Mpeg1 {
           if (intraF) {
             if (!dcValid) { pred(0) = 1024; pred(1) = 1024; pred(2) = 1024 }
             dcValid = true
-            mvH = 0; mvV = 0
+            mvFH = 0; mvFV = 0; mvBH = 0; mvBV = 0
+            prevFwd = false; prevBwd = false
             var b = 0
             while (b < 6) {
               val comp = if (b < 4) 0 else b - 3
@@ -478,19 +582,19 @@ object Mpeg1 {
             }
           } else {
             dcValid = false
-            if (mcF) {
-              mvH = decodeMv(br, fCode, mvH)
-              mvV = decodeMv(br, fCode, mvV)
-            } else { mvH = 0; mvV = 0 }
-            // half-pel displacements (full_pel vectors are doubled)
-            val dxH = if (fullPel) mvH * 2 else mvH
-            val dyH = if (fullPel) mvV * 2 else mvV
-            val py = predictBlock(prev.y, lw, mbH * 16, mbX * 16, mbY * 16,
-              16, dxH, dyH)
-            val pcb = predictBlock(prev.cb, cw, mbH * 8, mbX * 8, mbY * 8,
-              8, dxH / 2, dyH / 2)
-            val pcr = predictBlock(prev.cr, cw, mbH * 8, mbX * 8, mbY * 8,
-              8, dxH / 2, dyH / 2)
+            if (fwdF) {
+              mvFH = decodeMv(br, fCodeF, mvFH)
+              mvFV = decodeMv(br, fCodeF, mvFV)
+            } else if (!isB) { mvFH = 0; mvFV = 0 } // P No-MC resets
+            if (bwdF) {
+              mvBH = decodeMv(br, fCodeB, mvBH)
+              mvBV = decodeMv(br, fCodeB, mvBV)
+            }
+            prevFwd = fwdF; prevBwd = bwdF
+            // P always predicts forward (No-MC is the zero vector)
+            val (py, pcb, pcr) = predictMb(mbX, mbY,
+              useF = !isB || fwdF, mvFH, mvFV,
+              useB = isB && bwdF, mvBH, mvBV)
             val cbp = if (codedF) CbpVlc.decode(br) else 0
             var b = 0
             while (b < 6) {
@@ -778,6 +882,15 @@ object Mpeg1 {
     * algebra is therefore closed-form replayable by an oracle.
     */
   final case class PPicture(yDelta: Array[Int]) extends Mp1Picture
+  /** Bidirectional picture, zero motion: `mode` 1 = forward-only
+    * (predicts from the PAST anchor), 2 = backward-only (the FUTURE
+    * anchor), 3 = interpolated (the per-sample round-half-away average
+    * of both). `yDelta` is null for a not-coded picture, else the
+    * [[PPicture]] odd-delta residual family on the four luma blocks.
+    * Passed in DECODE order (after the two anchors it references); the
+    * builder assigns display-order temporal references.
+    */
+  final case class BPicture(mode: Int, yDelta: Array[Int]) extends Mp1Picture
 
   /** Serialize intra frames into a conforming MPEG-1 video elementary
     * stream — the I-only form of [[buildMpeg1]].
@@ -786,9 +899,13 @@ object Mpeg1 {
       frames: IndexedSeq[Mpeg1Frame]): Array[Byte] =
     buildMpeg1(width, height, frames.map(IPicture))
 
-  /** Serialize an I/P picture sequence into a conforming MPEG-1 video
-    * elementary stream: sequence header (default matrices), GOP, one
-    * slice per macroblock row. The first picture must be intra.
+  /** Serialize an I/P/B picture sequence (DECODE order) into a
+    * conforming MPEG-1 video elementary stream: sequence header
+    * (default matrices), GOP, one slice per macroblock row,
+    * display-order temporal references derived from the decode-order
+    * structure (the B pictures following an anchor display BEFORE
+    * it). The first picture must be intra; every B picture must
+    * follow at least two anchors.
     */
   def buildMpeg1(width: Int, height: Int,
       pics: IndexedSeq[Mp1Picture]): Array[Byte] = {
@@ -798,15 +915,42 @@ object Mpeg1 {
     require(pics.head.isInstanceOf[IPicture], "first picture must be intra")
     val mbW = width / 16; val mbH = height / 16
     require(mbH <= 175, s"height $height exceeds slice vertical-position range")
+    var anchorsSeen = 0
     pics.foreach {
       case IPicture(f) =>
         require(f.yDc.length == mbW * 2 * mbH * 2 &&
           f.cbDc.length == mbW * mbH && f.crDc.length == mbW * mbH,
           "frame grids must match dimensions")
+        anchorsSeen += 1
       case PPicture(d) =>
         require(d.length == mbW * 2 * mbH * 2, "delta grid must match dims")
         require(d.forall(v => (v % 2 != 0) && math.abs(v) >= 3 &&
           math.abs(v) <= 255), "P deltas must be odd with 3 <= |D| <= 255")
+        anchorsSeen += 1
+      case BPicture(mode, d) =>
+        require(mode >= 1 && mode <= 3, s"B mode must be 1..3, got $mode")
+        require(anchorsSeen >= 2, "B pictures need two preceding anchors")
+        if (d != null) {
+          require(d.length == mbW * 2 * mbH * 2, "delta grid must match dims")
+          require(d.forall(v => (v % 2 != 0) && math.abs(v) >= 3 &&
+            math.abs(v) <= 255), "B deltas must be odd with 3 <= |D| <= 255")
+        }
+    }
+    // Display-order temporal references from decode order: each
+    // anchor's tr clears the B run that follows it (those Bs display
+    // between the PREVIOUS anchor and this one).
+    val trs = new Array[Int](pics.length)
+    var lastAnchorTr = -1
+    var i = 0
+    while (i < pics.length) {
+      var nB = 0
+      while (i + 1 + nB < pics.length &&
+        pics(i + 1 + nB).isInstanceOf[BPicture]) nB += 1
+      trs(i) = lastAnchorTr + 1 + nB
+      var k = 0
+      while (k < nB) { trs(i + 1 + k) = lastAnchorTr + 1 + k; k += 1 }
+      lastAnchorTr = trs(i)
+      i += 1 + nB
     }
     val bw = new BitWriter
     bw.startCode(0xb3)
@@ -837,13 +981,20 @@ object Mpeg1 {
 
     pics.zipWithIndex.foreach { case (pic, idx) =>
       bw.startCode(0x00)
-      bw.putBits(idx % 1024, 10)
-      bw.putBits(if (pic.isInstanceOf[IPicture]) 1 else 2, 3)
+      bw.putBits(trs(idx) % 1024, 10)
+      bw.putBits(pic match {
+        case _: IPicture => 1
+        case _: PPicture => 2
+        case _: BPicture => 3
+      }, 3)
       bw.putBits(0xffff, 16)  // vbv_delay
       pic match {
         case _: PPicture =>
           bw.putBit(0)        // full_pel_forward_vector: half-pel units
           bw.putBits(1, 3)    // forward_f_code 1
+        case _: BPicture =>
+          bw.putBit(0); bw.putBits(1, 3) // forward: half-pel, f_code 1
+          bw.putBit(0); bw.putBits(1, 3) // backward: half-pel, f_code 1
         case _ => ()
       }
       bw.putBit(0)            // extra_bit_picture
@@ -884,6 +1035,31 @@ object Mpeg1 {
                 bw.putBits(level & 0xff, 8)
                 bw.putBits(2, 2)  // EOB
                 b += 1
+              }
+            case BPicture(mode, deltas) =>
+              // macroblock_type (table B.2c): zero-MV prediction in
+              // the given direction(s), coded iff deltas are present
+              val coded = deltas != null
+              mode match {
+                case 1 => bw.putBits(if (coded) 3 else 2, 4) // fwd
+                case 2 => bw.putBits(if (coded) 3 else 2, 3) // bwd
+                case _ => bw.putBits(if (coded) 3 else 2, 2) // interp
+              }
+              // motion_code 0 ('1') per active direction component —
+              // predictors start at 0 each slice, so these stay zero
+              if (mode != 2) { bw.putBit(1); bw.putBit(1) }
+              if (mode != 1) { bw.putBit(1); bw.putBit(1) }
+              if (coded) {
+                bw.putBits(7, 3) // CBP 60 (four luma blocks)
+                var b = 0
+                while (b < 4) {
+                  val d = deltas((row * 2 + b / 2) * mbW * 2 + mbX * 2 + b % 2)
+                  val level = if (d > 0) (d - 1) / 2 else (d + 1) / 2
+                  bw.putBits(1, 6); bw.putBits(0, 6)
+                  bw.putBits(level & 0xff, 8)
+                  bw.putBits(2, 2)
+                  b += 1
+                }
               }
           }
           mbX += 1

@@ -1358,12 +1358,14 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
 
   /** REAL frame-sample over MPEG-1 VIDEO payloads — [[videoFrameStats]]
-    * for an actual inter-picture-capable broadcast codec, decoded
-    * intra-only ([[Mpeg1.decodeMpeg1Frames]]: sequence/GOP/picture/
-    * slice/macroblock layers, DC+AC VLC entropy decode, dequant with
-    * mismatch control, the shared 8×8 IDCT, 4:2:0 chroma). Streams
-    * containing any inter-coded picture degrade to one None row — the
-    * I-frame-only scope contract. Same scale shape as every decode
+    * for an actual broadcast codec with full I/P/B picture support
+    * ([[Mpeg1.decodeMpeg1Frames]]: sequence/GOP/picture/slice/
+    * macroblock layers, DC+AC VLC entropy decode, dequant with
+    * mismatch control, forward/backward motion compensation,
+    * bidirectional interpolation, anchor reordering to display order,
+    * the shared 8×8 IDCT, 4:2:0 chroma). Frame indices are DISPLAY
+    * order; streams with a D picture degrade to one None row (the
+    * [[Mpeg1]] scope contract). Same scale shape as every decode
     * here: stateless typed `mapPartitions`, map-side fan-out, no
     * shuffle introduced.
     */
@@ -1475,6 +1477,68 @@ object Multimodal {
     */
   def l5Mpeg1PFrames(spark: SparkSession, dir: String): DataFrame =
     mpeg1FrameStats(synthMpeg1PAssets(Tables(spark, dir)), stride = 1)
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Deterministic per-doc I+P+B MPEG-1 synthesis for the declared
+    * BIDIRECTIONAL-video query: doc d is the decode-order stream
+    * [I, P, B₁ … B_nB] (nB = 1 + d mod 3) whose DISPLAY order is
+    * I, B₁ … B_nB, P — the decoder must run the REAL B path: the
+    * B macroblock-type VLC, backward f_code parse, past/future anchor
+    * slots, display reordering, and bidirectional interpolation.
+    * Luma: I block k carries Y₀ = 40 + (d·7 + k·31 + 23) mod 140
+    * (headroom so every arm stays clamp-free); the P delta is
+    * D_P = s·(3 + 2·((d + k·3) mod 4)) with s = +1 iff (d+k) even, so
+    * Y_P = Y₀ + D_P. B_j predicts by mode (d+j) mod 3 — 0: forward
+    * (= Y₀), 1: backward (= Y_P), 2: interpolated
+    * (= (Y₀+Y_P+1) >> 1, the standard's round-half-away average) —
+    * and adds, when (d+j) is even, the coded odd residual
+    * D_B = s·(3 + 2·((d + j·5 + k·3) mod 4)), s = +1 iff (d+j+k)
+    * even. Chroma is constant per macroblock across pictures (as in
+    * [[synthMpeg1Assets]]), so every prediction arm reproduces it
+    * exactly. The oracle replays the display-order arithmetic; a
+    * defect in any B-layer — type table, vector predictors, the
+    * interpolation rounding, the reorder — is a hash mismatch.
+    */
+  def synthMpeg1BAssets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val nB = (1 + d % 3).toInt
+        val w = (16 * (1 + d % 2)).toInt
+        val h = (16 * (1 + (d / 2) % 2)).toInt
+        val bw = w / 8; val mbW = w / 16
+        val nBlk = bw * (h / 8)
+        val i0 = Mpeg1.IPicture(Mpeg1.Mpeg1Frame(
+          Array.tabulate(nBlk)(k => (40 + (d * 7 + k * 31 + 23) % 140).toInt),
+          Array.tabulate(mbW * (h / 16))(m => ((d * 11 + m * 17 + 61) % 256).toInt),
+          Array.tabulate(mbW * (h / 16))(m => ((d * 13 + m * 19 + 96) % 256).toInt)))
+        val p = Mpeg1.PPicture(Array.tabulate(nBlk) { k =>
+          val mag = (3 + 2 * ((d + k * 3) % 4)).toInt
+          if ((d + k) % 2 == 0) mag else -mag
+        })
+        val bs = (1 to nB).map { j =>
+          val mode = ((d + j) % 3 + 1).toInt // 1 fwd, 2 bwd, 3 interp
+          val deltas =
+            if ((d + j) % 2 == 0) Array.tabulate(nBlk) { k =>
+              val mag = (3 + 2 * ((d + j * 5 + k * 3) % 4)).toInt
+              if ((d + j + k) % 2 == 0) mag else -mag
+            } else null
+          Mpeg1.BPicture(mode, deltas)
+        }
+        (d, Mpeg1.buildMpeg1(w, h, (i0: Mpeg1.Mp1Picture) +: p +: bs))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5o declared query: EVERY display-order frame of the synthesized
+    * I+P+B MPEG-1 corpus (the reorder is the point), channel means per
+    * reconstructed frame.
+    */
+  def l5Mpeg1BFrames(spark: SparkSession, dir: String): DataFrame =
+    mpeg1FrameStats(synthMpeg1BAssets(Tables(spark, dir)), stride = 1)
       .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
         col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy(col("doc_id"), col("frame_idx"))

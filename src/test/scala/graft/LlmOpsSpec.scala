@@ -1945,6 +1945,136 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("L5o MPEG-1 B-pictures: fwd/bwd/interp round-trip, reorder, MC, skip, intra refresh, gates") {
+    import graft.operators.{Jpeg, Mpeg1}
+    // (1) builder round-trip: decode order I P B(fwd,coded)
+    // B(bwd,not-coded) B(interp,coded) over 32x16; display order must
+    // come out I B1 B2 B3 P with the closed-form pixel algebra
+    val w = 32; val h = 16
+    val y0 = Array.tabulate(8)(k => 40 + (k * 37 + 11) % 140)
+    val cb = Array(90, 170); val cr = Array(200, 30)
+    val dP = Array.tabulate(8)(k => if (k % 2 == 0) 5 else -7)
+    val dB1 = Array.tabulate(8)(k => if (k % 3 == 0) 9 else -3)
+    val dB3 = Array.tabulate(8)(k => if (k % 2 == 0) -5 else 3)
+    val es = Mpeg1.buildMpeg1(w, h, IndexedSeq(
+      Mpeg1.IPicture(Mpeg1.Mpeg1Frame(y0, cb, cr)),
+      Mpeg1.PPicture(dP),
+      Mpeg1.BPicture(1, dB1),         // forward + residual
+      Mpeg1.BPicture(2, null),        // backward, not coded
+      Mpeg1.BPicture(3, dB3)))        // interpolated + residual
+    val (dw, dh, fr) = Mpeg1.decodeMpeg1Frames(es).get
+    assert(dw == w && dh == h && fr.length == 5)
+    for (y <- 0 until h; x <- 0 until w) {
+      val k = (y / 8) * 4 + x / 8
+      val m = x / 16
+      val yP = y0(k) + dP(k)
+      val exp = Array(
+        y0(k),                         // display 0: I
+        y0(k) + dB1(k),                // display 1: B fwd + residual
+        yP,                            // display 2: B bwd of P
+        ((y0(k) + yP + 1) >> 1) + dB3(k), // display 3: B interp + residual
+        yP)                            // display 4: P
+      for (f <- 0 until 5)
+        assert(fr(f)(y * w + x) == Jpeg.yccToRgb(exp(f), cb(m), cr(m)),
+          s"display $f ($x,$y)")
+    }
+    // (2) hand-assembled B over a 64x16 I + P(+3) anchor pair: MB0
+    // forward MC +1 full pel, MB1 SKIPPED (repeats MB0's direction and
+    // vector — the B skip semantics), MB2 backward half-pel, MB3 intra
+    // refresh; constant chroma so the luma MC is the whole story
+    val w3 = 64
+    val y3 = Array.tabulate(16)(k => 48 + k * 9)
+    val cbF = Array(128, 128, 128, 128); val crF = Array(128, 128, 128, 128)
+    val base = Mpeg1.buildMpeg1I(w3, h, IndexedSeq(Mpeg1.Mpeg1Frame(y3, cbF, crF)))
+    val bits = new StringBuilder
+    def put(v: Int, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits.append((v >> i) & 1))
+    def start(code: Int): Unit = {
+      while (bits.length % 8 != 0) bits.append(0)
+      put(0, 8); put(0, 8); put(1, 8); put(code, 8)
+    }
+    // P picture: every MB No-MC coded, +3 on all four luma blocks
+    start(0x00); put(1, 10); put(2, 3); put(0xffff, 16)
+    put(0, 1); put(1, 3); put(0, 1)
+    start(0x01); put(8, 5); put(0, 1)
+    for (_ <- 0 until 4) {
+      put(1, 1); put(1, 2); put(7, 3) // inc 1, type '01', CBP 60
+      for (_ <- 0 until 4) { put(1, 6); put(0, 6); put(1, 8); put(2, 2) }
+    }
+    // B picture: fwd f_code 1, bwd f_code 1
+    start(0x00); put(2, 10); put(3, 3); put(0xffff, 16)
+    put(0, 1); put(1, 3); put(0, 1); put(1, 3); put(0, 1)
+    start(0x01); put(8, 5); put(0, 1)
+    put(1, 1)            // inc 1 -> MB0
+    put(2, 4)            // type '0010': forward, not coded
+    put(1, 3); put(0, 1) // fwd h: code +2 -> dxHalf 2 (+1 full pel)
+    put(1, 1)            // fwd v: 0
+    put(3, 3)            // inc 2 ('011'): SKIP MB1, land MB2
+    put(2, 3)            // type '010': backward, not coded
+    put(1, 2); put(1, 1) // bwd h: code -1 -> dxHalf -1 (half-pel)
+    put(1, 1)            // bwd v: 0
+    put(1, 1)            // inc 1 -> MB3
+    put(3, 5)            // type '00011': intra refresh
+    for (b <- 0 until 4) {
+      if (b == 0) { put(62, 6); put(72, 7) } // DC 128 -> 200
+      else put(4, 3)                          // diff 0
+      put(2, 2)
+    }
+    put(0, 2); put(2, 2); put(0, 2); put(2, 2) // Cb, Cr: diff 0
+    start(0xb7)
+    while (bits.length % 8 != 0) bits.append(0)
+    val tail = bits.toString.grouped(8)
+      .map(g => Integer.parseInt(g, 2).toByte).toArray
+    val stream = base.dropRight(4) ++ tail // replace base's sequence_end
+    val fr3 = Mpeg1.decodeMpeg1Frames(stream).get._3
+    assert(fr3.length == 3) // display: I, B, P
+    def lum(px: Array[Int], x: Int, y: Int): Int = (px(y * w3 + x) >> 16) & 0xff
+    for (y <- 0 until h; x <- 0 until w3) {
+      val k = (y / 8) * 8 + x / 8
+      assert(fr3(0)(y * w3 + x) == Jpeg.yccToRgb(y3(k), 128, 128), s"I ($x,$y)")
+      assert(fr3(2)(y * w3 + x) == Jpeg.yccToRgb(y3(k) + 3, 128, 128), s"P ($x,$y)")
+      val expY =
+        if (x < 32) lum(fr3(0), x + 1, y)                       // MB0 + skipped MB1
+        else if (x < 48) (lum(fr3(2), x - 1, y) + lum(fr3(2), x, y) + 1) >> 1
+        else 200                                                 // intra refresh
+      assert(fr3(1)(y * w3 + x) == Jpeg.yccToRgb(expY, 128, 128), s"B ($x,$y)")
+    }
+    // (3) gates: a B picture before two anchors returns None (both as
+    // the first picture and right after the first anchor), a D picture
+    // gates, and skip-after-intra inside a B picture is malformed
+    val es2 = Mpeg1.buildMpeg1I(w, h, IndexedSeq(
+      Mpeg1.Mpeg1Frame(y0, cb, cr), Mpeg1.Mpeg1Frame(y0.reverse, cb, cr)))
+    val picStarts = es2.indices.filter(i => i + 5 < es2.length &&
+      es2(i) == 0 && es2(i + 1) == 0 && es2(i + 2) == 1 && es2(i + 3) == 0)
+    assert(picStarts.length == 2)
+    val firstB = es2.clone(); firstB(picStarts(0) + 5) = 0x1f.toByte
+    assert(Mpeg1.decodeMpeg1Frames(firstB).isEmpty)
+    val secondB = es2.clone(); secondB(picStarts(1) + 5) = 0x1f.toByte
+    assert(Mpeg1.decodeMpeg1Frames(secondB).isEmpty)
+    val dPic = es2.clone(); dPic(picStarts(1) + 5) = 0x27.toByte
+    assert(Mpeg1.decodeMpeg1Frames(dPic).isEmpty)
+    // skip-after-intra: rebuild the hand B with MB0 intra then a skip
+    bits.clear()
+    start(0x00); put(2, 10); put(3, 3); put(0xffff, 16)
+    put(0, 1); put(1, 3); put(0, 1); put(1, 3); put(0, 1)
+    start(0x01); put(8, 5); put(0, 1)
+    put(1, 1); put(3, 5)  // MB0: intra
+    for (b <- 0 until 4) { put(4, 3); put(2, 2) } // DC diff 0 x4
+    put(0, 2); put(2, 2); put(0, 2); put(2, 2)
+    put(3, 3)             // inc 2: skip MB1 — illegal after intra
+    put(2, 4); put(1, 3); put(0, 1); put(1, 1) // MB2 fwd (never reached)
+    put(1, 1); put(2, 4); put(1, 3); put(0, 1); put(1, 1)
+    start(0xb7)
+    while (bits.length % 8 != 0) bits.append(0)
+    val badTail = bits.toString.grouped(8)
+      .map(g => Integer.parseInt(g, 2).toByte).toArray
+    // base I + hand P (re-using the P bytes from `stream` would need a
+    // re-slice; simplest conforming prefix: I + I anchors)
+    val anchors = Mpeg1.buildMpeg1I(w3, h, IndexedSeq(
+      Mpeg1.Mpeg1Frame(y3, cbF, crF), Mpeg1.Mpeg1Frame(y3, cbF, crF)))
+    assert(Mpeg1.decodeMpeg1Frames(anchors.dropRight(4) ++ badTail).isEmpty)
+  }
+
   test("L5m mpeg1 frame-sample: stride, null survival, declared spot rows") {
     import graft.operators.Multimodal
     val bad = Seq((99L, "mpg?not".getBytes("US-ASCII"))).toDF("doc_id", "payload")
@@ -2450,6 +2580,8 @@ class LlmOpsSpec extends SparkSuite {
       graft.operators.Multimodal.l5Mpeg1Frames(spark, sf))
     assertSameRows(graft.TailTwins.twinFrame(spark, sf, "l5_mpeg1p_frames"),
       graft.operators.Multimodal.l5Mpeg1PFrames(spark, sf))
+    assertSameRows(graft.TailTwins.twinFrame(spark, sf, "l5_mpeg1b_frames"),
+      graft.operators.Multimodal.l5Mpeg1BFrames(spark, sf))
     // partitioning invariance: first-occurrence selection is a
     // partial-combinable min over (doc_id, p) — layout cannot flip it
     assertSameRows(Dedup.substrDedup(tables.documents.repartition(7)),
