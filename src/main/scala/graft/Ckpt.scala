@@ -32,8 +32,24 @@ object Ckpt {
   implicit final class GraftMaterializeOps(private val df: DataFrame) extends AnyVal {
     /** Eagerly materialize `df` and truncate its lineage — local blocks by
       * default, reliable checkpoint files when [[DirKey]] is set.
+      *
+      * `large = true` declares the frame a scale-proportional
+      * intermediate (the 100× simJoin rep/pair/token frames): its blocks
+      * are pinned SERIALIZED (MEMORY_AND_DISK_SER), so unrolling never
+      * competes for heap as Java objects with the stage computing it —
+      * measured as spurious executor OOMs on an 8 GiB local heap while
+      * the serialized footprint was ~1 GB — and pressure SPILLS to disk
+      * (a disk-backed level migrates evicted blocks, never drops them,
+      * so lineage truncation stays safe; only executor loss loses
+      * blocks, which the reliable-checkpoint branch covers). The
+      * default stays Spark's deserialized MEMORY_AND_DISK because the
+      * iterative consumers (connected components, PageRank, triangles)
+      * RE-READ their barrier every round and a serialized level taxes
+      * every re-read with deserialization — a blanket SER/DISK_ONLY cut
+      * measured 2–14× on the barrier-heavy fixture queries
+      * (g2_triangles 0.6→8.1 s, l9_fuzzy_decontam 1.2→4.9 s).
       */
-    def materialize(): DataFrame = {
+    def materialize(large: Boolean = false): DataFrame = {
       val spark = df.sparkSession
       spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
         case Some(dir) =>
@@ -45,26 +61,10 @@ object Ckpt {
             sc.setCheckpointDir(dir)
           df.checkpoint()
         case None =>
-          // MEMORY_AND_DISK_SER, not the default deserialized
-          // MEMORY_AND_DISK and not DISK_ONLY. The deserialized default
-          // unrolls a LARGE intermediate (the 100× simJoin rep-pair
-          // frame) as Java objects competing for heap with the very
-          // stage computing it — measured as spurious executor OOMs on
-          // an 8 GiB local heap while the serialized footprint was
-          // ~1 GB. Pure DISK_ONLY fixes that but taxes EVERY barrier
-          // with a serialize→write→read round trip even when the
-          // intermediate is a few MB — measured 2–4× on the
-          // barrier-heavy fixture queries (l9_fuzzy_decontam 1.2→4.9 s,
-          // b2/b3/b5 ~2×). Serialized-in-memory stores the compact
-          // bytes under unified-memory unroll accounting and SPILLS TO
-          // DISK under pressure, which is also why the level stays
-          // lineage-truncation-safe: a disk-backed storage level
-          // migrates evicted blocks to disk rather than dropping them
-          // (only executor loss loses blocks — same exposure as
-          // DISK_ONLY's local files; the reliable-checkpoint branch
-          // above is the posture for that).
-          df.localCheckpoint(true,
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          if (large)
+            df.localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          else df.localCheckpoint()
       }
     }
   }

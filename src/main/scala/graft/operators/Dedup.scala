@@ -733,7 +733,7 @@ object Dedup {
       // before the frame is pinned (every downstream consumer keys on
       // rep_id)
       .select(col("rep_id"), col("members"), col("toks"))
-      .materialize()
+      .materialize(large = true) // toks+members arrays scale with the corpus
     // 2. signatures + band-hash array per representative: ONE native
     // single-pass signature vector per rep (see MinhashSigs), band
     // hashes fold getItem slices of it in the next projection
@@ -889,8 +889,11 @@ object Dedup {
   private[graft] def defaultSimJoinParts(spark: SparkSession, dir: String): SimJoinParts =
     defaultPartsCache.getOrElseUpdate(spark, dir) {
       val p = simJoinParts(Tables(spark, dir).documents)
-      SimJoinParts(p.reps.materialize(), p.repPairs.materialize(),
-        p.members.materialize())
+      // pair and member frames are scale-proportional (the 100× corpus:
+      // 297M verified pairs) — pin them serialized so the unroll never
+      // competes for heap with the verify stage that produces them
+      SimJoinParts(p.reps.materialize(), p.repPairs.materialize(large = true),
+        p.members.materialize(large = true))
     }
 
   /** Shingle size for the declared n-gram Jaccard query (shared with the
