@@ -789,6 +789,35 @@ object TailTwins {
           .orderBy(col("doc_id"), col("frame_idx"))
       }),
 
+      "l5_mpeg1d_frames" -> (() => {
+        val decode = udf { payload: Array[Byte] =>
+          graft.operators.Mpeg1.decodeMpeg1Frames(payload) match {
+            case Some((w, h, frames)) if frames.nonEmpty =>
+              (0 until frames.length by 2).map { fi =>
+                val px = frames(fi)
+                var r = 0L; var g = 0L; var b = 0L
+                px.foreach { p =>
+                  r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                }
+                val n = px.length.toLong
+                (Option(fi), Option(w), Option(h), Option(n),
+                  Option(r / n), Option(g / n), Option(b / n))
+              }
+            case _ =>
+              Seq((Option.empty[Int], Option.empty[Int], Option.empty[Int],
+                Option.empty[Long], Option.empty[Long], Option.empty[Long],
+                Option.empty[Long]))
+          }
+        }
+        graft.operators.Multimodal.synthMpeg1DAssets(Tables(spark, dir))
+          .select(col("doc_id"), explode(decode(col("payload"))).as("f"))
+          .select(col("doc_id"), col("f._1").as("frame_idx"),
+            col("f._2").as("width"), col("f._3").as("height"),
+            col("f._4").as("n_pixels"), col("f._5").as("mean_r"),
+            col("f._6").as("mean_g"), col("f._7").as("mean_b"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      }),
+
       "l1_dupspans" -> (() => dupCoverageNaive(docs).orderBy("doc_id")),
 
       // the KMV-sketch form an experienced user writes first: per-corpus

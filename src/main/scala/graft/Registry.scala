@@ -2646,6 +2646,46 @@ object Registry {
         GROUP BY d.source ORDER BY d.source"""
       }),
 
+      // L9c BLOOM decontamination: the oracle replays the whole filter
+      // — both md5 hash lanes, the k=4 double-hash probe positions, the
+      // 2^17-bit modulus, and the all-bits-set membership test (as a
+      // position-set join, bit-packing being storage not semantics) —
+      // so the declared digest pins the bloom's exact output INCLUDING
+      // its false positives.
+      QueryDef("l9_bloom_decontam", Curation.l9BloomDecontam, Some {
+        val n = Curation.DecontamN
+        val m = Curation.BloomBits
+        val k = Curation.BloomHashes
+        s"""
+        WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t,
+          CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+               WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+               ELSE 'test' END AS split
+          FROM documents),
+        g AS (SELECT doc_id, split,
+          unnest([array_to_string(t[i:i+${n - 1}], ' ') for i in range(1, len(t) - ${n - 2})]) AS gram
+          FROM d),
+        gh AS (SELECT doc_id, split, gram,
+            ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h1,
+            ('0x' || substr(md5(gram), 9, 8))::BIGINT AS h2
+          FROM g),
+        bloom AS (SELECT DISTINCT (h1 + u.i * h2) % $m AS pos
+          FROM gh, UNNEST(generate_series(0, ${k - 1})) AS u(i)
+          WHERE split = 'test'),
+        tp AS (SELECT doc_id, gram, u.i, (h1 + u.i * h2) % $m AS pos
+          FROM gh, UNNEST(generate_series(0, ${k - 1})) AS u(i)
+          WHERE split = 'train'),
+        hit AS (SELECT DISTINCT doc_id FROM (
+          SELECT doc_id, gram FROM tp JOIN bloom USING (pos)
+          GROUP BY doc_id, gram HAVING COUNT(DISTINCT i) = $k))
+        SELECT d.source, COUNT(*) AS n_train,
+          CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+          CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN d.doc_id ELSE 0 END) AS BIGINT) AS flagged_id_digest
+        FROM d LEFT JOIN hit h ON d.doc_id = h.doc_id
+        WHERE d.split = 'train'
+        GROUP BY d.source ORDER BY d.source"""
+      }),
+
       // SQ8 replay: corpus-max |x| scale, signed floor-quantized codes,
       // integer-cosine ranking to 4k candidates, then the shared
       // decimal-exact cosine rescore
@@ -3026,6 +3066,44 @@ object Registry {
             (doc_id * 11 + m * 17 + 61) % 256 AS cb,
             (doc_id * 13 + m * 19 + 96) % 256 AS cr
           FROM base),
+        c AS (SELECT doc_id, w, h, f,
+            LEAST(255, GREATEST(0, (y * 65536 + 91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS r,
+            LEAST(255, GREATEST(0, (y * 65536 - 22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS g,
+            LEAST(255, GREATEST(0, (y * 65536 + 116130 * (cb - 128) + 32768 + 16777216) // 65536 - 256)) AS b
+          FROM u)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+          CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(r) * 64 // (w * h) AS BIGINT) AS mean_r,
+          CAST(SUM(g) * 64 // (w * h) AS BIGINT) AS mean_g,
+          CAST(SUM(b) * 64 // (w * h) AS BIGINT) AS mean_b
+        FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""")),
+
+      // L5p: real MPEG-1 TRICK-MODE video — the fourth 11172-2
+      // picture type (D: DC-only blocks with NO end_of_block, the
+      // single-entry macroblock-type table, an end_of_macroblock
+      // marker per macroblock, all-D sequence constraint) — grammar
+      // the I/P/B queries structurally cannot reach; the oracle
+      // replays the flat-block arithmetic on the sampled indices with
+      // fresh constants vs l5_mpeg1_frames so the two can't mask
+      // each other.
+      QueryDef("l5_mpeg1d_frames", Multimodal.l5Mpeg1DFrames, Some("""
+        WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf,
+                          16 * (1 + doc_id % 2) AS w,
+                          16 * (1 + (doc_id // 2) % 2) AS h
+                   FROM documents),
+        f AS (SELECT d.doc_id, d.w, d.h, u.f
+              FROM d, UNNEST(generate_series(0, d.nf - 1)) AS u(f)
+              WHERE u.f % 2 = 0),
+        blk AS (SELECT f.doc_id, f.w, f.h, f.f, k.k,
+                  ((k.k // (f.w // 8)) // 2) * (f.w // 16)
+                    + (k.k % (f.w // 8)) // 2 AS m
+                FROM f, UNNEST(generate_series(0, (f.w // 8) * (f.h // 8) - 1)) AS k(k)),
+        u AS (SELECT doc_id, w, h, f,
+                (doc_id * 5 + f * 23 + k * 37 + 11) % 256 AS y,
+                (doc_id * 17 + f * 31 + m * 13 + 42) % 256 AS cb,
+                (doc_id * 19 + f * 43 + m * 29 + 77) % 256 AS cr
+              FROM blk),
         c AS (SELECT doc_id, w, h, f,
             LEAST(255, GREATEST(0, (y * 65536 + 91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS r,
             LEAST(255, GREATEST(0, (y * 65536 - 22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS g,

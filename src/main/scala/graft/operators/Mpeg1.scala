@@ -28,16 +28,17 @@ import scala.util.control.NonFatal
   * DC/8 uniformly; subtracting 1024 = 128·8 converts to JPEG's +128
   * convention); residuals go through their own unshifted rounding IDCT.
   *
-  * Scope contract (the codec-family narrowing discipline): streams of
-  * I, P and B pictures decode fully; the first D picture (the
-  * DC-only trick-mode type that real encoders never emit) gates the
-  * WHOLE stream to None, as does a B picture arriving before two
-  * decoded anchors (a broken-link open GOP after a splice — the one
-  * B-picture configuration this engine stands in for). One more
-  * documented bound: the AC coefficient VLC table is implemented
-  * through its 13-bit codes plus the fixed-format ESCAPE form — any
-  * conforming encoder can escape-code the rare longer entries, and
-  * this encoder always does; an unmatched longer prefix gates to None.
+  * Scope contract: ALL FOUR 11172-2 picture types decode — I, P, B,
+  * and D (the DC-only trick-mode type: single-entry macroblock_type
+  * table B.4, DC-only blocks with no end_of_block, the
+  * end_of_macroblock marker bit). The remaining None-gates are all
+  * NONCONFORMING streams, not format subsets: a sequence mixing D
+  * with non-D pictures (11172-2 §2.4.1 requires a D sequence to be
+  * all-D), a B picture arriving before two decoded anchors (a
+  * broken-link open GOP after a splice), and an AC-coefficient prefix
+  * longer than the implemented 13-bit table entries plus the
+  * fixed-format ESCAPE form — any conforming encoder can escape-code
+  * the rare longer entries, and this encoder always does.
   *
   * Hostile-input posture matches the other codecs: dimension and
   * retention caps checked BEFORE any allocation, every parse error is
@@ -280,9 +281,10 @@ object Mpeg1 {
   // Decoder
   // ------------------------------------------------------------------
 
-  /** Decode an MPEG-1 video elementary stream (I, P and B pictures)
-    * into packed-RGB frames in DISPLAY order (display-cropped). None
-    * on anything else — see the object doc's scope contract.
+  /** Decode an MPEG-1 video elementary stream (I, P, B and D
+    * pictures) into packed-RGB frames in DISPLAY order
+    * (display-cropped). None on nonconforming streams — see the
+    * object doc's scope contract.
     */
   def decodeMpeg1Frames(bytes: Array[Byte],
       maxTotalPixels: Long = MaxDecodeTotalPixels)
@@ -323,6 +325,9 @@ object Mpeg1 {
       var past: Planes = null
       var future: Planes = null
       var nPics = 0 // decoded pictures — every one reaches the output
+      // 11172-2 §2.4.1: a sequence containing D pictures contains ONLY
+      // D pictures — a mix is nonconforming and gates to None
+      var sawD = false; var sawNonD = false
       var done = false
       while (!done) {
         br.nextStartCode() match {
@@ -336,8 +341,9 @@ object Mpeg1 {
             if ((nPics + 1L) * w * h > maxTotalPixels) fail()
             br.bits(10) // temporal_reference (reorder is rule-driven)
             val ptype = br.bits(3)
-            // D pictures gate the stream — see the object doc
-            if (ptype != 1 && ptype != 2 && ptype != 3) return None
+            if (ptype < 1 || ptype > 4) fail() // forbidden type codes
+            if (ptype == 4) sawD = true else sawNonD = true
+            if (sawD && sawNonD) return None // mixed D/non-D sequence
             if (ptype == 2 && future == null) fail() // P needs a reference
             if (ptype == 3 && (past == null || future == null)) return None
             br.bits(16)
@@ -357,8 +363,10 @@ object Mpeg1 {
               fwdRef = if (ptype == 3) past else future,
               bwdRef = if (ptype == 3) future else null)
             nPics += 1
-            if (ptype == 3) frames += toRgb(rec, w, h, mbW)
+            if (ptype == 3 || ptype == 4) frames += toRgb(rec, w, h, mbW)
             else {
+              // D pictures are never references (§2.4.4.1) and emit
+              // immediately above; anchors hold until the next anchor
               if (future != null) frames += toRgb(future, w, h, mbW)
               past = future; future = rec
             }
@@ -389,18 +397,19 @@ object Mpeg1 {
     out
   }
 
-  /** All slices of one picture (I, P or B) → reconstructed planes at
-    * full macroblock-grid size. Coverage is strict: every macroblock
-    * decoded (or legally skipped, P/B only) exactly once. `fwdRef` is
-    * the forward reference (the previous anchor for P, the PAST anchor
-    * for B), `bwdRef` the backward reference (B only, the FUTURE
-    * anchor).
+  /** All slices of one picture (I, P, B or D) → reconstructed planes
+    * at full macroblock-grid size. Coverage is strict: every
+    * macroblock decoded (or legally skipped, P/B only) exactly once.
+    * `fwdRef` is the forward reference (the previous anchor for P,
+    * the PAST anchor for B), `bwdRef` the backward reference (B only,
+    * the FUTURE anchor).
     */
   private def decodePicture(br: BitReader, mbW: Int, mbH: Int,
       intraQ: Array[Int], nonIntraQ: Array[Int], ptype: Int,
       fullPelF: Boolean, fCodeF: Int, fullPelB: Boolean, fCodeB: Int,
       fwdRef: Planes, bwdRef: Planes): Planes = {
-    val intra = ptype == 1
+    val isD = ptype == 4
+    val intra = ptype == 1 || isD // D pictures are all-intra, DC-only
     val isB = ptype == 3
     val lw = mbW * 16; val cw = mbW * 8
     val cur = Planes(new Array[Int](lw * mbH * 16),
@@ -543,7 +552,12 @@ object Mpeg1 {
           // macroblock_type
           var quantF = false; var fwdF = false; var bwdF = false
           var codedF = false; var intraF = false
-          if (intra) {
+          if (isD) {
+            // D pictures: table B.4 has the single entry '1' (intra,
+            // no quant variant)
+            intraF = true
+            if (br.bit() != 1) fail()
+          } else if (intra) {
             // I pictures: '1' intra, '01' intra + quant
             intraF = true
             if (br.bit() != 1) {
@@ -571,7 +585,9 @@ object Mpeg1 {
             var b = 0
             while (b < 6) {
               val comp = if (b < 4) 0 else b - 3
-              val samples = decodeIntraBlock(br, comp, q, intraQ, pred)
+              val samples =
+                if (isD) decodeDcOnlyBlock(br, comp, pred)
+                else decodeIntraBlock(br, comp, q, intraQ, pred)
               if (b < 4)
                 place(samples, cur.y, lw, mbX * 16 + (b % 2) * 8,
                   mbY * 16 + (b / 2) * 8)
@@ -580,6 +596,8 @@ object Mpeg1 {
                   mbX * 8, mbY * 8)
               b += 1
             }
+            // end_of_macroblock marker, D pictures only (§2.4.2.7)
+            if (isD && br.bit() != 1) fail()
           } else {
             dcValid = false
             if (fwdF) {
@@ -849,6 +867,29 @@ object Mpeg1 {
     Jpeg.idct(coefs)
   }
 
+  /** One D-picture block: DC size/differential ONLY — no AC scan and
+    * no end_of_block (11172-2 block() syntax under picture_coding_type
+    * 4); the same DC-prediction chain and fixed step-8 DC quant as
+    * intra blocks, through the shared IDCT (a DC-only block is flat,
+    * so the transform is exact).
+    */
+  private def decodeDcOnlyBlock(br: BitReader, comp: Int,
+      pred: Array[Int]): Array[Int] = {
+    val coefs = new Array[Int](64)
+    val size = (if (comp == 0) DcSizeLumaVlc else DcSizeChromaVlc).decode(br)
+    val diff =
+      if (size == 0) 0
+      else {
+        val v = br.bits(size)
+        if ((v & (1 << (size - 1))) != 0) v else v - (1 << size) + 1
+      }
+    var dc = pred(comp) + diff * 8
+    if (dc > 2047) dc = 2047 else if (dc < -2048) dc = -2048
+    pred(comp) = dc
+    coefs(0) = dc - 1024 // shared IDCT's +128 convention (see intra)
+    Jpeg.idct(coefs)
+  }
+
   /** Intra dequant: (2·level·q·W)/16 truncated toward zero, forced odd
     * (mismatch control), saturated to the coefficient range.
     */
@@ -891,6 +932,13 @@ object Mpeg1 {
     * builder assigns display-order temporal references.
     */
   final case class BPicture(mode: Int, yDelta: Array[Int]) extends Mp1Picture
+  /** DC-only trick-mode picture (type 4) carrying the same
+    * [[Mpeg1Frame]] grids as an intra picture — blocks code the DC
+    * chain only (no AC, no EOB) and each macroblock ends with the
+    * end_of_macroblock marker. A stream with any D picture must be
+    * ALL D pictures (11172-2 §2.4.1), which [[buildMpeg1]] enforces.
+    */
+  final case class DPicture(f: Mpeg1Frame) extends Mp1Picture
 
   /** Serialize intra frames into a conforming MPEG-1 video elementary
     * stream — the I-only form of [[buildMpeg1]].
@@ -899,24 +947,33 @@ object Mpeg1 {
       frames: IndexedSeq[Mpeg1Frame]): Array[Byte] =
     buildMpeg1(width, height, frames.map(IPicture))
 
-  /** Serialize an I/P/B picture sequence (DECODE order) into a
-    * conforming MPEG-1 video elementary stream: sequence header
-    * (default matrices), GOP, one slice per macroblock row,
+  /** Serialize an I/P/B (or all-D) picture sequence (DECODE order)
+    * into a conforming MPEG-1 video elementary stream: sequence
+    * header (default matrices), GOP, one slice per macroblock row,
     * display-order temporal references derived from the decode-order
     * structure (the B pictures following an anchor display BEFORE
     * it). The first picture must be intra; every B picture must
-    * follow at least two anchors.
+    * follow at least two anchors; D pictures may only appear in an
+    * all-D sequence (where display order is decode order).
     */
   def buildMpeg1(width: Int, height: Int,
       pics: IndexedSeq[Mp1Picture]): Array[Byte] = {
     require(width > 0 && height > 0 && width % 16 == 0 && height % 16 == 0,
       s"builder requires macroblock-aligned dims, got ${width}x$height")
     require(pics.nonEmpty, "at least one picture")
-    require(pics.head.isInstanceOf[IPicture], "first picture must be intra")
+    val anyD = pics.exists(_.isInstanceOf[DPicture])
+    require(!anyD || pics.forall(_.isInstanceOf[DPicture]),
+      "a sequence with D pictures must be all-D (11172-2 2.4.1)")
+    require(anyD || pics.head.isInstanceOf[IPicture],
+      "first picture must be intra")
     val mbW = width / 16; val mbH = height / 16
     require(mbH <= 175, s"height $height exceeds slice vertical-position range")
     var anchorsSeen = 0
     pics.foreach {
+      case DPicture(f) =>
+        require(f.yDc.length == mbW * 2 * mbH * 2 &&
+          f.cbDc.length == mbW * mbH && f.crDc.length == mbW * mbH,
+          "frame grids must match dimensions")
       case IPicture(f) =>
         require(f.yDc.length == mbW * 2 * mbH * 2 &&
           f.cbDc.length == mbW * mbH && f.crDc.length == mbW * mbH,
@@ -986,6 +1043,7 @@ object Mpeg1 {
         case _: IPicture => 1
         case _: PPicture => 2
         case _: BPicture => 3
+        case _: DPicture => 4
       }, 3)
       bw.putBits(0xffff, 16)  // vbv_delay
       pic match {
@@ -1008,6 +1066,19 @@ object Mpeg1 {
         while (mbX < mbW) {
           bw.putBit(1)        // address increment 1
           pic match {
+            case DPicture(f) =>
+              bw.putBit(1)    // type: the single table-B.4 entry
+              var b = 0
+              while (b < 4) {
+                val v = f.yDc((row * 2 + b / 2) * mbW * 2 + mbX * 2 + b % 2)
+                putDcDiff(v - predY, chroma = false); predY = v
+                b += 1       // DC only: no AC run-levels, no EOB
+              }
+              val cb = f.cbDc(row * mbW + mbX)
+              putDcDiff(cb - predCb, chroma = true); predCb = cb
+              val cr = f.crDc(row * mbW + mbX)
+              putDcDiff(cr - predCr, chroma = true); predCr = cr
+              bw.putBit(1)    // end_of_macroblock
             case IPicture(f) =>
               bw.putBit(1)    // type: intra
               var b = 0

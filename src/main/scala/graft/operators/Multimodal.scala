@@ -1358,14 +1358,15 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
 
   /** REAL frame-sample over MPEG-1 VIDEO payloads — [[videoFrameStats]]
-    * for an actual broadcast codec with full I/P/B picture support
+    * for an actual broadcast codec with full I/P/B/D picture support
     * ([[Mpeg1.decodeMpeg1Frames]]: sequence/GOP/picture/slice/
     * macroblock layers, DC+AC VLC entropy decode, dequant with
     * mismatch control, forward/backward motion compensation,
     * bidirectional interpolation, anchor reordering to display order,
-    * the shared 8×8 IDCT, 4:2:0 chroma). Frame indices are DISPLAY
-    * order; streams with a D picture degrade to one None row (the
-    * [[Mpeg1]] scope contract). Same scale shape as every decode
+    * the shared 8×8 IDCT, 4:2:0 chroma — and D trick-mode pictures).
+    * Frame indices are DISPLAY order; nonconforming streams degrade
+    * to one None row (the [[Mpeg1]] scope contract). Same scale shape
+    * as every decode
     * here: stateless typed `mapPartitions`, map-side fan-out, no
     * shuffle introduced.
     */
@@ -1539,6 +1540,50 @@ object Multimodal {
     */
   def l5Mpeg1BFrames(spark: SparkSession, dir: String): DataFrame =
     mpeg1FrameStats(synthMpeg1BAssets(Tables(spark, dir)), stride = 1)
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Deterministic per-doc all-D MPEG-1 synthesis for the declared
+    * TRICK-MODE-video query — the fourth and last 11172-2 picture
+    * type: doc d is an all-D elementary stream of 2 + d mod 3
+    * pictures at the [[synthMpeg1Assets]] dimensions, where picture
+    * f's 8×8 luma block k carries Y = (d·5 + f·23 + k·37 + 11) mod
+    * 256 and macroblock m carries Cb = (d·17 + f·31 + m·13 + 42) mod
+    * 256, Cr = (d·19 + f·43 + m·29 + 77) mod 256 (fresh constants vs
+    * the intra query so the two can't mask each other). D blocks are
+    * DC-only BY SYNTAX — no AC scan, no end_of_block, an
+    * end_of_macroblock marker per macroblock, the single-entry
+    * macroblock-type table — so the engine exercises the one
+    * picture-type grammar the I/P/B queries cannot reach, while the
+    * oracle replays the same flat-block integer arithmetic.
+    */
+  def synthMpeg1DAssets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val nf = (2 + d % 3).toInt
+        val w = (16 * (1 + d % 2)).toInt
+        val h = (16 * (1 + (d / 2) % 2)).toInt
+        val bw = w / 8; val mbW = w / 16
+        val pics = (0 until nf).map { f =>
+          Mpeg1.DPicture(Mpeg1.Mpeg1Frame(
+            Array.tabulate(bw * (h / 8))(k => ((d * 5 + f * 23 + k * 37 + 11) % 256).toInt),
+            Array.tabulate(mbW * (h / 16))(m => ((d * 17 + f * 31 + m * 13 + 42) % 256).toInt),
+            Array.tabulate(mbW * (h / 16))(m => ((d * 19 + f * 43 + m * 29 + 77) % 256).toInt)))
+        }
+        (d, Mpeg1.buildMpeg1(w, h, pics.toIndexedSeq))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5p declared query: every-2nd-picture sample of the synthesized
+    * all-D MPEG-1 corpus (see [[synthMpeg1DAssets]]/
+    * [[mpeg1FrameStats]]).
+    */
+  def l5Mpeg1DFrames(spark: SparkSession, dir: String): DataFrame =
+    mpeg1FrameStats(synthMpeg1DAssets(Tables(spark, dir)), stride = 2)
       .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
         col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy(col("doc_id"), col("frame_idx"))

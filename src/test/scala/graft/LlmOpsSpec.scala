@@ -2041,7 +2041,9 @@ class LlmOpsSpec extends SparkSuite {
     }
     // (3) gates: a B picture before two anchors returns None (both as
     // the first picture and right after the first anchor), a D picture
-    // gates, and skip-after-intra inside a B picture is malformed
+    // inside a non-D sequence gates (the 11172-2 2.4.1 all-D rule —
+    // pure-D streams decode, see the L5p spec), and skip-after-intra
+    // inside a B picture is malformed
     val es2 = Mpeg1.buildMpeg1I(w, h, IndexedSeq(
       Mpeg1.Mpeg1Frame(y0, cb, cr), Mpeg1.Mpeg1Frame(y0.reverse, cb, cr)))
     val picStarts = es2.indices.filter(i => i + 5 < es2.length &&
@@ -2099,6 +2101,91 @@ class LlmOpsSpec extends SparkSuite {
       }
       val n = (w.toLong * h)
       assert(row.getInt(2) == w && row.getInt(3) == h && row.getLong(4) == n)
+      assert(row.getLong(5) == r / n && row.getLong(6) == g / n
+        && row.getLong(7) == b / n, s"doc $d frame $f")
+    }
+    assert(q.keySet == Set((1L, 0), (1L, 2), (3L, 0)))
+  }
+
+  test("L5p MPEG-1 D-pictures: round-trip, grammar, gates, declared spot rows") {
+    import graft.operators.{Jpeg, Mpeg1}
+    // (1) round-trip exactness: 32x16, two D pictures — DC chains run
+    // across the 4-luma-block MB order and across macroblocks, and
+    // display order is decode order (no anchors held back)
+    val w = 32; val h = 16
+    val yDc = Array.tabulate((w / 8) * (h / 8))(k => (k * 41 + 7) % 256)
+    val cb = Array.tabulate(2)(m => (m * 73 + 50) % 256)
+    val cr = Array.tabulate(2)(m => (m * 61 + 180) % 256)
+    val d0 = Mpeg1.DPicture(Mpeg1.Mpeg1Frame(yDc, cb, cr))
+    val d1 = Mpeg1.DPicture(Mpeg1.Mpeg1Frame(yDc.map(v => 255 - v), cb, cr))
+    val es = Mpeg1.buildMpeg1(w, h, IndexedSeq(d0, d1))
+    val (dw, dh, frames) = Mpeg1.decodeMpeg1Frames(es).get
+    assert(dw == w && dh == h && frames.length == 2)
+    for (y <- 0 until h; x <- 0 until w) {
+      val k = (y / 8) * (w / 8) + x / 8
+      val m = (y / 16) * (w / 16) + x / 16
+      assert(frames(0)(y * w + x) == Jpeg.yccToRgb(yDc(k), cb(m), cr(m)), s"D0 ($x,$y)")
+      assert(frames(1)(y * w + x) == Jpeg.yccToRgb(255 - yDc(k), cb(m), cr(m)), s"D1 ($x,$y)")
+    }
+    // (2) grammar, hand-assembled 16x16: D blocks carry NO end_of_block
+    // and the macroblock ends with the end_of_macroblock marker — a
+    // cleared marker bit is malformed
+    val bits = new StringBuilder
+    def put(v: Int, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits.append((v >> i) & 1))
+    def start(code: Int): Unit = {
+      while (bits.length % 8 != 0) bits.append(0)
+      put(0, 8); put(0, 8); put(1, 8); put(code, 8)
+    }
+    def handStream(eom: Int): Array[Byte] = {
+      bits.clear()
+      start(0xb3); put(16, 12); put(16, 12); put(1, 4); put(5, 4)
+      put(0x3ffff, 18); put(1, 1); put(0, 10); put(0, 1); put(0, 1); put(0, 1)
+      start(0x00); put(0, 10); put(4, 3); put(0xffff, 16); put(0, 1) // D: no f_codes
+      start(0x01); put(8, 5); put(0, 1)   // slice row 1, qs 8
+      put(1, 1); put(1, 1)                // addr inc 1, type (table B.4)
+      put(14, 4); put(3, 5)               // Y0 DC: size 5, -28 → 100
+      for (_ <- 0 until 3) put(4, 3)      // Y1..Y3: DC diff 0 — NO EOB
+      for (_ <- 0 until 2) put(0, 2)      // Cb, Cr: DC diff 0
+      put(eom, 1)                         // end_of_macroblock
+      start(0xb7)
+      while (bits.length % 8 != 0) bits.append(0)
+      bits.toString.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+    }
+    val hpx = Mpeg1.decodeMpeg1Frames(handStream(1)).get._3.head
+    for (i <- 0 until 256)
+      assert(hpx(i) == Jpeg.yccToRgb(100, 128, 128), s"hand $i")
+    assert(Mpeg1.decodeMpeg1Frames(handStream(0)).isEmpty)
+    // (3) gates: a non-D picture inside a D sequence (the mirror of the
+    // I-then-D gate in the L5o spec), truncation, retention budget
+    val picStarts = es.indices.filter(i => i + 5 < es.length &&
+      es(i) == 0 && es(i + 1) == 0 && es(i + 2) == 1 && es(i + 3) == 0)
+    assert(picStarts.length == 2)
+    val mixed = es.clone()
+    mixed(picStarts(1) + 5) = // keep tr bits, set picture type to 1 (I)
+      ((mixed(picStarts(1) + 5) & 0xC7) | 0x08).toByte
+    assert(Mpeg1.decodeMpeg1Frames(mixed).isEmpty)
+    assert(Mpeg1.decodeMpeg1Frames(es.dropRight(10)).isEmpty)
+    assert(Mpeg1.decodeMpeg1Frames(es, maxTotalPixels = 1L * w * h).isEmpty)
+    assert(Mpeg1.decodeMpeg1Frames(es, maxTotalPixels = 2L * w * h).nonEmpty)
+    // (4) declared-query spot rows against the synthesis formula
+    val q = graft.operators.Multimodal.l5Mpeg1DFrames(spark, sf)
+      .filter(col("doc_id").isin(1L, 3L)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    for (((d, f), row) <- q) {
+      val ww = (16 * (1 + d % 2)).toInt; val hh = (16 * (1 + (d / 2) % 2)).toInt
+      var r = 0L; var g = 0L; var b = 0L
+      for (k <- 0 until (ww / 8) * (hh / 8)) {
+        val m = ((k / (ww / 8)) / 2) * (ww / 16) + (k % (ww / 8)) / 2
+        val y = ((d * 5 + f * 23 + k * 37 + 11) % 256).toInt
+        val cbv = ((d * 17 + f * 31 + m * 13 + 42) % 256).toInt
+        val crv = ((d * 19 + f * 43 + m * 29 + 77) % 256).toInt
+        val rgb = Jpeg.yccToRgb(y, cbv, crv)
+        r += ((rgb >> 16) & 0xff) * 64; g += ((rgb >> 8) & 0xff) * 64
+        b += (rgb & 0xff) * 64
+      }
+      val n = ww.toLong * hh
+      assert(row.getInt(2) == ww && row.getInt(3) == hh && row.getLong(4) == n)
       assert(row.getLong(5) == r / n && row.getLong(6) == g / n
         && row.getLong(7) == b / n, s"doc $d frame $f")
     }

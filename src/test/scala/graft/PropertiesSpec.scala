@@ -72,6 +72,12 @@ class PropertiesSpec extends SparkSuite {
         Mpeg1.BPicture(3, Array(5, -3, 9, -7)),
         Mpeg1.BPicture(1, null))),
         b => Mpeg1.decodeMpeg1Frames(b)),
+      ("mpeg1d", Mpeg1.buildMpeg1(16, 16, IndexedSeq(
+        Mpeg1.DPicture(Mpeg1.Mpeg1Frame(
+          Array.tabulate(4)(k => k * 60 % 256), Array(100), Array(200))),
+        Mpeg1.DPicture(Mpeg1.Mpeg1Frame(
+          Array.tabulate(4)(k => 255 - k * 60 % 256), Array(90), Array(30))))),
+        b => Mpeg1.decodeMpeg1Frames(b)),
       ("png", Multimodal.buildPng(Array.tabulate(15)(i => i * 0x010203), 5, 3, _ % 5),
         b => Multimodal.decodePng(b)),
       ("wav-g711", Multimodal.buildWavG711(Array.tabulate(64)(_.toByte), aLaw = true),
