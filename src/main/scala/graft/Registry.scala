@@ -2648,13 +2648,16 @@ object Registry {
 
       // L9c BLOOM decontamination: the oracle replays the whole filter
       // — both md5 hash lanes, the k=4 double-hash probe positions, the
-      // 2^17-bit modulus, and the all-bits-set membership test (as a
-      // position-set join, bit-packing being storage not semantics) —
-      // so the declared digest pins the bloom's exact output INCLUDING
-      // its false positives.
+      // benchmark-derived width m = max(2^17, 16·n_grams to a word) as
+      // a scalar subquery (the semCellsFor discipline), and the
+      // all-bits-set membership test (as a position-set join,
+      // bit-packing being storage not semantics) — so the declared
+      // digest pins the bloom's exact output INCLUDING its false
+      // positives.
       QueryDef("l9_bloom_decontam", Curation.l9BloomDecontam, Some {
         val n = Curation.DecontamN
-        val m = Curation.BloomBits
+        val minM = Curation.BloomMinBits
+        val bpg = Curation.BloomBitsPerGram
         val k = Curation.BloomHashes
         s"""
         WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t,
@@ -2669,11 +2672,13 @@ object Registry {
             ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h1,
             ('0x' || substr(md5(gram), 9, 8))::BIGINT AS h2
           FROM g),
-        bloom AS (SELECT DISTINCT (h1 + u.i * h2) % $m AS pos
-          FROM gh, UNNEST(generate_series(0, ${k - 1})) AS u(i)
+        mm AS (SELECT GREATEST($minM, 64 * (($bpg * COUNT(DISTINCT gram) + 63) // 64)) AS m
+          FROM g WHERE split = 'test'),
+        bloom AS (SELECT DISTINCT (h1 + u.i * h2) % mm.m AS pos
+          FROM gh, mm, UNNEST(generate_series(0, ${k - 1})) AS u(i)
           WHERE split = 'test'),
-        tp AS (SELECT doc_id, gram, u.i, (h1 + u.i * h2) % $m AS pos
-          FROM gh, UNNEST(generate_series(0, ${k - 1})) AS u(i)
+        tp AS (SELECT doc_id, gram, u.i, (h1 + u.i * h2) % mm.m AS pos
+          FROM gh, mm, UNNEST(generate_series(0, ${k - 1})) AS u(i)
           WHERE split = 'train'),
         hit AS (SELECT DISTINCT doc_id FROM (
           SELECT doc_id, gram FROM tp JOIN bloom USING (pos)

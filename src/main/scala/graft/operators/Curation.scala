@@ -571,6 +571,135 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Bloom sizing for [[bloomContaminatedIds]]: the width is DERIVED
+    * from the benchmark's distinct-gram count — m = max(2^17,
+    * 24·n rounded up to a 64-bit word) — the k ∝ data discipline
+    * [[Similarity.semCellsFor]] uses for SemDeDup cells, and for the
+    * same reason: any FIXED width saturates at some scale (a 2^17-bit
+    * filter measured ~95% fill → ~90% of train docs false-flagged at
+    * sf0.1). The FP budget is sized at DOC level, not gram level —
+    * a doc is false-flagged if ANY of its ~10^2 grams false-hits, so
+    * the per-gram rate must sit well under 10^-4: 24 bits/gram with
+    * k = 12 probes gives fill 1−e^(−1/2) ≈ 0.39 and per-gram FP
+    * 0.39^12 ≈ 1.3·10^-5 → ~0.1% of clean docs dropped at EVERY
+    * benchmark size (16/4 measured 15% of train docs false-flagged —
+    * cheap bits, expensive docs). The
+    * derivation is integer arithmetic the oracle replays as a scalar
+    * subquery, so m — and therefore every false positive — is part of
+    * the hash contract.
+    */
+  val BloomMinBits: Long = 1L << 17
+  /** Filter bits budgeted per distinct benchmark gram. */
+  val BloomBitsPerGram: Long = 24L
+  /** Probe count (k) per gram — double-hashing h1 + i·h2, the standard
+    * Kirsch–Mitzenmacher construction. 12 ≈ the information-theoretic
+    * optimum (m/n)·ln2 for 24 bits/gram.
+    */
+  val BloomHashes: Int = 12
+
+  /** Filter width in bits for a benchmark of `nGrams` distinct grams:
+    * max(2^17, 24·n) rounded UP to a multiple of 64 so the bitmap
+    * packs whole words. Any m works for the double-hash modulus — no
+    * power-of-two constraint, which keeps the replay exact integer
+    * arithmetic (no log2 edge cases).
+    */
+  def bloomBitsFor(nGrams: Long): Long =
+    math.max(BloomMinBits, 64L * ((BloomBitsPerGram * nGrams + 63L) / 64L))
+
+  /** One 32-bit hash lane from the gram's md5 hex at `off` (0 or 8) —
+    * the md5 convention every cross-engine hash in this repo uses, so
+    * DuckDB replays the VALUE exactly (`('0x'||substr(md5(g),1,8))::
+    * BIGINT`). Two disjoint 8-hex-digit windows give the two
+    * independent lanes double-hashing needs.
+    */
+  private def bloomLane(gram: Column, off: Int): Column =
+    conv(substring(md5(gram), off + 1, 8), 16, 10).cast("long")
+
+  /** The k bit positions of one gram: (h1 + i·h2) mod m, i < k. */
+  private def bloomPositions(gram: Column, m: Long): Column =
+    transform(sequence(lit(0), lit(BloomHashes - 1)),
+      i => (bloomLane(gram, 0) + i.cast("long") * bloomLane(gram, 8))
+        % lit(m))
+
+  /** Ids of `corpus` rows with at least one `n`-word gram whose k bloom
+    * positions are ALL set in a filter built from the benchmark's gram
+    * set — BLOOM-FILTER decontamination, the constant-memory scale form
+    * of [[contaminatedIds]]. Output is a SUPERSET of the exact variant's
+    * (false positives drop a few extra docs — always safe in the
+    * decontamination direction), and the FP arithmetic is deterministic
+    * md5 algebra the oracle replays exactly.
+    *
+    * Why a third variant when the exact one already broadcasts: the
+    * exact gram set grows with the BENCHMARK (strings, tens of MB for a
+    * big eval suite) and the probe is a broadcast hash JOIN on the
+    * exploded corpus gram stream. The bloom build compresses the
+    * benchmark side to a 24-bit-per-gram bitmap (3 bytes where the
+    * exact set ships whole gram strings), and the probe
+    * becomes a pure narrow per-row `exists(grams, all-bits-set)`
+    * projection — NO join, NO exchange, nothing keyed by gram at all on
+    * the 100 TB side. The corpus-side plan is scan → filter, the
+    * theoretical minimum for this predicate.
+    *
+    * Driver-side step: the built filter is collected as ≤ m/64
+    * (word_index, word) rows — bounded by the BENCHMARK's gram count
+    * (24 bits each; evals are MBs at any corpus scale), never by the
+    * corpus (the bounded-collect discipline; cf. the ≤k index metadata
+    * collects in Similarity) — and re-enters the plan as one array
+    * literal.
+    */
+  def bloomContaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           n: Int = DecontamN): DataFrame = {
+    // 1. size: m follows the benchmark's distinct-gram count (1-row
+    // collect), then build: grams → bit positions → bit_or-fold into
+    // packed 64-bit words (vocabulary-sized shuffle on ≤m/64 keys)
+    val benchGrams = benchmark
+      .select(explode(Dedup.shingles(Dedup.tokens(col(textCol)), n)).as("gram"))
+    val m = bloomBitsFor(
+      benchGrams.agg(count_distinct(col("gram"))).collect()(0).getLong(0))
+    val wordRows = benchGrams
+      .select(explode(bloomPositions(col("gram"), m)).as("pos"))
+      .select(floor(col("pos") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
+      .collect()
+    val bitmap = new Array[Long]((m / 64).toInt)
+    wordRows.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    val bm = typedLit(bitmap.toSeq)
+    // power-of-two table so the probe's bit test stays pure Column
+    // algebra (shiftleft-by-column has no Scala-DSL form)
+    val pow2 = typedLit(Array.tabulate(64)(1L << _).toSeq)
+    // 2. probe: narrow projection — a doc is flagged iff any gram has
+    // all k bits set
+    val hit = exists(Dedup.shingles(Dedup.tokens(col(textCol)), n), g =>
+      forall(bloomPositions(g, m), p =>
+        element_at(bm, floor(p / 64).cast("int") + 1)
+          .bitwiseAND(element_at(pow2, (p % 64).cast("int") + 1)) =!= 0L))
+    corpus.filter(hit).select(col(idCol)).distinct()
+  }
+
+  /** L9c declared query: BLOOM benchmark decontamination — the
+    * [[l9Decontam]] construction and per-source summary with the
+    * constant-memory bloom probe as the contamination predicate. The
+    * digest pins exactly which docs the filter flags, false positives
+    * included — a wrong lane, probe count, modulus, or bit-packing
+    * detail shifts the digest and fails the hash gate.
+    */
+  def l9BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(col("doc_id"), col("source"), col("text"),
+      splitExpr(col("doc_id")).as("split"))
+    val train = docs.filter(col("split") === "train")
+    val flagged = bloomContaminatedIds(train, docs.filter(col("split") === "test"))
+      .withColumn("flagged", lit(true))
+    train.join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("flagged"), col("doc_id")).otherwise(0L)).as("flagged_id_digest"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic epoch SHUFFLE: assign every doc its global training-order
     * position under a seeded md5 permutation — the "random but reproducible"
     * per-epoch reorder a pretraining data loader applies (new salt per

@@ -366,6 +366,58 @@ class CurationSpec extends SparkSuite {
     assert(strict.contains(1L) && !strict.contains(2L))
   }
 
+  test("L9c bloom decontam: superset of exact, join-free probe, reference lanes") {
+    // hand corpus: exact hits must be flagged (no false NEGATIVES, ever)
+    val benchmark = Seq((100L, "q w e r t")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x y q w e r t z"),  // contains the benchmark 5-gram
+      (4L, "q w e r"),          // shorter than n → no grams → clean
+      (5L, "q w e r t")         // verbatim copy
+    ).toDF("doc_id", "text")
+    val hit = Curation.bloomContaminatedIds(corpus, benchmark, n = 5)
+    assert(hit.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
+    // the probe side must be JOIN-FREE — scan → narrow filter is the
+    // whole point of the bloom variant (the filter rides in as a
+    // literal; the only exchange is the id distinct)
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // reference lane arithmetic: positions from java MessageDigest md5
+    // must match what the filter sets — plant ONLY gram g1 in the
+    // benchmark, then a probe gram g2 ≠ g1 is flagged iff all four of
+    // its reference positions landed in g1's reference position set
+    def positions(gram: String): Seq[Long] = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      (0 until Curation.BloomHashes).map(i => (h1 + i * h2) % Curation.BloomMinBits)
+    }
+    val g1 = "q w e r t"
+    assert(positions(g1).forall(p => p >= 0 && p < Curation.BloomMinBits))
+    val g2 = "a b c d e" // independent gram: expect NOT flagged (4 independent
+    assert(!positions(g2).forall(positions(g1).toSet), // 17-bit collisions)
+      s"reference says g2 should miss: ${positions(g2)} vs ${positions(g1)}")
+    val miss = Curation.bloomContaminatedIds(
+      Seq((7L, g2)).toDF("doc_id", "text"), benchmark, n = 5)
+    assert(miss.count() == 0)
+    // fixture: bloom output is a SUPERSET of the exact variant's (false
+    // positives only ever flag extra, never miss)
+    val docs = tables.documents.select(col("doc_id"), col("text"),
+      Curation.splitExpr(col("doc_id")).as("split"))
+    val train = docs.filter(col("split") === "train")
+    val testSplit = docs.filter(col("split") === "test")
+    val exactIds = Curation.contaminatedIds(train, testSplit)
+      .collect().map(_.getLong(0)).toSet
+    val bloomIds = Curation.bloomContaminatedIds(train, testSplit)
+      .collect().map(_.getLong(0)).toSet
+    assert(exactIds.subsetOf(bloomIds),
+      s"bloom lost exact hits: ${exactIds.diff(bloomIds)}")
+    // declared-query summary is consistent with the id set
+    val out = Curation.l9BloomDecontam(spark, sf).collect()
+    assert(out.map(_.getLong(2)).sum == bloomIds.size)
+    assert(out.map(_.getLong(3)).sum == bloomIds.sum)
+  }
+
   test("L0 pipeline: composed manifest == stagewise recomputation with naive pack") {
     import graft.operators.{Dedup, TextOps}
     val out = Curation.l0Pipeline(spark, sf)
