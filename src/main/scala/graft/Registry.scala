@@ -3122,6 +3122,18 @@ object Registry {
           CAST(SUM(b) * 64 // (w * h) AS BIGINT) AS mean_b
         FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""")),
 
+      // L5q: real GZIP ingestion — each doc round-trips through two
+      // concatenated RFC-1952 members (the WARC/WET record layout);
+      // the engine parses/verifies every framing byte and reassembles
+      // the members, and the oracle replays the expected
+      // transformation from the original text (length + md5), so any
+      // framing, CRC, or member-boundary defect is a hash mismatch.
+      QueryDef("l5_gzip_text", Multimodal.l5GzipText, Some("""
+        SELECT doc_id, CAST(2 AS INT) AS n_members,
+          CAST(length(text) AS INT) AS n_chars,
+          md5(text) AS text_md5
+        FROM documents ORDER BY doc_id""")),
+
       // L5j: real image RESIZE — decode, nearest-neighbor resample to
       // 5x3 (output pixel (x2,y2) reads source (x2*w//5, y2*h//3)),
       // BMP re-encode, re-decode, channel means. The oracle replays the

@@ -1588,6 +1588,56 @@ object Multimodal {
         col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Deterministic per-doc gzip synthesis for the declared
+    * INGESTION query: doc d's text is split at the character midpoint
+    * into two records, each serialized as its own gzip member
+    * ([[Gzip.buildGzipMember]] — deterministic MTIME-0 header, raw
+    * DEFLATE, CRC32+ISIZE trailer) and CONCATENATED — the WARC/WET
+    * record layout a crawl pipeline actually ingests. Splitting at a
+    * CHARACTER boundary keeps the two members' UTF-8 bytes
+    * concatenation-safe, so decode must reassemble the exact original
+    * text.
+    */
+  def synthGzipAssets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (d, text) =>
+        val half = text.length / 2
+        (d, Gzip.buildGzip(Seq(
+          text.substring(0, half).getBytes("UTF-8"),
+          text.substring(half).getBytes("UTF-8"))))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5q declared query: decode the synthesized two-member gzip corpus
+    * back to text ([[Gzip.decodeGzip]] — full header/trailer
+    * verification, multi-member reassembly) and pin the round-trip
+    * with the decoded text's LENGTH and MD5 — a single corrupted byte,
+    * member boundary slip, or framing misparse shifts the digest and
+    * fails the hash gate. Same degradation contract as every codec
+    * stage: an undecodable payload yields one null row. Scale shape:
+    * stateless `mapPartitions` decode, narrow projection, the only
+    * exchange is the output sort.
+    */
+  def l5GzipText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    synthGzipAssets(Tables(spark, dir))
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (d, payload) =>
+        Gzip.decodeGzip(payload) match {
+          case Some((members, data)) =>
+            (d, Some(members), Some(new String(data, "UTF-8")))
+          case None => (d, None: Option[Int], None: Option[String])
+        }
+      })
+      .toDF("doc_id", "n_members", "text")
+      .select(col("doc_id"), col("n_members"),
+        length(col("text")).as("n_chars"), md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL frame-sample over ANIMATED GIF payloads — the
     * [[videoFrameStats]] twin for the web's other ubiquitous motion
     * container: composite every frame onto the logical-screen canvas

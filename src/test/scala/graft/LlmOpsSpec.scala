@@ -2192,6 +2192,65 @@ class LlmOpsSpec extends SparkSuite {
     assert(q.keySet == Set((1L, 0), (1L, 2), (3L, 0)))
   }
 
+  test("L5q gzip: round-trips, flag paths, JDK interop, gates, declared spot rows") {
+    import graft.operators.Gzip
+    val data = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    // single- and multi-member round-trip exactness
+    val (m1, d1) = Gzip.decodeGzip(Gzip.buildGzipMember(data)).get
+    assert(m1 == 1 && d1.toSeq == data.toSeq)
+    val two = Gzip.buildGzip(Seq(data.take(10), data.drop(10)))
+    val (m2, d2) = Gzip.decodeGzip(two).get
+    assert(m2 == 2 && d2.toSeq == data.toSeq)
+    // every FLG path decodes to the same bytes
+    for (v <- Seq(
+      Gzip.buildGzipMember(data, fname = Some("rec.txt")),
+      Gzip.buildGzipMember(data, comment = Some("a comment")),
+      Gzip.buildGzipMember(data, extra = Some(Array[Byte](1, 2, 3))),
+      Gzip.buildGzipMember(data, headerCrc = true),
+      Gzip.buildGzipMember(data, fname = Some("f"), comment = Some("c"),
+        extra = Some(Array[Byte](9)), headerCrc = true)))
+      assert(Gzip.decodeGzip(v).get._2.toSeq == data.toSeq)
+    // JDK interop, both directions
+    val jos = new java.io.ByteArrayOutputStream
+    val g = new java.util.zip.GZIPOutputStream(jos)
+    g.write(data); g.close()
+    assert(Gzip.decodeGzip(jos.toByteArray).get._2.toSeq == data.toSeq)
+    val jin = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(Gzip.buildGzipMember(data)))
+    assert(jin.readAllBytes().toSeq == data.toSeq)
+    // gates: magic, CM, reserved FLG bits, trailer CRC, ISIZE,
+    // header CRC16, truncation, trailing garbage, output budget
+    val ok = Gzip.buildGzipMember(data)
+    def mut(i: Int, v: Int): Array[Byte] = {
+      val c = ok.clone(); c(i) = v.toByte; c
+    }
+    assert(Gzip.decodeGzip(mut(0, 0x1e)).isEmpty)        // magic
+    assert(Gzip.decodeGzip(mut(2, 7)).isEmpty)           // CM != 8
+    assert(Gzip.decodeGzip(mut(3, 0x20)).isEmpty)        // reserved FLG
+    assert(Gzip.decodeGzip(mut(ok.length - 6, (ok(ok.length - 6) ^ 1))).isEmpty) // CRC32
+    assert(Gzip.decodeGzip(mut(ok.length - 1, (ok(ok.length - 1) ^ 1))).isEmpty) // ISIZE
+    val hc = Gzip.buildGzipMember(data, headerCrc = true)
+    assert(Gzip.decodeGzip({ val c = hc.clone(); c(10) = (c(10) ^ 1).toByte; c }).isEmpty)
+    assert(Gzip.decodeGzip(ok.dropRight(3)).isEmpty)     // truncated
+    assert(Gzip.decodeGzip(ok ++ Array[Byte](1, 2, 3, 4)).isEmpty) // garbage
+    assert(Gzip.decodeGzip(ok, maxOut = data.length - 1L).isEmpty) // budget
+    assert(Gzip.decodeGzip(ok, maxOut = data.length.toLong).nonEmpty)
+    // declared spot rows: decoded text must hash to the fixture text
+    val docs = tables.documents.filter(col("doc_id").isin(1L, 3L))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q = graft.operators.Multimodal.l5GzipText(spark, sf)
+      .filter(col("doc_id").isin(1L, 3L)).collect()
+    assert(q.length == 2)
+    for (r <- q) {
+      val text = docs(r.getLong(0))
+      assert(r.getInt(1) == 2 && r.getInt(2) == text.length)
+      val ref = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(3) == ref, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("L5k G.711: ITU reference points, container round-trips, gates, spot rows") {
     import graft.operators.Multimodal
     // ITU-T G.711 reference points (public tables): both zeros, both

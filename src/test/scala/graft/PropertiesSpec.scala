@@ -23,7 +23,7 @@ class PropertiesSpec extends SparkSuite {
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
   test("codec fuzz: random and single-byte-mutated containers never throw; valid prefixes gate to None") {
-    import graft.operators.{Avi, Gif, Jpeg, Mpeg1, Multimodal}
+    import graft.operators.{Avi, Gif, Gzip, Jpeg, Mpeg1, Multimodal}
     // the None-never-throw contract, adversarially: every decoder must
     // survive (a) arbitrary bytes, (b) VALID containers with one byte
     // flipped anywhere (the header stays plausible, so the walk goes
@@ -81,7 +81,11 @@ class PropertiesSpec extends SparkSuite {
       ("png", Multimodal.buildPng(Array.tabulate(15)(i => i * 0x010203), 5, 3, _ % 5),
         b => Multimodal.decodePng(b)),
       ("wav-g711", Multimodal.buildWavG711(Array.tabulate(64)(_.toByte), aLaw = true),
-        b => Multimodal.decodePcmSamples(b)))
+        b => Multimodal.decodePcmSamples(b)),
+      ("gzip", Gzip.buildGzip(Seq(
+        "alpha beta gamma".getBytes("UTF-8"),
+        "delta epsilon".getBytes("UTF-8"))),
+        b => Gzip.decodeGzip(b)))
     for ((name, bytes, dec) <- valid) {
       var pos = 0
       while (pos < bytes.length) {
