@@ -3231,6 +3231,35 @@ object Registry {
           CAST(FLOOR(SQRT(SUM(smp * smp) // ns)) AS BIGINT) AS rms
         FROM v GROUP BY doc_id, ns ORDER BY doc_id""")),
 
+      // L5r: real IMA ADPCM decode — per-block state headers through a
+      // genuine format-0x11 WAV container, the 89-entry step table,
+      // nibble-order and both clamps all on the decode path; the
+      // synthesis stays in the index-0 closed-form family (codes
+      // {0..3, 8..11} at step 7 → deltas ±{0,1,3,4}), so the oracle
+      // replays every sample as a per-(doc, block) window cumsum —
+      // the Mpeg1 P-picture discipline on the audio side.
+      QueryDef("l5_adpcm_rms", Multimodal.l5AdpcmRms, Some("""
+        WITH n AS (SELECT doc_id, 2 + doc_id % 3 AS nb FROM documents),
+        bj AS (SELECT n.doc_id, n.nb, b.b, j.j
+               FROM n, UNNEST(generate_series(0, n.nb - 1)) AS b(b),
+                    UNNEST(generate_series(0, 16)) AS j(j)),
+        dl AS (SELECT doc_id, nb, b, j,
+                 (doc_id * 13 + b * 47) % 512 - 256 AS s0,
+                 CASE WHEN j = 0 THEN 0 ELSE
+                   (CASE WHEN (doc_id + b * 3 + (j - 1) * 5) % 8 < 4 THEN 1 ELSE -1 END)
+                   * (CASE (doc_id + b * 3 + (j - 1) * 5) % 4
+                        WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 4 END)
+                 END AS dlt
+               FROM bj),
+        s AS (SELECT doc_id, nb,
+                s0 + SUM(dlt) OVER (PARTITION BY doc_id, b ORDER BY j) AS smp
+              FROM dl)
+        SELECT doc_id, CAST(nb * 17 AS BIGINT) AS n_samples,
+          CAST(SUM(smp * smp) // (nb * 17) AS BIGINT) AS mean_square,
+          CAST(MAX(ABS(smp)) AS BIGINT) AS peak,
+          CAST(FLOOR(SQRT(SUM(smp * smp) // (nb * 17))) AS BIGINT) AS rms
+        FROM s GROUP BY doc_id, nb ORDER BY doc_id""")),
+
       // Within-doc repetition metrics: per-(doc, token) counts replayed
       // as the same two-stage aggregation; bigram comprehension is the
       // fingerprint oracle's at n=2. All permille metrics integer DIV.

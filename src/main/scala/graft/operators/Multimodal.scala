@@ -548,6 +548,7 @@ object Multimodal {
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var i = 12
     var fmtTag = 0; var bits = 0
+    var channels = 0; var blockAlign = 0
     var data: Option[(Int, Int)] = None // offset, size
     while (i + 8 <= bytes.length && (bits == 0 || data.isEmpty)) {
       val id = tag(i)
@@ -555,8 +556,11 @@ object Multimodal {
       if (id == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length) {
         val f = u16le(bytes, i + 8)
         val b = u16le(bytes, i + 22)
-        if ((f == 1 && (b == 16 || b == 8)) || ((f == 6 || f == 7) && b == 8)) {
+        if ((f == 1 && (b == 16 || b == 8)) || ((f == 6 || f == 7) && b == 8) ||
+            (f == 0x11 && b == 4)) {
           fmtTag = f; bits = b
+          channels = u16le(bytes, i + 10)
+          blockAlign = u16le(bytes, i + 20)
         }
       }
       if (id == "data" && size <= Int.MaxValue.toLong &&
@@ -566,15 +570,127 @@ object Multimodal {
       val adv = 8L + size + (size & 1L)
       i = if (adv > bytes.length - i) bytes.length else i + adv.toInt
     }
-    for ((off, size) <- data if bits != 0) yield fmtTag match {
-      case 1 if bits == 16 =>
-        Array.tabulate(size / 2) { j =>
-          ((bytes(off + 2 * j) & 0xff) | (bytes(off + 2 * j + 1) << 8)).toShort.toInt
-        }
-      case 1 => Array.tabulate(size) { j => (bytes(off + j) & 0xff) - 128 }
-      case 6 => Array.tabulate(size) { j => alawToLinear(bytes(off + j) & 0xff) }
-      case _ => Array.tabulate(size) { j => ulawToLinear(bytes(off + j) & 0xff) }
+    data match {
+      case Some((off, size)) if bits != 0 => fmtTag match {
+        case 1 if bits == 16 =>
+          Some(Array.tabulate(size / 2) { j =>
+            ((bytes(off + 2 * j) & 0xff) | (bytes(off + 2 * j + 1) << 8)).toShort.toInt
+          })
+        case 1 => Some(Array.tabulate(size) { j => (bytes(off + j) & 0xff) - 128 })
+        case 6 => Some(Array.tabulate(size) { j => alawToLinear(bytes(off + j) & 0xff) })
+        case 7 => Some(Array.tabulate(size) { j => ulawToLinear(bytes(off + j) & 0xff) })
+        case _ => decodeImaData(bytes, off, size, channels, blockAlign)
+      }
+      case _ => None
     }
+  }
+
+  /** IMA/DVI ADPCM step-size table (the 89-entry standard table). */
+  private[graft] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** IMA step-index adjustment per 4-bit code. */
+  private[graft] val ImaIndexTable: Array[Int] = Array(
+    -1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** IMA ADPCM `data` chunk decode (WAV format tag 0x11, MONO): the
+    * stream is independent fixed-size blocks, each opening with its own
+    * 4-byte state header — predictor int16 LE, step index u8 (≤ 88),
+    * reserved — followed by two 4-bit codes per byte, LOW nibble first.
+    * Per code: diff = step/8 (+step/4 if bit0)(+step/2 if bit1)(+step
+    * if bit2), subtracted when bit3 is set, predictor clamped to int16,
+    * index moved by the adjustment table and clamped to 0..88. The
+    * header sample itself is emitted first — (blockAlign−4)·2+1 samples
+    * per block. Strict gates: mono only, block-aligned data size,
+    * legal header index — anything else None (the row survives).
+    */
+  private def decodeImaData(bytes: Array[Byte], off: Int, size: Int,
+                            channels: Int, blockAlign: Int): Option[Array[Int]] = {
+    if (channels != 1 || blockAlign < 8 || size % blockAlign != 0) return None
+    val nBlocks = size / blockAlign
+    val perBlock = (blockAlign - 4) * 2 + 1
+    val out = new Array[Int](nBlocks * perBlock)
+    var o = 0
+    var b = 0
+    while (b < nBlocks) {
+      val base = off + b * blockAlign
+      var pred = ((bytes(base) & 0xff) | (bytes(base + 1) << 8)).toShort.toInt
+      var index = bytes(base + 2) & 0xff
+      if (index > 88) return None
+      out(o) = pred; o += 1
+      var j = 0
+      while (j < blockAlign - 4) {
+        val byte = bytes(base + 4 + j) & 0xff
+        var half = 0
+        while (half < 2) {
+          val n = if (half == 0) byte & 0x0f else byte >> 4
+          val step = ImaStepTable(index)
+          var diff = step >> 3
+          if ((n & 1) != 0) diff += step >> 2
+          if ((n & 2) != 0) diff += step >> 1
+          if ((n & 4) != 0) diff += step
+          pred = if ((n & 8) != 0) pred - diff else pred + diff
+          if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+          index += ImaIndexTable(n)
+          if (index < 0) index = 0 else if (index > 88) index = 88
+          out(o) = pred; o += 1
+          half += 1
+        }
+        j += 1
+      }
+      b += 1
+    }
+    Some(out)
+  }
+
+  /** WAV writer for IMA ADPCM streams (format tag 0x11, mono): the
+    * 20-byte fmt chunk (cbSize 2 + samplesPerBlock extension) and one
+    * fixed-size block per (predictor, step index, nibbles) triple —
+    * nibbles packed LOW first, values 0..15. The builder writes
+    * arbitrary code streams, which is what lets the declared query
+    * synthesize the closed-form-replayable family while the decoder
+    * runs the full general table machinery.
+    */
+  def buildWavIma(blocks: Seq[(Short, Int, Array[Byte])], blockAlign: Int,
+                  sampleRate: Int = 8000): Array[Byte] = {
+    require(blockAlign >= 8, s"blockAlign must be >= 8, got $blockAlign")
+    require(blocks.nonEmpty, "at least one block")
+    blocks.foreach { case (_, idx, nibbles) =>
+      require(idx >= 0 && idx <= 88, s"step index out of range: $idx")
+      require(nibbles.length == (blockAlign - 4) * 2,
+        s"expected ${(blockAlign - 4) * 2} nibbles, got ${nibbles.length}")
+      require(nibbles.forall(n => n >= 0 && n <= 15), "nibbles must be 0..15")
+    }
+    val perBlock = (blockAlign - 4) * 2 + 1
+    val dataSize = blocks.length * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(48 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11)                    // IMA ADPCM
+      .putShort(1).putInt(sampleRate)    // mono
+      .putInt(sampleRate * blockAlign / perBlock) // approx byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(4)                       // bits per sample
+      .putShort(2)                       // cbSize
+      .putShort(perBlock.toShort)        // samplesPerBlock
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    blocks.foreach { case (s0, idx, nibbles) =>
+      bb.putShort(s0).put(idx.toByte).put(0.toByte)
+      var j = 0
+      while (j < nibbles.length) {
+        bb.put((nibbles(j) | (nibbles(j + 1) << 4)).toByte)
+        j += 2
+      }
+    }
+    bb.array()
   }
 
   /** REAL BMP encoder — BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER,
@@ -1251,6 +1367,51 @@ object Multimodal {
       .withColumn("codec",
         when(col("doc_id") % 2 === 0, lit("ulaw")).otherwise(lit("alaw")))
       .select(col("doc_id"), col("codec"), col("n_samples"),
+        col("mean_square"), col("peak"), col("rms"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic per-doc IMA ADPCM synthesis for the declared
+    * compressed-audio query — the [[Mpeg1.PPicture]] trick on the
+    * audio side: the DECODER runs the full general machinery (step
+    * table, index table, both clamps, per-block state headers), while
+    * the SYNTHESIS stays inside the family whose decode is closed-form
+    * — step index 0 with codes from {0,1,2,3,8,9,10,11}, whose index
+    * adjustment is −1 (clamped at 0 forever) and whose deltas at step
+    * 7 are exactly ±{0,1,3,4}. Doc d is 2 + d mod 3 independent
+    * blocks at blockAlign 12 (17 samples each); block b opens at
+    * s0 = ((d·13 + b·47) mod 512) − 256 and code j takes family index
+    * (d + b·3 + j·5) mod 8 — drift ≤ 16·4 on |s0| ≤ 256, so neither
+    * clamp ever fires and the oracle replays sample j as
+    * s0 + Σ_{t≤j} delta(t), a window cumsum. A defect in the step
+    * machinery, nibble order, block-state reset, or header parse
+    * shifts the stats and fails the hash gate.
+    */
+  def synthAdpcmAssets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val nBlocks = (2 + d % 3).toInt
+        val blocks = (0 until nBlocks).map { b =>
+          val s0 = ((d * 13 + b * 47) % 512 - 256).toShort
+          val nibbles = Array.tabulate(16) { j =>
+            val idx = ((d + b * 3 + j * 5) % 8).toInt
+            (if (idx < 4) idx else idx + 4).toByte
+          }
+          (s0, 0, nibbles)
+        }
+        (d, buildWavIma(blocks, blockAlign = 12))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5r declared query: RMS/peak stats of the synthesized IMA ADPCM
+    * corpus, decoded through the real block/step machinery (see
+    * [[synthAdpcmAssets]]/[[audioPcmStats]]).
+    */
+  def l5AdpcmRms(spark: SparkSession, dir: String): DataFrame =
+    audioPcmStats(synthAdpcmAssets(Tables(spark, dir)))
+      .select(col("doc_id"), col("n_samples"),
         col("mean_square"), col("peak"), col("rms"))
       .orderBy(col("doc_id"))
 

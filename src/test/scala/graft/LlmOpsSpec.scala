@@ -2192,6 +2192,71 @@ class LlmOpsSpec extends SparkSuite {
     assert(q.keySet == Set((1L, 0), (1L, 2), (3L, 0)))
   }
 
+  test("L5r IMA ADPCM: reference decode, state machinery, gates, declared spot rows") {
+    import graft.operators.Multimodal
+    // independent in-test reference decoder (straight from the IMA
+    // algorithm description, written against the spec not the impl)
+    val stepT = Multimodal.ImaStepTable
+    val idxT = Multimodal.ImaIndexTable
+    def ref(blocks: Seq[(Short, Int, Array[Byte])]): Seq[Int] =
+      blocks.flatMap { case (s0, i0, nibs) =>
+        var pred = s0.toInt; var idx = i0
+        s0.toInt +: nibs.toSeq.map { nb =>
+          val n = nb.toInt
+          val step = stepT(idx)
+          var d = step >> 3
+          if ((n & 1) != 0) d += step >> 2
+          if ((n & 2) != 0) d += step >> 1
+          if ((n & 4) != 0) d += step
+          pred = if ((n & 8) != 0) pred - d else pred + d
+          pred = math.max(-32768, math.min(32767, pred))
+          idx = math.max(0, math.min(88, idx + idxT(n)))
+          pred
+        }
+      }
+    // general path: index motion, clamps, multi-block state reset —
+    // codes 7/15 move the index by +8, so the step table is walked
+    val blocks = Seq(
+      (1000.toShort, 20, Array[Byte](7, 15, 4, 12, 0, 8, 3, 11)),
+      (-2000.toShort, 88, Array[Byte](15, 15, 7, 7, 1, 9, 2, 10)), // clamp region
+      (0.toShort, 0, Array[Byte](3, 3, 3, 3, 11, 11, 11, 11)))
+    val wav = Multimodal.buildWavIma(blocks, blockAlign = 8)
+    assert(Multimodal.decodePcmSamples(wav).get.toSeq == ref(blocks))
+    // nibble packing order is LOW first: asymmetric pair decodes as (low, high)
+    val one = Seq((0.toShort, 0, Array[Byte](1, 4, 0, 0, 0, 0, 0, 0)))
+    assert(Multimodal.decodePcmSamples(Multimodal.buildWavIma(one, 8)).get.toSeq
+      == ref(one))
+    // gates: stereo, bad header index, unaligned data, truncation
+    val stereo = wav.clone(); stereo(22) = 2 // channels field
+    assert(Multimodal.decodePcmSamples(stereo).isEmpty)
+    val badIdx = wav.clone(); badIdx(48 + 2) = 89.toByte // first block index
+    assert(Multimodal.decodePcmSamples(badIdx).isEmpty)
+    assert(Multimodal.decodePcmSamples(wav.dropRight(3)).isEmpty)
+    // declared spot rows against the closed-form family
+    val q = Multimodal.l5AdpcmRms(spark, sf)
+      .filter(col("doc_id").isin(1L, 3L)).collect()
+    for (r <- q) {
+      val d = r.getLong(0)
+      val nBlocks = (2 + d % 3).toInt
+      val samples = (0 until nBlocks).flatMap { b =>
+        val s0 = ((d * 13 + b * 47) % 512 - 256).toInt
+        var acc = s0
+        s0 +: (0 until 16).map { j =>
+          val idx = ((d + b * 3 + j * 5) % 8).toInt
+          val v = Array(0, 1, 3, 4)(idx % 4)
+          acc += (if (idx < 4) v else -v)
+          acc
+        }
+      }
+      val ms = samples.map(s => s.toLong * s).sum / samples.length
+      assert(r.getLong(1) == samples.length.toLong)
+      assert(r.getLong(2) == ms)
+      assert(r.getLong(3) == samples.map(s => math.abs(s.toLong)).max)
+      assert(r.getLong(4) == math.sqrt(ms.toDouble).toLong, s"doc $d")
+    }
+    assert(q.length == 2)
+  }
+
   test("L5q gzip: round-trips, flag paths, JDK interop, gates, declared spot rows") {
     import graft.operators.Gzip
     val data = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")

@@ -85,7 +85,11 @@ class PropertiesSpec extends SparkSuite {
       ("gzip", Gzip.buildGzip(Seq(
         "alpha beta gamma".getBytes("UTF-8"),
         "delta epsilon".getBytes("UTF-8"))),
-        b => Gzip.decodeGzip(b)))
+        b => Gzip.decodeGzip(b)),
+      ("wav-ima", Multimodal.buildWavIma(Seq(
+        (500.toShort, 15, Array[Byte](7, 15, 4, 12, 0, 8, 3, 11)),
+        (-300.toShort, 0, Array[Byte](1, 9, 2, 10, 3, 11, 0, 8))), 8),
+        b => Multimodal.decodePcmSamples(b)))
     for ((name, bytes, dec) <- valid) {
       var pos = 0
       while (pos < bytes.length) {
