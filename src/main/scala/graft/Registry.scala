@@ -3134,6 +3134,34 @@ object Registry {
           md5(text) AS text_md5
         FROM documents ORDER BY doc_id""")),
 
+      // L5s: real MS-RLE8 delta video — palettized run-length opcodes
+      // over a persistent canvas; frame 0 is a keyframe and later
+      // frames are genuine temporal deltas (the synthesis keeps every
+      // third pixel-group constant across frames, so the builder emits
+      // real skip escapes the decoder's canvas must honor). The oracle
+      // replays the palette + index arithmetic per (frame, pixel).
+      QueryDef("l5_rle8_frames", Multimodal.l5Rle8Frames, Some("""
+        WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf,
+                          8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h
+                   FROM documents),
+        f AS (SELECT d.doc_id, d.w, d.h, u.f
+              FROM d, UNNEST(generate_series(0, d.nf - 1)) AS u(f)),
+        px AS (SELECT doc_id, w, h, f,
+                 (doc_id * 3 + (i.i // 4) + f * (((i.i // 4) + doc_id) % 3)) % 16 AS k
+               FROM f, UNNEST(generate_series(0, f.w * f.h - 1)) AS i(i)),
+        c AS (SELECT doc_id, w, h, f,
+                (doc_id * 29 + k * 31 + 47) % 256 AS r,
+                (doc_id * 37 + k * 41 + 89) % 256 AS g,
+                (doc_id * 43 + k * 53 + 3) % 256 AS b
+              FROM px)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+          CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(r) // (w * h) AS BIGINT) AS mean_r,
+          CAST(SUM(g) // (w * h) AS BIGINT) AS mean_g,
+          CAST(SUM(b) // (w * h) AS BIGINT) AS mean_b
+        FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""")),
+
       // L5j: real image RESIZE — decode, nearest-neighbor resample to
       // 5x3 (output pixel (x2,y2) reads source (x2*w//5, y2*h//3)),
       // BMP re-encode, re-decode, channel means. The oracle replays the

@@ -1799,6 +1799,81 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL frame-sample over MS-RLE8 AVI payloads — the third
+    * in-container video arm ([[Avi.decodeAviRle8]]: palettized
+    * run-length opcodes over a persistent canvas, where frame 0 is a
+    * keyframe and every later frame arrives as a temporal DELTA whose
+    * skip escapes retain previous-frame pixels). Emits per-frame
+    * channel means for EVERY frame; a payload that isn't a well-formed
+    * RLE8 AVI yields one None row. Same scale shape as every decode:
+    * stateless typed `mapPartitions`, map-side fan-out, no shuffle.
+    */
+  def rle8FrameStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Avi.decodeAviRle8(bytes) match {
+          case Some((w, h, frames)) if frames.nonEmpty =>
+            frames.indices.map { fi =>
+              val px = frames(fi)
+              val (r, g, b) = channelMeans(px)
+              VideoFrameStats(id, Some(fi), Some(w), Some(h),
+                Some(px.length.toLong), Some(r), Some(g), Some(b))
+            }
+          case _ =>
+            Seq(VideoFrameStats(id, None, None, None, None, None, None, None))
+        }
+      })
+      .toDF()
+  }
+
+  /** Deterministic per-doc MS-RLE8 synthesis for the declared
+    * delta-video query: doc d is 2 + d mod 3 frames at
+    * (8 + d mod 8) × (4 + d mod 4) over a 16-color palette
+    * p(k) = ((d·29 + k·31 + 47) mod 256, (d·37 + k·41 + 89) mod 256,
+    * (d·43 + k·53 + 3) mod 256); pixel i of frame f carries index
+    * idx = (d·3 + ⌊i/4⌋ + f·((⌊i/4⌋ + d) mod 3)) mod 16 — the
+    * ⌊i/4⌋ term makes real runs, and the f-term leaves every third
+    * pixel-group CONSTANT across frames, so the builder's delta
+    * encoder emits genuine skip escapes and early EOLs the decoder's
+    * canvas must honor (a decoder that clears or mis-advances the
+    * canvas breaks exactly those pixels). The oracle replays the
+    * palette + index arithmetic per (frame, pixel).
+    */
+  def synthRle8Assets(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val nf = (2 + d % 3).toInt
+        val w = (8 + d % 8).toInt
+        val h = (4 + d % 4).toInt
+        val palette = Array.tabulate(16) { k =>
+          (((d * 29 + k * 31 + 47) % 256).toInt << 16) |
+            (((d * 37 + k * 41 + 89) % 256).toInt << 8) |
+            ((d * 43 + k * 53 + 3) % 256).toInt
+        }
+        val frames = (0 until nf).map { f =>
+          Array.tabulate(w * h) { i =>
+            ((d * 3 + i / 4 + f * ((i / 4 + d) % 3)) % 16).toInt
+          }
+        }
+        (d, Avi.buildAviRle8(w, h, rate = 15, scale = 1, palette, frames))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** L5s declared query: every frame of the synthesized MS-RLE8
+    * corpus, decoded through the real opcode/canvas machinery (see
+    * [[synthRle8Assets]]/[[rle8FrameStats]]).
+    */
+  def l5Rle8Frames(spark: SparkSession, dir: String): DataFrame =
+    rle8FrameStats(synthRle8Assets(Tables(spark, dir)))
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** REAL frame-sample over ANIMATED GIF payloads — the
     * [[videoFrameStats]] twin for the web's other ubiquitous motion
     * container: composite every frame onto the logical-screen canvas

@@ -2192,6 +2192,60 @@ class LlmOpsSpec extends SparkSuite {
     assert(q.keySet == Set((1L, 0), (1L, 2), (3L, 0)))
   }
 
+  test("L5s MS-RLE8: delta round-trip, canvas retention, opcode arms, gates, spot rows") {
+    import graft.operators.Avi
+    val pal = Array(0x000000, 0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    // keyframe + two delta frames; frame 2 == frame 0, so its delta vs
+    // frame 1 must REWRITE what frame 1 changed and skip the rest
+    val w = 7; val h = 3
+    val f0 = Array.tabulate(w * h)(i => i % 4)
+    val f1 = f0.clone(); f1(3) = 4; f1(10) = 4 // sparse changes
+    val frames = IndexedSeq(f0, f1, f0.clone())
+    val avi = Avi.buildAviRle8(w, h, 15, 1, pal, frames)
+    val (dw, dh, out) = Avi.decodeAviRle8(avi).get
+    assert(dw == w && dh == h && out.length == 3)
+    for (fi <- 0 until 3; i <- 0 until w * h)
+      assert(out(fi)(i) == pal(frames(fi)(i)), s"frame $fi px $i")
+    // the delta encoder must actually emit skips: frame 1's payload is
+    // far smaller than a keyframe encoding of the same grid
+    val delta = Avi.encodeRle8Frame(f1, f0, w, h)
+    val key = Avi.encodeRle8Frame(f1, null, w, h)
+    assert(delta.length < key.length, s"${delta.length} vs ${key.length}")
+    // worst-case frame with no runs (every pixel differs from its
+    // neighbor) still round-trips exactly
+    val noRuns = Array.tabulate(w * h)(i => i % pal.length) // length-1 runs
+    val avi2 = Avi.buildAviRle8(w, h, 15, 1, pal, IndexedSeq(noRuns))
+    assert(Avi.decodeAviRle8(avi2).get._3.head.toSeq ==
+      noRuns.map(i => pal(i)).toSeq)
+    // gates: non-RLE8 container (MJPEG) → None, truncated payload →
+    // None, pixel budget → None
+    assert(Avi.decodeAviRle8(graft.operators.Multimodal.synthAviAssets(
+      tables).limit(1).collect()(0).getAs[Array[Byte]]("payload")).isEmpty)
+    assert(Avi.decodeAviRle8(avi.dropRight(6)).isEmpty)
+    assert(Avi.decodeAviRle8(avi, maxTotalPixels = 2L * w * h).isEmpty)
+    assert(Avi.decodeAviRle8(avi, maxTotalPixels = 3L * w * h).nonEmpty)
+    // declared spot rows against the synthesis formula
+    val q = graft.operators.Multimodal.l5Rle8Frames(spark, sf)
+      .filter(col("doc_id").isin(1L, 3L)).collect()
+    for (r <- q) {
+      val d = r.getLong(0); val fi = r.getInt(1)
+      val ww = (8 + d % 8).toInt; val hh = (4 + d % 4).toInt
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (i <- 0 until ww * hh) {
+        val k = ((d * 3 + i / 4 + fi * ((i / 4 + d) % 3)) % 16).toInt
+        rs += ((d * 29 + k * 31 + 47) % 256)
+        gs += ((d * 37 + k * 41 + 89) % 256)
+        bs += ((d * 43 + k * 53 + 3) % 256)
+      }
+      val n = (ww * hh).toLong
+      assert(r.getInt(2) == ww && r.getInt(3) == hh && r.getLong(4) == n)
+      assert(r.getLong(5) == rs / n && r.getLong(6) == gs / n
+        && r.getLong(7) == bs / n, s"doc $d frame $fi")
+    }
+    assert(q.map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((1L, 0), (1L, 1), (1L, 2), (3L, 0), (3L, 1)))
+  }
+
   test("L5r IMA ADPCM: reference decode, state machinery, gates, declared spot rows") {
     import graft.operators.Multimodal
     // independent in-test reference decoder (straight from the IMA

@@ -41,6 +41,7 @@ class PropertiesSpec extends SparkSuite {
       "png" -> (b => Multimodal.decodePng(b)),
       "bmp" -> (b => Multimodal.decodeBmp24(b)),
       "wav" -> (b => Multimodal.decodePcmSamples(b)),
+      "avi-rle8" -> (b => Avi.decodeAviRle8(b)),
       "sniff" -> (b => Multimodal.decodeImage(b)))
     // (a) arbitrary random bytes at several sizes
     for ((name, dec) <- decoders; n <- Seq(0, 3, 13, 64, 257, 4096)) {
@@ -89,7 +90,12 @@ class PropertiesSpec extends SparkSuite {
       ("wav-ima", Multimodal.buildWavIma(Seq(
         (500.toShort, 15, Array[Byte](7, 15, 4, 12, 0, 8, 3, 11)),
         (-300.toShort, 0, Array[Byte](1, 9, 2, 10, 3, 11, 0, 8))), 8),
-        b => Multimodal.decodePcmSamples(b)))
+        b => Multimodal.decodePcmSamples(b)),
+      ("avi-rle8", Avi.buildAviRle8(6, 4, 15, 1,
+        Array(0x102030, 0x405060, 0x708090),
+        IndexedSeq(Array.tabulate(24)(_ % 3),
+          Array.tabulate(24)(i => (i / 2) % 3))),
+        b => Avi.decodeAviRle8(b)))
     for ((name, bytes, dec) <- valid) {
       var pos = 0
       while (pos < bytes.length) {
