@@ -1782,9 +1782,19 @@ object Multimodal {
     * stateless `mapPartitions` decode, narrow projection, the only
     * exchange is the output sort.
     */
-  def l5GzipText(spark: SparkSession, dir: String): DataFrame = {
+  def l5GzipText(spark: SparkSession, dir: String): DataFrame =
+    gzipTextStats(synthGzipAssets(Tables(spark, dir)))
+      .orderBy(col("doc_id"))
+
+  /** Decode gzip'd text payloads to (member count, length, md5) rows —
+    * the batch operator [[l5GzipText]] declares and the T22 streaming
+    * ingestion arm applies unchanged to each micro-batch (stateless
+    * per-payload transform, no shuffle introduced).
+    */
+  def gzipTextStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
     import spark.implicits._
-    synthGzipAssets(Tables(spark, dir))
+    assets
       .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (d, payload) =>
         Gzip.decodeGzip(payload) match {
@@ -1796,7 +1806,6 @@ object Multimodal {
       .toDF("doc_id", "n_members", "text")
       .select(col("doc_id"), col("n_members"),
         length(col("text")).as("n_chars"), md5(col("text")).as("text_md5"))
-      .orderBy(col("doc_id"))
   }
 
   /** REAL frame-sample over MS-RLE8 AVI payloads — the third

@@ -935,7 +935,7 @@ class StreamingSpec extends SparkSuite {
     assert(got.count(_._2 > 0) == 1)
   }
 
-  test("T22 media decode: streaming frame-sample == batch twin per wave, AVI, animated GIF, MPEG-1") {
+  test("T22 media decode: streaming frame-sample == batch twin per wave, AVI, animated GIF, MPEG-1, RLE8, gzip") {
     import graft.operators.Multimodal
     // the synthesized media corpora ARE the payload source; two arrival
     // waves split each corpus mid-stream
@@ -990,6 +990,31 @@ class StreamingSpec extends SparkSuite {
       Set(twin(Multimodal.mpeg1FrameStats(mp1, 2)), twin(Multimodal.mpeg1FrameStats(mp2, 2))))
     assert(mpgGot.reduce(_ ++ _) ==
       twin(Multimodal.mpeg1FrameStats(mp1.unionByName(mp2), 2)))
+    // RLE8 delta-video arm: canvas state is PER PAYLOAD, so the
+    // stateless-transform contract holds for a temporally-coded format
+    val (rleStream, rl1, rl2) = waves(Multimodal.synthRle8Assets(tables), "rle8")
+    val rleGot = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+    Streams.runMediaDecode(rleStream,
+      Files.createTempDirectory("graft-rle8-cp").toString,
+      df => Multimodal.rle8FrameStats(df)) { (_, rows) =>
+      rleGot += rows.map(rowKey).toSet
+    }
+    assert(rleGot.size == 2)
+    assert(rleGot.toSet ==
+      Set(twin(Multimodal.rle8FrameStats(rl1)), twin(Multimodal.rle8FrameStats(rl2))))
+    // gzip ingestion arm: WARC-shaped multi-member text payloads
+    val (gzStream, gz1, gz2) = waves(Multimodal.synthGzipAssets(tables), "gzip")
+    val gzGot = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+    Streams.runMediaDecode(gzStream,
+      Files.createTempDirectory("graft-gzip-cp").toString,
+      df => Multimodal.gzipTextStats(df)) { (_, rows) =>
+      gzGot += rows.map(rowKey).toSet
+    }
+    assert(gzGot.size == 2)
+    assert(gzGot.toSet ==
+      Set(twin(Multimodal.gzipTextStats(gz1)), twin(Multimodal.gzipTextStats(gz2))))
+    assert(gzGot.reduce(_ ++ _) ==
+      twin(Multimodal.gzipTextStats(gz1.unionByName(gz2))))
   }
 
   test("T19 decontam gate: per-wave exact+fuzzy flags == batch predicates, accumulated == full-corpus run") {
