@@ -2646,6 +2646,32 @@ object Registry {
         GROUP BY d.source ORDER BY d.source"""
       }),
 
+      // L1c PARAGRAPH dedup: corpus-global first-occurrence keep over
+      // fixed 12-token paragraphs + positional reassembly; the oracle
+      // replays the chunking, the lexicographic (doc, position) winner
+      // (as min-doc-then-min-p, equivalent), the keep flags, and the
+      // reassembled text's md5 — so paragraph ORDER and the winner rule
+      // are both inside the hash contract.
+      QueryDef("l1_para_dedup", Dedup.l1ParaDedup, Some {
+        val p = Dedup.ParaTokens
+        s"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        para AS (SELECT doc_id, i.i AS p,
+            array_to_string(t[i.i * $p + 1 : i.i * $p + $p], ' ') AS para
+          FROM d, UNNEST(generate_series(0, (len(t) + ${p - 1}) // $p - 1)) AS i(i)),
+        w1 AS (SELECT para, MIN(doc_id) AS wd FROM para GROUP BY para),
+        w2 AS (SELECT q.para, q.doc_id AS wd, MIN(q.p) AS wp
+               FROM para q JOIN w1 ON q.para = w1.para AND q.doc_id = w1.wd
+               GROUP BY q.para, q.doc_id),
+        k AS (SELECT q.doc_id, q.p, q.para,
+                (q.doc_id = w2.wd AND q.p = w2.wp) AS kept
+              FROM para q JOIN w2 ON q.para = w2.para)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+          CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          md5(COALESCE(string_agg(para, ' ' ORDER BY p) FILTER (WHERE kept), '')) AS kept_md5
+        FROM k GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
       // L9c BLOOM decontamination: the oracle replays the whole filter
       // — both md5 hash lanes, the k=4 double-hash probe positions, the
       // benchmark-derived width m = max(2^17, 16·n_grams to a word) as

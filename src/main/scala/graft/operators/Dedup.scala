@@ -1135,4 +1135,57 @@ object Dedup {
     simJoin(t.documents, tokenizer = text => shingles(tokens(text), DefaultShingleN))
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** Paragraph width (tokens) for [[paragraphDedup]]. */
+  val ParaTokens = 12
+
+  /** PARAGRAPH-level corpus dedup — the RefinedWeb/CCNet curation
+    * stage between document-level dedup (L1 exact) and span-level
+    * surgery (dup-spans/ExactSubstr): split every doc into fixed-width
+    * token paragraphs, keep only each distinct paragraph's FIRST
+    * occurrence corpus-wide (lexicographic (doc_id, position) winner —
+    * deterministic, replayable), drop every other occurrence
+    * (within-doc repeats included), and REASSEMBLE each doc from its
+    * kept paragraphs in position order. Output per doc: paragraph
+    * count, kept count, and the md5 of the reassembled text — the
+    * reassembly digest makes paragraph ORDER part of the hash
+    * contract, not just the keep set.
+    *
+    * Scale shape: paragraphs explode narrow off the scan; the
+    * first-occurrence winner is ONE hash-keyed aggregation — grouped
+    * on md5(paragraph), a constant-width key, so the corpus-wide
+    * shuffle never carries paragraph text (at petabyte scale the key
+    * would be a 128-bit xxhash64 pair; md5 here keeps the oracle
+    * replay exact, and either way text stays columnar at its source) —
+    * then one hash-keyed join back and one per-doc aggregation. Three
+    * exchanges, all on constant-width or doc-id keys: the honest
+    * minimum for corpus-GLOBAL first-occurrence semantics.
+    */
+  def paragraphDedup(docs: DataFrame, paraTokens: Int = ParaTokens): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChunks = ((size(toks) + paraTokens - 1) / paraTokens).cast("int")
+    val paras = docs
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * paraTokens + 1, lit(paraTokens)), " ")))
+        .as(Seq("p", "para")))
+      .withColumn("h", md5(col("para")))
+    val winners = paras
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("w"))
+    paras.join(winners, "h")
+      .withColumn("kept",
+        col("doc_id") === col("w.doc_id") && col("p") === col("w.p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("kept"), struct(col("p"), col("para"))))),
+          x => x.getField("para")), " ")).as("kept_md5"))
+  }
+
+  /** L1c declared query: paragraph dedup over the fixture corpus. */
+  def l1ParaDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedup(Tables(spark, dir).documents)
+      .orderBy(col("doc_id"))
 }

@@ -2754,6 +2754,47 @@ class LlmOpsSpec extends SparkSuite {
     assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
   }
 
+  test("L1d paragraph dedup: first occurrence wins, reassembly order, short docs") {
+    import graft.operators.Dedup
+    // three 12-token paragraphs; A appears in docs 1 and 3, B in 1 and
+    // 2, D twice INSIDE doc 4 — only each paragraph's lexicographic
+    // (doc, position) first occurrence survives
+    def para(w: String) = (1 to 12).map(i => s"$w$i").mkString(" ")
+    val (a, b, c, d) = (para("a"), para("b"), para("c"), para("d"))
+    val docs = Seq(
+      (1L, s"$a $b"),       // keeps A (p0), B (p1)
+      (2L, s"$b $c"),       // B dropped (doc1 wins), keeps C
+      (3L, a),              // A dropped
+      (4L, s"$d $d"),       // within-doc repeat: first D kept
+      (5L, "short text")    // < 12 tokens: one paragraph, kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs).orderBy(col("doc_id")).collect()
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = Seq(
+      (1L, 2L, 2L, md5Of(s"$a $b")),
+      (2L, 2L, 1L, md5Of(c)),
+      (3L, 1L, 0L, md5Of("")),
+      (4L, 2L, 1L, md5Of(d)),
+      (5L, 1L, 1L, md5Of("short text")))
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      == expect)
+    // winner is (doc, position) lexicographic: a LATER position in an
+    // EARLIER doc beats an earlier position in a later doc
+    val docs2 = Seq((7L, s"$c $a"), (9L, s"$a $c")).toDF("doc_id", "text")
+    val out2 = Dedup.paragraphDedup(docs2).orderBy(col("doc_id")).collect()
+    assert(out2(0).getLong(2) == 2L && out2(1).getLong(2) == 0L)
+    // reassembly preserves position order across a dropped middle
+    // paragraph: doc keeps p0 and p2, digest must be "A C" not "C A"
+    val docs3 = Seq((1L, b), (2L, s"$a $b $c")).toDF("doc_id", "text")
+    val out3 = Dedup.paragraphDedup(docs3).orderBy(col("doc_id")).collect()
+    assert(out3(1).getString(3) == md5Of(s"$a $c"))
+    // layout invariance: repartitioning must not move winners
+    val rep = Dedup.paragraphDedup(docs.repartition(7)).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(rep == out.map(r => (r.getLong(0), r.getString(3))).toSeq)
+  }
+
   test("L1 dup-span coverage: overlap merges, cross-doc detection, short docs exempt") {
     val run = (1 to 9).map(i => s"s$i").mkString(" ") // 9 words = 2 overlapping 8-spans
     val df = Seq(
