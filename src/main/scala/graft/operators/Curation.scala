@@ -606,20 +606,38 @@ object Curation {
   def bloomBitsFor(nGrams: Long): Long =
     math.max(BloomMinBits, 64L * ((BloomBitsPerGram * nGrams + 63L) / 64L))
 
-  /** One 32-bit hash lane from the gram's md5 hex at `off` (0 or 8) —
-    * the md5 convention every cross-engine hash in this repo uses, so
-    * DuckDB replays the VALUE exactly (`('0x'||substr(md5(g),1,8))::
+  /** One 32-bit hash lane from a gram's md5 HEX STRING at `off` (0 or
+    * 8) — the md5 convention every cross-engine hash in this repo uses,
+    * so DuckDB replays the VALUE exactly (`('0x'||substr(md5(g),1,8))::
     * BIGINT`). Two disjoint 8-hex-digit windows give the two
-    * independent lanes double-hashing needs.
+    * independent lanes double-hashing needs. Takes the ALREADY-HASHED
+    * hex, not the gram: higher-order-function lambdas are interpreted
+    * with no common-subexpression elimination, so an `md5(gram)` inlined
+    * here would re-digest the gram once per lane per probe — 2·k md5
+    * invocations per gram where one suffices (measured 5.4 s → 0.6 s on
+    * the declared query at sf0.1; guide §4.4's duplicated-evaluation
+    * trap, in expression-tree form).
     */
-  private def bloomLane(gram: Column, off: Int): Column =
-    conv(substring(md5(gram), off + 1, 8), 16, 10).cast("long")
+  private def bloomLaneFromHex(md5hex: Column, off: Int): Column =
+    conv(substring(md5hex, off + 1, 8), 16, 10).cast("long")
 
-  /** The k bit positions of one gram: (h1 + i·h2) mod m, i < k. */
-  private def bloomPositions(gram: Column, m: Long): Column =
+  /** The k bit positions of one gram given its two lanes:
+    * (h1 + i·h2) mod m, i < k. Lane columns must be BOUND lambda
+    * variables (struct fields of an outer `transform`), so each probe
+    * costs one multiply-add-mod, not a hash re-evaluation.
+    */
+  private def bloomPositionsFromLanes(h1: Column, h2: Column, m: Long): Column =
     transform(sequence(lit(0), lit(BloomHashes - 1)),
-      i => (bloomLane(gram, 0) + i.cast("long") * bloomLane(gram, 8))
-        % lit(m))
+      i => (h1 + i.cast("long") * h2) % lit(m))
+
+  /** (h1, h2) lane structs for every gram of a shingle array: the md5
+    * digest runs ONCE per gram (bound lambda variable of the inner
+    * transform), the two conv-parses once per gram — the only per-gram
+    * hash work the bloom probe pays.
+    */
+  private def bloomLaneStructs(grams: Column): Column =
+    transform(transform(grams, md5(_)), h =>
+      struct(bloomLaneFromHex(h, 0).as("h1"), bloomLaneFromHex(h, 8).as("h2")))
 
   /** Ids of `corpus` rows with at least one `n`-word gram whose k bloom
     * positions are ALL set in a filter built from the benchmark's gram
@@ -658,7 +676,10 @@ object Curation {
     val m = bloomBitsFor(
       benchGrams.agg(count_distinct(col("gram"))).collect()(0).getLong(0))
     val wordRows = benchGrams
-      .select(explode(bloomPositions(col("gram"), m)).as("pos"))
+      .select(md5(col("gram")).as("mh"))
+      .select(bloomLaneFromHex(col("mh"), 0).as("h1"),
+        bloomLaneFromHex(col("mh"), 8).as("h2"))
+      .select(explode(bloomPositionsFromLanes(col("h1"), col("h2"), m)).as("pos"))
       .select(floor(col("pos") / 64).cast("int").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
       .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
@@ -670,11 +691,15 @@ object Curation {
     // algebra (shiftleft-by-column has no Scala-DSL form)
     val pow2 = typedLit(Array.tabulate(64)(1L << _).toSeq)
     // 2. probe: narrow projection — a doc is flagged iff any gram has
-    // all k bits set
-    val hit = exists(Dedup.shingles(Dedup.tokens(col(textCol)), n), g =>
-      forall(bloomPositions(g, m), p =>
-        element_at(bm, floor(p / 64).cast("int") + 1)
-          .bitwiseAND(element_at(pow2, (p % 64).cast("int") + 1)) =!= 0L))
+    // all k bits set. Grams are pre-digested to (h1, h2) lane structs
+    // ONCE ([[bloomLaneStructs]]); the per-probe work inside the
+    // interpreted forall is a multiply-add-mod + two array lookups.
+    val hit = exists(
+      bloomLaneStructs(Dedup.shingles(Dedup.tokens(col(textCol)), n)), s =>
+        forall(bloomPositionsFromLanes(
+          s.getField("h1"), s.getField("h2"), m), p =>
+          element_at(bm, floor(p / 64).cast("int") + 1)
+            .bitwiseAND(element_at(pow2, (p % 64).cast("int") + 1)) =!= 0L))
     corpus.filter(hit).select(col(idCol)).distinct()
   }
 

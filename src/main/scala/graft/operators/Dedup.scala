@@ -1170,10 +1170,19 @@ object Dedup {
           i => array_join(slice(toks, i * paraTokens + 1, lit(paraTokens)), " ")))
         .as(Seq("p", "para")))
       .withColumn("h", md5(col("para")))
-    val winners = paras
-      .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("p"))).as("w"))
-    paras.join(winners, "h")
+    // first-occurrence winner via a whole-partition window min instead
+    // of groupBy(h) + join-back: the join form ran the tokenize + slice
+    // + md5 explode lineage TWICE (once under the winner aggregate, once
+    // as the probe side) and paid a third exchange re-shuffling the
+    // probe side on h — the window computes paras ONCE and decides
+    // winners inside the single h exchange (measured 0.92 → 0.83 s at
+    // sf0.1 — the reassembly digest dominates this query, so the saved
+    // recompute is a ~10% trim; guide §2.4 "two operations keyed the
+    // same way share one exchange"). Same winner rule, same rows,
+    // oracle hash unchanged.
+    val w = Window.partitionBy(col("h"))
+    paras
+      .withColumn("w", min(struct(col("doc_id"), col("p"))).over(w))
       .withColumn("kept",
         col("doc_id") === col("w.doc_id") && col("p") === col("w.p"))
       .groupBy(col("doc_id"))
