@@ -52,6 +52,55 @@ object Engine {
 
   def defaultCores: Int =
     sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  /** Parallelism FLOOR for CPU-bound per-row stages (codec decode,
+    * signature/hash kernels, exact-decimal math, regex chains): when
+    * the input plans to fewer partitions than the session's default
+    * parallelism, round-robin repartition it up; otherwise return it
+    * UNTOUCHED. The fixture tables are single parquet row groups, so
+    * without the floor every scan-rooted stage runs as ONE task and a
+    * 32-core box decodes/hashes serially (measured: the l5 codec
+    * family, minhash signatures and the PQ encode all single-task).
+    * On a real corpus a scan already exceeds the floor and this adds
+    * NOTHING — no shuffle, no plan change — so the posture is
+    * scale-adaptive rather than a local[32] constant; the target is
+    * `sparkContext.defaultParallelism`, which tracks the deployment's
+    * core count (and the driver's low-core bench runs) by definition.
+    * Round-robin repartition keeps Spark's sort-before-repartition
+    * determinism (retried tasks reproduce the same assignment), and a
+    * pure repartition changes no rows, so declared-query output — and
+    * the DuckDB oracle hash — is unchanged by construction. Apply it
+    * to NARROW inputs (ids, payload columns about to fan out) per the
+    * shuffle-fewer-bytes rule; scan+light-agg queries keep their
+    * single fused stage.
+    */
+  def parallelFloor(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // the planned-partition probe (df.rdd) costs real per-invocation
+    // driver time (plan → physical → RDD DAG), so the decision is
+    // memoized per (session, canonical plan) — deterministic inputs
+    // (parquet-rooted frames over an immutable fixture dir) make the
+    // count a pure function of the plan
+    val n = FloorPartsCache.getOrElseUpdate(df.sparkSession,
+      df.queryExecution.analyzed.canonicalized)(df.rdd.getNumPartitions)
+    if (n < target) df.repartition(target) else df
+  }
+
+  /** [[parallelFloor]] with HASH partitioning on a deterministic key —
+    * for inputs that feed a persist(): a round-robin exchange in a
+    * cached lineage broke cross-invocation cache matching (measured:
+    * warm spanStarts re-computed 32-way), while hash partitioning
+    * canonicalizes stably.
+    */
+  def parallelFloorBy(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val n = FloorPartsCache.getOrElseUpdate(df.sparkSession,
+      df.queryExecution.analyzed.canonicalized)(df.rdd.getNumPartitions)
+    if (n < target) df.repartition(target, key) else df
+  }
+
+  private val FloorPartsCache = new SessionCache[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int]
 }
 
 /** Typed accessors for the driver-generated fixture tables.

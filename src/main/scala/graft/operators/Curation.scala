@@ -464,7 +464,10 @@ object Curation {
                       n: Int = DecontamN): DataFrame = {
     def grams(d: DataFrame) = d.select(col(idCol),
       explode(Dedup.shingles(Dedup.tokens(col(textCol)), n)).as("gram"))
-    grams(corpus)
+    // parallelism floor on the corpus side only (the probe's shingle
+    // pass runs in the scan stage — one task on the fixture's single
+    // row group, no-op at scale); the benchmark side stays tiny
+    grams(graft.Engine.parallelFloor(corpus))
       .join(broadcast(grams(benchmark).select(col("gram")).distinct()), "gram")
       .select(col(idCol)).distinct()
   }
@@ -700,7 +703,9 @@ object Curation {
           s.getField("h1"), s.getField("h2"), m), p =>
           element_at(bm, floor(p / 64).cast("int") + 1)
             .bitwiseAND(element_at(pow2, (p % 64).cast("int") + 1)) =!= 0L))
-    corpus.filter(hit).select(col(idCol)).distinct()
+    // parallelism floor: the probe is a pure scan-stage filter — one
+    // task on the fixture's single row group without it, no-op at scale
+    graft.Engine.parallelFloor(corpus).filter(hit).select(col(idCol)).distinct()
   }
 
   /** L9c declared query: BLOOM benchmark decontamination — the

@@ -189,7 +189,9 @@ object Dedup {
     // sig_XX columns in a second projection (getItem on a materialized
     // attribute is cheap; CollapseProject keeps the non-cheap signature
     // expression un-inlined because it is referenced w times)
-    t.documents
+    // parallelism floor (Engine.parallelFloor): the single-row-group
+    // fixture scan otherwise runs the whole signature pass as ONE task
+    graft.Engine.parallelFloor(t.documents)
       .select(col("doc_id"), minhashSigsNative(tokens(col("text")), w).as("__sigs"))
       .select(col("doc_id") +:
         (0 until w).map(i => col("__sigs").getItem(i).as(f"sig_$i%02d")): _*)
@@ -214,6 +216,9 @@ object Dedup {
     // than the md5 query it was meant to beat (r15 demerit); the values
     // are bit-identical (PropertiesSpec pins both elementwise equality
     // and the set-function algebra)
+    // no parallelism floor: the xxhash64 kernel is ~3x cheaper than the
+    // md5 family's, and the floor's exchange cost exceeded the win
+    // (measured 0.29 -> 0.53 s floored)
     t.documents
       .select(col("doc_id"), minhashSigsFastNative(tokens(col("text")), w).as("__sigs"))
       .select(col("doc_id") +:
@@ -390,7 +395,7 @@ object Dedup {
   private[graft] def spanStarts(docs: DataFrame, n: Int,
                                 tokenizer: Column => Column): DataFrame = {
     val ts = tokenizer(col("text"))
-    docs
+    graft.Engine.parallelFloorBy(docs, col("doc_id"))
       .select(col("doc_id"), size(ts).cast("long").as("n_tokens"), ts.as("toks"))
       .select(col("doc_id"), col("n_tokens"),
         posexplode_outer(when(col("n_tokens") >= n,
@@ -472,7 +477,10 @@ object Dedup {
                                          n: Int,
                                          tokenizer: Column => Column): DataFrame = {
     val ts = tokenizer(col("text"))
-    docs.join(removals, Seq("doc_id"), "left")
+    // parallelism floor: the rewrite's re-tokenize + keep filter run in
+    // the corpus scan stage (broadcast-joined removals keep it
+    // exchange-free, i.e. single-task on the fixture's one row group)
+    graft.Engine.parallelFloor(docs).join(removals, Seq("doc_id"), "left")
       .select(col("doc_id"), ts.as("toks"),
         coalesce(col("rm"), lit(Array.empty[Long])).as("rm"))
       .select(col("doc_id"),
@@ -485,6 +493,10 @@ object Dedup {
         (col("n_tokens") - size(col("kept"))).as("n_removed"),
         array_join(col("kept"), " ").as("text_clean"))
   }
+
+  /** Dev probe hook: the spanStarts chain at declared defaults. */
+  private[graft] def spanStartsProbe(docs: DataFrame): DataFrame =
+    spanStarts(docs, DupSpanN, TextOps.spaceTokenizer)
 
   /** L1c declared query: ExactSubstr removal over the documents corpus. */
   def l1SubstrDedup(spark: SparkSession, dir: String): DataFrame =
@@ -716,7 +728,11 @@ object Dedup {
     // 1. distinct-token-set groups, one integer representative per set.
     // Tokens are md5'd BEFORE the "|" join so a token containing the
     // delimiter can't collide two different sets into one group.
-    val tokset = docs.select(col("doc_id"), array_distinct(tokenizer(col("text"))).as("toks"))
+    // Parallelism floor (Engine.parallelFloor): tokenize + set_sig md5
+    // run in the scan stage, which the single-row-group fixture plans
+    // as ONE task (no-op on an already-parallel corpus scan).
+    val tokset = graft.Engine.parallelFloor(docs)
+      .select(col("doc_id"), array_distinct(tokenizer(col("text"))).as("toks"))
       .withColumn("set_sig", md5(concat_ws("|", array_sort(transform(col("toks"), md5(_))))))
     // min_by makes the representative token ARRAY manifestly deterministic
     // (all members of a set_sig group hold the same token SET, but not
@@ -811,7 +827,9 @@ object Dedup {
                  rowsPerBand: Int = DefaultRowsPerBand,
                  tokenizer: Column => Column = tokens): DataFrame = {
     val w = bands * rowsPerBand
-    val base = docs.select(col("doc_id"),
+    // parallelism floor: the signature pass runs in the scan stage
+    // (one task on the single-row-group fixture; no-op at scale)
+    val base = graft.Engine.parallelFloor(docs).select(col("doc_id"),
         array_distinct(tokenizer(col("text"))).as("toks"))
       .withColumn("__sigs", minhashSigsNative(col("toks"), w))
     val bandCols = (0 until bands).map { b =>
@@ -1164,7 +1182,7 @@ object Dedup {
   def paragraphDedup(docs: DataFrame, paraTokens: Int = ParaTokens): DataFrame = {
     val toks = tokens(col("text"))
     val nChunks = ((size(toks) + paraTokens - 1) / paraTokens).cast("int")
-    val paras = docs
+    val paras = graft.Engine.parallelFloor(docs)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), nChunks - 1),
           i => array_join(slice(toks, i * paraTokens + 1, lit(paraTokens)), " ")))

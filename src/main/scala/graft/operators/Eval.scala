@@ -665,7 +665,10 @@ object Eval {
                        tokenizer: Column => Column = Dedup.tokens): DataFrame = {
     require(n >= 1 && k >= 1, s"bad n=$n / k=$k")
     val bk = BottomKDistinct.bottomKUdaf(k)
-    val grams = tagged
+    // parallelism floor (Engine.parallelFloor): shingle + md5 + the
+    // map-side sketch all run in the scan stage, which the fixture's
+    // single row group plans as ONE task (no-op at corpus scale)
+    val grams = graft.Engine.parallelFloor(tagged)
       .select(col("side"),
         explode(Dedup.shingles(tokenizer(col("text")), n)).as("gram"))
       .select(col("side"), md5(col("gram")).as("h"))
@@ -736,7 +739,7 @@ object Eval {
                           tokenizer: Column => Column = Dedup.tokens): DataFrame = {
     require(n >= 1 && k >= 1, s"bad n=$n / k=$k")
     val bk = BottomKDistinct.bottomKUdaf(k)
-    val sks = docs
+    val sks = graft.Engine.parallelFloor(docs)
       .select(col(groupCol).as("g"),
         explode(Dedup.shingles(tokenizer(col(textCol)), n)).as("gram"))
       .groupBy(col("g")).agg(bk(md5(col("gram"))).as("sk"))

@@ -164,7 +164,7 @@ object Multimodal {
   def synthResizeAssets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val w = (8 + d % 8).toInt
         val h = (4 + d % 4).toInt
@@ -1022,7 +1022,7 @@ object Multimodal {
   def synthBmpAssets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val w = (8 + d % 8).toInt
         val h = (4 + d % 4).toInt
@@ -1060,7 +1060,7 @@ object Multimodal {
   def synthPngAssets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val w = (5 + d % 7).toInt
         val h = (3 + d % 5).toInt
@@ -1112,7 +1112,7 @@ object Multimodal {
   def synthJpegAssets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val ri = if (d % 5 == 0) 1 else 0
         def yOf(k: Int) = ((d * 7 + k * 29 + 31) % 256).toInt
@@ -1181,7 +1181,7 @@ object Multimodal {
   def synthJpegProgressiveAssets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val ri = if (d % 7 == 0) 1 else 0
         def yOf(k: Int) = ((d * 19 + k * 37 + 23) % 256).toInt
@@ -1242,7 +1242,7 @@ object Multimodal {
   def synthGifAssets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val w = (4 + d % 9).toInt
         val h = (3 + d % 6).toInt
@@ -1316,7 +1316,7 @@ object Multimodal {
   def synthWavAssets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val n = (64 + d % 64).toInt
         val samples = Array.tabulate(n) { i =>
@@ -1349,7 +1349,7 @@ object Multimodal {
   def synthG711Assets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val n = (48 + d % 32).toInt
         val codes = Array.tabulate(n)(i => ((d * 31 + i * 7 + 3) % 256).toByte)
@@ -1389,7 +1389,7 @@ object Multimodal {
   def synthAdpcmAssets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val nBlocks = (2 + d % 3).toInt
         val blocks = (0 until nBlocks).map { b =>
@@ -1483,7 +1483,7 @@ object Multimodal {
   def synthAviAssets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val nf = (2 + d % 4).toInt
         val w = (8 * (1 + d % 2)).toInt
@@ -1569,7 +1569,7 @@ object Multimodal {
   def synthMpeg1Assets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val nf = (2 + d % 3).toInt
         val w = (16 * (1 + d % 2)).toInt
@@ -1612,7 +1612,7 @@ object Multimodal {
   def synthMpeg1PAssets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val np = (1 + d % 3).toInt
         val w = (16 * (1 + d % 2)).toInt
@@ -1666,7 +1666,7 @@ object Multimodal {
   def synthMpeg1BAssets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val nB = (1 + d % 3).toInt
         val w = (16 * (1 + d % 2)).toInt
@@ -1722,7 +1722,7 @@ object Multimodal {
   def synthMpeg1DAssets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val nf = (2 + d % 3).toInt
         val w = (16 * (1 + d % 2)).toInt
@@ -1853,7 +1853,7 @@ object Multimodal {
   def synthRle8Assets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val nf = (2 + d % 3).toInt
         val w = (8 + d % 8).toInt
@@ -1930,7 +1930,7 @@ object Multimodal {
   def synthAnimGifAssets(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    graft.Engine.parallelFloor(t.documents.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { d =>
         val p = (4 + d % 12).toInt
         val w = (6 + d % 6).toInt

@@ -358,7 +358,13 @@ object Similarity {
     */
   def trainedCentroidsSub(subbed: DataFrame, nCells: Int,
                           iters: Int = KmIters): DataFrame = {
-    val train = subbed.filter(col("vec_id") % KmTrainMod === 0)
+    // parallelism floor on the train slice: every Lloyd round's
+    // exact-decimal assignment argmin runs in the slice's scan stage,
+    // which the single-row-group fixture plans as ONE task (no-op on an
+    // already-parallel corpus; the slice is narrow — (vec_id, sub,
+    // embedding) — so the one-time exchange is cheap at any scale)
+    val train = graft.Engine.parallelFloor(
+      subbed.filter(col("vec_id") % KmTrainMod === 0)).persist()
     // cid renormalized to 0..nCells-1 (vec_id DIV mod) so cell ids keep
     // the same compact range as the untrained-init form
     var cents = train.filter(col("vec_id") < nCells * KmTrainMod)
@@ -859,7 +865,12 @@ object Similarity {
     * the two cannot drift on cell geometry.
     */
   def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding"), dbl(col("embedding")).as("e"))
+    // parallelism floor: the broadcast-centroid crossJoin multiplies
+    // rows by k INSIDE the scan stage, and the fixture's single-row-
+    // group scan plans that whole exact-decimal argmin as ONE task
+    // (Engine.parallelFloor — no-op on an already-parallel corpus)
+    graft.Engine.parallelFloor(emb)
+      .select(col("vec_id"), col("embedding"), dbl(col("embedding")).as("e"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         dist2(col("e"), col("ce")).as("d2"))
@@ -957,21 +968,110 @@ object Similarity {
 
   def pqTopK(t: Tables, queryId: Long, k: Int): DataFrame = {
     val emb = t.embeddings
-    val subbed = subspaced(emb)
     val query = queryVec(t, queryId)
     // ONE joint training job for all m codebooks (see
-    // [[trainedCentroidsSub]]) — bit-identical codebooks to sequential
-    // per-subspace training at 1/m the Spark jobs and materializations —
-    // memoized per session like every quantizer here
+    // [[trainedCentroidsSub]]) — memoized per session like every
+    // quantizer here. The in-query encode + ADC rank is a FLAT
+    // PROJECTION pipeline: the codebooks are bounded index metadata
+    // (m·k = 64 rows), so the per-subspace argmin inlines them as
+    // array literals (least() over (d2, cid, pos) structs — identical
+    // tie-break to the join form's min(struct(d2, cid))) and the ADC
+    // lookup rides ONE broadcast 1-row crossJoin, leaving scan →
+    // project → TakeOrdered with no explode, no join, and no exchange
+    // before the top-candidate cut. The join form ([[pqTopKJoinForm]],
+    // the differential reference BucketingSpec pins this against)
+    // paid a 4× row explode, two broadcast joins and two aggregation
+    // exchanges for the same 64 dist2 evaluations per vector —
+    // pure orchestration at any corpus size (measured 1.66 → 0.49 s
+    // warm at sf0.1; same exact-DECIMAL arithmetic, same candidates,
+    // same rescored rows, oracle hash unchanged).
+    val adcRow = adcBySubRow(defaultPqBooks(t), query)
+    val bookRows = collectedPqBooks(t)
+    def bestPos(sv: Column, j: Int): Column =
+      least(bookRows(j).zipWithIndex.map { case ((cid, ce), pos) =>
+        struct(dist2(sv, typedLit(ce)).as("d"), lit(cid).as("c"),
+          lit(pos + 1).as("p"))
+      }: _*).getField("p")
+    // parallelism floor (Engine.parallelFloor): the fixture's
+    // single-row-group embeddings scan plans as ONE task, serializing
+    // the 64-dist2 encode projection; no-op on an already-parallel scan
+    val sliced = graft.Engine.parallelFloor(emb)
+      .select(col("vec_id") +: col("label") +: col("embedding") +:
+        (0 until PqM).map(j =>
+          dbl(slice(col("embedding"), j * PqSubDim + 1, PqSubDim)).as(s"__s$j")): _*)
+    val withPos = sliced.select(col("vec_id") +: col("label") +: col("embedding") +:
+      (0 until PqM).map(j => bestPos(col(s"__s$j"), j).as(s"__p$j")): _*)
+    // adc_d2 via the fixed-order adc_0+…+adc_{m-1} chain: exact decimal
+    // addition is order-independent, so the value equals the join
+    // form's sum() aggregate
+    withPos.crossJoin(broadcast(adcRow))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        (0 until PqM).map(j =>
+          element_at(element_at(col("adc_by_sub"), j + 1), col(s"__p$j")))
+          .reduce(_ + _).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(PqRescoreFactor * k)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), col("label"),
+        cosine(dbl(col("embedding")), col("q_emb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The ADC table folded to ONE broadcastable row: per subspace, the
+    * cid-ordered array of exact-DECIMAL d²(q_j, cb_j[cid]) lookups —
+    * computed IN-PLAN on the m·k-row codebook frame (the decimal
+    * arithmetic the oracle replays never leaves Spark), then pivoted
+    * via two bounded collect_list aggregates. Output schema:
+    * (adc_by_sub: array<array<decimal>>), element j+1 = subspace j in
+    * cid order — positions align with [[collectedPqBooks]]' cid-sorted
+    * entries by construction.
+    */
+  private def adcBySubRow(books: DataFrame, query: DataFrame): DataFrame =
+    books.crossJoin(broadcast(query))
+      .select(col("sub"), col("cid"),
+        dist2(col("ce"),
+          slice(col("q_emb"), col("sub") * lit(PqSubDim) + lit(1),
+            lit(PqSubDim))).as("adc"))
+      .groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("adc")))).as("pc"))
+      .select(struct(col("sub").as("sub"),
+        transform(col("pc"), p => p.getField("adc")).as("arr")).as("sa"))
+      .agg(array_sort(collect_list(col("sa"))).as("bysub"))
+      .select(transform(col("bysub"), s => s.getField("arr")).as("adc_by_sub"))
+
+  /** The trained PQ codebooks collected once per (session, corpus dir)
+    * as driver metadata — m·k = 64 rows of (cid, 16 doubles), the
+    * bounded-collect discipline [[probePqIndex]]'s candidate ids and
+    * the L3 index-metadata reads already follow — so the in-query
+    * encode can inline them as argmin literals. cid-sorted per sub;
+    * positions (1-based) index [[adcBySubRow]]'s arrays.
+    */
+  private val PqBookRowsCache = new graft.SessionCache[
+    (String, Int, Int), Map[Int, IndexedSeq[(Long, Seq[Double])]]]
+  private def collectedPqBooks(t: Tables): Map[Int, IndexedSeq[(Long, Seq[Double])]] =
+    PqBookRowsCache.getOrElseUpdate(t.spark, (t.dir, PqM, PqK)) {
+      defaultPqBooks(t).select(col("sub"), col("cid"), col("ce")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+        .groupBy(_._1).map { case (s, rs) =>
+          s -> rs.map(x => (x._2, x._3)).sortBy(_._1).toIndexedSeq
+        }
+    }
+
+  /** The r15 join-form of [[pqTopK]] — kept as the differential
+    * reference (the [[cosineDeclarative]] discipline): BucketingSpec
+    * pins the flat-projection form's output row-for-row against this.
+    */
+  private[graft] def pqTopKJoinForm(t: Tables, queryId: Long, k: Int): DataFrame = {
+    val emb = t.embeddings
+    val subbed = subspaced(emb)
+    val query = queryVec(t, queryId)
     val books = defaultPqBooks(t)
     val adc = books.crossJoin(broadcast(query))
       .select(col("sub"), col("cid"),
         dist2(col("ce"),
           slice(col("q_emb"), col("sub") * lit(PqSubDim) + lit(1),
             lit(PqSubDim))).as("adc"))
-    // adc_d2 via sum() over the m DECIMAL(30,15) lookups: exact decimal
-    // addition is order-independent, so the value equals the fixed-order
-    // adc_0+…+adc_{m-1} chain the oracle computes
     val approx = pqAssign(subbed, books)
       .join(broadcast(adc), Seq("sub", "cid"))
       .groupBy(col("vec_id")).agg(sum(col("adc")).as("adc_d2"))

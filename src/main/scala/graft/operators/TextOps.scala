@@ -1315,7 +1315,10 @@ object TextOps {
     */
   def piiScrubV2(docs: DataFrame): DataFrame = {
     val Seq((urlP, urlR), (emP, emR), (ipP, ipR)) = PiiPatterns
-    docs
+    // parallelism floor (Engine.parallelFloor): ten regex passes per
+    // document, all in the scan stage — one task on the fixture's
+    // single row group without it; no-op on an already-parallel scan
+    graft.Engine.parallelFloor(docs)
       .withColumn("n_url", regexp_count(col("text"), lit(urlP)).cast("long"))
       .withColumn("t1", regexp_replace(col("text"), urlP, urlR))
       .withColumn("n_email", regexp_count(col("t1"), lit(emP)).cast("long"))

@@ -110,6 +110,11 @@ class BucketingSpec extends SparkSuite {
     // ADC ranking, same exact rescore
     val probe = Similarity.probePqIndex(spark, idxDir, q, k = 10, tables.embeddings)
     assertSameRows(probe, Similarity.pqTopK(tables, 0L, 10))
+    // the flat-projection in-query form (inlined codebook literals +
+    // one-row ADC attach) must match the r15 join form row for row —
+    // same encode argmin tie-break, same ADC sums, same rescore
+    assertSameRows(Similarity.pqTopK(tables, 0L, 10),
+      Similarity.pqTopKJoinForm(tables, 0L, 10))
     // the candidate stage's only corpus-sized input is the codes parquet:
     // its scan schema is vec_id + the m 4-byte code columns — no embedding
     val cand = Similarity.pqCandidates(spark, idxDir, q,
