@@ -151,6 +151,13 @@ object Bench {
       if (headlineOnly) -1.0
       else timedBuild("nb classifier") {
         graft.operators.TextOps.defaultNbScored(spark, sfDir).count() }
+    // the decontamination bloom filter: built once per benchmark and
+    // memoized per session (l9_bloom_decontam consumes it) — an index
+    // build like the PQ codebooks, surfaced the same way
+    val bloomBuild: Double =
+      if (headlineOnly) -1.0
+      else timedBuild("bloom filter") {
+        graft.operators.Curation.defaultBloomBuild(spark, sfDir) }
     val tail = qs.keys.toSeq.sorted.filterNot(headline.contains)
     // SPARK_GRAFT_BENCH_QUERIES=a,b,c restricts the per-query map — dev
     // loop for timing one query's change without a full pass
@@ -177,7 +184,7 @@ object Bench {
     val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     val allJson =
       if (headlineOnly) ""
-      else s""","shared_build":{"l6_chain":${fmt(sharedBuild)},"s7_exact_profile":${fmt(s7Build)},"s7_approx_sketch":${fmt(s7ApproxBuild)},"bm25":${fmt(bm25Build)},"pq_books":${fmt(pqBuild)},"nb_classifier":${fmt(nbBuild)}},"all_queries":${toJson(allResults.sortBy(_._1))}"""
+      else s""","shared_build":{"l6_chain":${fmt(sharedBuild)},"s7_exact_profile":${fmt(s7Build)},"s7_approx_sketch":${fmt(s7ApproxBuild)},"bm25":${fmt(bm25Build)},"pq_books":${fmt(pqBuild)},"nb_classifier":${fmt(nbBuild)},"bloom_filter":${fmt(bloomBuild)}},"all_queries":${toJson(allResults.sortBy(_._1))}"""
     // contention evidence: ambient load at both ends plus this JVM's own
     // cpu-vs-wall split — a reader can discount an inflated artifact
     // (load ≫ cores in use, or wall ≫ cpu/cores) without re-running it

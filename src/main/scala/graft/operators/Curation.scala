@@ -668,27 +668,51 @@ object Curation {
     * collects in Similarity) — and re-enters the plan as one array
     * literal.
     */
+  /** The built (m, bitmap) pair for a benchmark frame, memoized per
+    * (session, canonical benchmark plan, n) — the [[graft.operators
+    * .Similarity]] index-build discipline: a decontamination filter is
+    * built ONCE per benchmark and probed by every corpus batch, so a
+    * Verify/Bench session re-running the two build jobs (distinct-gram
+    * count + bitmap fold/collect) per `l9_bloom_decontam` execution
+    * was charging the build once per query (measured ~1.4 s of the
+    * query's 2.2 s). The build is deterministic md5 algebra over an
+    * immutable fixture dir, so the memo returns exactly what the
+    * un-memoized call computed; Bench surfaces the one-time cost as a
+    * `shared_build` entry like the PQ/IVF/BM25 builds.
+    */
+  private val BloomBuildCache = new graft.SessionCache[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    (Long, Array[Long])]
+
+  private[graft] def bloomFilterFor(benchmark: DataFrame, textCol: String,
+                                    n: Int): (Long, Array[Long]) =
+    BloomBuildCache.getOrElseUpdate(benchmark.sparkSession,
+      (benchmark.queryExecution.analyzed.canonicalized, n)) {
+      // 1. size: m follows the benchmark's distinct-gram count (1-row
+      // collect), then build: grams → bit positions → bit_or-fold into
+      // packed 64-bit words (vocabulary-sized shuffle on ≤m/64 keys)
+      val benchGrams = benchmark
+        .select(explode(Dedup.shingles(Dedup.tokens(col(textCol)), n)).as("gram"))
+      val m = bloomBitsFor(
+        benchGrams.agg(count_distinct(col("gram"))).collect()(0).getLong(0))
+      val wordRows = benchGrams
+        .select(md5(col("gram")).as("mh"))
+        .select(bloomLaneFromHex(col("mh"), 0).as("h1"),
+          bloomLaneFromHex(col("mh"), 8).as("h2"))
+        .select(explode(bloomPositionsFromLanes(col("h1"), col("h2"), m)).as("pos"))
+        .select(floor(col("pos") / 64).cast("int").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+        .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
+        .collect()
+      val bitmap = new Array[Long]((m / 64).toInt)
+      wordRows.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+      (m, bitmap)
+    }
+
   def bloomContaminatedIds(corpus: DataFrame, benchmark: DataFrame,
                            idCol: String = "doc_id", textCol: String = "text",
                            n: Int = DecontamN): DataFrame = {
-    // 1. size: m follows the benchmark's distinct-gram count (1-row
-    // collect), then build: grams → bit positions → bit_or-fold into
-    // packed 64-bit words (vocabulary-sized shuffle on ≤m/64 keys)
-    val benchGrams = benchmark
-      .select(explode(Dedup.shingles(Dedup.tokens(col(textCol)), n)).as("gram"))
-    val m = bloomBitsFor(
-      benchGrams.agg(count_distinct(col("gram"))).collect()(0).getLong(0))
-    val wordRows = benchGrams
-      .select(md5(col("gram")).as("mh"))
-      .select(bloomLaneFromHex(col("mh"), 0).as("h1"),
-        bloomLaneFromHex(col("mh"), 8).as("h2"))
-      .select(explode(bloomPositionsFromLanes(col("h1"), col("h2"), m)).as("pos"))
-      .select(floor(col("pos") / 64).cast("int").as("w"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
-      .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
-      .collect()
-    val bitmap = new Array[Long]((m / 64).toInt)
-    wordRows.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    val (m, bitmap) = bloomFilterFor(benchmark, textCol, n)
     val bm = typedLit(bitmap.toSeq)
     // power-of-two table so the probe's bit test stays pure Column
     // algebra (shiftleft-by-column has no Scala-DSL form)
@@ -715,10 +739,26 @@ object Curation {
     * included — a wrong lane, probe count, modulus, or bit-packing
     * detail shifts the digest and fails the hash gate.
     */
+  /** The declared split-tagged documents frame shared by the l9 family
+    * and the Bench build trigger (the frames must be CONSTRUCTED
+    * identically for the bloom build memo's canonical-plan key to hit).
+    */
+  private[graft] def l9SplitDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(col("doc_id"), col("source"),
+      col("text"), splitExpr(col("doc_id")).as("split"))
+
+  /** Bench hook: force the memoized bloom-filter build for the declared
+    * benchmark (the test split) so its one-time cost surfaces as a
+    * `shared_build` entry instead of hiding in warm-up.
+    */
+  private[graft] def defaultBloomBuild(spark: SparkSession, dir: String): Unit = {
+    bloomFilterFor(l9SplitDocs(spark, dir).filter(col("split") === "test"),
+      "text", DecontamN)
+    ()
+  }
+
   def l9BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val docs = t.documents.select(col("doc_id"), col("source"), col("text"),
-      splitExpr(col("doc_id")).as("split"))
+    val docs = l9SplitDocs(spark, dir)
     val train = docs.filter(col("split") === "train")
     val flagged = bloomContaminatedIds(train, docs.filter(col("split") === "test"))
       .withColumn("flagged", lit(true))

@@ -453,7 +453,15 @@ object Relational {
   /** A6: statistical aggregates — exact percentile, stddev, correlation. */
   def a6Stats(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.lineitem
+    // parallelism floor (Engine.parallelFloor): the exact percentile's
+    // map-side value buffers fill in the scan stage — one task on the
+    // fixture's single row group without it (A/B measured 1.73 → 1.61 s
+    // isolated; the approx sibling and gap-fill measured WORSE floored
+    // — sketch/bucket map sides are too cheap to amortize the exchange
+    // — and stay unfloored). No-op at corpus scale.
+    graft.Engine.parallelFloor(
+      t.lineitem.select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity")))
       .groupBy(col("l_returnflag"))
       .agg(
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
