@@ -702,65 +702,64 @@ object Registry {
     // fixture-derived backlog under maxOffsetsPerTrigger and the query
     // emits MqAdmission's recorded (backlog, admitted) history. The
     // oracle replays the whole drain — largest-remainder floors,
-    // remainder-rank top-ups, the uncapped final batch — as a recursive
-    // CTE: each iteration ranks positive-backlog partitions by
-    // (remainder DESC, partition) and tops up the first budget−Σfloor
-    // (in the capped regime every positive floor is strictly below its
-    // backlog, so no top-up is ever skipped — the engine's saturation
-    // guard binds only on zero-backlog partitions, which the rank
-    // already orders last).
+    // remainder-rank top-ups, the uncapped final batch — as UNROLLED
+    // plain CTE stages (one per batch, bound computed from the shared
+    // backlog-cap constants), NOT a recursive CTE: window functions
+    // inside a recursive term are an engine-version minefield (the r16
+    // driver's DuckDB hashed different values than the local 1.0.0 on
+    // the recursive form while rows/schema matched), whereas windows in
+    // ordinary CTEs are bog-standard SQL every version evaluates alike.
+    // Each stage ranks positive-backlog partitions by (remainder DESC,
+    // partition) and tops up the first budget−Σfloor (in the capped
+    // regime every positive floor is strictly below its backlog, so no
+    // top-up is ever skipped — the engine's saturation guard binds only
+    // on zero-backlog partitions, which the rank already orders last).
     QueryDef("s2_admission", graft.streaming.Streams.s2Admission, Some {
       val p = graft.streaming.Streams.S2AdmissionPartitions
       val b = graft.streaming.Streams.S2AdmissionBudget
       val base = graft.streaming.Streams.S2AdmissionBase
       val m = graft.streaming.Streams.S2AdmissionMod
       val parts = (0 until p).map(i => s"($i)").mkString(", ")
+      // worst-case drain length: every partition at its backlog cap
+      // (base + mod − 1), budget rows per batch — the unroll bound is a
+      // pure function of the same constants the engine publishes with
+      val maxBatches = ((p.toLong * (base + m - 1) + b - 1) / b).toInt
+      // one allocation stage: largest-remainder split of stage i's avail
+      // vector (GREATEST guard only bites on the all-drained tail stages,
+      // where total = 0 and every branch yields admitted = avail = 0)
+      def stage(i: Int): String =
+        s"""a$i AS (
+        SELECT CAST($i AS BIGINT) AS batch_seq, partition, avail,
+          CASE WHEN total <= $b THEN avail
+               ELSE fl + CASE WHEN avail > 0 AND rnk <= $b - flsum
+                         THEN 1 ELSE 0 END END AS admitted, total
+        FROM (
+          SELECT *, sum(fl) OVER () AS flsum,
+            row_number() OVER (ORDER BY CASE WHEN avail > 0 THEN 0 ELSE 1 END,
+                               rem DESC, partition) AS rnk
+          FROM (
+            SELECT *, avail * $b // GREATEST(total, 1) AS fl,
+                      avail * $b % GREATEST(total, 1) AS rem
+            FROM (SELECT *, sum(avail) OVER () AS total FROM b$i)))
+      ),
+      b${i + 1} AS (SELECT partition, avail - admitted AS avail FROM a$i)"""
+      val stages = (0 until maxBatches).map(stage).mkString(",\n      ")
+      val union = (0 until maxBatches).map(i => s"SELECT * FROM a$i")
+        .mkString("\n        UNION ALL ")
       s"""
-      WITH RECURSIVE backlog0 AS (
-        SELECT pp.partition, $base + (COALESCE(c.cnt, 0) % $m) AS backlog
+      WITH b0 AS (
+        SELECT pp.partition,
+          CAST($base + (COALESCE(c.cnt, 0) % $m) AS BIGINT) AS avail
         FROM (VALUES $parts) pp(partition)
         LEFT JOIN (SELECT CAST(event_id % $p AS INTEGER) AS partition,
                           count(*) AS cnt
                    FROM events GROUP BY 1) c USING (partition)
       ),
-      drain(batch_seq, partition, avail) AS (
-        SELECT CAST(0 AS BIGINT), partition, CAST(backlog AS BIGINT)
-        FROM backlog0
-        UNION ALL
-        SELECT batch_seq + 1, partition, avail - admitted FROM (
-          SELECT batch_seq, partition, avail, total,
-            CASE WHEN total <= $b THEN avail
-                 ELSE fl + CASE WHEN avail > 0 AND rnk <= $b - flsum
-                           THEN 1 ELSE 0 END END AS admitted
-          FROM (
-            SELECT *, sum(fl) OVER (PARTITION BY batch_seq) AS flsum,
-              row_number() OVER (PARTITION BY batch_seq
-                ORDER BY CASE WHEN avail > 0 THEN 0 ELSE 1 END,
-                         rem DESC, partition) AS rnk
-            FROM (
-              SELECT *, avail * $b // total AS fl,
-                        avail * $b % total AS rem
-              FROM (SELECT *, sum(avail) OVER (PARTITION BY batch_seq)
-                      AS total FROM drain)))
-        ) WHERE total > 0
-      )
-      SELECT batch_seq, partition, backlog, admitted,
-        backlog - admitted AS deferred FROM (
-        SELECT batch_seq, partition, avail AS backlog, total,
-          CASE WHEN total <= $b THEN avail
-               ELSE fl + CASE WHEN avail > 0 AND rnk <= $b - flsum
-                         THEN 1 ELSE 0 END END AS admitted
-        FROM (
-          SELECT *, sum(fl) OVER (PARTITION BY batch_seq) AS flsum,
-            row_number() OVER (PARTITION BY batch_seq
-              ORDER BY CASE WHEN avail > 0 THEN 0 ELSE 1 END,
-                       rem DESC, partition) AS rnk
-          FROM (
-            SELECT *, avail * $b // total AS fl,
-                      avail * $b % total AS rem
-            FROM (SELECT *, sum(avail) OVER (PARTITION BY batch_seq)
-                    AS total FROM drain)))
-      ) WHERE total > 0
+      $stages
+      SELECT batch_seq, partition, avail AS backlog, admitted,
+        avail - admitted AS deferred
+      FROM ($union)
+      WHERE total > 0
       ORDER BY batch_seq, partition"""
     }),
 

@@ -152,6 +152,90 @@ class StreamingSpec extends SparkSuite {
     MqBroker.deleteTopic(topic); MqAdmission.clear(topic)
   }
 
+  test("S2e drain property: engine policy == oracle-stage replay over randomized backlogs") {
+    import graft.sources.{MqAdmission, MqBroker}
+    // Independent replica of the Registry s2_admission oracle's unrolled
+    // stage math (floors + remainder-rank top-up, uncapped tail) — kept
+    // deliberately separate from MqAdmission.allocate so the two
+    // implementations cross-check each other.
+    def oracleDrain(backlog0: IndexedSeq[Long], budget: Long): Seq[(Long, Int, Long, Long)] = {
+      var avail = backlog0.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+      var seq = 0L
+      while (avail.sum > 0) {
+        val total = avail.sum
+        val adm: Array[Long] =
+          if (total <= budget) avail.clone()
+          else {
+            val fl = avail.map(a => a * budget / total)
+            val rem = avail.map(a => a * budget % total)
+            val flsum = fl.sum
+            val rnk = avail.indices
+              .sortBy(p => (if (avail(p) > 0) 0 else 1, -rem(p), p))
+              .zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+            avail.indices.map(p =>
+              fl(p) + (if (avail(p) > 0 && rnk(p) <= budget - flsum) 1L else 0L)).toArray
+          }
+        avail.indices.foreach(p => out += ((seq, p, avail(p), adm(p))))
+        avail = avail.indices.map(p => avail(p) - adm(p)).toArray
+        seq += 1
+      }
+      out.toSeq
+    }
+    // Engine-side replica: exactly MqMicroBatchStream.latestOffset's
+    // record sequence (allocate when capped, admit-all when the tail fits).
+    def engineDrain(backlog0: IndexedSeq[Long], budget: Long): Seq[(Long, Int, Long, Long)] = {
+      var avail = backlog0.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+      var seq = 0L
+      while (avail.sum > 0) {
+        val adm =
+          if (avail.sum <= budget) avail.clone()
+          else MqAdmission.allocate(avail.toIndexedSeq, budget)
+        avail.indices.foreach(p => out += ((seq, p, avail(p), adm(p))))
+        avail = avail.indices.map(p => avail(p) - adm(p)).toArray
+        seq += 1
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(20260819L)
+    for (_ <- 1 to 300) {
+      val p = 1 + rnd.nextInt(8)
+      val vec = IndexedSeq.fill(p)(rnd.nextInt(140).toLong) // zeros included
+      val budget = 1L + rnd.nextInt(64)
+      if (vec.sum > 0)
+        assert(engineDrain(vec, budget) == oracleDrain(vec, budget),
+          s"policy drift on vec=$vec budget=$budget")
+    }
+    // End-to-end: one randomized skewed vector through the REAL DSv2
+    // source — catches recording drift (extra/missing latestOffset calls)
+    // the pure-policy property cannot see.
+    val pReal = 4
+    val vecReal = IndexedSeq.fill(pReal)(rnd.nextInt(120).toLong + 1L)
+    val budgetReal = 32L
+    val topic = "t_drain_property"
+    MqBroker.deleteTopic(topic); MqAdmission.clear(topic)
+    MqBroker.createTopic(topic, pReal)
+    val keyFor = (0 until pReal).map(p =>
+      p -> (1 to 1000).map(i => s"k$i").find(k => math.floorMod(k.hashCode, pReal) == p).get).toMap
+    for (p <- 0 until pReal; _ <- 1L to vecReal(p)) MqBroker.publish(topic, keyFor(p), "v", 0L)
+    val df = spark.readStream.format(graft.sources.MqSource.format)
+      .option("topic", topic).option("maxOffsetsPerTrigger", budgetReal.toString).load()
+    val q = df.writeStream
+      .foreachBatch { (_: DataFrame, _: Long) => () }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cp-drainprop").toString)
+      .start()
+    q.awaitTermination()
+    val ring = MqAdmission.metricsFrame(spark, topic)
+      .orderBy(col("batch_seq"), col("partition")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(ring == oracleDrain(vecReal, budgetReal),
+      s"recorded drain != oracle replay for vec=$vecReal")
+    MqBroker.deleteTopic(topic); MqAdmission.clear(topic)
+  }
+
   test("S2 MqOffset equality is by content (engine's no-new-data detection)") {
     import graft.sources.MqOffset
     assert(MqOffset(Array(1L, 2L)) == MqOffset(Array(1L, 2L)))
