@@ -92,6 +92,22 @@ object Det {
     call_function("div", numer, denom).cast("double") / lit(p.toDouble)
   }
 
+  /** [[davg]] for callers that already hold the EXACT micro-unit sum and
+    * the pair count — e.g. a window-restructured aggregate that computes
+    * Σ micros(x) without ever materializing the per-pair rows. Same
+    * integer HALF_UP formula as [[davg]] (numer = 2·p·T + n·10⁶, denom =
+    * 2·n·10⁶, floor-div, /10^s), so given T = Σ micros(x) and n =
+    * count(x) it is bit-identical to `davg(x)` over the expanded rows.
+    */
+  def davgOfMicros(totalMicros: Column, n: Column, scale: Int = 4): Column = {
+    val p = math.pow(10, scale).toLong
+    val numer = totalMicros.cast("decimal(38,0)") * lit(2L * p) +
+      n.cast("decimal(38,0)") * lit(1000000L)
+    val denom = nullif(n.cast("decimal(38,0)") * lit(2000000L),
+      lit(0).cast("decimal(38,0)"))
+    call_function("div", numer, denom).cast("double") / lit(p.toDouble)
+  }
+
   /** SQL fragment for the oracle side of [[davg]] (HUGEINT twin). */
   def davgSql(expr: String, scale: Int = 4): String = {
     val p = math.pow(10, scale).toLong

@@ -50,14 +50,26 @@ object AsOf {
     * raw int64 nanos identically with integer DIV).
     */
   def j7AsOf(spark: SparkSession, dir: String): DataFrame = {
+    // The generic asOfJoin unions two CALLER frames — fine when left and
+    // right really are different sources, but here both sides are filters
+    // of the SAME events scan, and Spark plans a union of two frames as
+    // two parquet scans. Building the tagged union from one filtered scan
+    // directly (`event_type IN (click, purchase)` pushed to the reader,
+    // __is_left = is-click) halves the input I/O and produces exactly the
+    // row set asOfJoin's union would; the window/fill logic is unchanged.
     val ev = Tables(spark, dir).eventsRaw
-      .withColumn("ts_us", expr("ts DIV 1000"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us"), col("event_id"), col("ts_us").as("click_ts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_us"), col("event_id"))
-    asOfJoin(clicks, purchases, key = "user_id", timeCol = "ts_us",
-        tieBreak = "event_id", leftValue = "click_ts")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("event_id"),
+        (col("event_type") === "click").as("__l"))
+    val tagged = ev.select(col("user_id"), col("ts_us"), col("event_id"),
+      col("__l").cast("int").as("__is_left"),
+      when(col("__l"), col("ts_us")).as("__lv"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("__is_left").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("__asof", last(col("__lv"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 0)
       .select(
         col("user_id"), col("event_id").as("purchase_id"),
         col("ts_us").as("purchase_ts_us"),

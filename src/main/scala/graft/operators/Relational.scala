@@ -288,8 +288,34 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** J3: semi/anti joins — EXISTS / NOT EXISTS without row duplication. */
+  /** J3: semi/anti joins — EXISTS / NOT EXISTS without row duplication.
+    *
+    * One pass: EXISTS and NOT EXISTS over the same key set are two sides
+    * of a single left join against the DISTINCT order keys — the r16
+    * shape (kept as [[j3SemiAntiTwoJoinForm]], pinned row-for-row by
+    * RelationalSpec) scanned orders TWICE (semi + anti subtrees), ran
+    * two aggregations and stitched them with a third (full-outer) join.
+    * Same n_with/n_without by definition: a customer either matches a
+    * distinct key or doesn't, and every segment keeps both counts (zero
+    * included) because every customer lands in exactly one bucket.
+    * Plan: 2 orders scans → 1, 3 joins → 1, 3 aggregates → 2 (the
+    * distinct + the final rollup).
+    */
   def j3SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val orderCust = t.orders.select(col("o_custkey")).distinct()
+    t.customer
+      .join(orderCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_custkey")).as("n_with_orders"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_without_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** The r16 two-join form of [[j3SemiAnti]] — kept as the equivalence
+    * witness (RelationalSpec pins the two row-for-row).
+    */
+  private[graft] def j3SemiAntiTwoJoinForm(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val withOrders = t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
@@ -304,10 +330,58 @@ object Relational {
   }
 
   /** J5: theta/range join — supplier vs customer in same nation where the
-    * supplier out-balances the customer. Equi part shuffles; theta part is
-    * a residual filter, so this stays a hash/merge join, not a nested loop.
+    * supplier out-balances the customer.
+    *
+    * Computed WITHOUT materializing the pair expansion: the join form
+    * (kept as [[j5RangeJoinExpandedForm]], pinned row-for-row by
+    * RelationalSpec) emits O(suppliers × customers) intermediate rows per
+    * nation — ~300k at sf0.1, quadratic in the per-nation populations at
+    * scale (guide §3: exploding joins). But a per-group theta aggregate
+    * over `>` only needs ORDER STATISTICS: union both sides, one window
+    * per nation ordered by (acctbal, side) with customers-after-suppliers
+    * at ties (strict `>` excludes equal balances), and each supplier row
+    * reads the running (count, Σmicros) of strictly-smaller customer
+    * balances — n_pairs and the exact micro-unit gap sum fall out as
+    * Σ cnt·micros(s) − Σ sum_c without a single pair row. `davgOfMicros`
+    * then applies davg's integer HALF_UP formula to the exact totals, so
+    * the result is bit-identical to the expanded form (2-dp fixture
+    * balances make micros(s−c) = micros(s) − micros(c) exact).
+    * Plan: the join + its O(pairs) stage collapse to one hash exchange +
+    * in-partition sort over |S|+|C| rows.
     */
   def j5RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val su = t.supplier.select(col("s_nationkey").as("nk"),
+      col("s_acctbal").as("bal"), lit(0).as("side"))
+    val cu = t.customer.select(col("c_nationkey").as("nk"),
+      col("c_acctbal").as("bal"), lit(1).as("side"))
+    // strictly-before-current frame: customers at the SAME balance sort
+    // after supplier rows (side 1 > 0), so a supplier's prefix holds
+    // exactly the customers with c_acctbal < s_acctbal; equal-(bal,side)
+    // tie order is irrelevant — tied rows are all suppliers (side 0,
+    // contribute nothing) or all customers (summed symmetrically)
+    val w = Window.partitionBy(col("nk")).orderBy(col("bal"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    su.unionByName(cu)
+      .withColumn("m", Det.micros(col("bal")))
+      .withColumn("c_below",
+        coalesce(sum(when(col("side") === 1, 1L)).over(w), lit(0L)))
+      .withColumn("c_sum_below",
+        coalesce(sum(when(col("side") === 1, col("m"))).over(w), lit(0L)))
+      .filter(col("side") === 0)
+      .groupBy(col("nk"))
+      .agg(sum(col("c_below")).as("n_pairs"),
+        sum(col("c_below") * col("m") - col("c_sum_below")).as("gap_micros"))
+      .filter(col("n_pairs") > 0)
+      .select(col("nk").as("s_nationkey"), col("n_pairs"),
+        Det.davgOfMicros(col("gap_micros"), col("n_pairs")).as("avg_gap"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** The r16 pair-expansion form of [[j5RangeJoin]] — kept as the
+    * equivalence witness (RelationalSpec pins the two row-for-row).
+    */
+  private[graft] def j5RangeJoinExpandedForm(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.supplier.join(t.customer,
         col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))

@@ -17,6 +17,22 @@ class RelationalSpec extends SparkSuite {
     assert(total == expected)
   }
 
+  test("j5 window form == pair-expansion form, row for row") {
+    assertSameRows(Relational.j5RangeJoin(spark, sf),
+      Relational.j5RangeJoinExpandedForm(spark, sf))
+    // the exact-average tail too: bit-identical doubles, not just same sets
+    val a = Relational.j5RangeJoin(spark, sf).collect()
+      .map(r => r.get(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val b = Relational.j5RangeJoinExpandedForm(spark, sf).collect()
+      .map(r => r.get(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(a == b)
+  }
+
+  test("j3 single-join form == two-join form, row for row") {
+    assertSameRows(Relational.j3SemiAnti(spark, sf),
+      Relational.j3SemiAntiTwoJoinForm(spark, sf))
+  }
+
   test("a3 approx count distinct within rsd tolerance of exact") {
     val approx = Relational.a3ApproxDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
