@@ -122,6 +122,29 @@ object Engine {
 
   private val FloorPartsCache = new SessionCache[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int]
+
+  /** Keyed parallelism floor for ROW-MULTIPLYING stages (explode/generate
+    * above a keyed window or aggregate): AQE's partition coalescing sizes
+    * the exchange by its OWN bytes and is blind to a downstream
+    * generator's fan-out, so a small keyed frame collapses to one
+    * partition and the explosion (and everything fused above it) runs
+    * serially. When the frame's OPTIMIZER-ESTIMATED size is below
+    * defaultParallelism × the AQE advisory partition size — i.e. exactly
+    * the regime where AQE would coalesce below core count — pin an
+    * explicit keyed repartition to defaultParallelism (explicit
+    * numPartitions is exempt from AQE coalescing, and the window/agg
+    * above reuses the exchange, so no shuffle is added). Above that
+    * size the frame is returned UNTOUCHED and AQE's size-based choice
+    * stands — at the 100 TB design point this branch never fires.
+    */
+  def fanoutFloorBy(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      sess.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(advisory) * target) df.repartition(target, key) else df
+  }
 }
 
 /** Typed accessors for the driver-generated fixture tables.

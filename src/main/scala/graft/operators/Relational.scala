@@ -524,15 +524,88 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
-  /** A6: statistical aggregates — exact percentile, stddev, correlation. */
+  /** EXACT percentiles by RANK instead of by value-buffer aggregation.
+    *
+    * Spark's `percentile` is an ObjectHashAggregate that accumulates a
+    * per-group value→count map (boxed, codegen-free, merge-heavy) — the
+    * a6 pair's dominant cost and a per-group memory liability at scale
+    * (guide §4/§5: non-codegen aggregates in the hot path). An exact
+    * quantile only needs the values at ranks ⌊pos⌋+1 / ⌈pos⌉+1 of each
+    * group (pos = p·(n−1)): one codegen count pass, one window
+    * row_number pass inside the group exchange, pick the two rows, and
+    * interpolate with EXACTLY Spark's arithmetic —
+    * `(⌈pos⌉−pos)·lo + (pos−⌊pos⌋)·hi`, lo when pos is integral —
+    * reproduced bit-for-bit (PctProbe verified 18/18 group×p cases at
+    * three SFs against expr("percentile"); RelationalSpec pins it).
+    *
+    * Null discipline: values are filtered before ranking and counted
+    * with count(v), matching percentile's ignore-nulls. Groups with
+    * n = 0 would drop out rather than yield NULL — impossible for the
+    * fixture measures, and the pinned object-agg forms keep the
+    * original semantics on record.
+    *
+    * Returns (g, __pct0, __pct1, ...) one row per group with ≥1 value.
+    */
+  private[graft] def rankPercentiles(base: DataFrame, g: String, v: String,
+                                     ps: Seq[Double]): DataFrame = {
+    val vals = base.filter(col(v).isNotNull)
+    val cnts = ps.zipWithIndex.foldLeft(
+      vals.groupBy(col(g)).agg(count(col(v)).as("__n"))) {
+      case (df, (p, i)) =>
+        df.withColumn(s"__pos$i", lit(p) * (col("__n") - 1).cast("double"))
+          .withColumn(s"__klo$i", floor(col(s"__pos$i")).cast("long") + 1)
+          .withColumn(s"__khi$i", ceil(col(s"__pos$i")).cast("long") + 1)
+    }
+    val w = Window.partitionBy(col(g)).orderBy(col(v))
+    val ranked = vals.select(col(g), col(v))
+      .withColumn("__rn", row_number().over(w))
+    val keep = ps.indices
+      .map(i => col("__rn") === col(s"__klo$i") || col("__rn") === col(s"__khi$i"))
+      .reduce(_ || _)
+    val aggs = ps.indices.flatMap { i => Seq(
+      min(when(col("__rn") === col(s"__klo$i"), col(v))).as(s"__lo$i"),
+      max(when(col("__rn") === col(s"__khi$i"), col(v))).as(s"__hi$i"),
+      first(col(s"__pos$i")).as(s"__p$i"))
+    }
+    ranked.join(broadcast(cnts), Seq(g)).filter(keep)
+      .groupBy(col(g)).agg(aggs.head, aggs.tail: _*)
+      .select(col(g) +: ps.indices.map { i =>
+        val pos = col(s"__p$i")
+        when(ceil(pos) === floor(pos), col(s"__lo$i"))
+          .otherwise((ceil(pos) - pos) * col(s"__lo$i") +
+            (pos - floor(pos)) * col(s"__hi$i"))
+          .as(s"__pct$i")
+      }: _*)
+  }
+
+  /** A6: statistical aggregates — exact percentile, stddev, correlation.
+    * The exact median comes from [[rankPercentiles]] (two codegen passes)
+    * instead of the value-buffer `percentile` object aggregate — the
+    * object-agg form is kept as [[a6StatsObjectAggForm]] and pinned
+    * value-identical by RelationalSpec. stddev/corr stay one declarative
+    * partial-aggregated pass; the two 3-row results broadcast-join.
+    */
   def a6Stats(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // parallelism floor (Engine.parallelFloor): the exact percentile's
-    // map-side value buffers fill in the scan stage — one task on the
-    // fixture's single row group without it (A/B measured 1.73 → 1.61 s
-    // isolated; the approx sibling and gap-fill measured WORSE floored
-    // — sketch/bucket map sides are too cheap to amortize the exchange
-    // — and stay unfloored). No-op at corpus scale.
+    val base = t.lineitem.select(col("l_returnflag"), col("l_extendedprice"),
+      col("l_quantity"))
+    val med = rankPercentiles(
+      base.select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice", Seq(0.5))
+    val stats = base.groupBy(col("l_returnflag"))
+      .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+    stats.join(broadcast(med), Seq("l_returnflag"))
+      .select(col("l_returnflag"), round(col("__pct0"), 4).as("median_price"),
+        col("sd_qty"), col("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The r16 object-aggregate form of [[a6Stats]] — kept as the
+    * equivalence witness (RelationalSpec pins the two value-identical).
+    */
+  private[graft] def a6StatsObjectAggForm(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
     graft.Engine.parallelFloor(
       t.lineitem.select(col("l_returnflag"), col("l_extendedprice"),
         col("l_quantity")))
@@ -594,17 +667,36 @@ object Relational {
     */
   def a6StatsApproxChecked(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // exact chain and sketch fused into ONE aggregation with ONE buffer
-    // each: `percentile(col, array(0.5, 0.95))` fills a single value
-    // buffer and evaluates both quantiles from it, and the array-form
-    // `percentile_approx` maintains a single sketch — one lineitem
-    // scan, one partial-aggregated exchange, no join. The r15 form ran
-    // two scans + two exchanges + a join (the most expensive
-    // non-iterative query, demerit #3), and a first fused cut that
-    // declared the four aggregates separately paid FOUR per-group
-    // object buffers (two full value maps + two sketches) and measured
-    // 40% slower than the split it replaced — the array form is the
-    // one that actually wins.
+    // The SKETCH keeps its one bounded-buffer aggregation pass (that is
+    // the production operator under test); the EXACT side — previously
+    // the other half of the same agg as a full per-group value buffer
+    // (`percentile(col, array(0.5, 0.95))`) — now comes from
+    // [[rankPercentiles]]'s codegen passes and broadcast-joins back
+    // (3-row frames). Same values bit-for-bit: PctProbe/RelationalSpec
+    // pin the rank interpolation against the object aggregate.
+    val base = t.lineitem.select(col("l_returnflag"), col("l_extendedprice"))
+    val ex = rankPercentiles(base, "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
+    base
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95)), lit(10000)).as("__ap"))
+      .join(broadcast(ex), Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        round(col("__pct0"), 4).as("median_price"),
+        round(col("__pct1"), 4).as("p95_price"),
+        col("__ap").getItem(0).as("approx_median"),
+        col("__ap").getItem(1).as("approx_p95"))
+      .select(col("l_returnflag"), col("median_price"), col("p95_price"),
+        pctEstOk(col("approx_median"), col("median_price")).as("median_est_ok"),
+        pctEstOk(col("approx_p95"), col("p95_price")).as("p95_est_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The r16 fused object-aggregate form of [[a6StatsApproxChecked]] —
+    * kept as the equivalence witness (RelationalSpec pins the two).
+    */
+  private[graft] def a6StatsApproxObjectAggForm(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(

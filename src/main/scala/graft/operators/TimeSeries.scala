@@ -26,6 +26,25 @@ object TimeSeries {
 
   /** Hourly grid + forward fill for an events-shaped frame
     * (`user_id`, `ts` timestamp, `value`).
+    *
+    * JOIN-FREE: the r16 form built the per-user spine separately
+    * (min/max agg + sequence explode), left-joined the buckets back
+    * (which forced a persist — two consumers of the same aggregate — and
+    * a broadcast build of the full bucket frame) and ran the forward
+    * fill over the DENSE grid. But every dense row's value is decided by
+    * the bucket that OPENS its gap, so each bucket row can emit its own
+    * gap directly: one window pass over the (sparse) bucket rows
+    * computes the carried value (`last ignoreNulls` — an all-null bucket
+    * carries the earlier value exactly like the dense-window form) and
+    * the gap end (`lead − 1`, own hour for the last bucket), then a
+    * `sequence` explode densifies. Bucket rows emit (n_events, value);
+    * the synthesized silent hours emit (0, carried). Same grid by
+    * construction: per user, ⋃ [bucket_i, bucket_{i+1} − 1] plus the
+    * final bucket = [min, max]. Plan: persist + spine aggregate +
+    * broadcast join GONE — scan → one keyed aggregation → one window →
+    * explode; the fill window now sorts the sparse bucket rows, not the
+    * dense grid. The join form is kept as [[gapFillJoinForm]]; the spec
+    * pins the two row-for-row.
     */
   def gapFill(events: DataFrame): DataFrame = {
     val hours = events.select(
@@ -35,9 +54,37 @@ object TimeSeries {
     val buckets = hours.groupBy(col("user_id"), col("hour_id"))
       .agg(count(lit(1)).as("n_events"),
         Det.dsum(col("value"), 2).as("hour_value"))
-      // pinned: the spine's min/max pass AND the fill join both consume
-      // the bucket aggregate — unpinned, the events scan + hour rollup
-      // executed once per branch (measured ~2× the query at sf0.1)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour_id"))
+    // keyed fan-out floor: the sequence explode below multiplies rows
+    // ~10× and would otherwise run in the ONE partition AQE coalesces
+    // this small keyed exchange to (see Engine.fanoutFloorBy — no-op at
+    // scale, and the window reuses the pinned exchange)
+    graft.Engine.fanoutFloorBy(buckets, col("user_id"))
+      .withColumn("carried",
+        last(col("hour_value"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("gap_end",
+        coalesce(lead(col("hour_id"), 1).over(w) - 1, col("hour_id")))
+      .select(col("user_id"), col("hour_id").as("bucket_hour"),
+        col("n_events").as("bucket_n"), col("carried"),
+        explode(sequence(col("hour_id"), col("gap_end"))).as("hour_id"))
+      .select(col("user_id"), col("hour_id"),
+        when(col("hour_id") === col("bucket_hour"), col("bucket_n"))
+          .otherwise(lit(0L)).as("n_events"),
+        col("carried").as("carried_value"))
+  }
+
+  /** The r16 spine-join form of [[gapFill]] — kept as the equivalence
+    * witness (RelationalSpec pins the two row-for-row).
+    */
+  private[graft] def gapFillJoinForm(events: DataFrame): DataFrame = {
+    val hours = events.select(
+      col("user_id"),
+      expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000").as("hour_id"),
+      col("value"))
+    val buckets = hours.groupBy(col("user_id"), col("hour_id"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.dsum(col("value"), 2).as("hour_value"))
       .persist()
     val spine = buckets.groupBy(col("user_id"))
       .agg(min(col("hour_id")).as("lo"), max(col("hour_id")).as("hi"))

@@ -33,6 +33,31 @@ class RelationalSpec extends SparkSuite {
       Relational.j3SemiAntiTwoJoinForm(spark, sf))
   }
 
+  test("a6 rank-percentile forms == object-aggregate forms, value-identical") {
+    assertSameRows(Relational.a6Stats(spark, sf),
+      Relational.a6StatsObjectAggForm(spark, sf))
+    assertSameRows(Relational.a6StatsApproxChecked(spark, sf),
+      Relational.a6StatsApproxObjectAggForm(spark, sf))
+    // bit-exactness of the UNROUNDED interpolation against Spark's
+    // percentile object aggregate, both probed quantiles
+    val ref = tables.lineitem.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ex"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val mine = Relational.rankPercentiles(
+      tables.lineitem.select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2))).toMap
+    assert(ref.keySet == mine.keySet)
+    for ((k, ev) <- ref; mv = mine(k); (e, m) <- ev.zip(mv))
+      assert(java.lang.Double.doubleToLongBits(e) == java.lang.Double.doubleToLongBits(m),
+        s"$k: $e vs $m")
+  }
+
+  test("o7 join-free gap fill == spine-join form, row for row") {
+    assertSameRows(TimeSeries.gapFill(tables.events),
+      TimeSeries.gapFillJoinForm(tables.events))
+  }
+
   test("a3 approx count distinct within rsd tolerance of exact") {
     val approx = Relational.a3ApproxDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
