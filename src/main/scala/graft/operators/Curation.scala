@@ -331,7 +331,15 @@ object Curation {
             coalesce(sum(col("__btok")).over(
               Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
               lit(0L)))
-          .materialize() // bucket-sized: pins ONE upstream execution
+          // bucket-sized: pins ONE upstream execution. persist, NOT
+          // materialize: this branch is fully deterministic (no range
+          // sampling), so a lazy cache pin is sound — and a
+          // localCheckpoint here minted a FRESH lineage every
+          // invocation that could never cache-match, making each warm
+          // l0_pipeline/l8_pack call re-execute the whole upstream
+          // chain eagerly at frame-CONSTRUCTION time (measured 0.85 s
+          // of the warm l0 run before any action fired)
+          .persist()
         withB
           // explicit ROWS frame: the default RANGE frame treats order-by
           // PEERS as one unit, double-counting if doc_id ever duplicates
@@ -1145,7 +1153,22 @@ object Curation {
     * adds its prefix-sum exchanges only over the ~halved survivor set.
     */
   def l0Pipeline(spark: SparkSession, dir: String): DataFrame =
-    l0PipelineFrom(Tables(spark, dir).documents)
+    // frame memo (the l6DedupDocs discipline): the pipeline chains a few
+    // hundred DataFrame ops over a ~1000-node tree, and Spark's
+    // eager-per-op analysis makes CONSTRUCTION alone cost ~0.8 s
+    // (driver thread sampled: all resolveOperators/transformDown tree
+    // walking) — per invocation, before any action. The declared inputs
+    // are the immutable fixture tables, so the built (lazy) frame is a
+    // pure function of (session, dir): memoize it and let every
+    // invocation re-execute the SAME analyzed plan (execution still
+    // computes from parquet + session caches; nothing is keyed on
+    // results). The streaming recuration twin feeds differing corpora
+    // through l0PipelineFrom directly and is untouched.
+    l0FrameCache.getOrElseUpdate(spark, dir) {
+      l0PipelineFrom(Tables(spark, dir).documents)
+    }
+
+  private val l0FrameCache = new graft.SessionCache[String, DataFrame]
 
   /** [[l0Pipeline]] over any documents frame — shared by the declared
     * query and the streaming recuration twin

@@ -752,10 +752,16 @@ object Dedup {
       .materialize(large = true) // toks+members arrays scale with the corpus
     // 2. signatures + band-hash array per representative: ONE native
     // single-pass signature vector per rep (see MinhashSigs), band
-    // hashes fold getItem slices of it in the next projection
+    // hashes fold getItem slices of it in the next projection.
+    // Parallelism floor on the CHECKPOINTED groups frame: the collapse
+    // aggregate's output coalesces to one/few partitions (small bytes)
+    // before the checkpoint pins that layout, so the w-hash signature
+    // kernel — the chain's heaviest per-row stage — otherwise runs
+    // near-serially over it (measured 9.1 s on ONE task at sf0.1).
     val w = bands * rowsPerBand
     val bandArr = {
-      val withSig = groups.select(col("rep_id"), col("toks"), size(col("toks")).as("n"),
+      val withSig = graft.Engine.parallelFloor(groups)
+        .select(col("rep_id"), col("toks"), size(col("toks")).as("n"),
         minhashSigsNative(col("toks"), w).as("__sigs"))
       val bandCols = (0 until bands).map { b =>
         md5(concat_ws("|",
