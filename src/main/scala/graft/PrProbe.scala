@@ -83,8 +83,42 @@ object PrProbe {
       println(f"[pr-$tag] total 8 rounds: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
 
+    // persist + delta-action variant: one action per round (the delta agg
+    // materializes the cache), lineage truncated only every `ckptEvery`
+    // rounds — vs the per-round localCheckpoint + delta two-action form
+    def runRoundsPersist(tag: String, ckptEvery: Int): Unit = {
+      var scores = nodes.select(col("node"), lit(1000000L).as("score")).materialize()
+      val t0 = System.nanoTime()
+      for (i <- 1 to 8) {
+        val r0 = System.nanoTime()
+        val (j0, s0, k0, m0, d0, g0) = snap()
+        val inbound = linked
+          .join(scores.select(col("node").as("src"), col("score")), "src")
+          .groupBy(col("dst")).agg(sum(expr("score DIV d")).as("mass"))
+          .withColumnRenamed("dst", "node")
+        var next = scores.select(col("node"), col("score").as("prev"))
+          .join(inbound, Seq("node"), "left_outer")
+          .select(col("node"),
+            expr(s"(150000000 + 850 * coalesce(mass, 0L)) DIV 1000").as("score"),
+            col("prev"))
+        next = if (i % ckptEvery == 0) next.materialize() else next.persist()
+        val delta = next
+          .agg(coalesce(max(abs(col("score") - col("prev"))), lit(0L)))
+          .first().getLong(0)
+        scores = next.select(col("node"), col("score"))
+        val (j1, s1, k1, m1, d1, g1) = snap()
+        println(f"[pr-$tag] round $i: ${(System.nanoTime() - r0) / 1e9}%.3f s " +
+          f"jobs=${j1 - j0} stages=${s1 - s0} tasks=${k1 - k0} " +
+          f"taskMs=${m1 - m0} deserMs=${d1 - d0} gcMs=${g1 - g0} delta=$delta")
+      }
+      println(f"[pr-$tag] total 8 rounds: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
     runRounds("w1")
     runRounds("w2")
+    runRoundsPersist("p1-e4", 4)
+    runRoundsPersist("p2-e4", 4)
+    runRoundsPersist("p3-e3", 3)
 
     // component isolation, all warm (run each 3x, min):
     def timed(tag: String)(body: => Unit): Unit = {

@@ -3613,8 +3613,39 @@ object Registry {
 
   def all: Seq[QueryDef] = relational ++ llm ++ fns ++ sqlEntry
 
+  /** Per-(session, query, dir) memo of BUILT (lazy) frames — the
+    * l0_pipeline/l6DedupDocs discipline generalized to the declared
+    * queries whose frame CONSTRUCTION is analysis-dominated: Spark's
+    * eager per-op Catalyst analysis costs 0.2–0.6 s per invocation on
+    * these trees (ConstructProbe, warm pass), paid again on every
+    * re-declaration of an identical query. The memo caches the PLAN, not
+    * results: every action on the returned frame still computes from the
+    * parquet inputs (plus the session's established persist/checkpoint
+    * pins). Opt-IN only, and deliberately NOT applied to queries whose
+    * construction runs side effects or pins its own output rows — the MQ
+    * drain snapshot (s2_admission), the file-roundtrip writers (s6_*),
+    * and the iterative forms whose loop actions produce checkpointed
+    * score/label frames (g1_*, g3, l1_substr_dedup_fix) — so each of
+    * those still re-executes its real work per invocation.
+    */
+  private val FrameMemo = new graft.SessionCache[String, org.apache.spark.sql.DataFrame]
+  private val MemoFrames: Set[String] = Set(
+    "s10_sql_entry", "s9_constraints", "l8_importance_gate",
+    "l6_ngram_simjoin", "q5_local_supplier", "q7_volume", "q3_join_agg",
+    "a3_approx_distinct", "a6_stats", "a6_stats_approx", "a10_equi_depth",
+    "g2_triangles", "j10_fuzzy_join", "m2_ann_recall", "m5_ndcg",
+    "l3_ann_bucket", "l3_ann_multiprobe", "l3_batch_topk",
+    "l3_cosine_topk", "l3_filtered_topk", "l3_ivf_topk", "l3_knn_graph",
+    "l3_pq_topk", "l3_sq_topk")
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    all.map(d => d.name -> d.fn).toMap
+    all.map { d =>
+      val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+        if (MemoFrames(d.name))
+          (s, dir) => FrameMemo.getOrElseUpdate(s, s"${d.name}|$dir")(d.fn(s, dir))
+        else d.fn
+      d.name -> fn
+    }.toMap
 
   // NOTE: no whitespace collapsing here — it would rewrite spacing inside
   // quoted SQL literals; Verify's JSON escaping already handles newlines.

@@ -834,8 +834,14 @@ object Dedup {
                  tokenizer: Column => Column = tokens): DataFrame = {
     val w = bands * rowsPerBand
     // parallelism floor: the signature pass runs in the scan stage
-    // (one task on the single-row-group fixture; no-op at scale)
-    val base = graft.Engine.parallelFloor(docs).select(col("doc_id"),
+    // (one task on the single-row-group fixture; no-op at scale).
+    // HASH-partitioned (parallelFloorBy), not round-robin: callers pin
+    // frames derived from this one (fuzzyContaminatedIds' candidate
+    // persist), and a round-robin exchange in a cached lineage defeats
+    // cross-invocation cache matching (the r16 spanStarts finding) —
+    // every warm l9_fuzzy run was re-running this whole signature pass.
+    val base = graft.Engine.parallelFloorBy(docs, col("doc_id"))
+      .select(col("doc_id"),
         array_distinct(tokenizer(col("text"))).as("toks"))
       .withColumn("__sigs", minhashSigsNative(col("toks"), w))
     val bandCols = (0 until bands).map { b =>
